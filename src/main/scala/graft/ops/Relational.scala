@@ -1,0 +1,551 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator suite (q01..q23) over the TPC-H-ish testdata.
+  *
+  * Engine-parity rules (Spark result must hash-match the DuckDB oracle):
+  *  - money/quantity sums go through DECIMAL casts (order-independent,
+  *    exact), then round(..,2) and a final DOUBLE cast;
+  *  - ratio/avg outputs are a single IEEE division of exact inputs
+  *    (bit-identical across engines), never an engine `avg` over doubles;
+  *  - timestamps leave the plan as epoch microseconds (bigint) or
+  *    ISO date strings;
+  *  - every query ends in a total-order sort with explicit tiebreakers.
+  *
+  * Scale notes are on each query: dims are broadcast, fact-fact joins
+  * shuffle on their natural key, windows always have a partition key.
+  */
+object Relational {
+
+  /** Exact decimal sum rendered as double: round(sum(decimal(x)), 2). */
+  private def dsum(c: Column): Column =
+    round(sum(c.cast("decimal(12,2)")), 2).cast("double")
+  private def sqlDsum(e: String): String =
+    s"CAST(round(sum(CAST($e AS DECIMAL(12,2))), 2) AS DOUBLE)"
+
+  /** Exact revenue term: price * (1 - discount) in decimal. */
+  private def revTerm(price: Column, disc: Column): Column =
+    price.cast("decimal(12,2)") * (lit(1).cast("decimal(12,2)") - disc.cast("decimal(12,2)"))
+  private val sqlRevTerm =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+  private def drevsum: Column =
+    round(sum(revTerm(col("l_extendedprice"), col("l_discount"))), 2).cast("double")
+  private val sqlDrevsum = s"CAST(round(sum($sqlRevTerm), 2) AS DOUBLE)"
+
+  // ------------------------------------------------------------------
+  // q01: TPC-H Q1-style pricing summary. Scan → filter → hash agg.
+  // Scale: map-side partial agg; 6-group output; filter pushed to parquet.
+  def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-31"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        drevsum.as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  $sqlDrevsum AS sum_disc_price,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // q02: projection + predicate pushdown (ReadSchema stays 4 columns).
+  def q02(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select("p_partkey", "p_name", "p_type", "p_retailprice")
+      .filter(col("p_type") === "PROMO" && col("p_retailprice") > 990.0)
+      .orderBy("p_partkey")
+
+  val q02Sql: String =
+    """SELECT p_partkey, p_name, p_type, p_retailprice FROM part
+      |WHERE p_type = 'PROMO' AND p_retailprice > 990.0 ORDER BY p_partkey""".stripMargin
+
+  // q03: TPC-H Q3-style top-K revenue. customer (broadcast-ish dim) ⋈
+  // orders ⋈ lineitem; shuffle on orderkey; top-10 via sort+limit
+  // (Spark runs TakeOrderedAndProject — no full sort at scale).
+  def q03(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(drevsum.as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       |  $sqlDrevsum AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // q04: EXISTS semi-join + agg (order-priority profile of orders that
+  // have at least one high-quantity line). Semi-join avoids fanout.
+  def q04(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      .select("l_orderkey")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q05: TPC-H Q5-style star join. nation/region broadcast; the
+  // customer=supplier nation equality is the classic Q5 constraint.
+  def q05(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name").agg(drevsum.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q05Sql: String =
+    s"""SELECT n_name, $sqlDrevsum AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  // q06: TPC-H Q6 forecast: single scan, tight range filters (all pushed
+  // to parquet), one global agg — the cheapest possible shape.
+  def q06(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        col("l_discount").cast("decimal(12,2)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q06Sql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                       CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // q07: anti-join — customers with no urgent order.
+  def q07(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").orderBy("c_custkey")
+  }
+
+  val q07Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // q08: semi-join — parts that appear in a high-quantity line.
+  def q08(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_name", "p_brand")
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 49).select("l_partkey")
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_semi").orderBy("p_partkey")
+  }
+
+  val q08Sql: String =
+    """SELECT p_partkey, p_name, p_brand FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_partkey = p_partkey AND l_quantity >= 49)
+      |ORDER BY p_partkey""".stripMargin
+
+  // q09: windowed top-N per group (top-3 parts per supplier by revenue).
+  // Partitioned window — no global sort; agg first shrinks the input.
+  def q09(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy("l_suppkey", "l_partkey").agg(drevsum.as("revenue"))
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("revenue").desc, col("l_partkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  val q09Sql: String =
+    s"""SELECT * FROM (
+       |  SELECT l_suppkey, l_partkey, revenue,
+       |    row_number() OVER (PARTITION BY l_suppkey
+       |                       ORDER BY revenue DESC, l_partkey) AS rn
+       |  FROM (SELECT l_suppkey, l_partkey, $sqlDrevsum AS revenue
+       |        FROM lineitem GROUP BY 1, 2))
+       |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+
+  // q10: running (cumulative) sum per customer over order history.
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_custkey") < 100)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(sum(col("o_totalprice").cast("decimal(12,2)")).over(w), 2)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "orderdate", "o_orderkey")
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+      |    AS running_total
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, orderdate, o_orderkey""".stripMargin
+
+  // q11: lag() delta vs previous order of the same customer.
+  def q11(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_custkey") < 100)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o.select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice").cast("decimal(12,2)") -
+          lag(col("o_totalprice").cast("decimal(12,2)"), 1).over(w), 2)
+          .cast("double").as("delta"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q11Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) -
+      |    lag(CAST(o_totalprice AS DECIMAL(12,2)), 1)
+      |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+      |    AS DOUBLE) AS delta
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // q12: distinct aggregation per group (two distincts → Spark expands;
+  // at scale prefer approx_count_distinct — kept exact for the oracle).
+  def q12(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q12Sql: String =
+    """SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_customers,
+      |  count(DISTINCT o_orderpriority) AS n_priorities, count(*) AS n_orders
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q13: ROLLUP over nation → segment, null-filled levels made explicit.
+  // Rolls up on the integer nation KEY and joins the dim AFTER the agg —
+  // cheaper at scale (narrow grouping key, 30-row post-agg join) and it
+  // sidesteps Spark 4.1's over-eager ambiguous-self-join check on
+  // join→rollup plans. Valid because nationkey→n_name is 1:1.
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val r = c.rollup("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+    r.join(broadcast(n), r("c_nationkey") === n("n_nationkey"), "left")
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_customers"), col("sum_bal"))
+      .orderBy("nation", "segment")
+  }
+
+  val q13Sql: String =
+    s"""SELECT coalesce(n_name, 'ALL') AS nation,
+       |  coalesce(c_mktsegment, 'ALL') AS segment,
+       |  count(*) AS n_customers, ${sqlDsum("c_acctbal")} AS sum_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP (n_name, c_mktsegment) ORDER BY 1, 2""".stripMargin
+
+  // q14: CUBE over order status × priority.
+  def q14(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  val q14Sql: String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY 1, 2""".stripMargin
+
+  // q15: GROUPING SETS — independent slices in one shuffle.
+  def q15(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("qty"))
+      .orderBy("rflag", "lstatus")
+
+  val q15Sql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       |  coalesce(l_linestatus, 'ALL') AS lstatus,
+       |  count(*) AS n, ${sqlDsum("l_quantity")} AS qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY 1, 2""".stripMargin
+
+  // q16: HAVING — parts ordered in more than 45 lines.
+  def q16(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("n_lines") > 45)
+      .orderBy(col("n_lines").desc, col("l_partkey"))
+
+  val q16Sql: String =
+    s"""SELECT l_partkey, count(*) AS n_lines, ${sqlDsum("l_quantity")} AS total_qty
+       |FROM lineitem GROUP BY 1 HAVING count(*) > 45
+       |ORDER BY n_lines DESC, l_partkey""".stripMargin
+
+  // q17: set operations — UNION / INTERSECT / EXCEPT on key sets.
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 8000.0).select("c_custkey")
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+    auto.union(machinery).intersect(rich)
+      .except(c.filter(col("c_acctbal") > 9900.0).select("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  val q17Sql: String =
+    """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      | UNION ALL
+      | SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 9900.0
+      |ORDER BY c_custkey""".stripMargin
+
+  // q18: conditional (CASE) aggregation — a manual pivot, integer-exact.
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(when(col("c_mktsegment") === "BUILDING", 1).otherwise(0)).as("building"),
+        sum(when(col("c_mktsegment") === "AUTOMOBILE", 1).otherwise(0)).as("automobile"),
+        sum(when(col("c_acctbal") > 5000.0, 1).otherwise(0)).as("high_balance"),
+        count(lit(1)).as("total"))
+      .orderBy("n_name")
+  }
+
+  val q18Sql: String =
+    """SELECT n_name,
+      |  sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS building,
+      |  sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS automobile,
+      |  sum(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS high_balance,
+      |  count(*) AS total
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q19: correlated subquery semantics — customers above their nation's
+  // average balance. Spark-first: one shuffle-free window avg beats a
+  // self-join re-aggregation.
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val w = Window.partitionBy("c_nationkey")
+    c.withColumn("nation_avg",
+        sum(col("c_acctbal").cast("decimal(12,2)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val q19Sql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c1
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |                          / count(*)
+      |                   FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // q20: uncorrelated scalar subquery — lines above global average
+  // quantity, counted per return flag.
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val avgQty = l.agg((sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+      count(lit(1))).as("a"))
+    l.join(broadcast(avgQty))
+      .filter(col("l_quantity") > col("a"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_above_avg"))
+      .orderBy("l_returnflag")
+  }
+
+  val q20Sql: String =
+    """SELECT l_returnflag, count(*) AS n_above_avg FROM lineitem
+      |WHERE l_quantity > (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |                           / count(*) FROM lineitem)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q21: AS-OF join — for each purchase, the latest click of the same
+  // user at or before the purchase. Spark-first scale shape: union the
+  // two event kinds, ONE shuffle on user_id, per-partition ordered scan
+  // with last(ignoreNulls) — no inequality-join blowup.
+  def q21(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_us", last(when(col("kind") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("click_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("click_id"), col("click_us"))
+      .orderBy("event_id")
+  }
+
+  val q21Sql: String =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+      |  c.event_id AS click_id, epoch_us(c.ts) AS click_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // q22: bounded range join — clicks within the hour before each
+  // purchase. Equality key (user_id) carries the shuffle; the range
+  // predicate is a cheap post-filter on the joined pairs.
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"), "left")
+      .groupBy("event_id").agg(count(col("c_user")).as("n_clicks_1h"))
+      .orderBy("event_id")
+  }
+
+  val q22Sql: String =
+    """SELECT p.event_id, count(c.user_id) AS n_clicks_1h
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q23: pivot to wide schema (explicit value list → single pass).
+  def q23(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderstatus")
+
+  val q23Sql: String =
+    """SELECT o_orderstatus,
+      |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
+      |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
+      |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
+      |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
+      |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Registry for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_topk_revenue" -> (q03 _),
+    "q04_order_priority" -> (q04 _),
+    "q05_local_supplier" -> (q05 _),
+    "q06_forecast_revenue" -> (q06 _),
+    "q07_anti_join" -> (q07 _),
+    "q08_semi_join" -> (q08 _),
+    "q09_window_topk" -> (q09 _),
+    "q10_running_sum" -> (q10 _),
+    "q11_lag_delta" -> (q11 _),
+    "q12_distinct_agg" -> (q12 _),
+    "q13_rollup" -> (q13 _),
+    "q14_cube" -> (q14 _),
+    "q15_grouping_sets" -> (q15 _),
+    "q16_having" -> (q16 _),
+    "q17_set_ops" -> (q17 _),
+    "q18_case_agg" -> (q18 _),
+    "q19_correlated_subq" -> (q19 _),
+    "q20_scalar_subq" -> (q20 _),
+    "q21_asof_join" -> (q21 _),
+    "q22_range_join" -> (q22 _),
+    "q23_pivot" -> (q23 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_topk_revenue" -> q03Sql,
+    "q04_order_priority" -> q04Sql,
+    "q05_local_supplier" -> q05Sql,
+    "q06_forecast_revenue" -> q06Sql,
+    "q07_anti_join" -> q07Sql,
+    "q08_semi_join" -> q08Sql,
+    "q09_window_topk" -> q09Sql,
+    "q10_running_sum" -> q10Sql,
+    "q11_lag_delta" -> q11Sql,
+    "q12_distinct_agg" -> q12Sql,
+    "q13_rollup" -> q13Sql,
+    "q14_cube" -> q14Sql,
+    "q15_grouping_sets" -> q15Sql,
+    "q16_having" -> q16Sql,
+    "q17_set_ops" -> q17Sql,
+    "q18_case_agg" -> q18Sql,
+    "q19_correlated_subq" -> q19Sql,
+    "q20_scalar_subq" -> q20Sql,
+    "q21_asof_join" -> q21Sql,
+    "q22_range_join" -> q22Sql,
+    "q23_pivot" -> q23Sql)
+}
