@@ -8,7 +8,8 @@ object SparkEntry {
   /** All op registries, merged. Each ops object owns its queries+oracles. */
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (ops.Relational.queries, ops.Relational.oracles))
+      (ops.Relational.queries, ops.Relational.oracles),
+      (ops.Recommend.queries, ops.Recommend.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RecommendSpec extends SparkSpec {
+
+  ops.Recommend.queries.foreach { case (name, fn) =>
+    test(s"$name executes") {
+      assert(fn(spark, sf).count() >= 0)
+    }
+  }
+
+  test("r04 similarity is within (0, 1]") {
+    val sims = ops.Recommend.r04(spark, sf).collect()
+      .map(_.getAs[Double]("sim"))
+    assert(sims.forall(v => v > 0.0 && v <= 1.0))
+  }
+
+  test("r05 recs never contain already-seen items") {
+    val recs = ops.Recommend.r05(spark, sf)
+    val hist = etl.Ratings.implicitRatings(spark, sf)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("item_id").as("rec_item"))
+    assert(recs.join(hist, Seq("user_id", "rec_item"), "left_semi").count() == 0)
+  }
+
+  test("r06 ALS recs: 5 per user, unseen only") {
+    val recs = ops.Recommend.r06(spark, sf).cache()
+    val perUser = recs.groupBy("user_id").count().collect()
+    assert(perUser.forall(_.getAs[Long]("count") <= 5))
+    val seen = etl.Ratings.implicitRatings(spark, sf).select("user_id", "item_id")
+    assert(recs.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
+    recs.unpersist()
+  }
+
+  test("r08 baseline rmse is a positive scalar") {
+    val row = ops.Recommend.r08(spark, sf).collect().head
+    assert(row.getAs[Long]("n_train") > 0)
+    assert(row.getAs[Long]("n_test") > 0)
+    assert(row.getAs[Double]("rmse") > 0.0)
+  }
+}
