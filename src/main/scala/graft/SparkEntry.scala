@@ -9,7 +9,12 @@ object SparkEntry {
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ops.Relational.queries, ops.Relational.oracles),
-      (ops.Recommend.queries, ops.Recommend.oracles))
+      (ops.Recommend.queries, ops.Recommend.oracles),
+      (ops.TextOps.queries, ops.TextOps.oracles),
+      (ops.Dedup.queries, ops.Dedup.oracles),
+      (ops.Similarity.queries, ops.Similarity.oracles),
+      (ops.EventOps.queries, ops.EventOps.oracles),
+      (ops.Multimodal.queries, ops.Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,275 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing
+
+/** Deduplication operators (d01..d06): exact hash dedup, MinHash
+  * signatures, banded LSH candidate generation, Jaccard verification,
+  * SimHash fingerprints, and blocked embedding near-dup.
+  *
+  * The synthetic corpus has no natural duplicates, so d01..d04 run on
+  * an AUGMENTED corpus: every 100th doc gets an exact copy
+  * (+2_000_000) and every 50th doc a near copy with a token tail
+  * appended (+1_000_000). The identical augmentation lives in the
+  * oracle SQL, so found pairs are fully checkable.
+  *
+  * Scale shape: everything is per-row until the LSH bucket join —
+  * candidates shuffle on (band, bucket-hash), never all-pairs. At
+  * 100 TB the band/row parameters (here 4×4 over K=16) tune the
+  * candidate volume; the Jaccard verify touches only candidates.
+  */
+object Dedup {
+
+  private val K = 16           // minhash permutations
+  private val BANDS = 4        // 4 bands × 4 rows
+  private val ROWS = K / BANDS
+
+  // ---- shared corpus + shingle machinery ----
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs
+      .union(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft dedup probe tail")).as("text")))
+  }
+
+  private val sqlCorpus: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 100 = 0
+      |  UNION ALL SELECT doc_id + 1000000, text || ' graft dedup probe tail'
+      |    FROM documents WHERE doc_id % 50 = 0""".stripMargin
+
+  /** Word-trigram shingles of a text column (array<string>). */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))
+  }
+
+  private val sqlShingles: String =
+    """list_transform(range(len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |         string_split(text, ' ')[i + 2] || ' ' ||
+      |         string_split(text, ' ')[i + 3])""".stripMargin
+
+  /** doc_id + minhash signature array over shingle hash56 values. */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        Hashing.minhash(transform(shingles(col("text")), t => Hashing.hash56(t)), K)
+          .as("sig"))
+
+  /** CTE producing doc_id, sig (list<bigint>) in the oracle dialect. */
+  private def sqlSignatures: String = {
+    val sigExprs = Hashing.perms(K).map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ${Hashing.sqlPerm("h", a, b)}))"
+    }.mkString("[", ",\n      ", "]")
+    s"""SELECT doc_id, $sigExprs AS sig
+       |FROM (
+       |  SELECT doc_id, list_transform($sqlShingles,
+       |    t -> ${Hashing.sqlHash56("t")}) AS sh
+       |  FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+  }
+
+  /** doc_id, band, bucket (hash of the band's signature slice). */
+  private def bands(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until BANDS).map { b =>
+      val sliceStr = concat_ws("_",
+        transform(slice(col("sig"), b * ROWS + 1, ROWS), x => x.cast("string")))
+      struct(lit(b).as("band"), Hashing.hash56(sliceStr).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  private def sqlBands: String =
+    (0 until BANDS).map { b =>
+      val lo = b * ROWS + 1
+      val hi = b * ROWS + ROWS
+      s"""SELECT doc_id, $b AS band,
+         |    ${Hashing.sqlHash56(s"array_to_string(sig[$lo:$hi], '_')")} AS bucket
+         |  FROM sigs""".stripMargin
+    }.mkString("\n  UNION ALL ")
+
+  /** Candidate pairs: same (band, bucket), a < b, distinct. */
+  private def candidates(s: SparkSession, d: String): DataFrame = {
+    val bb = bands(signatures(s, d))
+    val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val b = bb.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col("doc_id").as("b"))
+    a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+        col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  private def sqlCandidates: String =
+    s"""SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
+
+  private def sqlDedupPrefix: String =
+    s"""WITH corpus AS ($sqlCorpus),
+       |sigs AS ($sqlSignatures),
+       |bands AS ($sqlBands),
+       |cands AS ($sqlCandidates)""".stripMargin
+
+  // ---- the queries ----
+
+  // d01: exact dedup — group by normalized-text md5, keep-first, report
+  // duplicate groups only.
+  def d01(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"),
+        max(col("doc_id")).as("dup_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("fp")
+
+  val d01Sql: String =
+    s"""WITH corpus AS ($sqlCorpus)
+       |SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+       |  count(*) AS n_docs, min(doc_id) AS keep_doc, max(doc_id) AS dup_doc
+       |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
+  // d02: MinHash signatures (first 4 components as columns).
+  def d02(s: SparkSession, d: String): DataFrame = {
+    val sigCols = (0 until 4).map(i => element_at(col("sig"), i + 1).as(s"sig_$i"))
+    signatures(s, d).select((col("doc_id") +: sigCols): _*).orderBy("doc_id")
+  }
+
+  val d02Sql: String =
+    s"""WITH corpus AS ($sqlCorpus),
+       |sigs AS ($sqlSignatures)
+       |SELECT doc_id, sig[1] AS sig_0, sig[2] AS sig_1,
+       |  sig[3] AS sig_2, sig[4] AS sig_3
+       |FROM sigs ORDER BY doc_id""".stripMargin
+
+  // d03: LSH candidate pairs (banded bucket join — the scale path).
+  def d03(s: SparkSession, d: String): DataFrame =
+    candidates(s, d).orderBy("a", "b")
+
+  val d03Sql: String =
+    s"""$sqlDedupPrefix
+       |SELECT a, b FROM cands ORDER BY a, b""".stripMargin
+
+  // d04: verify candidates with exact shingle-set Jaccard ≥ 0.6.
+  def d04(s: SparkSession, d: String): DataFrame = {
+    val sh = corpus(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val cands = candidates(s, d)
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select("a", "b", "inter", "uni", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  val d04Sql: String =
+    s"""$sqlDedupPrefix,
+       |sh AS (
+       |  SELECT doc_id, list_distinct($sqlShingles) AS sh
+       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3)
+       |SELECT a, b, inter, uni, jaccard FROM (
+       |  SELECT a, b,
+       |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+       |  FROM cands JOIN sh sa ON cands.a = sa.doc_id
+       |             JOIN sh sb ON cands.b = sb.doc_id)
+       |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
+
+  // d05: 48-bit SimHash fingerprint per doc (unigram token hashes).
+  def d05(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .select(col("doc_id"),
+        Hashing.simhash48(transform(split(col("text"), " "),
+          t => Hashing.hash48(t))).as("simhash"))
+      .orderBy("doc_id")
+
+  val d05Sql: String =
+    s"""WITH corpus AS ($sqlCorpus)
+       |SELECT doc_id,
+       |  list_sum(list_transform(range(48), b ->
+       |    CASE WHEN list_sum(list_transform(hs, h ->
+       |        CASE WHEN h % ((1::BIGINT << (b + 1))) >= (1::BIGINT << b)
+       |             THEN 1 ELSE -1 END)) > 0
+       |      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+       |FROM (
+       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |    t -> ${Hashing.sqlHash48("t")}) AS hs
+       |  FROM corpus)
+       |ORDER BY doc_id""".stripMargin
+
+  // d06: blocked embedding near-dup — nearest neighbor within the same
+  // label block (IVF-style blocking: shuffle on label, never all-pairs).
+  def d06(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("label"), col("v").as("va"))
+    val cand = e.select(col("vec_id").as("nn_id"), col("label"), col("v").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+    probe.join(cand, Seq("label"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", round(dot / (na * nb), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "label", "nn_id", "cos")
+      .orderBy("vec_id")
+  }
+
+  val d06Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id, a.label, b.vec_id AS nn_id,
+      |    round(
+      |      list_sum(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1])) /
+      |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 200)
+      |SELECT vec_id, label, nn_id, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                               ORDER BY cos DESC, nn_id) AS rn
+      |  FROM pairs)
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01 _),
+    "d02_minhash_sig" -> (d02 _),
+    "d03_lsh_candidates" -> (d03 _),
+    "d04_neardup_jaccard" -> (d04 _),
+    "d05_simhash" -> (d05 _),
+    "d06_embedding_neardup" -> (d06 _))
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d02_minhash_sig" -> d02Sql,
+    "d03_lsh_candidates" -> d03Sql,
+    "d04_neardup_jaccard" -> d04Sql,
+    "d05_simhash" -> d05Sql,
+    "d06_embedding_neardup" -> d06Sql)
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics, batch form (e01..e04): tumbling windows,
+  * gap sessionization, ordered funnels, cohort retention. The
+  * streaming (Structured Streaming) counterparts live in
+  * graft.streaming.Streams and are exercised in ScalaTest.
+  *
+  * Scale: every op shuffles once on user_id (or the window key);
+  * sessionization is a partitioned window scan, the funnel is one
+  * pivot-style agg — no self-joins on the raw stream.
+  */
+object EventOps {
+
+  // e01: tumbling 1-hour window counts/sums per event type.
+  def e01(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_us", "event_type")
+
+  val e01Sql: String =
+    """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us, event_type,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // e02: gap-based sessionization (30-min inactivity closes a session).
+  def e02(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("new_s", when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val e02Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR lag(epoch_us(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_id
+      |  FROM tagged),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+      |  sum(n_events) AS n_events
+      |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // e03: ordered funnel — users whose first view < first click < first
+  // purchase. One agg with conditional mins; no joins.
+  def e03(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_view") < col("first_click") &&
+        col("first_click") < col("first_purchase"))
+      .select(col("user_id"),
+        unix_micros(col("first_view")).as("view_us"),
+        unix_micros(col("first_click")).as("click_us"),
+        unix_micros(col("first_purchase")).as("purchase_us"))
+      .orderBy("user_id")
+
+  val e03Sql: String =
+    """SELECT user_id, epoch_us(first_view) AS view_us,
+      |  epoch_us(first_click) AS click_us, epoch_us(first_purchase) AS purchase_us
+      |FROM (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      |  FROM events GROUP BY 1)
+      |WHERE first_view < first_click AND first_click < first_purchase
+      |ORDER BY user_id""".stripMargin
+
+  // e04: next-day retention per activity date.
+  def e04(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val next = days.select(col("user_id").as("u2"), col("day").as("day2"))
+    days.join(next, col("u2") === col("user_id") &&
+        col("day2") === date_add(col("day"), 1), "left")
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("active"),
+        countDistinct(when(col("u2").isNotNull, col("user_id"))).as("retained"))
+      .orderBy("day")
+  }
+
+  val e04Sql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+      |  count(DISTINCT a.user_id) AS active,
+      |  count(DISTINCT CASE WHEN b.user_id IS NOT NULL THEN a.user_id END) AS retained
+      |FROM days a LEFT JOIN days b
+      |  ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+      |GROUP BY a.day ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_tumbling_window" -> (e01 _),
+    "e02_sessionize" -> (e02 _),
+    "e03_funnel" -> (e03 _),
+    "e04_retention" -> (e04 _))
+
+  val oracles: Map[String, String] = Map(
+    "e01_tumbling_window" -> e01Sql,
+    "e02_sessionize" -> e02Sql,
+    "e03_funnel" -> e03Sql,
+    "e04_retention" -> e04Sql)
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing (m01..m03): media payloads modeled as
+  * opaque `binary` columns with typed metadata, plus the batched
+  * decode→feature pattern a real pipeline uses for images/audio/video.
+  *
+  * The container has no media codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (md5-derived bytes); everything
+  * around it — binary schema, per-partition batched iteration,
+  * feature-vector shape, metadata extraction — is the real Spark
+  * plumbing and is tested.
+  *
+  * Scale: all per-row map work; m03's mapPartitions mirrors how a
+  * GPU/codec batch-decode amortizes setup cost per partition, which is
+  * exactly the shape you want on a 1000-executor cluster.
+  */
+object Multimodal {
+
+  /** The corpus with a synthesized binary payload column (UTF-8 bytes
+    * of the text — stands in for image/audio bytes). */
+  private def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("payload"), col("n_chars"))
+
+  // m01: typed metadata extraction from the binary column.
+  def m01(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("content_md5"),
+        when(col("n_chars") % 3 === 0, "image/fake")
+          .when(col("n_chars") % 3 === 1, "audio/fake")
+          .otherwise("video/fake").as("media_type"))
+      .orderBy("doc_id")
+
+  val m01Sql: String =
+    """SELECT doc_id, source, octet_length(encode(text)) AS byte_len,
+      |  md5(text) AS content_md5,
+      |  CASE WHEN n_chars % 3 = 0 THEN 'image/fake'
+      |       WHEN n_chars % 3 = 1 THEN 'audio/fake'
+      |       ELSE 'video/fake' END AS media_type
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // m02: deterministic frame sampling — fixed-stride byte windows of
+  // the payload ("frames"), fingerprinted. Explode stays bounded (≤4
+  // frames/doc).
+  def m02(s: SparkSession, d: String): DataFrame = {
+    val frames = (0 until 4).map { k =>
+      struct(lit(k).as("frame_idx"),
+        md5(substring(col("payload"), k * 64 + 1, 16)).as("frame_md5"))
+    }
+    media(s, d)
+      .select(col("doc_id"), col("n_chars"), explode(array(frames: _*)).as("f"))
+      .filter(col("f.frame_idx") * 64 + 16 <= col("n_chars"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.frame_md5").as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val m02Sql: String =
+    """SELECT doc_id, k AS frame_idx, md5(substr(text, k * 64 + 1, 16)) AS frame_md5
+      |FROM documents, (SELECT unnest(range(4)) AS k)
+      |WHERE k * 64 + 16 <= n_chars
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // m03: batched decode→feature-vector stub. Real pipelines replace
+  // `fakeDecode` with a codec/model call; the mapPartitions batching,
+  // schema, and feature shape are the production plumbing. Rows-only
+  // (non-SQL surface), semantics covered in ScalaTest.
+  private val m03Schema = StructType(
+    StructField("doc_id", LongType, nullable = false) +:
+      (0 until 8).map(i => StructField(s"f$i", DoubleType, nullable = false)))
+
+  def m03(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(m03Schema)
+    val out = media(s, d).select("doc_id", "payload")
+      .mapPartitions { it =>
+        // batch the partition like a codec/GPU decode would
+        it.grouped(64).flatMap { batch =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          batch.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            // DECODE STUB: deterministic md5-derived pseudo-features.
+            val h = digest.digest(bytes)
+            digest.reset()
+            Row.fromSeq(id +: (0 until 8).map(i => (h(i) & 0xff) / 255.0))
+          }
+        }
+      }(enc)
+    out.orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_binary_meta" -> (m01 _),
+    "m02_frame_sample" -> (m02 _),
+    "m03_feature_stub" -> (m03 _))
+
+  val oracles: Map[String, String] = Map(
+    "m01_binary_meta" -> m01Sql,
+    "m02_frame_sample" -> m02Sql)
+}

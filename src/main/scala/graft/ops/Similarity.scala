@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the embedding column (s01..s02).
+  *
+  * s01 is the exact baseline: a bounded probe set (10 vectors) against
+  * the full corpus — probes broadcast, corpus streamed, so the cost is
+  * one scan regardless of corpus size.
+  * s02 is the scale path: IVF-style blocked search (label = coarse
+  * cell). Only same-block pairs are scored — the shuffle key is the
+  * block id, never all-pairs. Recall is governed by block quality: with
+  * a real coarse quantizer (k-means centroids) blocks align with the
+  * geometry; the synthetic labels here are random, so ScalaTest checks
+  * exact within-block correctness rather than global recall.
+  *
+  * Cosine is an ordered fold over the arrays (zip_with + aggregate),
+  * element order fixed → bit-identical to the DuckDB oracle's
+  * list_sum(list_transform(...)) on both sides.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private val sqlDot = "list_sum(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1]))"
+  private def sqlNorm(side: String) =
+    s"sqrt(list_sum(list_transform($side.v, x -> x * x)))"
+
+  // s01: brute-force exact top-5 cosine neighbors for probe vectors.
+  def s01(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    broadcast(probe).join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val s01Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings)
+       |SELECT query_id, rank, nn_id, cos FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |               b.vec_id) AS rank
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 10)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // s02: IVF-style blocked ANN — probes search only their own block.
+  def s02(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("label"), col("v").as("va"))
+    val cand = e.select(col("vec_id").as("nn_id"), col("label"), col("v").as("vb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    probe.join(cand, Seq("label"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "label", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val s02Sql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |             list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings)
+       |SELECT query_id, label, rank, nn_id, cos FROM (
+       |  SELECT a.vec_id AS query_id, a.label, b.vec_id AS nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |               b.vec_id) AS rank
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 100)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_knn_brute" -> (s01 _),
+    "s02_knn_bucketed" -> (s02 _))
+
+  val oracles: Map[String, String] = Map(
+    "s01_knn_brute" -> s01Sql,
+    "s02_knn_bucketed" -> s02Sql)
+}

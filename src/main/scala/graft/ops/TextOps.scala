@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline (t01..t06):
+  * tokenization stats, quality scoring, language-ID heuristic,
+  * fingerprinting, n-gram mining, regex token counting.
+  *
+  * All per-row (no shuffle except the final group/sort) — at 100 TB
+  * these run as a single map stage over the corpus. Everything is
+  * built from built-in higher-order functions so the identical
+  * arithmetic runs in the DuckDB oracle (integer counts + single
+  * IEEE divisions → bit-exact).
+  */
+object TextOps {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  // t01: token counts per document.
+  def t01(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens).as("n_tokens"),
+        size(array_distinct(tokens)).as("n_distinct"),
+        aggregate(transform(tokens, t => length(t)), lit(0),
+          (acc, x) => acc + x).as("n_token_chars"))
+      .orderBy("doc_id")
+
+  val t01Sql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  list_sum(list_transform(string_split(text, ' '), t -> len(t)))::BIGINT
+      |    AS n_token_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // t02: quality score — length saturation + stopword penalty.
+  // Integer counts; the two divisions are single IEEE ops → exact.
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  def t02(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), size(tokens).as("n_tokens"),
+        size(filter(tokens, t => array_contains(stopArr, t))).as("n_stop"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (lit(1.0) - col("stop_ratio")) * 0.5, 6))
+      .orderBy("doc_id")
+  }
+
+  val t02Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_chars, n_tokens, n_stop,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
+       |        (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6) AS quality
+       |FROM (
+       |  SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '),
+       |        t -> list_contains($stopList, t))) AS n_stop
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // t03: marker-token language-ID heuristic. The corpus vocabulary is
+  // shared across langs, so this predicts from marker frequencies —
+  // the operator shape (n-gram/marker scoring + argmax) is the point.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("table", "row", "key"),
+    "fr" -> Seq("query", "window"),
+    "es" -> Seq("scan", "group"),
+    "de" -> Seq("hash", "sort"),
+    "zh" -> Seq("spark", "stream"))
+
+  def t03(s: SparkSession, d: String): DataFrame = {
+    val counted = markers.foldLeft(Tables.documents(s, d).select(col("doc_id"), tokens.as("toks"))) {
+      case (df, (lang, words)) =>
+        val arr = array(words.map(lit): _*)
+        df.withColumn(s"c_$lang",
+          size(filter(col("toks"), t => array_contains(arr, t))))
+    }
+    val langs = markers.map(_._1)
+    val predicted = langs.init.zipWithIndex.foldLeft(None: Option[Column]) {
+      case (acc, (lang, i)) =>
+        val rest = langs.drop(i + 1).map(l => col(s"c_$l"))
+        val cond = col(s"c_$lang") >= rest.reduce((a, b) => greatest(a, b))
+        Some(acc.fold(when(cond, lang))(_.when(cond, lang)))
+    }.get.otherwise(langs.last)
+    counted.select((col("doc_id") +: langs.map(l => col(s"c_$l")) :+
+      predicted.as("predicted")): _*)
+      .orderBy("doc_id")
+  }
+
+  val t03Sql: String = {
+    val countExprs = markers.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS c_$lang"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1).map(l => s"c_$l")
+      val greatest = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN c_$lang >= $greatest THEN '$lang'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    s"""SELECT doc_id, ${langs.map(l => s"c_$l").mkString(", ")},
+       |  $caseExpr AS predicted
+       |FROM (SELECT doc_id,
+       |    $countExprs
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // t04: normalized-text fingerprint (md5) + group stats — the exact-
+  // dedup key construction. Group-by on the 128-bit digest scales to
+  // any corpus (shuffle on the digest, near-uniform distribution).
+  def t04(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("fp")
+
+  val t04Sql: String =
+    """SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+      |  count(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  // t05: corpus-level word-trigram top-K (shingle mining). Explode →
+  // partial-agg count → top-K; the explode fans out ~n_tokens rows per
+  // doc but the map-side combine collapses them before the shuffle.
+  def t05(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens
+    val tris = transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))
+    Tables.documents(s, d)
+      .filter(size(toks) >= 3)
+      .select(explode(tris).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("trigram"))
+      .limit(20)
+  }
+
+  val t05Sql: String =
+    """SELECT trigram, count(*) AS cnt FROM (
+      |  SELECT unnest(list_transform(range(len(toks) - 2),
+      |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS trigram
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3)
+      |GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT 20""".stripMargin
+
+  // t06: BPE-ish regex token counting, rolled up per source.
+  def t06(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_tok"))
+      .groupBy("source")
+      .agg(sum(col("n_tok")).as("total_tokens"), count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  val t06Sql: String =
+    """SELECT source, sum(n_tok) AS total_tokens, count(*) AS n_docs FROM (
+      |  SELECT source, len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_tok
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> (t01 _),
+    "t02_quality_score" -> (t02 _),
+    "t03_langid" -> (t03 _),
+    "t04_fingerprint" -> (t04 _),
+    "t05_ngram_topk" -> (t05 _),
+    "t06_regex_tokens" -> (t06 _))
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_langid" -> t03Sql,
+    "t04_fingerprint" -> t04Sql,
+    "t05_ngram_topk" -> t05Sql,
+    "t06_regex_tokens" -> t06Sql)
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Structured Streaming counterparts of the batch event ops.
+  *
+  * `readStream` over the same parquet directory drives the smoke path
+  * (ScalaTest uses the memory sink + processAllAvailable); in
+  * production the source would be Kafka/files with the identical
+  * transform graph — that symmetry (same DataFrame ops batch and
+  * stream) is the point of building on Structured Streaming.
+  */
+object Streams {
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, n_sessions: Int, n_events: Long)
+
+  /** Streaming source over the events table (nanos → micros, same as
+    * Tables.events). maxFilesPerTrigger keeps micro-batches bounded. */
+  def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+      "value DOUBLE, props STRING"
+    // file-stream sources require a directory; glob-filter the events
+    // file out of the shared sf dir
+    s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming e01: watermarked tumbling-window counts per event type.
+    * Append mode — only closed windows emit, exactly the semantics a
+    * downstream consumer of hourly rollups wants. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Stateful sessionization with flatMapGroupsWithState: 30-minute
+    * processing-gap sessions per user, emitting a summary per user as
+    * state evolves. State is one (count, lastTs) pair per user — O(users)
+    * memory, partitioned by the group key across executors. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[(Int, Long, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (nSessions, lastMs, nEvents) =
+            state.getOption.getOrElse((0, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (lastMs == Long.MinValue || t - lastMs > 30 * 60 * 1000L)
+              nSessions += 1
+            lastMs = t
+            nEvents += 1
+          }
+          state.update((nSessions, lastMs, nEvents))
+          Iterator.single(SessionSummary(user, nSessions, nEvents))
+      }
+  }
+
+  /** Batch events as the typed Dataset the sessionizer consumes. */
+  def typedEvents(s: SparkSession, d: String): Dataset[Ev] = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Execution + semantic checks for text/dedup/similarity/event/
+  * multimodal operators (oracle parity is covered by the driver gate;
+  * these assert the semantics the oracle can't express). */
+class OpsSpec extends SparkSpec {
+
+  private val all =
+    ops.TextOps.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.EventOps.queries ++ ops.Multimodal.queries
+
+  all.foreach { case (name, fn) =>
+    test(s"$name executes") {
+      assert(fn(spark, sf).count() >= 0)
+    }
+  }
+
+  test("d01 finds exactly the injected exact duplicates") {
+    val rows = ops.Dedup.d01(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every duplicate group pairs an original with its +2_000_000 copy
+    assert(rows.forall(r =>
+      r.getAs[Long]("dup_doc") - r.getAs[Long]("keep_doc") == 2000000L))
+  }
+
+  test("d03/d04: LSH recovers injected near-dups, verified by Jaccard") {
+    val verified = ops.Dedup.d04(spark, sf).collect()
+    assert(verified.nonEmpty)
+    assert(verified.forall(_.getAs[Double]("jaccard") >= 0.6))
+    // the near-dup of doc 0 (+1_000_000 with a token tail) must survive
+    assert(verified.exists(r => r.getAs[Long]("a") == 0L &&
+      (r.getAs[Long]("b") == 1000000L || r.getAs[Long]("b") == 2000000L)))
+  }
+
+  test("d05 simhash of exact duplicates is identical") {
+    val sh = ops.Dedup.d05(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(2000000L))
+    assert(sh.values.toSet.size > 1)
+  }
+
+  test("s01 returns 5 ranked neighbors per probe, cosine in [-1,1]") {
+    val rows = ops.Similarity.s01(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.values.forall(_.length == 5))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0))
+  }
+
+  test("s02 blocked search returns the exact within-block top-3") {
+    // independent brute-force within each probe's block, computed on
+    // collected arrays — the operator must match it exactly
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = ops.Similarity.s02(spark, sf).filter(col("query_id") < 20)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("nn_id")).toSeq)
+      .toMap
+    got.foreach { case (q, nns) =>
+      val (_, ql, qv) = emb.find(_._1 == q).get
+      val expected = emb.filter(e => e._2 == ql && e._1 != q)
+        .map(e => (e._1, cos(qv, e._3)))
+        .sortBy { case (id, c) => (-math.rint(c * 1e4), id) }
+        .take(3).map(_._1).toSeq
+      assert(nns == expected, s"query $q")
+    }
+  }
+
+  test("t03 predictions come from the marker language set") {
+    val langs = Set("en", "fr", "es", "de", "zh")
+    assert(ops.TextOps.t03(spark, sf).collect()
+      .forall(r => langs.contains(r.getAs[String]("predicted"))))
+  }
+
+  test("e02 session event counts cover every event") {
+    val total = ops.EventOps.e02(spark, sf).agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("m03 decode stub emits 8 features in [0,1] for every doc") {
+    val rows = ops.Multimodal.m03(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(r => (1 to 8).forall { i =>
+      val v = r.getDouble(i); v >= 0.0 && v <= 1.0
+    }))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling-window agg matches the batch e01 counts") {
+    val stream = streaming.Streams.eventStream(spark, sf)
+    val agg = streaming.Streams.tumblingCounts(stream)
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory").queryName("stream_e01")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      "SELECT event_type, sum(n) AS n FROM stream_e01 GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = ops.EventOps.e01(spark, sf)
+      .groupBy("event_type").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // append mode drops windows newer than the watermark; everything
+    // emitted must match the batch rollup, and most windows must close.
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (et, n) => assert(n <= batch(et)) }
+    assert(streamed.values.sum >= batch.values.sum / 2)
+  }
+
+  test("stateful sessionization matches batch session counts") {
+    val out = streaming.Streams.sessionize(
+        streaming.Streams.typedEvents(spark, sf))
+      .collect().map(s => s.user_id -> s.n_sessions).toMap
+    val batch = ops.EventOps.e02(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    assert(out.keySet == batch.keySet)
+    batch.foreach { case (u, n) => assert(out(u).toLong == n, s"user $u") }
+  }
+}
