@@ -44,12 +44,13 @@ object Dedup {
       |  UNION ALL SELECT doc_id + 1000000, text || ' graft dedup probe tail'
       |    FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
-  /** Word-trigram shingles of a text column (array<string>). */
-  private def shingles(text: Column): Column = {
-    val toks = split(text, " ")
+  /** Word-trigram shingles over a MATERIALIZED token-array column.
+    * Taking the tokens as an attribute (not an inline split()) keeps the
+    * expression tree linear — inlining would re-expand the split into
+    * every get() and multiply the tree at each downstream stage. */
+  private def shingles(toks: Column): Column =
     transform(sequence(lit(0), size(toks) - 3),
       i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))
-  }
 
   private val sqlShingles: String =
     """list_transform(range(len(string_split(text, ' ')) - 2),
@@ -57,13 +58,19 @@ object Dedup {
       |         string_split(text, ' ')[i + 2] || ' ' ||
       |         string_split(text, ' ')[i + 3])""".stripMargin
 
-  /** doc_id + minhash signature array over shingle hash56 values. */
+  /** doc_id + minhash signature array over shingle hash56 values.
+    * Staged through materialized columns (toks → sh → hs → sig): each
+    * stage is computed once per row and referenced as an attribute,
+    * which also keeps the Catalyst plan tree small (the 16 permutation
+    * mins share the single `hs` attribute instead of 16 copies of the
+    * md5/shingle subtree). */
   private def signatures(s: SparkSession, d: String): DataFrame =
     corpus(s, d)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"),
-        Hashing.minhash(transform(shingles(col("text")), t => Hashing.hash56(t)), K)
-          .as("sig"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingles(col("toks")))
+      .withColumn("hs", transform(col("sh"), t => Hashing.hash56(t)))
+      .select(col("doc_id"), Hashing.minhash(col("hs"), K).as("sig"))
 
   /** CTE producing doc_id, sig (list<bigint>) in the oracle dialect. */
   private def sqlSignatures: String = {
@@ -164,8 +171,9 @@ object Dedup {
   // d04: verify candidates with exact shingle-set Jaccard ≥ 0.6.
   def d04(s: SparkSession, d: String): DataFrame = {
     val sh = corpus(s, d)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
     val cands = candidates(s, d)
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
@@ -196,9 +204,8 @@ object Dedup {
   // d05: 48-bit SimHash fingerprint per doc (unigram token hashes).
   def d05(s: SparkSession, d: String): DataFrame =
     corpus(s, d)
-      .select(col("doc_id"),
-        Hashing.simhash48(transform(split(col("text"), " "),
-          t => Hashing.hash48(t))).as("simhash"))
+      .withColumn("hs", transform(split(col("text"), " "), t => Hashing.hash48(t)))
+      .select(col("doc_id"), Hashing.simhash48(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
   val d05Sql: String =

@@ -132,12 +132,12 @@ object TextOps {
   // partial-agg count → top-K; the explode fans out ~n_tokens rows per
   // doc but the map-side combine collapses them before the shuffle.
   def t05(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens
-    val tris = transform(sequence(lit(0), size(toks) - 3),
+    val tris = (toks: Column) => transform(sequence(lit(0), size(toks) - 3),
       i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))
     Tables.documents(s, d)
-      .filter(size(toks) >= 3)
-      .select(explode(tris).as("trigram"))
+      .withColumn("toks", tokens)   // materialize: one split per row
+      .filter(size(col("toks")) >= 3)
+      .select(explode(tris(col("toks"))).as("trigram"))
       .groupBy("trigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("trigram"))
       .limit(20)
