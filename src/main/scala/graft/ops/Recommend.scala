@@ -46,17 +46,30 @@ object Recommend {
        |FROM ratings GROUP BY 1
        |ORDER BY n_users DESC, item_id LIMIT 20""".stripMargin
 
+  /** Ordered item pairs (i < j) per order basket — ONE shuffle
+    * (groupBy orderkey with map-side collect_set) instead of a
+    * distinct + self-join (3 shuffles). Baskets are small (≲10 items),
+    * so the in-row pair explosion is O(basket²) locally and the plan
+    * stays skew-safe at warehouse scale. */
+  private def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairs = flatten(transform(col("items"), (x, i) =>
+      transform(slice(col("items"), i + 2, size(col("items"))),
+        y => struct(x.as("i"), y.as("j")))))
+    baskets.select(explode(pairs).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+  }
+
   // r03: item-item co-occurrence counts (same order ⇒ co-occurrence).
-  def r03(s: SparkSession, d: String): DataFrame = {
-    val oi = Ratings.orderItems(s, d)
-    val a = oi.select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
-    val b = oi.select(col("l_orderkey").as("k2"), col("l_partkey").as("j"))
-    a.join(b, col("k") === col("k2") && col("i") < col("j"))
+  def r03(s: SparkSession, d: String): DataFrame =
+    basketPairs(s, d)
       .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .orderBy(col("cnt").desc, col("i"), col("j"))
       .limit(200)
-  }
 
   val r03Sql: String =
     s"""WITH oi AS (${Ratings.sqlOrderItems})
@@ -72,9 +85,7 @@ object Recommend {
   def r04(s: SparkSession, d: String): DataFrame = {
     val oi = Ratings.orderItems(s, d)
     val freq = oi.groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("n_ord"))
-    val a = oi.select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
-    val b = oi.select(col("l_orderkey").as("k2"), col("l_partkey").as("j"))
-    val co = a.join(b, col("k") === col("k2") && col("i") < col("j"))
+    val co = basketPairs(s, d)
       .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
     co.join(broadcast(freq).as("fi"), col("i") === col("fi.item"))
@@ -103,11 +114,10 @@ object Recommend {
   def r05(s: SparkSession, d: String): DataFrame = {
     val hist = Ratings.implicitRatings(s, d)
       .filter(col("user_id") < 50).select("user_id", "item_id").distinct()
-    val oi = Ratings.orderItems(s, d)
-    val a = oi.select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
-    val b = oi.select(col("l_orderkey").as("k2"), col("l_partkey").as("j"))
-    // symmetric co-occurrence (i ≠ j, both directions)
-    val coSym = a.join(b, col("k") === col("k2") && col("i") =!= col("j"))
+    // symmetric co-occurrence (i ≠ j, both directions) from the ordered
+    // basket pairs — union of the two orientations, one extra map stage
+    val bp = basketPairs(s, d)
+    val coSym = bp.union(bp.select(col("j").as("i"), col("i").as("j")))
       .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
     val scored = hist.join(coSym, hist("item_id") === coSym("i"))
       .groupBy(col("user_id"), col("j").as("rec_item"))

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression tests: the physical plans must keep the
+  * properties the 100 TB design depends on (scan pruning, pushdown,
+  * broadcast dims, map-side partial aggregation, no cartesian
+  * products). Catching a regression here is cheaper than finding it
+  * in a cluster bill. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 pushes filter and projection into the parquet scan") {
+    val p = plan(ops.Relational.q02(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(p_type)") ||
+      p.contains("PushedFilters: [IsNotNull(p_retailprice)"), p.take(2000))
+    // projection pruned to the 4 selected columns
+    assert(p.contains("ReadSchema") && !p.contains("p_size"), "scan not pruned")
+  }
+
+  test("q03 broadcasts the customer dim") {
+    assert(plan(ops.Relational.q03(spark, sf)).contains("BroadcastHashJoin"))
+  }
+
+  test("q05 star join broadcasts nation and region") {
+    val p = plan(ops.Relational.q05(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("q01 aggregates with map-side partial agg") {
+    val p = plan(ops.Relational.q01(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(2000))
+  }
+
+  test("r02 popularity keeps partial aggregation before the shuffle") {
+    assert(plan(ops.Recommend.r02(spark, sf)).contains("partial_count"))
+  }
+
+  test("no accidental cartesian products anywhere") {
+    // sanctioned exceptions: q20/r08 broadcast a single-row aggregate;
+    // r06 is MLlib recommendForAllUsers, whose blocked user×item cross
+    // product IS the scoring algorithm.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (name != "q20_scalar_subq" && name != "r08_baseline_rmse" &&
+        name != "r06_als_recommend") {
+        val p = plan(fn(spark, sf))
+        assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      }
+    }
+  }
+
+  test("s01 broadcasts the probe side of the knn scan") {
+    val p = plan(ops.Similarity.s01(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("dedup LSH candidate join is a hash join on (band, bucket)") {
+    val p = plan(ops.Dedup.d03(spark, sf))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+}
