@@ -230,15 +230,12 @@ object Dedup {
     val probe = e.filter(col("vec_id") < 200)
       .select(col("vec_id"), col("label"), col("v").as("va"))
     val cand = e.select(col("vec_id").as("nn_id"), col("label"), col("v").as("vb"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
     probe.join(cand, Seq("label"))
       .filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", round(dot / (na * nb), 4))
+      .withColumn("cos",
+        round(graft.functions.VectorOps.cosineSim(col("va"), col("vb")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "label", "nn_id", "cos")

@@ -121,13 +121,53 @@ object EventOps {
       |  ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
       |GROUP BY a.day ORDER BY day""".stripMargin
 
+  // e05: semi-structured extraction — the props JSON column parsed and
+  // aggregated. get_json_object is codegen'd; at scale prefer from_json
+  // with an explicit schema once the shape is known (single parse).
+  def e05(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val e05Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // e06: the SAME hourly rollup as e01, computed through Structured
+  // Streaming (file micro-batches → complete-mode memory sink) and
+  // checked against e01's oracle — proving batch/stream symmetry.
+  def e06(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_e06_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams
+      .tumblingCounts(graft.streaming.Streams.eventStream(s, d))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_us", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e05_json_props" -> (e05 _),
+    "e06_stream_tumbling" -> (e06 _),
     "e01_tumbling_window" -> (e01 _),
     "e02_sessionize" -> (e02 _),
     "e03_funnel" -> (e03 _),
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e05_json_props" -> e05Sql,
+    "e06_stream_tumbling" -> e01Sql, // stream must reproduce the batch rollup
     "e01_tumbling_window" -> e01Sql,
     "e02_sessionize" -> e02Sql,
     "e03_funnel" -> e03Sql,

@@ -498,6 +498,39 @@ object Relational {
       |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q24: exact interpolated percentiles per group (sort-based; at
+  // warehouse scale swap for approx_percentile — q25 covers the sketch
+  // path). Inputs are exact 2-decimal doubles, interpolation is the
+  // same (1-f)*lo + f*hi in both engines.
+  def q24(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val q24Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q25: sketch-based distinct counting (HLL) — the scale path where
+  // exact distinct would shuffle every key. Sketch internals differ
+  // across engines, so this is rows-only; ScalaTest bounds the error
+  // against the exact count.
+  def q25(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -522,7 +555,9 @@ object Relational {
     "q20_scalar_subq" -> (q20 _),
     "q21_asof_join" -> (q21 _),
     "q22_range_join" -> (q22 _),
-    "q23_pivot" -> (q23 _))
+    "q23_pivot" -> (q23 _),
+    "q24_percentiles" -> (q24 _),
+    "q25_approx_distinct" -> (q25 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -547,5 +582,6 @@ object Relational {
     "q20_scalar_subq" -> q20Sql,
     "q21_asof_join" -> q21Sql,
     "q22_range_join" -> q22Sql,
-    "q23_pivot" -> q23Sql)
+    "q23_pivot" -> q23Sql,
+    "q24_percentiles" -> q24Sql)
 }

@@ -23,10 +23,11 @@ import graft.Tables
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** Native fused cosine (graft.functions.CosineSimilarity, codegen'd
+    * single pass) — bit-identical to the zip_with/aggregate folds it
+    * replaces because accumulation stays in array order. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSim(a, b)
 
   private val sqlDot = "list_sum(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1]))"
   private def sqlNorm(side: String) =
@@ -41,8 +42,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
     broadcast(probe).join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) /
-        (norm(col("va")) * norm(col("vb"))), 4))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "nn_id", "cos")
@@ -73,8 +73,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
     probe.join(cand, Seq("label"))
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) /
-        (norm(col("va")) * norm(col("vb"))), 4))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("query_id", "label", "rank", "nn_id", "cos")

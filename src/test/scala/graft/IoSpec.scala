@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class IoSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_io").toString
+
+  test("csv round-trip preserves rows and schema") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars")
+    val dir = tmp() + "/docs_csv"
+    sources.Io.writeCsv(docs, dir)
+    val back = sources.Io.readCsv(spark, dir, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.schema == docs.schema)
+    assert(back.agg(sum("n_chars")).collect()(0).getLong(0) ==
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+  }
+
+  test("jsonl round-trip preserves rows") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "value")
+    val dir = tmp() + "/events_json"
+    sources.Io.writeJsonl(ev, dir)
+    val back = sources.Io.readJsonl(spark, dir, ev.schema)
+    assert(back.count() == ev.count())
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp() + "/docs_part"
+    sources.Io.writeParquet(docs, dir, partitionBy = Seq("lang"), coalesceTo = Some(1))
+    val en = sources.Io.readParquet(spark, dir).filter(col("lang") === "en")
+    // partition pruning: the physical scan must carry a partition filter
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    assert(en.count() ==
+      docs.filter(col("lang") === "en").count())
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine matches a hand-computed value") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    val got = df.select(VectorOps.cosineSim(col("a"), col("b")).as("c"))
+      .collect()(0).getDouble(0)
+    val expected = (3.0 + 4.0 + 3.0) / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - expected) < 1e-15)
+  }
+
+  test("native cosine is bit-identical to the higher-order-function fold") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.select(col("vec_id").as("ida"), col("v").as("va"))
+      .crossJoin(e.select(col("vec_id").as("idb"), col("v").as("vb")))
+      .filter(col("ida") < col("idb"))
+    val fold = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (a, x) => a + x)) *
+        sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val diff = pairs
+      .select((VectorOps.cosineSim(col("va"), col("vb")) - fold).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff == 0.0, s"native vs fold diverged by $diff")
+  }
+
+  test("cosine_sim is SQL-callable after install") {
+    VectorOps.install(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-15)
+  }
+
+  test("null inputs yield null, mismatched types fail analysis") {
+    val r = spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS c")
+      .collect()(0)
+    assert(r.isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT cosine_sim('not an array', array(1.0d))").collect()
+    }
+  }
+
+  test("q25 approx distinct is within 5% of exact") {
+    val approx = ops.Relational.q25(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.05, s"$k: ${approx(k)} vs $ex")
+    }
+  }
+}
