@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+
+  test("salted aggregation equals the unsalted result") {
+    val li = Tables.lineitem(spark, sf)
+    val salted = ops.Skew.saltedCount(li, "l_returnflag", "l_quantity")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (k, (n, t)) =>
+      assert(salted(k)._1 == n)
+      assert(math.abs(salted(k)._2 - t) < 1e-6)
+    }
+  }
+
+  test("salted join equals the plain join") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val saltedN = ops.Skew.saltedJoin(o, c, "o_custkey").count()
+    val plainN = o.join(c, Seq("o_custkey")).count()
+    assert(saltedN == plainN)
+    // spot-check content equality on a sample key
+    val k = o.limit(1).collect()(0).getAs[Long]("o_custkey")
+    val a = ops.Skew.saltedJoin(o, c, "o_custkey")
+      .filter(col("o_custkey") === k).collect().map(_.toString).sorted
+    val b = o.join(c, Seq("o_custkey"))
+      .filter(col("o_custkey") === k).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("extensions-built session exposes cosine_sim in SQL") {
+    val s0 = spark // ensure shared context exists
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val v = s2.sql("SELECT cosine_sim(array(1.0d,2.0d), array(1.0d,2.0d)) AS c")
+        .collect()(0).getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-12)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(s0)
+      org.apache.spark.sql.SparkSession.setDefaultSession(s0)
+    }
+  }
+}
