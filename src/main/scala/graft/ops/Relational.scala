@@ -531,6 +531,23 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  // q26: the SAME as-of semantics as q21, but through the engine's
+  // custom AsOfJoin operator (LogicalPlan → Strategy → sort-merge
+  // SparkPlan, graft.plans.AsOfJoin) — checked against DuckDB's native
+  // ASOF JOIN. One shuffle per side, single forward merge pass.
+  def q26(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("click_us"))
+    graft.plans.AsOf.join(p, c, "user_id", "c_user", "purchase_us", "click_us")
+      .select("event_id", "user_id", "purchase_us", "click_id", "click_us")
+      .orderBy("event_id")
+  }
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -557,7 +574,8 @@ object Relational {
     "q22_range_join" -> (q22 _),
     "q23_pivot" -> (q23 _),
     "q24_percentiles" -> (q24 _),
-    "q25_approx_distinct" -> (q25 _))
+    "q25_approx_distinct" -> (q25 _),
+    "q26_asof_custom" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -583,5 +601,6 @@ object Relational {
     "q21_asof_join" -> q21Sql,
     "q22_range_join" -> q22Sql,
     "q23_pivot" -> q23Sql,
-    "q24_percentiles" -> q24Sql)
+    "q24_percentiles" -> q24Sql,
+    "q26_asof_custom" -> q21Sql) // same as-of semantics, custom operator
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q26 plans through the custom AsOfJoinExec") {
+    val p = ops.Relational.q26(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p.take(1500)) // nodeName strips "Exec"
+  }
+
+  test("custom as-of join equals the union+window formulation (q21)") {
+    val custom = ops.Relational.q26(spark, sf).collect().map(_.toString).sorted
+    val window = ops.Relational.q21(spark, sf).collect().map(_.toString).sorted
+    assert(custom.sameElements(window))
+  }
+
+  test("as-of picks the latest right row at or before each left time") {
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 150L), (3L, 50L))
+      .toDF("k", "t")
+    val right = Seq((1L, 90L, "a"), (1L, 100L, "b"), (1L, 150L, "c"),
+      (2L, 149L, "d"), (3L, 60L, "e"))
+      .toDF("rk", "rt", "v")
+    val got = plans.AsOf.join(left, right, "k", "rk", "t", "rt")
+      .select("k", "t", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // k=1,t=100 → "b" (rt=100 inclusive); k=1,t=200 → "c"; k=2 → "d";
+    // k=3,t=50 → no right row at/before 50 → dropped (inner)
+    assert(got == Set((1L, 100L, "b"), (1L, 200L, "c"), (2L, 150L, "d")))
+  }
+
+  test("non-long key/time columns are rejected with a clear error") {
+    val df = Seq(("x", 1L)).toDF("k", "t")
+    val e = intercept[IllegalArgumentException] {
+      plans.AsOf.join(df, df.select(col("k").as("rk"), col("t").as("rt")),
+        "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+}
