@@ -241,7 +241,49 @@ object Recommend {
        |FROM test t LEFT JOIN item_mean im ON t.item_id = im.item_id
        |CROSS JOIN global_mean gm""".stripMargin
 
+  // r09: rating-value histogram — the first-look analysis every
+  // recommender project runs on its ratings file.
+  def r09(s: SparkSession, d: String): DataFrame =
+    Ratings.implicitRatings(s, d)
+      .groupBy(floor(col("rating") / 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("item_id")).as("n_items"))
+      .orderBy("bucket")
+
+  val r09Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings})
+       |SELECT CAST(floor(rating / 10) AS BIGINT) AS bucket,
+       |  count(*) AS n_pairs,
+       |  count(DISTINCT user_id) AS n_users,
+       |  count(DISTINCT item_id) AS n_items
+       |FROM ratings GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // r10: user activity segmentation (light/regular/power by distinct
+  // items) — the reference's user-profile cut, integer-exact.
+  def r10(s: SparkSession, d: String): DataFrame =
+    Ratings.implicitRatings(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n_items"))
+      .withColumn("segment",
+        when(col("n_items") < 20, "light")
+          .when(col("n_items") < 45, "regular")
+          .otherwise("power"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), sum(col("n_items")).as("n_pairs"))
+      .orderBy("segment")
+
+  val r10Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |per_user AS (SELECT user_id, count(*) AS n_items FROM ratings GROUP BY 1)
+       |SELECT CASE WHEN n_items < 20 THEN 'light'
+       |            WHEN n_items < 45 THEN 'regular'
+       |            ELSE 'power' END AS segment,
+       |  count(*) AS n_users, sum(n_items) AS n_pairs
+       |FROM per_user GROUP BY 1 ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r09_rating_histogram" -> (r09 _),
+    "r10_user_segments" -> (r10 _),
     "r01_ratings_matrix" -> (r01 _),
     "r02_popularity_topk" -> (r02 _),
     "r03_cooccurrence" -> (r03 _),
@@ -252,6 +294,8 @@ object Recommend {
     "r08_baseline_rmse" -> (r08 _))
 
   val oracles: Map[String, String] = Map(
+    "r09_rating_histogram" -> r09Sql,
+    "r10_user_segments" -> r10Sql,
     "r01_ratings_matrix" -> r01Sql,
     "r02_popularity_topk" -> r02Sql,
     "r03_cooccurrence" -> r03Sql,
