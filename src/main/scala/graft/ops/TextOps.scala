@@ -166,7 +166,70 @@ object TextOps {
       |  FROM documents)
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // t07: per-source corpus MinHash sketch via the custom
+  // TypedImperativeAggregate (graft.functions.MinHashAgg): one K-long
+  // buffer per group, single pass + merge — a corpus-similarity
+  // signature with no set materialization.
+  private val SRC_K = 16
+
+  private def sourceSigs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("hs", transform(split(col("text"), " "),
+        t => graft.functions.Hashing.hash56(t)))
+      .groupBy("source")
+      .agg(graft.functions.MinHashAgg.minhashAgg(col("hs"), SRC_K).as("sig"))
+
+  private def sqlSourceSigs: String = {
+    val mins = graft.functions.Hashing.perms(SRC_K).map { case (a, b) =>
+      s"min(${graft.functions.Hashing.sqlPerm("h", a, b)})"
+    }
+    s"""SELECT source, [${mins.mkString(",\n    ")}] AS sig
+       |FROM (SELECT source,
+       |        unnest(list_transform(string_split(text, ' '),
+       |          t -> ${graft.functions.Hashing.sqlHash56("t")})) AS h
+       |      FROM documents)
+       |GROUP BY 1""".stripMargin
+  }
+
+  def t07(s: SparkSession, d: String): DataFrame = {
+    val sigCols = (0 until 4).map(i => element_at(col("sig"), i + 1).as(s"sig_$i"))
+    sourceSigs(s, d).select((col("source") +: sigCols): _*).orderBy("source")
+  }
+
+  val t07Sql: String =
+    s"""WITH sigs AS ($sqlSourceSigs)
+       |SELECT source, sig[1] AS sig_0, sig[2] AS sig_1,
+       |  sig[3] AS sig_2, sig[4] AS sig_3
+       |FROM sigs ORDER BY source""".stripMargin
+
+  // t08: pairwise source-set similarity estimated from the sketches —
+  // equal-component fraction approximates token-set Jaccard. 190 pairs
+  // of K-long signatures regardless of corpus size.
+  def t08(s: SparkSession, d: String): DataFrame = {
+    val sigs = sourceSigs(s, d)
+    val a = sigs.select(col("source").as("src_a"), col("sig").as("sa"))
+    val b = sigs.select(col("source").as("src_b"), col("sig").as("sb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("matches",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p)))
+      .select(col("src_a"), col("src_b"), col("matches"),
+        (col("matches").cast("double") / SRC_K).as("jaccard_est"))
+      .orderBy(col("matches").desc, col("src_a"), col("src_b"))
+  }
+
+  val t08Sql: String =
+    s"""WITH sigs AS ($sqlSourceSigs)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  len(list_filter(range($SRC_K), i -> a.sig[i + 1] = b.sig[i + 1]))
+       |    AS matches,
+       |  CAST(len(list_filter(range($SRC_K), i -> a.sig[i + 1] = b.sig[i + 1]))
+       |    AS DOUBLE) / $SRC_K AS jaccard_est
+       |FROM sigs a JOIN sigs b ON a.source < b.source
+       |ORDER BY matches DESC, src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_source_minhash" -> (t07 _),
+    "t08_source_similarity" -> (t08 _),
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
@@ -175,6 +238,8 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t07_source_minhash" -> t07Sql,
+    "t08_source_similarity" -> t08Sql,
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_langid" -> t03Sql,
