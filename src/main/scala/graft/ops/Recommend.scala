@@ -204,6 +204,29 @@ object Recommend {
       .orderBy("item_id")
   }
 
+  // r11: "similar items" from the factor space — cosine between ALS
+  // item factors (probe items × all items, probes broadcast, scored by
+  // the native CosineSimilarity expression). The latent-factor
+  // neighbor list is the reference's similar-movies feature. Rows-only
+  // (factors are model output); structure checked in ScalaTest.
+  def r11(s: SparkSession, d: String): DataFrame = {
+    val model = alsModel(s, d)
+    val factors = model.itemFactors
+      .select(col("id").cast("long").as("item_id"),
+        col("features").cast("array<double>").as("f"))
+    val probe = factors.filter(col("item_id") < 20)
+      .select(col("item_id").as("probe_item"), col("f").as("fa"))
+    val w = Window.partitionBy("probe_item").orderBy(col("cos").desc, col("item_id"))
+    broadcast(probe).join(factors)
+      .filter(col("probe_item") =!= col("item_id"))
+      .withColumn("cos",
+        round(graft.functions.VectorOps.cosineSim(col("fa"), col("f")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("probe_item", "rank", "item_id", "cos")
+      .orderBy("probe_item", "rank")
+  }
+
   // r08: deterministic hash split + RMSE of the item-mean baseline —
   // the reference's evaluation loop, oracle-checkable because the
   // predictor is closed-form. (ALS RMSE itself is covered in ScalaTest.)
@@ -300,7 +323,8 @@ object Recommend {
     "r05_user_recs" -> (r05 _),
     "r06_als_recommend" -> (r06 _),
     "r07_als_item_factors" -> (r07 _),
-    "r08_baseline_rmse" -> (r08 _))
+    "r08_baseline_rmse" -> (r08 _),
+    "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
     "r09_rating_histogram" -> r09Sql,

@@ -33,6 +33,14 @@ class RecommendSpec extends SparkSpec {
     recs.unpersist()
   }
 
+  test("r11 factor neighbors: 5 ranked per probe, cosine in [-1,1]") {
+    val rows = ops.Recommend.r11(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_item"))
+    assert(byProbe.nonEmpty)
+    assert(byProbe.values.forall(_.length == 5))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+  }
+
   test("r08 baseline rmse is a positive scalar") {
     val row = ops.Recommend.r08(spark, sf).collect().head
     assert(row.getAs[Long]("n_train") > 0)

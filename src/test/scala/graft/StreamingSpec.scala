@@ -29,6 +29,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.sum >= batch.values.sum / 2)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    val stream = streaming.Streams.eventStream(spark, sf)
+    // replay the same source twice (union) — dropDuplicates on the key
+    // must collapse the duplicates, the streaming form of d01
+    val deduped = stream.union(stream)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+    val q = deduped.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT * FROM stream_dedup").collect()(0).getLong(0)
+    assert(got == Tables.events(spark, sf).count())
+  }
+
   test("stateful sessionization matches batch session counts") {
     val out = streaming.Streams.sessionize(
         streaming.Streams.typedEvents(spark, sf))
