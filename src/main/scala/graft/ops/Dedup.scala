@@ -222,6 +222,35 @@ object Dedup {
        |  FROM corpus)
        |ORDER BY doc_id""".stripMargin
 
+  // d07: character-level verification of the LSH candidates —
+  // Levenshtein distance + similarity ratio. Edit distance is O(len²)
+  // per pair, affordable precisely BECAUSE it only ever runs on LSH
+  // candidates, never the corpus cross product.
+  def d07(s: SparkSession, d: String): DataFrame = {
+    val texts = corpus(s, d)
+    val cands = candidates(s, d)
+    cands
+      .join(texts.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(texts.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+      .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("sim",
+        lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+      .select("a", "b", "edit_dist", "max_len", "sim")
+      .orderBy("a", "b")
+  }
+
+  val d07Sql: String =
+    s"""$sqlDedupPrefix
+       |SELECT a, b, levenshtein(ta, tb) AS edit_dist,
+       |  greatest(len(ta), len(tb)) AS max_len,
+       |  1.0 - CAST(levenshtein(ta, tb) AS DOUBLE) / greatest(len(ta), len(tb))
+       |    AS sim
+       |FROM cands
+       |JOIN (SELECT doc_id, text AS ta FROM corpus) x ON cands.a = x.doc_id
+       |JOIN (SELECT doc_id, text AS tb FROM corpus) y ON cands.b = y.doc_id
+       |ORDER BY a, b""".stripMargin
+
   // d06: blocked embedding near-dup — nearest neighbor within the same
   // label block (IVF-style blocking: shuffle on label, never all-pairs).
   def d06(s: SparkSession, d: String): DataFrame = {
@@ -267,7 +296,8 @@ object Dedup {
     "d03_lsh_candidates" -> (d03 _),
     "d04_neardup_jaccard" -> (d04 _),
     "d05_simhash" -> (d05 _),
-    "d06_embedding_neardup" -> (d06 _))
+    "d06_embedding_neardup" -> (d06 _),
+    "d07_edit_distance" -> (d07 _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -275,5 +305,6 @@ object Dedup {
     "d03_lsh_candidates" -> d03Sql,
     "d04_neardup_jaccard" -> d04Sql,
     "d05_simhash" -> d05Sql,
-    "d06_embedding_neardup" -> d06Sql)
+    "d06_embedding_neardup" -> d06Sql,
+    "d07_edit_distance" -> d07Sql)
 }

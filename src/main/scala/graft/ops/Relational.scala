@@ -548,6 +548,34 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // q27: RANGE window frame — 30-day trailing spend per customer,
+  // ordered by physical time value (epoch micros), not row position.
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val thirtyDaysUs = 30L * 86400 * 1000000
+    val o = Tables.orders(s, d).filter(col("o_custkey") < 100)
+      // parquet NTZ → session-TZ timestamp (UTC session = same wall clock)
+      .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp")))
+    val w = Window.partitionBy("o_custkey").orderBy("od_us")
+      .rangeBetween(-thirtyDaysUs, 0)
+    o.select(col("o_custkey"), col("o_orderkey"), col("od_us"),
+        round(sum(col("o_totalprice").cast("decimal(12,2)")).over(w), 2)
+          .cast("double").as("trailing_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy("o_custkey", "od_us", "o_orderkey")
+  }
+
+  val q27Sql: String =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      |          RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2)
+      |    AS DOUBLE) AS trailing_30d,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      |          RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+      |    AS n_orders_30d
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, od_us, o_orderkey""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -575,7 +603,8 @@ object Relational {
     "q23_pivot" -> (q23 _),
     "q24_percentiles" -> (q24 _),
     "q25_approx_distinct" -> (q25 _),
-    "q26_asof_custom" -> (q26 _))
+    "q26_asof_custom" -> (q26 _),
+    "q27_range_frame" -> (q27 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -602,5 +631,6 @@ object Relational {
     "q22_range_join" -> q22Sql,
     "q23_pivot" -> q23Sql,
     "q24_percentiles" -> q24Sql,
-    "q26_asof_custom" -> q21Sql) // same as-of semantics, custom operator
+    "q26_asof_custom" -> q21Sql, // same as-of semantics, custom operator
+    "q27_range_frame" -> q27Sql)
 }

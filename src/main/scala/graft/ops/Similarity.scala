@@ -95,11 +95,82 @@ object Similarity {
        |  WHERE a.vec_id < 100)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- s03: sign-random-projection LSH (data-independent buckets) ----
+  //
+  // 8 hyperplanes with md5-derived deterministic weights:
+  //   w(p,j) = ((hash56("srp{p}_{j}") % 2001) - 1000) / 1000.0
+  // bucket(v) = Σ 2^p · [v·w_p > 0].  Probes search only their own
+  // bucket — the shuffle key is the 8-bit bucket, never all-pairs.
+  // Spark precomputes the weights as literal arrays (same md5 math the
+  // oracle inlines), so the per-row cost is 8 fused dot products.
+
+  private val SRP_PLANES = 8
+
+  private[graft] def srpWeights(p: Int): Array[Double] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until 64).map { j =>
+      val hex = mdig.digest(s"srp${p}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      mdig.reset()
+      ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
+    }.toArray
+  }
+
+  private def srpBucket(v: Column): Column =
+    (0 until SRP_PLANES).map { p =>
+      val w = array(srpWeights(p).map(lit).toIndexedSeq: _*)
+      when(aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def sqlSrpBucket(vExpr: String): String =
+    (0 until SRP_PLANES).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(64), j ->
+         |    $vExpr[j + 1] * ((CAST(concat('0x', substr(md5('srp${p}_' || j), 1, 14)) AS BIGINT)
+         |                      % 2001 - 1000) / 1000.0))) > 0
+         |  THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString("(", " +\n   ", ")")
+
+  def s03(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", srpBucket(col("v")))
+    val probe = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("bucket"), col("v").as("va"))
+    val cand = e.select(col("vec_id").as("nn_id"), col("bucket"), col("v").as("vb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    probe.join(cand, Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "bucket", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val s03Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |    ${sqlSrpBucket("list_transform(embedding, x -> x::DOUBLE)")} AS bucket
+       |  FROM embeddings)
+       |SELECT query_id, bucket, rank, nn_id, cos FROM (
+       |  SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |               b.vec_id) AS rank
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 100)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01 _),
-    "s02_knn_bucketed" -> (s02 _))
+    "s02_knn_bucketed" -> (s02 _),
+    "s03_knn_srp_lsh" -> (s03 _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
-    "s02_knn_bucketed" -> s02Sql)
+    "s02_knn_bucketed" -> s02Sql,
+    "s03_knn_srp_lsh" -> s03Sql)
 }
