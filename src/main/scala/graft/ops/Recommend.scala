@@ -231,10 +231,14 @@ object Recommend {
   // the reference's evaluation loop, oracle-checkable because the
   // predictor is closed-form. (ALS RMSE itself is covered in ScalaTest.)
   def r08(s: SparkSession, d: String): DataFrame = {
+    // cache the tagged matrix: train-count, item means, global mean and
+    // the scoring pass all re-read it (uncached this re-runs the
+    // orders⋈lineitem join four times)
     val ratings = Ratings.implicitRatings(s, d)
       .withColumn("is_test",
         Hashing.hash56(concat(col("user_id").cast("string"), lit("_"),
           col("item_id").cast("string"))) % 5 === 0)
+      .cache()
     val train = ratings.filter(!col("is_test"))
     val test = ratings.filter(col("is_test"))
     val itemMean = train.groupBy("item_id")
@@ -246,11 +250,13 @@ object Recommend {
     val pred = test.join(broadcast(itemMean), Seq("item_id"), "left")
       .join(broadcast(globalMean))
       .withColumn("p", coalesce(col("item_mean"), col("global_mean")))
-    val nTrain = train.count()
+    val nTrain = train.count() // also materializes the cache
     pred.agg(
       lit(nTrain).as("n_train"),
       count(lit(1)).as("n_test"),
       round(sqrt(avg(pow(col("rating") - col("p"), 2))), 6).as("rmse"))
+    // cache stays for the session: a few MB, and the returned plan
+    // still references it lazily
   }
 
   val r08Sql: String =

@@ -576,6 +576,32 @@ object Relational {
       |FROM orders WHERE o_custkey < 100
       |ORDER BY o_custkey, od_us, o_orderkey""".stripMargin
 
+  // q28: unpivot/melt — wide → long reshaping (the inverse of q23).
+  def q28(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 100)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), "measure", "value")
+      .orderBy("p_partkey", "measure")
+
+  val q28Sql: String =
+    """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+      |FROM part WHERE p_partkey < 100
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice', p_retailprice
+      |FROM part WHERE p_partkey < 100
+      |ORDER BY p_partkey, measure""".stripMargin
+
+  // q29: seeded sampling — the training-data subsampling primitive.
+  // Sample membership is engine-specific (rows-only); ScalaTest bounds
+  // the fraction and checks determinism across runs.
+  def q29(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("l_returnflag")
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -604,7 +630,9 @@ object Relational {
     "q24_percentiles" -> (q24 _),
     "q25_approx_distinct" -> (q25 _),
     "q26_asof_custom" -> (q26 _),
-    "q27_range_frame" -> (q27 _))
+    "q27_range_frame" -> (q27 _),
+    "q28_unpivot" -> (q28 _),
+    "q29_sample" -> (q29 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -632,5 +660,6 @@ object Relational {
     "q23_pivot" -> q23Sql,
     "q24_percentiles" -> q24Sql,
     "q26_asof_custom" -> q21Sql, // same as-of semantics, custom operator
-    "q27_range_frame" -> q27Sql)
+    "q27_range_frame" -> q27Sql,
+    "q28_unpivot" -> q28Sql)
 }

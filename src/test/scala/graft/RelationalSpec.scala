@@ -44,6 +44,33 @@ class RelationalSpec extends SparkSpec {
       Tables.customer(spark, sf).count())
   }
 
+  test("q29 seeded sample is deterministic and near the target fraction") {
+    val a = ops.Relational.q29(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = ops.Relational.q29(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "same seed must give the same sample")
+    val totals = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.foreach { case (k, n) =>
+      val frac = n.toDouble / totals(k)
+      assert(frac > 0.05 && frac < 0.15, s"$k sampled at $frac")
+    }
+  }
+
+  test("stratified sampling (sampleBy) respects per-stratum fractions") {
+    val li = Tables.lineitem(spark, sf)
+    val sampled = li.stat.sampleBy("l_returnflag",
+      Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.1), 42L)
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def frac(k: String) = sampled(k).toDouble / totals(k)
+    assert(frac("A") < frac("R") && frac("R") < frac("N"))
+    assert(math.abs(frac("N") - 0.2) < 0.07)
+  }
+
   test("q21 as-of join: every matched click precedes its purchase") {
     val rows = ops.Relational.q21(spark, sf).collect()
     assert(rows.nonEmpty)
