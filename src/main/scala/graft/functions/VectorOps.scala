@@ -73,6 +73,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Optimizer rule: cosine_sim(x, x) ≡ 1.0 for any non-null x — fold
+  * the self-similarity instead of running the 3·n-flop loop per row.
+  * (Shows up in generated/templated similarity queries where both
+  * sides resolve to the same column.) Injected by GraftExtensions. */
+object SimplifySelfCosine
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal(null, DoubleType), Literal(1.0))
+    }
+}
+
 object VectorOps {
   /** Column API for the native cosine. Arrays are cast to
     * array<double> so float embeddings promote exactly. */

@@ -97,12 +97,48 @@ object Multimodal {
     out.orderBy("doc_id")
   }
 
+  // m04: typed media-metadata struct + a "resize" transform. The
+  // dimensions derive deterministically from the payload (stands in
+  // for a decoded header); the transform halves them with floor-to-
+  // even — the metadata algebra of an image-resize stage, with the
+  // struct column round-tripping through parquet.
+  def m04(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .withColumn("meta", struct(
+        (lit(16) + col("n_chars") % 64).cast("int").as("width"),
+        (lit(16) + (col("n_chars") * 7) % 48).cast("int").as("height"),
+        lit(3).as("channels")))
+      .withColumn("resized", struct(
+        (col("meta.width") - col("meta.width") % 2).cast("int")./(2).cast("int").as("width"),
+        (col("meta.height") - col("meta.height") % 2).cast("int")./(2).cast("int").as("height"),
+        col("meta.channels").as("channels")))
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("resized.width").as("rw"), col("resized.height").as("rh"),
+        (col("meta.width") * col("meta.height") * col("meta.channels"))
+          .cast("long").as("n_pixels"))
+      .orderBy("doc_id")
+
+  val m04Sql: String =
+    """SELECT doc_id,
+      |  CAST(16 + n_chars % 64 AS INT) AS width,
+      |  CAST(16 + (n_chars * 7) % 48 AS INT) AS height,
+      |  CAST((CAST(16 + n_chars % 64 AS INT) -
+      |        CAST(16 + n_chars % 64 AS INT) % 2) / 2 AS INT) AS rw,
+      |  CAST((CAST(16 + (n_chars * 7) % 48 AS INT) -
+      |        CAST(16 + (n_chars * 7) % 48 AS INT) % 2) / 2 AS INT) AS rh,
+      |  CAST(CAST(16 + n_chars % 64 AS INT) *
+      |       CAST(16 + (n_chars * 7) % 48 AS INT) * 3 AS BIGINT) AS n_pixels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
-    "m03_feature_stub" -> (m03 _))
+    "m03_feature_stub" -> (m03 _),
+    "m04_media_resize" -> (m04 _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
-    "m02_frame_sample" -> m02Sql)
+    "m02_frame_sample" -> m02Sql,
+    "m04_media_resize" -> m04Sql)
 }

@@ -227,7 +227,29 @@ object TextOps {
        |FROM sigs a JOIN sigs b ON a.source < b.source
        |ORDER BY matches DESC, src_a, src_b""".stripMargin
 
+  // t10: dataset profiling — the completeness/cardinality report a
+  // pipeline emits before training. One pass, integer-exact.
+  def t10(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1).otherwise(0)).as("empty_text"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+
+  val t10Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END) AS empty_text,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_profile" -> (t10 _),
     "t07_source_minhash" -> (t07 _),
     "t08_source_similarity" -> (t08 _),
     "t01_token_stats" -> (t01 _),
@@ -238,6 +260,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t10_profile" -> t10Sql,
     "t07_source_minhash" -> t07Sql,
     "t08_source_similarity" -> t08Sql,
     "t01_token_stats" -> t01Sql,

@@ -34,6 +34,29 @@ class SkewSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("SimplifySelfCosine folds cosine_sim(x, x) out of the plan") {
+    val s0 = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // non-constant input: only the injected rule can fold this (and
+      // unlike the evaluated loop it is exactly 1.0, not 0.99999...98)
+      val df = s2.sql(
+        """SELECT cosine_sim(v, v) AS c
+          |FROM (SELECT array(CAST(id AS DOUBLE), 2.0d) AS v FROM range(5))""".stripMargin)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+        "rule did not fold the self-cosine")
+      assert(df.collect().forall(_.getDouble(0) == 1.0))
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(s0)
+      org.apache.spark.sql.SparkSession.setDefaultSession(s0)
+    }
+  }
+
   test("extensions-built session exposes cosine_sim in SQL") {
     val s0 = spark // ensure shared context exists
     org.apache.spark.sql.SparkSession.clearActiveSession()
