@@ -12,9 +12,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + parquet footer caches, so per-query numbers
-    // measure the query, not JVM startup
-    try SparkEntry.queries("q06_forecast_revenue")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // measure the query, not JVM startup. A micro-ALS fit warms the
+    // MLlib code paths the same way q06 warms scan/agg codegen.
+    try {
+      SparkEntry.queries("q06_forecast_revenue")(spark, sfDir).count()
+      import org.apache.spark.sql.functions.col
+      new org.apache.spark.ml.recommendation.ALS()
+        .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+        .setImplicitPrefs(true).setRank(2).setMaxIter(1).setSeed(1L)
+        .setNumUserBlocks(4).setNumItemBlocks(4)
+        .fit(graft.etl.Ratings.implicitRatings(spark, sfDir)
+          .limit(2000)
+          .select(col("user_id").cast("int"), col("item_id").cast("int"),
+            col("rating").cast("float")))
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

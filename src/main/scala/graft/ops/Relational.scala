@@ -602,6 +602,55 @@ object Relational {
       .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
       .orderBy("l_returnflag")
 
+  // q30: bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — the
+  // multiplicity-preserving variants of q17.
+  def q30(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val a = l.filter(col("l_quantity") >= 25).select("l_partkey")
+    val b = l.filter(col("l_discount") >= 0.05).select("l_partkey")
+    val c = l.filter(col("l_returnflag") === "R").select("l_partkey")
+    a.intersectAll(b).exceptAll(c)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .orderBy("l_partkey")
+  }
+
+  val q30Sql: String =
+    """SELECT l_partkey, count(*) AS n FROM (
+      |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+      |  INTERSECT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05
+      |  EXCEPT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY l_partkey""".stripMargin
+
+  // q31: argmin/argmax aggregation — per customer, the orderkey of the
+  // cheapest and priciest order (min_by/max_by ⇔ arg_min/arg_max).
+  // Ties on price are broken deterministically by packing
+  // (price-cents, orderkey) into one bigint ordering key.
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val pack = (round(col("o_totalprice") * 100).cast("long") * 10000000L +
+      col("o_orderkey")).as("pk")
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), pack)
+      .groupBy("o_custkey")
+      .agg(
+        min_by(col("o_orderkey"), col("pk")).as("cheapest_order"),
+        max_by(col("o_orderkey"), col("pk")).as("priciest_order"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  val q31Sql: String =
+    """SELECT o_custkey,
+      |  arg_min(o_orderkey, pk) AS cheapest_order,
+      |  arg_max(o_orderkey, pk) AS priciest_order,
+      |  count(*) AS n_orders
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS pk
+      |      FROM orders WHERE o_custkey < 200)
+      |GROUP BY 1 ORDER BY o_custkey""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -632,7 +681,9 @@ object Relational {
     "q26_asof_custom" -> (q26 _),
     "q27_range_frame" -> (q27 _),
     "q28_unpivot" -> (q28 _),
-    "q29_sample" -> (q29 _))
+    "q29_sample" -> (q29 _),
+    "q30_set_ops_all" -> (q30 _),
+    "q31_arg_minmax" -> (q31 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -661,5 +712,7 @@ object Relational {
     "q24_percentiles" -> q24Sql,
     "q26_asof_custom" -> q21Sql, // same as-of semantics, custom operator
     "q27_range_frame" -> q27Sql,
-    "q28_unpivot" -> q28Sql)
+    "q28_unpivot" -> q28Sql,
+    "q30_set_ops_all" -> q30Sql,
+    "q31_arg_minmax" -> q31Sql)
 }
