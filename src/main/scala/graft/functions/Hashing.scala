@@ -28,13 +28,13 @@ object Hashing {
   }
 
   /** 56-bit stable string hash (md5 prefix). Same value as DuckDB's
-    * CAST(concat('0x', substr(md5(s),1,14)) AS BIGINT). */
-  def hash56(c: Column): Column =
-    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+    * CAST(concat('0x', substr(md5(s),1,14)) AS BIGINT) — computed by
+    * the native [[Md5Prefix56]] expression (digest bytes → long, no
+    * hex-string round trip). */
+  def hash56(c: Column): Column = Md5Prefix56.md5Prefix56(c)
 
   /** 48-bit variant for SimHash bit votes (keeps 1<<b in positive range). */
-  def hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  def hash48(c: Column): Column = Md5Prefix56.md5Prefix48(c)
 
   /** One universal-hash permutation applied to a (column of) hash values. */
   def perm(h: Column, a: Long, b: Long): Column =

@@ -47,6 +47,17 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("native md5 prefix equals the conv(substr(md5)) formulation") {
+    val df = Tables.documents(spark, sf).select(col("text")).limit(200)
+    val diff = df.select(
+      (graft.functions.Hashing.hash56(col("text")) -
+        conv(substring(md5(col("text")), 1, 14), 16, 10).cast("long")).as("d56"),
+      (graft.functions.Hashing.hash48(col("text")) -
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")).as("d48"))
+      .agg(max(abs(col("d56"))), max(abs(col("d48")))).collect()(0)
+    assert(diff.getLong(0) == 0L && diff.getLong(1) == 0L)
+  }
+
   test("q25 approx distinct is within 5% of exact") {
     val approx = ops.Relational.q25(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
