@@ -157,9 +157,37 @@ object EventOps {
       .orderBy("hour_us", "event_type")
   }
 
+  // e07: gap sessionization through the STATEFUL API
+  // (flatMapGroupsWithState, same code path the streaming variant
+  // uses — Spark runs it as a single group pass in batch mode),
+  // checked against the window-formulation oracle. Proves the
+  // custom-state operator against an independent engine.
+  def e07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.Streams.sessionize(
+        graft.streaming.Streams.typedEvents(s, d))
+      .toDF()
+      .select(col("user_id"), col("n_sessions").cast("long").as("n_sessions"),
+        col("n_events"))
+      .orderBy("user_id")
+  }
+
+  val e07Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+      |      OR lag(epoch_ms(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events)
+      |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+      |FROM tagged GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e05_json_props" -> (e05 _),
     "e06_stream_tumbling" -> (e06 _),
+    "e07_stateful_sessions" -> (e07 _),
     "e01_tumbling_window" -> (e01 _),
     "e02_sessionize" -> (e02 _),
     "e03_funnel" -> (e03 _),
@@ -167,6 +195,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e05_json_props" -> e05Sql,
+    "e07_stateful_sessions" -> e07Sql,
     "e06_stream_tumbling" -> e01Sql, // stream must reproduce the batch rollup
     "e01_tumbling_window" -> e01Sql,
     "e02_sessionize" -> e02Sql,
