@@ -184,7 +184,25 @@ object EventOps {
       |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
       |FROM tagged GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // e08: schema-declared JSON parsing (from_json) — at scale, ONE parse
+  // per row into a typed struct beats per-field get_json_object; the
+  // struct then feeds ordinary typed expressions.
+  def e08(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+      .groupBy((col("p.k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("p.k")).as("sum_k"))
+      .orderBy("k_mod")
+
+  val e08Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e08_json_schema" -> (e08 _),
     "e05_json_props" -> (e05 _),
     "e06_stream_tumbling" -> (e06 _),
     "e07_stateful_sessions" -> (e07 _),
@@ -194,6 +212,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e08_json_schema" -> e08Sql,
     "e05_json_props" -> e05Sql,
     "e07_stateful_sessions" -> e07Sql,
     "e06_stream_tumbling" -> e01Sql, // stream must reproduce the batch rollup

@@ -164,13 +164,67 @@ object Similarity {
        |  WHERE a.vec_id < 100)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // s04: multi-probe SRP-LSH — each query also probes the 8 buckets at
+  // Hamming distance 1 (flip one hyperplane bit), trading 9× candidate
+  // volume for recall. The probe side is exploded 9×; the shuffle key
+  // is still the bucket. Standard LSH practice when a single bucket's
+  // recall is too low.
+  def s04(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", srpBucket(col("v")))
+    val probes = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("bucket").as("home"), col("v").as("va"))
+      .withColumn("bucket", explode(array(
+        (col("home") +: (0 until SRP_PLANES).map(p =>
+          col("home").bitwiseXOR(lit(1L << p)))): _*)))
+    val cand = e.select(col("vec_id").as("nn_id"), col("bucket"), col("v").as("vb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    probes.join(cand, Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), col("va"), col("vb")).distinct()
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val s04Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |    ${sqlSrpBucket("list_transform(embedding, x -> x::DOUBLE)")} AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS pv,
+       |    unnest(list_concat([bucket],
+       |      list_transform(range($SRP_PLANES), p -> xor(bucket, 1::BIGINT << p))))
+       |      AS bucket
+       |  FROM e WHERE vec_id < 100),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, b.vec_id AS nn_id
+       |  FROM probes p JOIN e b ON p.bucket = b.bucket
+       |  WHERE p.query_id <> b.vec_id)
+       |SELECT query_id, rank, nn_id, cos FROM (
+       |  SELECT c.query_id, c.nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY c.query_id
+       |      ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |               c.nn_id) AS rank
+       |  FROM cands c JOIN e a ON c.query_id = a.vec_id
+       |               JOIN e b ON c.nn_id = b.vec_id)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01 _),
     "s02_knn_bucketed" -> (s02 _),
-    "s03_knn_srp_lsh" -> (s03 _))
+    "s03_knn_srp_lsh" -> (s03 _),
+    "s04_knn_multiprobe" -> (s04 _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
     "s02_knn_bucketed" -> s02Sql,
-    "s03_knn_srp_lsh" -> s03Sql)
+    "s03_knn_srp_lsh" -> s03Sql,
+    "s04_knn_multiprobe" -> s04Sql)
 }

@@ -75,6 +75,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall dominates single-bucket recall") {
+    // ground truth: s01's top-5 for probes < 10
+    val truth = ops.Similarity.s01(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.filter(col("query_id") < 10).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+      val hits = truth.keys.map(q =>
+        got.getOrElse(q, Set.empty).count(truth(q).contains)).sum
+      hits.toDouble / (truth.size * 3)
+    }
+    val r3 = recall(ops.Similarity.s03(spark, sf))
+    val r4 = recall(ops.Similarity.s04(spark, sf))
+    assert(r4 >= r3, s"multi-probe recall $r4 < single-bucket $r3")
+  }
+
   test("t03 predictions come from the marker language set") {
     val langs = Set("en", "fr", "es", "de", "zh")
     assert(ops.TextOps.t03(spark, sf).collect()

@@ -51,6 +51,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q01 executes inside whole-stage codegen") {
+    val df = ops.Relational.q01(spark, sf)
+    df.collect() // materialize so AQE finalizes the physical stages
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), "no WholeStageCodegen stage markers in q01")
+  }
+
   test("s01 broadcasts the probe side of the knn scan") {
     val p = plan(ops.Similarity.s01(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
