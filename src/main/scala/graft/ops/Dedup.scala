@@ -251,6 +251,60 @@ object Dedup {
        |JOIN (SELECT doc_id, text AS tb FROM corpus) y ON cands.b = y.doc_id
        |ORDER BY a, b""".stripMargin
 
+  // d08: duplicate CLUSTERS — connected components over the verified
+  // near-dup graph, so dedup keeps one doc per component rather than
+  // reasoning pair-by-pair. Spark-first iterative min-label
+  // propagation (each round: label ← min(label, neighbors' labels);
+  // converges in diameter rounds — shuffle per round on the node id,
+  // the standard large-graph CC shape). The oracle computes the same
+  // components with a recursive transitive-closure CTE.
+  def d08(s: SparkSession, d: String): DataFrame = {
+    val edges = candidates(s, d) // (a, b), a < b — verified LSH pairs
+      .cache()
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nl"),
+          Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("nl")).as("cand"))
+      val next = labels.join(viaNeighbor, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("node")).as("keep_doc"), max(col("node")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("cluster")
+  }
+
+  val d08Sql: String =
+    s"""$sqlDedupPrefix,
+       |sym AS (SELECT a, b FROM cands UNION ALL SELECT b, a FROM cands),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM sym
+       |    UNION
+       |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
+       |  SELECT * FROM r),
+       |labels AS (
+       |  SELECT a AS node, least(a, min(b)) AS label
+       |  FROM reach GROUP BY a)
+       |SELECT label AS cluster, count(*) AS n_docs,
+       |  min(node) AS keep_doc, max(node) AS max_doc
+       |FROM labels GROUP BY 1 HAVING count(*) > 1 ORDER BY cluster""".stripMargin
+
   // d06: blocked embedding near-dup — nearest neighbor within the same
   // label block (IVF-style blocking: shuffle on label, never all-pairs).
   def d06(s: SparkSession, d: String): DataFrame = {
@@ -297,7 +351,8 @@ object Dedup {
     "d04_neardup_jaccard" -> (d04 _),
     "d05_simhash" -> (d05 _),
     "d06_embedding_neardup" -> (d06 _),
-    "d07_edit_distance" -> (d07 _))
+    "d07_edit_distance" -> (d07 _),
+    "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -306,5 +361,6 @@ object Dedup {
     "d04_neardup_jaccard" -> d04Sql,
     "d05_simhash" -> d05Sql,
     "d06_embedding_neardup" -> d06Sql,
-    "d07_edit_distance" -> d07Sql)
+    "d07_edit_distance" -> d07Sql,
+    "d08_dup_clusters" -> d08Sql)
 }

@@ -651,6 +651,43 @@ object Relational {
       |      FROM orders WHERE o_custkey < 200)
       |GROUP BY 1 ORDER BY o_custkey""".stripMargin
 
+  // q32: datetime part extraction + seasonal aggregation.
+  def q32(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mth"),
+        col("o_totalprice"))
+      .groupBy("yr", "qtr", "mth")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("yr", "qtr", "mth")
+
+  val q32Sql: String =
+    s"""SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+       |  month(o_orderdate) AS mth,
+       |  count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // q33: string-function surface — normalize, slice, pad, measure.
+  def q33(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        length(col("c_name")).as("name_len"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"))
+      .orderBy("c_custkey")
+
+  val q33Sql: String =
+    """SELECT c_custkey, upper(c_name) AS uname,
+      |  substr(c_name, 1, 8) AS prefix,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      |  len(c_name) AS name_len,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
+      |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -683,7 +720,9 @@ object Relational {
     "q28_unpivot" -> (q28 _),
     "q29_sample" -> (q29 _),
     "q30_set_ops_all" -> (q30 _),
-    "q31_arg_minmax" -> (q31 _))
+    "q31_arg_minmax" -> (q31 _),
+    "q32_date_parts" -> (q32 _),
+    "q33_string_funcs" -> (q33 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -714,5 +753,7 @@ object Relational {
     "q27_range_frame" -> q27Sql,
     "q28_unpivot" -> q28Sql,
     "q30_set_ops_all" -> q30Sql,
-    "q31_arg_minmax" -> q31Sql)
+    "q31_arg_minmax" -> q31Sql,
+    "q32_date_parts" -> q32Sql,
+    "q33_string_funcs" -> q33Sql)
 }

@@ -34,6 +34,17 @@ class OpsSpec extends SparkSpec {
       (r.getAs[Long]("b") == 1000000L || r.getAs[Long]("b") == 2000000L)))
   }
 
+  test("d08 clusters unify a doc with both its exact and near copies") {
+    val clusters = ops.Dedup.d08(spark, sf).collect()
+    assert(clusters.nonEmpty)
+    // doc 0 has an exact copy (+2e6) and a near copy (+1e6); its cluster
+    // must span from the original to the exact copy
+    val c0 = clusters.find(_.getAs[Long]("keep_doc") == 0L)
+    assert(c0.isDefined, "no cluster anchored at doc 0")
+    assert(c0.get.getAs[Long]("max_doc") == 2000000L)
+    assert(c0.get.getAs[Long]("n_docs") >= 2L)
+  }
+
   test("d05 simhash of exact duplicates is identical") {
     val sh = ops.Dedup.d05(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
