@@ -319,7 +319,98 @@ object Recommend {
        |  count(*) AS n_users, sum(n_items) AS n_pairs
        |FROM per_user GROUP BY 1 ORDER BY segment""".stripMargin
 
+  // r12: rank-based evaluation — precision@5 of item-based CF against
+  // a held-out interaction set. Protocol: hash-split (user,item) pairs
+  // (same split as r08), build co-occurrence from TRAIN interactions
+  // only, recommend top-5 unseen-in-train items per user (<100),
+  // count hits in the TEST set. Integer scores + single final
+  // division → fully oracle-checkable, unlike typical ML eval loops.
+  def r12(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val oi = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("o_custkey").as("user_id"),
+        col("l_partkey").as("item_id"))
+      .distinct()
+      .withColumn("is_test",
+        Hashing.hash56(concat(col("user_id").cast("string"), lit("_"),
+          col("item_id").cast("string"))) % 5 === 0)
+      .cache()
+    val train = oi.filter(!col("is_test"))
+    val a = train.select(col("ok").as("k"), col("item_id").as("i"))
+    val b = train.select(col("ok").as("k2"), col("item_id").as("j"))
+    val co = a.join(b, col("k") === col("k2") && col("i") =!= col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
+    val histTrain = train.filter(col("user_id") < 100)
+      .select("user_id", "item_id").distinct()
+    val scored = histTrain.join(co, histTrain("item_id") === co("i"))
+      .groupBy(col("user_id"), col("j").as("rec_item"))
+      .agg(sum(col("cnt")).as("score"))
+    val unseen = scored.join(
+      histTrain.withColumnRenamed("item_id", "rec_item"),
+      Seq("user_id", "rec_item"), "left_anti")
+    val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
+    val recs = unseen.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val histTest = oi.filter(col("is_test") && col("user_id") < 100)
+      .select("user_id", "item_id").distinct()
+      .withColumnRenamed("item_id", "rec_item")
+    val hits = recs.join(histTest, Seq("user_id", "rec_item"), "left_semi")
+    val out = recs.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      count(lit(1)).as("n_recs"))
+      .join(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_users"), col("n_recs"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_recs")).as("precision_at_5"))
+    oi.unpersist()
+    out
+  }
+
+  val r12Sql: String = {
+    val split = Hashing.sqlHash56("user_id::VARCHAR || '_' || item_id::VARCHAR")
+    s"""WITH oi AS (
+       |  SELECT DISTINCT l_orderkey AS ok, o_custkey AS user_id,
+       |    l_partkey AS item_id
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |tagged AS (SELECT *, $split % 5 = 0 AS is_test FROM oi),
+       |train AS (SELECT * FROM tagged WHERE NOT is_test),
+       |co AS (
+       |  SELECT a.item_id AS i, b.item_id AS j, count(*) AS cnt
+       |  FROM train a JOIN train b
+       |    ON a.ok = b.ok AND a.item_id <> b.item_id
+       |  GROUP BY 1, 2),
+       |hist_train AS (
+       |  SELECT DISTINCT user_id, item_id FROM train WHERE user_id < 100),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, sum(co.cnt) AS score
+       |  FROM hist_train h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist_train h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |recs AS (
+       |  SELECT user_id, rec_item FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 5),
+       |hist_test AS (
+       |  SELECT DISTINCT user_id, item_id FROM tagged
+       |  WHERE is_test AND user_id < 100),
+       |hits AS (
+       |  SELECT r.* FROM recs r
+       |  WHERE EXISTS (SELECT 1 FROM hist_test t
+       |                WHERE t.user_id = r.user_id AND t.item_id = r.rec_item))
+       |SELECT (SELECT count(DISTINCT user_id) FROM recs) AS n_users,
+       |  (SELECT count(*) FROM recs) AS n_recs,
+       |  (SELECT count(*) FROM hits) AS n_hits,
+       |  CAST((SELECT count(*) FROM hits) AS DOUBLE) /
+       |    (SELECT count(*) FROM recs) AS precision_at_5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r12_cf_precision" -> (r12 _),
     "r09_rating_histogram" -> (r09 _),
     "r10_user_segments" -> (r10 _),
     "r01_ratings_matrix" -> (r01 _),
@@ -333,6 +424,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r12_cf_precision" -> r12Sql,
     "r09_rating_histogram" -> r09Sql,
     "r10_user_segments" -> r10Sql,
     "r01_ratings_matrix" -> r01Sql,
