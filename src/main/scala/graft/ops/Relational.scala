@@ -688,6 +688,25 @@ object Relational {
       |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
       |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin
 
+  // q34: fixed-width histogram — integer bucketing of a measure, the
+  // building block for distribution dashboards (exact, unlike the
+  // sketch-based q24/q25 paths).
+  def q34(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+      .withColumn("bucket_lo", col("bucket") * 50000)
+      .select("bucket", "bucket_lo", "n", "total")
+      .orderBy("bucket")
+
+  val q34Sql: String =
+    s"""SELECT bucket, bucket * 50000 AS bucket_lo, n, total FROM (
+       |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       |    count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |  FROM orders GROUP BY 1)
+       |ORDER BY bucket""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -722,7 +741,8 @@ object Relational {
     "q30_set_ops_all" -> (q30 _),
     "q31_arg_minmax" -> (q31 _),
     "q32_date_parts" -> (q32 _),
-    "q33_string_funcs" -> (q33 _))
+    "q33_string_funcs" -> (q33 _),
+    "q34_histogram" -> (q34 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -755,5 +775,6 @@ object Relational {
     "q30_set_ops_all" -> q30Sql,
     "q31_arg_minmax" -> q31Sql,
     "q32_date_parts" -> q32Sql,
-    "q33_string_funcs" -> q33Sql)
+    "q33_string_funcs" -> q33Sql,
+    "q34_histogram" -> q34Sql)
 }

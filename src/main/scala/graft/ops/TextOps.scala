@@ -248,7 +248,47 @@ object TextOps {
       |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
       |FROM documents""".stripMargin
 
+  // t11: TF-IDF keyword extraction — top-3 scored tokens per doc.
+  // Cross-engine discipline: libm ln differs by 1 ulp on ~1% of
+  // inputs, so the score is ROUNDED (6 dp) before ranking and the
+  // tiebreak is the token itself — rank flips would need two scores
+  // within 1 ulp of each other AND of a rounding boundary.
+  def t11(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val nDocs = lit(200.0)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("tfidf",
+        round(col("tf") * log(nDocs / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  val t11Sql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM docs),
+      |tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY 1, 2),
+      |dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1)
+      |SELECT doc_id, rank, token, tf, df, tfidf FROM (
+      |  SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+      |    round(tfc.tf * ln(200.0 / dfc.df), 6) AS tfidf,
+      |    row_number() OVER (PARTITION BY tfc.doc_id
+      |      ORDER BY round(tfc.tf * ln(200.0 / dfc.df), 6) DESC, tfc.token)
+      |      AS rank
+      |  FROM tfc JOIN dfc ON tfc.token = dfc.token)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_tfidf" -> (t11 _),
     "t10_profile" -> (t10 _),
     "t07_source_minhash" -> (t07 _),
     "t08_source_similarity" -> (t08 _),
@@ -260,6 +300,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t11_tfidf" -> t11Sql,
     "t10_profile" -> t10Sql,
     "t07_source_minhash" -> t07Sql,
     "t08_source_similarity" -> t08Sql,
