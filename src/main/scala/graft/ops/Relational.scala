@@ -707,6 +707,29 @@ object Relational {
        |  FROM orders GROUP BY 1)
        |ORDER BY bucket""".stripMargin
 
+  // q35: navigation window functions — first/last/nth order per
+  // customer over the full partition frame.
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q35Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  last_value(o_orderkey) OVER w AS last_order,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -742,7 +765,8 @@ object Relational {
     "q31_arg_minmax" -> (q31 _),
     "q32_date_parts" -> (q32 _),
     "q33_string_funcs" -> (q33 _),
-    "q34_histogram" -> (q34 _))
+    "q34_histogram" -> (q34 _),
+    "q35_nav_window" -> (q35 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -776,5 +800,6 @@ object Relational {
     "q31_arg_minmax" -> q31Sql,
     "q32_date_parts" -> q32Sql,
     "q33_string_funcs" -> q33Sql,
-    "q34_histogram" -> q34Sql)
+    "q34_histogram" -> q34Sql,
+    "q35_nav_window" -> q35Sql)
 }
