@@ -216,15 +216,76 @@ object Similarity {
        |               JOIN e b ON c.nn_id = b.vec_id)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- s05: true IVF — computed coarse quantizer ----
+  //
+  // Cells come from the DATA: the 10 seed vectors (vec_id < 10) act as
+  // centroids, every vector is assigned to its nearest centroid by
+  // squared L2 (ordered fold → bit-exact both engines, ties broken by
+  // centroid id), probes search only their own cell. At scale the
+  // seeds become k-means centroids and the assignment is identical —
+  // a broadcast of k vectors against a single corpus scan.
+  def s05(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+    val probe = assigned.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("va"))
+    val cand = assigned.select(col("vec_id").as("nn_id"), col("cell"), col("v").as("vb"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    probe.join(cand, Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("query_id", "cell", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val s05Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_sum(list_transform(range(64),
+       |          i -> (e.v[i + 1] - c.cv[i + 1]) * (e.v[i + 1] - c.cv[i + 1]))),
+       |          c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE rn = 1)
+       |SELECT query_id, cell, rank, nn_id, cos FROM (
+       |  SELECT a.vec_id AS query_id, a.cell, b.vec_id AS nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |               b.vec_id) AS rank
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 100)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01 _),
     "s02_knn_bucketed" -> (s02 _),
     "s03_knn_srp_lsh" -> (s03 _),
-    "s04_knn_multiprobe" -> (s04 _))
+    "s04_knn_multiprobe" -> (s04 _),
+    "s05_knn_ivf" -> (s05 _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
     "s02_knn_bucketed" -> s02Sql,
     "s03_knn_srp_lsh" -> s03Sql,
-    "s04_knn_multiprobe" -> s04Sql)
+    "s04_knn_multiprobe" -> s04Sql,
+    "s05_knn_ivf" -> s05Sql)
 }
