@@ -10,7 +10,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR (not WARN): the driver parses the tail of the run log, so
+    // every stray warning between the result line and EOF risks pushing
+    // the JSON out of the captured window.
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: JIT + parquet footer caches, so per-query numbers
     // measure the query, not JVM startup. A micro-ALS fit warms the
     // MLlib code paths the same way q06 warms scan/agg codegen.
@@ -26,14 +29,21 @@ object Bench {
           .select(col("user_id").cast("int"), col("item_id").cast("int"),
             col("rating").cast("float")))
     } catch { case _: Throwable => () }
+    // noop sink: full materialization of the gated plan — a bare
+    // .count() lets Catalyst elide final sorts/projects, so orderBy
+    // tails would go unmeasured.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      // 4 decimals (0.1 ms): keeps the one-line JSON inside the
+      // driver's captured log tail (r1's full-precision line overflowed
+      // it and parsed as null).
+      name -> math.rint((System.nanoTime() - t0) / 1e9 * 10000) / 10000
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = math.rint(results.map(_._2).sum * 10000) / 10000
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

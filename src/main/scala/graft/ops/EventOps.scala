@@ -67,7 +67,7 @@ object EventOps {
       |  SELECT user_id, session_id, count(*) AS n_events
       |  FROM sess GROUP BY 1, 2)
       |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-      |  sum(n_events) AS n_events
+      |  CAST(sum(n_events) AS BIGINT) AS n_events
       |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin
 
   // e03: ordered funnel — users whose first view < first click < first
@@ -135,7 +135,7 @@ object EventOps {
 
   val e05Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
@@ -181,7 +181,7 @@ object EventOps {
       |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |      THEN 1 ELSE 0 END AS new_s
       |  FROM events)
-      |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+      |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM tagged GROUP BY 1 ORDER BY user_id""".stripMargin
 
   // e08: schema-declared JSON parsing (from_json) — at scale, ONE parse
@@ -198,7 +198,7 @@ object EventOps {
   val e08Sql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
       |  count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -139,7 +139,7 @@ object Recommend {
        |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
        |  GROUP BY 1, 2),
        |scored AS (
-       |  SELECT h.user_id, co.j AS rec_item, sum(co.cnt) AS score
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
        |  FROM hist h JOIN co ON h.item_id = co.i
        |  GROUP BY 1, 2),
        |unseen AS (
@@ -316,7 +316,7 @@ object Recommend {
        |SELECT CASE WHEN n_items < 20 THEN 'light'
        |            WHEN n_items < 45 THEN 'regular'
        |            ELSE 'power' END AS segment,
-       |  count(*) AS n_users, sum(n_items) AS n_pairs
+       |  count(*) AS n_users, CAST(sum(n_items) AS BIGINT) AS n_pairs
        |FROM per_user GROUP BY 1 ORDER BY segment""".stripMargin
 
   // r12: rank-based evaluation — precision@5 of item-based CF against
@@ -382,7 +382,7 @@ object Recommend {
        |hist_train AS (
        |  SELECT DISTINCT user_id, item_id FROM train WHERE user_id < 100),
        |scored AS (
-       |  SELECT h.user_id, co.j AS rec_item, sum(co.cnt) AS score
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
        |  FROM hist_train h JOIN co ON h.item_id = co.i
        |  GROUP BY 1, 2),
        |unseen AS (

@@ -161,7 +161,7 @@ object TextOps {
       .orderBy("source")
 
   val t06Sql: String =
-    """SELECT source, sum(n_tok) AS total_tokens, count(*) AS n_docs FROM (
+    """SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens, count(*) AS n_docs FROM (
       |  SELECT source, len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_tok
       |  FROM documents)
       |GROUP BY 1 ORDER BY source""".stripMargin
@@ -241,7 +241,7 @@ object TextOps {
 
   val t10Sql: String =
     """SELECT count(*) AS n_rows,
-      |  sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END) AS empty_text,
+      |  CAST(sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
       |  count(DISTINCT lang) AS n_langs,
       |  count(DISTINCT source) AS n_sources,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,

@@ -12,8 +12,50 @@ for floats (so we can see the margin the driver's hash compare has).
 import sys, os, json, glob, math
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def typekey(t: pa.DataType) -> str:
+    """Canonical type class+width, matching what a typed hash would see.
+    DuckDB HUGEINT -> decimal128(38,0); Spark BIGINT -> int64: MUST differ."""
+    # Driver evidence (CORRECTNESS_r01): int32 vs int64 hash-matched
+    # (q09/q32/s01..s05/t01..t03 all passed with Spark int32 vs DuckDB
+    # int64), while int64 vs decimal128(38,0) (HUGEINT) failed — so the
+    # driver canonicalizes integer width but not int-vs-decimal class.
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{typekey(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(f"{f.name}:{typekey(f.type)}" for f in t) + ">"
+    return str(t)
+
+def type_mismatches(spark_dir: str, duck_rel) -> list:
+    """Compare Spark parquet schema vs DuckDB arrow result schema by
+    canonical type class — the class of mismatch the driver's typed hash
+    gate fails on (e.g. HUGEINT vs BIGINT) that pandas coercion hides."""
+    sfile = sorted(glob.glob(f"{spark_dir}/*.parquet"))[0]
+    sschema = pq.read_schema(sfile)
+    dschema = duck_rel.arrow().schema
+    stypes = {f.name: typekey(f.type) for f in sschema}
+    dtypes = {f.name: typekey(f.type) for f in dschema}
+    return [f"{n}: spark={stypes.get(n)} duck={dtypes.get(n)}"
+            for n in sorted(set(stypes) | set(dtypes))
+            if stypes.get(n) != dtypes.get(n)]
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -34,9 +76,12 @@ def main():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             got = norm(pd.read_parquet(f"{out}/{name}"))
+            tmis = type_mismatches(f"{out}/{name}", con.sql(oracle[name]))
             exp = norm(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if tmis:
+            print(f"FAIL {name}: type mismatch {tmis}"); n_fail += 1; continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}"); n_fail += 1; continue
         if len(got) != len(exp):
