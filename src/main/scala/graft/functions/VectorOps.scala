@@ -73,20 +73,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Optimizer rule: cosine_sim(x, x) ≡ 1.0 for any non-null x — fold
-  * the self-similarity instead of running the 3·n-flop loop per row.
-  * (Shows up in generated/templated similarity queries where both
-  * sides resolve to the same column.) Injected by GraftExtensions. */
+/** Optimizer rule: cosine_sim(x, x) ≡ 1.0 for any non-null, non-zero
+  * x — fold the self-similarity instead of running the 3·n-flop loop
+  * per row. (Shows up in generated/templated similarity queries where
+  * both sides resolve to the same column.) A zero-norm (or empty)
+  * vector yields 0/0 = NaN in the unrewritten expression, so the fold
+  * keeps an O(n) any-nonzero probe — still no multiplies, no sqrt.
+  * Injected by GraftExtensions. */
 object SimplifySelfCosine
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+  import org.apache.spark.sql.catalyst.expressions.{
+    ArrayExists, EqualTo, If, IsNull, LambdaFunction, Literal, NamedLambdaVariable, Not}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def anyNonZero(a: Expression): Expression = {
+    val elem = NamedLambdaVariable("x", DoubleType, nullable = true)
+    ArrayExists(a, LambdaFunction(Not(EqualTo(elem, Literal(0.0))), Seq(elem)))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
-        If(IsNull(a), Literal(null, DoubleType), Literal(1.0))
+        If(IsNull(a), Literal(null, DoubleType),
+          If(anyNonZero(a), Literal(1.0), Literal(Double.NaN)))
     }
 }
 

@@ -258,29 +258,46 @@ object Dedup {
   // converges in diameter rounds — shuffle per round on the node id,
   // the standard large-graph CC shape). The oracle computes the same
   // components with a recursive transitive-closure CTE.
-  def d08(s: SparkSession, d: String): DataFrame = {
-    val edges = candidates(s, d) // (a, b), a < b — verified LSH pairs
-      .cache()
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge list (a, b) — (node, label) out, label = the
+    * component's minimum node id. Converges in graph-diameter rounds;
+    * each round is one shuffle on node id (the standard large-graph CC
+    * shape). The caller gets a plain DataFrame; intermediate caches are
+    * released, the last round's stays (it backs the result). */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
     val nodes = sym.select(col("a").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nl"),
           Seq("b"))
         .groupBy(col("a").as("node")).agg(min(col("nl")).as("cand"))
-      val next = labels.join(viaNeighbor, Seq("node"), "left")
+      val step = labels.join(viaNeighbor, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
-        .cache()
+      // Truncate lineage every 3 rounds (localCheckpoint persists its
+      // result, so it doubles as the round's cache): without this the
+      // plan deepens by one join per round, so a cache eviction — or a
+      // >maxRounds-diameter graph at 100 TB edge volume — recomputes
+      // the whole chain and the DAG itself grows quadratically to plan.
+      val next = if (rounds % 3 == 2) step.localCheckpoint() else step.cache()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
       labels = next
       rounds += 1
     }
+    labels
+  }
+
+  def d08(s: SparkSession, d: String): DataFrame = {
+    val edges = candidates(s, d) // (a, b), a < b — verified LSH pairs
+      .cache()
+    val labels = connectedComponents(edges)
     edges.unpersist()
     labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_docs"),

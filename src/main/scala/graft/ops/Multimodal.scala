@@ -70,9 +70,10 @@ object Multimodal {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   // m03: batched decode→feature-vector stub. Real pipelines replace
-  // `fakeDecode` with a codec/model call; the mapPartitions batching,
-  // schema, and feature shape are the production plumbing. Rows-only
-  // (non-SQL surface), semantics covered in ScalaTest.
+  // the md5 digest with a codec/model call; the mapPartitions
+  // batching, schema, and feature shape are the production plumbing.
+  // The stub being md5-derived makes it fully oracle-checkable: DuckDB
+  // reproduces each feature from the same digest bytes.
   private val m03Schema = StructType(
     StructField("doc_id", LongType, nullable = false) +:
       (0 until 8).map(i => StructField(s"f$i", DoubleType, nullable = false)))
@@ -95,6 +96,15 @@ object Multimodal {
         }
       }(enc)
     out.orderBy("doc_id")
+  }
+
+  // f_i = digest byte i / 255.0; both engines do the division in
+  // IEEE-754 double, so the values are bit-identical.
+  val m03Sql: String = {
+    val feats = (0 until 8).map(i =>
+      s"('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT / CAST(255.0 AS DOUBLE) AS f$i")
+    s"""SELECT doc_id, ${feats.mkString(",\n  ")}
+       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
   // m04: typed media-metadata struct + a "resize" transform. The
@@ -140,5 +150,6 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
+    "m03_feature_stub" -> m03Sql,
     "m04_media_resize" -> m04Sql)
 }

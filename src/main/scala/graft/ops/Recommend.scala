@@ -51,11 +51,16 @@ object Recommend {
     * distinct + self-join (3 shuffles). Baskets are small (≲10 items),
     * so the in-row pair explosion is O(basket²) locally and the plan
     * stays skew-safe at warehouse scale. */
-  private def basketPairs(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+  private def basketPairs(s: SparkSession, d: String): DataFrame =
+    pairsOf(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey")
+
+  /** The same one-shuffle basket→ordered-pairs plan over any
+    * (basket-key, item) relation — r12 reuses it on the train split. */
+  private def pairsOf(df: DataFrame, key: String, item: String): DataFrame = {
+    val baskets = df.select(col(key), col(item))
+      .groupBy(key)
+      .agg(sort_array(collect_set(col(item))).as("items"))
     val pairs = flatten(transform(col("items"), (x, i) =>
       transform(slice(col("items"), i + 2, size(col("items"))),
         y => struct(x.as("i"), y.as("j")))))
@@ -336,10 +341,14 @@ object Recommend {
         Hashing.hash56(concat(col("user_id").cast("string"), lit("_"),
           col("item_id").cast("string"))) % 5 === 0)
       .cache()
+    oi.count() // materialize NOW: 4 branches below read it (a lazy
+    // cache + early unpersist would recompute the join per branch)
     val train = oi.filter(!col("is_test"))
-    val a = train.select(col("ok").as("k"), col("item_id").as("i"))
-    val b = train.select(col("ok").as("k2"), col("item_id").as("j"))
-    val co = a.join(b, col("k") === col("k2") && col("i") =!= col("j"))
+    // basket-collect + in-row pair explode (1 shuffle), symmetrized —
+    // same plan as r03/r05, not the 3-shuffle pairwise self-join whose
+    // exchange fans out Σℓ² rows at scale.
+    val bp = pairsOf(train, "ok", "item_id")
+    val co = bp.union(bp.select(col("j").as("i"), col("i").as("j")))
       .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
     val histTrain = train.filter(col("user_id") < 100)
       .select("user_id", "item_id").distinct()
@@ -362,7 +371,9 @@ object Recommend {
       .join(hits.agg(count(lit(1)).as("n_hits")))
       .select(col("n_users"), col("n_recs"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_recs")).as("precision_at_5"))
-    oi.unpersist()
+    // cache stays pinned for the session (as r08's): Verify/Bench call
+    // r12 once, and unpersisting before `out` is evaluated would drop
+    // the blocks before any branch reads them.
     out
   }
 

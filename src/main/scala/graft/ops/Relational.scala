@@ -507,9 +507,13 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
-        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+        // one buffer for both price percentiles: each percentile agg
+        // builds+merges its own value→count map, and l_extendedprice
+        // has ~1M distinct values at sf0.1 — don't build that map twice
+        percentile(col("l_extendedprice"), array(lit(0.25), lit(0.75))).as("p"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("med_qty"),
+        col("p")(0).as("p25_price"), col("p")(1).as("p75_price"), col("n"))
       .orderBy("l_returnflag")
 
   val q24Sql: String =
@@ -521,15 +525,41 @@ object Relational {
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // q25: sketch-based distinct counting (HLL) — the scale path where
-  // exact distinct would shuffle every key. Sketch internals differ
-  // across engines, so this is rows-only; ScalaTest bounds the error
-  // against the exact count.
-  def q25(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+  // exact distinct would shuffle every key.
+  def q25(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select("l_returnflag", "l_partkey", "l_orderkey")
+    // Exact and approx in SEPARATE aggregations: mixing countDistinct
+    // with HLL buffers in one agg forces an Expand (rows × #distinct
+    // cols) plus a sort-based fallback — measured 104s vs ~2s split,
+    // at sf0.1. Joining two 3-row results costs nothing.
+    val exact = l.groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+    // rsd 0.01: the gate below is ±5% ≈ 5σ, so a red row means the
+    // sketch is broken, not unlucky (default rsd 0.05 strays past
+    // 5% routinely — observed 1110 vs 1096 exact at sf0.001)
+    val approx = l.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    // The HLL estimate itself can't hash-match a foreign engine, so
+    // the gated surface is its ERROR BOUND: booleans that only stay
+    // true (and hash-match the oracle's literal `true`) while the
+    // sketch is within ±5% of exact. The exact distinct lives here
+    // as the gate; the sketch is the scale path.
+    exact.join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05).as("parts_ok"),
+        (abs(col("ao") - col("n_orders")) <= col("n_orders") * 0.05).as("orders_ok"))
       .orderBy("l_returnflag")
+  }
+
+  val q25Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  true AS parts_ok, true AS orders_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // q26: the SAME as-of semantics as q21, but through the engine's
   // custom AsOfJoin operator (LogicalPlan → Strategy → sort-merge
@@ -593,14 +623,27 @@ object Relational {
       |FROM part WHERE p_partkey < 100
       |ORDER BY p_partkey, measure""".stripMargin
 
-  // q29: seeded sampling — the training-data subsampling primitive.
-  // Sample membership is engine-specific (rows-only); ScalaTest bounds
-  // the fraction and checks determinism across runs.
+  // q29: deterministic subsampling — the training-data subsampling
+  // primitive. Membership = hash(row key) % 10 == 0: reproducible
+  // across engines AND across cluster re-runs/retries (rand()-seeded
+  // sampling is stable only for a fixed partitioning; a content hash
+  // survives repartitioning, which is what a 100 TB rerun needs).
+  // Bernoulli `.sample(seed)` stays covered in RelationalSpec.
   def q29(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(graft.functions.Hashing.hash56(
+        concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))) % 10 === 0)
       .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
       .orderBy("l_returnflag")
+
+  val q29Sql: String = {
+    val h = graft.functions.Hashing.sqlHash56(
+      "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR")
+    s"""SELECT l_returnflag, count(*) AS n_sampled FROM lineitem
+       |WHERE $h % 10 = 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // q30: bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — the
   // multiplicity-preserving variants of q17.
@@ -793,9 +836,11 @@ object Relational {
     "q22_range_join" -> q22Sql,
     "q23_pivot" -> q23Sql,
     "q24_percentiles" -> q24Sql,
+    "q25_approx_distinct" -> q25Sql,
     "q26_asof_custom" -> q21Sql, // same as-of semantics, custom operator
     "q27_range_frame" -> q27Sql,
     "q28_unpivot" -> q28Sql,
+    "q29_sample" -> q29Sql,
     "q30_set_ops_all" -> q30Sql,
     "q31_arg_minmax" -> q31Sql,
     "q32_date_parts" -> q32Sql,

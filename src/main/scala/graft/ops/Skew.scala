@@ -44,7 +44,13 @@ object Skew {
     salts: Int = 16): DataFrame = {
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    val salted = big.withColumn("__salt", salt(col(key), salts))
+    // Salt from the FULL probe row, not the key: hash(key) is constant
+    // per key value, which would send every row of the hot key to the
+    // same (key, salt) reducer and mitigate nothing. Full-row content
+    // varies within the hot key, so its rows fan across `salts` tasks,
+    // and it stays deterministic under task retry.
+    val salted = big.withColumn("__salt",
+      salt(struct(big.columns.map(col): _*), salts))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 }

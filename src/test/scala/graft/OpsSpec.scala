@@ -45,6 +45,21 @@ class OpsSpec extends SparkSpec {
     assert(c0.get.getAs[Long]("n_docs") >= 2L)
   }
 
+  test("connectedComponents: chain graph converges with bounded lineage") {
+    import spark.implicits._
+    // path 0-1-2-...-11: diameter 11, so min-label propagation needs
+    // >10 rounds — past three localCheckpoint truncations.
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = ops.Dedup.connectedComponents(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 12 && got.values.forall(_ == 0L), s"bad labels: $got")
+    // lineage bound: ≤2 rounds of joins since the last checkpoint —
+    // without truncation an 11-round chain optimizes to hundreds of
+    // plan nodes, with it the tree stays flat.
+    val planSize = labels.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planSize < 30, s"lineage not truncated: $planSize plan nodes")
+  }
+
   test("d05 simhash of exact duplicates is identical") {
     val sh = ops.Dedup.d05(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -38,6 +38,15 @@ class PlanSpec extends SparkSpec {
     assert(plan(ops.Recommend.r02(spark, sf)).contains("partial_count"))
   }
 
+  test("r12 co-occurrence is basket-collect, not a pairwise self-join") {
+    val p = plan(ops.Recommend.r12(spark, sf))
+    // the old shape: join on (k = k2) AND NOT (i = j) — Σℓ² rows
+    // through the exchange; the basket shape has no inequality join
+    // and exactly one aggregation (collect_set) producing the pairs
+    assert(!p.contains("NOT (i"), "pairwise self-join is back:\n" + p.take(2000))
+    assert(p.contains("collect_set"), "basket collect_set missing")
+  }
+
   test("no accidental cartesian products anywhere") {
     // sanctioned exceptions: q20/r08 broadcast a single-row aggregate;
     // r06 is MLlib recommendForAllUsers, whose blocked user×item cross

@@ -44,12 +44,17 @@ class RelationalSpec extends SparkSpec {
       Tables.customer(spark, sf).count())
   }
 
-  test("q29 seeded sample is deterministic and near the target fraction") {
+  test("q29 hash sample is deterministic and near the target fraction") {
     val a = ops.Relational.q29(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val b = ops.Relational.q29(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(a == b, "same seed must give the same sample")
+    assert(a == b, "content-hash sample must be exactly reproducible")
+    // seeded Bernoulli sampling (the built-in scale path) is also
+    // deterministic for a fixed seed + partitioning
+    val s1 = Tables.lineitem(spark, sf).sample(false, 0.1, 42L).count()
+    val s2 = Tables.lineitem(spark, sf).sample(false, 0.1, 42L).count()
+    assert(s1 == s2, "seeded .sample must be stable for a fixed partitioning")
     val totals = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     a.foreach { case (k, n) =>
