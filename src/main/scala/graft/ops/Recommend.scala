@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.etl.Ratings
+import graft.etl.{Ratings, Split}
 import graft.functions.Hashing
 
 /** The reference's recommendation surface, Spark-native.
@@ -239,11 +239,8 @@ object Recommend {
     // cache the tagged matrix: train-count, item means, global mean and
     // the scoring pass all re-read it (uncached this re-runs the
     // orders⋈lineitem join four times)
-    val ratings = Ratings.implicitRatings(s, d)
-      .withColumn("is_test",
-        Hashing.hash56(concat(col("user_id").cast("string"), lit("_"),
-          col("item_id").cast("string"))) % 5 === 0)
-      .cache()
+    val ratings = Split.tagTest(Ratings.implicitRatings(s, d),
+      Seq("user_id", "item_id")).cache()
     val train = ratings.filter(!col("is_test"))
     val test = ratings.filter(col("is_test"))
     val itemMean = train.groupBy("item_id")
@@ -267,7 +264,7 @@ object Recommend {
   val r08Sql: String =
     s"""WITH ratings AS (${Ratings.sqlRatings}),
        |tagged AS (
-       |  SELECT *, ${Hashing.sqlHash56("user_id::VARCHAR || '_' || item_id::VARCHAR")} % 5 = 0 AS is_test
+       |  SELECT *, ${Split.sqlIsTest(Seq("user_id", "item_id"))} AS is_test
        |  FROM ratings),
        |train AS (SELECT * FROM tagged WHERE NOT is_test),
        |test AS (SELECT * FROM tagged WHERE is_test),
@@ -333,14 +330,11 @@ object Recommend {
   def r12(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    val oi = l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val oiRaw = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select(col("l_orderkey").as("ok"), col("o_custkey").as("user_id"),
         col("l_partkey").as("item_id"))
       .distinct()
-      .withColumn("is_test",
-        Hashing.hash56(concat(col("user_id").cast("string"), lit("_"),
-          col("item_id").cast("string"))) % 5 === 0)
-      .cache()
+    val oi = Split.tagTest(oiRaw, Seq("user_id", "item_id")).cache()
     oi.count() // materialize NOW: 4 branches below read it (a lazy
     // cache + early unpersist would recompute the join per branch)
     val train = oi.filter(!col("is_test"))
@@ -378,12 +372,12 @@ object Recommend {
   }
 
   val r12Sql: String = {
-    val split = Hashing.sqlHash56("user_id::VARCHAR || '_' || item_id::VARCHAR")
+    val split = Split.sqlIsTest(Seq("user_id", "item_id"))
     s"""WITH oi AS (
        |  SELECT DISTINCT l_orderkey AS ok, o_custkey AS user_id,
        |    l_partkey AS item_id
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |tagged AS (SELECT *, $split % 5 = 0 AS is_test FROM oi),
+       |tagged AS (SELECT *, $split AS is_test FROM oi),
        |train AS (SELECT * FROM tagged WHERE NOT is_test),
        |co AS (
        |  SELECT a.item_id AS i, b.item_id AS j, count(*) AS cnt
@@ -420,7 +414,89 @@ object Recommend {
        |    (SELECT count(*) FROM recs) AS precision_at_5""".stripMargin
   }
 
+  // r13: top-K USERS per item (recommendForAllItems) — the other half
+  // of the reference's serving surface (r06 is items-per-user).
+  // Rows-only (model output); shape/rank checked in RecommendSpec.
+  def r13(s: SparkSession, d: String): DataFrame = {
+    val model = alsModel(s, d)
+    model.recommendForAllItems(5)
+      .select(col("item_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("item_id"), (col("pos") + 1).as("rank"),
+        col("rec.user_id").as("user_id"))
+      .orderBy("item_id", "rank")
+  }
+
+  // r14: the reference's core evaluation loop — EXPLICIT-feedback ALS
+  // trained on a held-out split, scored by prediction RMSE. The
+  // explicit ratings are synthesized with learnable user+item additive
+  // structure (1..5 "stars"), so the factorization must actually fit
+  // something: RecommendSpec asserts ALS RMSE beats the item-mean
+  // baseline on the same split, and rmse_ok gates the range in-query.
+  // Rows-only: the model's predictions aren't SQL-expressible.
+  def r14(s: SparkSession, d: String): DataFrame = {
+    val stars = Ratings.implicitRatings(s, d)
+      .select(col("user_id").cast("int").as("user_id"),
+        col("item_id").cast("int").as("item_id"))
+      .withColumn("rating",
+        (lit(1.0f) + (col("user_id") % 7 + col("item_id") % 7)
+          .cast("float") * lit(4.0f / 12.0f)))
+    val tagged = Split.tagTest(stars, Seq("user_id", "item_id")).cache()
+    val train = tagged.filter(!col("is_test"))
+    val test = tagged.filter(col("is_test"))
+    val blocks = math.max(4, s.sparkContext.defaultParallelism / 4)
+    val model = new ALS()
+      .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+      .setImplicitPrefs(false).setRank(8).setMaxIter(10).setRegParam(0.05)
+      .setSeed(42L)
+      .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
+      .setIntermediateStorageLevel("MEMORY_ONLY")
+      .setFinalStorageLevel("MEMORY_ONLY")
+      .setColdStartStrategy("drop")
+      .fit(train)
+    val nTrain = train.count() // also materializes the split cache
+    model.transform(test).agg(
+      lit(nTrain).as("n_train"),
+      count(lit(1)).as("n_test"),
+      round(sqrt(avg(pow(col("rating") - col("prediction"), 2))), 4).as("rmse"))
+      .withColumn("rmse_ok", col("rmse") > 0.0 && col("rmse") < 0.6)
+  }
+
+  // r15: model persistence — any real serving flow round-trips the
+  // factors through storage. Save → load → factor-exact equality,
+  // gated: the oracle reproduces n_users/n_items from the ratings
+  // (ALS emits one factor row per distinct id) and expects
+  // roundtrip_ok = true, so a lossy save/load hash-fails the round.
+  def r15(s: SparkSession, d: String): DataFrame = {
+    val model = alsModel(s, d)
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_als_model").getAbsolutePath
+    model.write.overwrite().save(path)
+    val loaded = ALSModel.load(path)
+    val factorMismatch = model.userFactors
+      .join(loaded.userFactors.withColumnRenamed("features", "f2"), "id")
+      .filter(col("features") =!= col("f2"))
+      .union(model.itemFactors
+        .join(loaded.itemFactors.withColumnRenamed("features", "f2"), "id")
+        .filter(col("features") =!= col("f2")))
+    loaded.userFactors.agg(count(lit(1)).as("n_users"))
+      .join(loaded.itemFactors.agg(count(lit(1)).as("n_items")))
+      .join(factorMismatch.agg(
+        (count(lit(1)) === 0 && lit(loaded.rank == model.rank)).as("roundtrip_ok")))
+      .select(col("n_users"), col("n_items"),
+        lit(loaded.rank).as("rank"), col("roundtrip_ok"))
+  }
+
+  val r15Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings})
+       |SELECT count(DISTINCT user_id) AS n_users,
+       |  count(DISTINCT item_id) AS n_items,
+       |  8 AS rank, true AS roundtrip_ok
+       |FROM ratings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r13_item_users" -> (r13 _),
+    "r14_als_rmse" -> (r14 _),
+    "r15_model_persist" -> (r15 _),
     "r12_cf_precision" -> (r12 _),
     "r09_rating_histogram" -> (r09 _),
     "r10_user_segments" -> (r10 _),
@@ -435,6 +511,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r15_model_persist" -> r15Sql,
     "r12_cf_precision" -> r12Sql,
     "r09_rating_histogram" -> r09Sql,
     "r10_user_segments" -> r10Sql,

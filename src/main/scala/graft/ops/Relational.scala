@@ -773,6 +773,26 @@ object Relational {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // q36: SALTED two-phase aggregation over a deliberately hot key —
+  // l_returnflag has 3 values over the whole fact table, the textbook
+  // aggregation-skew shape (3 reducers do everything, 29 idle). The
+  // salted plan (Skew.saltedCount) partial-aggs on (key, salt-of-row)
+  // first, so the hot key's rows spread across `salts` tasks;
+  // result-identical to the plain groupBy (decimal sums commute),
+  // which is exactly what the oracle checks. Plan pinned in PlanSpec.
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("decimal(12,2)").as("qty"))
+    Skew.saltedCount(l, "l_returnflag", "qty")
+      .select(col("l_returnflag"), col("n"),
+        round(col("total"), 2).cast("double").as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val q36Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n, ${sqlDsum("l_quantity")} AS total_qty
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -809,7 +829,8 @@ object Relational {
     "q32_date_parts" -> (q32 _),
     "q33_string_funcs" -> (q33 _),
     "q34_histogram" -> (q34 _),
-    "q35_nav_window" -> (q35 _))
+    "q35_nav_window" -> (q35 _),
+    "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -846,5 +867,6 @@ object Relational {
     "q32_date_parts" -> q32Sql,
     "q33_string_funcs" -> q33Sql,
     "q34_histogram" -> q34Sql,
-    "q35_nav_window" -> q35Sql)
+    "q35_nav_window" -> q35Sql,
+    "q36_skew_salted" -> q36Sql)
 }

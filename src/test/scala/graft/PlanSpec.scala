@@ -47,13 +47,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_set"), "basket collect_set missing")
   }
 
+  test("q36 salted aggregation is two-phase: exchange on (key, salt)") {
+    val p = plan(ops.Relational.q36(spark, sf))
+    assert(p.contains("__salt"), "salt column missing from the plan:\n" + p.take(1500))
+    // first exchange partitions on (l_returnflag, __salt), the second
+    // (post-AQE it may be a coalesced read) on l_returnflag alone
+    assert("hashpartitioning\\(l_returnflag[^)]*__salt".r.findFirstIn(p).isDefined,
+      "no (key, salt) exchange:\n" + p.take(1500))
+  }
+
   test("no accidental cartesian products anywhere") {
-    // sanctioned exceptions: q20/r08 broadcast a single-row aggregate;
-    // r06 is MLlib recommendForAllUsers, whose blocked user×item cross
-    // product IS the scoring algorithm.
+    // sanctioned exceptions: q20/r08/r14/r15 broadcast a single-row
+    // aggregate; r06/r13 are MLlib recommendForAll*, whose blocked
+    // user×item cross product IS the scoring algorithm.
+    val sanctioned = Set("q20_scalar_subq", "r08_baseline_rmse",
+      "r06_als_recommend", "r13_item_users", "r14_als_rmse",
+      "r15_model_persist")
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (name != "q20_scalar_subq" && name != "r08_baseline_rmse" &&
-        name != "r06_als_recommend") {
+      if (!sanctioned(name)) {
         val p = plan(fn(spark, sf))
         assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
       }

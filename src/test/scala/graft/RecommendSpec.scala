@@ -47,4 +47,44 @@ class RecommendSpec extends SparkSpec {
     assert(row.getAs[Long]("n_test") > 0)
     assert(row.getAs[Double]("rmse") > 0.0)
   }
+
+  test("r13 item→users: ≤5 ranked users per item, every item covered") {
+    val rows = ops.Recommend.r13(spark, sf).collect()
+    val byItem = rows.groupBy(_.getAs[Int]("item_id"))
+    assert(byItem.nonEmpty)
+    assert(byItem.values.forall { rs =>
+      rs.length <= 5 && rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length)
+    })
+    val nItems = ops.Recommend.alsModel(spark, sf).itemFactors.count()
+    assert(byItem.size == nItems, s"${byItem.size} items with recs vs $nItems factors")
+  }
+
+  test("r14 explicit ALS beats the item-mean baseline on the same split") {
+    val row = ops.Recommend.r14(spark, sf).collect().head
+    val alsRmse = row.getAs[Double]("rmse")
+    assert(row.getAs[Boolean]("rmse_ok"), s"rmse out of range: $alsRmse")
+    // item-mean baseline on the SAME synthetic ratings + split
+    val stars = etl.Ratings.implicitRatings(spark, sf)
+      .select(col("user_id").cast("int").as("user_id"),
+        col("item_id").cast("int").as("item_id"))
+      .withColumn("rating",
+        (lit(1.0f) + (col("user_id") % 7 + col("item_id") % 7)
+          .cast("float") * lit(4.0f / 12.0f)))
+    val tagged = etl.Split.tagTest(stars, Seq("user_id", "item_id"))
+    val train = tagged.filter(!col("is_test"))
+    val itemMean = train.groupBy("item_id").agg(avg("rating").as("m"))
+    val baseline = tagged.filter(col("is_test"))
+      .join(itemMean, Seq("item_id"))
+      .agg(sqrt(avg(pow(col("rating") - col("m"), 2))))
+      .collect().head.getDouble(0)
+    assert(alsRmse < baseline,
+      s"ALS rmse $alsRmse should beat item-mean baseline $baseline")
+  }
+
+  test("r15 persisted model round-trips factor-exact") {
+    val row = ops.Recommend.r15(spark, sf).collect().head
+    assert(row.getAs[Boolean]("roundtrip_ok"))
+    assert(row.getAs[Int]("rank") == 8)
+    assert(row.getAs[Long]("n_users") > 0 && row.getAs[Long]("n_items") > 0)
+  }
 }
