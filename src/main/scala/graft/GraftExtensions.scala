@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.FeatureDecodeStrategy)
     e.injectOptimizerRule(_ => graft.functions.SimplifySelfCosine)
   }
 }

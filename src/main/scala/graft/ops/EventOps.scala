@@ -201,8 +201,34 @@ object EventOps {
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
 
+  // e09: stream-stream interval join (purchases ⋈ clicks in the prior
+  // hour, per user) run through Structured Streaming micro-batches and
+  // gated against DuckDB's batch interval join — the join-state
+  // eviction semantics under the correctness gate, not just ScalaTest.
+  def e09(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_e09_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams
+      .purchaseClickPairs(graft.streaming.Streams.eventStream(s, d))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val e09Sql: String =
+    """SELECT p.user_id, count(*) AS n_pairs
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e08_json_schema" -> (e08 _),
+    "e09_stream_join" -> (e09 _),
     "e05_json_props" -> (e05 _),
     "e06_stream_tumbling" -> (e06 _),
     "e07_stateful_sessions" -> (e07 _),
@@ -213,6 +239,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e08_json_schema" -> e08Sql,
+    "e09_stream_join" -> e09Sql,
     "e05_json_props" -> e05Sql,
     "e07_stateful_sessions" -> e07Sql,
     "e06_stream_tumbling" -> e01Sql, // stream must reproduce the batch rollup

@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import graft.Tables
 
 /** Multimodal-column plumbing (m01..m03): media payloads modeled as
@@ -15,9 +14,10 @@ import graft.Tables
   * feature-vector shape, metadata extraction — is the real Spark
   * plumbing and is tested.
   *
-  * Scale: all per-row map work; m03's mapPartitions mirrors how a
-  * GPU/codec batch-decode amortizes setup cost per partition, which is
-  * exactly the shape you want on a 1000-executor cluster.
+  * Scale: all per-row map work; m03 runs through a custom COLUMNAR
+  * SparkPlan (graft.plans.FeatureDecode) that decodes whole
+  * ColumnarBatches — how a GPU/codec batch-decode amortizes setup
+  * cost, with no per-row encoder boxing, on a 1000-executor cluster.
   */
 object Multimodal {
 
@@ -69,34 +69,15 @@ object Multimodal {
       |WHERE k * 64 + 16 <= n_chars
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  // m03: batched decode→feature-vector stub. Real pipelines replace
-  // the md5 digest with a codec/model call; the mapPartitions
-  // batching, schema, and feature shape are the production plumbing.
-  // The stub being md5-derived makes it fully oracle-checkable: DuckDB
-  // reproduces each feature from the same digest bytes.
-  private val m03Schema = StructType(
-    StructField("doc_id", LongType, nullable = false) +:
-      (0 until 8).map(i => StructField(s"f$i", DoubleType, nullable = false)))
-
-  def m03(s: SparkSession, d: String): DataFrame = {
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(m03Schema)
-    val out = media(s, d).select("doc_id", "payload")
-      .mapPartitions { it =>
-        // batch the partition like a codec/GPU decode would
-        it.grouped(64).flatMap { batch =>
-          val digest = java.security.MessageDigest.getInstance("MD5")
-          batch.map { r =>
-            val id = r.getLong(0)
-            val bytes = r.getAs[Array[Byte]](1)
-            // DECODE STUB: deterministic md5-derived pseudo-features.
-            val h = digest.digest(bytes)
-            digest.reset()
-            Row.fromSeq(id +: (0 until 8).map(i => (h(i) & 0xff) / 255.0))
-          }
-        }
-      }(enc)
-    out.orderBy("doc_id")
-  }
+  // m03: batched decode→feature-vector stub through the COLUMNAR
+  // custom operator (graft.plans.FeatureDecode): whole ColumnarBatches
+  // in and out, no Row/Encoder round-trip — the plumbing a real
+  // codec/GPU decode stage runs on. The stub being md5-derived makes
+  // it fully oracle-checkable: DuckDB reproduces each feature from the
+  // same digest bytes.
+  def m03(s: SparkSession, d: String): DataFrame =
+    graft.plans.FeatureDecode.decode(media(s, d).select("doc_id", "payload"))
+      .orderBy("doc_id")
 
   // f_i = digest byte i / 255.0; both engines do the division in
   // IEEE-754 double, so the values are bit-identical.

@@ -48,6 +48,24 @@ object Streams {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Stream-stream interval self-join: purchases ⋈ clicks within the
+    * hour before each purchase, per user. The watermarks are what make
+    * this run forever on a real cluster: they bound BOTH sides' join
+    * state (click rows older than watermark+1h are evicted), so state
+    * is O(events in the interval window), not O(stream). */
+  def purchaseClickPairs(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState: 30-minute
     * processing-gap sessions per user, emitting a summary per user as
     * state evolves. State is one (count, lastTs) pair per user — O(users)

@@ -47,6 +47,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_set"), "basket collect_set missing")
   }
 
+  test("m03 decode runs columnar: FeatureDecodeExec between transitions") {
+    val df = ops.Multimodal.m03(spark, sf)
+    df.collect() // AQE inserts the columnar transitions per-stage at execution
+    val p = plan(df)
+    assert(p.contains("FeatureDecode"), "custom columnar exec missing:\n" + p.take(1500))
+    assert(p.contains("ColumnarToRow"),
+      "planner did not wrap the columnar exec:\n" + p.take(1500))
+  }
+
   test("q36 salted aggregation is two-phase: exchange on (key, salt)") {
     val p = plan(ops.Relational.q36(spark, sf))
     assert(p.contains("__salt"), "salt column missing from the plan:\n" + p.take(1500))

@@ -45,17 +45,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream interval join matches the batch range join") {
-    val ev = streaming.Streams.eventStream(spark, sf)
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "2 hours")
-    val joined = p.join(c,
-      col("p_user") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") < col("p_ts"))
+    val joined = streaming.Streams.purchaseClickPairs(
+      streaming.Streams.eventStream(spark, sf))
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("stream_join").start()
     try q.processAllAvailable() finally q.stop()
