@@ -14,7 +14,8 @@ object SparkEntry {
       (ops.Dedup.queries, ops.Dedup.oracles),
       (ops.Similarity.queries, ops.Similarity.oracles),
       (ops.EventOps.queries, ops.EventOps.oracles),
-      (ops.Multimodal.queries, ops.Multimodal.oracles))
+      (ops.Multimodal.queries, ops.Multimodal.oracles),
+      (ops.IoOps.queries, ops.IoOps.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -226,9 +226,31 @@ object EventOps {
       |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // e10: streaming dedup under the gate — dropDuplicates over
+  // micro-batches, then a batch rollup of the deduped sink; the oracle
+  // is the batch count(DISTINCT), so the stream must dedup exactly.
+  def e10(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_e10_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams
+      .dedupPairs(graft.streaming.Streams.eventStream(s, d))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val e10Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e08_json_schema" -> (e08 _),
     "e09_stream_join" -> (e09 _),
+    "e10_stream_dedup" -> (e10 _),
     "e05_json_props" -> (e05 _),
     "e06_stream_tumbling" -> (e06 _),
     "e07_stateful_sessions" -> (e07 _),
@@ -240,6 +262,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "e08_json_schema" -> e08Sql,
     "e09_stream_join" -> e09Sql,
+    "e10_stream_dedup" -> e10Sql,
     "e05_json_props" -> e05Sql,
     "e07_stateful_sessions" -> e07Sql,
     "e06_stream_tumbling" -> e01Sql, // stream must reproduce the batch rollup

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.sources.Io
+
+/** Source/sink round-trips under the correctness gate (i01..i02):
+  * each query writes a table slice through [[graft.sources.Io]] in a
+  * non-parquet format, reads it back schema-explicit, and aggregates —
+  * the oracle runs the same aggregate over the original parquet, so a
+  * hash match proves the format round-trip is lossless.
+  *
+  * Scale: the write is one map stage (no shuffle before the sink); the
+  * read-back is a fresh scan. Schema-explicit readers skip the
+  * inference pass — at 100 TB, inference is a full extra read of the
+  * data. The aggregate after read-back is the usual partial-agg +
+  * one-exchange shape.
+  */
+object IoOps {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // i01: CSV round-trip. Strings survive the writer's quoting; the
+  // explicit read schema restores the integer types CSV erases.
+  def i01(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i01_")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    Io.writeCsv(
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"), dir)
+    Io.readCsv(s, dir, schema)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
+  val i01Sql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // i02: JSONL round-trip. Doubles print losslessly (shortest
+  // round-trip repr) and the quantities are whole numbers, so the
+  // read-back sum is exact in either engine.
+  def i02(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i02_")
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType)))
+    Io.writeJsonl(
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"), dir)
+    Io.readJsonl(s, dir, schema)
+      .groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_linenumber")
+  }
+
+  val i02Sql: String =
+    """SELECT l_linenumber, count(*) AS n_items, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i01_csv_roundtrip" -> (i01 _),
+    "i02_jsonl_roundtrip" -> (i02 _))
+
+  val oracles: Map[String, String] = Map(
+    "i01_csv_roundtrip" -> i01Sql,
+    "i02_jsonl_roundtrip" -> i02Sql)
+}

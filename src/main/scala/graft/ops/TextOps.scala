@@ -227,6 +227,62 @@ object TextOps {
        |FROM sigs a JOIN sigs b ON a.source < b.source
        |ORDER BY matches DESC, src_a, src_b""".stripMargin
 
+  // t09: Rabin–Karp rolling-hash fingerprinting (the winnowing/MOSS
+  // family): polynomial hash of every 8-token window over md5-derived
+  // token hashes, then the windows shared by ≥2 docs — shift-robust
+  // shared-passage detection, the fingerprint step a plagiarism/
+  // contamination scan runs over a corpus. Per-row map + one shuffle
+  // on fp; mod-M arithmetic keeps every intermediate < 1e18 so both
+  // engines stay in exact int64.
+  private val rkW = 8
+  private val rkM = 1000000007L
+  // 31^(W-1-j) mod M, j = 0..W-1 — shared literals with the oracle
+  private val rkPows: IndexedSeq[Long] = {
+    def powMod(e: Int): Long =
+      (0 until e).foldLeft(1L)((acc, _) => acc * 31 % rkM)
+    (0 until rkW).map(j => powMod(rkW - 1 - j))
+  }
+
+  def t09(s: SparkSession, d: String): DataFrame = {
+    val powArr = array(rkPows.map(lit): _*)
+    // token hashes staged through a materialized column (expression-
+    // staging discipline, SURVEY §5) before the per-window fold
+    val hs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= rkW)
+      .select(col("doc_id"),
+        transform(col("toks"), t => graft.functions.Hashing.hash56(t)).as("hs"))
+    val wins = hs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("hs")) - lit(rkW - 1)),
+        i => aggregate(
+          zip_with(slice(col("hs"), i, lit(rkW)), powArr,
+            (h, p) => pmod(h, lit(rkM)) * p % lit(rkM)),
+          lit(0L), (acc, x) => acc + x) % lit(rkM))).as("fp"))
+    wins.groupBy("fp")
+      .agg(count(lit(1)).as("n_windows"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fp")
+  }
+
+  val t09Sql: String = {
+    val plist = rkPows.mkString("[", ", ", "]")
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |    tk -> ${graft.functions.Hashing.sqlHash56("tk")}) AS hs
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $rkW
+       |), w AS (
+       |  SELECT doc_id, unnest(range(1, len(hs) - ${rkW - 2})) AS pos, hs FROM th
+       |), fps AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, $rkW),
+       |      j -> ((hs[pos + j] % $rkM) * ($plist)[j + 1]) % $rkM)) % $rkM
+       |      AS BIGINT) AS fp
+       |  FROM w
+       |)
+       |SELECT fp, count(*) AS n_windows, count(DISTINCT doc_id) AS n_docs
+       |FROM fps GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 ORDER BY fp""".stripMargin
+  }
+
   // t10: dataset profiling — the completeness/cardinality report a
   // pipeline emits before training. One pass, integer-exact.
   def t10(s: SparkSession, d: String): DataFrame =
@@ -290,6 +346,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_tfidf" -> (t11 _),
     "t10_profile" -> (t10 _),
+    "t09_rolling_hash" -> (t09 _),
     "t07_source_minhash" -> (t07 _),
     "t08_source_similarity" -> (t08 _),
     "t01_token_stats" -> (t01 _),
@@ -302,6 +359,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "t11_tfidf" -> t11Sql,
     "t10_profile" -> t10Sql,
+    "t09_rolling_hash" -> t09Sql,
     "t07_source_minhash" -> t07Sql,
     "t08_source_similarity" -> t08Sql,
     "t01_token_stats" -> t01Sql,

@@ -66,6 +66,14 @@ object Streams {
         col("c_ts") < col("p_ts"))
   }
 
+  /** Streaming exact dedup on (user_id, event_type): first arrival
+    * wins. State is O(distinct pairs) — bounded by key cardinality,
+    * not stream length; when a late-duplicate bound exists,
+    * dropDuplicatesWithinWatermark (StreamingSpec) caps state by time
+    * instead of cardinality. */
+  def dedupPairs(events: DataFrame): DataFrame =
+    events.select("user_id", "event_type").dropDuplicates("user_id", "event_type")
+
   /** Stateful sessionization with flatMapGroupsWithState: 30-minute
     * processing-gap sessions per user, emitting a summary per user as
     * state evolves. State is one (count, lastTs) pair per user — O(users)

@@ -130,6 +130,18 @@ class OpsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("t09 rolling hash finds the duplicated passages d01 knows about") {
+    val shared = ops.TextOps.t09(spark, sf).collect()
+    // testdata contains exact/near duplicate docs (d01/d03 find them),
+    // so shared 8-token windows must exist, each in >= 2 docs with at
+    // least one window occurrence per doc
+    assert(shared.nonEmpty)
+    assert(shared.forall { r =>
+      val (w, d) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_docs"))
+      d >= 2 && w >= d
+    })
+  }
+
   test("m03 decode stub emits 8 features in [0,1] for every doc") {
     val rows = ops.Multimodal.m03(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
