@@ -41,8 +41,15 @@ object Hashing {
     (lit(a) * (h % lit(P)) + lit(b)) % lit(P)
 
   /** MinHash signature (array<long> of length k) over an array of token
-    * hashes. Per-row, no shuffle; codegen-friendly higher-order fns. */
-  def minhash(tokenHashes: Column, k: Int): Column = {
+    * hashes. Per-row, no shuffle; fused native kernel — all k minima in
+    * one pass over the array ([[MinHashSig]]); identical values to the
+    * composed array_min(transform(...)) form (MinHashSigSpec). */
+  def minhash(tokenHashes: Column, k: Int): Column =
+    MinHashSig.minhashSig(tokenHashes, k)
+
+  /** The composed higher-order-function form of [[minhash]] — kept as
+    * the equivalence reference for MinHashSigSpec. */
+  def minhashComposed(tokenHashes: Column, k: Int): Column = {
     val sig = perms(k).map { case (a, b) =>
       array_min(transform(tokenHashes, h => perm(h, a, b)))
     }

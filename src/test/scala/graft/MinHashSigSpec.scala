@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class MinHashSigSpec extends SparkSpec {
+
+  test("fused MinHashSig equals the composed array_min(transform) form") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("hs", transform(col("toks"), t => functions.Hashing.hash56(t)))
+    val both = docs.select(
+      col("doc_id"),
+      functions.Hashing.minhash(col("hs"), 16).as("fused"),
+      functions.Hashing.minhashComposed(col("hs"), 16).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("fused MinHashSig survives whole-stage codegen and interpreted eval") {
+    val df = spark.range(1, 50).select(
+      transform(sequence(lit(1), col("id") % 7 + 1),
+        i => functions.Hashing.hash56(concat(lit("tok"), i))).as("hs"))
+    val withCodegen = df.select(functions.Hashing.minhash(col("hs"), 8)).collect()
+    val saved = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = df.select(functions.Hashing.minhash(col("hs"), 8)).collect()
+      assert(withCodegen.map(_.toString).sameElements(interpreted.map(_.toString)))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", saved)
+  }
+}

@@ -34,6 +34,41 @@ class SkewSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // One hot key holding ~83% of the probe side: the skewed shuffle
+    // partition must be split by OptimizeSkewedJoin (skew=true in the
+    // final adaptive plan), not serialized through one straggler task.
+    // Thresholds are lowered so the toy volume triggers the same code
+    // path a multi-GB hot partition does on a cluster.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val big = spark.range(0, 300000).select(
+        when(col("id") < 250000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 5000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = big.join(dim, "k")
+      // execute THIS QueryExecution (a .count() would build another
+      // one and leave this adaptive plan un-finalized)
+      val n = joined.queryExecution.toRdd.count()
+      assert(n > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE did not split the skewed join:\n" + p.take(3000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("SimplifySelfCosine folds cosine_sim(x, x) out of the plan") {
     val s0 = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
