@@ -58,10 +58,15 @@ object Hashing {
 
   /** 48-bit SimHash over an array of token hashes: bit b of the result is
     * 1 iff sum over tokens of (+1 if bit b of hash48 set else -1) > 0.
-    * Single pass over tokens with an array<long> vote accumulator; bit
-    * extraction is `h % 2p >= p` (no shift builtins → same formula works
-    * in the DuckDB oracle). */
-  def simhash48(tokenHashes: Column): Column = {
+    * Fused native kernel ([[SimHashSig]]): one pass with 48 int
+    * counters; identical values to [[simhashComposed]] (pinned in
+    * MinHashSigSpec). The oracle keeps the `h % 2p >= p` formulation. */
+  def simhash48(tokenHashes: Column): Column =
+    SimHashSig.simhashSig(tokenHashes)
+
+  /** The composed higher-order-function form of [[simhash48]] — kept
+    * as the equivalence reference for MinHashSigSpec. */
+  def simhashComposed(tokenHashes: Column): Column = {
     val powers = array((0 until 48).map(b => lit(1L << b)): _*)
     val votes = aggregate(
       tokenHashes,

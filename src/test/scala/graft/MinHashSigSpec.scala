@@ -17,6 +17,18 @@ class MinHashSigSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("fused SimHashSig equals the composed vote-array form") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("hs", transform(col("toks"), t => functions.Hashing.hash48(t)))
+    val both = docs.select(
+      functions.Hashing.simhash48(col("hs")).as("fused"),
+      functions.Hashing.simhashComposed(col("hs")).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("fused MinHashSig survives whole-stage codegen and interpreted eval") {
     val df = spark.range(1, 50).select(
       transform(sequence(lit(1), col("id") % 7 + 1),
