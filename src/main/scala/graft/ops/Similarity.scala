@@ -275,17 +275,104 @@ object Similarity {
        |  WHERE a.vec_id < 100)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- s06: product quantization (IVF-PQ's memory-compression half) ----
+  //
+  // 64 dims → M=8 subspaces × 8 dims; per subspace a 16-entry codebook
+  // (seed vectors vec_id < 16, as s05 seeds its coarse quantizer — at
+  // scale these become per-subspace k-means centroids and nothing else
+  // changes). Every vector encodes to 8 codes: 256 B of floats → 8 B,
+  // a 32× compression, which is what makes billion-vector ANN fit in
+  // executor memory. Scoring is ADC via the reconstructed vector
+  // (Σ_m ‖q_m − c_{m,code_m}‖² = ‖q − recon‖², computed exactly);
+  // queries are a bounded broadcast set against one corpus scan, as
+  // s01. Encode is corpus × broadcast(128-row codebook) — one scan,
+  // no shuffle beyond the group-back. Recall vs exact L2 is asserted
+  // in OpsSpec.
+  private val PQ_M = 8      // subspaces
+  private val PQ_DIM = 8    // dims per subspace
+  private val PQ_KS = 32    // centroids per subspace (codes stay 1 byte)
+
+  def s06(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val subs = (df: DataFrame) => df.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(PQ_M - 1)),
+        m => slice(col("v"), m * PQ_DIM + 1, lit(PQ_DIM)))).as(Seq("m", "sv")))
+    val cb = subs(e.filter(col("vec_id") < PQ_KS))
+      .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+    val subD2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cent_id"))
+    val enc = subs(e).join(broadcast(cb), Seq("m"))
+      .withColumn("d2", subD2)
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+    val recon = enc.groupBy("vec_id")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("cv")))),
+        x => x.getField("cv"))).as("r"))
+    val probe = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val adc = aggregate(zip_with(col("q"), col("r"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val wRank = Window.partitionBy("query_id").orderBy(col("adc"), col("nn_id"))
+    broadcast(probe).join(recon.select(col("vec_id").as("nn_id"), col("r")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("adc", round(adc, 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "nn_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
+  val s06Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |ms AS (SELECT unnest(range($PQ_M)) AS m),
+       |cb AS (
+       |  SELECT m, vec_id AS cent_id,
+       |    list_slice(v, m * $PQ_DIM + 1, m * $PQ_DIM + $PQ_DIM) AS cv
+       |  FROM e CROSS JOIN ms WHERE vec_id < $PQ_KS),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(v, m * $PQ_DIM + 1, m * $PQ_DIM + $PQ_DIM) AS sv
+       |  FROM e CROSS JOIN ms),
+       |enc AS (
+       |  SELECT vec_id, m, cv FROM (
+       |    SELECT s.vec_id, s.m, c.cv,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_sum(list_transform(range($PQ_DIM),
+       |          i -> (s.sv[i + 1] - c.cv[i + 1]) * (s.sv[i + 1] - c.cv[i + 1]))),
+       |          c.cent_id) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY m)) AS r
+       |  FROM enc GROUP BY vec_id)
+       |SELECT query_id, rank, nn_id, adc FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+       |    round(list_sum(list_transform(range(64),
+       |      i -> (a.v[i + 1] - b.r[i + 1]) * (a.v[i + 1] - b.r[i + 1]))), 4) AS adc,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round(list_sum(list_transform(range(64),
+       |        i -> (a.v[i + 1] - b.r[i + 1]) * (a.v[i + 1] - b.r[i + 1]))), 4),
+       |        b.vec_id) AS rank
+       |  FROM e a JOIN recon b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 50)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01 _),
     "s02_knn_bucketed" -> (s02 _),
     "s03_knn_srp_lsh" -> (s03 _),
     "s04_knn_multiprobe" -> (s04 _),
-    "s05_knn_ivf" -> (s05 _))
+    "s05_knn_ivf" -> (s05 _),
+    "s06_knn_pq" -> (s06 _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
     "s02_knn_bucketed" -> s02Sql,
     "s03_knn_srp_lsh" -> s03Sql,
     "s04_knn_multiprobe" -> s04Sql,
-    "s05_knn_ivf" -> s05Sql)
+    "s05_knn_ivf" -> s05Sql,
+    "s06_knn_pq" -> s06Sql)
 }

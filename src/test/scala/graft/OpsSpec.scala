@@ -130,6 +130,33 @@ class OpsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("s06 PQ top-3 recalls a usable fraction of the exact L2 top-3") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val d2 = aggregate(zip_with(col("q"), col("vb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("nn_id"))
+    val exact = broadcast(probe)
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("query_id", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = ops.Similarity.s06(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+    val recalls = exact.map { case (q, ex) => (pq.getOrElse(q, Set.empty) & ex).size / 3.0 }
+    val mean = recalls.sum / recalls.size
+    // seed codebooks (not k-means) — a crude quantizer, but it must
+    // still beat noise by an order of magnitude: random top-3 picks
+    // from this corpus recall ~0.015 on average, s06 measures ~0.18
+    assert(mean >= 0.15, s"mean PQ recall $mean")
+  }
+
   test("t09 rolling hash finds the duplicated passages d01 knows about") {
     val shared = ops.TextOps.t09(spark, sf).collect()
     // testdata contains exact/near duplicate docs (d01/d03 find them),
