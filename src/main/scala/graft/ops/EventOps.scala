@@ -247,10 +247,35 @@ object EventOps {
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // e11: stream-static enrichment join — the stream picks up a
+  // per-user segment from a (broadcast) batch dimension, then a batch
+  // rollup of the enriched sink is gated against computing the same
+  // segments directly in the oracle.
+  def e11(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.events(s, d).select("user_id").distinct()
+      .withColumn("seg", col("user_id") % 5)
+    val sink = "graft_e11_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams
+      .enrich(graft.streaming.Streams.eventStream(s, d), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy("seg", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("seg", "event_type")
+  }
+
+  val e11Sql: String =
+    """SELECT user_id % 5 AS seg, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e08_json_schema" -> (e08 _),
     "e09_stream_join" -> (e09 _),
     "e10_stream_dedup" -> (e10 _),
+    "e11_stream_enrich" -> (e11 _),
     "e05_json_props" -> (e05 _),
     "e06_stream_tumbling" -> (e06 _),
     "e07_stateful_sessions" -> (e07 _),
@@ -263,6 +288,7 @@ object EventOps {
     "e08_json_schema" -> e08Sql,
     "e09_stream_join" -> e09Sql,
     "e10_stream_dedup" -> e10Sql,
+    "e11_stream_enrich" -> e11Sql,
     "e05_json_props" -> e05Sql,
     "e07_stateful_sessions" -> e07Sql,
     "e06_stream_tumbling" -> e01Sql, // stream must reproduce the batch rollup

@@ -292,25 +292,56 @@ object Similarity {
   private val PQ_DIM = 8    // dims per subspace
   private val PQ_KS = 32    // centroids per subspace (codes stay 1 byte)
 
-  def s06(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val subs = (df: DataFrame) => df.select(col("vec_id"),
+  /** (vec_id, m, sv): the M per-subspace slices of each vector. */
+  def pqSubvectors(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(PQ_M - 1)),
         m => slice(col("v"), m * PQ_DIM + 1, lit(PQ_DIM)))).as(Seq("m", "sv")))
-    val cb = subs(e.filter(col("vec_id") < PQ_KS))
+
+  /** Deterministic seed codebook (m, cent_id, cv): the subvectors of
+    * vec_id < PQ_KS — oracle-reproducible, used by the gated queries. */
+  def pqSeedCodebook(e: DataFrame): DataFrame =
+    pqSubvectors(e.filter(col("vec_id") < PQ_KS))
       .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+
+  /** Trained codebook: per-subspace MLlib k-means — the at-scale
+    * replacement for the seeds (same schema, drop-in to
+    * [[pqReconstruct]]). Recall gain over seeds is pinned in
+    * SimilaritySpec/OpsSpec. */
+  def pqKMeansCodebook(e: DataFrame, k: Int = PQ_KS, seed: Long = 7): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = e.sparkSession
+    val sub = pqSubvectors(e).withColumn("fv", array_to_vector(col("sv"))).cache()
+    val rows = (0 until PQ_M).flatMap { m =>
+      val model = new KMeans().setK(k).setSeed(seed + m).setMaxIter(10)
+        .setFeaturesCol("fv").fit(sub.filter(col("m") === m))
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (m, i, c.toArray) }
+    }
+    sub.unpersist()
+    import spark.implicits._
+    rows.toDF("m", "cent_id", "cv")
+  }
+
+  /** Encode every vector against `cb` (nearest centroid per subspace,
+    * ties → lower cent_id) and reconstruct: (vec_id, r). One corpus
+    * scan × broadcast codebook; the group-back is the only shuffle. */
+  def pqReconstruct(e: DataFrame, cb: DataFrame): DataFrame = {
     val subD2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
     val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cent_id"))
-    val enc = subs(e).join(broadcast(cb), Seq("m"))
+    pqSubvectors(e).join(broadcast(cb), Seq("m"))
       .withColumn("d2", subD2)
       .withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
-    val recon = enc.groupBy("vec_id")
+      .groupBy("vec_id")
       .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("cv")))),
         x => x.getField("cv"))).as("r"))
-    val probe = e.filter(col("vec_id") < 50)
+  }
+
+  /** ADC top-k over reconstructed candidates for a bounded probe set. */
+  def pqSearch(e: DataFrame, recon: DataFrame, probeBelow: Long, topK: Int): DataFrame = {
+    val probe = e.filter(col("vec_id") < probeBelow)
       .select(col("vec_id").as("query_id"), col("v").as("q"))
     val adc = aggregate(zip_with(col("q"), col("r"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
@@ -319,9 +350,15 @@ object Similarity {
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("adc", round(adc, 4))
       .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select("query_id", "rank", "nn_id", "adc")
       .orderBy("query_id", "rank")
+  }
+
+  def s06(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    pqSearch(e, pqReconstruct(e, pqSeedCodebook(e)), probeBelow = 50, topK = 3)
   }
 
   val s06Sql: String =
@@ -360,13 +397,104 @@ object Similarity {
        |  WHERE a.vec_id < 50)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- s07: IVF-PQ — the full billion-vector index shape ----
+  //
+  // s05's coarse quantizer picks the cell (candidate set ∝ 1/cells of
+  // the corpus), s06's codebooks compress what's inside it (32× less
+  // memory per candidate). A probe scans ONLY its own cell's
+  // reconstructed codes: shuffle key = cell, scoring = ADC. This is
+  // the composition FAISS/SPANN-style systems run at 10⁹ vectors —
+  // at scale the seeds become trained k-means and the plan is
+  // unchanged: broadcast quantizers, one corpus scan to encode, one
+  // cell-key shuffle to search.
+  def s07(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // coarse assignment (s05's quantizer: seed vectors vec_id < 10)
+    val cents = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cellD2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("d2", cellD2)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+    // PQ encode + reconstruct (s06's codebooks)
+    val recon = pqReconstruct(e, pqSeedCodebook(e))
+    // search: probe's cell only, ADC over reconstructed candidates
+    val probe = assigned.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("q"))
+    val cand = assigned.select(col("vec_id").as("nn_id"), col("cell"))
+      .join(recon.withColumnRenamed("vec_id", "nn_id"), Seq("nn_id"))
+    val adc = aggregate(zip_with(col("q"), col("r"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val wRank = Window.partitionBy("query_id").orderBy(col("adc"), col("nn_id"))
+    probe.join(cand, Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("adc", round(adc, 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("query_id", "cell", "rank", "nn_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
+  val s07Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_sum(list_transform(range(64),
+       |          i -> (e.v[i + 1] - c.cv[i + 1]) * (e.v[i + 1] - c.cv[i + 1]))),
+       |          c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |ms AS (SELECT unnest(range($PQ_M)) AS m),
+       |cb AS (
+       |  SELECT m, vec_id AS cent_id,
+       |    list_slice(v, m * $PQ_DIM + 1, m * $PQ_DIM + $PQ_DIM) AS cv
+       |  FROM e CROSS JOIN ms WHERE vec_id < $PQ_KS),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(v, m * $PQ_DIM + 1, m * $PQ_DIM + $PQ_DIM) AS sv
+       |  FROM e CROSS JOIN ms),
+       |enc AS (
+       |  SELECT vec_id, m, cv FROM (
+       |    SELECT s.vec_id, s.m, c.cv,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_sum(list_transform(range($PQ_DIM),
+       |          i -> (s.sv[i + 1] - c.cv[i + 1]) * (s.sv[i + 1] - c.cv[i + 1]))),
+       |          c.cent_id) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY m)) AS r
+       |  FROM enc GROUP BY vec_id)
+       |SELECT query_id, cell, rank, nn_id, adc FROM (
+       |  SELECT a.vec_id AS query_id, a.cell, b.vec_id AS nn_id,
+       |    round(list_sum(list_transform(range(64),
+       |      i -> (a.v[i + 1] - r.r[i + 1]) * (a.v[i + 1] - r.r[i + 1]))), 4) AS adc,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round(list_sum(list_transform(range(64),
+       |        i -> (a.v[i + 1] - r.r[i + 1]) * (a.v[i + 1] - r.r[i + 1]))), 4),
+       |        b.vec_id) AS rank
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |       JOIN recon r ON b.vec_id = r.vec_id
+       |  WHERE a.vec_id < 100)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01 _),
     "s02_knn_bucketed" -> (s02 _),
     "s03_knn_srp_lsh" -> (s03 _),
     "s04_knn_multiprobe" -> (s04 _),
     "s05_knn_ivf" -> (s05 _),
-    "s06_knn_pq" -> (s06 _))
+    "s06_knn_pq" -> (s06 _),
+    "s07_knn_ivfpq" -> (s07 _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
@@ -374,5 +502,6 @@ object Similarity {
     "s03_knn_srp_lsh" -> s03Sql,
     "s04_knn_multiprobe" -> s04Sql,
     "s05_knn_ivf" -> s05Sql,
-    "s06_knn_pq" -> s06Sql)
+    "s06_knn_pq" -> s06Sql,
+    "s07_knn_ivfpq" -> s07Sql)
 }

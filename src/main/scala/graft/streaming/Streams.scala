@@ -66,6 +66,13 @@ object Streams {
         col("c_ts") < col("p_ts"))
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (broadcast) static dimension — stateless, no watermark needed; the
+    * planner re-reads the dim per batch, so a slowly-refreshed
+    * warehouse dim is picked up between batches. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
+
   /** Streaming exact dedup on (user_id, event_type): first arrival
     * wins. State is O(distinct pairs) — bounded by key cardinality,
     * not stream length; when a late-duplicate bound exists,

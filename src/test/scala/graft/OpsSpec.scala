@@ -146,15 +146,24 @@ class OpsSpec extends SparkSpec {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select("query_id", "nn_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val pq = ops.Similarity.s06(spark, sf).collect()
-      .groupBy(_.getAs[Long]("query_id")).view
-      .mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
-    val recalls = exact.map { case (q, ex) => (pq.getOrElse(q, Set.empty) & ex).size / 3.0 }
-    val mean = recalls.sum / recalls.size
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getAs[Long]("query_id")).view
+        .mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+      val rs = exact.map { case (q, ex) => (got.getOrElse(q, Set.empty) & ex).size / 3.0 }
+      rs.sum / rs.size
+    }
+    val seedRecall = recallOf(ops.Similarity.s06(spark, sf))
     // seed codebooks (not k-means) — a crude quantizer, but it must
     // still beat noise by an order of magnitude: random top-3 picks
     // from this corpus recall ~0.015 on average, s06 measures ~0.18
-    assert(mean >= 0.15, s"mean PQ recall $mean")
+    assert(seedRecall >= 0.15, s"mean PQ recall $seedRecall")
+    // the at-scale path: per-subspace MLlib k-means codebooks must
+    // recall strictly more than the seed codebooks they replace
+    val kmRecall = recallOf(ops.Similarity.pqSearch(
+      e.select(col("vec_id"), col("v")),
+      ops.Similarity.pqReconstruct(e, ops.Similarity.pqKMeansCodebook(e)),
+      probeBelow = 50, topK = 3))
+    assert(kmRecall > seedRecall, s"kmeans $kmRecall vs seed $seedRecall")
   }
 
   test("t09 rolling hash finds the duplicated passages d01 knows about") {
