@@ -18,7 +18,7 @@ import graft.functions.CosineSimilarity
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.cosineSimDescriptor)
+    GraftExtensions.functionDescriptors.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectPlannerStrategy(_ => graft.plans.FeatureDecodeStrategy)
     e.injectOptimizerRule(_ => graft.functions.SimplifySelfCosine)
@@ -26,8 +26,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def descriptor(name: String, clazz: Class[_],
+    build: Seq[Expression] => Expression): Descriptor =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), build)
+
+  val cosineSimDescriptor: Descriptor =
+    descriptor("cosine_sim", classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+
+  /** All native kernels, SQL-callable:
+    * cosine_sim(a, b), md5_prefix56(s), md5_prefix48(s),
+    * minhash_sig(hashes, k), simhash_sig(hashes). */
+  val functionDescriptors: Seq[Descriptor] = Seq(
+    cosineSimDescriptor,
+    descriptor("md5_prefix56", classOf[functions.Md5Prefix56],
+      exprs => functions.Md5Prefix56(exprs(0), 7)),
+    descriptor("md5_prefix48", classOf[functions.Md5Prefix56],
+      exprs => functions.Md5Prefix56(exprs(0), 6)),
+    descriptor("minhash_sig", classOf[functions.MinHashSig],
+      exprs => functions.MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())),
+    descriptor("simhash_sig", classOf[functions.SimHashSig],
+      exprs => functions.SimHashSig(exprs(0))))
 }

@@ -793,8 +793,77 @@ object Relational {
     s"""SELECT l_returnflag, count(*) AS n, ${sqlDsum("l_quantity")} AS total_qty
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q37: distribution-ranking window surface — ntile quartiles,
+  // percent_rank, cume_dist, dense_rank over per-supplier revenue.
+  // percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single
+  // exact divisions of integers → bit-identical both engines (round 6
+  // belt-and-braces). One shuffle on the window partition key.
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(14,2)").as("p"))
+      .groupBy("l_returnflag", "l_suppkey")
+      .agg(round(sum(col("p")), 2).cast("double").as("revenue"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+    rev.select(col("l_returnflag"), col("l_suppkey"), col("revenue"),
+        ntile(4).over(w).as("quartile"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .filter(col("l_suppkey") < 50)
+      .orderBy("l_returnflag", "l_suppkey")
+  }
+
+  val q37Sql: String =
+    s"""SELECT * FROM (
+       |  SELECT l_returnflag, l_suppkey, revenue,
+       |    ntile(4) OVER w AS quartile,
+       |    dense_rank() OVER w AS drank,
+       |    round(percent_rank() OVER w, 6) AS prank,
+       |    round(cume_dist() OVER w, 6) AS cdist
+       |  FROM (
+       |    SELECT l_returnflag, l_suppkey,
+       |      ${sqlDsum("l_extendedprice")} AS revenue
+       |    FROM lineitem GROUP BY 1, 2)
+       |  WINDOW w AS (PARTITION BY l_returnflag
+       |               ORDER BY revenue DESC, l_suppkey))
+       |WHERE l_suppkey < 50 ORDER BY l_returnflag, l_suppkey""".stripMargin
+
+  // q38: array-function surface over token arrays — per-doc-pair
+  // overlap/difference cardinalities (order-independent outputs: the
+  // engines may order array_intersect results differently, sizes are
+  // deterministic). Pairs are bounded (doc_id < 20 self-join).
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("ta")).as("n_a"), size(col("tb")).as("n_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("n_common"),
+        size(array_union(col("ta"), col("tb"))).as("n_union"),
+        size(array_except(col("ta"), col("tb"))).as("n_only_a"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q38Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE doc_id < 20)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(a.toks) AS n_a, len(b.toks) AS n_b,
+      |  len(list_intersect(a.toks, b.toks)) AS n_common,
+      |  len(list_distinct(list_concat(a.toks, b.toks))) AS n_union,
+      |  len(list_filter(a.toks, x -> NOT list_contains(b.toks, x))) AS n_only_a
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_rank_funcs" -> (q37 _),
+    "q38_array_ops" -> (q38 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_topk_revenue" -> (q03 _),
@@ -868,5 +937,7 @@ object Relational {
     "q33_string_funcs" -> q33Sql,
     "q34_histogram" -> q34Sql,
     "q35_nav_window" -> q35Sql,
-    "q36_skew_salted" -> q36Sql)
+    "q36_skew_salted" -> q36Sql,
+    "q37_rank_funcs" -> q37Sql,
+    "q38_array_ops" -> q38Sql)
 }

@@ -275,6 +275,41 @@ object Similarity {
        |  WHERE a.vec_id < 100)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- parameterized IVF probing ----
+
+  /** IVF search probing each query's `nProbe` nearest cells (the gated
+    * s05/s07 fix nProbe=1: home cell only). The classic IVF recall
+    * knob: candidates scale ∝ nProbe/cells of the corpus, recall
+    * rises monotonically and reaches the exact result when nProbe
+    * covers all cells (pinned in OpsSpec). Each corpus vector lives in
+    * exactly one cell, so probing distinct cells never duplicates a
+    * candidate pair. */
+  def ivfSearch(e: DataFrame, nProbe: Int, probeBelow: Long, topK: Int): DataFrame = {
+    val cents = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val wCell = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("nn_id"), col("cent_id").as("cell"), col("v").as("vb"))
+    val probes = e.filter(col("vec_id") < probeBelow).join(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"), col("v").as("va"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   // ---- s06: product quantization (IVF-PQ's memory-compression half) ----
   //
   // 64 dims → M=8 subspaces × 8 dims; per subspace a 16-entry codebook

@@ -166,6 +166,35 @@ class OpsSpec extends SparkSpec {
     assert(kmRecall > seedRecall, s"kmeans $kmRecall vs seed $seedRecall")
   }
 
+  test("IVF recall rises with nProbe and reaches exact at full coverage") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // exact cosine top-3 with the same rounding + tiebreak discipline
+    val probe = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val cos = graft.functions.VectorOps.cosineSim(col("va"), col("vb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    val exact = broadcast(probe)
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cos, 4))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("query_id", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getAs[Long]("query_id")).view
+        .mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+      val rs = exact.map { case (q, ex) => (got.getOrElse(q, Set.empty) & ex).size / 3.0 }
+      rs.sum / rs.size
+    }
+    val r1 = recallOf(ops.Similarity.ivfSearch(e, 1, 50, 3))
+    val r3 = recallOf(ops.Similarity.ivfSearch(e, 3, 50, 3))
+    val rAll = recallOf(ops.Similarity.ivfSearch(e, 10, 50, 3))
+    assert(r1 <= r3 && r3 <= rAll, s"recall not monotone: $r1 / $r3 / $rAll")
+    assert(rAll == 1.0, s"full-coverage probe should be exact, got $rAll")
+  }
+
   test("t09 rolling hash finds the duplicated passages d01 knows about") {
     val shared = ops.TextOps.t09(spark, sf).collect()
     // testdata contains exact/near duplicate docs (d01/d03 find them),

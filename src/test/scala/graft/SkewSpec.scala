@@ -104,6 +104,15 @@ class SkewSpec extends SparkSpec {
       val v = s2.sql("SELECT cosine_sim(array(1.0d,2.0d), array(1.0d,2.0d)) AS c")
         .collect()(0).getDouble(0)
       assert(math.abs(v - 1.0) < 1e-12)
+      // the full native-kernel surface is SQL-callable
+      val r = s2.sql(
+        """SELECT md5_prefix56('a') AS h56, md5_prefix48('a') AS h48,
+          |  minhash_sig(array(md5_prefix56('a'), md5_prefix56('b')), 4) AS mh,
+          |  simhash_sig(array(md5_prefix48('a'), md5_prefix48('b'))) AS sh
+          |""".stripMargin).collect()(0)
+      assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+      assert(r.getSeq[Long](2).size == 4)
+      assert(r.getLong(3) >= 0)
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(s0)
       org.apache.spark.sql.SparkSession.setDefaultSession(s0)
