@@ -64,16 +64,19 @@ object Dedup {
     * which also keeps the Catalyst plan tree small (the 16 permutation
     * mins share the single `hs` attribute instead of 16 copies of the
     * md5/shingle subtree). */
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
+  private def sigsFor(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles(col("toks")))
       .withColumn("hs", transform(col("sh"), t => Hashing.hash56(t)))
       .select(col("doc_id"), Hashing.minhash(col("hs"), K).as("sig"))
 
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    sigsFor(corpus(s, d))
+
   /** CTE producing doc_id, sig (list<bigint>) in the oracle dialect. */
-  private def sqlSignatures: String = {
+  private def sqlSignaturesFrom(rel: String): String = {
     val sigExprs = Hashing.perms(K).map { case (a, b) =>
       s"list_min(list_transform(sh, h -> ${Hashing.sqlPerm("h", a, b)}))"
     }.mkString("[", ",\n      ", "]")
@@ -81,9 +84,11 @@ object Dedup {
        |FROM (
        |  SELECT doc_id, list_transform($sqlShingles,
        |    t -> ${Hashing.sqlHash56("t")}) AS sh
-       |  FROM corpus
+       |  FROM $rel
        |  WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
   }
+
+  private def sqlSignatures: String = sqlSignaturesFrom("corpus")
 
   /** doc_id, band, bucket (hash of the band's signature slice). */
   private def bands(sigs: DataFrame): DataFrame = {
@@ -96,14 +101,16 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  private def sqlBands: String =
+  private def sqlBandsFrom(rel: String): String =
     (0 until BANDS).map { b =>
       val lo = b * ROWS + 1
       val hi = b * ROWS + ROWS
       s"""SELECT doc_id, $b AS band,
          |    ${Hashing.sqlHash56(s"array_to_string(sig[$lo:$hi], '_')")} AS bucket
-         |  FROM sigs""".stripMargin
+         |  FROM $rel""".stripMargin
     }.mkString("\n  UNION ALL ")
+
+  private def sqlBands: String = sqlBandsFrom("sigs")
 
   /** Candidate pairs: same (band, bucket), a < b, distinct. */
   private def candidates(s: SparkSession, d: String): DataFrame = {
@@ -361,7 +368,76 @@ object Dedup {
       |  FROM pairs)
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // d09: eval-set decontamination — the check a training pipeline runs
+  // before trusting a benchmark number: which eval docs already appear
+  // in the training corpus, exactly or near-exactly? Sources src0..9
+  // are "train", src10..19 are "eval"; every 40th train doc is also
+  // INJECTED into eval (source 'leaked', the d01 augmentation trick)
+  // so contamination exists by construction and the oracle reproduces
+  // it. Exact = hash56(text) semi-join; near = shared MinHash-LSH
+  // (band, bucket) semi-join — both one bounded shuffle, no all-pairs.
+  def d09(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"),
+        substring(col("source"), 4, 10).cast("int").as("srcn"))
+    val train = docs.filter(col("srcn") < 10)
+    val eval0 = docs.filter(col("srcn") >= 10)
+      .select(col("doc_id"), col("text"), col("source"))
+    val leaked = train.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"),
+        lit("leaked").as("source"))
+    val eval = eval0.union(leaked)
+    val trainHash = train.select(Hashing.hash56(col("text")).as("h")).distinct()
+    val exactIds = eval
+      .select(col("doc_id"), col("source"), Hashing.hash56(col("text")).as("h"))
+      .join(trainHash, Seq("h"), "left_semi")
+    val trainBands = bands(sigsFor(train.select(col("doc_id"), col("text"))))
+      .select("band", "bucket").distinct()
+    val nearIds = bands(sigsFor(eval))
+      .join(trainBands, Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+      .join(eval.select("doc_id", "source"), Seq("doc_id"))
+    val base = eval.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val ex = exactIds.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val nr = nearIds.groupBy("source").agg(count(lit(1)).as("n_near"))
+    base.join(ex, Seq("source"), "left").join(nr, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("source")
+  }
+
+  val d09Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, source, CAST(substr(source, 4) AS INT) AS srcn
+       |  FROM documents),
+       |train AS (SELECT doc_id, text FROM docs WHERE srcn < 10),
+       |eval AS (
+       |  SELECT doc_id, text, source FROM docs WHERE srcn >= 10
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text, 'leaked' FROM train WHERE doc_id % 40 = 0),
+       |tsigs AS (${sqlSignaturesFrom("train")}),
+       |esigs AS (${sqlSignaturesFrom("eval")}),
+       |tbands AS (SELECT DISTINCT band, bucket FROM (
+       |  ${sqlBandsFrom("tsigs")})),
+       |ebands AS (${sqlBandsFrom("esigs")}),
+       |exact_ids AS (
+       |  SELECT e.doc_id, e.source FROM eval e
+       |  WHERE ${Hashing.sqlHash56("e.text")} IN
+       |    (SELECT ${Hashing.sqlHash56("text")} FROM train)),
+       |near_ids AS (
+       |  SELECT DISTINCT eb.doc_id FROM ebands eb
+       |  JOIN tbands tb ON eb.band = tb.band AND eb.bucket = tb.bucket)
+       |SELECT e.source, count(*) AS n_docs,
+       |  CAST(count(CASE WHEN x.doc_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_exact,
+       |  CAST(count(CASE WHEN n.doc_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_near
+       |FROM eval e
+       |LEFT JOIN exact_ids x ON e.doc_id = x.doc_id
+       |LEFT JOIN near_ids n ON e.doc_id = n.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_decontaminate" -> (d09 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_sig" -> (d02 _),
     "d03_lsh_candidates" -> (d03 _),
@@ -372,6 +448,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d09_decontaminate" -> d09Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_minhash_sig" -> d02Sql,
     "d03_lsh_candidates" -> d03Sql,
