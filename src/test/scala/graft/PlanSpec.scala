@@ -96,4 +96,17 @@ class PlanSpec extends SparkSpec {
     val p = plan(ops.Dedup.d03(spark, sf))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
+
+  test("i03 read-back prunes partitions: lang filter hits the listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_i03_spec_").toString
+    sources.Io.writeParquet(
+      graft.Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars"),
+      dir, partitionBy = Seq("lang"), coalesceTo = Some(2))
+    val p = plan(ops.IoOps.prunedReadback(spark, dir))
+    // The lang predicate must resolve against partition directories
+    // (PartitionFilters), not as a post-scan data filter (PushedFilters).
+    assert(p.contains("PartitionFilters:") && p.contains("lang#"), p.take(2000))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("lang#"), s"lang not in partition filters: $pf")
+  }
 }
