@@ -436,7 +436,48 @@ object Dedup {
        |LEFT JOIN near_ids n ON e.doc_id = n.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // d10: cross-source duplicate-rate matrix — for each unordered pair
+  // of sources, how many near-duplicate candidate pairs span them?
+  // The corpus-curation view ("which crawls overlap?") that decides
+  // what to drop before training. Reuses the d03 LSH candidates (so
+  // still no all-pairs — pair volume is governed by the band/bucket
+  // parameters); the only additions are two id→source joins (dims at
+  // corpus scale — broadcastable) and a 2-key agg. The augmented
+  // copies are tagged 'copy'/'tail' so off-diagonal mass exists by
+  // construction and the oracle reproduces it.
+  def d10(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val srcMap = src
+      .union(src.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), lit("copy").as("source")))
+      .union(src.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), lit("tail").as("source")))
+    candidates(s, d)
+      .join(srcMap.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("source", "src_of_a"), Seq("a"))
+      .join(srcMap.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("source", "src_of_b"), Seq("b"))
+      .select(least(col("src_of_a"), col("src_of_b")).as("src_a"),
+        greatest(col("src_of_a"), col("src_of_b")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val d10Sql: String =
+    s"""$sqlDedupPrefix,
+       |srcmap AS (
+       |  SELECT doc_id, source FROM documents
+       |  UNION ALL SELECT doc_id + 2000000, 'copy' FROM documents WHERE doc_id % 100 = 0
+       |  UNION ALL SELECT doc_id + 1000000, 'tail' FROM documents WHERE doc_id % 50 = 0)
+       |SELECT least(sa.source, sb.source) AS src_a,
+       |  greatest(sa.source, sb.source) AS src_b, count(*) AS n_pairs
+       |FROM cands
+       |JOIN srcmap sa ON cands.a = sa.doc_id
+       |JOIN srcmap sb ON cands.b = sb.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_cross_source" -> (d10 _),
     "d09_decontaminate" -> (d09 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_sig" -> (d02 _),
@@ -448,6 +489,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d10_cross_source" -> d10Sql,
     "d09_decontaminate" -> d09Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_minhash_sig" -> d02Sql,

@@ -271,7 +271,36 @@ object EventOps {
     """SELECT user_id % 5 AS seg, event_type, count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // e12: sliding 1-hour windows advancing every 30 minutes — each
+  // event lands in duration/slide = 2 windows. Spark's window() emits
+  // the per-event window structs inline (a 2× row fan-out absorbed by
+  // map-side partial agg before the single exchange — the fan-out
+  // never crosses the shuffle as raw events). Epoch-aligned starts
+  // match DuckDB's time_bucket, so the oracle is the union of the
+  // two 30-minute-offset bucketings.
+  def e12(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("win_us", "event_type")
+
+  val e12Sql: String =
+    """WITH slid AS (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, event_type, value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+      |    event_type, value
+      |  FROM events)
+      |SELECT epoch_us(wstart) AS win_us, event_type, count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM slid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_sliding_window" -> (e12 _),
     "e08_json_schema" -> (e08 _),
     "e09_stream_join" -> (e09 _),
     "e10_stream_dedup" -> (e10 _),
@@ -285,6 +314,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e12_sliding_window" -> e12Sql,
     "e08_json_schema" -> e08Sql,
     "e09_stream_join" -> e09Sql,
     "e10_stream_dedup" -> e10Sql,

@@ -2,7 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.Hashing
 
 /** Text-analysis operators for a training-data pipeline (t01..t06):
   * tokenization stats, quality scoring, language-ID heuristic,
@@ -343,7 +345,37 @@ object TextOps {
       |  FROM tfc JOIN dfc ON tfc.token = dfc.token)
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // t12: deterministic stratified sample — exactly 25 docs per
+  // language, chosen by md5-hash order so the pick is reproducible
+  // run-to-run and engine-to-engine (the property a training-data
+  // pipeline needs for auditable subsets; seeded RNG sampling is
+  // neither portable nor stable under repartitioning). One window
+  // sort per stratum. Scale note: the shuffle key is the stratum
+  // (5 langs here) — with few huge strata, pre-filter by hash
+  // threshold first (hash < n/N·2^56 keeps ~n with a deterministic
+  // margin) so the per-stratum sort sees survivors, not the corpus.
+  def t12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        Hashing.hash56(concat_ws("#", col("lang"), col("doc_id"))).as("hkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 25)
+      .select(col("lang"), col("rn"), col("doc_id"), col("source"))
+      .orderBy("lang", "rn")
+  }
+
+  val t12Sql: String =
+    s"""SELECT lang, rn, doc_id, source FROM (
+       |  SELECT lang, doc_id, source,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${Hashing.sqlHash56("lang || '#' || doc_id")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_stratified_sample" -> (t12 _),
     "t11_tfidf" -> (t11 _),
     "t10_profile" -> (t10 _),
     "t09_rolling_hash" -> (t09 _),
@@ -357,6 +389,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t12_stratified_sample" -> t12Sql,
     "t11_tfidf" -> t11Sql,
     "t10_profile" -> t10Sql,
     "t09_rolling_hash" -> t09Sql,

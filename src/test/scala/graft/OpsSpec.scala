@@ -214,4 +214,36 @@ class OpsSpec extends SparkSpec {
       val v = r.getDouble(i); v >= 0.0 && v <= 1.0
     }))
   }
+
+  test("e12 sliding windows cover every event exactly duration/slide times") {
+    val total = ops.EventOps.e12(spark, sf).agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 2 * Tables.events(spark, sf).count(), "1h/30m ⇒ 2 windows/event")
+  }
+
+  test("t12 picks exactly 25 docs per language, deterministically") {
+    val a = ops.TextOps.t12(spark, sf).collect()
+    val perLang = a.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perLang.values.forall(_ == 25), perLang.toMap)
+    val b = ops.TextOps.t12(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)), "sample not stable")
+  }
+
+  test("d09 finds the injected contamination: every leaked doc is exact+near") {
+    val rows = ops.Dedup.d09(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n, ex, nr) = rows("leaked")
+    assert(n > 0 && ex == n, s"all $n injected leaks must match exactly, got $ex")
+    assert(nr == n, s"near-dup check must also catch the $n verbatim leaks, got $nr")
+  }
+
+  test("d10 cross-source matrix attributes the injected copies off-diagonal") {
+    val m = ops.Dedup.d10(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every 100th doc is duplicated verbatim under source 'copy', so
+    // (copy, original-source) pairs must exist and no (copy, copy)
+    // self-mass should (distinct originals never collide verbatim).
+    assert(m.keys.exists { case (a, b) => (a == "copy") != (b == "copy") },
+      s"no copy↔original pairs in $m")
+    assert(!m.contains(("copy", "copy")), s"unexpected copy-copy mass: $m")
+  }
 }
