@@ -374,7 +374,67 @@ object TextOps {
        |  FROM documents)
        |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin
 
+  // t13: collocation mining — bigrams that co-occur far more than
+  // their unigram frequencies predict, scored by lift
+  // p(ab)/(p(a)·p(b)) (= PMI without the log, so the arithmetic is
+  // integer counts + one IEEE division chain — bit-exact across
+  // engines; log-PMI would rank identically since log is monotone).
+  // Two shuffles (bigram agg, unigram agg); the unigram vocabulary is
+  // a dim at corpus scale, so both count joins broadcast. The corpus
+  // totals are 1-row aggregates (broadcast nested-loop, not a
+  // cartesian hazard).
+  def t13(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", tokens).filter(size(col("toks")) >= 2)
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = docs.agg(
+      sum(size(col("toks"))).cast("long").as("nu"),
+      sum(size(col("toks")) - 1).cast("long").as("nb"))
+    val bigrams = (toks: Column) => transform(sequence(lit(0), size(toks) - 2),
+      i => struct(get(toks, i).as("w1"), get(toks, i + 1).as("w2")))
+    docs.select(explode(bigrams(col("toks"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("n_ab"),
+        (col("n_ab").cast("double") * col("nu") * col("nu") /
+          (col("nb").cast("double") * col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val t13Sql: String =
+    """WITH docs AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |uni AS (
+      |  SELECT w, count(*) AS n_w
+      |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY 1),
+      |totals AS (
+      |  SELECT CAST(sum(len(toks)) AS BIGINT) AS nu,
+      |    CAST(sum(len(toks) - 1) AS BIGINT) AS nb FROM docs),
+      |bg AS (
+      |  SELECT w1, w2, count(*) AS n_ab FROM (
+      |    SELECT
+      |      unnest(list_transform(range(len(toks) - 1), i -> toks[i + 1])) AS w1,
+      |      unnest(list_transform(range(len(toks) - 1), i -> toks[i + 2])) AS w2
+      |    FROM docs)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT w1, w2, n_ab,
+      |  CAST(n_ab AS DOUBLE) * nu * nu /
+      |    (CAST(nb AS DOUBLE) * a.n_w * b.n_w) AS lift
+      |FROM bg
+      |JOIN uni a ON bg.w1 = a.w
+      |JOIN uni b ON bg.w2 = b.w
+      |CROSS JOIN totals
+      |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_collocations" -> (t13 _),
     "t12_stratified_sample" -> (t12 _),
     "t11_tfidf" -> (t11 _),
     "t10_profile" -> (t10 _),
@@ -389,6 +449,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t13_collocations" -> t13Sql,
     "t12_stratified_sample" -> t12Sql,
     "t11_tfidf" -> t11Sql,
     "t10_profile" -> t10Sql,

@@ -236,6 +236,15 @@ class OpsSpec extends SparkSpec {
     assert(nr == n, s"near-dup check must also catch the $n verbatim leaks, got $nr")
   }
 
+  test("t13 collocations are lift-sorted and beat independence") {
+    val rows = ops.TextOps.t13(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lifts = rows.map(_.getDouble(3))
+    assert(lifts.sameElements(lifts.sorted.reverse), "not sorted by lift desc")
+    assert(lifts.head > 1.0, s"top collocation not above independence: ${lifts.head}")
+    assert(rows.forall(_.getLong(2) >= 5), "min-support violated")
+  }
+
   test("d10 cross-source matrix attributes the injected copies off-diagonal") {
     val m = ops.Dedup.d10(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

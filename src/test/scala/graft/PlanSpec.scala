@@ -97,6 +97,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("runtime bloom filter prunes the fact scan off a selective dim filter") {
+    // At 100 TB the shuffle join orders⋈lineitem with a selective
+    // predicate on orders only pays off if lineitem rows that cannot
+    // match are dropped BEFORE the exchange. Spark's InjectRuntimeFilter
+    // does that with a bloom filter built from the filtered creation
+    // side. Local datasets sit below the worthwhileness thresholds, so
+    // pin the behavior with thresholds scaled down; production confs
+    // keep the defaults (10MB creation side / 10GB application side).
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val orders = graft.Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val li = graft.Tables.lineitem(spark, sf)
+      val joined = li.join(orders,
+        li("l_orderkey") === orders("o_orderkey")).groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("BloomFilter"),
+        p.take(3000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
   test("i03 read-back prunes partitions: lang filter hits the listing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_i03_spec_").toString
     sources.Io.writeParquet(
