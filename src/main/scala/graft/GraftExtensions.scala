@@ -39,9 +39,14 @@ object GraftExtensions {
 
   /** All native kernels, SQL-callable:
     * cosine_sim(a, b), md5_prefix56(s), md5_prefix48(s),
-    * minhash_sig(hashes, k), simhash_sig(hashes). */
+    * minhash_sig(hashes, k), simhash_sig(hashes),
+    * misra_gries(key, k) (aggregate). */
   val functionDescriptors: Seq[Descriptor] = Seq(
     cosineSimDescriptor,
+    descriptor("misra_gries", classOf[functions.MisraGriesAgg],
+      exprs => functions.MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
     descriptor("md5_prefix56", classOf[functions.Md5Prefix56],
       exprs => functions.Md5Prefix56(exprs(0), 7)),
     descriptor("md5_prefix48", classOf[functions.Md5Prefix56],

@@ -108,9 +108,12 @@ object VectorOps {
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
 
-  /** SQL registration on an existing session (used by the extensions
-    * injector and directly in tests). */
+  /** SQL registration of every native kernel on an EXISTING session
+    * (the extensions injector covers session build time; this covers
+    * tests and sessions built without the config). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    graft.GraftExtensions.functionDescriptors.foreach { case (id, _, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, build, "built-in")
+    }
 }

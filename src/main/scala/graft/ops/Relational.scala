@@ -860,8 +860,131 @@ object Relational {
       |FROM t a JOIN t b ON a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  // q39: sketch-based quantiles — approx_percentile (Greenwald-Khanna)
+  // is the scale path where q24's exact sort-based percentile would
+  // spill. Same gate discipline as q25: the sketch value can't
+  // hash-match a foreign engine, so the gated surface is exact
+  // quantiles plus booleans asserting the sketch lands within ±1% —
+  // accuracy 10000 bounds rank error at n/10000, orders of magnitude
+  // tighter than that at this n, so a red row means a broken sketch.
+  def q39(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("ex"),
+        approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+      .select(col("l_returnflag"),
+        col("ex")(0).as("p50"), col("ex")(1).as("p90"), col("ex")(2).as("p99"),
+        (abs(col("ap")(0) - col("ex")(0)) <= col("ex")(0) * 0.01).as("p50_ok"),
+        (abs(col("ap")(1) - col("ex")(1)) <= col("ex")(1) * 0.01).as("p90_ok"),
+        (abs(col("ap")(2) - col("ex")(2)) <= col("ex")(2) * 0.01).as("p99_ok"))
+      .orderBy("l_returnflag")
+
+  val q39Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99,
+      |  true AS p50_ok, true AS p90_ok, true AS p99_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q40: Pearson correlation WITHOUT the built-in corr() — built-in
+  // corr sums doubles in partition order, so its last bits are not
+  // reproducible across engines (or even runs). Instead: the five
+  // sufficient statistics as exact decimal sums (order-independent),
+  // then one fixed-order double evaluation of the closed form. Same
+  // partial-agg/one-exchange plan as any groupBy; this is the
+  // engine-parity discipline (Relational header) applied to second
+  // moments.
+  def q40(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_discount")
+    val dec = (c: Column) => sum(c.cast("decimal(28,6)"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dec(x).as("sx"), dec(y).as("sy"),
+        dec(x * x).as("sxx"), dec(y * y).as("syy"), dec(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        // decimal→double casts are correctly rounded (identical in any
+        // IEEE engine); from there every op below is a fixed-order
+        // double chain, so the result is bit-exact. Decimal×decimal
+        // would hit the two engines' different precision-38 capping.
+        corrFormula(col("n").cast("double"), col("sx").cast("double"),
+          col("sy").cast("double"), col("sxx").cast("double"),
+          col("syy").cast("double"), col("sxy").cast("double"))
+          .as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  private def corrFormula(n: Column, sx: Column, sy: Column,
+    sxx: Column, syy: Column, sxy: Column): Column =
+    (n * sxy - sx * sy) / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy)
+
+  val q40Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+      |    sum(CAST(l_discount AS DECIMAL(28,6))) AS sy,
+      |    sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx,
+      |    sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS syy,
+      |    sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |  sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS corr_qty_disc
+      |FROM s ORDER BY 1""".stripMargin
+
+  // q41: heavy hitters via a Misra–Gries sketch (custom mergeable
+  // TypedImperativeAggregate, k=24 counters). The stream is custkeys
+  // with constructed skew: a third of the rows collapse onto 4 hot
+  // keys (~8% each) over ~thousands of cold keys, so the sketch
+  // must evict constantly. The MG summary's raw counters depend on
+  // arrival order, so the gated surface is its ORDER-INDEPENDENT
+  // guarantees: every key above N/(k+1) frequency is present, and
+  // estimates sit within [exact − N/(k+1), exact]. At 100 TB this is
+  // the "what are the hot keys" primitive that costs one shuffle of
+  // k counters per partition instead of a full groupBy of the tail.
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val k = 24
+    val keyed = Tables.orders(s, d).select(
+      when(col("o_custkey") % 3 === 0,
+        concat(lit("hot"), (col("o_custkey") % 4).cast("string")))
+        .otherwise(concat(lit("u"), col("o_custkey").cast("string"))).as("hk"))
+    val exact = keyed.groupBy("hk").agg(count(lit(1)).as("cnt"))
+    val totals = keyed.agg(count(lit(1)).as("n"))
+    val sketch = keyed.agg(
+      graft.functions.MisraGriesAgg.misraGries(col("hk"), k).as("mg"))
+    exact.crossJoin(totals).crossJoin(sketch)
+      .filter(col("cnt") > col("n") / 16.0)   // provable heavy hitters only
+      .select(col("hk"), col("cnt"),
+        element_at(col("mg"), col("hk")).isNotNull.as("in_sketch"),
+        (col("cnt") - coalesce(element_at(col("mg"), col("hk")), lit(0L))
+          <= col("n") / (k + 1).toDouble).as("bound_ok"))
+      .orderBy("hk")
+  }
+
+  val q41Sql: String =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN o_custkey % 3 = 0 THEN 'hot' || (o_custkey % 4)
+      |              ELSE 'u' || o_custkey END AS hk
+      |  FROM orders),
+      |tot AS (SELECT count(*) AS n FROM keyed)
+      |SELECT hk, count(*) AS cnt, true AS in_sketch, true AS bound_ok
+      |FROM keyed, tot
+      |GROUP BY hk, n HAVING count(*) > n / 16.0
+      |ORDER BY hk""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_heavy_hitters" -> (q41 _),
+    "q39_approx_quantiles" -> (q39 _),
+    "q40_correlation" -> (q40 _),
     "q37_rank_funcs" -> (q37 _),
     "q38_array_ops" -> (q38 _),
     "q01_pricing_summary" -> (q01 _),
@@ -939,5 +1062,8 @@ object Relational {
     "q35_nav_window" -> q35Sql,
     "q36_skew_salted" -> q36Sql,
     "q37_rank_funcs" -> q37Sql,
-    "q38_array_ops" -> q38Sql)
+    "q38_array_ops" -> q38Sql,
+    "q39_approx_quantiles" -> q39Sql,
+    "q40_correlation" -> q40Sql,
+    "q41_heavy_hitters" -> q41Sql)
 }

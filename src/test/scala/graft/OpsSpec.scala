@@ -236,6 +236,34 @@ class OpsSpec extends SparkSpec {
     assert(nr == n, s"near-dup check must also catch the $n verbatim leaks, got $nr")
   }
 
+  test("misra-gries honors its guarantees under partitioned merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 10
+    // 500 of 'heavy' (~24%) + ~1600 distinct cold keys, shuffled
+    // deterministically across 8 partitions to force buffer merges.
+    val rows = (1 to 500).map(_ => "heavy") ++ (1 to 1600).map(i => s"cold$i")
+    val df = rows.zipWithIndex.sortBy(t => (t._2 * 2654435761L) % 4099).map(_._1)
+      .toDF("hk").repartition(8)
+    val n = rows.size.toLong
+    val mg = df.agg(graft.functions.MisraGriesAgg.misraGries(col("hk"), k))
+      .collect()(0).getMap[String, Long](0)
+    assert(mg.size <= k, s"summary overflowed k: ${mg.size}")
+    val est = mg.getOrElse("heavy", 0L)
+    assert(est > 0, s"heavy key (24% > N/${k + 1}) evicted: $mg")
+    assert(est <= 500 && 500 - est <= n / (k + 1) + 1,
+      s"estimate $est outside [exact - N/(k+1), exact]")
+  }
+
+  test("misra_gries is SQL-callable after install") {
+    graft.functions.VectorOps.install(spark)
+    val m = spark.sql(
+      """SELECT misra_gries(k, 4) AS mg FROM VALUES
+        |  ('a'),('a'),('a'),('b'),('c'),('d'),('e'),('a') AS t(k)""".stripMargin)
+      .collect()(0).getMap[String, Long](0)
+    assert(m.contains("a") && m.size <= 4, m)
+  }
+
   test("t13 collocations are lift-sorted and beat independence") {
     val rows = ops.TextOps.t13(spark, sf).collect()
     assert(rows.nonEmpty)
