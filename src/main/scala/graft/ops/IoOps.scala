@@ -97,13 +97,39 @@ object IoOps {
       |FROM documents WHERE lang IN ('en', 'zh')
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // i04: ORC round-trip — the other self-describing columnar format a
+  // warehouse ingests from. ORC carries its own schema + types, so no
+  // read schema is needed; the gate proves types survive (timestamps
+  // become epoch micros, decimal-rounded money) against the parquet
+  // original.
+  def i04(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i04_")
+    Io.writeOrc(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      dir)
+    Io.readOrc(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val i04Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i01_csv_roundtrip" -> (i01 _),
     "i02_jsonl_roundtrip" -> (i02 _),
-    "i03_partition_prune" -> (i03 _))
+    "i03_partition_prune" -> (i03 _),
+    "i04_orc_roundtrip" -> (i04 _))
 
   val oracles: Map[String, String] = Map(
     "i01_csv_roundtrip" -> i01Sql,
     "i02_jsonl_roundtrip" -> i02Sql,
-    "i03_partition_prune" -> i03Sql)
+    "i03_partition_prune" -> i03Sql,
+    "i04_orc_roundtrip" -> i04Sql)
 }

@@ -122,15 +122,47 @@ object Multimodal {
       |       CAST(16 + (n_chars * 7) % 48 AS INT) * 3 AS BIGINT) AS n_pixels
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // m05: byte-level header parsing — read typed fields straight out of
+  // the binary payload (two big-endian uint32 words from bytes 0–7,
+  // the shape of every real container header: RIFF sizes, PNG IHDR
+  // dims, WAV rates). Pure per-row scan work, no shuffle; Spark reads
+  // only the 8 header bytes per row (substring on binary before hex).
+  // Payloads shorter than 8 bytes parse to null and are filtered —
+  // the malformed-blob discipline a real decoder needs.
+  def m05(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .filter(length(col("payload")) >= 8)
+      .select(col("doc_id"),
+        conv(hex(substring(col("payload"), 1, 4)), 16, 10)
+          .cast("long").as("word0"),
+        conv(hex(substring(col("payload"), 5, 4)), 16, 10)
+          .cast("long").as("word1"))
+      .withColumn("fake_width", (col("word0") % 4096).cast("int"))
+      .withColumn("fake_rate", (col("word1") % 48000).cast("int"))
+      .orderBy("doc_id")
+
+  val m05Sql: String =
+    """SELECT doc_id,
+      |  ('0x' || substr(hex(encode(text)), 1, 8))::BIGINT AS word0,
+      |  ('0x' || substr(hex(encode(text)), 9, 8))::BIGINT AS word1,
+      |  CAST(('0x' || substr(hex(encode(text)), 1, 8))::BIGINT % 4096 AS INT)
+      |    AS fake_width,
+      |  CAST(('0x' || substr(hex(encode(text)), 9, 8))::BIGINT % 48000 AS INT)
+      |    AS fake_rate
+      |FROM documents WHERE octet_length(encode(text)) >= 8
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_feature_stub" -> (m03 _),
-    "m04_media_resize" -> (m04 _))
+    "m04_media_resize" -> (m04 _),
+    "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_feature_stub" -> m03Sql,
-    "m04_media_resize" -> m04Sql)
+    "m04_media_resize" -> m04Sql,
+    "m05_header_parse" -> m05Sql)
 }

@@ -26,6 +26,9 @@ object Io {
   def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
   /** Partitioned parquet writer. `partitionBy` columns become
     * directories (partition pruning on read); `coalesceTo` bounds the
     * files per partition so a 1000-executor job doesn't emit 32k tiny
@@ -45,4 +48,8 @@ object Io {
   def writeJsonl(df: DataFrame, path: String,
     mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  def writeOrc(df: DataFrame, path: String,
+    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }
