@@ -43,6 +43,8 @@ object GraftExtensions {
     * misra_gries(key, k) (aggregate). */
   val functionDescriptors: Seq[Descriptor] = Seq(
     cosineSimDescriptor,
+    descriptor("dot_product", classOf[functions.DotProduct],
+      exprs => functions.DotProduct(exprs(0), exprs(1))),
     descriptor("misra_gries", classOf[functions.MisraGriesAgg],
       exprs => functions.MisraGriesAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())

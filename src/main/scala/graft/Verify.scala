@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // TypedImperativeAggregate (TopKAgg/MinHashAgg/MisraGriesAgg)
+      // runs in ObjectHashAggregate, which falls back to SORT-based
+      // aggregation after 128 groups by default — that re-sorts the
+      // whole fan-out the heap aggregates exist to avoid. The buffers
+      // are tiny (k entries each); let the hash path keep them.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -255,6 +255,25 @@ class OpsSpec extends SparkSpec {
       s"estimate $est outside [exact - N/(k+1), exact]")
   }
 
+  test("topk_agg matches the row_number window formulation exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 40 groups × 500 candidates with score ties (score = v % 97) so
+    // the id tiebreak is exercised; heap result must equal the sorted
+    // window result row-for-row.
+    val df = (0 until 20000).map(i => (i % 40, i.toLong, (i % 97).toDouble))
+      .toDF("g", "id", "score")
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("id"), 7).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("rank", "t")))
+      .select(col("g"), (col("rank") + 1).as("rank"), col("t.id").as("id"))
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7).select("g", "rank", "id")
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+  }
+
   test("misra_gries is SQL-callable after install") {
     graft.functions.VectorOps.install(spark)
     val m = spark.sql(
