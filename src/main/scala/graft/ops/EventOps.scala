@@ -299,7 +299,54 @@ object EventOps {
       |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM slid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // e13: STREAMING heavy hitters — the Misra–Gries aggregate running
+  // inside a Structured Streaming aggregation (complete mode): each
+  // micro-batch's partial summaries merge into the state-store buffer,
+  // and the mergeable-summary property is exactly what keeps the
+  // error bound N/(k+1) over the whole stream, however the batches
+  // split. Hot keys constructed as in q41 (a third of events collapse
+  // onto 4 keys over ~all user ids); the gate is the same
+  // order-independent pair of booleans (membership + error bound)
+  // against the batch-exact counts.
+  def e13(s: SparkSession, d: String): DataFrame = {
+    val k = 24
+    val hk = when(col("user_id") % 3 === 0,
+      concat(lit("hot"), (col("user_id") % 4).cast("string")))
+      .otherwise(concat(lit("u"), col("user_id").cast("string")))
+    val sink = "graft_e13_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams.eventStream(s, d)
+      .select(hk.as("hk"))
+      .agg(graft.functions.MisraGriesAgg.misraGries(col("hk"), k).as("mg"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sketch = s.table(sink).select(col("mg"))
+    val keyed = Tables.events(s, d).select(hk.as("hk"))
+    val exact = keyed.groupBy("hk").agg(count(lit(1)).as("cnt"))
+    val totals = keyed.agg(count(lit(1)).as("n"))
+    exact.crossJoin(totals).crossJoin(sketch)
+      .filter(col("cnt") > col("n") / 16.0)
+      .select(col("hk"), col("cnt"),
+        element_at(col("mg"), col("hk")).isNotNull.as("in_sketch"),
+        (col("cnt") - coalesce(element_at(col("mg"), col("hk")), lit(0L))
+          <= col("n") / (k + 1).toDouble).as("bound_ok"))
+      .orderBy("hk")
+  }
+
+  val e13Sql: String =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN 'hot' || (user_id % 4)
+      |              ELSE 'u' || user_id END AS hk
+      |  FROM events),
+      |tot AS (SELECT count(*) AS n FROM keyed)
+      |SELECT hk, count(*) AS cnt, true AS in_sketch, true AS bound_ok
+      |FROM keyed, tot
+      |GROUP BY hk, n HAVING count(*) > n / 16.0
+      |ORDER BY hk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_stream_hh" -> (e13 _),
     "e12_sliding_window" -> (e12 _),
     "e08_json_schema" -> (e08 _),
     "e09_stream_join" -> (e09 _),
@@ -314,6 +361,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e13_stream_hh" -> e13Sql,
     "e12_sliding_window" -> e12Sql,
     "e08_json_schema" -> e08Sql,
     "e09_stream_join" -> e09Sql,
