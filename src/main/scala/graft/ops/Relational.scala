@@ -980,8 +980,39 @@ object Relational {
       |GROUP BY hk, n HAVING count(*) > n / 16.0
       |ORDER BY hk""".stripMargin
 
+  // q42: grouped top-k through the heap aggregate (TopKAgg) UNDER THE
+  // ORACLE GATE — q09 computes top-N-per-group with a row_number
+  // window (sorts every row); this computes the identical result with
+  // a k-slot heap per group inside hash aggregation (no sort of the
+  // fan-out, only k rows per group cross the shuffle). The heap's
+  // (score DESC, id ASC) total order matches the window's, so the
+  // DuckDB row_number oracle must hash-match — gating the custom
+  // aggregate's exactness, not just its shape.
+  def q42(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 300)
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopKAgg.topK(
+        col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")).as(Seq("rn", "t")))
+      .select(col("o_custkey"), (col("rn") + 1).cast("int").as("rank"),
+        col("t.id").as("o_orderkey"),
+        round(col("t.score").cast("decimal(18,2)"), 2).cast("double").as("price"))
+      .orderBy("o_custkey", "rank")
+
+  val q42Sql: String =
+    """SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders WHERE o_custkey < 300)
+      |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_topk_agg" -> (q42 _),
     "q41_heavy_hitters" -> (q41 _),
     "q39_approx_quantiles" -> (q39 _),
     "q40_correlation" -> (q40 _),
@@ -1065,5 +1096,6 @@ object Relational {
     "q38_array_ops" -> q38Sql,
     "q39_approx_quantiles" -> q39Sql,
     "q40_correlation" -> q40Sql,
-    "q41_heavy_hitters" -> q41Sql)
+    "q41_heavy_hitters" -> q41Sql,
+    "q42_topk_agg" -> q42Sql)
 }
