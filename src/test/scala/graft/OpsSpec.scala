@@ -193,6 +193,17 @@ class OpsSpec extends SparkSpec {
     val rAll = recallOf(ops.Similarity.ivfSearch(e, 10, 50, 3))
     assert(r1 <= r3 && r3 <= rAll, s"recall not monotone: $r1 / $r3 / $rAll")
     assert(rAll == 1.0, s"full-coverage probe should be exact, got $rAll")
+    // Lloyd-trained (spherical k-means) quantizer: these synthetic
+    // embeddings are uniform on the sphere, so no recall GAIN is
+    // expressible (see ivfKMeansCentroids Scaladoc) — pin that the
+    // trained-quantizer path is still a correct IVF: full probe
+    // coverage recovers the exact result, and a partial probe returns
+    // a sane fraction of it.
+    val trained = ops.Similarity.ivfKMeansCentroids(e)
+    val rT1 = recallOf(ops.Similarity.ivfSearch(e, 1, 50, 3, Some(trained)))
+    val rTAll = recallOf(ops.Similarity.ivfSearch(e, 10, 50, 3, Some(trained)))
+    assert(rTAll == 1.0, s"trained quantizer not exact at full coverage: $rTAll")
+    assert(rT1 > 0.1 && rT1 <= rTAll, s"trained nProbe=1 recall degenerate: $rT1")
   }
 
   test("t09 rolling hash finds the duplicated passages d01 knows about") {
