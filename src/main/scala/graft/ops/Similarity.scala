@@ -172,20 +172,35 @@ object Similarity {
   def s04(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", srpBucket(col("v")))
-    val probes = e.filter(col("vec_id") < 100)
+    multiProbeSearch(e, 1, 100, 3)
+  }
+
+  /** Radius-parameterized multi-probe SRP-LSH: each query probes every
+    * bucket within Hamming distance ≤ `radius` of its home bucket —
+    * the classic recall knob (Lv et al., multi-probe LSH). Probe
+    * count is Σ_{r≤radius} C(planes, r) (8 planes: 1/9/37 buckets at
+    * radius 0/1/2); candidates — and the shuffle behind them — grow
+    * with it, recall monotone (pinned in OpsSpec). radius=1 IS the
+    * gated s04. The perturbation masks are plan-time literals, so the
+    * probe explode stays a codegen'd Expand, no per-row branching. */
+  def multiProbeSearch(e: DataFrame, radius: Int, probeBelow: Long,
+    topK: Int): DataFrame = {
+    val masks: Seq[Long] = (0 to radius).flatMap(r =>
+      (0 until SRP_PLANES).combinations(r)
+        .map(_.map(1L << _).foldLeft(0L)(_ | _)).toSeq)
+    val eb = e.withColumn("bucket", srpBucket(col("v")))
+    val probes = eb.filter(col("vec_id") < probeBelow)
       .select(col("vec_id").as("query_id"), col("bucket").as("home"), col("v").as("va"))
       .withColumn("bucket", explode(array(
-        (col("home") +: (0 until SRP_PLANES).map(p =>
-          col("home").bitwiseXOR(lit(1L << p)))): _*)))
-    val cand = e.select(col("vec_id").as("nn_id"), col("bucket"), col("v").as("vb"))
+        masks.map(m => col("home").bitwiseXOR(lit(m))): _*)))
+    val cand = eb.select(col("vec_id").as("nn_id"), col("bucket"), col("v").as("vb"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
     probes.join(cand, Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), col("va"), col("vb")).distinct()
       .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select("query_id", "rank", "nn_id", "cos")
       .orderBy("query_id", "rank")
   }

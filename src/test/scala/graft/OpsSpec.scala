@@ -117,6 +117,14 @@ class OpsSpec extends SparkSpec {
     val r3 = recall(ops.Similarity.s03(spark, sf))
     val r4 = recall(ops.Similarity.s04(spark, sf))
     assert(r4 >= r3, s"multi-probe recall $r4 < single-bucket $r3")
+    // parameterized radius: recall monotone in the probe budget, and
+    // radius-1 through the library IS the gated s04
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val r0 = recall(ops.Similarity.multiProbeSearch(e, 0, 100, 3))
+    val r2 = recall(ops.Similarity.multiProbeSearch(e, 2, 100, 3))
+    assert(r0 <= r4 && r4 <= r2,
+      s"recall not monotone in radius: $r0 / $r4 / $r2")
   }
 
   test("t03 predictions come from the marker language set") {
