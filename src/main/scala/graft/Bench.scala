@@ -42,14 +42,15 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      // 4 decimals (0.1 ms): keeps the one-line JSON inside the
-      // driver's captured log tail (r1's full-precision line overflowed
-      // it and parsed as null).
-      name -> math.rint((System.nanoTime() - t0) / 1e9 * 10000) / 10000
+      // Keys shortened to the unique query prefix ("q01_pricing_summary"
+      // → "q01") and 3 decimals: r2/r3's full-name 4-decimal line
+      // overflowed the driver's captured log tail and parsed as null.
+      name.takeWhile(_ != '_') ->
+        math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = math.rint(results.map(_._2).sum * 10000) / 10000
+    val total = math.rint(results.map(_._2).sum * 1000) / 1000
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -68,6 +68,22 @@ object Recommend {
       .select(col("p.i").as("i"), col("p.j").as("j"))
   }
 
+  /** SYMMETRIC basket pairs (all ordered i ≠ j) in the SAME single
+    * pass — r05/r12 used to union the i<j pairs with their swap,
+    * which re-ran the whole basket aggregation a second time (the
+    * r2→r3 bench doubling on r03/r04's shared scan). Emitting both
+    * orientations from the in-row explode costs nothing extra. */
+  private def pairsOfSym(df: DataFrame, key: String, item: String): DataFrame = {
+    val baskets = df.select(col(key), col(item))
+      .groupBy(key)
+      .agg(sort_array(collect_set(col(item))).as("items"))
+    val pairs = flatten(transform(col("items"), x =>
+      filter(transform(col("items"), y => struct(x.as("i"), y.as("j"))),
+        p => p.getField("i") =!= p.getField("j"))))
+    baskets.select(explode(pairs).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+  }
+
   // r03: item-item co-occurrence counts (same order ⇒ co-occurrence).
   def r03(s: SparkSession, d: String): DataFrame =
     basketPairs(s, d)
@@ -119,10 +135,11 @@ object Recommend {
   def r05(s: SparkSession, d: String): DataFrame = {
     val hist = Ratings.implicitRatings(s, d)
       .filter(col("user_id") < 50).select("user_id", "item_id").distinct()
-    // symmetric co-occurrence (i ≠ j, both directions) from the ordered
-    // basket pairs — union of the two orientations, one extra map stage
-    val bp = basketPairs(s, d)
-    val coSym = bp.union(bp.select(col("j").as("i"), col("i").as("j")))
+    // symmetric co-occurrence (i ≠ j, both directions) emitted in one
+    // basket pass — no union re-running the aggregation
+    val coSym = pairsOfSym(
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey")
       .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
     val scored = hist.join(coSym, hist("item_id") === coSym("i"))
       .groupBy(col("user_id"), col("j").as("rec_item"))
@@ -338,11 +355,10 @@ object Recommend {
     oi.count() // materialize NOW: 4 branches below read it (a lazy
     // cache + early unpersist would recompute the join per branch)
     val train = oi.filter(!col("is_test"))
-    // basket-collect + in-row pair explode (1 shuffle), symmetrized —
-    // same plan as r03/r05, not the 3-shuffle pairwise self-join whose
-    // exchange fans out Σℓ² rows at scale.
-    val bp = pairsOf(train, "ok", "item_id")
-    val co = bp.union(bp.select(col("j").as("i"), col("i").as("j")))
+    // basket-collect + in-row pair explode (1 shuffle), symmetrized
+    // in the same pass — same plan as r03/r05, not the 3-shuffle
+    // pairwise self-join whose exchange fans out Σℓ² rows at scale.
+    val co = pairsOfSym(train, "ok", "item_id")
       .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
     val histTrain = train.filter(col("user_id") < 100)
       .select("user_id", "item_id").distinct()
@@ -518,18 +534,24 @@ object Recommend {
       .withColumn("fa", concat(col("f"),
         array(sqrt(greatest(col("m2") - col("n2"), lit(0.0))))))
       .select(col("item_id"), col("f"), col("fa"))
-    val cents = itemsAug.filter(col("item_id") < 8)
-      .select(col("item_id").as("cent_id"), col("fa").as("cv"),
-        sq(col("fa")).as("c2"))
+    // Coarse quantizer: spherical k-means over the AUGMENTED item
+    // vectors (the at-scale answer — arbitrary item vectors as cells
+    // give unbalanced lists on clustered factor spaces; the trained
+    // centroids are what a real serving index builds from).
+    val cents = Similarity.ivfKMeansCentroids(
+      itemsAug.select(col("item_id").as("vec_id"), col("fa").as("v")),
+      k = 8, seed = 13)
+      .select(col("cent_id"), col("cv"), sq(col("cv")).as("c2"))
     // argmin ‖x−c‖² ≡ argmin (‖c‖² − 2·x·c): one codegen'd dot per
-    // (vector, centroid), no zip_with temp arrays.
+    // (vector, centroid), no zip_with temp arrays. Items take their
+    // cell via hash-agg argmin (min over a lexicographic struct —
+    // map-side partial, no exchange+sort of the items × k fan-out).
     val d2 = col("c2") - lit(2.0) * dot(col("fa"), col("cv"))
-    val wCell = Window.partitionBy("item_id").orderBy(col("d2"), col("cent_id"))
     val indexed = itemsAug.join(broadcast(cents))
       .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("item_id"), col("cent_id").as("cell"), col("f").as("fi"))
+      .groupBy("item_id")
+      .agg(min(struct(col("d2"), col("cent_id"), col("f"))).as("mn"))
+      .select(col("item_id"), col("mn.cent_id").as("cell"), col("mn.f").as("fi"))
     val users = model.userFactors
       .select(col("id").as("user_id"), col("features").cast("array<double>").as("fu"))
       .withColumn("fa", concat(col("fu"), array(lit(0.0))))

@@ -239,19 +239,30 @@ object Similarity {
   // centroid id), probes search only their own cell. At scale the
   // seeds become k-means centroids and the assignment is identical —
   // a broadcast of k vectors against a single corpus scan.
+
+  /** Nearest-centroid assignment as a HASH AGGREGATION: min over a
+    * lexicographic (d2, cent_id, v) struct ≡ the former
+    * row_number().over(orderBy(d2, cent_id)) == 1 window, including
+    * tie-breaks (lower cent_id wins) — but with map-side partial min
+    * and NO exchange+sort of the corpus × centroid fan-out. At 100 TB
+    * the fan-out is corpus × k rows; sorting it was the one systematic
+    * plan anti-pattern in the ANN stack. */
+  private[graft] def nearestCell(e: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    e.join(broadcast(cents))
+      .withColumn("d2", d2)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cent_id"), col("v"))).as("mn"))
+      .select(col("vec_id"), col("mn.cent_id").as("cell"), col("mn.v").as("v"))
+  }
+
   def s05(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-    val assigned = e.join(broadcast(cents))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+    val assigned = nearestCell(e, cents)
     val probe = assigned.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("va"))
     val cand = assigned.select(col("vec_id").as("nn_id"), col("cell"), col("v").as("vb"))
@@ -335,12 +346,11 @@ object Similarity {
         .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+    // corpus side: hash-agg argmin (no sort); probe side: top-nProbe
+    // still needs the window, but that fan-out is probes × k, bounded.
+    val assigned = nearestCell(e, cents)
+      .select(col("vec_id").as("nn_id"), col("cell"), col("v").as("vb"))
     val wCell = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-    val assigned = e.join(broadcast(cents))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("nn_id"), col("cent_id").as("cell"), col("v").as("vb"))
     val probes = e.filter(col("vec_id") < probeBelow).join(broadcast(cents))
       .withColumn("d2", d2)
       .withColumn("rn", row_number().over(wCell))
@@ -404,19 +414,43 @@ object Similarity {
     rows.toDF("m", "cent_id", "cv")
   }
 
-  /** Encode every vector against `cb` (nearest centroid per subspace,
-    * ties → lower cent_id) and reconstruct: (vec_id, r). One corpus
-    * scan × broadcast codebook; the group-back is the only shuffle. */
+  /** PQ encode: (vec_id, m, code) — each vector's nearest codebook
+    * entry per subspace (ties → lower cent_id). The hash-agg argmin
+    * (min over a lexicographic struct, map-side partial) replaces the
+    * former row_number window: no exchange+sort of the corpus ×
+    * codebook fan-out. These M small ints per vector ARE the index's
+    * compressed payload (i05 persists exactly this). */
+  def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
+    val subD2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    pqSubvectors(e).join(broadcast(cb), Seq("m"))
+      .withColumn("d2", subD2)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cent_id"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.cent_id").as("code"))
+  }
+
+  /** PQ decode: codes (vec_id, m, code) × broadcast codebook →
+    * (vec_id, r) reconstructed vectors, subspaces re-ordered in-row. */
+  def pqDecode(codes: DataFrame, cb: DataFrame): DataFrame =
+    codes.join(broadcast(cb),
+      codes("m") === cb("m") && codes("code") === cb("cent_id"))
+      .groupBy(codes("vec_id").as("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(codes("m"), col("cv")))),
+        x => x.getField("cv"))).as("r"))
+
+  /** Encode + reconstruct: (vec_id, r). One corpus scan × broadcast
+    * codebook; the group-backs are the only shuffles. */
   def pqReconstruct(e: DataFrame, cb: DataFrame): DataFrame = {
     val subD2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
-    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cent_id"))
     pqSubvectors(e).join(broadcast(cb), Seq("m"))
       .withColumn("d2", subD2)
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cent_id"), col("cv"))).as("mn"))
       .groupBy("vec_id")
-      .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("cv")))),
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("mn.cv").as("cv")))),
         x => x.getField("cv"))).as("r"))
   }
 
@@ -491,17 +525,11 @@ object Similarity {
   def s07(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // coarse assignment (s05's quantizer: seed vectors vec_id < 10)
+    // coarse assignment (s05's quantizer: seed vectors vec_id < 10),
+    // hash-agg argmin — same plan shape as s05's nearestCell
     val cents = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val cellD2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-    val assigned = e.join(broadcast(cents))
-      .withColumn("d2", cellD2)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+    val assigned = nearestCell(e, cents)
     // PQ encode + reconstruct (s06's codebooks)
     val recon = pqReconstruct(e, pqSeedCodebook(e))
     // search: probe's cell only, ADC over reconstructed candidates
