@@ -596,6 +596,66 @@ object Similarity {
        |  WHERE a.vec_id < 100)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- s08: TRAINED quantizer under the gate ----
+  //
+  // Every other gated ANN query runs the deterministic seed quantizer
+  // (the oracle must reproduce it in SQL). s08 gates the TRAINED path
+  // — spherical-k-means coarse centroids (ivfKMeansCentroids) — via
+  // booleans the oracle can expect without reproducing MLlib:
+  //   full_probe_exact  IVF at nProbe = k (all cells probed) is the
+  //                     brute-force result, bit-exact — the index
+  //                     never loses or duplicates a candidate;
+  //   recall_monotone   hits@nProbe=1 ≤ hits@nProbe=4 — probing more
+  //                     cells never hurts;
+  //   recall_floor_ok   nProbe=1 recall ≥ 15% (the synthetic sphere
+  //                     is structureless, so cells carry little
+  //                     geometry; on clustered corpora this is the
+  //                     number that climbs).
+  // The same error-bound-gating trick as q25/q39.
+
+  /** Exact cosine top-k for probes vec_id < probeBelow — one broadcast
+    * of the probe set against a single corpus scan (s01's shape). */
+  def bruteTopK(e: DataFrame, probeBelow: Long, topK: Int): DataFrame = {
+    val probe = e.filter(col("vec_id") < probeBelow)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    broadcast(probe).join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  def s08(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val trained = ivfKMeansCentroids(e, k = 10, seed = 11)
+    val exact = bruteTopK(e, probeBelow = 100, topK = 3)
+    val exactPairs = exact.select("query_id", "nn_id")
+    val p1 = ivfSearch(e, nProbe = 1, probeBelow = 100, topK = 3, Some(trained))
+    val p4 = ivfSearch(e, nProbe = 4, probeBelow = 100, topK = 3, Some(trained))
+    val pAll = ivfSearch(e, nProbe = 10, probeBelow = 100, topK = 3, Some(trained))
+    val h1 = p1.join(exactPairs, Seq("query_id", "nn_id"), "left_semi")
+      .agg(count(lit(1)).as("h1"))
+    val h4 = p4.join(exactPairs, Seq("query_id", "nn_id"), "left_semi")
+      .agg(count(lit(1)).as("h4"))
+    val allDiff = pAll.exceptAll(exact).agg(count(lit(1)).as("n_diff"))
+    val allRows = pAll.agg(count(lit(1)).as("n_all"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .join(h1).join(h4).join(allDiff).join(allRows)
+      .select(col("n_exact"),
+        (col("n_diff") === 0 && col("n_all") === col("n_exact"))
+          .as("full_probe_exact"),
+        (col("h1") <= col("h4")).as("recall_monotone"),
+        (col("h1") * 20 >= col("n_exact") * 3).as("recall_floor_ok"))
+  }
+
+  val s08Sql: String =
+    """SELECT 300::BIGINT AS n_exact, true AS full_probe_exact,
+      |  true AS recall_monotone, true AS recall_floor_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01 _),
     "s02_knn_bucketed" -> (s02 _),
@@ -603,7 +663,8 @@ object Similarity {
     "s04_knn_multiprobe" -> (s04 _),
     "s05_knn_ivf" -> (s05 _),
     "s06_knn_pq" -> (s06 _),
-    "s07_knn_ivfpq" -> (s07 _))
+    "s07_knn_ivfpq" -> (s07 _),
+    "s08_knn_ivf_trained" -> (s08 _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
@@ -612,5 +673,6 @@ object Similarity {
     "s04_knn_multiprobe" -> s04Sql,
     "s05_knn_ivf" -> s05Sql,
     "s06_knn_pq" -> s06Sql,
-    "s07_knn_ivfpq" -> s07Sql)
+    "s07_knn_ivfpq" -> s07Sql,
+    "s08_knn_ivf_trained" -> s08Sql)
 }
