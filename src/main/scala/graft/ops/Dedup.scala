@@ -476,7 +476,81 @@ object Dedup {
        |JOIN srcmap sb ON cands.b = sb.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // e14: STREAMING near-dup — the ingest-time LLM-pipeline story
+  // (e10 covers exact dedup only). Arriving documents land as parquet
+  // files; each micro-batch computes MinHash bands per arrival and
+  // left-semi joins them against the STATIC corpus band index on
+  // (band, bucket) — the d03 machinery inside Structured Streaming.
+  // Stateless (no watermark, no stream state): the index broadcasts,
+  // so at 100 TB/day of arrivals the per-batch cost is one scan of
+  // the batch; flagged rows go to the sink, a batch rollup counts
+  // matched bands per arrival. The oracle recomputes the identical
+  // signatures/bands for both sides in SQL, so the stream must flag
+  // exactly the right arrivals (exact copies hit on all 4 bands,
+  // tail-modified near copies on the bands their signature slice
+  // survives).
+  def e14(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val arrivals = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft dedup probe tail")).as("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_e14_").toString
+    arrivals.repartition(3).write.mode("overwrite").parquet(dir)
+    val corpusIndex = bands(sigsFor(docs)).select("band", "bucket")
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val flagged = bands(sigsFor(stream))
+      .join(broadcast(corpusIndex), Seq("band", "bucket"), "left_semi")
+    val sink = "graft_e14_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_id")
+  }
+
+  /** e14's transform graph run as plain batch — StreamingSpec pins
+    * stream ≡ batch on the identical arrivals/index inputs. */
+  def e14BatchTwin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val arrivals = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft dedup probe tail")).as("text")))
+    val corpusIndex = bands(sigsFor(docs)).select("band", "bucket")
+    bands(sigsFor(arrivals))
+      .join(broadcast(corpusIndex), Seq("band", "bucket"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_id")
+  }
+
+  val e14Sql: String = {
+    val arrivalsRel =
+      """SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL SELECT doc_id + 1000000, text || ' graft dedup probe tail'
+        |    FROM documents WHERE doc_id % 50 = 0""".stripMargin
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |arrivals AS ($arrivalsRel),
+       |csigs AS (${sqlSignaturesFrom("docs")}),
+       |cbands AS (${sqlBandsFrom("csigs")}),
+       |asigs AS (${sqlSignaturesFrom("arrivals")}),
+       |abands AS (${sqlBandsFrom("asigs")})
+       |SELECT a.doc_id, count(*) AS n_bands
+       |FROM abands a
+       |WHERE EXISTS (SELECT 1 FROM cbands c
+       |              WHERE c.band = a.band AND c.bucket = a.bucket)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_stream_neardup" -> (e14 _),
     "d10_cross_source" -> (d10 _),
     "d09_decontaminate" -> (d09 _),
     "d01_exact_dedup" -> (d01 _),
@@ -489,6 +563,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "e14_stream_neardup" -> e14Sql,
     "d10_cross_source" -> d10Sql,
     "d09_decontaminate" -> d09Sql,
     "d01_exact_dedup" -> d01Sql,

@@ -59,6 +59,15 @@ class StreamingSpec extends SparkSpec {
       s"stream-stream join produced $streamed pairs, batch $batch")
   }
 
+  test("streaming near-dup flags exactly the batch twin's arrivals") {
+    val streamed = ops.Dedup.e14(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = ops.Dedup.e14BatchTwin(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"stream flagged $streamed, batch twin $batch")
+  }
+
   test("stateful sessionization matches batch session counts") {
     val out = streaming.Streams.sessionize(
         streaming.Streams.typedEvents(spark, sf))
