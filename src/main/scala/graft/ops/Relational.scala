@@ -1010,8 +1010,37 @@ object Relational {
       |  FROM orders WHERE o_custkey < 300)
       |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
 
+  // q43: LEFT-OUTER as-of through the custom operator, with NATIVE
+  // timestamp keys (the API's order-preserving long projection) — for
+  // every purchase, the latest signup of the same user at or before
+  // it; users who purchased before ever signing up keep the row with
+  // nulls. Gated against DuckDB's native ASOF LEFT JOIN.
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    graft.plans.AsOf.join(p, su, "user_id", "s_user", "p_ts", "s_ts",
+        joinType = "left_outer")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        col("signup_id"), unix_micros(col("s_ts")).as("signup_us"))
+      .orderBy("event_id")
+  }
+
+  val q43Sql: String =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+      |  s.event_id AS signup_id, epoch_us(s.ts) AS signup_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_asof_outer" -> (q43 _),
     "q42_topk_agg" -> (q42 _),
     "q41_heavy_hitters" -> (q41 _),
     "q39_approx_quantiles" -> (q39 _),
@@ -1097,5 +1126,6 @@ object Relational {
     "q39_approx_quantiles" -> q39Sql,
     "q40_correlation" -> q40Sql,
     "q41_heavy_hitters" -> q41Sql,
-    "q42_topk_agg" -> q42Sql)
+    "q42_topk_agg" -> q42Sql,
+    "q43_asof_outer" -> q43Sql)
 }

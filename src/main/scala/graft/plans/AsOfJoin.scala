@@ -3,13 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeRowJoiner
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types._
 
 /** AS-OF JOIN as a first-class operator: logical node → planner
   * strategy → physical sort-merge exec, the (c) tier of the custom-
@@ -18,21 +18,26 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * can't expose a reusable relational operator).
   *
   * Semantics: for every left row, attach the LAST right row of the
-  * same key with rightTime <= leftTime (inner: unmatched left rows are
-  * dropped) — DuckDB's `ASOF JOIN ... ON l.k = r.k AND l.t >= r.t`.
+  * same key with rightTime <= leftTime — DuckDB's
+  * `ASOF [LEFT] JOIN ... ON l.k = r.k AND l.t >= r.t`. Inner drops
+  * unmatched left rows; left-outer emits them with nulls on the right.
   *
   * Scale shape: both sides hash-cluster on the key and sort by
   * (key, time) — one shuffle each, identical to a sort-merge join —
   * then a single forward-only merge pass per partition. State is ONE
   * buffered right row; no per-key materialization, no range blowup.
   *
-  * Keys and times are required to be LongType (the API casts) — a
-  * deliberate v1 restriction that keeps the merge loop primitive-typed.
+  * The merge loop stays primitive-long: the API layer projects
+  * non-long key/time types (int, timestamp → epoch micros, date →
+  * epoch days) to order-preserving long helper columns before the
+  * plan and drops them after, so the exec never branches on type.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   leftKey: Expression, rightKey: Expression,
-  leftTime: Expression, rightTime: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  leftTime: Expression, rightTime: Expression,
+  isLeftOuter: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++
+    (if (isLeftOuter) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
     newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -40,17 +45,19 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   leftKey: Expression, rightKey: Expression,
-  leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+  leftTime: Expression, rightTime: Expression,
+  isLeftOuter: Boolean) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = left.output ++
+    (if (isLeftOuter) right.output.map(_.withNullability(true)) else right.output)
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
@@ -68,17 +75,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lSchema = StructType(left.output.map(a =>
-      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+      StructField(a.name, a.dataType, a.nullable)))
     val rSchema = StructType(right.output.map(a =>
-      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+      StructField(a.name, a.dataType, a.nullable)))
     val lKeyExprs = Seq(leftKey, leftTime)
     val rKeyExprs = Seq(rightKey, rightTime)
     val lOut = left.output
     val rOut = right.output
+    val outer = isLeftOuter
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rProj = UnsafeProjection.create(rKeyExprs, rOut)
       val joiner = GenerateUnsafeRowJoiner.create(lSchema, rSchema)
+      // all-null right row for outer emission (built once per partition)
+      val nullRight = UnsafeProjection.create(rSchema)(
+        new GenericInternalRow(rSchema.length)).copy()
       val rBuf = rIter.buffered
       var candidate: UnsafeRow = null
       var candidateKey = 0L
@@ -104,6 +115,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (candidate != null && candidateKey == lk) {
               nextRow = joiner.join(l, candidate)
               return true
+            } else if (outer) {
+              nextRow = joiner.join(l, nullRight)
+              return true
             }
           }
           false
@@ -122,29 +136,58 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   * each side (rename before joining if the sides share names). The
   * strategy self-registers on the session via experimental strategies,
   * so the API works on any session — GraftExtensions also injects it
-  * for config-built sessions. */
+  * for config-built sessions. Key/time columns may be long, int,
+  * timestamp, or date; non-long types ride an order-preserving long
+  * helper column projected before the plan and dropped after. */
 object AsOf {
+  import org.apache.spark.sql.functions.{col, datediff, lit, unix_micros}
+
   def join(left: DataFrame, right: DataFrame,
     leftKey: String, rightKey: String,
-    leftTime: String, rightTime: String): DataFrame = {
+    leftTime: String, rightTime: String,
+    joinType: String = "inner"): DataFrame = {
+    val outer = joinType match {
+      case "inner" => false
+      case "left" | "left_outer" => true
+      case t => throw new IllegalArgumentException(
+        s"as-of join supports inner and left_outer, got $t")
+    }
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
-    val lp = Bridge.analyzedPlan(left)
-    val rp = Bridge.analyzedPlan(right)
+
+    // order-preserving long view of a key/time column, added as a
+    // helper column when the native type isn't already long
+    def numericize(df: DataFrame, name: String, helper: String)
+        : (DataFrame, String) =
+      df.schema(name).dataType match {
+        case LongType => (df, name)
+        case ByteType | ShortType | IntegerType =>
+          (df.withColumn(helper, col(name).cast(LongType)), helper)
+        case TimestampType =>
+          (df.withColumn(helper, unix_micros(col(name))), helper)
+        case DateType =>
+          (df.withColumn(helper,
+            datediff(col(name), lit("1970-01-01")).cast(LongType)), helper)
+        case dt => throw new IllegalArgumentException(
+          s"as-of join: unsupported key/time type ${dt.sql} for $name")
+      }
+
+    val (l1, lkName) = numericize(left, leftKey, "__asof_lk")
+    val (l2, ltName) = numericize(l1, leftTime, "__asof_lt")
+    val (r1, rkName) = numericize(right, rightKey, "__asof_rk")
+    val (r2, rtName) = numericize(r1, rightTime, "__asof_rt")
+
+    val lp = Bridge.analyzedPlan(l2)
+    val rp = Bridge.analyzedPlan(r2)
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in [${p.output.map(_.name).mkString(", ")}]"))
-    def longAttr(p: LogicalPlan, name: String): Attribute = {
-      val a = attr(p, name)
-      require(a.dataType == LongType,
-        s"as-of join v1 requires LongType key/time columns; $name is ${a.dataType.sql}")
-      a
-    }
-    Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
-      longAttr(lp, leftKey), longAttr(rp, rightKey),
-      longAttr(lp, leftTime), longAttr(rp, rightTime)))
+    val joined = Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
+      attr(lp, lkName), attr(rp, rkName),
+      attr(lp, ltName), attr(rp, rtName), outer))
+    joined.drop("__asof_lk", "__asof_lt", "__asof_rk", "__asof_rt")
   }
 }

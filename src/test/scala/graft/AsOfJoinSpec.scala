@@ -30,12 +30,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set((1L, 100L, "b"), (1L, 200L, "c"), (2L, 150L, "d")))
   }
 
-  test("non-long key/time columns are rejected with a clear error") {
+  test("unsupported key/time types are rejected with a clear error") {
     val df = Seq(("x", 1L)).toDF("k", "t")
     val e = intercept[IllegalArgumentException] {
       plans.AsOf.join(df, df.select(col("k").as("rk"), col("t").as("rt")),
         "k", "rk", "t", "rt")
     }
-    assert(e.getMessage.contains("LongType"))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("left-outer as-of keeps unmatched left rows with nulls") {
+    val left = Seq((1L, 100L), (3L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 90L, "a"), (3L, 60L, "e")).toDF("rk", "rt", "v")
+    val got = plans.AsOf.join(left, right, "k", "rk", "t", "rt", "left_outer")
+      .select("k", "t", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, 100L, Some("a")), (3L, 50L, None)))
+  }
+
+  test("int and timestamp keys ride the order-preserving long helpers") {
+    val left = Seq((1, "2024-01-01 10:00:00"), (2, "2024-01-01 09:00:00"))
+      .toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((1, "2024-01-01 09:59:59", "hit"),
+      (2, "2024-01-01 09:30:00", "late")) // after left's 09:00 → no match
+      .toDF("rk", "rt", "v").withColumn("rt", col("rt").cast("timestamp"))
+    val got = plans.AsOf.join(left, right, "k", "rk", "t", "rt", "left")
+      .select("k", "v").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1, Some("hit")), (2, None)))
+    // helper columns must not leak into the joined schema
+    val cols = plans.AsOf.join(left, right, "k", "rk", "t", "rt", "left").columns
+    assert(!cols.exists(_.startsWith("__asof")))
+  }
+
+  test("q43 plans through the custom AsOfJoinExec") {
+    val p = ops.Relational.q43(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p.take(1500))
   }
 }
