@@ -203,7 +203,17 @@ object Recommend {
 
   // r06: ALS top-5 per user with seen items excluded (recommend 20,
   // anti-join history, re-rank) — the reference's personal-recs flow.
-  def r06(s: SparkSession, d: String): DataFrame = {
+  // The gated query emits the serving list's CONTRACT as in-query
+  // booleans (the model's item ids aren't SQL-expressible, but the
+  // invariants every serving list must satisfy are): full user
+  // coverage at exactly 5 recs, scores non-increasing in rank, no
+  // already-seen item served. The oracle reproduces n_users from the
+  // ratings and expects every boolean true, so a coverage hole, a
+  // mis-sorted list, or a seen-item leak hash-fails the round.
+
+  /** The exact top-5-unseen-per-user list itself (RecommendSpec gates
+    * it row-wise; r16 measures ANN overlap against it). */
+  def alsTop5(s: SparkSession, d: String): DataFrame = {
     val model = alsModel(s, d)
     val recs = model.recommendForAllUsers(20)
       .select(col("user_id"), explode(col("recommendations")).as("rec"))
@@ -214,9 +224,34 @@ object Recommend {
     val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("item_id"))
     unseen.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select("user_id", "rank", "item_id")
-      .orderBy("user_id", "rank")
+      .select("user_id", "rank", "item_id", "score")
   }
+
+  def r06(s: SparkSession, d: String): DataFrame = {
+    val top5 = alsTop5(s, d)
+    val seen = Ratings.implicitRatings(s, d).select("user_id", "item_id")
+    val wu = Window.partitionBy("user_id").orderBy("rank")
+    val viol = top5.withColumn("prev", lag(col("score"), 1).over(wu))
+      .filter(col("prev").isNotNull && col("prev") < col("score"))
+      .agg(count(lit(1)).as("n_viol"))
+    val leak = top5.join(seen, Seq("user_id", "item_id"), "left_semi")
+      .agg(count(lit(1)).as("n_leak"))
+    val cover = top5.agg(countDistinct("user_id").as("n_rec_users"),
+      count(lit(1)).as("n_recs"))
+    Ratings.implicitRatings(s, d).agg(countDistinct("user_id").as("n_users"))
+      .join(cover).join(viol).join(leak)
+      .select(col("n_users"),
+        (col("n_rec_users") === col("n_users") &&
+          col("n_recs") === col("n_users") * 5).as("coverage_ok"),
+        (col("n_viol") === 0).as("sorted_ok"),
+        (col("n_leak") === 0).as("unseen_ok"))
+  }
+
+  val r06Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings})
+       |SELECT count(DISTINCT user_id) AS n_users, true AS coverage_ok,
+       |  true AS sorted_ok, true AS unseen_ok
+       |FROM ratings""".stripMargin
 
   // r07: the factor matrices — the factorization itself as data.
   def r07(s: SparkSession, d: String): DataFrame = {
@@ -431,16 +466,45 @@ object Recommend {
   }
 
   // r13: top-K USERS per item (recommendForAllItems) — the other half
-  // of the reference's serving surface (r06 is items-per-user).
-  // Rows-only (model output); shape/rank checked in RecommendSpec.
-  def r13(s: SparkSession, d: String): DataFrame = {
-    val model = alsModel(s, d)
-    model.recommendForAllItems(5)
+  // of the reference's serving surface (r06 is items-per-user). Gated
+  // the same way as r06: the list's contract as in-query booleans
+  // against SQL-derivable counts (every trained item serves exactly 5
+  // users, scores non-increasing, every served user exists in the
+  // ratings).
+
+  /** The per-item top-5-users list (RecommendSpec gates it row-wise). */
+  def itemTopUsers(s: SparkSession, d: String): DataFrame =
+    alsModel(s, d).recommendForAllItems(5)
       .select(col("item_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
-      .select(col("item_id"), (col("pos") + 1).as("rank"),
-        col("rec.user_id").as("user_id"))
-      .orderBy("item_id", "rank")
+      .select(col("item_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("rec.user_id").as("user_id"), col("rec.rating").as("score"))
+
+  def r13(s: SparkSession, d: String): DataFrame = {
+    val recs = itemTopUsers(s, d)
+    val wi = Window.partitionBy("item_id").orderBy("rank")
+    val viol = recs.withColumn("prev", lag(col("score"), 1).over(wi))
+      .filter(col("prev").isNotNull && col("prev") < col("score"))
+      .agg(count(lit(1)).as("n_viol"))
+    val users = Ratings.implicitRatings(s, d)
+      .select(col("user_id").cast("int").as("user_id")).distinct()
+    val badUser = recs.join(users, Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("n_bad_user"))
+    val cover = recs.agg(countDistinct("item_id").as("n_rec_items"),
+      count(lit(1)).as("n_rows"))
+    Ratings.implicitRatings(s, d).agg(countDistinct("item_id").as("n_items"))
+      .join(cover).join(viol).join(badUser)
+      .select(col("n_items"),
+        (col("n_rec_items") === col("n_items") &&
+          col("n_rows") === col("n_items") * 5).as("coverage_ok"),
+        (col("n_viol") === 0).as("sorted_ok"),
+        (col("n_bad_user") === 0).as("users_valid_ok"))
   }
+
+  val r13Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings})
+       |SELECT count(DISTINCT item_id) AS n_items, true AS coverage_ok,
+       |  true AS sorted_ok, true AS users_valid_ok
+       |FROM ratings""".stripMargin
 
   // r14: the reference's core evaluation loop — EXPLICIT-feedback ALS
   // trained on a held-out split, scored by prediction RMSE. The
@@ -603,6 +667,8 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r06_als_recommend" -> r06Sql,
+    "r13_item_users" -> r13Sql,
     "r15_model_persist" -> r15Sql,
     "r12_cf_precision" -> r12Sql,
     "r09_rating_histogram" -> r09Sql,

@@ -24,13 +24,18 @@ class RecommendSpec extends SparkSpec {
     assert(recs.join(hist, Seq("user_id", "rec_item"), "left_semi").count() == 0)
   }
 
-  test("r06 ALS recs: 5 per user, unseen only") {
-    val recs = ops.Recommend.r06(spark, sf).cache()
+  test("r06 ALS recs: 5 per user, unseen only, gates all true") {
+    val recs = ops.Recommend.alsTop5(spark, sf).cache()
     val perUser = recs.groupBy("user_id").count().collect()
     assert(perUser.forall(_.getAs[Long]("count") <= 5))
     val seen = etl.Ratings.implicitRatings(spark, sf).select("user_id", "item_id")
     assert(recs.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
     recs.unpersist()
+    val gates = ops.Recommend.r06(spark, sf).collect().head
+    assert(gates.getAs[Long]("n_users") > 0)
+    assert(gates.getAs[Boolean]("coverage_ok"))
+    assert(gates.getAs[Boolean]("sorted_ok"))
+    assert(gates.getAs[Boolean]("unseen_ok"))
   }
 
   test("r11 factor neighbors: 5 ranked per probe, cosine in [-1,1]") {
@@ -49,7 +54,7 @@ class RecommendSpec extends SparkSpec {
   }
 
   test("r13 item→users: ≤5 ranked users per item, every item covered") {
-    val rows = ops.Recommend.r13(spark, sf).collect()
+    val rows = ops.Recommend.itemTopUsers(spark, sf).collect()
     val byItem = rows.groupBy(_.getAs[Int]("item_id"))
     assert(byItem.nonEmpty)
     assert(byItem.values.forall { rs =>
@@ -57,6 +62,10 @@ class RecommendSpec extends SparkSpec {
     })
     val nItems = ops.Recommend.alsModel(spark, sf).itemFactors.count()
     assert(byItem.size == nItems, s"${byItem.size} items with recs vs $nItems factors")
+    val gates = ops.Recommend.r13(spark, sf).collect().head
+    assert(gates.getAs[Boolean]("coverage_ok"))
+    assert(gates.getAs[Boolean]("sorted_ok"))
+    assert(gates.getAs[Boolean]("users_valid_ok"))
   }
 
   test("r14 explicit ALS beats the item-mean baseline on the same split") {
@@ -90,7 +99,7 @@ class RecommendSpec extends SparkSpec {
 
   test("r16 ANN serving recovers most of the exact top-5 from 2/8 cells") {
     import org.apache.spark.sql.functions._
-    val exact = ops.Recommend.r06(spark, sf).select("user_id", "item_id")
+    val exact = ops.Recommend.alsTop5(spark, sf).select("user_id", "item_id")
     val ann = ops.Recommend.r16(spark, sf).select("user_id", "item_id")
     val nUsers = exact.select("user_id").distinct().count()
     val hits = exact.join(ann, Seq("user_id", "item_id")).count()
