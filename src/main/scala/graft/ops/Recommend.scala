@@ -253,20 +253,29 @@ object Recommend {
        |  true AS sorted_ok, true AS unseen_ok
        |FROM ratings""".stripMargin
 
-  // r07: the factor matrices — the factorization itself as data.
+  // r07: the factor matrices — the factorization itself as data. Fully
+  // hash-gated: ALS emits exactly one rank-8 factor row per distinct
+  // item in the ratings, and that contract IS the query output.
   def r07(s: SparkSession, d: String): DataFrame = {
     val model = alsModel(s, d)
     model.itemFactors
-      .select(col("id").as("item_id"), size(col("features")).as("rank"))
+      .select(col("id").cast("long").as("item_id"), size(col("features")).as("rank"))
       .orderBy("item_id")
   }
+
+  val r07Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings})
+       |SELECT DISTINCT item_id, 8 AS rank FROM ratings ORDER BY item_id""".stripMargin
 
   // r11: "similar items" from the factor space — cosine between ALS
   // item factors (probe items × all items, probes broadcast, scored by
   // the native CosineSimilarity expression). The latent-factor
-  // neighbor list is the reference's similar-movies feature. Rows-only
-  // (factors are model output); structure checked in ScalaTest.
-  def r11(s: SparkSession, d: String): DataFrame = {
+  // neighbor list is the reference's similar-movies feature. Gated via
+  // the list's contract: 5 neighbors per probe, cosine within [-1, 1],
+  // non-increasing in rank, probes = ratings items below 20.
+
+  /** The neighbor list itself (RecommendSpec checks it row-wise). */
+  def itemNeighbors(s: SparkSession, d: String): DataFrame = {
     val model = alsModel(s, d)
     val factors = model.itemFactors
       .select(col("id").cast("long").as("item_id"),
@@ -281,8 +290,31 @@ object Recommend {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("probe_item", "rank", "item_id", "cos")
-      .orderBy("probe_item", "rank")
   }
+
+  def r11(s: SparkSession, d: String): DataFrame = {
+    val nb = itemNeighbors(s, d)
+    val wp = Window.partitionBy("probe_item").orderBy("rank")
+    val viol = nb.withColumn("prev", lag(col("cos"), 1).over(wp))
+      .filter(col("prev").isNotNull && col("prev") < col("cos"))
+      .agg(count(lit(1)).as("n_viol"))
+    val range = nb.agg(max(abs(col("cos"))).as("max_abs"),
+      countDistinct("probe_item").as("n_probes"), count(lit(1)).as("n_rows"))
+    Ratings.implicitRatings(s, d).filter(col("item_id") < 20)
+      .agg(countDistinct("item_id").as("n_probe_items"))
+      .join(range).join(viol)
+      .select(col("n_probe_items"),
+        (col("n_probes") === col("n_probe_items") &&
+          col("n_rows") === col("n_probe_items") * 5).as("coverage_ok"),
+        (col("max_abs") <= 1.000001).as("cos_range_ok"),
+        (col("n_viol") === 0).as("sorted_ok"))
+  }
+
+  val r11Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings})
+       |SELECT count(DISTINCT item_id) AS n_probe_items, true AS coverage_ok,
+       |  true AS cos_range_ok, true AS sorted_ok
+       |FROM ratings WHERE item_id < 20""".stripMargin
 
   // r08: deterministic hash split + RMSE of the item-mean baseline —
   // the reference's evaluation loop, oracle-checkable because the
@@ -512,8 +544,12 @@ object Recommend {
   // structure (1..5 "stars"), so the factorization must actually fit
   // something: RecommendSpec asserts ALS RMSE beats the item-mean
   // baseline on the same split, and rmse_ok gates the range in-query.
-  // Rows-only: the model's predictions aren't SQL-expressible.
-  def r14(s: SparkSession, d: String): DataFrame = {
+  // Gated: n_train/n_test derive from the hash split in SQL (the
+  // oracle reproduces coldStartStrategy=drop by counting only test
+  // rows whose user AND item appear in train), rmse itself reduces to
+  // an in-range boolean. The rmse VALUE feeds RecommendSpec's
+  // beats-the-baseline assertion via r14Eval.
+  def r14Eval(s: SparkSession, d: String): DataFrame = {
     val stars = Ratings.implicitRatings(s, d)
       .select(col("user_id").cast("int").as("user_id"),
         col("item_id").cast("int").as("item_id"))
@@ -539,6 +575,23 @@ object Recommend {
       count(lit(1)).as("n_test"),
       round(sqrt(avg(pow(col("rating") - col("prediction"), 2))), 4).as("rmse"))
       .withColumn("rmse_ok", col("rmse") > 0.0 && col("rmse") < 0.6)
+  }
+
+  def r14(s: SparkSession, d: String): DataFrame =
+    r14Eval(s, d).select("n_train", "n_test", "rmse_ok")
+
+  val r14Sql: String = {
+    val split = Split.sqlIsTest(Seq("user_id", "item_id"))
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |tagged AS (SELECT user_id, item_id, $split AS is_test FROM ratings),
+       |train AS (SELECT * FROM tagged WHERE NOT is_test),
+       |test AS (SELECT * FROM tagged WHERE is_test)
+       |SELECT (SELECT count(*) FROM train) AS n_train,
+       |  (SELECT count(*) FROM test t
+       |   WHERE EXISTS (SELECT 1 FROM train u WHERE u.user_id = t.user_id)
+       |     AND EXISTS (SELECT 1 FROM train i WHERE i.item_id = t.item_id))
+       |    AS n_test,
+       |  true AS rmse_ok""".stripMargin
   }
 
   // r15: model persistence — any real serving flow round-trips the
@@ -581,12 +634,19 @@ object Recommend {
   // each item vector with sqrt(max‖i‖² − ‖i‖²) (Bachrach et al. 2014,
   // the Xbox transform): all items land on a sphere where cosine
   // order ≡ dot order, and queries get a 0 in the new dimension.
-  // Then the s05 IVF shape over the augmented vectors: seed coarse
+  // Then the s05 IVF shape over the augmented vectors: trained coarse
   // centroids, items shuffle once on their home cell, each user
   // probes its 2 nearest cells — scoring ~2/8 of the catalog instead
-  // of all of it. Overlap@5 vs the exact r06 is pinned in ScalaTest.
-  // Rows-only (model output), like every ALS query.
-  def r16(s: SparkSession, d: String): DataFrame = {
+  // of all of it. GATED in-query: the same index served at FULL probe
+  // coverage (all 8 cells = every item scored exactly once) is the
+  // exact result, and the 2-cell list must recover ≥ half of it —
+  // recall becomes a driver-checked boolean, not just a ScalaTest
+  // assertion. Overlap vs MLlib's own recommendForAllUsers stays
+  // pinned in RecommendSpec via annTop5.
+
+  /** Build the ANN index once, serve top-5 at two probe depths:
+    * (2-cell approximate, all-cell exact). */
+  private def annPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val model = alsModel(s, d)
     val dot = graft.functions.VectorOps.dotProduct _
     val sq = (c: Column) => dot(c, c)
@@ -620,11 +680,9 @@ object Recommend {
       .select(col("id").as("user_id"), col("features").cast("array<double>").as("fu"))
       .withColumn("fa", concat(col("fu"), array(lit(0.0))))
     val wProbe = Window.partitionBy("user_id").orderBy(col("d2"), col("cent_id"))
-    val probes = users.join(broadcast(cents))
+    val ranked = users.join(broadcast(cents))
       .withColumn("d2", d2)
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
-      .select(col("user_id"), col("cent_id").as("cell"), col("fu"))
     val seen = Ratings.implicitRatings(s, d).select("user_id", "item_id")
     // The fan-out (users × probed-cell items) must never hit a sort
     // or an exchange: the item index broadcasts (a catalog of 8-dim
@@ -634,19 +692,47 @@ object Recommend {
     // The sort-based window formulation here measured 33–95s at
     // sf0.1; this shape ~5s. Then the r06 discipline: anti-join seen
     // on the survivors, re-rank to 5.
-    val top20 = probes.join(broadcast(indexed), Seq("cell"))
-      .withColumn("score", dot(col("fu"), col("fi")))
-      .groupBy("user_id")
-      .agg(graft.functions.TopKAgg.topK(col("score"), col("item_id"), 20).as("tk"))
-      .select(col("user_id"), explode(col("tk")).as("t"))
-      .select(col("user_id"), col("t.id").as("item_id"), col("t.score").as("score"))
-    val wRank = Window.partitionBy("user_id").orderBy(col("score").desc, col("item_id"))
-    top20.join(seen, Seq("user_id", "item_id"), "left_anti")
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 5)
-      .select("user_id", "rank", "item_id")
-      .orderBy("user_id", "rank")
+    def topOf(nProbe: Int): DataFrame = {
+      val probes = ranked.filter(col("rn") <= nProbe)
+        .select(col("user_id"), col("cent_id").as("cell"), col("fu"))
+      val top20 = probes.join(broadcast(indexed), Seq("cell"))
+        .withColumn("score", dot(col("fu"), col("fi")))
+        .groupBy("user_id")
+        .agg(graft.functions.TopKAgg.topK(col("score"), col("item_id"), 20).as("tk"))
+        .select(col("user_id"), explode(col("tk")).as("t"))
+        .select(col("user_id"), col("t.id").as("item_id"), col("t.score").as("score"))
+      val wRank = Window.partitionBy("user_id").orderBy(col("score").desc, col("item_id"))
+      top20.join(seen, Seq("user_id", "item_id"), "left_anti")
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select("user_id", "rank", "item_id")
+    }
+    (topOf(2), topOf(8))
   }
+
+  /** The 2-cell ANN-served top-5 list (RecommendSpec measures its
+    * overlap against MLlib's exact alsTop5). */
+  def annTop5(s: SparkSession, d: String): DataFrame = annPair(s, d)._1
+
+  def r16(s: SparkSession, d: String): DataFrame = {
+    val (ann, full) = annPair(s, d)
+    val hits = ann.join(full.select("user_id", "item_id"),
+      Seq("user_id", "item_id"), "left_semi").agg(count(lit(1)).as("n_hits"))
+    val cover = ann.agg(countDistinct("user_id").as("n_ann_users"),
+      count(lit(1)).as("n_ann_rows"))
+    Ratings.implicitRatings(s, d).agg(countDistinct("user_id").as("n_users"))
+      .join(cover).join(hits)
+      .select(col("n_users"),
+        (col("n_ann_users") === col("n_users") &&
+          col("n_ann_rows") === col("n_users") * 5).as("coverage_ok"),
+        (col("n_hits") * 2 >= col("n_users") * 5).as("overlap_ok"))
+  }
+
+  val r16Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings})
+       |SELECT count(DISTINCT user_id) AS n_users, true AS coverage_ok,
+       |  true AS overlap_ok
+       |FROM ratings""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r16_ann_serving" -> (r16 _),
@@ -668,7 +754,11 @@ object Recommend {
 
   val oracles: Map[String, String] = Map(
     "r06_als_recommend" -> r06Sql,
+    "r07_als_item_factors" -> r07Sql,
+    "r11_als_item_neighbors" -> r11Sql,
     "r13_item_users" -> r13Sql,
+    "r14_als_rmse" -> r14Sql,
+    "r16_ann_serving" -> r16Sql,
     "r15_model_persist" -> r15Sql,
     "r12_cf_precision" -> r12Sql,
     "r09_rating_histogram" -> r09Sql,

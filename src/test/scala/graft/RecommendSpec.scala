@@ -39,11 +39,15 @@ class RecommendSpec extends SparkSpec {
   }
 
   test("r11 factor neighbors: 5 ranked per probe, cosine in [-1,1]") {
-    val rows = ops.Recommend.r11(spark, sf).collect()
+    val rows = ops.Recommend.itemNeighbors(spark, sf).collect()
     val byProbe = rows.groupBy(_.getAs[Long]("probe_item"))
     assert(byProbe.nonEmpty)
     assert(byProbe.values.forall(_.length == 5))
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+    val gates = ops.Recommend.r11(spark, sf).collect().head
+    assert(gates.getAs[Boolean]("coverage_ok"))
+    assert(gates.getAs[Boolean]("cos_range_ok"))
+    assert(gates.getAs[Boolean]("sorted_ok"))
   }
 
   test("r08 baseline rmse is a positive scalar") {
@@ -69,7 +73,7 @@ class RecommendSpec extends SparkSpec {
   }
 
   test("r14 explicit ALS beats the item-mean baseline on the same split") {
-    val row = ops.Recommend.r14(spark, sf).collect().head
+    val row = ops.Recommend.r14Eval(spark, sf).collect().head
     val alsRmse = row.getAs[Double]("rmse")
     assert(row.getAs[Boolean]("rmse_ok"), s"rmse out of range: $alsRmse")
     // item-mean baseline on the SAME synthetic ratings + split
@@ -100,7 +104,7 @@ class RecommendSpec extends SparkSpec {
   test("r16 ANN serving recovers most of the exact top-5 from 2/8 cells") {
     import org.apache.spark.sql.functions._
     val exact = ops.Recommend.alsTop5(spark, sf).select("user_id", "item_id")
-    val ann = ops.Recommend.r16(spark, sf).select("user_id", "item_id")
+    val ann = ops.Recommend.annTop5(spark, sf).select("user_id", "item_id")
     val nUsers = exact.select("user_id").distinct().count()
     val hits = exact.join(ann, Seq("user_id", "item_id")).count()
     val overlap = hits.toDouble / (nUsers * 5)
