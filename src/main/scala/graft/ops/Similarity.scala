@@ -596,6 +596,101 @@ object Similarity {
        |  WHERE a.vec_id < 100)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- OPQ: Optimized Product Quantization (Ge et al., CVPR 2013) ----
+  //
+  // PQ quantizes each 8-dim slice independently; when variance is
+  // correlated across slice boundaries the per-subspace codebooks
+  // waste budget. OPQ learns an orthogonal rotation R applied before
+  // slicing, alternating two exact minimization steps:
+  //   (1) fix R → train per-subspace k-means codebooks on R·x;
+  //   (2) fix the codes → solve the orthogonal Procrustes problem:
+  //       R = V·Uᵀ from the SVD of M = Σ x·x̂ᵀ (original × current
+  //       reconstruction), the closed-form tr(R·M) maximizer.
+  // Rotations preserve L2, so searching in rotated space returns
+  // original-space neighbors. The objective (total quantization
+  // error) is non-increasing across iterations — OpsSpec pins that
+  // plus R's orthogonality and search recall.
+
+  /** R·v for every vector — dense 64×64 matvec per row: genuine
+    * per-partition imperative work (the mapPartitions tier), used
+    * only inside index TRAINING, never in a gated query plan. */
+  def rotateVecs(e: DataFrame, rot: Array[Array[Double]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rot)
+    e.select(col("vec_id").cast("long"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { case (id, v) =>
+          val x = v.toArray
+          val out = new Array[Double](r.length)
+          var i = 0
+          while (i < r.length) {
+            val ri = r(i); var s = 0.0; var j = 0
+            while (j < x.length) { s += ri(j) * x(j); j += 1 }
+            out(i) = s; i += 1
+          }
+          (id, out)
+        }
+      }.toDF("vec_id", "v")
+  }
+
+  def identityRotation(dim: Int = PQ_M * PQ_DIM): Array[Array[Double]] =
+    Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** Procrustes step: one distributed pass accumulates the 64×64
+    * cross-gram M = Σ x·x̂ᵀ (32 KB — trivially mergeable), then a
+    * local SVD on the driver. */
+  private def procrustesRotation(orig: DataFrame, recon: DataFrame)
+      : Array[Array[Double]] = {
+    val dim = PQ_M * PQ_DIM
+    val pairs = orig.select(col("vec_id"), col("v"))
+      .join(recon, "vec_id").select(col("v"), col("r"))
+    val m = pairs.rdd.treeAggregate(new Array[Double](dim * dim))(
+      (acc, row) => {
+        val x = row.getSeq[Double](0); val y = row.getSeq[Double](1)
+        var i = 0
+        while (i < dim) {
+          val xi = x(i); var j = 0
+          while (j < dim) { acc(i * dim + j) += xi * y(j); j += 1 }
+          i += 1
+        }
+        acc
+      },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val mb = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => m(i * dim + j))
+    val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mb)
+    val rb = (u * vt).t // R = V·Uᵀ
+    Array.tabulate(dim, dim)((i, j) => rb(i, j))
+  }
+
+  /** Alternating OPQ training: returns (rotation, codebook trained on
+    * the rotated corpus). iters=1 with the identity start IS plain
+    * k-means PQ. */
+  def pqOpqTrain(e: DataFrame, iters: Int = 3, k: Int = PQ_KS,
+    seed: Long = 7): (Array[Array[Double]], DataFrame) = {
+    var rot = identityRotation()
+    var cb: DataFrame = null
+    for (it <- 1 to iters) {
+      val re = rotateVecs(e, rot)
+      cb = pqKMeansCodebook(re, k, seed)
+      if (it < iters)
+        rot = procrustesRotation(e, pqReconstruct(re, cb))
+    }
+    (rot, cb)
+  }
+
+  /** Total squared quantization error of (rotation, codebook) — the
+    * objective OPQ minimizes; OpsSpec pins it non-increasing vs the
+    * identity rotation. */
+  def pqError(e: DataFrame, rot: Array[Array[Double]], cb: DataFrame): Double = {
+    val re = rotateVecs(e, rot)
+    re.join(pqReconstruct(re, cb), "vec_id")
+      .select(aggregate(zip_with(col("v"), col("r"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("e2"))
+      .agg(sum("e2")).collect()(0).getDouble(0)
+  }
+
   // ---- s08: TRAINED quantizer under the gate ----
   //
   // Every other gated ANN query runs the deterministic seed quantizer

@@ -174,6 +174,48 @@ class OpsSpec extends SparkSpec {
     assert(kmRecall > seedRecall, s"kmeans $kmRecall vs seed $seedRecall")
   }
 
+  test("OPQ: orthogonal rotation, non-increasing error, recall holds") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (rot, cb) = ops.Similarity.pqOpqTrain(e, iters = 3)
+    // R must stay orthogonal: max |RᵀR − I| ~ 0
+    val dim = rot.length
+    val maxDev = (for (i <- 0 until dim; j <- 0 until dim) yield {
+      val dot = (0 until dim).map(k => rot(k)(i) * rot(k)(j)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    assert(maxDev < 1e-8, s"RᵀR deviates from I by $maxDev")
+    // the alternating minimization must not increase the objective
+    // vs plain k-means PQ (identity rotation, same seed)
+    val errPlain = ops.Similarity.pqError(e, ops.Similarity.identityRotation(),
+      ops.Similarity.pqKMeansCodebook(e))
+    val errOpq = ops.Similarity.pqError(e, rot, cb)
+    assert(errOpq <= errPlain * 1.02,
+      s"OPQ error $errOpq vs plain PQ $errPlain")
+    // rotated-space search still finds original-space neighbors
+    // (rotation preserves L2): recall clears the seed-codebook floor
+    val re = ops.Similarity.rotateVecs(e, rot)
+    val got = ops.Similarity.pqSearch(re,
+        ops.Similarity.pqReconstruct(re, cb), probeBelow = 50, topK = 3)
+      .collect().groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+    import org.apache.spark.sql.expressions.Window
+    val d2 = aggregate(zip_with(col("q"), col("vb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("nn_id"))
+    val exact = broadcast(e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("v").as("q")))
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("query_id", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rs = exact.map { case (q, ex) => (got.getOrElse(q, Set.empty) & ex).size / 3.0 }
+    val recall = rs.sum / rs.size
+    assert(recall >= 0.15, s"OPQ search recall $recall")
+  }
+
   test("IVF recall rises with nProbe and reaches exact at full coverage") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sf)
