@@ -53,10 +53,10 @@ object Dedup {
       i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))
 
   private val sqlShingles: String =
-    """list_transform(range(len(string_split(text, ' ')) - 2),
-      |    i -> string_split(text, ' ')[i + 1] || ' ' ||
-      |         string_split(text, ' ')[i + 2] || ' ' ||
-      |         string_split(text, ' ')[i + 3])""".stripMargin
+    """list_transform(range(len(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) - 2),
+      |    i -> regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')[i + 1] || ' ' ||
+      |         regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')[i + 2] || ' ' ||
+      |         regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')[i + 3])""".stripMargin
 
   /** doc_id + minhash signature array over shingle hash56 values.
     * Staged through materialized columns (toks → sh → hs → sig): each
@@ -66,7 +66,7 @@ object Dedup {
     * md5/shingle subtree). */
   private def sigsFor(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles(col("toks")))
       .withColumn("hs", transform(col("sh"), t => Hashing.hash56(t)))
@@ -85,7 +85,7 @@ object Dedup {
        |  SELECT doc_id, list_transform($sqlShingles,
        |    t -> ${Hashing.sqlHash56("t")}) AS sh
        |  FROM $rel
-       |  WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+       |  WHERE len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) >= 3)""".stripMargin
   }
 
   private def sqlSignatures: String = sqlSignaturesFrom("corpus")
@@ -178,7 +178,7 @@ object Dedup {
   // d04: verify candidates with exact shingle-set Jaccard ≥ 0.6.
   def d04(s: SparkSession, d: String): DataFrame = {
     val sh = corpus(s, d)
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
     val cands = candidates(s, d)
@@ -197,7 +197,7 @@ object Dedup {
     s"""$sqlDedupPrefix,
        |sh AS (
        |  SELECT doc_id, list_distinct($sqlShingles) AS sh
-       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3)
+       |  FROM corpus WHERE len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) >= 3)
        |SELECT a, b, inter, uni, jaccard FROM (
        |  SELECT a, b,
        |    len(list_intersect(sa.sh, sb.sh)) AS inter,
@@ -211,7 +211,7 @@ object Dedup {
   // d05: 48-bit SimHash fingerprint per doc (unigram token hashes).
   def d05(s: SparkSession, d: String): DataFrame =
     corpus(s, d)
-      .withColumn("hs", transform(split(col("text"), " "), t => Hashing.hash48(t)))
+      .withColumn("hs", transform(graft.functions.TextNorm.tokens(col("text")), t => Hashing.hash48(t)))
       .select(col("doc_id"), Hashing.simhash48(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
@@ -224,7 +224,7 @@ object Dedup {
        |             THEN 1 ELSE -1 END)) > 0
        |      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
        |FROM (
-       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |  SELECT doc_id, list_transform(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
        |    t -> ${Hashing.sqlHash48("t")}) AS hs
        |  FROM corpus)
        |ORDER BY doc_id""".stripMargin

@@ -18,7 +18,11 @@ import graft.functions.Hashing
   */
 object TextOps {
 
-  private def tokens: Column = split(col("text"), " ")
+  // Engine-wide tokenizer: NFC normalization + letter/digit-run
+  // extraction (graft.functions.TextNorm) — survives punctuation and
+  // mixed-script text where split-on-space collapses a clause into
+  // one token; identical token stream on clean space-separated ASCII.
+  private def tokens: Column = graft.functions.TextNorm.tokens(col("text"))
 
   // t01: token counts per document.
   def t01(s: SparkSession, d: String): DataFrame =
@@ -30,9 +34,9 @@ object TextOps {
       .orderBy("doc_id")
 
   val t01Sql: String =
-    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
-      |  list_sum(list_transform(string_split(text, ' '), t -> len(t)))::BIGINT
+    """SELECT doc_id, len(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) AS n_tokens,
+      |  len(list_distinct(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+'))) AS n_distinct,
+      |  list_sum(list_transform(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+'), t -> len(t)))::BIGINT
       |    AS n_token_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -59,8 +63,8 @@ object TextOps {
        |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
        |        (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6) AS quality
        |FROM (
-       |  SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens,
-       |    len(list_filter(string_split(text, ' '),
+       |  SELECT doc_id, n_chars, len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) AS n_tokens,
+       |    len(list_filter(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
        |        t -> list_contains($stopList, t))) AS n_stop
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
@@ -98,7 +102,7 @@ object TextOps {
   val t03Sql: String = {
     val countExprs = markers.map { case (lang, words) =>
       val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS c_$lang"
+      s"len(list_filter(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'), t -> list_contains($arr, t))) AS c_$lang"
     }.mkString(",\n    ")
     val langs = markers.map(_._1)
     val caseExpr = langs.init.zipWithIndex.map { case (lang, i) =>
@@ -149,7 +153,7 @@ object TextOps {
     """SELECT trigram, count(*) AS cnt FROM (
       |  SELECT unnest(list_transform(range(len(toks) - 2),
       |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS trigram
-      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+      |  FROM (SELECT regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+') AS toks FROM documents)
       |  WHERE len(toks) >= 3)
       |GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT 20""".stripMargin
 
@@ -176,7 +180,7 @@ object TextOps {
 
   private def sourceSigs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("hs", transform(split(col("text"), " "),
+      .withColumn("hs", transform(graft.functions.TextNorm.tokens(col("text")),
         t => graft.functions.Hashing.hash56(t)))
       .groupBy("source")
       .agg(graft.functions.MinHashAgg.minhashAgg(col("hs"), SRC_K).as("sig"))
@@ -187,7 +191,7 @@ object TextOps {
     }
     s"""SELECT source, [${mins.mkString(",\n    ")}] AS sig
        |FROM (SELECT source,
-       |        unnest(list_transform(string_split(text, ' '),
+       |        unnest(list_transform(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
        |          t -> ${graft.functions.Hashing.sqlHash56("t")})) AS h
        |      FROM documents)
        |GROUP BY 1""".stripMargin
@@ -250,7 +254,7 @@ object TextOps {
     // token hashes staged through a materialized column (expression-
     // staging discipline, SURVEY §5) before the per-window fold
     val hs = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), graft.functions.TextNorm.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= rkW)
       .select(col("doc_id"),
         transform(col("toks"), t => graft.functions.Hashing.hash56(t)).as("hs"))
@@ -269,9 +273,9 @@ object TextOps {
   val t09Sql: String = {
     val plist = rkPows.mkString("[", ", ", "]")
     s"""WITH th AS (
-       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |  SELECT doc_id, list_transform(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
        |    tk -> ${graft.functions.Hashing.sqlHash56("tk")}) AS hs
-       |  FROM documents WHERE len(string_split(text, ' ')) >= $rkW
+       |  FROM documents WHERE len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) >= $rkW
        |), w AS (
        |  SELECT doc_id, unnest(range(1, len(hs) - ${rkW - 2})) AS pos, hs FROM th
        |), fps AS (
@@ -315,7 +319,7 @@ object TextOps {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
     val nDocs = lit(200.0)
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), explode(graft.functions.TextNorm.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -332,7 +336,7 @@ object TextOps {
   val t11Sql: String =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       |tf AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  SELECT doc_id, unnest(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) AS token
       |  FROM docs),
       |tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY 1, 2),
       |dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1)
@@ -409,8 +413,8 @@ object TextOps {
 
   val t13Sql: String =
     """WITH docs AS (
-      |  SELECT string_split(text, ' ') AS toks FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 2),
+      |  SELECT regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+') AS toks FROM documents
+      |  WHERE len(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) >= 2),
       |uni AS (
       |  SELECT w, count(*) AS n_w
       |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY 1),

@@ -4,6 +4,24 @@ import org.apache.spark.sql.functions._
 
 class MinHashSigSpec extends SparkSpec {
 
+  test("TextNorm tokenizes punctuated/mixed-form unicode correctly") {
+    import spark.implicits._
+    // "é" decomposed (e + combining acute) must normalize to the
+    // composed form before tokenizing; punctuation must split tokens
+    val decomposed = "cafe\u0301, bar!! 42x" // e + combining acute
+    val composed = "caf\u00e9"             // precomposed
+    val got = Seq(decomposed).toDF("text")
+      .select(functions.TextNorm.tokens(col("text")).as("toks"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq(composed, "bar", "42x"), got.mkString("|"))
+    // identity on clean space-separated ASCII: same stream as split
+    val ascii = "key agg row scan"
+    val t2 = Seq(ascii).toDF("text")
+      .select(functions.TextNorm.tokens(col("text")).as("toks"))
+      .collect()(0).getSeq[String](0)
+    assert(t2 == ascii.split(" ").toSeq)
+  }
+
   test("fused MinHashSig equals the composed array_min(transform) form") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
