@@ -4,6 +4,10 @@ object TimeOne {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[16]").config("spark.sql.shuffle.partitions", 16)
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench/Verify: keep TypedImperativeAggregate buffers on
+      // the hash path (sort-based fallback re-sorts the very fan-outs
+      // the heap aggregates exist to avoid)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
