@@ -97,6 +97,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("ANN encode/assign paths aggregate without sorting the fan-out") {
+    // The former row_number-window argmin forced an exchange + full
+    // sort of the corpus × codebook fan-out; the min-struct hash
+    // aggregation must plan with NO SortExec below the aggregate.
+    // The only sorts allowed in these plans are the final orderBy and
+    // the bounded per-query rank window AFTER the candidate join.
+    def sortsBelowFirstAgg(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan
+      // walk: count SortExec nodes that have an aggregate ancestor
+      // (i.e. sorts feeding aggregation rather than output ordering)
+      def walk(n: org.apache.spark.sql.execution.SparkPlan,
+        underAgg: Boolean): Int = {
+        val isAgg = n.nodeName.contains("Aggregate")
+        val isSort = n.nodeName == "Sort"
+        (if (isSort && underAgg) 1 else 0) +
+          n.children.map(walk(_, underAgg || isAgg)).sum
+      }
+      walk(p, underAgg = false)
+    }
+    // s06's plan: encode agg + recon agg + pqSearch window. The
+    // window's sort sits ABOVE the aggregates (not feeding them), so
+    // zero sorts may appear below an aggregate boundary.
+    assert(sortsBelowFirstAgg(ops.Similarity.s06(spark, sf)) == 0,
+      "a Sort feeds the PQ encode aggregation — window-argmin regressed")
+    assert(sortsBelowFirstAgg(ops.Similarity.s05(spark, sf)) == 0,
+      "a Sort feeds the IVF cell assignment aggregation")
+  }
+
   test("runtime bloom filter prunes the fact scan off a selective dim filter") {
     // At 100 TB the shuffle join orders⋈lineitem with a selective
     // predicate on orders only pays off if lineitem rows that cannot
