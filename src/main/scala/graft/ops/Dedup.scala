@@ -276,6 +276,7 @@ object Dedup {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
     val nodes = sym.select(col("a").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
+    var cached: DataFrame = null
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -283,19 +284,23 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nl"),
           Seq("b"))
         .groupBy(col("a").as("node")).agg(min(col("nl")).as("cand"))
+      // the update carries its own change flag, so convergence is a
+      // count over THIS round's cached result — no extra join against
+      // the previous labels per round
       val step = labels.join(viaNeighbor, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          (col("cand").isNotNull && col("cand") < col("label")).as("chg"))
       // Truncate lineage every 3 rounds (localCheckpoint persists its
       // result, so it doubles as the round's cache): without this the
       // plan deepens by one join per round, so a cache eviction — or a
       // >maxRounds-diameter graph at 100 TB edge volume — recomputes
       // the whole chain and the DAG itself grows quadratically to plan.
       val next = if (rounds % 3 == 2) step.localCheckpoint() else step.cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      if (cached != null) cached.unpersist()
+      cached = next
+      labels = next.select("node", "label")
       rounds += 1
     }
     labels

@@ -170,7 +170,46 @@ object IoOps {
       .orderBy("query_id", "rank")
   }
 
+  // i06: range-clustered layout + data skipping — the OTHER layout
+  // lever beside partitioning (i03). repartitionByRange(col) +
+  // sortWithinPartitions makes every output file (and every parquet
+  // row group inside it) cover a narrow key range, so a selective
+  // predicate prunes via min/max footer stats instead of scanning —
+  // at 100 TB, range-clustering the fact table on its hottest filter
+  // column is the difference between reading 4 files and reading
+  // 4,000. The gate proves the clustered copy returns the identical
+  // aggregate over a selective key range; PlanSpec pins the pushed
+  // filter on the clustered scan.
+  def i06(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i06_")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    clusteredReadback(s, dir)
+  }
+
+  /** The read side of i06, split out so PlanSpec can assert the pushed
+    * range predicate on the exact DataFrame the gated query returns. */
+  def clusteredReadback(s: SparkSession, dir: String): DataFrame =
+    Io.readParquet(s, dir)
+      .filter(col("l_orderkey") >= 1000 && col("l_orderkey") < 2000)
+      .groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"))
+      .orderBy("l_linenumber")
+
+  val i06Sql: String =
+    """SELECT l_linenumber, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i06_clustered_skip" -> (i06 _),
     "i01_csv_roundtrip" -> (i01 _),
     "i02_jsonl_roundtrip" -> (i02 _),
     "i03_partition_prune" -> (i03 _),
@@ -178,6 +217,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i06_clustered_skip" -> i06Sql,
     "i01_csv_roundtrip" -> i01Sql,
     "i02_jsonl_roundtrip" -> i02Sql,
     "i03_partition_prune" -> i03Sql,

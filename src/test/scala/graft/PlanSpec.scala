@@ -167,4 +167,20 @@ class PlanSpec extends SparkSpec {
     val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
     assert(pf.contains("lang#"), s"lang not in partition filters: $pf")
   }
+
+  test("i06 clustered read-back pushes the range predicate to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_i06_spec_").toString
+    graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val p = plan(ops.IoOps.clusteredReadback(spark, dir))
+    // the range predicate must reach the parquet reader (row-group
+    // min/max skipping), not run as a post-scan filter only
+    val pushed = p.linesIterator.find(_.contains("PushedFilters:")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_orderkey,1000)") &&
+      pushed.contains("LessThan(l_orderkey,2000)"),
+      s"range predicate not pushed: $pushed")
+  }
 }
