@@ -554,7 +554,76 @@ object Dedup {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // d11: SimHash banded near-dup (Manku et al., WWW 2007 — Google's
+  // web-crawl near-dup detector). d05's 48-bit fingerprints split
+  // into 4 bands of 12 bits; docs sharing any band value become
+  // candidates (a pair within Hamming distance 3 must agree on ≥1 of
+  // 4 bands by pigeonhole), verified by exact popcount of the XOR.
+  // Same scale shape as MinHash-LSH: shuffle key = (band, 12-bit
+  // value), never all-pairs; the verify is one xor+bit_count per
+  // candidate. Complements d03: SimHash candidates catch small
+  // EDIT-distance changes (a few flipped tokens barely move the
+  // weighted bit-vector), MinHash catches set-overlap similarity.
+  private val SH_BANDS = 4
+  private val SH_BITS = 12 // 4 × 12 = 48 bits
+
+  def d11(s: SparkSession, d: String): DataFrame = {
+    val sh = corpus(s, d)
+      .withColumn("hs", transform(graft.functions.TextNorm.tokens(col("text")),
+        t => Hashing.hash48(t)))
+      .select(col("doc_id"), Hashing.simhash48(col("hs")).as("simhash"))
+    val bandStructs = (0 until SH_BANDS).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * SH_BITS)
+          .bitwiseAND(lit((1L << SH_BITS) - 1)).as("bucket"))
+    }
+    val bb = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a"),
+      col("simhash").as("sa"))
+    val b = bb.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col("doc_id").as("b"), col("simhash").as("sb"))
+    a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+        col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a", "b")
+  }
+
+  val d11Sql: String = {
+    val bandsRel = (0 until SH_BANDS).map { b =>
+      s"""SELECT doc_id, simhash, $b AS band,
+         |    (simhash >> ${b * SH_BITS}) & ${(1L << SH_BITS) - 1} AS bucket
+         |  FROM sh""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS ($sqlCorpus),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(48), b ->
+       |      CASE WHEN list_sum(list_transform(hs, h ->
+       |          CASE WHEN h % ((1::BIGINT << (b + 1))) >= (1::BIGINT << b)
+       |               THEN 1 ELSE -1 END)) > 0
+       |        THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+       |  FROM (
+       |    SELECT doc_id, list_transform(
+       |      regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
+       |      t -> ${Hashing.sqlHash48("t")}) AS hs
+       |    FROM corpus)),
+       |bands AS ($bandsRel)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_simhash_neardup" -> (d11 _),
     "e14_stream_neardup" -> (e14 _),
     "d10_cross_source" -> (d10 _),
     "d09_decontaminate" -> (d09 _),
@@ -568,6 +637,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d11_simhash_neardup" -> d11Sql,
     "e14_stream_neardup" -> e14Sql,
     "d10_cross_source" -> d10Sql,
     "d09_decontaminate" -> d09Sql,

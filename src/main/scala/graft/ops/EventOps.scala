@@ -345,7 +345,36 @@ object EventOps {
       |GROUP BY hk, n HAVING count(*) > n / 16.0
       |ORDER BY hk""".stripMargin
 
+  // e15: NATIVE session windows — Spark's session_window merges
+  // events into dynamic [start, last+gap) windows inside ordinary
+  // aggregation (and, in streaming, with state-store merge support),
+  // vs e02's hand-rolled lag/cumsum and e07's flatMapGroupsWithState.
+  // All three formulations are gated against the SAME gap-session
+  // oracle, pinning the operator-family equivalence. One shuffle on
+  // (user, session) then a per-user rollup.
+  def e15(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id")
+
+  val e15Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+      |      OR lag(epoch_ms(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events)
+      |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM tagged GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_session_window" -> (e15 _),
     "e13_stream_hh" -> (e13 _),
     "e12_sliding_window" -> (e12 _),
     "e08_json_schema" -> (e08 _),
@@ -361,6 +390,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e15_session_window" -> e15Sql,
     "e13_stream_hh" -> e13Sql,
     "e12_sliding_window" -> e12Sql,
     "e08_json_schema" -> e08Sql,
