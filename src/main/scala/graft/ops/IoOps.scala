@@ -208,7 +208,71 @@ object IoOps {
       |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // i07: CDC MERGE (upsert + delete) — the Delta/Iceberg MERGE INTO
+  // shape expressed as a full-outer join on the key: matched+update
+  // rows take the change's values, matched+delete rows drop,
+  // unmatched change rows insert, everything else passes through.
+  // One shuffle per side (broadcast when the change batch is small —
+  // the common CDC case); at 100 TB the join key IS the table's
+  // clustering key, so the merge co-locates with i06's layout. The
+  // change batch is derived deterministically from the base table, so
+  // the oracle replays the identical merge in SQL and the gate
+  // hash-checks the merged table's rollup.
+  def i07(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val changes = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit(null).cast("string").as("c_status"),
+        round(col("o_totalprice").cast("decimal(18,2)") * lit(1.1), 2)
+          .cast("double").as("c_price"))
+      .union(base.filter(col("o_orderkey") % 17 === 0 &&
+          col("o_orderkey") % 10 =!= 0) // disjoint from updates: MERGE
+        .select(col("o_orderkey"), lit("D").as("op"),  // forbids two
+          lit(null).cast("string").as("c_status"),     // matches/key
+          lit(null).cast("double").as("c_price")))
+      .union(base.filter(col("o_orderkey") % 25 === 0)
+        .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+          lit("I").as("op"), lit("N").as("c_status"),
+          col("o_totalprice").as("c_price")))
+    val merged = base.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("c_price"), col("o_totalprice")).as("price"))
+    merged.groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("price").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"))
+      .orderBy("status")
+  }
+
+  val i07Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey, 'U' AS op, NULL::VARCHAR AS c_status,
+      |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
+      |      AS c_price
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', NULL, NULL FROM base
+      |  WHERE o_orderkey % 17 = 0 AND o_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'I', 'N', o_totalprice
+      |  FROM base WHERE o_orderkey % 25 = 0),
+      |merged AS (
+      |  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |    coalesce(c.c_status, b.o_orderstatus) AS status,
+      |    coalesce(c.c_price, b.o_totalprice) AS price
+      |  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+      |  WHERE c.op IS NULL OR c.op <> 'D')
+      |SELECT status, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i07_merge_upsert" -> (i07 _),
     "i06_clustered_skip" -> (i06 _),
     "i01_csv_roundtrip" -> (i01 _),
     "i02_jsonl_roundtrip" -> (i02 _),
@@ -217,6 +281,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i07_merge_upsert" -> i07Sql,
     "i06_clustered_skip" -> i06Sql,
     "i01_csv_roundtrip" -> i01Sql,
     "i02_jsonl_roundtrip" -> i02Sql,
