@@ -40,9 +40,11 @@ object GraftExtensions {
   /** All native kernels, SQL-callable:
     * cosine_sim(a, b), md5_prefix56(s), md5_prefix48(s),
     * minhash_sig(hashes, k), simhash_sig(hashes),
-    * misra_gries(key, k) (aggregate). */
+    * misra_gries(key, k) (aggregate), nfc_normalize(s). */
   val functionDescriptors: Seq[Descriptor] = Seq(
     cosineSimDescriptor,
+    descriptor("nfc_normalize", classOf[functions.NfcNormalize],
+      exprs => functions.NfcNormalize(exprs(0))),
     descriptor("dot_product", classOf[functions.DotProduct],
       exprs => functions.DotProduct(exprs(0), exprs(1))),
     descriptor("misra_gries", classOf[functions.MisraGriesAgg],

@@ -174,6 +174,17 @@ class OpsSpec extends SparkSpec {
     assert(kmRecall > seedRecall, s"kmeans $kmRecall vs seed $seedRecall")
   }
 
+  test("PQ encode→decode reproduces pqReconstruct exactly") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = ops.Similarity.pqSeedCodebook(e)
+    val viaCodes = ops.Similarity.pqDecode(ops.Similarity.pqEncode(e, cb), cb)
+    val direct = ops.Similarity.pqReconstruct(e, cb)
+    assert(viaCodes.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaCodes).count() == 0,
+      "persisted-codes path diverges from the fused reconstruct")
+  }
+
   test("OPQ: orthogonal rotation, non-increasing error, recall holds") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

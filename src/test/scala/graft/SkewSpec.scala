@@ -113,6 +113,10 @@ class SkewSpec extends SparkSpec {
       assert(r.getLong(0) > 0 && r.getLong(1) > 0)
       assert(r.getSeq[Long](2).size == 4)
       assert(r.getLong(3) >= 0)
+      // nfc_normalize: decomposed e + combining acute → precomposed é
+      val n = s2.sql("SELECT nfc_normalize('cafe\u0301') AS s")
+        .collect()(0).getString(0)
+      assert(n == "caf\u00e9", n)
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(s0)
       org.apache.spark.sql.SparkSession.setDefaultSession(s0)
