@@ -134,27 +134,47 @@ object IoOps {
   // from the loaded codes × codebook. Oracle = s07's SQL: the search
   // result from the round-tripped index must be hash-identical to the
   // freshly-built one.
-  def i05(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dir = tmpDir("graft_i05_")
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val cb = Similarity.pqSeedCodebook(e)
-    // build + persist: the index is these four relations, nothing else
+  /** Build an IVF-PQ index from `e` and persist its four relations
+    * under `dir`. Quantizers (centroids, codebook) are given by the
+    * caller — they are the trained artifacts; the per-vector work
+    * (cell assignment, PQ codes) is one broadcast-quantizer scan. */
+  def ivfPqWrite(e: DataFrame, cents: DataFrame, cb: DataFrame,
+    dir: String): Unit = {
     Io.writeParquet(Similarity.nearestCell(e, cents).select("vec_id", "cell"),
       s"$dir/cells")
     Io.writeParquet(Similarity.pqEncode(e, cb), s"$dir/codes")
     Io.writeParquet(cents, s"$dir/centroids")
     Io.writeParquet(cb, s"$dir/codebook")
-    // serve from the reloaded index
+  }
+
+  /** Incrementally add `delta` vectors to a persisted index: assign +
+    * encode ONLY the delta against the stored quantizers and append.
+    * No rebuild, no retrain — the ingest-time path of a serving
+    * pipeline (quantizer retraining is an offline cadence decision;
+    * until then new vectors quantize against the frozen codebooks,
+    * exactly as FAISS add() does). One scan of the delta. */
+  def ivfPqAppend(s: SparkSession, delta: DataFrame, dir: String): Unit = {
+    val cents = Io.readParquet(s, s"$dir/centroids")
+    val cb = Io.readParquet(s, s"$dir/codebook")
+    Io.writeParquet(
+      Similarity.nearestCell(delta, cents).select("vec_id", "cell"),
+      s"$dir/cells", mode = org.apache.spark.sql.SaveMode.Append)
+    Io.writeParquet(Similarity.pqEncode(delta, cb),
+      s"$dir/codes", mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Serve an ADC top-k search entirely from the persisted relations:
+    * probes assign against the loaded centroids, candidates
+    * reconstruct from the loaded codes × codebook. */
+  def ivfPqServe(s: SparkSession, probeSrc: DataFrame, dir: String,
+    probeBelow: Long, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cellsL = Io.readParquet(s, s"$dir/cells")
     val centsL = Io.readParquet(s, s"$dir/centroids")
     val recon = Similarity.pqDecode(Io.readParquet(s, s"$dir/codes"),
       Io.readParquet(s, s"$dir/codebook"))
-    val probes = Similarity.nearestCell(e, centsL)
-      .filter(col("vec_id") < 100)
+    val probes = Similarity.nearestCell(probeSrc, centsL)
+      .filter(col("vec_id") < probeBelow)
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("q"))
     val cand = cellsL.select(col("vec_id").as("nn_id"), col("cell"))
       .join(recon.withColumnRenamed("vec_id", "nn_id"), Seq("nn_id"))
@@ -165,9 +185,19 @@ object IoOps {
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("adc", round(adc, 4))
       .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select("query_id", "cell", "rank", "nn_id", "adc")
       .orderBy("query_id", "rank")
+  }
+
+  def i05(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i05_")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    ivfPqWrite(e, cents, Similarity.pqSeedCodebook(e), dir)
+    ivfPqServe(s, e, dir, probeBelow = 100, topK = 3)
   }
 
   // i06: range-clustered layout + data skipping — the OTHER layout

@@ -27,6 +27,28 @@ class IoSpec extends SparkSpec {
     assert(back.count() == ev.count())
   }
 
+  test("IVF-PQ incremental append serves identically to a one-shot build") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cb = ops.Similarity.pqSeedCodebook(e)
+    // one-shot index over the full corpus
+    val full = tmp() + "/idx_full"
+    ops.IoOps.ivfPqWrite(e, cents, cb, full)
+    // incremental: build from the even half, append the odd half
+    val incr = tmp() + "/idx_incr"
+    ops.IoOps.ivfPqWrite(e.filter(col("vec_id") % 2 === 0), cents, cb, incr)
+    ops.IoOps.ivfPqAppend(spark, e.filter(col("vec_id") % 2 === 1), incr)
+    // frozen quantizers ⇒ per-vector cells/codes are build-path
+    // independent ⇒ the served results must be row-identical
+    val a = ops.IoOps.ivfPqServe(spark, e, full, probeBelow = 50, topK = 3)
+    val b = ops.IoOps.ivfPqServe(spark, e, incr, probeBelow = 50, topK = 3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "append-built index diverges from the one-shot build")
+    assert(a.count() > 0)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val docs = Tables.documents(spark, sf)
     val dir = tmp() + "/docs_part"
