@@ -15,7 +15,8 @@ object SparkEntry {
       (ops.Similarity.queries, ops.Similarity.oracles),
       (ops.EventOps.queries, ops.EventOps.oracles),
       (ops.Multimodal.queries, ops.Multimodal.oracles),
-      (ops.IoOps.queries, ops.IoOps.oracles))
+      (ops.IoOps.queries, ops.IoOps.oracles),
+      (ops.Pipeline.queries, ops.Pipeline.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

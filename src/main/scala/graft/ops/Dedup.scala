@@ -113,7 +113,7 @@ object Dedup {
   private def sqlBands: String = sqlBandsFrom("sigs")
 
   /** Candidate pairs: same (band, bucket), a < b, distinct. */
-  private def candidates(s: SparkSession, d: String): DataFrame = {
+  private[ops] def candidates(s: SparkSession, d: String): DataFrame = {
     val bb = bands(signatures(s, d))
     val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val b = bb.select(col("band").as("band2"), col("bucket").as("bucket2"),

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Hashing
+
+/** The whole LLM training-data curation pipeline as ONE declarative
+  * Spark plan (p01): raw corpus → quality filter → language-
+  * consistency filter → exact dedup → near-dup drop → stratified cap,
+  * emitting the per-language funnel (how many documents survive each
+  * stage). Every stage reuses a gated operator's machinery — t02's
+  * quality features, t03's language argmax, t04's fingerprint, d04's
+  * verified LSH pairs, t12's hash-ordered stratified cap — so the
+  * composition is checkable end-to-end by the same DuckDB oracle.
+  *
+  * Scale shape: the funnel is a linear chain of per-row stages with
+  * exactly three shuffles (exact-dedup groupBy fp, the near-dup drop's
+  * LSH machinery — candidates only, never all-pairs — and the final
+  * per-language cap/rollup). At 100 TB this is the plan you want: one
+  * corpus scan feeds the whole chain, Catalyst collapses the per-row
+  * stages into one codegen stage, and every dedup decision is keyed
+  * (fp / band-bucket), never pairwise.
+  */
+object Pipeline {
+
+  def p01(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    // the d-series augmentation, with lang carried so the funnel can
+    // report per-language (copies keep their source's lang)
+    val aug = docs
+      .union(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("lang"), col("text")))
+      .union(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" graft dedup probe tail")).as("text")))
+    // stage 1 — quality: ≥10 tokens, stopword ratio ≤ 1/2 (t02 features)
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val staged = aug
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))))
+    val qual = staged.filter(col("n_tokens") >= 10 &&
+      col("n_stop") * 2 <= col("n_tokens"))
+    // stage 2 — language consistency: detected language (t03 argmax)
+    // must match the declared label
+    val langOk = TextOps.withLangCounts(qual)
+      .filter(TextOps.predictedCol === col("lang"))
+    // stage 3 — exact dedup: keep the lowest doc_id per normalized
+    // fingerprint (t04's key; groupBy + semi-join, no window sort)
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+    val withFp = langOk.withColumn("fp", fp)
+    val firstPerFp = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val exactKept = withFp.join(firstPerFp, Seq("fp", "doc_id"), "left_semi")
+    // stage 4 — near-dup drop: the higher side of every d04-verified
+    // LSH pair goes (global keep-lowest); candidates-only work
+    val dropB = Dedup.d04(s, d).select(col("b").as("doc_id")).distinct()
+    val nearKept = exactKept.join(dropB, Seq("doc_id"), "left_anti")
+    // stage 5 — stratified cap: ≤15 docs per language by md5-hash
+    // order (t12's auditable, engine-portable pick)
+    val w = Window.partitionBy("lang").orderBy(col("hkey"), col("doc_id"))
+    val capped = nearKept
+      .withColumn("hkey", Hashing.hash56(concat_ws("#", col("lang"), col("doc_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+    // the funnel: per-language survivors at every stage
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.groupBy("lang").agg(count(lit(1)).as(name))
+    cnt(aug, "n_raw")
+      .join(cnt(qual, "n_quality"), Seq("lang"), "left")
+      .join(cnt(langOk, "n_lang_match"), Seq("lang"), "left")
+      .join(cnt(exactKept, "n_exact"), Seq("lang"), "left")
+      .join(cnt(nearKept, "n_neardup"), Seq("lang"), "left")
+      .join(cnt(capped, "n_final"), Seq("lang"), "left")
+      .na.fill(0L)
+      .orderBy("lang")
+  }
+
+  val p01Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id + 2000000, lang, text FROM documents
+       |    WHERE doc_id % 100 = 0
+       |  UNION ALL SELECT doc_id + 1000000, lang,
+       |      text || ' graft dedup probe tail' FROM documents
+       |    WHERE doc_id % 50 = 0),
+       |staged AS (
+       |  SELECT doc_id, lang, text,
+       |    len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) AS n_tokens,
+       |    len(list_filter(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
+       |        t -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, t))) AS n_stop
+       |  FROM aug),
+       |qual AS (
+       |  SELECT * FROM staged WHERE n_tokens >= 10 AND n_stop * 2 <= n_tokens),
+       |lang_scored AS (
+       |  SELECT *, ${TextOps.sqlLangCountExprs.replace("\n    ", "\n      ")}
+       |  FROM qual),
+       |lang_ok AS (
+       |  SELECT doc_id, lang, text FROM lang_scored
+       |  WHERE ${TextOps.sqlPredictedCase} = lang),
+       |with_fp AS (
+       |  SELECT *, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+       |  FROM lang_ok),
+       |exact_kept AS (
+       |  SELECT w.* FROM with_fp w
+       |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM with_fp GROUP BY 1) k
+       |    ON w.fp = k.fp AND w.doc_id = k.doc_id),
+       |dropb AS (SELECT DISTINCT b AS doc_id FROM (${Dedup.d04Sql})),
+       |near_kept AS (
+       |  SELECT * FROM exact_kept
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropb)),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${Hashing.sqlHash56("lang || '#' || doc_id")}, doc_id) AS rn
+       |    FROM near_kept)
+       |  WHERE rn <= 15)
+       |SELECT a.lang,
+       |  a.n_raw,
+       |  coalesce(q.n, 0) AS n_quality,
+       |  coalesce(l.n, 0) AS n_lang_match,
+       |  coalesce(e.n, 0) AS n_exact,
+       |  coalesce(nd.n, 0) AS n_neardup,
+       |  coalesce(c.n, 0) AS n_final
+       |FROM (SELECT lang, count(*) AS n_raw FROM aug GROUP BY 1) a
+       |LEFT JOIN (SELECT lang, count(*) AS n FROM qual GROUP BY 1) q USING (lang)
+       |LEFT JOIN (SELECT lang, count(*) AS n FROM lang_ok GROUP BY 1) l USING (lang)
+       |LEFT JOIN (SELECT lang, count(*) AS n FROM exact_kept GROUP BY 1) e USING (lang)
+       |LEFT JOIN (SELECT lang, count(*) AS n FROM near_kept GROUP BY 1) nd USING (lang)
+       |LEFT JOIN (SELECT lang, count(*) AS n FROM capped GROUP BY 1) c USING (lang)
+       |ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_curation_funnel" -> (p01 _))
+
+  val oracles: Map[String, String] = Map(
+    "p01_curation_funnel" -> p01Sql)
+}

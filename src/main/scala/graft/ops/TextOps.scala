@@ -42,7 +42,7 @@ object TextOps {
 
   // t02: quality score — length saturation + stopword penalty.
   // Integer counts; the two divisions are single IEEE ops → exact.
-  private val stopwords = Seq("the", "a", "of", "and")
+  private[ops] val stopwords = Seq("the", "a", "of", "and")
 
   def t02(s: SparkSession, d: String): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
@@ -73,47 +73,64 @@ object TextOps {
   // t03: marker-token language-ID heuristic. The corpus vocabulary is
   // shared across langs, so this predicts from marker frequencies —
   // the operator shape (n-gram/marker scoring + argmax) is the point.
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[ops] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("table", "row", "key"),
     "fr" -> Seq("query", "window"),
     "es" -> Seq("scan", "group"),
     "de" -> Seq("hash", "sort"),
     "zh" -> Seq("spark", "stream"))
 
-  def t03(s: SparkSession, d: String): DataFrame = {
-    val counted = markers.foldLeft(Tables.documents(s, d).select(col("doc_id"), tokens.as("toks"))) {
-      case (df, (lang, words)) =>
-        val arr = array(words.map(lit): _*)
-        df.withColumn(s"c_$lang",
-          size(filter(col("toks"), t => array_contains(arr, t))))
+  /** Adds c_<lang> marker-count columns (expects a `toks` column). */
+  private[ops] def withLangCounts(df: DataFrame): DataFrame =
+    markers.foldLeft(df) { case (acc, (lang, words)) =>
+      val arr = array(words.map(lit): _*)
+      acc.withColumn(s"c_$lang",
+        size(filter(col("toks"), t => array_contains(arr, t))))
     }
+
+  /** The language argmax over the c_<lang> columns (ties → marker
+    * order), shared by t03 and the p01 curation funnel. */
+  private[ops] def predictedCol: Column = {
     val langs = markers.map(_._1)
-    val predicted = langs.init.zipWithIndex.foldLeft(None: Option[Column]) {
+    langs.init.zipWithIndex.foldLeft(None: Option[Column]) {
       case (acc, (lang, i)) =>
         val rest = langs.drop(i + 1).map(l => col(s"c_$l"))
         val cond = col(s"c_$lang") >= rest.reduce((a, b) => greatest(a, b))
         Some(acc.fold(when(cond, lang))(_.when(cond, lang)))
     }.get.otherwise(langs.last)
-    counted.select((col("doc_id") +: langs.map(l => col(s"c_$l")) :+
-      predicted.as("predicted")): _*)
-      .orderBy("doc_id")
   }
 
-  val t03Sql: String = {
-    val countExprs = markers.map { case (lang, words) =>
+  /** Oracle twins of the two helpers above, over a `text` column. */
+  private[ops] def sqlLangCountExprs: String =
+    markers.map { case (lang, words) =>
       val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
       s"len(list_filter(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'), t -> list_contains($arr, t))) AS c_$lang"
     }.mkString(",\n    ")
+
+  private[ops] def sqlPredictedCase: String = {
     val langs = markers.map(_._1)
-    val caseExpr = langs.init.zipWithIndex.map { case (lang, i) =>
+    langs.init.zipWithIndex.map { case (lang, i) =>
       val rest = langs.drop(i + 1).map(l => s"c_$l")
       val greatest = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
       s"WHEN c_$lang >= $greatest THEN '$lang'"
     }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+  }
+
+  def t03(s: SparkSession, d: String): DataFrame = {
+    val counted = withLangCounts(
+      Tables.documents(s, d).select(col("doc_id"), tokens.as("toks")))
+    val langs = markers.map(_._1)
+    counted.select((col("doc_id") +: langs.map(l => col(s"c_$l")) :+
+      predictedCol.as("predicted")): _*)
+      .orderBy("doc_id")
+  }
+
+  val t03Sql: String = {
+    val langs = markers.map(_._1)
     s"""SELECT doc_id, ${langs.map(l => s"c_$l").mkString(", ")},
-       |  $caseExpr AS predicted
+       |  $sqlPredictedCase AS predicted
        |FROM (SELECT doc_id,
-       |    $countExprs
+       |    $sqlLangCountExprs
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
