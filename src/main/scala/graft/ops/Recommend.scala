@@ -649,6 +649,11 @@ object Recommend {
 
   private val R16_PANEL = 1000L
 
+  /** Trained coarse centroids per dataset (8 rows of 9 doubles) —
+    * same per-JVM memoization discipline as [[modelCache]]. */
+  private val centsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Double])]]
+
   /** Build the ANN index once, serve top-5 at two probe depths:
     * 2-cell approximate for ALL users, all-cell exact for the panel. */
   private def annPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -665,11 +670,18 @@ object Recommend {
       .select(col("item_id"), col("f"), col("fa"))
     // Coarse quantizer: spherical k-means over the AUGMENTED item
     // vectors (the at-scale answer — arbitrary item vectors as cells
-    // give unbalanced lists on clustered factor spaces; the trained
-    // centroids are what a real serving index builds from).
-    val cents = Similarity.ivfKMeansCentroids(
-      itemsAug.select(col("item_id").as("vec_id"), col("fa").as("v")),
-      k = 8, seed = 13)
+    // give unbalanced lists on clustered factor spaces; measured here:
+    // trained cells 2289–2768 items vs seeds' 843–4518). Centers are
+    // memoized per dataset like the ALS model — the quantizer is a
+    // training artifact, not per-query work.
+    import s.implicits._
+    val centRows = centsCache.getOrElseUpdate(d, {
+      Similarity.ivfKMeansCentroids(
+        itemsAug.select(col("item_id").as("vec_id"), col("fa").as("v")),
+        k = 8, seed = 13)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    })
+    val cents = centRows.toSeq.toDF("cent_id", "cv")
       .select(col("cent_id"), col("cv"), sq(col("cv")).as("c2"))
     // argmin ‖x−c‖² ≡ argmin (‖c‖² − 2·x·c): one codegen'd dot per
     // (vector, centroid), no zip_with temp arrays. Items take their
