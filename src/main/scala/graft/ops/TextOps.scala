@@ -454,7 +454,48 @@ object TextOps {
       |CROSS JOIN totals
       |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
 
+  // t14: unigram language-model cross-entropy per document — the
+  // classic LM-based quality/novelty signal (docs of rare tokens score
+  // high, boilerplate scores low; perplexity = exp(xent)). Determinism
+  // discipline: the per-token log-probability is ROUNDED to 6 dp and
+  // summed as DECIMAL(18,6) — exact, order-independent in both
+  // engines (float sums are partition-order-dependent; q40's
+  // sufficient-statistics trick) — then one IEEE division + round.
+  // Two shuffles (vocab counts, per-doc sum); the vocabulary join
+  // broadcasts at corpus scale.
+  def t14(s: SparkSession, d: String): DataFrame = {
+    val toksDocs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val words = toksDocs.select(col("doc_id"), explode(col("toks")).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = words.agg(count(lit(1)).as("t"))
+    val term = round(log(col("n_w").cast("double") / col("t")), 6)
+      .cast("decimal(18,6)")
+    words.join(broadcast(uni), Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(term).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-(col("s").cast("double") / col("n_tokens")), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  val t14Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) AS w
+      |  FROM documents),
+      |uni AS (SELECT w, count(*) AS n_w FROM words GROUP BY 1),
+      |total AS (SELECT count(*) AS t FROM words)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(-(CAST(sum(CAST(round(ln(CAST(n_w AS DOUBLE) / t), 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) / count(*)), 6) AS xent
+      |FROM words JOIN uni USING (w) CROSS JOIN total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_unigram_xent" -> (t14 _),
     "t13_collocations" -> (t13 _),
     "t12_stratified_sample" -> (t12 _),
     "t11_tfidf" -> (t11 _),
@@ -470,6 +511,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t14_unigram_xent" -> t14Sql,
     "t13_collocations" -> t13Sql,
     "t12_stratified_sample" -> t12Sql,
     "t11_tfidf" -> t11Sql,
