@@ -35,25 +35,31 @@ object Pipeline {
       .union(docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
           concat(col("text"), lit(" graft dedup probe tail")).as("text")))
-    // stage 1 — quality: ≥10 tokens, stopword ratio ≤ 1/2 (t02 features)
+    // Stages 1–2 compute as PER-ROW FLAGS on one corpus pass, cached:
+    // the funnel's count branches would otherwise re-scan and
+    // re-tokenize the corpus once per stage (the first cut of this
+    // query planned 6 full prefix recomputations — 132 exchanges).
+    // stage 1 — quality: ≥10 tokens, stopword ratio ≤ 1/2 (t02)
+    // stage 2 — language consistency: t03 argmax = declared label
     val stopArr = array(TextOps.stopwords.map(lit): _*)
-    val staged = aug
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+    val flagged = TextOps.withLangCounts(aug
       .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_stop",
         size(filter(col("toks"), t => array_contains(stopArr, t))))
-    val qual = staged.filter(col("n_tokens") >= 10 &&
-      col("n_stop") * 2 <= col("n_tokens"))
-    // stage 2 — language consistency: detected language (t03 argmax)
-    // must match the declared label
-    val langOk = TextOps.withLangCounts(qual)
-      .filter(TextOps.predictedCol === col("lang"))
+      .withColumn("q_ok", col("n_tokens") >= 10 &&
+        col("n_stop") * 2 <= col("n_tokens")))
+      .withColumn("l_ok", col("q_ok") && TextOps.predictedCol === col("lang"))
+      .select(col("doc_id"), col("lang"), col("q_ok"), col("l_ok"),
+        fp.as("fp"))
+      .cache()
     // stage 3 — exact dedup: keep the lowest doc_id per normalized
-    // fingerprint (t04's key; groupBy + semi-join, no window sort)
-    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
-    val withFp = langOk.withColumn("fp", fp)
-    val firstPerFp = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val exactKept = withFp.join(firstPerFp, Seq("fp", "doc_id"), "left_semi")
+    // fingerprint among stage-2 survivors (t04's key; groupBy +
+    // semi-join, no window sort)
+    val survivors = flagged.filter(col("l_ok"))
+    val firstPerFp = survivors.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val exactKept = survivors.join(firstPerFp, Seq("fp", "doc_id"), "left_semi")
     // stage 4 — near-dup drop: the higher side of every d04-verified
     // LSH pair goes (global keep-lowest); candidates-only work
     val dropB = Dedup.d04(s, d).select(col("b").as("doc_id")).distinct()
@@ -65,12 +71,15 @@ object Pipeline {
       .withColumn("hkey", Hashing.hash56(concat_ws("#", col("lang"), col("doc_id"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 15)
-    // the funnel: per-language survivors at every stage
+    // the funnel: stages 1–2 fold into ONE aggregation over the cached
+    // flags; the three dedup/cap stages count from their (cached-
+    // backed) survivors
     def cnt(df: DataFrame, name: String): DataFrame =
       df.groupBy("lang").agg(count(lit(1)).as(name))
-    cnt(aug, "n_raw")
-      .join(cnt(qual, "n_quality"), Seq("lang"), "left")
-      .join(cnt(langOk, "n_lang_match"), Seq("lang"), "left")
+    flagged.groupBy("lang").agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("q_ok").cast("long")).as("n_quality"),
+        sum(col("l_ok").cast("long")).as("n_lang_match"))
       .join(cnt(exactKept, "n_exact"), Seq("lang"), "left")
       .join(cnt(nearKept, "n_neardup"), Seq("lang"), "left")
       .join(cnt(capped, "n_final"), Seq("lang"), "left")
