@@ -45,11 +45,16 @@ object Bench {
       // Keys shortened to the unique query prefix ("q01_pricing_summary"
       // → "q01") and 3 decimals: r2/r3's full-name 4-decimal line
       // overflowed the driver's captured log tail and parsed as null.
-      name.takeWhile(_ != '_') ->
-        math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+      name -> math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // collision guard: duplicate JSON keys are silently last-wins in
+    // every parser — if two query names ever share a prefix, keep the
+    // full names for those rather than dropping a timing.
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val dup = prefixes.groupBy(identity).collect { case (p, v) if v.size > 1 => p }.toSet
+    val qs = results.zip(prefixes).map { case ((full, v), p) =>
+      "\"" + (if (dup(p)) full else p) + "\":" + v
+    }.mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).sum * 1000) / 1000
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

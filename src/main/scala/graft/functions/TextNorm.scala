@@ -52,7 +52,12 @@ object NfcNormalize {
 object TextNorm {
   def nfc(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
 
-  private val TOKEN_RE = "[\\p{L}\\p{N}]+"
+  /** The one tokenizer pattern. Oracle SQL strings inline it as a
+    * literal (triple-quoted and s-interpolated blocks escape
+    * differently); MinHashSigSpec pins every inline copy equal to
+    * this constant, so a pattern change that misses a copy fails the
+    * suite instead of silently desynchronizing the engines. */
+  val TOKEN_RE = "[\\p{L}\\p{N}]+"
 
   def tokens(c: Column): Column =
     regexp_extract_all(nfc(c), lit(TOKEN_RE), lit(0))

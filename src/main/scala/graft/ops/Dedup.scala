@@ -501,7 +501,11 @@ object Dedup {
       .union(docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" graft dedup probe tail")).as("text")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_e14_").toString
+    // fixed per-dataset landing dir, overwritten each call — a fresh
+    // createTempDirectory per invocation would accumulate corpus
+    // copies across Verify/Bench/spec runs on a long-lived machine
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_e14_arrivals_" + math.abs(d.hashCode)).getAbsolutePath
     arrivals.repartition(3).write.mode("overwrite").parquet(dir)
     val corpusIndex = bands(sigsFor(docs)).select("band", "bucket")
     val stream = s.readStream

@@ -361,12 +361,15 @@ object EventOps {
         sum("n_events").as("n_events"))
       .orderBy("user_id")
 
+  // Full-microsecond gap comparison: session_window compares complete
+  // timestamps, so the oracle must too — epoch_ms truncation would
+  // classify a gap within 1ms of the 30-minute boundary differently.
   val e15Sql: String =
     """WITH tagged AS (
       |  SELECT user_id,
-      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1)
-      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
-      |      OR lag(epoch_ms(ts), 1)
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR lag(epoch_us(ts), 1)
       |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |      THEN 1 ELSE 0 END AS new_s
       |  FROM events)

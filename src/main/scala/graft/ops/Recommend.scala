@@ -55,34 +55,35 @@ object Recommend {
     pairsOf(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
       "l_orderkey", "l_partkey")
 
-  /** The same one-shuffle basket→ordered-pairs plan over any
-    * (basket-key, item) relation — r12 reuses it on the train split. */
-  private def pairsOf(df: DataFrame, key: String, item: String): DataFrame = {
-    val baskets = df.select(col(key), col(item))
+  /** One-shuffle baskets: per basket key, the sorted distinct item
+    * array — the shared first stage of both pair generators. */
+  private def basketsOf(df: DataFrame, key: String, item: String): DataFrame =
+    df.select(col(key), col(item))
       .groupBy(key)
       .agg(sort_array(collect_set(col(item))).as("items"))
-    val pairs = flatten(transform(col("items"), (x, i) =>
-      transform(slice(col("items"), i + 2, size(col("items"))),
-        y => struct(x.as("i"), y.as("j")))))
+
+  private def explodePairs(baskets: DataFrame, pairs: Column): DataFrame =
     baskets.select(explode(pairs).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
-  }
+
+  /** Ordered pairs (i < j) per basket — r03/r04; r12 reuses the same
+    * plan on the train split. */
+  private def pairsOf(df: DataFrame, key: String, item: String): DataFrame =
+    explodePairs(basketsOf(df, key, item),
+      flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))),
+          y => struct(x.as("i"), y.as("j"))))))
 
   /** SYMMETRIC basket pairs (all ordered i ≠ j) in the SAME single
     * pass — r05/r12 used to union the i<j pairs with their swap,
     * which re-ran the whole basket aggregation a second time (the
     * r2→r3 bench doubling on r03/r04's shared scan). Emitting both
     * orientations from the in-row explode costs nothing extra. */
-  private def pairsOfSym(df: DataFrame, key: String, item: String): DataFrame = {
-    val baskets = df.select(col(key), col(item))
-      .groupBy(key)
-      .agg(sort_array(collect_set(col(item))).as("items"))
-    val pairs = flatten(transform(col("items"), x =>
-      filter(transform(col("items"), y => struct(x.as("i"), y.as("j"))),
-        p => p.getField("i") =!= p.getField("j"))))
-    baskets.select(explode(pairs).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
-  }
+  private def pairsOfSym(df: DataFrame, key: String, item: String): DataFrame =
+    explodePairs(basketsOf(df, key, item),
+      flatten(transform(col("items"), x =>
+        filter(transform(col("items"), y => struct(x.as("i"), y.as("j"))),
+          p => p.getField("i") =!= p.getField("j")))))
 
   // r03: item-item co-occurrence counts (same order ⇒ co-occurrence).
   def r03(s: SparkSession, d: String): DataFrame =

@@ -4,6 +4,27 @@ import org.apache.spark.sql.functions._
 
 class MinHashSigSpec extends SparkSpec {
 
+  test("every oracle's inline tokenizer pattern matches TOKEN_RE") {
+    // the oracle SQL strings inline the tokenizer; this pins every
+    // copy to the Spark side's pattern so they can't drift apart
+    val marker = "regexp_extract_all(nfc_normalize("
+    val expected = functions.TextNorm.TOKEN_RE
+    var found = 0
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      var i = sql.indexOf(marker)
+      while (i >= 0) {
+        val open = sql.indexOf("'", i)
+        val close = sql.indexOf("'", open + 1)
+        assert(open > 0 && close > open, s"$name: unparseable tokenizer call")
+        val pat = sql.substring(open + 1, close)
+        assert(pat == expected, s"$name uses tokenizer pattern '$pat'")
+        found += 1
+        i = sql.indexOf(marker, close)
+      }
+    }
+    assert(found > 20, s"expected many inline tokenizer copies, found $found")
+  }
+
   test("TextNorm tokenizes punctuated/mixed-form unicode correctly") {
     import spark.implicits._
     // "é" decomposed (e + combining acute) must normalize to the
