@@ -174,6 +174,27 @@ class OpsSpec extends SparkSpec {
     assert(kmRecall > seedRecall, s"kmeans $kmRecall vs seed $seedRecall")
   }
 
+  test("star CC equals min-label CC, and beats it on a long chain") {
+    import spark.implicits._
+    // a 64-node path: diameter 63 — min-label propagation would need
+    // 63 rounds; alternating star must collapse it within its
+    // O(log^2) bound (16-round default)
+    val chain = (0L until 63L).map(i => (i + 1, i)).toDF("a", "b")
+    val starChain = ops.Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starChain.size == 64 && starChain.values.forall(_ == 0L),
+      s"chain not collapsed: ${starChain.toSeq.sortBy(_._1).take(8)}")
+    // identical contract to the gated min-label CC on the real LSH
+    // dup graph
+    val edges = ops.Dedup.d03(spark, sf)
+    val minLabel = ops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = ops.Dedup.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == minLabel,
+      s"star CC diverges from min-label CC on ${star.size} vs ${minLabel.size} nodes")
+  }
+
   test("PQ encode→decode reproduces pqReconstruct exactly") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
