@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to the sbt logger, which prefixes every
+// line with "[info] " — that prefix is why the driver's bench parser
+// saw `parsed: null` for four rounds. StdoutOutput passes the
+// program's stdout through verbatim so the one-line JSON stays a
+// bare, parseable line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -548,27 +548,40 @@ object Dedup {
       .union(docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" graft dedup probe tail")).as("text")))
-    // fixed per-dataset landing dir, overwritten each call — a fresh
-    // createTempDirectory per invocation would accumulate corpus
-    // copies across Verify/Bench/spec runs on a long-lived machine
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_e14_arrivals_" + math.abs(d.hashCode)).getAbsolutePath
-    arrivals.repartition(3).write.mode("overwrite").parquet(dir)
-    val corpusIndex = bands(sigsFor(docs)).select("band", "bucket")
-    val stream = s.readStream
-      .schema("doc_id LONG, text STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    val flagged = bands(sigsFor(stream))
-      .join(broadcast(corpusIndex), Seq("band", "bucket"), "left_semi")
+    // per-invocation landing dir, deleted in the finally below: a
+    // fixed shared dir let two concurrent invocations (StreamingSpec
+    // + a Verify run) overwrite files while the other's file-source
+    // stream was listing them — flaky FileNotFound / partial batches.
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_e14_arrivals_")
+    val dir = dirPath.toAbsolutePath.toString
     val sink = "graft_e14_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = flagged.writeStream.outputMode("append")
-      .format("memory").queryName(sink)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(sink)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_bands"))
-      .orderBy("doc_id")
+    try {
+      arrivals.repartition(3).write.mode("overwrite").parquet(dir)
+      val corpusIndex = bands(sigsFor(docs)).select("band", "bucket")
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val flagged = bands(sigsFor(stream))
+        .join(broadcast(corpusIndex), Seq("band", "bucket"), "left_semi")
+      val q = flagged.writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // materialize the small rollup before the landing dir and sink
+      // view are torn down; lineage truncation means the returned plan
+      // no longer reads either
+      s.table(sink)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bands"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally {
+      // the memory-sink temp view would otherwise accumulate one
+      // registration per invocation in a long-lived session
+      s.catalog.dropTempView(sink)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
   }
 
   /** e14's transform graph run as plain batch — StreamingSpec pins

@@ -364,6 +364,9 @@ object EventOps {
   // Full-microsecond gap comparison: session_window compares complete
   // timestamps, so the oracle must too — epoch_ms truncation would
   // classify a gap within 1ms of the 30-minute boundary differently.
+  // Boundary convention pinned empirically (OpsSpec "session_window
+  // gap boundary"): an event exactly gap after the previous one
+  // MERGES into the session, so strictly-greater (`>`) is correct.
   val e15Sql: String =
     """WITH tagged AS (
       |  SELECT user_id,

@@ -76,7 +76,7 @@ object Pipeline {
     // backed) survivors
     def cnt(df: DataFrame, name: String): DataFrame =
       df.groupBy("lang").agg(count(lit(1)).as(name))
-    flagged.groupBy("lang").agg(
+    val funnel = flagged.groupBy("lang").agg(
         count(lit(1)).as("n_raw"),
         sum(col("q_ok").cast("long")).as("n_quality"),
         sum(col("l_ok").cast("long")).as("n_lang_match"))
@@ -85,6 +85,16 @@ object Pipeline {
       .join(cnt(capped, "n_final"), Seq("lang"), "left")
       .na.fill(0L)
       .orderBy("lang")
+    // Materialize the (per-language, ~handful-of-rows) funnel eagerly
+    // so the corpus-flag cache can be released before returning — the
+    // driver runs all 120 gated queries in one session, and a pinned
+    // cache per p01 invocation would accumulate for the session's
+    // lifetime. localCheckpoint truncates lineage, so the returned
+    // plan no longer references `flagged`; its tiny blocks are
+    // ContextCleaner-collected when the DataFrame is GC'd.
+    val out = funnel.localCheckpoint()
+    flagged.unpersist()
+    out
   }
 
   val p01Sql: String =

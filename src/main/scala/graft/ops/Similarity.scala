@@ -747,9 +747,15 @@ object Similarity {
         (col("h1") * 20 >= col("n_exact") * 3).as("recall_floor_ok"))
   }
 
+  // n_exact derived from the data (3 neighbors per probe vector),
+  // matching the data-derived style of the r06/r13/r16 contract
+  // oracles — a hardcoded 300 would hash-fail spuriously at any scale
+  // factor with fewer than 100 probe vectors.
   val s08Sql: String =
-    """SELECT 300::BIGINT AS n_exact, true AS full_probe_exact,
-      |  true AS recall_monotone, true AS recall_floor_ok""".stripMargin
+    """SELECT CAST(3 * count(*) AS BIGINT) AS n_exact,
+      |  true AS full_probe_exact,
+      |  true AS recall_monotone, true AS recall_floor_ok
+      |FROM embeddings WHERE vec_id < 100""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01 _),

@@ -138,6 +138,42 @@ class OpsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("session_window gap boundary matches the e02/e15 '>' convention") {
+    // Pins the exactly-30-minutes case the random-microsecond testdata
+    // never exercises: Spark's session_window window is [start,
+    // last+gap), but an event landing exactly at last+gap MERGES into
+    // the session (next.start <= current.end merges). So the hand-
+    // rolled convention — strictly-greater gap opens a new session —
+    // is the native one, and the e15 oracle's `> 1800000000` is right.
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2026-01-01 00:00:00")),            // gap == 30 min → merge
+      (1L, ts("2026-01-01 00:30:00")),
+      (2L, ts("2026-01-01 00:00:00")),            // gap == 30 min + 1 µs → split
+      (2L, ts("2026-01-01 00:30:00.000001")),
+      (3L, ts("2026-01-01 00:00:00")),            // gap == 30 min - 1 µs → merge
+      (3L, ts("2026-01-01 00:29:59.999999"))
+    ).toDF("user_id", "ts")
+    val native = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)))
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"native: $native")
+    // and the hand-rolled e02-style tagger agrees on the same rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val handRolled = df
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+      .groupBy("user_id").agg(sum("new_s").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(handRolled == native, s"hand-rolled: $handRolled vs native: $native")
+  }
+
   test("s06 PQ top-3 recalls a usable fraction of the exact L2 top-3") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sf)
