@@ -16,6 +16,7 @@ object SparkEntry {
       (ops.EventOps.queries, ops.EventOps.oracles),
       (ops.Multimodal.queries, ops.Multimodal.oracles),
       (ops.IoOps.queries, ops.IoOps.oracles),
+      (ops.Graph.queries, ops.Graph.oracles),
       (ops.Pipeline.queries, ops.Pipeline.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -686,7 +686,65 @@ object Dedup {
        |ORDER BY a, b""".stripMargin
   }
 
+  // d13: the SAME duplicate-cluster rollup as d08, computed by the
+  // alternating large-star/small-star CC (O(log² n) rounds regardless
+  // of graph diameter — the 100 TB answer to min-label's
+  // diameter-bound rounds) — now under the driver gate, against the
+  // SAME recursive-reachability oracle as d08. Two independent
+  // distributed algorithms and one sequential SQL semantics agreeing
+  // hash-exact is the strongest pin the operator family has.
+  def d13(s: SparkSession, d: String): DataFrame = {
+    val edges = candidates(s, d).cache()
+    val labels = connectedComponentsStar(edges)
+    edges.unpersist()
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("node")).as("keep_doc"), max(col("node")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("cluster")
+  }
+
+  // d12: directional CONTAINMENT (Broder) on the LSH candidates —
+  // near-dup Jaccard (d04) misses the doc-inside-doc case (a long
+  // page quoting a short one has low Jaccard but containment ≈ 1
+  // from the short side). C(A→B) = |A∩B|/|A| over distinct shingle
+  // sets, both directions, flag max ≥ 0.9. Candidates-only work, the
+  // d04/d07 discipline: O(shingles) per PAIR, never corpus².
+  def d12(s: SparkSession, d: String): DataFrame = {
+    val sh = corpus(s, d)
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
+    candidates(s, d)
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("c_ab", round(col("inter").cast("double") / size(col("sha")), 6))
+      .withColumn("c_ba", round(col("inter").cast("double") / size(col("shb")), 6))
+      .withColumn("contained", greatest(col("c_ab"), col("c_ba")) >= 0.9)
+      .select("a", "b", "inter", "c_ab", "c_ba", "contained")
+      .orderBy("a", "b")
+  }
+
+  val d12Sql: String =
+    s"""$sqlDedupPrefix,
+       |sh AS (
+       |  SELECT doc_id, list_distinct($sqlShingles) AS sh
+       |  FROM corpus WHERE len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) >= 3)
+       |SELECT a, b, inter, c_ab, c_ba,
+       |  greatest(c_ab, c_ba) >= 0.9 AS contained
+       |FROM (
+       |  SELECT a, b,
+       |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh), 6) AS c_ab,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh), 6) AS c_ba
+       |  FROM cands JOIN sh sa ON cands.a = sa.doc_id
+       |             JOIN sh sb ON cands.b = sb.doc_id)
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_star_clusters" -> (d13 _),
+    "d12_containment" -> (d12 _),
     "d11_simhash_neardup" -> (d11 _),
     "e14_stream_neardup" -> (e14 _),
     "d10_cross_source" -> (d10 _),
@@ -701,6 +759,8 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d13_star_clusters" -> d08Sql,
+    "d12_containment" -> d12Sql,
     "d11_simhash_neardup" -> d11Sql,
     "e14_stream_neardup" -> e14Sql,
     "d10_cross_source" -> d10Sql,

@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over relational edge sets (g01..g02) — the
+  * large-graph operator family next to Dedup's connected components.
+  *
+  * g01 PageRank runs in FIXED-POINT integer arithmetic (ranks are
+  * bigint micro-units, SCALE = 10^12): every per-iteration sum and
+  * division is exact integer math, so the result is bit-identical
+  * across engines, partitionings and reduction orders — double
+  * accumulation would drift by reduction order and break the hash
+  * gate (and, at 100 TB, reproducibility between reruns). The same
+  * trick production graph engines use for deterministic convergence
+  * checks.
+  *
+  * Scale shape: one edge shuffle per iteration (groupBy dst on the
+  * contributions), 5 fixed rounds, state checkpointed per round —
+  * each round reads the previous state three times (contributions,
+  * dangling mass, carry), so bounded-lineage materialization replaces
+  * the 3^k-subtree unrolled plan (same discipline as d08's iterative
+  * connected components). The dangling-mass term is a 1-row aggregate
+  * broadcast (the sanctioned q20 scalar shape). At 1000 executors the
+  * per-iteration shuffle is edge-partitioned — the textbook Pregel
+  * cost.
+  *
+  * g02 counts triangles with DEGREE ORIENTATION (each undirected
+  * edge directed from the (deg, id)-smaller endpoint): wedge
+  * generation is then bounded by sum(out-deg²) with out-degrees
+  * capped near sqrt(m) — the standard O(m^1.5) bound that makes
+  * triangle counting feasible on power-law graphs where the naive
+  * per-vertex join explodes on hubs.
+  */
+object Graph {
+
+  private val SCALE = 1000000000000L // 10^12 fixed-point units
+  private val DAMP_NUM = 85L         // d = 0.85 as 85/100
+  private val ITERS = 5
+  private val SUPPLIER_OFFSET = 1000000L
+
+  /** Undirected customer—supplier edges (distinct trade relations),
+    * both directions emitted; suppliers offset into their own id
+    * range. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + SUPPLIER_OFFSET).as("sn"))
+      .distinct()
+    e.select(col("c").as("src"), col("sn").as("dst"))
+      .union(e.select(col("sn").as("src"), col("c").as("dst")))
+  }
+
+  private val sqlEdges: String =
+    s"""ed AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SUPPLIER_OFFSET AS sn
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, sn AS dst FROM ed
+       |          UNION ALL SELECT sn, c FROM ed)""".stripMargin
+
+  // g01: 5 statically-unrolled PageRank iterations, damping 0.85,
+  // dangling mass redistributed uniformly. Node set = every customer
+  // and supplier (isolated ones included — they are the dangling
+  // nodes). Output: top-20 nodes by rank (bigint fixed-point ties
+  // broken by node id — fully deterministic).
+  def g01(s: SparkSession, d: String): DataFrame = {
+    // materialize the edge list once — every iteration reads it, and
+    // without this the orders⋈lineitem distinct re-runs per round
+    val e = edges(s, d).localCheckpoint()
+    val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
+      .union(Tables.supplier(s, d)
+        .select((col("s_suppkey") + SUPPLIER_OFFSET).as("node")))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val n1 = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+    // Each iteration reads the previous state THREE times (edge
+    // contributions, dangling mass, the carry-forward join), so a
+    // fully unrolled single plan grows 3^ITERS subtrees — the
+    // exponential-lineage trap iterative graph algorithms hit on any
+    // DAG engine. Bounded-lineage materialization per round instead
+    // (the d08 connected-components discipline): localCheckpoint
+    // truncates the plan, one edge-shuffle per iteration remains the
+    // honest Pregel cost.
+    var cur = n1.join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"), col("n"),
+        expr(s"${SCALE}L div n").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to ITERS) {
+      val inc = cur.filter(col("deg") > 0)
+        .join(e, cur("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r div deg")).as("inc"))
+      val dang = cur.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      cur = cur.select("node", "deg", "n")
+        .join(inc, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("deg"), col("n"),
+          expr(s"(15 * (${SCALE}L div n)) div 100 + " +
+            s"($DAMP_NUM * (coalesce(inc, 0L) + dang div n)) div 100").as("r"))
+        .localCheckpoint()
+    }
+    cur.select(col("node"), col("r").as("rank_fp"),
+        round(col("r").cast("double") / SCALE.toDouble, 6).as("rank"))
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(20)
+  }
+
+  val g01Sql: String = {
+    val base = s"(15 * ($SCALE // t.n)) // 100"
+    def iter(k: Int): String =
+      s"""it$k AS (
+         |  SELECT p.node, p.deg, t.n,
+         |    $base + ($DAMP_NUM * (coalesce(inc.s, 0) + dg.dang // t.n)) // 100 AS r
+         |  FROM it${k - 1} p
+         |  CROSS JOIN (SELECT count(*) AS n FROM nodes) t
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(c.r // c.deg) AS BIGINT) AS s
+         |    FROM it${k - 1} c JOIN edges e ON c.node = e.src
+         |    WHERE c.deg > 0 GROUP BY 1) inc ON p.node = inc.node
+         |  CROSS JOIN (
+         |    SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+         |    FROM it${k - 1} WHERE deg = 0) dg)""".stripMargin
+    s"""WITH $sqlEdges,
+       |nodes AS (SELECT c_custkey AS node FROM customer
+       |          UNION ALL SELECT s_suppkey + $SUPPLIER_OFFSET FROM supplier),
+       |dgr AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |it0 AS (
+       |  SELECT n.node, coalesce(dgr.deg, 0) AS deg, t.n, $SCALE // t.n AS r
+       |  FROM nodes n
+       |  CROSS JOIN (SELECT count(*) AS n FROM nodes) t
+       |  LEFT JOIN dgr ON n.node = dgr.node),
+       |${(1 to ITERS).map(iter).mkString(",\n")}
+       |SELECT node, r AS rank_fp, round(r / ${SCALE.toDouble}, 6) AS rank
+       |FROM it$ITERS ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
+  }
+
+  // g02: degree-oriented triangle count over the item co-occurrence
+  // graph (edges = item pairs co-bought in >= 2 orders, r03's edge
+  // set). Single-row output: edges, wedges (the join's work bound)
+  // and triangles, plus the global clustering coefficient — all
+  // integers until the one final division.
+  def g02(s: SparkSession, d: String): DataFrame = {
+    val oi = graft.etl.Ratings.orderItems(s, d)
+    val co = oi.as("a").join(oi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("i", "j")
+    val deg = co.select(col("i").as("node")).union(co.select(col("j")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    // orient each edge from the (deg, id)-smaller endpoint
+    val oriented = co
+      .join(deg.select(col("node").as("i"), col("dg").as("di")), Seq("i"))
+      .join(deg.select(col("node").as("j"), col("dg").as("dj")), Seq("j"))
+      .select(
+        when(struct(col("di"), col("i")) < struct(col("dj"), col("j")), col("i"))
+          .otherwise(col("j")).as("a"),
+        when(struct(col("di"), col("i")) < struct(col("dj"), col("j")), col("j"))
+          .otherwise(col("i")).as("b"))
+    val ob = oriented.join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+    val wedges = ob.as("w1").join(ob.as("w2"),
+      col("w1.a") === col("w2.a") &&
+        struct(col("w1.db"), col("w1.b")) < struct(col("w2.db"), col("w2.b")))
+    val tri = wedges.join(oriented.as("cl"),
+        col("cl.a") === col("w1.b") && col("cl.b") === col("w2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nw = ob.groupBy("a").agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
+    co.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(nw))
+      .crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(when(col("n_wedges") > 0,
+            col("n_triangles").cast("double") / col("n_wedges"))
+          .otherwise(lit(0.0)), 6).as("closure_rate"))
+  }
+
+  val g02Sql: String =
+    """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS (
+      |  SELECT a.l_partkey AS i, b.l_partkey AS j
+      |  FROM oi a JOIN oi b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |dgr AS (
+      |  SELECT node, count(*) AS dg
+      |  FROM (SELECT i AS node FROM co UNION ALL SELECT j FROM co)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN (da.dg, co.i) < (db.dg, co.j) THEN co.i ELSE co.j END AS a,
+      |         CASE WHEN (da.dg, co.i) < (db.dg, co.j) THEN co.j ELSE co.i END AS b
+      |  FROM co JOIN dgr da ON co.i = da.node JOIN dgr db ON co.j = db.node),
+      |ob AS (SELECT o.a, o.b, dgr.dg AS db FROM o JOIN dgr ON o.b = dgr.node),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM ob w1
+      |  JOIN ob w2 ON w1.a = w2.a AND (w1.db, w1.b) < (w2.db, w2.b)
+      |  JOIN o cl ON cl.a = w1.b AND cl.b = w2.b),
+      |nw AS (
+      |  SELECT CAST(coalesce(sum(od * (od - 1) // 2), 0) AS BIGINT) AS n_wedges
+      |  FROM (SELECT a, count(*) AS od FROM ob GROUP BY 1)),
+      |ne AS (SELECT count(*) AS n_edges FROM co)
+      |SELECT ne.n_edges, nw.n_wedges, tri.n_triangles,
+      |  round(CASE WHEN nw.n_wedges > 0
+      |    THEN CAST(tri.n_triangles AS DOUBLE) / nw.n_wedges ELSE 0.0 END, 6)
+      |    AS closure_rate
+      |FROM ne CROSS JOIN nw CROSS JOIN tri""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_pagerank" -> (g01 _),
+    "g02_triangles" -> (g02 _))
+
+  val oracles: Map[String, String] = Map(
+    "g01_pagerank" -> g01Sql,
+    "g02_triangles" -> g02Sql)
+}

