@@ -568,13 +568,13 @@ object Dedup {
         .format("memory").queryName(sink)
         .start()
       try q.processAllAvailable() finally q.stop()
-      // materialize the small rollup before the landing dir and sink
-      // view are torn down; lineage truncation means the returned plan
-      // no longer reads either
+      // the returned plan reads the memory sink's in-JVM rows (the
+      // DataFrame resolves the sink relation at construction), not
+      // the landing dir or the catalog name — so the finally below
+      // can tear both down without a second materialization
       s.table(sink)
         .groupBy("doc_id").agg(count(lit(1)).as("n_bands"))
         .orderBy("doc_id")
-        .localCheckpoint()
     } finally {
       // the memory-sink temp view would otherwise accumulate one
       // registration per invocation in a long-lived session

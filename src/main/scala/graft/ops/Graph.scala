@@ -211,11 +211,49 @@ object Graph {
       |    AS closure_rate
       |FROM ne CROSS JOIN nw CROSS JOIN tri""".stripMargin
 
+  // g03: BFS hop-distance histogram from a fixed source (customer 1)
+  // over the trade graph — the reachability/radius primitive under
+  // every "how far is X from Y" graph question. Frontier iteration
+  // with min-dist dedup per round: each round is one edge shuffle on
+  // the frontier, state is (node, dist) — integers throughout, so the
+  // histogram is exact in both engines. The oracle's recursive CTE
+  // uses UNION (set) recursion, which explores each (node, dist)
+  // state once — the sequential semantics the distributed rounds must
+  // reproduce.
+  private val BFS_ROUNDS = 4
+  private val BFS_SOURCE = 1L
+
+  def g03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = edges(s, d).localCheckpoint()
+    var dist = Seq((BFS_SOURCE, 0)).toDF("node", "dist").localCheckpoint()
+    for (_ <- 1 to BFS_ROUNDS) {
+      dist = dist
+        .union(dist.join(e, dist("node") === e("src"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
+  }
+
+  val g03Sql: String =
+    s"""WITH RECURSIVE $sqlEdges,
+       |r(node, dist) AS (
+       |  SELECT CAST($BFS_SOURCE AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, r.dist + 1 FROM r JOIN edges e ON r.node = e.src
+       |  WHERE r.dist < $BFS_ROUNDS),
+       |mind AS (SELECT node, min(dist) AS dist FROM r GROUP BY 1)
+       |SELECT dist, count(*) AS n_nodes FROM mind GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g03_bfs_hops" -> (g03 _),
     "g01_pagerank" -> (g01 _),
     "g02_triangles" -> (g02 _))
 
   val oracles: Map[String, String] = Map(
+    "g03_bfs_hops" -> g03Sql,
     "g01_pagerank" -> g01Sql,
     "g02_triangles" -> g02Sql)
 }

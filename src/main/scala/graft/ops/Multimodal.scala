@@ -152,7 +152,46 @@ object Multimodal {
       |FROM documents WHERE octet_length(encode(text)) >= 8
       |ORDER BY doc_id""".stripMargin
 
+  // m06: CHUNKED-BLOB REASSEMBLY — large media lands as multipart
+  // chunks (the S3 multipart / chunked-upload shape); the ingest op
+  // reassembles per-blob with ONE shuffle on the blob key and proves
+  // integrity. Chunks here are 64-byte binary slices exploded with
+  // their index; reassembly is array_sort on (idx, chunk) structs +
+  // in-row concat; the md5 of the reassembly must equal the md5 of
+  // the original payload — per blob, as a gated boolean, next to the
+  // chunk count the oracle derives from the byte length.
+  def m06(s: SparkSession, d: String): DataFrame = {
+    val m = media(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).as("blen"))
+    val maxChunks = 16 // docs are short; bound the explode statically
+    val chunks = m.select(col("doc_id"), col("blen"), md5(col("payload")).as("orig_md5"),
+        posexplode(sequence(lit(0), least(
+          floor((col("blen") - 1) / 64).cast("int"), lit(maxChunks - 1)))))
+      .select(col("doc_id"), col("blen"), col("orig_md5"), col("col").as("idx"))
+      .join(m.select(col("doc_id"), col("payload")), Seq("doc_id"))
+      .select(col("doc_id"), col("blen"), col("orig_md5"), col("idx"),
+        expr("substring(payload, idx * 64 + 1, 64)").as("chunk"))
+    chunks.groupBy("doc_id", "blen", "orig_md5")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        md5(aggregate(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x.getField("chunk")))).as("re_md5"))
+      .select(col("doc_id"), col("n_chunks"),
+        (col("re_md5") === col("orig_md5")).as("reassembled_ok"))
+      .orderBy("doc_id")
+  }
+
+  val m06Sql: String =
+    """SELECT doc_id,
+      |  CAST(least((octet_length(encode(text)) + 63) // 64, 16) AS BIGINT)
+      |    AS n_chunks,
+      |  true AS reassembled_ok
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_chunk_reassembly" -> (m06 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_feature_stub" -> (m03 _),
@@ -160,6 +199,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m06_chunk_reassembly" -> m06Sql,
     "m01_binary_meta" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_feature_stub" -> m03Sql,

@@ -412,16 +412,28 @@ object Recommend {
   // only, recommend top-5 unseen-in-train items per user (<100),
   // count hits in the TEST set. Integer scores + single final
   // division → fully oracle-checkable, unlike typical ML eval loops.
+  /** Split-tagged distinct (order, user, item) interactions, cached
+    * per dataset and session-pinned: r12 and r17 run the identical
+    * eval protocol over it (4+ branches each), and the driver runs
+    * both in one session — one materialized cache instead of two. */
+  private val oiCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def taggedInteractions(s: SparkSession, d: String): DataFrame =
+    oiCache.getOrElseUpdate(d, {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val oiRaw = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("o_custkey").as("user_id"),
+          col("l_partkey").as("item_id"))
+        .distinct()
+      val oi = Split.tagTest(oiRaw, Seq("user_id", "item_id")).cache()
+      oi.count() // materialize NOW: the branches below read it (a lazy
+      // cache + early unpersist would recompute the join per branch)
+      oi
+    })
+
   def r12(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val l = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    val oiRaw = l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .select(col("l_orderkey").as("ok"), col("o_custkey").as("user_id"),
-        col("l_partkey").as("item_id"))
-      .distinct()
-    val oi = Split.tagTest(oiRaw, Seq("user_id", "item_id")).cache()
-    oi.count() // materialize NOW: 4 branches below read it (a lazy
-    // cache + early unpersist would recompute the join per branch)
+    val oi = taggedInteractions(s, d)
     val train = oi.filter(!col("is_test"))
     // basket-collect + in-row pair explode (1 shuffle), symmetrized
     // in the same pass — same plan as r03/r05, not the 3-shuffle
@@ -786,13 +798,7 @@ object Recommend {
   private val NDCG_CUM = NDCG_GAIN.scanLeft(0L)(_ + _).tail
 
   def r17(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val l = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    val oiRaw = l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .select(col("l_orderkey").as("ok"), col("o_custkey").as("user_id"),
-        col("l_partkey").as("item_id"))
-      .distinct()
-    val oi = Split.tagTest(oiRaw, Seq("user_id", "item_id"))
+    val oi = taggedInteractions(s, d)
     val train = oi.filter(!col("is_test"))
     val co = pairsOfSym(train, "ok", "item_id")
       .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
@@ -877,7 +883,33 @@ object Recommend {
        |ORDER BY n.user_id""".stripMargin
   }
 
+  // r18: the SERVING PAYLOAD — recommendations joined with the item
+  // metadata table (SURVEY §1 item 1: the reference ingests a movie
+  // metadata table next to ratings; `part` plays that role here). A
+  // real recommendation response carries names/brands/prices, not
+  // item ids; the join is the classic broadcast-dim enrichment (the
+  // catalog dim broadcasts at any scale where it fits an executor).
+  def r18(s: SparkSession, d: String): DataFrame = {
+    val meta = Tables.part(s, d)
+      .select(col("p_partkey").as("rec_item"), col("p_name"),
+        col("p_brand"), col("p_retailprice"))
+    r05(s, d)
+      .join(broadcast(meta), Seq("rec_item"))
+      .select(col("user_id"), col("rank"), col("rec_item"), col("p_name"),
+        col("p_brand"),
+        round(col("p_retailprice").cast("double"), 2).as("price"))
+      .orderBy("user_id", "rank")
+  }
+
+  val r18Sql: String =
+    s"""WITH recs AS ($r05Sql)
+       |SELECT user_id, rank, rec_item, p_name, p_brand,
+       |  round(CAST(p_retailprice AS DOUBLE), 2) AS price
+       |FROM recs JOIN part ON recs.rec_item = part.p_partkey
+       |ORDER BY user_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r18_serving_payload" -> (r18 _),
     "r17_ndcg" -> (r17 _),
     "r16_ann_serving" -> (r16 _),
     "r13_item_users" -> (r13 _),
@@ -897,6 +929,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r18_serving_payload" -> r18Sql,
     "r17_ndcg" -> r17Sql,
     "r06_als_recommend" -> r06Sql,
     "r07_als_item_factors" -> r07Sql,

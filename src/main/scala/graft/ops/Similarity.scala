@@ -647,6 +647,11 @@ object Similarity {
     * per-partition imperative work (the mapPartitions tier), used
     * only inside index TRAINING, never in a gated query plan. */
   def rotateVecs(e: DataFrame, rot: Array[Array[Double]]): DataFrame = {
+    // identity shortcut: plain-PQ comparisons (s09, OpsSpec) rotate by
+    // I — skip the full matrix multiply pass, the result IS the input
+    val isIdentity = rot.indices.forall(i => rot(i).indices.forall(j =>
+      rot(i)(j) == (if (i == j) 1.0 else 0.0)))
+    if (isIdentity) return e.select(col("vec_id"), col("v"))
     val spark = e.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(rot)

@@ -494,7 +494,28 @@ object TextOps {
       |FROM words JOIN uni USING (w) CROSS JOIN total
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // t15: language CONFUSION MATRIX — declared label × t03 prediction,
+  // with agreement rate per declared language. The corpus-quality
+  // diagnostic a curation pipeline reads before trusting either
+  // column (p01's language-consistency stage drops the off-diagonal;
+  // this is the report that says how much that is, per language).
+  def t15(s: SparkSession, d: String): DataFrame =
+    withLangCounts(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), tokens.as("toks")))
+      .select(col("lang"), predictedCol.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
+  val t15Sql: String =
+    s"""SELECT lang, $sqlPredictedCase AS predicted, count(*) AS n_docs
+       |FROM (SELECT doc_id, lang,
+       |    $sqlLangCountExprs
+       |  FROM documents)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_lang_confusion" -> (t15 _),
     "t14_unigram_xent" -> (t14 _),
     "t13_collocations" -> (t13 _),
     "t12_stratified_sample" -> (t12 _),
@@ -511,6 +532,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t15_lang_confusion" -> t15Sql,
     "t14_unigram_xent" -> t14Sql,
     "t13_collocations" -> t13Sql,
     "t12_stratified_sample" -> t12Sql,
