@@ -353,16 +353,21 @@ object Dedup {
       .distinct()
   }
 
-  def d08(s: SparkSession, d: String): DataFrame = {
-    val edges = candidates(s, d) // (a, b), a < b — verified LSH pairs
-      .cache()
-    val labels = connectedComponents(edges)
-    edges.unpersist()
+  /** Shared duplicate-cluster rollup over a (node, label) labeling —
+    * d08 and d13 must emit the identical shape for the shared oracle. */
+  private def clusterRollup(labels: DataFrame): DataFrame =
     labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("node")).as("keep_doc"), max(col("node")).as("max_doc"))
       .filter(col("n_docs") > 1)
       .orderBy("cluster")
+
+  def d08(s: SparkSession, d: String): DataFrame = {
+    val edges = candidates(s, d) // (a, b), a < b — verified LSH pairs
+      .cache()
+    val labels = connectedComponents(edges)
+    edges.unpersist()
+    clusterRollup(labels)
   }
 
   val d08Sql: String =
@@ -693,16 +698,10 @@ object Dedup {
   // SAME recursive-reachability oracle as d08. Two independent
   // distributed algorithms and one sequential SQL semantics agreeing
   // hash-exact is the strongest pin the operator family has.
-  def d13(s: SparkSession, d: String): DataFrame = {
-    val edges = candidates(s, d).cache()
-    val labels = connectedComponentsStar(edges)
-    edges.unpersist()
-    labels.groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("node")).as("keep_doc"), max(col("node")).as("max_doc"))
-      .filter(col("n_docs") > 1)
-      .orderBy("cluster")
-  }
+  def d13(s: SparkSession, d: String): DataFrame =
+    // no edge cache: connectedComponentsStar localCheckpoints its own
+    // filtered copy immediately and reads the input exactly once
+    clusterRollup(connectedComponentsStar(candidates(s, d)))
 
   // d12: directional CONTAINMENT (Broder) on the LSH candidates —
   // near-dup Jaccard (d04) misses the doc-inside-doc case (a long

@@ -315,13 +315,28 @@ object IoOps {
   def i08(s: SparkSession, d: String): DataFrame = {
     val dir = tmpDir("graft_i08_")
     try {
+      // executors write through the Hadoop FileSystem resolved from
+      // the directory URI — the cluster-safe path (file:// here;
+      // s3a://bucket/prefix on a real deployment lands each
+      // partition's blobs in shared storage), not raw java.nio against
+      // a driver-local path that workers wouldn't share
+      val dirUri = "file://" + dir
       Tables.documents(s, d).filter(col("doc_id") < 200)
         .select("doc_id", "text")
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val base = new org.apache.hadoop.fs.Path(dirUri)
+          // executor-side conf: Configuration isn't serializable and
+          // Spark's wrapper is private[spark]; the executor classpath
+          // carries the same site configs the driver's conf was built
+          // from
+          val fs = base.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
           rows.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.bin"), true)
+            try out.write(
               r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
           }
         }
       s.read.format("binaryFile").load(dir)

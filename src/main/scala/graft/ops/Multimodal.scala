@@ -161,17 +161,20 @@ object Multimodal {
   // the original payload — per blob, as a gated boolean, next to the
   // chunk count the oracle derives from the byte length.
   def m06(s: SparkSession, d: String): DataFrame = {
+    // empty payloads are excluded on BOTH sides (a 0-chunk blob has
+    // nothing to reassemble, and Spark's sequence(0, -1) would count
+    // down); no static chunk cap — truncating a large blob would
+    // silently flip the integrity boolean against the oracle's `true`
     val m = media(s, d).filter(col("doc_id") < 300)
-      .select(col("doc_id"), col("payload"),
-        length(col("payload")).as("blen"))
-    val maxChunks = 16 // docs are short; bound the explode statically
-    val chunks = m.select(col("doc_id"), col("blen"), md5(col("payload")).as("orig_md5"),
-        posexplode(sequence(lit(0), least(
-          floor((col("blen") - 1) / 64).cast("int"), lit(maxChunks - 1)))))
-      .select(col("doc_id"), col("blen"), col("orig_md5"), col("col").as("idx"))
-      .join(m.select(col("doc_id"), col("payload")), Seq("doc_id"))
-      .select(col("doc_id"), col("blen"), col("orig_md5"), col("idx"),
-        expr("substring(payload, idx * 64 + 1, 64)").as("chunk"))
+      .select(col("doc_id"), col("payload"), length(col("payload")).as("blen"))
+      .filter(col("blen") > 0)
+    // the generator composes with the carried columns in ONE select —
+    // payload stays in scope, no join back to recover it
+    val chunks = m.select(col("doc_id"), col("blen"),
+        md5(col("payload")).as("orig_md5"), col("payload"),
+        posexplode(sequence(lit(0), expr("(blen + 63) div 64").cast("int") - 1)))
+      .select(col("doc_id"), col("blen"), col("orig_md5"), col("col").as("idx"),
+        expr("substring(payload, col * 64 + 1, 64)").as("chunk"))
     chunks.groupBy("doc_id", "blen", "orig_md5")
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         md5(aggregate(
@@ -185,10 +188,10 @@ object Multimodal {
 
   val m06Sql: String =
     """SELECT doc_id,
-      |  CAST(least((octet_length(encode(text)) + 63) // 64, 16) AS BIGINT)
-      |    AS n_chunks,
+      |  CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_chunks,
       |  true AS reassembled_ok
-      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id < 300 AND octet_length(encode(text)) > 0
+      |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m06_chunk_reassembly" -> (m06 _),

@@ -181,8 +181,17 @@ object Recommend {
     * queries; retraining for each would triple the cost. */
   private val modelCache = scala.collection.concurrent.TrieMap.empty[String, ALSModel]
 
+  /** Session-aware memo key: training artifacts (models, centroids,
+    * cached relations) are bound to the SparkContext they were built
+    * on — keying by dataset alone would hand a DataFrame/model from a
+    * STOPPED context to a later session in the same JVM. The
+    * applicationId rolls over with the context, so stale entries are
+    * simply never hit again. */
+  private[ops] def memoKey(s: SparkSession, d: String): String =
+    s.sparkContext.applicationId + "#" + d
+
   def alsModel(s: SparkSession, d: String): ALSModel =
-    modelCache.getOrElseUpdate(d, {
+    modelCache.getOrElseUpdate(memoKey(s, d), {
       val ratings = Ratings.implicitRatings(s, d)
         .select(col("user_id").cast("int"), col("item_id").cast("int"),
           col("rating").cast("float"))
@@ -419,7 +428,7 @@ object Recommend {
   private val oiCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def taggedInteractions(s: SparkSession, d: String): DataFrame =
-    oiCache.getOrElseUpdate(d, {
+    oiCache.getOrElseUpdate(memoKey(s, d), {
       val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       val l = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
       val oiRaw = l.join(o, l("l_orderkey") === o("o_orderkey"))
@@ -688,7 +697,7 @@ object Recommend {
     // memoized per dataset like the ALS model — the quantizer is a
     // training artifact, not per-query work.
     import s.implicits._
-    val centRows = centsCache.getOrElseUpdate(d, {
+    val centRows = centsCache.getOrElseUpdate(memoKey(s, d), {
       Similarity.ivfKMeansCentroids(
         itemsAug.select(col("item_id").as("vec_id"), col("fa").as("v")),
         k = 8, seed = 13)

@@ -573,7 +573,8 @@ object Relational {
     val c = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         unix_micros(col("ts")).as("click_us"))
-    graft.plans.AsOf.join(p, c, "user_id", "c_user", "purchase_us", "click_us")
+    graft.plans.AsOf.join(p, c, "user_id", "c_user", "purchase_us", "click_us",
+        rightTiebreak = Some("click_id"))
       .select("event_id", "user_id", "purchase_us", "click_id", "click_us")
       .orderBy("event_id")
   }
@@ -1023,7 +1024,7 @@ object Relational {
       .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
         col("ts").as("s_ts"))
     graft.plans.AsOf.join(p, su, "user_id", "s_user", "p_ts", "s_ts",
-        joinType = "left_outer")
+        joinType = "left_outer", rightTiebreak = Some("signup_id"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("p_ts")).as("purchase_us"),
         col("signup_id"), unix_micros(col("s_ts")).as("signup_us"))
@@ -1053,7 +1054,7 @@ object Relational {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         unix_micros(col("ts")).as("click_us"))
     graft.plans.AsOf.join(su, c, "user_id", "c_user", "signup_us", "click_us",
-        direction = "forward")
+        direction = "forward", rightTiebreak = Some("click_id"))
       .select("event_id", "user_id", "signup_us", "click_id", "click_us")
       .orderBy("event_id")
   }

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types._
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   leftKey: Expression, rightKey: Expression,
   leftTime: Expression, rightTime: Expression,
-  isLeftOuter: Boolean) extends BinaryNode {
+  isLeftOuter: Boolean,
+  rightTie: Option[Expression] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++
     (if (isLeftOuter) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
@@ -45,8 +46,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer, tie) :: Nil
     case _ => Nil
   }
 }
@@ -54,7 +55,8 @@ object AsOfStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   leftKey: Expression, rightKey: Expression,
   leftTime: Expression, rightTime: Expression,
-  isLeftOuter: Boolean) extends BinaryExecNode {
+  isLeftOuter: Boolean,
+  rightTie: Option[Expression] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++
     (if (isLeftOuter) right.output.map(_.withNullability(true)) else right.output)
@@ -62,9 +64,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
+  // The merge keeps the LAST qualifying right row; with a tiebreak in
+  // the sort, equal-(key,time) ties resolve to the GREATEST tiebreak —
+  // deterministic across shuffles when the tiebreak is unique. Without
+  // one, the pick among exact ties follows partition sort order.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTie.map(t => SortOrder(t, Ascending)).toSeq)
 
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
@@ -146,7 +153,8 @@ object AsOf {
     leftKey: String, rightKey: String,
     leftTime: String, rightTime: String,
     joinType: String = "inner",
-    direction: String = "backward"): DataFrame = {
+    direction: String = "backward",
+    rightTiebreak: Option[String] = None): DataFrame = {
     val outer = joinType match {
       case "inner" => false
       case "left" | "left_outer" => true
@@ -192,9 +200,17 @@ object AsOf {
     val (l2, ltName) =
       if (forward) (l2a.withColumn("__asof_ltf", -col(ltName0)), "__asof_ltf")
       else (l2a, ltName0)
-    val (r2, rtName) =
+    val (r2b, rtName) =
       if (forward) (r2a.withColumn("__asof_rtf", -col(rtName0)), "__asof_rtf")
       else (r2a, rtName0)
+    // optional deterministic tie-break among right rows sharing
+    // (key, time): the GREATEST tiebreak value wins. Without it, the
+    // pick among exact ties follows partition sort order (both this
+    // exec and DuckDB ASOF are arbitrary there).
+    val (r2, tieName) = rightTiebreak match {
+      case Some(tc) => val (df, n) = numericize(r2b, tc, "__asof_tie"); (df, Some(n))
+      case None => (r2b, None)
+    }
 
     val lp = Bridge.analyzedPlan(l2)
     val rp = Bridge.analyzedPlan(r2)
@@ -204,8 +220,9 @@ object AsOf {
           s"column $name not found in [${p.output.map(_.name).mkString(", ")}]"))
     val joined = Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, lkName), attr(rp, rkName),
-      attr(lp, ltName), attr(rp, rtName), outer))
+      attr(lp, ltName), attr(rp, rtName), outer,
+      tieName.map(attr(rp, _))))
     joined.drop("__asof_lk", "__asof_lt", "__asof_rk", "__asof_rt",
-      "__asof_ltf", "__asof_rtf")
+      "__asof_ltf", "__asof_rtf", "__asof_tie")
   }
 }

@@ -67,4 +67,35 @@ class AsOfJoinSpec extends SparkSpec {
     val p = ops.Relational.q43(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("AsOfJoin"), p.take(1500))
   }
+
+  test("rightTiebreak pins the pick among equal (key, time) right rows") {
+    // two right rows with IDENTICAL (key, time): without a tiebreak the
+    // winner follows partition sort order (arbitrary); with one, the
+    // greatest tiebreak value wins — run-to-run deterministic
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 90L, 7L, "low"), (1L, 90L, 9L, "high"))
+      .toDF("rk", "rt", "id", "v")
+    val got = plans.AsOf.join(left, right, "k", "rk", "t", "rt",
+        rightTiebreak = Some("id"))
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("high"), got.toString)
+    // forward direction: same rule among AT-OR-AFTER ties (the right
+    // rows must sit at/after the left time to qualify at all)
+    val rightAfter = Seq((1L, 110L, 7L, "low"), (1L, 110L, 9L, "high"))
+      .toDF("rk", "rt", "id", "v")
+    val fwd = plans.AsOf.join(left, rightAfter, "k", "rk", "t", "rt",
+        direction = "forward", rightTiebreak = Some("id"))
+    assert(fwd.select("v").collect().map(_.getString(0)).toSeq == Seq("high"))
+  }
+
+  test("forward as-of picks the earliest right row at-or-after") {
+    val left = Seq((1L, 100L), (2L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 99L, "before"), (1L, 101L, "first_after"),
+      (1L, 150L, "later"), (2L, 50L, "exact")).toDF("rk", "rt", "v")
+    val got = plans.AsOf.join(left, right, "k", "rk", "t", "rt",
+        direction = "forward")
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "first_after"), (2L, "exact")), got.toString)
+  }
 }
