@@ -379,7 +379,108 @@ object EventOps {
       |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM tagged GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // e16: WATERMARK LATE-DATA SEMANTICS under the gate — the one
+  // streaming-correctness behavior the e-series hadn't directly
+  // gated: an append-mode windowed aggregation must DROP rows that
+  // arrive after the watermark has passed their window. Three
+  // controlled micro-batches (maxFilesPerTrigger=1, file modTimes
+  // pin the order): (1) the even-HOUR half of the corpus advances
+  // the watermark to max(even ts) − 26h; (2) the odd-hour half
+  // arrives "late" — only rows whose 1h window is still open
+  // (window end > watermark) may count; (3) a far-future sentinel
+  // pushes the watermark past every real window so append mode
+  // emits them all (the sentinel's own window stays unemitted and is
+  // filtered). The oracle recomputes exactly the surviving set, so
+  // the stream must drop exactly the right rows — not more, not
+  // fewer. The drop boundary (end > wm keeps) is pinned in
+  // StreamingSpec.
+  def e16(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = Tables.events(s, d).select("event_id", "ts", "event_type")
+    val dirP = Files.createTempDirectory("graft_e16_")
+    val streamDir = dirP.resolve("stream")
+    Files.createDirectories(streamDir)
+    val sink = "graft_e16_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val maxEvenTs = ev.filter(hour(col("ts")) % 2 === 0)
+        .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      val sentinel = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          0L, java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(10L * 86400)),
+          "sentinel")),
+        sentinelSchema)
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = dirP.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dest = streamDir.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      // the late-events filter runs on the watermark as of TWO batches
+      // back (Spark finalizes a batch's watermark after it commits, and
+      // the late filter uses the PREVIOUS committed value) — so a
+      // "nudge" batch sits between the head and the stragglers: it
+      // carries one sentinel-typed event at the head's max ts (advances
+      // nothing, excluded from output) purely so the stragglers' batch
+      // runs with the head-derived late watermark in force.
+      val nudge = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(0L, maxEvenTs, "sentinel")),
+        sentinelSchema)
+      val t0 = System.currentTimeMillis()
+      land(ev.filter(hour(col("ts")) % 2 === 0), "batch0", t0 - 80000)
+      land(nudge, "batch1", t0 - 60000)
+      land(ev.filter(hour(col("ts")) % 2 === 1), "batch2", t0 - 40000)
+      land(sentinel, "batch3", t0 - 20000)
+      val stream = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val agg = stream.withWatermark("ts", "26 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .filter(col("event_type") =!= "sentinel")
+        .select(unix_micros(col("window.start")).as("hour_us"),
+          col("event_type"), col("n"))
+        .orderBy("hour_us", "event_type")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  val e16Sql: String =
+    """WITH ehead AS (SELECT * FROM events WHERE hour(ts) % 2 = 0),
+      |late AS (SELECT * FROM events WHERE hour(ts) % 2 = 1),
+      |wm AS (SELECT max(ts) - INTERVAL 26 HOUR AS w FROM ehead),
+      |surv AS (
+      |  SELECT late.* FROM late, wm
+      |  WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR > wm.w),
+      |allr AS (SELECT * FROM ehead UNION ALL SELECT * FROM surv)
+      |SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us,
+      |  event_type, count(*) AS n
+      |FROM allr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_late_data" -> (e16 _),
     "e15_session_window" -> (e15 _),
     "e13_stream_hh" -> (e13 _),
     "e12_sliding_window" -> (e12 _),
@@ -396,6 +497,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e16_late_data" -> e16Sql,
     "e15_session_window" -> e15Sql,
     "e13_stream_hh" -> e13Sql,
     "e12_sliding_window" -> e12Sql,

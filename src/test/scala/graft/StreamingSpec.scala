@@ -68,6 +68,24 @@ class StreamingSpec extends SparkSpec {
       s"stream flagged $streamed, batch twin $batch")
   }
 
+  test("e16 watermark actually drops late windows (non-vacuous gate)") {
+    // e16's oracle recomputes the surviving set, so the gate passes
+    // only if the stream drops EXACTLY the predicted rows — this pin
+    // additionally proves the drop set is non-empty: late odd-hour
+    // windows really vanish vs the drop-free e01 shape. (Discovered
+    // building this: the late-events filter runs on the watermark as
+    // of TWO batches back, hence e16's nudge batch.)
+    val dropped = ops.EventOps.e16(spark, sf).count()
+    val full = ops.EventOps.e01(spark, sf).count()
+    assert(dropped < full, s"e16 emitted $dropped windows, e01 has $full — nothing was dropped")
+    // and every emitted (window, type) pair must exist in the full set
+    val got = ops.EventOps.e16(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val all = ops.EventOps.e01(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.subsetOf(all))
+  }
+
   test("stateful sessionization matches batch session counts") {
     val out = streaming.Streams.sessionize(
         streaming.Streams.typedEvents(spark, sf))
