@@ -420,9 +420,11 @@ object EventOps {
       def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
         val tmp = dirP.resolve(name + "_tmp")
         df.coalesce(1).write.parquet(tmp.toString)
-        val part = Files.list(tmp).filter(p =>
+        val listing = Files.list(tmp) // close: each leaked stream holds an fd
+        val part = try listing.filter(p =>
           p.getFileName.toString.startsWith("part-") &&
             p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
         val dest = streamDir.resolve(name + ".parquet")
         Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dest,

@@ -187,8 +187,17 @@ object Recommend {
     * STOPPED context to a later session in the same JVM. The
     * applicationId rolls over with the context, so stale entries are
     * simply never hit again. */
-  private[ops] def memoKey(s: SparkSession, d: String): String =
-    s.sparkContext.applicationId + "#" + d
+  private[ops] def memoKey(s: SparkSession, d: String): String = {
+    val key = s.sparkContext.applicationId + "#" + d
+    // evict entries from dead contexts: "never hit again" must also
+    // mean "not retained" — a JVM cycling sessions would otherwise
+    // pin one model + cached-DataFrame graph per stopped context
+    val prefix = s.sparkContext.applicationId + "#"
+    Seq(modelCache, centsCache, oiCache).foreach { c =>
+      c.keys.filterNot(_.startsWith(prefix)).foreach(c.remove)
+    }
+    key
+  }
 
   def alsModel(s: SparkSession, d: String): ALSModel =
     modelCache.getOrElseUpdate(memoKey(s, d), {

@@ -579,6 +579,23 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q26's oracle: same semantics as q21's native-ASOF oracle but with
+    * the tie rule pinned (latest ts, then greatest click id) — the
+    * contract the exec's rightTiebreak enforces; native ASOF is
+    * arbitrary among exact-tie rows. */
+  val q26Sql: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.event_id, p.user_id, p.ts AS p_ts,
+      |    c.event_id AS click_id, c.ts AS c_ts,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      |SELECT event_id, user_id, epoch_us(p_ts) AS purchase_us,
+      |  click_id, epoch_us(c_ts) AS click_us
+      |FROM pairs WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   // q27: RANGE window frame — 30-day trailing spend per customer,
   // ordered by physical time value (epoch micros), not row position.
   def q27(s: SparkSession, d: String): DataFrame = {
@@ -1015,7 +1032,10 @@ object Relational {
   // timestamp keys (the API's order-preserving long projection) — for
   // every purchase, the latest signup of the same user at or before
   // it; users who purchased before ever signing up keep the row with
-  // nulls. Gated against DuckDB's native ASOF LEFT JOIN.
+  // nulls. Oracle: deterministic window formulation pinning the same
+  // tie rule as the exec (latest ts, then greatest id) — native ASOF
+  // is arbitrary among exact-tie rows, which would leave the
+  // cross-engine compare unpinned (q21 keeps the native-ASOF oracle).
   def q43(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
     val p = ev.filter(col("event_type") === "purchase")
@@ -1032,19 +1052,26 @@ object Relational {
   }
 
   val q43Sql: String =
-    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
-      |  s.event_id AS signup_id, epoch_us(s.ts) AS signup_us
-      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-      |  ON p.user_id = s.user_id AND p.ts >= s.ts
-      |ORDER BY p.event_id""".stripMargin
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT * FROM events WHERE event_type = 'signup'),
+      |pairs AS (
+      |  SELECT p.event_id, p.user_id, p.ts AS p_ts,
+      |    s.event_id AS signup_id, s.ts AS s_ts,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |                       ORDER BY s.ts DESC, s.event_id DESC) AS rn
+      |  FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts)
+      |SELECT event_id, user_id, epoch_us(p_ts) AS purchase_us,
+      |  signup_id, epoch_us(s_ts) AS signup_us
+      |FROM pairs WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   // q44: FORWARD as-of — for each signup, the user's first click
   // at-or-after it (time-to-first-action, the attribution twin of
   // q26's backward last-touch). Same custom operator; the forward
   // direction is the backward join over negated order-preserving
-  // longs, so there is no second exec path to trust. Oracle: DuckDB
-  // ASOF with the <= inequality (its native forward form).
+  // longs, so there is no second exec path to trust. Oracle:
+  // deterministic window formulation (earliest ts at-or-after, then
+  // greatest id among ties — the exec's tiebreak rule); native
+  // forward ASOF (<=) is arbitrary among exact ties.
   def q44(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
     val su = ev.filter(col("event_type") === "signup")
@@ -1060,12 +1087,17 @@ object Relational {
   }
 
   val q44Sql: String =
-    """SELECT su.event_id, su.user_id, epoch_us(su.ts) AS signup_us,
-      |  c.event_id AS click_id, epoch_us(c.ts) AS click_us
-      |FROM (SELECT * FROM events WHERE event_type = 'signup') su
-      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      |  ON su.user_id = c.user_id AND su.ts <= c.ts
-      |ORDER BY su.event_id""".stripMargin
+    """WITH su AS (SELECT * FROM events WHERE event_type = 'signup'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT su.event_id, su.user_id, su.ts AS s_ts,
+      |    c.event_id AS click_id, c.ts AS c_ts,
+      |    row_number() OVER (PARTITION BY su.event_id
+      |                       ORDER BY c.ts ASC, c.event_id DESC) AS rn
+      |  FROM su JOIN c ON su.user_id = c.user_id AND c.ts >= su.ts)
+      |SELECT event_id, user_id, epoch_us(s_ts) AS signup_us,
+      |  click_id, epoch_us(c_ts) AS click_us
+      |FROM pairs WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1140,7 +1172,7 @@ object Relational {
     "q23_pivot" -> q23Sql,
     "q24_percentiles" -> q24Sql,
     "q25_approx_distinct" -> q25Sql,
-    "q26_asof_custom" -> q21Sql, // same as-of semantics, custom operator
+    "q26_asof_custom" -> q26Sql, // tie-pinned twin of q21's native-ASOF oracle
     "q27_range_frame" -> q27Sql,
     "q28_unpivot" -> q28Sql,
     "q29_sample" -> q29Sql,

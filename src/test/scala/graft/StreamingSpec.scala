@@ -75,14 +75,13 @@ class StreamingSpec extends SparkSpec {
     // windows really vanish vs the drop-free e01 shape. (Discovered
     // building this: the late-events filter runs on the watermark as
     // of TWO batches back, hence e16's nudge batch.)
-    val dropped = ops.EventOps.e16(spark, sf).count()
-    val full = ops.EventOps.e01(spark, sf).count()
-    assert(dropped < full, s"e16 emitted $dropped windows, e01 has $full — nothing was dropped")
-    // and every emitted (window, type) pair must exist in the full set
     val got = ops.EventOps.e16(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     val all = ops.EventOps.e01(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.size < all.size,
+      s"e16 emitted ${got.size} windows, e01 has ${all.size} — nothing was dropped")
+    // and every emitted (window, type) pair must exist in the full set
     assert(got.subsetOf(all))
   }
 
