@@ -238,6 +238,80 @@ object IoOps {
       |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // i09: Z-ORDER (Morton) clustering — i06 range-clusters ONE column;
+  // multi-dimensional workloads (customer × time boxes here) need a
+  // layout where EVERY dimension is partially clustered, or the
+  // second dimension's predicate prunes nothing. The 32-bit Morton
+  // key interleaves 16 bits of customer id with 16 bits of day index
+  // (pure integer shifts/masks, generated identically for both
+  // dialects — the oracle recomputes min/max zkey of the box, so the
+  // interleave math is cross-engine-checked bit-exact). Files are
+  // range-split + sorted on zkey, so each file's footer carries tight
+  // PARTIAL ranges on both raw dims; IoSpec measures that a 2-D box
+  // scan over the z-ordered copy reads fewer rows than over a
+  // zkey-shuffled copy of the same data — the Delta/Iceberg OPTIMIZE
+  // ZORDER effect, reproduced from first principles.
+  private val Z_BITS = 16
+  private val Z_EPOCH = "1995-01-01"
+
+  /** Morton interleave ck/dy (bit i of ck → bit 2i+1, dy → 2i) in the
+    * given dialect's shift syntax. */
+  private def zExpr(dialectSpark: Boolean): String =
+    (0 until Z_BITS).map { i =>
+      if (dialectSpark)
+        s"shiftleft(shiftright(ck, $i) & 1, ${2 * i + 1}) + " +
+          s"shiftleft(shiftright(dy, $i) & 1, ${2 * i})"
+      else
+        s"(((ck >> $i) & 1) << ${2 * i + 1}) + (((dy >> $i) & 1) << ${2 * i})"
+    }.mkString("(", " + ", ")")
+
+  /** The z-ordered copy of orders: (custkey, day) → zkey, range-split
+    * and sorted on it. */
+  private[graft] def zorderedDir(s: SparkSession, d: String, files: Int): String = {
+    val dir = tmpDir("graft_i09_")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("ck"),
+        datediff(col("o_orderdate").cast("date"), lit(Z_EPOCH)).cast("long").as("dy"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .withColumn("zkey", expr(zExpr(dialectSpark = true)))
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The read side: a 2-D box over the z-ordered copy. Split out so
+    * IoSpec can measure scan rows on the exact gated DataFrame. */
+  def zorderReadback(s: SparkSession, dir: String): DataFrame =
+    Io.readParquet(s, dir)
+      .filter(col("ck") >= 10 && col("ck") < 100 &&
+        col("dy") >= 720 && col("dy") < 1080)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"),
+        min(col("zkey")).as("min_zkey"), max(col("zkey")).as("max_zkey"))
+      .orderBy("o_orderpriority")
+
+  def i09(s: SparkSession, d: String): DataFrame =
+    zorderReadback(s, zorderedDir(s, d, files = 8))
+
+  val i09Sql: String =
+    s"""WITH z AS (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    ${zExpr(dialectSpark = false)} AS zkey
+       |  FROM (
+       |    SELECT o_orderpriority, o_totalprice, o_custkey AS ck,
+       |      datediff('day', DATE '$Z_EPOCH', CAST(o_orderdate AS DATE)) AS dy
+       |    FROM orders)
+       |  WHERE ck >= 10 AND ck < 100 AND dy >= 720 AND dy < 1080)
+       |SELECT o_orderpriority, count(*) AS n_orders,
+       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+       |    AS sum_price,
+       |  CAST(min(zkey) AS BIGINT) AS min_zkey,
+       |  CAST(max(zkey) AS BIGINT) AS max_zkey
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
   // i07: CDC MERGE (upsert + delete) — the Delta/Iceberg MERGE INTO
   // shape expressed as a full-outer join on the key: matched+update
   // rows take the change's values, matched+delete rows drop,
@@ -358,6 +432,7 @@ object IoOps {
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i09_zorder" -> (i09 _),
     "i08_binary_source" -> (i08 _),
     "i07_merge_upsert" -> (i07 _),
     "i06_clustered_skip" -> (i06 _),
@@ -368,6 +443,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i09_zorder" -> i09Sql,
     "i08_binary_source" -> i08Sql,
     "i07_merge_upsert" -> i07Sql,
     "i06_clustered_skip" -> i06Sql,

@@ -49,6 +49,46 @@ class IoSpec extends SparkSpec {
     assert(a.count() > 0)
   }
 
+  test("z-order layout skips data a shuffled layout must scan") {
+    // same rows, two layouts: Morton-sorted files vs randomly-placed
+    // rows. The 2-D box predicate pushes to parquet on both; only the
+    // z-ordered copy has per-file footer stats tight enough to skip,
+    // so its scan must produce (strictly) fewer rows. This is the
+    // measured OPTIMIZE ZORDER effect, not just a plan-shape claim.
+    // unwrap AQE wrappers: AdaptiveSparkPlanExec and QueryStageExec
+    // nodes hold their subplans out-of-band, so collectLeaves stops
+    // at them instead of reaching the file scans
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(q.plan)
+      case l if l.children.isEmpty => Seq(l)
+      case n => n.children.flatMap(leaves)
+    }
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      leaves(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+    val zdir = ops.IoOps.zorderedDir(spark, sf, files = 8)
+    val sdir = java.nio.file.Files.createTempDirectory("graft_i09spec_").toString
+    sources.Io.readParquet(spark, zdir)
+      .repartition(8) // round-robin: destroys clustering, keeps rows
+      .write.mode("overwrite").parquet(sdir)
+    val zScan = scannedRows(ops.IoOps.zorderReadback(spark, zdir))
+    val sScan = scannedRows(ops.IoOps.zorderReadback(spark, sdir))
+    val total = Tables.orders(spark, sf).count()
+    assert(zScan < sScan,
+      s"z-ordered scan read $zScan rows, shuffled layout $sScan — no skipping")
+    assert(zScan < total, s"z-ordered scan read all $total rows")
+    // and both layouts agree on the box result
+    val a = ops.IoOps.zorderReadback(spark, zdir).collect().map(_.toString).sorted
+    val b = ops.IoOps.zorderReadback(spark, sdir).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val docs = Tables.documents(spark, sf)
     val dir = tmp() + "/docs_part"
