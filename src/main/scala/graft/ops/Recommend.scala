@@ -926,7 +926,59 @@ object Recommend {
        |FROM recs JOIN part ON recs.rec_item = part.p_partkey
        |ORDER BY user_id, rank""".stripMargin
 
+  // r19: serving-health diagnostics — catalog COVERAGE (how much of
+  // the catalog ever gets recommended) and CONCENTRATION (the share
+  // of all recommendations captured by the 10 most-recommended
+  // items). Accuracy metrics (r12 precision, r17 NDCG) say nothing
+  // about a recommender that serves the same 10 bestsellers to
+  // everyone; these are the standard beyond-accuracy checks. All
+  // counts integer; two single divisions at the end.
+  def r19(s: SparkSession, d: String): DataFrame = {
+    val recs = r05(s, d).select("user_id", "rec_item")
+    val perItem = recs.groupBy("rec_item").agg(count(lit(1)).as("n_recs"))
+    // top-10 via the TopKAgg heap (same (score DESC, id ASC) order as
+    // the oracle's window) — no global unpartitioned sort, the rule
+    // every other window in the engine follows
+    val top10 = perItem
+      .agg(graft.functions.TopKAgg.topK(col("n_recs"), col("rec_item"), 10).as("tk"))
+      .select(aggregate(col("tk"), lit(0L),
+        (acc, x) => acc + x.getField("score").cast("long")).as("top10_recs"))
+    recs.agg(count(lit(1)).as("n_recs_total"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("rec_item")).as("n_items_recommended"))
+      .join(Ratings.implicitRatings(s, d)
+        .agg(countDistinct(col("item_id")).as("n_items_catalog")))
+      .join(top10)
+      .select(col("n_users"), col("n_recs_total"),
+        col("n_items_recommended"), col("n_items_catalog"),
+        round(col("n_items_recommended").cast("double") / col("n_items_catalog"), 6)
+          .as("catalog_coverage"),
+        round(col("top10_recs").cast("double") / col("n_recs_total"), 6)
+          .as("top10_share"))
+  }
+
+  val r19Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |recs AS (SELECT user_id, rec_item FROM ($r05Sql)),
+       |per_item AS (SELECT rec_item, count(*) AS n_recs FROM recs GROUP BY 1),
+       |top10 AS (
+       |  SELECT CAST(sum(n_recs) AS BIGINT) AS top10_recs FROM (
+       |    SELECT n_recs, row_number() OVER (ORDER BY n_recs DESC, rec_item) AS rk
+       |    FROM per_item)
+       |  WHERE rk <= 10),
+       |tot AS (
+       |  SELECT count(*) AS n_recs_total, count(DISTINCT user_id) AS n_users,
+       |    count(DISTINCT rec_item) AS n_items_recommended
+       |  FROM recs),
+       |cat AS (SELECT count(DISTINCT item_id) AS n_items_catalog FROM ratings)
+       |SELECT n_users, n_recs_total, n_items_recommended, n_items_catalog,
+       |  round(CAST(n_items_recommended AS DOUBLE) / n_items_catalog, 6)
+       |    AS catalog_coverage,
+       |  round(CAST(top10_recs AS DOUBLE) / n_recs_total, 6) AS top10_share
+       |FROM tot CROSS JOIN cat CROSS JOIN top10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r19_serving_health" -> (r19 _),
     "r18_serving_payload" -> (r18 _),
     "r17_ndcg" -> (r17 _),
     "r16_ann_serving" -> (r16 _),
@@ -947,6 +999,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r19_serving_health" -> r19Sql,
     "r18_serving_payload" -> r18Sql,
     "r17_ndcg" -> r17Sql,
     "r06_als_recommend" -> r06Sql,

@@ -1099,8 +1099,36 @@ object Relational {
       |  click_id, epoch_us(c_ts) AS click_us
       |FROM pairs WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // q45: EXACT MODE per group with a PINNED tie rule (highest count,
+  // then smallest value). Spark's built-in mode() and DuckDB's mode()
+  // are both arbitrary among tied candidates — the same cross-engine
+  // trap as the as-of ties — so both sides compute the argmax with an
+  // explicit window order instead of the built-in.
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_linenumber"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_linenumber")
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_linenumber"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_count"))
+      .orderBy("l_linenumber")
+  }
+
+  val q45Sql: String =
+    """SELECT l_linenumber, l_quantity AS mode_qty, cnt AS mode_count
+      |FROM (
+      |  SELECT l_linenumber, l_quantity, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY l_linenumber
+      |                       ORDER BY count(*) DESC, l_quantity) AS rn
+      |  FROM lineitem GROUP BY 1, 2)
+      |WHERE rn = 1 ORDER BY l_linenumber""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_mode" -> (q45 _),
     "q44_asof_forward" -> (q44 _),
     "q43_asof_outer" -> (q43 _),
     "q42_topk_agg" -> (q42 _),
@@ -1190,5 +1218,6 @@ object Relational {
     "q41_heavy_hitters" -> q41Sql,
     "q42_topk_agg" -> q42Sql,
     "q43_asof_outer" -> q43Sql,
-    "q44_asof_forward" -> q44Sql)
+    "q44_asof_forward" -> q44Sql,
+    "q45_mode" -> q45Sql)
 }
