@@ -133,25 +133,43 @@ object Recommend {
   // r05: item-based CF top-5 per user (users < 50), integer scores
   // (sum of co-occurrence counts over the user's history), seen items
   // excluded — the reference's "personal recommendations" flow.
-  def r05(s: SparkSession, d: String): DataFrame = {
-    val hist = Ratings.implicitRatings(s, d)
-      .filter(col("user_id") < 50).select("user_id", "item_id").distinct()
-    // symmetric co-occurrence (i ≠ j, both directions) emitted in one
-    // basket pass — no union re-running the aggregation
-    val coSym = pairsOfSym(
-      Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
-      "l_orderkey", "l_partkey")
-      .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
-    val scored = hist.join(coSym, hist("item_id") === coSym("i"))
-      .groupBy(col("user_id"), col("j").as("rec_item"))
-      .agg(sum(col("cnt")).as("score"))
-    val seen = hist.withColumnRenamed("item_id", "rec_item")
-    val unseen = scored.join(seen, Seq("user_id", "rec_item"), "left_anti")
-    val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
-    unseen.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .orderBy("user_id", "rank")
-  }
+  //
+  // The recs table is a SERVING ARTIFACT consumed by three gated
+  // queries (r05 itself, r18's payload join, r19's health
+  // diagnostics): memoized per (session, dataset) like [[alsModel]]
+  // so consumers read ~100 cached rows instead of re-running the
+  // co-occurrence build + scoring pipeline — at warehouse scale that
+  // re-run is a full lineitem scan per consumer.
+  private val r05Cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Unordered top-5 recs (user_id, rec_item, score, rank), cached and
+    * materialized once per (session, dataset). Consumers apply their
+    * own ordering — InMemoryRelation does not promise scan order. */
+  private def r05Recs(s: SparkSession, d: String): DataFrame =
+    r05Cache.getOrElseUpdate(memoKey(s, d), {
+      val hist = Ratings.implicitRatings(s, d)
+        .filter(col("user_id") < 50).select("user_id", "item_id").distinct()
+      // symmetric co-occurrence (i ≠ j, both directions) emitted in one
+      // basket pass — no union re-running the aggregation
+      val coSym = pairsOfSym(
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey")
+        .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
+      val scored = hist.join(coSym, hist("item_id") === coSym("i"))
+        .groupBy(col("user_id"), col("j").as("rec_item"))
+        .agg(sum(col("cnt")).as("score"))
+      val seen = hist.withColumnRenamed("item_id", "rec_item")
+      val unseen = scored.join(seen, Seq("user_id", "rec_item"), "left_anti")
+      val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
+      val recs = unseen.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .cache()
+      recs.count() // materialize NOW — consumers must hit the cache
+      recs
+    })
+
+  def r05(s: SparkSession, d: String): DataFrame =
+    r05Recs(s, d).orderBy("user_id", "rank")
 
   val r05Sql: String =
     s"""WITH ratings AS (${Ratings.sqlRatings}),
@@ -193,7 +211,7 @@ object Recommend {
     // mean "not retained" — a JVM cycling sessions would otherwise
     // pin one model + cached-DataFrame graph per stopped context
     val prefix = s.sparkContext.applicationId + "#"
-    Seq(modelCache, centsCache, oiCache).foreach { c =>
+    Seq(modelCache, centsCache, oiCache, r05Cache, r14Cache).foreach { c =>
       c.keys.filterNot(_.startsWith(prefix)).foreach(c.remove)
     }
     key
@@ -580,7 +598,17 @@ object Recommend {
   // rows whose user AND item appear in train), rmse itself reduces to
   // an in-range boolean. The rmse VALUE feeds RecommendSpec's
   // beats-the-baseline assertion via r14Eval.
-  def r14Eval(s: SparkSession, d: String): DataFrame = {
+  /** r14's explicit-ALS fit is the single most expensive training
+    * artifact in the engine (maxIter=10); Verify, Bench and
+    * RecommendSpec each consume its 1-row eval frame, so the fit is
+    * memoized per (session, dataset) like [[alsModel]] — retraining
+    * per caller is pure waste (round-5 VERDICT "What's wrong" #4). */
+  private val r14Cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def r14Eval(s: SparkSession, d: String): DataFrame =
+    r14Cache.getOrElseUpdate(memoKey(s, d), r14EvalUncached(s, d))
+
+  private def r14EvalUncached(s: SparkSession, d: String): DataFrame = {
     val stars = Ratings.implicitRatings(s, d)
       .select(col("user_id").cast("int").as("user_id"),
         col("item_id").cast("int").as("item_id"))
@@ -601,11 +629,15 @@ object Recommend {
       .setColdStartStrategy("drop")
       .fit(train)
     val nTrain = train.count() // also materializes the split cache
-    model.transform(test).agg(
+    val eval = model.transform(test).agg(
       lit(nTrain).as("n_train"),
       count(lit(1)).as("n_test"),
       round(sqrt(avg(pow(col("rating") - col("prediction"), 2))), 4).as("rmse"))
       .withColumn("rmse_ok", col("rmse") > 0.0 && col("rmse") < 0.6)
+      .cache()
+    eval.count() // materialize the 1-row eval so the split cache can go
+    tagged.unpersist()
+    eval
   }
 
   def r14(s: SparkSession, d: String): DataFrame =
@@ -911,7 +943,7 @@ object Recommend {
     val meta = Tables.part(s, d)
       .select(col("p_partkey").as("rec_item"), col("p_name"),
         col("p_brand"), col("p_retailprice"))
-    r05(s, d)
+    r05Recs(s, d)
       .join(broadcast(meta), Seq("rec_item"))
       .select(col("user_id"), col("rank"), col("rec_item"), col("p_name"),
         col("p_brand"),
@@ -934,7 +966,7 @@ object Recommend {
   // everyone; these are the standard beyond-accuracy checks. All
   // counts integer; two single divisions at the end.
   def r19(s: SparkSession, d: String): DataFrame = {
-    val recs = r05(s, d).select("user_id", "rec_item")
+    val recs = r05Recs(s, d).select("user_id", "rec_item")
     val perItem = recs.groupBy("rec_item").agg(count(lit(1)).as("n_recs"))
     // top-10 via the TopKAgg heap (same (score DESC, id ASC) order as
     // the oracle's window) — no global unpartitioned sort, the rule
