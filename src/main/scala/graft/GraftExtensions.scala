@@ -47,6 +47,8 @@ object GraftExtensions {
       exprs => functions.NfcNormalize(exprs(0))),
     descriptor("dot_product", classOf[functions.DotProduct],
       exprs => functions.DotProduct(exprs(0), exprs(1))),
+    descriptor("sq_dist", classOf[functions.SquaredDistance],
+      exprs => functions.SquaredDistance(exprs(0), exprs(1))),
     descriptor("misra_gries", classOf[functions.MisraGriesAgg],
       exprs => functions.MisraGriesAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())

@@ -178,8 +178,7 @@ object IoOps {
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("q"))
     val cand = cellsL.select(col("vec_id").as("nn_id"), col("cell"))
       .join(recon.withColumnRenamed("vec_id", "nn_id"), Seq("nn_id"))
-    val adc = aggregate(zip_with(col("q"), col("r"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    val adc = graft.functions.VectorOps.sqDist(col("q"), col("r"))
     val wRank = Window.partitionBy("query_id").orderBy(col("adc"), col("nn_id"))
     probes.join(cand, Seq("cell"))
       .filter(col("query_id") =!= col("nn_id"))

@@ -29,6 +29,12 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VectorOps.cosineSim(a, b)
 
+  /** Native fused squared-L2 (graft.functions.SquaredDistance,
+    * codegen'd, bit-identical to the zip_with+aggregate fold it
+    * replaces) — the assignment/ADC kernel of the quantizer stack. */
+  private def sqd(a: Column, b: Column): Column =
+    graft.functions.VectorOps.sqDist(a, b)
+
   private val sqlDot = "list_sum(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1]))"
   private def sqlNorm(side: String) =
     s"sqrt(list_sum(list_transform($side.v, x -> x * x)))"
@@ -248,8 +254,7 @@ object Similarity {
     * the fan-out is corpus × k rows; sorting it was the one systematic
     * plan anti-pattern in the ANN stack. */
   private[graft] def nearestCell(e: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    val d2 = sqd(col("v"), col("cv"))
     e.join(broadcast(cents))
       .withColumn("d2", d2)
       .groupBy("vec_id")
@@ -356,8 +361,7 @@ object Similarity {
     val cents = centroids.getOrElse(
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("cent_id"), col("v").as("cv")))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    val d2 = sqd(col("v"), col("cv"))
     // corpus side: hash-agg argmin (no sort); probe side: top-nProbe
     // still needs the window, but that fan-out is probes × k, bounded.
     val assigned = nearestCell(e, cents)
@@ -415,35 +419,70 @@ object Similarity {
     pqSubvectors(e.filter(col("vec_id") < PQ_KS))
       .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
 
-  /** Trained codebook: per-subspace MLlib k-means — the at-scale
-    * replacement for the seeds (same schema, drop-in to
-    * [[pqReconstruct]]). Recall gain over seeds is pinned in
-    * SimilaritySpec/OpsSpec. */
+  /** Trained codebook: batched Lloyd k-means over ALL M subspaces in
+    * ONE data pass per iteration — the at-scale replacement for the
+    * seeds (same schema, drop-in to [[pqReconstruct]]). Per-row work
+    * (argmin over k centroids × M subspaces) is a tight JVM loop; the
+    * per-partition partial sums live in a flat M·k·(dim+1) double
+    * array (2.3 k doubles — trivially mergeable), combined by
+    * treeAggregate and re-broadcast as next round's centroids — the
+    * canonical distributed k-means loop (same tier as
+    * [[procrustesRotation]]'s cross-gram pass; genuine per-partition
+    * imperative work, never a gated query plan). Replaces M
+    * independent MLlib fits, each of which re-scanned its subspace
+    * slice per iteration and paid fit/job overhead ×M. Init is a
+    * seeded hash-order sample of k data points, sliced per subspace
+    * (what MLlib's "random" init does, made explicit). Recall gain
+    * over seeds is pinned in OpsSpec. */
   def pqKMeansCodebook(e: DataFrame, k: Int = PQ_KS, seed: Long = 7,
     maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = e.sparkSession
-    val sub = pqSubvectors(e).withColumn("fv", array_to_vector(col("sv"))).cache()
-    sub.count() // materialize once before the concurrent fits
-    // The M per-subspace fits are independent Spark jobs — run them
-    // concurrently from driver threads (Spark's scheduler interleaves
-    // them) instead of serially idling the cluster M times. Results
-    // are seeded per subspace, so concurrency cannot change them;
-    // sortBy pins the output order regardless of completion order.
-    // Random init (not k-means||): the Lloyd iterations dominate
-    // codebook quality; the parallel init's extra distributed passes
-    // dominate wall-time on M × k fits.
-    import scala.collection.parallel.CollectionConverters._
-    val rows = (0 until PQ_M).par.flatMap { m =>
-      val model = new KMeans().setK(k).setSeed(seed + m).setMaxIter(maxIter)
-        .setInitMode("random")
-        .setFeaturesCol("fv").fit(sub.filter(col("m") === m))
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (m, i, c.toArray) }
-    }.seq.sortBy(r => (r._1, r._2))
-    sub.unpersist()
     import spark.implicits._
-    rows.toDF("m", "cent_id", "cv")
+    val vecs = e.select(col("v")).as[Seq[Double]].rdd
+      .map(_.toArray).cache()
+    val initRows = e.select(col("v"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(k).collect().map(_.getSeq[Double](0).toArray)
+    // cents(m)(c): the running centroid of code c in subspace m
+    var cents: Array[Array[Array[Double]]] =
+      Array.tabulate(PQ_M, k)((m, c) =>
+        initRows(c % initRows.length).slice(m * PQ_DIM, (m + 1) * PQ_DIM))
+    for (_ <- 1 to maxIter) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val acc = vecs.treeAggregate(new Array[Double](PQ_M * k * (PQ_DIM + 1)))(
+        (a, x) => {
+          val cs = bc.value
+          var m = 0
+          while (m < PQ_M) {
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < k) {
+              val cv = cs(m)(c); var d = 0.0; var j = 0
+              while (j < PQ_DIM) {
+                val t = x(m * PQ_DIM + j) - cv(j); d += t * t; j += 1
+              }
+              if (d < bestD) { bestD = d; best = c } // ties → lower code
+              c += 1
+            }
+            val off = (m * k + best) * (PQ_DIM + 1)
+            var j = 0
+            while (j < PQ_DIM) { a(off + j) += x(m * PQ_DIM + j); j += 1 }
+            a(off + PQ_DIM) += 1.0
+            m += 1
+          }
+          a
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      // mean update; an emptied cluster keeps its previous centroid
+      cents = Array.tabulate(PQ_M, k) { (m, c) =>
+        val off = (m * k + c) * (PQ_DIM + 1)
+        val n = acc(off + PQ_DIM)
+        if (n > 0) Array.tabulate(PQ_DIM)(j => acc(off + j) / n) else cents(m)(c)
+      }
+      bc.destroy()
+    }
+    vecs.unpersist()
+    (for (m <- 0 until PQ_M; c <- 0 until k) yield (m, c, cents(m)(c).toSeq))
+      .toDF("m", "cent_id", "cv")
   }
 
   /** PQ encode: (vec_id, m, code) — each vector's nearest codebook
@@ -453,8 +492,7 @@ object Similarity {
     * codebook fan-out. These M small ints per vector ARE the index's
     * compressed payload (i05 persists exactly this). */
   def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
-    val subD2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    val subD2 = sqd(col("sv"), col("cv"))
     pqSubvectors(e).join(broadcast(cb), Seq("m"))
       .withColumn("d2", subD2)
       .groupBy("vec_id", "m")
@@ -474,8 +512,7 @@ object Similarity {
   /** Encode + reconstruct: (vec_id, r). One corpus scan × broadcast
     * codebook; the group-backs are the only shuffles. */
   def pqReconstruct(e: DataFrame, cb: DataFrame): DataFrame = {
-    val subD2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    val subD2 = sqd(col("sv"), col("cv"))
     pqSubvectors(e).join(broadcast(cb), Seq("m"))
       .withColumn("d2", subD2)
       .groupBy("vec_id", "m")
@@ -490,8 +527,7 @@ object Similarity {
   def pqSearch(e: DataFrame, recon: DataFrame, probeBelow: Long, topK: Int): DataFrame = {
     val probe = e.filter(col("vec_id") < probeBelow)
       .select(col("vec_id").as("query_id"), col("v").as("q"))
-    val adc = aggregate(zip_with(col("q"), col("r"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    val adc = sqd(col("q"), col("r"))
     val wRank = Window.partitionBy("query_id").orderBy(col("adc"), col("nn_id"))
     broadcast(probe).join(recon.select(col("vec_id").as("nn_id"), col("r")))
       .filter(col("query_id") =!= col("nn_id"))
@@ -569,8 +605,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("q"))
     val cand = assigned.select(col("vec_id").as("nn_id"), col("cell"))
       .join(recon.withColumnRenamed("vec_id", "nn_id"), Seq("nn_id"))
-    val adc = aggregate(zip_with(col("q"), col("r"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    val adc = sqd(col("q"), col("r"))
     val wRank = Window.partitionBy("query_id").orderBy(col("adc"), col("nn_id"))
     probe.join(cand, Seq("cell"))
       .filter(col("query_id") =!= col("nn_id"))
@@ -736,11 +771,16 @@ object Similarity {
     * identity rotation. */
   def pqError(e: DataFrame, rot: Array[Array[Double]], cb: DataFrame): Double = {
     val re = rotateVecs(e, rot)
-    re.join(pqReconstruct(re, cb), "vec_id")
-      .select(aggregate(zip_with(col("v"), col("r"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x).as("e2"))
-      .agg(sum("e2")).collect()(0).getDouble(0)
+    pqErrorFrom(re, pqReconstruct(re, cb))
   }
+
+  /** [[pqError]] against a precomputed (possibly cached) reconstruction
+    * — callers holding the recon for other passes (s09 shares it with
+    * the search corpus) skip re-encoding the corpus per error read. */
+  def pqErrorFrom(re: DataFrame, recon: DataFrame): Double =
+    re.join(recon, "vec_id")
+      .select(sqd(col("v"), col("r")).as("e2"))
+      .agg(sum("e2")).collect()(0).getDouble(0)
 
   // ---- s08: TRAINED quantizer under the gate ----
   //
@@ -871,51 +911,62 @@ object Similarity {
   }
 
   private def s09Uncached(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // iters=2 = one full alternation (rotate -> refit): the Procrustes
-    // update is closed-form, so a single step already realizes most of
-    // the objective drop; the first iteration's codebook doubles as
-    // the plain-PQ reference (identity rotation, same seed) so the
-    // comparison costs no extra training round. cbIter=3: on 8-dim
-    // subvectors Lloyd is essentially converged by 3 iterations, and
-    // the gate's 2% error tolerance / 15% recall floor don't need the
-    // tail iterations (full-quality training keeps cbIter=10).
-    val (rot, cb, cbPlain) = pqOpqTrainFull(e, iters = 2, cbIter = 3)
-    val dim = rot.length
-    val maxDev = (for (i <- 0 until dim; j <- 0 until dim) yield {
-      val dot = (0 until dim).map(k => rot(k)(i) * rot(k)(j)).sum
-      math.abs(dot - (if (i == j) 1.0 else 0.0))
-    }).max
-    val errPlain = pqError(e, identityRotation(), cbPlain)
-    // the rotated corpus feeds the OPQ error pass, the search corpus
-    // AND its reconstruction — cache it once instead of re-running
-    // the 64×64 matvec mapPartitions pass per consumer
+    // One full alternation (train -> rotate -> refit), inlined so every
+    // corpus reconstruction is computed ONCE and shared: the plain
+    // codebook's recon feeds BOTH the Procrustes cross-gram and the
+    // plain-PQ error reference; the rotated recon feeds BOTH the OPQ
+    // error and the search corpus. (pqOpqTrainFull recomputes these
+    // per consumer — fine for training, waste inside a gate evaluated
+    // four ways.) The Procrustes update is closed-form, so a single
+    // step already realizes most of the objective drop; the iter-1
+    // codebook doubles as the plain-PQ reference (identity rotation,
+    // same seed). cbIter=3: on 8-dim subvectors Lloyd is essentially
+    // converged by 3 iterations, and the gate's 2% error tolerance /
+    // 15% recall floor don't need the tail iterations (full-quality
+    // training keeps cbIter=10).
+    val cbPlain = pqKMeansCodebook(e, maxIter = 3)
+    val reconPlain = pqReconstruct(e, cbPlain).cache()
+    val rot = procrustesRotation(e, reconPlain)
     val re = rotateVecs(e, rot).cache()
-    val errOpq = pqError(re, identityRotation(), cb)
-    val got = pqSearch(re, pqReconstruct(re, cb), probeBelow = 50, topK = 3)
-      .select(col("query_id"), col("nn_id"))
-    // exact L2 top-3 in the ORIGINAL space (the rotation must not
-    // change who the true neighbors are)
-    val d2 = aggregate(zip_with(col("q"), col("vb"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val wEx = Window.partitionBy("query_id").orderBy(col("d2"), col("nn_id"))
-    val exact = broadcast(e.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("query_id"), col("v").as("q")))
-      .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
-      .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("d2", d2)
-      .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 3)
-      .select("query_id", "nn_id")
-    val hits = got.join(exact, Seq("query_id", "nn_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hits"))
-    val nEx = exact.agg(count(lit(1)).as("n_exact"))
-    e.agg(count(lit(1)).as("n_vecs"))
-      .join(hits).join(nEx)
-      .select(col("n_vecs"),
-        lit(maxDev < 1e-8).as("orth_ok"),
-        lit(errOpq <= errPlain * 1.02).as("opq_err_ok"),
-        (col("n_hits") * 20 >= col("n_exact") * 3).as("recall_floor_ok"))
+    val cb = pqKMeansCodebook(re, maxIter = 3)
+    val recon = pqReconstruct(re, cb).cache()
+    try {
+      val dim = rot.length
+      val maxDev = (for (i <- 0 until dim; j <- 0 until dim) yield {
+        val dot = (0 until dim).map(k => rot(k)(i) * rot(k)(j)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }).max
+      val errPlain = pqErrorFrom(e, reconPlain)
+      val errOpq = pqErrorFrom(re, recon)
+      val got = pqSearch(re, recon, probeBelow = 50, topK = 3)
+        .select(col("query_id"), col("nn_id"))
+      // exact L2 top-3 in the ORIGINAL space (the rotation must not
+      // change who the true neighbors are)
+      val d2 = sqd(col("q"), col("vb"))
+      val wEx = Window.partitionBy("query_id").orderBy(col("d2"), col("nn_id"))
+      val exact = broadcast(e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("v").as("q")))
+        .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+        .filter(col("query_id") =!= col("nn_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 3)
+        .select("query_id", "nn_id")
+      val hits = got.join(exact, Seq("query_id", "nn_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      val row = e.agg(count(lit(1)).as("n_vecs"))
+        .join(hits).join(nEx)
+        .select(col("n_vecs"), col("n_hits"), col("n_exact"))
+        .collect()(0)
+      Seq((row.getLong(0), maxDev < 1e-8, errOpq <= errPlain * 1.02,
+        row.getLong(1) * 20 >= row.getLong(2) * 3))
+        .toDF("n_vecs", "orth_ok", "opq_err_ok", "recall_floor_ok")
+    } finally {
+      reconPlain.unpersist(); re.unpersist(); recon.unpersist()
+    }
   }
 
   val s09Sql: String =
