@@ -250,24 +250,43 @@ object IoOps {
   // scan over the z-ordered copy reads fewer rows than over a
   // zkey-shuffled copy of the same data — the Delta/Iceberg OPTIMIZE
   // ZORDER effect, reproduced from first principles.
+  // Z_BITS caps the zkey domain: custkeys above 2^16−1 (TPC-H sf≥0.5)
+  // and day indexes past ~179 years alias — EXPLICITLY, via the mask
+  // below, so colliding keys still land in valid (non-scattering)
+  // zkey space and the layout degrades to coarser clustering instead
+  // of noise. Widen Z_BITS (zkey is a 2·Z_BITS-bit long; up to 31
+  // fits) when the key domain grows.
   private val Z_BITS = 16
+  private val Z_MASK = (1L << Z_BITS) - 1
+  // INVARIANT: Z_EPOCH must be at/before the corpus min o_orderdate
+  // (this corpus generates 1995-01-01 onward; standard TPC-H starts
+  // 1992-01-01 — move the epoch back with the corpus) so the day
+  // index is never negative. A negative dy's two's-complement low
+  // bits would otherwise scatter early orders across zkey space; the
+  // Z_MASK makes even that case alias explicitly instead of
+  // sign-extending.
   private val Z_EPOCH = "1995-01-01"
 
   /** Morton interleave ck/dy (bit i of ck → bit 2i+1, dy → 2i) in the
-    * given dialect's shift syntax. */
+    * given dialect's shift syntax, both inputs masked to Z_BITS. */
   private def zExpr(dialectSpark: Boolean): String =
     (0 until Z_BITS).map { i =>
       if (dialectSpark)
-        s"shiftleft(shiftright(ck, $i) & 1, ${2 * i + 1}) + " +
-          s"shiftleft(shiftright(dy, $i) & 1, ${2 * i})"
+        s"shiftleft(shiftright(ck & $Z_MASK, $i) & 1, ${2 * i + 1}) + " +
+          s"shiftleft(shiftright(dy & $Z_MASK, $i) & 1, ${2 * i})"
       else
-        s"(((ck >> $i) & 1) << ${2 * i + 1}) + (((dy >> $i) & 1) << ${2 * i})"
+        s"((((ck & $Z_MASK) >> $i) & 1) << ${2 * i + 1}) + " +
+          s"((((dy & $Z_MASK) >> $i) & 1) << ${2 * i})"
     }.mkString("(", " + ", ")")
 
   /** The z-ordered copy of orders: (custkey, day) → zkey, range-split
-    * and sorted on it. */
+    * and sorted on it. One FIXED dir per (dataset, files), written
+    * with overwrite — repeated Verify/Bench/spec runs reuse the path
+    * instead of accumulating corpus copies in fresh temp dirs. */
   private[graft] def zorderedDir(s: SparkSession, d: String, files: Int): String = {
-    val dir = tmpDir("graft_i09_")
+    val san = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_i09_${san}_$files").toString
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey").as("ck"),
         datediff(col("o_orderdate").cast("date"), lit(Z_EPOCH)).cast("long").as("dy"),
@@ -394,16 +413,25 @@ object IoOps {
       // partition's blobs in shared storage), not raw java.nio against
       // a driver-local path that workers wouldn't share
       val dirUri = "file://" + dir
+      // Configuration isn't serializable and Spark's wrapper is
+      // private[spark] — but a bare executor-side `new Configuration()`
+      // only sees classpath site files and silently drops every
+      // spark.hadoop.* session override (s3a credentials/endpoint on a
+      // real deployment). Ship the driver conf's entries as a
+      // broadcast Map and replay them onto the executor-side conf.
+      val bcHconf = {
+        import scala.jdk.CollectionConverters._
+        s.sparkContext.broadcast(
+          s.sparkContext.hadoopConfiguration.iterator().asScala
+            .map(e => (e.getKey, e.getValue)).toArray)
+      }
       Tables.documents(s, d).filter(col("doc_id") < 200)
         .select("doc_id", "text")
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           val base = new org.apache.hadoop.fs.Path(dirUri)
-          // executor-side conf: Configuration isn't serializable and
-          // Spark's wrapper is private[spark]; the executor classpath
-          // carries the same site configs the driver's conf was built
-          // from
-          val fs = base.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val conf = new org.apache.hadoop.conf.Configuration()
+          bcHconf.value.foreach { case (k, v) => conf.set(k, v) }
+          val fs = base.getFileSystem(conf)
           rows.foreach { r =>
             val out = fs.create(
               new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.bin"), true)

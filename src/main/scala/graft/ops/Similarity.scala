@@ -683,10 +683,16 @@ object Similarity {
     * only inside index TRAINING, never in a gated query plan. */
   def rotateVecs(e: DataFrame, rot: Array[Array[Double]]): DataFrame = {
     // identity shortcut: plain-PQ comparisons (s09, OpsSpec) rotate by
-    // I — skip the full matrix multiply pass, the result IS the input
+    // I — skip the full matrix multiply pass. Mirror the non-identity
+    // path's projection (vec_id→long, v→array<double>) so both
+    // branches emit the same schema for any input column types —
+    // downstream joins/unions must not resolve differently depending
+    // on whether the rotation happened to be identity.
     val isIdentity = rot.indices.forall(i => rot(i).indices.forall(j =>
       rot(i)(j) == (if (i == j) 1.0 else 0.0)))
-    if (isIdentity) return e.select(col("vec_id"), col("v"))
+    if (isIdentity)
+      return e.select(col("vec_id").cast("long"),
+        col("v").cast("array<double>").as("v"))
     val spark = e.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(rot)

@@ -73,7 +73,10 @@ class IoSpec extends SparkSpec {
         .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
     }
     val zdir = ops.IoOps.zorderedDir(spark, sf, files = 8)
-    val sdir = java.nio.file.Files.createTempDirectory("graft_i09spec_").toString
+    // fixed dir + overwrite, same no-accumulation discipline as
+    // zorderedDir itself
+    val sdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_i09spec_shuffled").toString
     sources.Io.readParquet(spark, zdir)
       .repartition(8) // round-robin: destroys clustering, keeps rows
       .write.mode("overwrite").parquet(sdir)
