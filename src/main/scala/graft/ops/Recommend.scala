@@ -211,7 +211,8 @@ object Recommend {
     // mean "not retained" — a JVM cycling sessions would otherwise
     // pin one model + cached-DataFrame graph per stopped context
     val prefix = s.sparkContext.applicationId + "#"
-    Seq(modelCache, centsCache, oiCache, r05Cache, r14Cache).foreach { c =>
+    Seq(modelCache, centsCache, oiCache, r05Cache, r14Cache,
+      evalRecsCache).foreach { c =>
       c.keys.filterNot(_.startsWith(prefix)).foreach(c.remove)
     }
     key
@@ -468,39 +469,51 @@ object Recommend {
       oi
     })
 
+  /** The r12-protocol top-5 recs (user_id, rec_item, rank) from the
+    * TRAIN split for users < 100 — the artifact all three ranking
+    * evals (r12 precision, r17 NDCG, r20 MAP/recall) score against
+    * their own metric. Built with the 1-shuffle basket-pair plan
+    * (pairsOfSym — not the 3-shuffle pairwise self-join whose
+    * exchange fans out Σℓ² rows at scale) and memoized per (session,
+    * dataset) like [[r05Recs]]: before the factor-out, each eval
+    * query re-ran this identical subtree. */
+  private val evalRecsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def evalRecs(s: SparkSession, d: String): DataFrame =
+    evalRecsCache.getOrElseUpdate(memoKey(s, d), {
+      val train = taggedInteractions(s, d).filter(!col("is_test"))
+      val co = pairsOfSym(train, "ok", "item_id")
+        .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
+      val histTrain = train.filter(col("user_id") < 100)
+        .select("user_id", "item_id").distinct()
+      val scored = histTrain.join(co, histTrain("item_id") === co("i"))
+        .groupBy(col("user_id"), col("j").as("rec_item"))
+        .agg(sum(col("cnt")).as("score"))
+      val unseen = scored.join(
+        histTrain.withColumnRenamed("item_id", "rec_item"),
+        Seq("user_id", "rec_item"), "left_anti")
+      val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
+      val recs = unseen.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("user_id", "rec_item", "rank")
+        .cache()
+      recs.count() // materialize NOW — consumers must hit the cache
+      recs
+    })
+
   def r12(s: SparkSession, d: String): DataFrame = {
     val oi = taggedInteractions(s, d)
-    val train = oi.filter(!col("is_test"))
-    // basket-collect + in-row pair explode (1 shuffle), symmetrized
-    // in the same pass — same plan as r03/r05, not the 3-shuffle
-    // pairwise self-join whose exchange fans out Σℓ² rows at scale.
-    val co = pairsOfSym(train, "ok", "item_id")
-      .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
-    val histTrain = train.filter(col("user_id") < 100)
-      .select("user_id", "item_id").distinct()
-    val scored = histTrain.join(co, histTrain("item_id") === co("i"))
-      .groupBy(col("user_id"), col("j").as("rec_item"))
-      .agg(sum(col("cnt")).as("score"))
-    val unseen = scored.join(
-      histTrain.withColumnRenamed("item_id", "rec_item"),
-      Seq("user_id", "rec_item"), "left_anti")
-    val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
-    val recs = unseen.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    val recs = evalRecs(s, d)
     val histTest = oi.filter(col("is_test") && col("user_id") < 100)
       .select("user_id", "item_id").distinct()
       .withColumnRenamed("item_id", "rec_item")
     val hits = recs.join(histTest, Seq("user_id", "rec_item"), "left_semi")
-    val out = recs.agg(
+    recs.agg(
       countDistinct(col("user_id")).as("n_users"),
       count(lit(1)).as("n_recs"))
       .join(hits.agg(count(lit(1)).as("n_hits")))
       .select(col("n_users"), col("n_recs"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_recs")).as("precision_at_5"))
-    // cache stays pinned for the session (as r08's): Verify/Bench call
-    // r12 once, and unpersisting before `out` is evaluated would drop
-    // the blocks before any branch reads them.
-    out
   }
 
   val r12Sql: String = {
@@ -849,20 +862,7 @@ object Recommend {
 
   def r17(s: SparkSession, d: String): DataFrame = {
     val oi = taggedInteractions(s, d)
-    val train = oi.filter(!col("is_test"))
-    val co = pairsOfSym(train, "ok", "item_id")
-      .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
-    val histTrain = train.filter(col("user_id") < 100)
-      .select("user_id", "item_id").distinct()
-    val scored = histTrain.join(co, histTrain("item_id") === co("i"))
-      .groupBy(col("user_id"), col("j").as("rec_item"))
-      .agg(sum(col("cnt")).as("score"))
-    val unseen = scored.join(
-      histTrain.withColumnRenamed("item_id", "rec_item"),
-      Seq("user_id", "rec_item"), "left_anti")
-    val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
-    val recs = unseen.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    val recs = evalRecs(s, d)
     val rel = oi.filter(col("is_test") && col("user_id") < 100)
       .select("user_id", "item_id").distinct()
     val gainExpr = NDCG_GAIN.zipWithIndex.foldLeft(lit(0L)) {
@@ -930,6 +930,103 @@ object Recommend {
        |  round(CAST(coalesce(d.dcg_fp, 0) AS DOUBLE) / ($idcgCase), 6) AS ndcg_at_5
        |FROM (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY 1) n
        |LEFT JOIN dcg d ON n.user_id = d.user_id
+       |ORDER BY n.user_id""".stripMargin
+  }
+
+  // r20: MAP@5 + recall@5 — the remaining two RankingMetrics headline
+  // numbers next to r12's precision and r17's NDCG, same protocol
+  // (train-split recs scored against the held-out test set). r17's
+  // fixed-point discipline: the AP numerator is scaled by 60
+  // (lcm 1..5), so every precision@k term 60·cum_hits/k is an EXACT
+  // integer — per-user AP is an integer sum immune to float reduction
+  // order, with one exact division per metric at the end. Per-user
+  // rows (like r17), so the gate checks every user's metric, not one
+  // blended mean.
+  def r20(s: SparkSession, d: String): DataFrame = {
+    val oi = taggedInteractions(s, d)
+    val recs = evalRecs(s, d)
+    val rel = oi.filter(col("is_test") && col("user_id") < 100)
+      .select("user_id", "item_id").distinct()
+    val wCum = Window.partitionBy("user_id").orderBy("rank")
+    val flagged = recs.join(
+        rel.withColumnRenamed("item_id", "rec_item").withColumn("hit", lit(1L)),
+        Seq("user_id", "rec_item"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .withColumn("cum_hits", sum(col("hit")).over(wCum))
+    val ap = flagged.filter(col("hit") === 1)
+      .groupBy("user_id")
+      .agg(sum((lit(60) * col("cum_hits") / col("rank")).cast("long")).as("ap_fp"),
+        count(lit(1)).as("n_hits"))
+    rel.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
+      .join(ap, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("ap_fp"), lit(0L)).as("ap_fp"),
+        round(coalesce(col("ap_fp"), lit(0L)).cast("double") /
+          (lit(60) * least(col("n_rel"), lit(5))), 6).as("ap_at_5"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_rel"), 6)
+          .as("recall_at_5"))
+      .orderBy("user_id")
+  }
+
+  val r20Sql: String = {
+    val split = Split.sqlIsTest(Seq("user_id", "item_id"))
+    s"""WITH oi AS (
+       |  SELECT DISTINCT l_orderkey AS ok, o_custkey AS user_id,
+       |    l_partkey AS item_id
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |tagged AS (SELECT *, $split AS is_test FROM oi),
+       |train AS (SELECT * FROM tagged WHERE NOT is_test),
+       |co AS (
+       |  SELECT a.item_id AS i, b.item_id AS j, count(*) AS cnt
+       |  FROM train a JOIN train b
+       |    ON a.ok = b.ok AND a.item_id <> b.item_id
+       |  GROUP BY 1, 2),
+       |hist_train AS (
+       |  SELECT DISTINCT user_id, item_id FROM train WHERE user_id < 100),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist_train h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist_train h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |recs AS (
+       |  SELECT user_id, rec_item, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 5),
+       |rel AS (
+       |  SELECT DISTINCT user_id, item_id FROM tagged
+       |  WHERE is_test AND user_id < 100),
+       |flagged AS (
+       |  SELECT r.user_id, r.rank,
+       |    CASE WHEN EXISTS (SELECT 1 FROM rel
+       |                      WHERE rel.user_id = r.user_id
+       |                        AND rel.item_id = r.rec_item)
+       |      THEN 1 ELSE 0 END AS hit
+       |  FROM recs r),
+       |cum AS (
+       |  SELECT user_id, rank, hit,
+       |    sum(hit) OVER (PARTITION BY user_id ORDER BY rank) AS cum_hits
+       |  FROM flagged),
+       |ap AS (
+       |  SELECT user_id,
+       |    CAST(sum(CAST(60 * cum_hits / rank AS BIGINT)) AS BIGINT) AS ap_fp,
+       |    CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM cum WHERE hit = 1 GROUP BY 1)
+       |SELECT n.user_id, n.n_rel,
+       |  coalesce(a.n_hits, 0) AS n_hits,
+       |  coalesce(a.ap_fp, 0) AS ap_fp,
+       |  round(CAST(coalesce(a.ap_fp, 0) AS DOUBLE) /
+       |    (60 * least(n.n_rel, 5)), 6) AS ap_at_5,
+       |  round(CAST(coalesce(a.n_hits, 0) AS DOUBLE) / n.n_rel, 6)
+       |    AS recall_at_5
+       |FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rel
+       |      FROM rel GROUP BY 1) n
+       |LEFT JOIN ap a ON n.user_id = a.user_id
        |ORDER BY n.user_id""".stripMargin
   }
 
@@ -1013,6 +1110,7 @@ object Recommend {
     "r19_serving_health" -> (r19 _),
     "r18_serving_payload" -> (r18 _),
     "r17_ndcg" -> (r17 _),
+    "r20_map_recall" -> (r20 _),
     "r16_ann_serving" -> (r16 _),
     "r13_item_users" -> (r13 _),
     "r14_als_rmse" -> (r14 _),
@@ -1034,6 +1132,7 @@ object Recommend {
     "r19_serving_health" -> r19Sql,
     "r18_serving_payload" -> r18Sql,
     "r17_ndcg" -> r17Sql,
+    "r20_map_recall" -> r20Sql,
     "r06_als_recommend" -> r06Sql,
     "r07_als_item_factors" -> r07Sql,
     "r11_als_item_neighbors" -> r11Sql,

@@ -50,6 +50,27 @@ class RecommendSpec extends SparkSpec {
     assert(gates.getAs[Boolean]("sorted_ok"))
   }
 
+  test("r20 MAP/recall: bounds, fixed-point exactness, precision consistency") {
+    val rows = ops.Recommend.r20(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nRel, nHits) = (r.getAs[Long]("n_rel"), r.getAs[Long]("n_hits"))
+      val (ap, rec) = (r.getAs[Double]("ap_at_5"), r.getAs[Double]("recall_at_5"))
+      assert(nHits <= math.min(nRel, 5), s"user ${r.get(0)}: $nHits hits > bound")
+      assert(ap >= 0.0 && ap <= 1.0, s"user ${r.get(0)}: AP $ap out of [0,1]")
+      assert(rec >= 0.0 && rec <= 1.0, s"user ${r.get(0)}: recall $rec")
+      // ap_fp is a sum of exact 60·cum/k integers: divisible sanity
+      assert(r.getAs[Long]("ap_fp") <= 60L * math.min(nRel, 5),
+        s"user ${r.get(0)}: ap_fp exceeds the all-hits bound")
+      // a user with zero hits must have AP = recall = 0
+      if (nHits == 0) assert(ap == 0.0 && rec == 0.0)
+    }
+    // the corpus split produces SOME signal: mean AP strictly positive,
+    // consistent with r12's precision@5 being > 0 on the same recs
+    val meanAp = rows.map(_.getAs[Double]("ap_at_5")).sum / rows.length
+    assert(meanAp > 0.0, "MAP@5 is zero — no test-set hits at all")
+  }
+
   test("r08 baseline rmse is a positive scalar") {
     val row = ops.Recommend.r08(spark, sf).collect().head
     assert(row.getAs[Long]("n_train") > 0)
