@@ -215,6 +215,7 @@ object Recommend {
       evalRecsCache).foreach { c =>
       c.keys.filterNot(_.startsWith(prefix)).foreach(c.remove)
     }
+    gridCache.keys.filterNot(_.startsWith(prefix)).foreach(gridCache.remove)
     key
   }
 
@@ -670,6 +671,93 @@ object Recommend {
        |  true AS rmse_ok""".stripMargin
   }
 
+  // r21: hyperparameter selection — the (rank × regParam) grid every
+  // real ALS user runs before trusting r14's fixed config
+  // (TrainValidationSplit's shape: ONE train/validation split, not
+  // k-fold CV — at 100 TB nobody fits 5×grid models). The four fits
+  // are independent Spark jobs launched concurrently from driver
+  // threads (seeded, so concurrency cannot change results); the grid
+  // RMSEs are memoized per (session, dataset) like the other training
+  // artifacts. Gated via boolean contract: counts are data-derived
+  // (the oracle reproduces the split), and the falsifiable booleans
+  // are best_rmse_ok (the winner clears r14's quality bar) and
+  // overreg_worse (the 10×-over-regularized configs must lose
+  // STRICTLY — a broken grid search that returns garbage RMSEs or
+  // picks configs arbitrarily trips it). The winner-beats-worst
+  // margin is pinned in RecommendSpec.
+  private val gridCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Double, Double)]]
+
+  /** Validation RMSE per (rank, regParam) config on the r14 split. */
+  private[graft] def alsGridEval(s: SparkSession, d: String): Seq[(Int, Double, Double)] =
+    gridCache.getOrElseUpdate(memoKey(s, d), {
+      val stars = Ratings.implicitRatings(s, d)
+        .select(col("user_id").cast("int").as("user_id"),
+          col("item_id").cast("int").as("item_id"))
+        .withColumn("rating",
+          (lit(1.0f) + (col("user_id") % 7 + col("item_id") % 7)
+            .cast("float") * lit(4.0f / 12.0f)))
+      val tagged = Split.tagTest(stars, Seq("user_id", "item_id")).cache()
+      tagged.count()
+      val train = tagged.filter(!col("is_test"))
+      val test = tagged.filter(col("is_test"))
+      val blocks = math.max(4, s.sparkContext.defaultParallelism / 4)
+      val grid = Seq((4, 0.05), (8, 0.05), (4, 0.5), (8, 0.5))
+      import scala.collection.parallel.CollectionConverters._
+      val fits = grid.par.map { case (rank, reg) =>
+        val model = new ALS()
+          .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+          .setImplicitPrefs(false).setRank(rank).setMaxIter(5).setRegParam(reg)
+          .setSeed(42L)
+          .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
+          .setIntermediateStorageLevel("MEMORY_ONLY")
+          .setFinalStorageLevel("MEMORY_ONLY")
+          .setColdStartStrategy("drop")
+          .fit(train)
+        val rmse = model.transform(test)
+          .agg(sqrt(avg(pow(col("rating") - col("prediction"), 2))))
+          .collect()(0).getDouble(0)
+        (rank, reg, rmse)
+      }.seq.toList
+      tagged.unpersist()
+      fits
+    })
+
+  def r21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fits = alsGridEval(s, d)
+    val best = fits.map(_._3).min
+    val overregBest = fits.filter(_._2 > 0.1).map(_._3).min
+    val stars = Ratings.implicitRatings(s, d)
+      .select(col("user_id").cast("int").as("user_id"),
+        col("item_id").cast("int").as("item_id"))
+    val tagged = Split.tagTest(stars, Seq("user_id", "item_id"))
+    val train = tagged.filter(!col("is_test"))
+    val test = tagged.filter(col("is_test"))
+    // n_test counted exactly as the oracle does (test rows whose user
+    // AND item appear in train — what coldStartStrategy=drop keeps)
+    val counts = train.agg(count(lit(1)).as("n_train")).join(
+      test.join(train.select("user_id").distinct(), Seq("user_id"), "left_semi")
+        .join(train.select("item_id").distinct(), Seq("item_id"), "left_semi")
+        .agg(count(lit(1)).as("n_test")))
+    counts.join(Seq((fits.size, best > 0.0 && best < 0.6, best < overregBest))
+      .toDF("n_configs", "best_rmse_ok", "overreg_worse"))
+  }
+
+  val r21Sql: String = {
+    val split = Split.sqlIsTest(Seq("user_id", "item_id"))
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |tagged AS (SELECT user_id, item_id, $split AS is_test FROM ratings),
+       |train AS (SELECT * FROM tagged WHERE NOT is_test),
+       |test AS (SELECT * FROM tagged WHERE is_test)
+       |SELECT (SELECT count(*) FROM train) AS n_train,
+       |  (SELECT count(*) FROM test t
+       |   WHERE EXISTS (SELECT 1 FROM train u WHERE u.user_id = t.user_id)
+       |     AND EXISTS (SELECT 1 FROM train i WHERE i.item_id = t.item_id))
+       |    AS n_test,
+       |  4 AS n_configs, true AS best_rmse_ok, true AS overreg_worse""".stripMargin
+  }
+
   // r15: model persistence — any real serving flow round-trips the
   // factors through storage. Save → load → factor-exact equality,
   // gated: the oracle reproduces n_users/n_items from the ratings
@@ -1111,6 +1199,7 @@ object Recommend {
     "r18_serving_payload" -> (r18 _),
     "r17_ndcg" -> (r17 _),
     "r20_map_recall" -> (r20 _),
+    "r21_als_tuning" -> (r21 _),
     "r16_ann_serving" -> (r16 _),
     "r13_item_users" -> (r13 _),
     "r14_als_rmse" -> (r14 _),
@@ -1133,6 +1222,7 @@ object Recommend {
     "r18_serving_payload" -> r18Sql,
     "r17_ndcg" -> r17Sql,
     "r20_map_recall" -> r20Sql,
+    "r21_als_tuning" -> r21Sql,
     "r06_als_recommend" -> r06Sql,
     "r07_als_item_factors" -> r07Sql,
     "r11_als_item_neighbors" -> r11Sql,

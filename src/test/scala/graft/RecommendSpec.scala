@@ -71,6 +71,18 @@ class RecommendSpec extends SparkSpec {
     assert(meanAp > 0.0, "MAP@5 is zero — no test-set hits at all")
   }
 
+  test("r21 grid: chosen config beats the worst by a real margin") {
+    val fits = ops.Recommend.alsGridEval(spark, sf)
+    assert(fits.size == 4)
+    val best = fits.minBy(_._3)
+    val worst = fits.maxBy(_._3)
+    // the grid must discriminate: winner beats loser by > 0.02 RMSE,
+    // and the winner is a low-regularization config (0.5 is 10× over)
+    assert(worst._3 - best._3 > 0.02,
+      s"grid spread too small: best $best worst $worst")
+    assert(best._2 < 0.1, s"over-regularized config won the grid: $best")
+  }
+
   test("r08 baseline rmse is a positive scalar") {
     val row = ops.Recommend.r08(spark, sf).collect().head
     assert(row.getAs[Long]("n_train") > 0)
