@@ -481,7 +481,71 @@ object EventOps {
       |  event_type, count(*) AS n
       |FROM allr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // e17: failure/RECOVERY — the cluster-operations half of the
+  // streaming story the e01–e16 semantics gates don't touch. A
+  // file-source stream runs against a checkpointLocation, is STOPPED
+  // (the "failure") while more data lands, then a second incarnation
+  // restarts from the same checkpoint: the source offset log replays
+  // only not-yet-committed files, and the parquet sink's commit log
+  // (_spark_metadata) keeps the first incarnation's output
+  // exactly-once. The gate returns the sink's committed rows against
+  // the plain batch oracle over the same slice — a re-processed file
+  // (duplicates) or a lost file (missing rows) hash-fails. The
+  // restart-reads-only-the-remainder half is pinned in StreamingSpec
+  // via the second incarnation's progress counters.
+  private[graft] def e17WithStats(s: SparkSession, d: String): (DataFrame, Long) = {
+    val dirP = java.nio.file.Files.createTempDirectory("graft_e17_")
+    val landing = dirP.resolve("landing").toString
+    val ckpt = dirP.resolve("ckpt").toString
+    val out = dirP.resolve("out").toString
+    try {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      docs.filter(col("doc_id") < 30).repartition(3)
+        .write.parquet(landing)
+      def runOnce(): Long = {
+        val q = s.readStream
+          .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing)
+          .withColumn("lang_class",
+            when(col("lang") === "en", lit("en")).otherwise(lit("other")))
+          .writeStream.outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          q.processAllAvailable()
+          q.recentProgress.map(_.numInputRows).sum
+        } finally q.stop()
+      }
+      runOnce() // first incarnation sees only the first 30 docs
+      // the query is DOWN while more data lands — then restarts from
+      // the same checkpoint
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 60).repartition(3)
+        .write.mode("append").parquet(landing)
+      val run2Rows = runOnce()
+      // _spark_metadata-aware read: only COMMITTED sink files count
+      val result = s.read.parquet(out)
+        .orderBy("doc_id")
+        .localCheckpoint() // pin rows so the finally can delete the dirs
+      (result, run2Rows)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  def e17(s: SparkSession, d: String): DataFrame = e17WithStats(s, d)._1
+
+  val e17Sql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |  CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS lang_class
+      |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_checkpoint_recovery" -> (e17 _),
     "e16_late_data" -> (e16 _),
     "e15_session_window" -> (e15 _),
     "e13_stream_hh" -> (e13 _),
@@ -499,6 +563,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e17_checkpoint_recovery" -> e17Sql,
     "e16_late_data" -> e16Sql,
     "e15_session_window" -> e15Sql,
     "e13_stream_hh" -> e13Sql,

@@ -94,4 +94,17 @@ class StreamingSpec extends SparkSpec {
     assert(out.keySet == batch.keySet)
     batch.foreach { case (u, n) => assert(out(u).toLong == n, s"user $u") }
   }
+
+  test("e17 restart from checkpoint processes ONLY the remaining files") {
+    val (result, run2Rows) = ops.EventOps.e17WithStats(spark, sf)
+    val rows = result.collect()
+    // no loss, no dupes: exactly the 60-doc slice, each exactly once
+    assert(rows.length == 60, s"committed ${rows.length} rows, want 60")
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "duplicate doc_ids after restart")
+    assert(ids.sorted.sameElements(0L until 60L))
+    // the second incarnation read only the 30 docs landed while the
+    // query was down — the offset log prevented any reprocessing
+    assert(run2Rows == 30, s"restart re-read $run2Rows input rows, want 30")
+  }
 }
