@@ -296,7 +296,7 @@ object Dedup {
       // plan deepens by one join per round, so a cache eviction — or a
       // >maxRounds-diameter graph at 100 TB edge volume — recomputes
       // the whole chain and the DAG itself grows quadratically to plan.
-      val next = if (rounds % 3 == 2) step.localCheckpoint() else step.cache()
+      val next = if (rounds % 3 == 2) Iterate.pin(step) else step.cache()
       changed = next.filter(col("chg")).count()
       if (cached != null) cached.unpersist()
       cached = next
@@ -320,7 +320,8 @@ object Dedup {
     var e = edges.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct()
+    e = Iterate.pin(e)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -342,7 +343,7 @@ object Dedup {
         .select(greatest(col("n"), col("m")).as("a"),
           least(col("n"), col("m")).as("b"))
         .distinct()
-      val next = ss.localCheckpoint()
+      val next = Iterate.pin(ss)
       converged = next.count() == e.count() &&
         next.exceptAll(e).count() == 0
       e = next

@@ -69,7 +69,7 @@ object Graph {
   def g01(s: SparkSession, d: String): DataFrame = {
     // materialize the edge list once — every iteration reads it, and
     // without this the orders⋈lineitem distinct re-runs per round
-    val e = edges(s, d).localCheckpoint()
+    val e = Iterate.pin(edges(s, d))
     val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
       .union(Tables.supplier(s, d)
         .select((col("s_suppkey") + SUPPLIER_OFFSET).as("node")))
@@ -86,7 +86,7 @@ object Graph {
     var cur = n1.join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"), col("n"),
         expr(s"${SCALE}L div n").as("r"))
-      .localCheckpoint()
+    cur = Iterate.pin(cur)
     for (_ <- 1 to ITERS) {
       val inc = cur.filter(col("deg") > 0)
         .join(e, cur("node") === e("src"))
@@ -100,7 +100,7 @@ object Graph {
         .select(col("node"), col("deg"), col("n"),
           expr(s"(15 * (${SCALE}L div n)) div 100 + " +
             s"($DAMP_NUM * (coalesce(inc, 0L) + dang div n)) div 100").as("r"))
-        .localCheckpoint()
+      cur = Iterate.pin(cur)
     }
     cur.select(col("node"), col("r").as("rank_fp"),
         round(col("r").cast("double") / SCALE.toDouble, 6).as("rank"))
@@ -225,14 +225,14 @@ object Graph {
 
   def g03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = edges(s, d).localCheckpoint()
-    var dist = Seq((BFS_SOURCE, 0)).toDF("node", "dist").localCheckpoint()
+    val e = Iterate.pin(edges(s, d))
+    var dist = Iterate.pin(Seq((BFS_SOURCE, 0)).toDF("node", "dist"))
     for (_ <- 1 to BFS_ROUNDS) {
       dist = dist
         .union(dist.join(e, dist("node") === e("src"))
           .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+      dist = Iterate.pin(dist)
     }
     dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
   }

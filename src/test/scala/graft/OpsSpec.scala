@@ -501,4 +501,31 @@ class OpsSpec extends SparkSpec {
       s"no copy↔original pairs in $m")
     assert(!m.contains(("copy", "copy")), s"unexpected copy-copy mass: $m")
   }
+
+  test("reliable-checkpoint mode produces identical ranks and labels") {
+    // default mode (localCheckpoint) results first
+    val ranksLocal = ops.Graph.g01(spark, sf).collect().map(_.toString)
+    val edges = ops.Dedup.d03(spark, sf)
+    val ccLocal = ops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_relck_").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      // same call sites, reliable RDD checkpoints to `dir` — the
+      // cluster-safe twin must be bit-identical, not just close
+      val ranksReliable = ops.Graph.g01(spark, sf).collect().map(_.toString)
+      val ccReliable = ops.Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ranksReliable.sameElements(ranksLocal), "PageRank diverged")
+      assert(ccReliable == ccLocal, "CC labels diverged")
+      // and checkpoints actually landed in the reliable dir
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
 }
