@@ -671,6 +671,85 @@ object Recommend {
        |  true AS rmse_ok""".stripMargin
   }
 
+  // r22: COLD-START serving fallback — the r05 CF model is trained on
+  // the user<50 history; the serving population here is user<60, so
+  // users 50–59 are exactly what a new user looks like to a deployed
+  // model (their history postdates training). Every served user gets
+  // EXACTLY 5 recs: CF rows first, then popularity backfill — the
+  // top-of-catalog items by audience size, minus the user's own seen
+  // items and anything CF already served — ranked after the CF rows.
+  // The popularity head is a bounded top-POP_HEAD artifact built with
+  // the TopKAgg heap (no unpartitioned global window) and broadcast:
+  // at 100 TB the backfill join is 10s-of-users × a 100-row head, not
+  // a users × catalog blowup. Full 300-row output hash-gated; the
+  // exactly-5 / fallback-is-top-popularity contracts are additionally
+  // pinned in RecommendSpec.
+  private val POP_HEAD = 100
+
+  def r22(s: SparkSession, d: String): DataFrame = {
+    val ratings = Ratings.implicitRatings(s, d)
+    val users = Tables.customer(s, d).filter(col("c_custkey") < 60)
+      .select(col("c_custkey").as("user_id"))
+    val cf = r05Recs(s, d).select(col("user_id"), col("rank"), col("rec_item"))
+    val seen = ratings.filter(col("user_id") < 60)
+      .select("user_id", "item_id").distinct()
+    // one row per (user, item) in ratings → count = audience size
+    val pop = ratings.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+      .agg(graft.functions.TopKAgg.topK(
+        col("cnt").cast("double"), col("item_id"), POP_HEAD).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("int").as("prank"), col("e.id").as("item_id"))
+    val nCf = cf.groupBy("user_id").agg(count(lit(1)).as("n_cf"))
+    val cand = users.crossJoin(broadcast(pop))
+      .join(seen, Seq("user_id", "item_id"), "left_anti")
+      .join(cf.select(col("user_id"), col("rec_item").as("item_id")),
+        Seq("user_id", "item_id"), "left_anti")
+    val wB = Window.partitionBy("user_id").orderBy("prank")
+    val back = cand.withColumn("brank", row_number().over(wB))
+      .join(nCf, Seq("user_id"), "left")
+      .withColumn("rank", (coalesce(col("n_cf"), lit(0L)) + col("brank")).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("user_id"), col("rank"), col("item_id").as("rec_item"),
+        lit("pop").as("src"))
+    cf.select(col("user_id"), col("rank").cast("int").as("rank"), col("rec_item"),
+        lit("cf").as("src"))
+      .union(back)
+      .orderBy("user_id", "rank")
+  }
+
+  val r22Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |cf AS (SELECT user_id, rec_item, rank FROM ($r05Sql)),
+       |users AS (SELECT c_custkey AS user_id FROM customer WHERE c_custkey < 60),
+       |seen AS (SELECT DISTINCT user_id, item_id FROM ratings WHERE user_id < 60),
+       |pop AS (SELECT item_id, prank FROM (
+       |  SELECT item_id, row_number() OVER (ORDER BY count(*) DESC, item_id)
+       |    AS prank
+       |  FROM ratings GROUP BY item_id) WHERE prank <= $POP_HEAD),
+       |ncf AS (SELECT user_id, count(*) AS n_cf FROM cf GROUP BY 1),
+       |cand AS (
+       |  SELECT u.user_id, p.item_id, p.prank
+       |  FROM users u CROSS JOIN pop p
+       |  WHERE NOT EXISTS (SELECT 1 FROM seen sn
+       |                    WHERE sn.user_id = u.user_id
+       |                      AND sn.item_id = p.item_id)
+       |    AND NOT EXISTS (SELECT 1 FROM cf
+       |                    WHERE cf.user_id = u.user_id
+       |                      AND cf.rec_item = p.item_id)),
+       |back AS (
+       |  SELECT c.user_id, c.item_id,
+       |    row_number() OVER (PARTITION BY c.user_id ORDER BY c.prank) AS brank
+       |  FROM cand c)
+       |SELECT user_id, rank, rec_item, src FROM (
+       |  SELECT user_id, CAST(rank AS INT) AS rank, rec_item, 'cf' AS src
+       |  FROM cf
+       |  UNION ALL
+       |  SELECT b.user_id, CAST(coalesce(n.n_cf, 0) + b.brank AS INT) AS rank,
+       |    b.item_id AS rec_item, 'pop' AS src
+       |  FROM back b LEFT JOIN ncf n ON b.user_id = n.user_id
+       |  WHERE coalesce(n.n_cf, 0) + b.brank <= 5)
+       |ORDER BY user_id, rank""".stripMargin
+
   // r21: hyperparameter selection — the (rank × regParam) grid every
   // real ALS user runs before trusting r14's fixed config
   // (TrainValidationSplit's shape: ONE train/validation split, not
@@ -1200,6 +1279,7 @@ object Recommend {
     "r17_ndcg" -> (r17 _),
     "r20_map_recall" -> (r20 _),
     "r21_als_tuning" -> (r21 _),
+    "r22_cold_start" -> (r22 _),
     "r16_ann_serving" -> (r16 _),
     "r13_item_users" -> (r13 _),
     "r14_als_rmse" -> (r14 _),
@@ -1223,6 +1303,7 @@ object Recommend {
     "r17_ndcg" -> r17Sql,
     "r20_map_recall" -> r20Sql,
     "r21_als_tuning" -> r21Sql,
+    "r22_cold_start" -> r22Sql,
     "r06_als_recommend" -> r06Sql,
     "r07_als_item_factors" -> r07Sql,
     "r11_als_item_neighbors" -> r11Sql,

@@ -83,6 +83,34 @@ class RecommendSpec extends SparkSpec {
     assert(best._2 < 0.1, s"over-regularized config won the grid: $best")
   }
 
+  test("r22 cold-start: exactly 5 per user, cold users get top-popularity") {
+    val rows = ops.Recommend.r22(spark, sf).collect()
+    val perUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(perUser.size == 60, s"served ${perUser.size} users, want 60")
+    perUser.foreach { case (u, rs) =>
+      assert(rs.length == 5, s"user $u got ${rs.length} recs")
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+    }
+    // users 50-59 postdate the CF model: ALL their rows are fallback
+    val coldRows = rows.filter(_.getAs[Long]("user_id") >= 50)
+    assert(coldRows.nonEmpty && coldRows.forall(_.getAs[String]("src") == "pop"))
+    // fallback items come from the top of the popularity ranking:
+    // every pop rec sits in the head, and a cold user's list is the
+    // head minus their own seen items, in head order
+    val popHead = etl.Ratings.implicitRatings(spark, sf)
+      .groupBy("item_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item_id")).limit(100)
+      .collect().map(_.getAs[Long]("item_id"))
+    val seen50 = etl.Ratings.implicitRatings(spark, sf)
+      .filter(col("user_id") === 50L).select("item_id").collect()
+      .map(_.getLong(0)).toSet
+    val got50 = coldRows.filter(_.getAs[Long]("user_id") == 50L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("rec_item"))
+    val want50 = popHead.filterNot(seen50).take(5)
+    assert(got50.sameElements(want50),
+      s"user 50 fallback ${got50.toSeq} != head-minus-seen ${want50.toSeq}")
+  }
+
   test("r08 baseline rmse is a positive scalar") {
     val row = ops.Recommend.r08(spark, sf).collect().head
     assert(row.getAs[Long]("n_train") > 0)
