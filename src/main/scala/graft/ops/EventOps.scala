@@ -544,7 +544,63 @@ object EventOps {
       |  CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS lang_class
       |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
 
+  // e18: broker-shaped INGEST — every other e-query streams from
+  // landed files; a cluster deployment ingests from an unbounded
+  // broker (Kafka). The connector jar isn't in this environment, so
+  // the gated stand-in is Spark's rate-micro-batch source — the
+  // public unbounded source with DETERMINISTIC per-batch content
+  // (value = cumulative row number) — and the pipeline is the Kafka
+  // consumer shape: key the payload (value % 10 ≈ partition key),
+  // aggregate per key, complete-mode sink. At deployment the
+  // readStream swaps to format("kafka") + subscribe options; nothing
+  // downstream changes. The claim is BOUNDED on an unbounded source
+  // via the value filter (< N): however many extra batches fire
+  // before stop(), they contribute nothing — so the gate is exact,
+  // not timing-dependent. The oracle regenerates the same integer
+  // interval relationally (DuckDB range(N)) — a lost or doubled
+  // micro-batch hash-fails.
+  def e18(s: SparkSession, d: String): DataFrame = {
+    val rowsPerBatch = 1000L
+    val batches = 5
+    val n = rowsPerBatch * batches
+    val sink = "graft_e18_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = s.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("startTimestamp", "0")
+      .load()
+      .filter(col("value") < n)
+      .select(col("value"), (col("value") % 10).as("part_key"))
+      .groupBy("part_key")
+      .agg(count(lit(1)).as("n_rows"), sum("value").as("sum_v"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sink)
+      .start()
+    try {
+      // an unbounded source never drains, so processAllAvailable can't
+      // terminate it — poll the sink until the bounded claim is fully
+      // delivered (extra in-flight batches are no-ops past the filter)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def delivered(): Long = {
+        val r = s.table(sink).agg(coalesce(sum("n_rows"), lit(0L))).collect()(0)
+        r.getLong(0)
+      }
+      while (delivered() < n && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q.stop()
+      s.table(sink).orderBy("part_key").localCheckpoint()
+    } finally {
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(sink)
+    }
+  }
+
+  val e18Sql: String =
+    """SELECT range % 10 AS part_key, count(*) AS n_rows,
+      |  CAST(sum(range) AS BIGINT) AS sum_v
+      |FROM range(5000) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_rate_ingest" -> (e18 _),
     "e17_checkpoint_recovery" -> (e17 _),
     "e16_late_data" -> (e16 _),
     "e15_session_window" -> (e15 _),
@@ -563,6 +619,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e18_rate_ingest" -> e18Sql,
     "e17_checkpoint_recovery" -> e17Sql,
     "e16_late_data" -> e16Sql,
     "e15_session_window" -> e15Sql,
