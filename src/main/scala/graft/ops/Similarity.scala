@@ -327,32 +327,70 @@ object Similarity {
     * cells 93..1 vs seeds' 58..43, recall 0.29 vs 0.41 at nProbe=1)
     * and OpsSpec pins the plumbing's exactness at full probe coverage
     * rather than a recall gain the data cannot express. */
-  def ivfKMeansCentroids(e: DataFrame, k: Int = 10, seed: Long = 11): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  def ivfKMeansCentroids(e: DataFrame, k: Int = 10, seed: Long = 11,
+    maxIter: Int = 10): DataFrame = {
     val spark = e.sparkSession
-    val norm = sqrt(aggregate(col("v"), lit(0.0),
-      (a: Column, x: Column) => a + x * x))
-    // KMeans is RDD-based (no AQE): its parallelism is the input's
-    // partition count, and a small corpus arriving as one parquet
-    // split would train single-threaded. Spread the distance passes
-    // across the cores; at cluster scale the corpus arrives in many
-    // splits and this repartition is a cheap no-op-sized shuffle.
-    val fv = e
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("vn", transform(col("v"), x => x / norm))
-      .withColumn("fv", array_to_vector(col("vn")))
-    // random init, not k-means||: the parallel init runs ~5 extra
-    // distributed passes to seed k ≤ 16 centers — on a quantizer
-    // training job the Lloyd iterations (maxIter 10) dominate quality
-    // and the init passes dominate wall-time (measured ~2s of the
-    // 5.5s fit at sf0.1). Recall gates (s08, r16 overlap) hold.
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-      .setInitMode("random")
-      .setFeaturesCol("fv").fit(fv)
     import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toArray) }
+    // Spherical k-means: Lloyd over L2-NORMALIZED vectors, all k
+    // centroids updated in ONE data pass per iteration — flat
+    // k·(dim+1) partial-sum accumulator merged by treeAggregate,
+    // centroids re-broadcast each round. Same canonical
+    // distributed-k-means loop as [[pqKMeansCodebook]]; replaces the
+    // MLlib fit whose per-pass job overhead dominated quantizer
+    // training wall-time. Init = seeded hash-order sample of k data
+    // points (what MLlib "random" init does, made explicit — the
+    // Lloyd iterations dominate codebook quality; recall gates in
+    // s08/r16/OpsSpec hold). The corpus RDD is spread across cores
+    // first: a small corpus arriving as one parquet split would
+    // otherwise run every distance pass single-threaded; at cluster
+    // scale the corpus arrives in many splits and the spread is a
+    // no-op-sized shuffle.
+    def normalized(x: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < x.length) { n += x(i) * x(i); i += 1 }
+      val s = math.sqrt(n)
+      if (s > 0) { i = 0; while (i < x.length) { x(i) /= s; i += 1 } }
+      x
+    }
+    val vecs = e.select(col("v")).as[Seq[Double]].rdd
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(v => normalized(v.toArray)).cache()
+    val initRows = e.select(col("v"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(k).collect()
+      .map(r => normalized(r.getSeq[Double](0).toArray))
+    var cents: Array[Array[Double]] =
+      Array.tabulate(k)(c => initRows(c % initRows.length).clone())
+    val dim = cents(0).length
+    for (_ <- 1 to maxIter) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val acc = vecs.treeAggregate(new Array[Double](k * (dim + 1)))(
+        (a, x) => {
+          val cs = bc.value
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cs.length) {
+            val cv = cs(c); var dd = 0.0; var j = 0
+            while (j < dim) { val t = x(j) - cv(j); dd += t * t; j += 1 }
+            if (dd < bestD) { bestD = dd; best = c } // ties → lower id
+            c += 1
+          }
+          val off = best * (dim + 1)
+          var j = 0
+          while (j < dim) { a(off + j) += x(j); j += 1 }
+          a(off + dim) += 1.0
+          a
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      // mean update; an emptied cell keeps its previous centroid
+      cents = Array.tabulate(k) { c =>
+        val off = c * (dim + 1)
+        val n = acc(off + dim)
+        if (n > 0) Array.tabulate(dim)(j => acc(off + j) / n) else cents(c)
+      }
+      bc.destroy()
+    }
+    vecs.unpersist()
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toSeq.toDF("cent_id", "cv")
   }
 
