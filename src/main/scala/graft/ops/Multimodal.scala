@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Multimodal-column plumbing (m01..m03): media payloads modeled as
@@ -193,7 +194,57 @@ object Multimodal {
       |FROM documents WHERE doc_id < 300 AND octet_length(encode(text)) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // m07: MULTIMODAL RETRIEVAL — the composition the whole multimodal
+  // stack exists for at training-data scale: decode media to feature
+  // vectors (m03's custom columnar SparkPlan, stub-deterministic) and
+  // serve nearest-neighbor queries over them (s01's bounded-probe ×
+  // one-corpus-scan shape, native fused cosine kernel). Nothing new
+  // is invented here and that is the point — the decode plan and the
+  // ANN plan compose as ordinary DataFrames, so the 100 TB properties
+  // of each piece (whole-batch columnar decode, broadcast probes, no
+  // all-pairs) carry through unchanged.
+  def m07(s: SparkSession, d: String): DataFrame = {
+    val feats = graft.plans.FeatureDecode.decode(
+      media(s, d).select("doc_id", "payload"))
+    val v = array((0 until 8).map(i => col(s"f$i")): _*)
+    val e = feats.select(col("doc_id"), v.as("v"))
+    val probe = e.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("v").as("va"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id"))
+    broadcast(probe)
+      .join(e.select(col("doc_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos",
+        round(graft.functions.VectorOps.cosineSim(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val m07Sql: String = {
+    val fList = (0 until 8).map(i =>
+      s"('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT / CAST(255.0 AS DOUBLE)")
+      .mkString("[", ",\n     ", "]")
+    val dot = "list_sum(list_transform(range(8), i -> a.v[i + 1] * b.v[i + 1]))"
+    def nrm(side: String) =
+      s"sqrt(list_sum(list_transform($side.v, x -> x * x)))"
+    s"""WITH f AS (SELECT doc_id, $fList AS v FROM documents)
+       |SELECT query_id, rank, nn_id, cos FROM (
+       |  SELECT a.doc_id AS query_id, b.doc_id AS nn_id,
+       |    round($dot / (${nrm("a")} * ${nrm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY a.doc_id
+       |      ORDER BY round($dot / (${nrm("a")} * ${nrm("b")}), 4) DESC,
+       |               b.doc_id) AS rank
+       |  FROM f a JOIN f b ON a.doc_id <> b.doc_id
+       |  WHERE a.doc_id < 10)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_visual_search" -> (m07 _),
     "m06_chunk_reassembly" -> (m06 _),
     "m01_binary_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
@@ -202,6 +253,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m07_visual_search" -> m07Sql,
     "m06_chunk_reassembly" -> m06Sql,
     "m01_binary_meta" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
