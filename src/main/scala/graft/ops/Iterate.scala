@@ -26,7 +26,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Iterate {
   private val CONF_KEY = "spark.graft.checkpointDir"
-  private var dirSetFor: Option[String] = None
+  // keyed by (applicationId, dir): the checkpoint dir is CONTEXT
+  // state — remembering the dir string alone would skip
+  // setCheckpointDir on a fresh context in the same JVM and
+  // df.checkpoint() would throw
+  private var dirSetFor: Option[(String, String)] = None
 
   /** Pin `df`'s current state with bounded lineage, mode per session
     * conf (see object doc). Eager in both modes. */
@@ -34,10 +38,11 @@ object Iterate {
     val s = df.sparkSession
     s.conf.getOption(CONF_KEY).filter(_.nonEmpty) match {
       case Some(dir) =>
+        val key = (s.sparkContext.applicationId, dir)
         synchronized {
-          if (!dirSetFor.contains(dir)) {
+          if (!dirSetFor.contains(key)) {
             s.sparkContext.setCheckpointDir(dir)
-            dirSetFor = Some(dir)
+            dirSetFor = Some(key)
           }
         }
         df.checkpoint()
