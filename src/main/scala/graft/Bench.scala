@@ -51,8 +51,10 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcSec: Double = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
-    def jitSec: Double = java.lang.management.ManagementFactory
-      .getCompilationMXBean.getTotalCompilationTime / 1e3
+    def jitSec: Double = Option(java.lang.management.ManagementFactory
+      .getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime / 1e3).getOrElse(0.0)
     val (gc0, jit0) = (gcSec, jitSec)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -127,9 +127,14 @@ case class DotProduct(left: Expression, right: Expression)
   * objective). One fused codegen loop replaces the zip_with+aggregate
   * higher-order fold, which does not participate in whole-stage
   * codegen and pays per-element lambda dispatch — measured ~2.5× on
-  * the PQ encode fan-out. Accumulation is in array order, so results
-  * are bit-identical to the fold formulation and to the DuckDB
-  * oracle's list_sum(list_transform(...)). */
+  * the PQ encode fan-out. Accumulation is in array order, so for
+  * EQUAL-LENGTH inputs (every engine vector column is fixed-dim)
+  * results are bit-identical to the fold formulation and to the
+  * DuckDB oracle's list_sum(list_transform(...)). Ragged inputs take
+  * [[DotProduct]]'s min-length convention (finite distance over the
+  * shared prefix) where the fold would null out — a corrupt
+  * short row competes in rankings instead of surfacing as NULL, so
+  * validate dimensionality at ingest. */
 case class SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 

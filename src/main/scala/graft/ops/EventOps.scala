@@ -587,6 +587,12 @@ object EventOps {
       while (delivered() < n && System.nanoTime() < deadline)
         Thread.sleep(50)
       q.stop()
+      // fail LOUDLY on a stalled host rather than freezing a partial
+      // snapshot: a silent under-count downstream would hash-fail in
+      // a way that reads as an engine correctness bug
+      val got = delivered()
+      if (got < n) throw new IllegalStateException(
+        s"e18 ingest timed out: $got of $n rows delivered within 60s")
       s.table(sink).orderBy("part_key").localCheckpoint()
     } finally {
       if (q.isActive) q.stop()

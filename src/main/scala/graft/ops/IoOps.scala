@@ -285,8 +285,15 @@ object IoOps {
     * instead of accumulating corpus copies in fresh temp dirs. */
   private[graft] def zorderedDir(s: SparkSession, d: String, files: Int): String = {
     val san = d.replaceAll("[^A-Za-z0-9]", "_")
+    // per-USER fixed dir: a world-shared /tmp path would collide
+    // across users (overwrite can't delete another user's files);
+    // concurrent JVMs of the same user still share it — acceptable
+    // for a deterministic derived artifact both would write
+    // identically
+    val user = System.getProperty("user.name", "nouser")
+      .replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_i09_${san}_$files").toString
+      s"graft_i09_${user}_${san}_$files").toString
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey").as("ck"),
         datediff(col("o_orderdate").cast("date"), lit(Z_EPOCH)).cast("long").as("dy"),

@@ -45,7 +45,15 @@ object Iterate {
             dirSetFor = Some(key)
           }
         }
-        df.checkpoint()
+        // persist BEFORE checkpoint: eager checkpoint runs the plan
+        // once for its count and a SECOND job to write the partition
+        // files — unpersisted, that second job recomputes the whole
+        // round subtree (the PeriodicCheckpointer/ALS pattern:
+        // persist → checkpoint → unpersist the source)
+        df.persist()
+        val out = df.checkpoint()
+        df.unpersist()
+        out
       case None => df.localCheckpoint()
     }
   }

@@ -678,14 +678,15 @@ object Recommend {
   // EXACTLY 5 recs: CF rows first, then popularity backfill — the
   // top-of-catalog items by audience size, minus the user's own seen
   // items and anything CF already served — ranked after the CF rows.
-  // The popularity head is a bounded top-POP_HEAD artifact built with
-  // the TopKAgg heap (no unpartitioned global window) and broadcast:
-  // at 100 TB the backfill join is 10s-of-users × a 100-row head, not
-  // a users × catalog blowup. Full 300-row output hash-gated; the
-  // exactly-5 / fallback-is-top-popularity contracts are additionally
-  // pinned in RecommendSpec.
-  private val POP_HEAD = 100
-
+  // The popularity head is a bounded artifact built with the TopKAgg
+  // heap (no unpartitioned global window) and broadcast: at 100 TB
+  // the backfill join is 10s-of-users × a small head, not a users ×
+  // catalog blowup. The head size is DATA-DERIVED so exactly-5 is a
+  // guarantee, not a hope: a user can exclude at most |seen| + 5(CF)
+  // candidates from the head, so a head of maxSeen + 10 always leaves
+  // ≥ 5 survivors however the seen sets fall. Full 300-row output
+  // hash-gated; the exactly-5 / fallback-is-top-popularity contracts
+  // are additionally pinned in RecommendSpec.
   def r22(s: SparkSession, d: String): DataFrame = {
     val ratings = Ratings.implicitRatings(s, d)
     val users = Tables.customer(s, d).filter(col("c_custkey") < 60)
@@ -693,10 +694,13 @@ object Recommend {
     val cf = r05Recs(s, d).select(col("user_id"), col("rank"), col("rec_item"))
     val seen = ratings.filter(col("user_id") < 60)
       .select("user_id", "item_id").distinct()
+    val headN = seen.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("m"))
+      .collect()(0).getLong(0).toInt + 10
     // one row per (user, item) in ratings → count = audience size
     val pop = ratings.groupBy("item_id").agg(count(lit(1)).as("cnt"))
       .agg(graft.functions.TopKAgg.topK(
-        col("cnt").cast("double"), col("item_id"), POP_HEAD).as("tk"))
+        col("cnt").cast("double"), col("item_id"), headN).as("tk"))
       .select(posexplode(col("tk")).as(Seq("pos", "e")))
       .select((col("pos") + 1).cast("int").as("prank"), col("e.id").as("item_id"))
     val nCf = cf.groupBy("user_id").agg(count(lit(1)).as("n_cf"))
@@ -722,10 +726,13 @@ object Recommend {
        |cf AS (SELECT user_id, rec_item, rank FROM ($r05Sql)),
        |users AS (SELECT c_custkey AS user_id FROM customer WHERE c_custkey < 60),
        |seen AS (SELECT DISTINCT user_id, item_id FROM ratings WHERE user_id < 60),
+       |head_n AS (
+       |  SELECT coalesce(max(c), 0) + 10 AS n FROM (
+       |    SELECT count(*) AS c FROM seen GROUP BY user_id)),
        |pop AS (SELECT item_id, prank FROM (
        |  SELECT item_id, row_number() OVER (ORDER BY count(*) DESC, item_id)
        |    AS prank
-       |  FROM ratings GROUP BY item_id) WHERE prank <= $POP_HEAD),
+       |  FROM ratings GROUP BY item_id) WHERE prank <= (SELECT n FROM head_n)),
        |ncf AS (SELECT user_id, count(*) AS n_cf FROM cf GROUP BY 1),
        |cand AS (
        |  SELECT u.user_id, p.item_id, p.prank

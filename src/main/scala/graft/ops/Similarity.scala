@@ -476,7 +476,11 @@ object Similarity {
     maxIter: Int = 10): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
+    // spread across cores first: a corpus arriving as ONE parquet
+    // split would otherwise run every Lloyd pass single-threaded
+    // (same reason as ivfKMeansCentroids)
     val vecs = e.select(col("v")).as[Seq[Double]].rdd
+      .repartition(spark.sparkContext.defaultParallelism)
       .map(_.toArray).cache()
     val initRows = e.select(col("v"))
       .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))

@@ -73,10 +73,11 @@ class IoSpec extends SparkSpec {
         .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
     }
     val zdir = ops.IoOps.zorderedDir(spark, sf, files = 8)
-    // fixed dir + overwrite, same no-accumulation discipline as
-    // zorderedDir itself
+    // fixed per-user dir + overwrite, same no-accumulation discipline
+    // as zorderedDir itself
     val sdir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_i09spec_shuffled").toString
+      "graft_i09spec_shuffled_" + System.getProperty("user.name", "nouser")
+        .replaceAll("[^A-Za-z0-9]", "_")).toString
     sources.Io.readParquet(spark, zdir)
       .repartition(8) // round-robin: destroys clustering, keeps rows
       .write.mode("overwrite").parquet(sdir)
