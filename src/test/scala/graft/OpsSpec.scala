@@ -271,7 +271,7 @@ class OpsSpec extends SparkSpec {
     // still beat noise by an order of magnitude: random top-3 picks
     // from this corpus recall ~0.015 on average, s06 measures ~0.18
     assert(seedRecall >= 0.15, s"mean PQ recall $seedRecall")
-    // the at-scale path: per-subspace MLlib k-means codebooks must
+    // the at-scale path: batched-Lloyd-trained codebooks must
     // recall strictly more than the seed codebooks they replace
     val kmRecall = recallOf(ops.Similarity.pqSearch(
       e.select(col("vec_id"), col("v")),
