@@ -465,7 +465,99 @@ object IoOps {
       |  md5(text) AS content_md5
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  // i10: SCHEMA EVOLUTION — a 100 TB corpus is written over months by
+  // evolving pipelines; later epochs add columns. The reader must
+  // union epochs without a rewrite: parquet mergeSchema reconciles
+  // the per-file footers and earlier epochs surface the new column as
+  // NULL. The gate replays the evolution (epoch 1 = v1 schema, epoch
+  // 2 adds a typed column), reads both through one merged-schema
+  // scan, and hash-checks rows INCLUDING the null backfill against
+  // the oracle's explicit NULL-padded union.
+  def i10(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i10_")
+    try {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") < 100)
+        .select("doc_id", "lang")
+        .write.parquet(dir + "/epoch1")
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") % 100).cast("double").as("quality"))
+        .write.parquet(dir + "/epoch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(dir + "/epoch1", dir + "/epoch2")
+        .orderBy("doc_id")
+        .localCheckpoint() // pin rows so the finally can delete the dirs
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i10Sql: String =
+    """SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS quality
+      |FROM documents WHERE doc_id < 100
+      |UNION ALL
+      |SELECT doc_id, lang, CAST(n_chars % 100 AS DOUBLE) AS quality
+      |FROM documents WHERE doc_id >= 100 AND doc_id < 200
+      |ORDER BY doc_id""".stripMargin
+
+  // i11: SMALL-FILE COMPACTION — the standing operational job of any
+  // file-based lake: streaming/micro-batch ingest leaves thousands of
+  // tiny files per partition, and scan cost becomes file-open-bound.
+  // Compaction bin-packs to a target file size: output file count =
+  // ceil(input bytes / target) — DATA-DERIVED, not a magic number.
+  // The gate hash-checks the compacted copy's content rollup (loss or
+  // duplication fails) plus the compaction contract booleans; the
+  // file counts themselves are pinned in IoSpec.
+  private[graft] def compact(s: SparkSession, inDir: String, outDir: String,
+    targetBytes: Long): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+    def parts(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(f => f.getPath.getName.startsWith("part-"))
+    val in = parts(inDir)
+    val nOut = math.max(1, math.ceil(
+      in.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    // round-robin: compaction balances bytes, it does not re-cluster
+    // (i06/i09 own clustering) — a keyed repartition here would skew
+    // output file sizes by key frequency
+    Io.readParquet(s, inDir).repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    (in.length, parts(outDir).length)
+  }
+
+  def i11(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i11_")
+    try {
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 4000)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .repartition(64) // the small-files landing zone
+        .write.parquet(dir + "/landing")
+      val (before, after) =
+        compact(s, dir + "/landing", dir + "/compacted", targetBytes = 512 * 1024)
+      Io.readParquet(s, dir + "/compacted")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double").as("sum_qty"))
+        .select(col("n_rows"), col("sum_qty"),
+          lit(after < before).as("compacted_ok"))
+        .localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i11Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+      |    AS sum_qty,
+      |  true AS compacted_ok
+      |FROM lineitem WHERE l_orderkey < 4000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i10_schema_evolution" -> (i10 _),
+    "i11_compaction" -> (i11 _),
     "i09_zorder" -> (i09 _),
     "i08_binary_source" -> (i08 _),
     "i07_merge_upsert" -> (i07 _),
@@ -477,6 +569,8 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i10_schema_evolution" -> i10Sql,
+    "i11_compaction" -> i11Sql,
     "i09_zorder" -> i09Sql,
     "i08_binary_source" -> i08Sql,
     "i07_merge_upsert" -> i07Sql,

@@ -93,6 +93,26 @@ class IoSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("i11 compaction bin-packs to the byte-derived file count") {
+    val dir = tmp()
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .repartition(32).write.parquet(dir + "/landing")
+    val (before, after) =
+      ops.IoOps.compact(spark, dir + "/landing", dir + "/out", targetBytes = 256 * 1024)
+    assert(before == 32)
+    assert(after < before, s"no compaction: $before -> $after")
+    // the output count is the bin-packing formula, not a magic number
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "/landing"))
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val want = math.max(1, math.ceil(bytes.toDouble / (256 * 1024)).toInt)
+    assert(after == want, s"got $after files, bin-packing says $want")
+    // and content is preserved exactly
+    assert(sources.Io.readParquet(spark, dir + "/out")
+      .exceptAll(sources.Io.readParquet(spark, dir + "/landing")).count() == 0)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val docs = Tables.documents(spark, sf)
     val dir = tmp() + "/docs_part"
