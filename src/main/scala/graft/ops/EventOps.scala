@@ -247,6 +247,31 @@ object EventOps {
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // e19: stream dedup with BOUNDED state — e10's dropDuplicates keeps
+  // every key forever (state grows without bound on an endless
+  // stream); dropDuplicatesWithinWatermark is the production API:
+  // duplicates are dropped within the watermark horizon and state
+  // evicts as the watermark advances. The corpus spans 30 days, the
+  // watermark 60 — so within-horizon dedup here equals exact distinct
+  // and the e10 oracle gates it; on a real endless stream only the
+  // eviction behavior differs, which is exactly the point.
+  def e19(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_e19_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams.eventStream(s, d)
+      .withWatermark("ts", "60 days")
+      .select("user_id", "event_type", "ts")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+      .localCheckpoint()
+  }
+
   // e11: stream-static enrichment join — the stream picks up a
   // per-user segment from a (broadcast) batch dimension, then a batch
   // rollup of the enriched sink is gated against computing the same
@@ -607,6 +632,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e18_rate_ingest" -> (e18 _),
+    "e19_dedup_bounded_state" -> (e19 _),
     "e17_checkpoint_recovery" -> (e17 _),
     "e16_late_data" -> (e16 _),
     "e15_session_window" -> (e15 _),
@@ -626,6 +652,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e18_rate_ingest" -> e18Sql,
+    "e19_dedup_bounded_state" -> e10Sql,
     "e17_checkpoint_recovery" -> e17Sql,
     "e16_late_data" -> e16Sql,
     "e15_session_window" -> e15Sql,

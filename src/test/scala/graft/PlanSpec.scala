@@ -183,4 +183,29 @@ class PlanSpec extends SparkSpec {
       pushed.contains("LessThan(l_orderkey,2000)"),
       s"range predicate not pushed: $pushed")
   }
+
+  test("r22 backfill joins broadcast the popularity head") {
+    val df = ops.Recommend.r22(spark, sf)
+    df.collect() // AQE-final plan: runtime sizes convert the anti-joins
+    val p = plan(df)
+    // users × head is a broadcast nested-loop (bounded head), and the
+    // anti-joins against seen/cf EXECUTE broadcast. (The plan string
+    // also embeds cached relations' pre-AQE builds, which may show
+    // sort-merge they never ran — assert on codegen'd executed nodes,
+    // the `*(n)`-starred lines, not on the whole dump.)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    val executedSmj = p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("SortMergeJoin"))
+    assert(!executedSmj, "backfill executed a sort-merge join")
+  }
+
+  test("m07 broadcasts probes over one decode of the corpus") {
+    val df = ops.Multimodal.m07(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    // exactly the columnar decode feeds both sides
+    assert(p.contains("FeatureDecode"), "custom columnar decode not in plan")
+  }
 }
