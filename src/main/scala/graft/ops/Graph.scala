@@ -247,13 +247,83 @@ object Graph {
        |mind AS (SELECT node, min(dist) AS dist FROM r GROUP BY 1)
        |SELECT dist, count(*) AS n_nodes FROM mind GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // g04: K-hop-bounded single-source WEIGHTED shortest path —
+  // Bellman–Ford relaxation over the trade graph with edge cost
+  // inversely tied to trade strength (w = max(1, 6 - n_orders), so
+  // well-traded links are cheap and the distance reads as "cost of
+  // reaching X through strong trade relations"). The relaxation
+  // invariant: after round k, dist(v) = min cost over paths with
+  // <= k edges — so K fixed rounds compute exactly the bounded-hop
+  // optimum the oracle enumerates. min-collapsing the state per
+  // round is what makes this scale: the frontier carries one row
+  // per node, never one row per path (the path set is exponential;
+  // the state set is |V|). Integer weights throughout → exact,
+  // reduction-order-independent, hash-gateable. Scale shape: the
+  // weighted edge list is one groupBy over the order-supplier join
+  // (built once, pinned); each round is one frontier shuffle + one
+  // min-agg, identical to g03's Pregel cost.
+  //
+  // Oracle: UNION (set) recursion over (node, dist, hops) states —
+  // bounded because dist <= K * max(w) and hops <= K, so the state
+  // space is |V| * 20 * K at worst, not the path count.
+  private val SSSP_ROUNDS = 4
+  private val SSSP_SOURCE = 1L
+
+  /** Weighted trade edges: cost = max(1, 6 - distinct orders between
+    * the pair), both directions. */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"),
+        (col("l_suppkey") + SUPPLIER_OFFSET).as("sn"))
+      .agg(countDistinct(col("o_orderkey")).as("cnt"))
+      .select(col("c"), col("sn"),
+        greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+    e.select(col("c").as("src"), col("sn").as("dst"), col("w"))
+      .union(e.select(col("sn").as("src"), col("c").as("dst"), col("w")))
+  }
+
+  def g04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Iterate.pin(weightedEdges(s, d))
+    var dist = Iterate.pin(Seq((SSSP_SOURCE, 0L)).toDF("node", "dist"))
+    for (_ <- 1 to SSSP_ROUNDS) {
+      dist = dist
+        .union(dist.join(e, dist("node") === e("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+      dist = Iterate.pin(dist)
+    }
+    dist.orderBy("dist", "node").limit(25)
+  }
+
+  val g04Sql: String =
+    s"""WITH RECURSIVE wed AS (
+       |  SELECT o_custkey AS c, l_suppkey + $SUPPLIER_OFFSET AS sn,
+       |    greatest(1, 6 - count(DISTINCT o_orderkey)) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |wedges AS (SELECT c AS src, sn AS dst, w FROM wed
+       |           UNION ALL SELECT sn, c, w FROM wed),
+       |r(node, dist, hops) AS (
+       |  SELECT CAST($SSSP_SOURCE AS BIGINT), CAST(0 AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, r.dist + e.w, r.hops + 1
+       |  FROM r JOIN wedges e ON r.node = e.src
+       |  WHERE r.hops < $SSSP_ROUNDS),
+       |mind AS (SELECT node, min(dist) AS dist FROM r GROUP BY 1)
+       |SELECT node, dist FROM mind ORDER BY dist, node LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g03_bfs_hops" -> (g03 _),
     "g01_pagerank" -> (g01 _),
-    "g02_triangles" -> (g02 _))
+    "g02_triangles" -> (g02 _),
+    "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
     "g03_bfs_hops" -> g03Sql,
     "g01_pagerank" -> g01Sql,
-    "g02_triangles" -> g02Sql)
+    "g02_triangles" -> g02Sql,
+    "g04_weighted_sssp" -> g04Sql)
 }

@@ -209,6 +209,26 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_edges") == co.size)
   }
 
+  test("g04 bounded-hop weighted SSSP matches a driver-side Bellman-Ford") {
+    val got = ops.Graph.g04(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toSeq
+    // recompute the weighted edge list by hand and relax 4 rounds
+    val ed = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sn"))
+      .agg(countDistinct("o_orderkey").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.max(1L, 6L - r.getLong(2))))
+    val edges = ed.flatMap { case (c, sn, w) => Seq((c, sn, w), (sn, c, w)) }
+    var dist = Map(1L -> 0L)
+    for (_ <- 1 to 4)
+      dist = (dist.toSeq ++ edges.flatMap { case (s2, d2, w) =>
+        dist.get(s2).map(x => d2 -> (x + w)) })
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    val expect = dist.toSeq.sortBy(t => (t._2, t._1)).take(25)
+    assert(got == expect, s"g04 $got vs brute $expect")
+  }
+
   test("r17 NDCG values are bounded and perfect rankings score 1") {
     val rows = ops.Recommend.r17(spark, sf).collect()
     assert(rows.nonEmpty)
