@@ -555,7 +555,65 @@ object IoOps {
       |  true AS compacted_ok
       |FROM lineitem WHERE l_orderkey < 4000""".stripMargin
 
+  // i12: BUCKETED fact⋈fact join — both sides written bucketed+sorted
+  // by the join key (external tables under a scratch dir), then joined
+  // with ZERO shuffle exchanges: Spark adopts the bucketed output
+  // partitioning, so each of the 16 bucket pairs merges locally. At
+  // 100 TB this is the warehouse contract that amortizes one clustered
+  // write across every subsequent fact⋈fact join (Hive/Iceberg bucket
+  // transforms) instead of re-shuffling both tables per join. The gate
+  // hash-checks the joined aggregate (content preserved through the
+  // bucketed write) AND a zero-exchange boolean derived from the
+  // executed join plan — a plan regression flips the hash red.
+  def i12(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i12_")
+    s.sql("DROP TABLE IF EXISTS graft_i12_orders")
+    s.sql("DROP TABLE IF EXISTS graft_i12_lineitem")
+    try {
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+        .write.option("path", dir + "/orders")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_i12_orders")
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.option("path", dir + "/lineitem")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_i12_lineitem")
+      val ob = s.table("graft_i12_orders")
+      val lb = s.table("graft_i12_lineitem")
+      val joined = ob.hint("merge").join(lb, ob("o_orderkey") === lb("l_orderkey"))
+      // the join subplan must carry no shuffle: the bucket layout IS
+      // the partitioning (the post-join agg still exchanges on o_year
+      // — 5 groups, not two fact tables)
+      val zeroExchange = !joined.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning")
+      joined
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))), 2)
+            .cast("double").as("revenue"))
+        .withColumn("zero_exchange_ok", lit(zeroExchange))
+        .orderBy("o_year")
+        .localCheckpoint()
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_i12_orders")
+      s.sql("DROP TABLE IF EXISTS graft_i12_lineitem")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i12Sql: String =
+    """SELECT year(o_orderdate) AS o_year, count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2)
+      |    AS DOUBLE) AS revenue,
+      |  true AS zero_exchange_ok
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i12_bucketed_join" -> (i12 _),
     "i10_schema_evolution" -> (i10 _),
     "i11_compaction" -> (i11 _),
     "i09_zorder" -> (i09 _),
@@ -569,6 +627,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i12_bucketed_join" -> i12Sql,
     "i10_schema_evolution" -> i10Sql,
     "i11_compaction" -> i11Sql,
     "i09_zorder" -> i09Sql,

@@ -113,6 +113,13 @@ class IoSpec extends SparkSpec {
       .exceptAll(sources.Io.readParquet(spark, dir + "/landing")).count() == 0)
   }
 
+  test("i12 bucketed join reports zero shuffle exchanges in its gate column") {
+    val rows = ops.IoOps.i12(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("zero_exchange_ok")),
+      "bucketed fact-fact join planned a shuffle exchange")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val docs = Tables.documents(spark, sf)
     val dir = tmp() + "/docs_part"
