@@ -630,7 +630,109 @@ object EventOps {
       |  CAST(sum(range) AS BIGINT) AS sum_v
       |FROM range(5000) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // e20: stream-stream LEFT OUTER interval join — the null-emission
+  // half of the join story e09's inner join doesn't touch. An outer
+  // stream-stream join can only emit its unmatched (null-padded) rows
+  // once the watermark proves no future match can arrive, so the
+  // correctness hazard is rows that stay pending forever at the tail
+  // of a bounded run. Two far-future sentinel micro-batches push the
+  // watermark past every real purchase (sentinels double as rows on
+  // both join sides so the watermark node — which sits AFTER the
+  // event_type filter — still sees them; their own output rows are
+  // value-filtered in the batch rollup). The oracle is the plain
+  // batch LEFT JOIN: a missing null row (state stuck) or a duplicate
+  // (emitted both matched and unmatched) flips the hash red. State
+  // stays bounded exactly as in e09: both sides evict past
+  // watermark+interval, O(window), not O(stream).
+  def e20(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val dirP = Files.createTempDirectory("graft_e20_")
+    val streamDir = dirP.resolve("stream")
+    Files.createDirectories(streamDir)
+    val sink = "graft_e20_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      def sentinel(plusDays: Long): DataFrame = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          0L, java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(plusDays * 86400)),
+          0L, "sentinel")),
+        sentinelSchema)
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = dirP.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        val dest = streamDir.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(ev, "batch0", t0 - 60000)
+      // two trailing sentinels: eviction runs on the watermark as of
+      // the PREVIOUS committed batch (same two-batches-back rule e16
+      // pins), so the first sentinel advances it and the second forces
+      // the batch that actually flushes the null-padded tail
+      land(sentinel(10), "batch1", t0 - 40000)
+      land(sentinel(20), "batch2", t0 - 20000)
+      val stream = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val p = stream.filter(col("event_type").isin("purchase", "sentinel"))
+        .select(col("event_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("event_type").as("p_type"))
+        .withWatermark("p_ts", "2 hours")
+      val c = stream.filter(col("event_type").isin("click", "sentinel"))
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .filter(col("p_type") === "purchase")
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_ts")).as("n_pairs"),
+          (count(lit(1)) - count(col("c_ts"))).as("n_lonely"))
+        .orderBy("user_id")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  val e20Sql: String =
+    """SELECT p.user_id, count(*) AS n_rows, count(c.ts) AS n_pairs,
+      |  count(*) - count(c.ts) AS n_lonely
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e20_stream_outer_join" -> (e20 _),
     "e18_rate_ingest" -> (e18 _),
     "e19_dedup_bounded_state" -> (e19 _),
     "e17_checkpoint_recovery" -> (e17 _),
@@ -651,6 +753,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e20_stream_outer_join" -> e20Sql,
     "e18_rate_ingest" -> e18Sql,
     "e19_dedup_bounded_state" -> e10Sql,
     "e17_checkpoint_recovery" -> e17Sql,

@@ -95,6 +95,20 @@ class StreamingSpec extends SparkSpec {
     batch.foreach { case (u, n) => assert(out(u).toLong == n, s"user $u") }
   }
 
+  test("e20 outer join emits the null-padded tail (non-vacuous gate)") {
+    val rows = ops.EventOps.e20(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lonely = rows.map(_.getAs[Long]("n_lonely")).sum
+    // there must BE unmatched purchases, or the left-outer gate
+    // degenerates to e09's inner join — and every unmatched purchase
+    // contributes exactly one null row (n_rows = n_pairs + n_lonely)
+    assert(lonely > 0, "no unmatched purchases: outer-join gate is vacuous")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") ==
+        r.getAs[Long]("n_pairs") + r.getAs[Long]("n_lonely"))
+    }
+  }
+
   test("e17 restart from checkpoint processes ONLY the remaining files") {
     val (result, run2Rows) = ops.EventOps.e17WithStats(spark, sf)
     val rows = result.collect()
