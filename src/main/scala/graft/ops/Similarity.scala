@@ -622,6 +622,86 @@ object Similarity {
        |  WHERE a.vec_id < 50)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ---- s10: two-stage retrieval — ADC shortlist, exact re-rank ----
+  //
+  // The production serving pattern FAISS calls IVFADC+R: stage 1
+  // scans only the COMPRESSED codes (32× less memory traffic) to
+  // build a generous shortlist (R=20 per query), stage 2 fetches the
+  // R original vectors and re-scores them exactly, returning top-3.
+  // The economics at 10⁹ vectors: the full-precision corpus never
+  // streams through the scorer — only R rows per query leave storage,
+  // so the exact pass costs O(queries × R), not O(corpus). Re-ranking
+  // repairs most of the quantization error: everything the codes
+  // mis-ordered inside the shortlist comes back in true order (the
+  // recall gain over raw ADC is pinned in OpsSpec). Same plan shapes
+  // as s06 (broadcast probes, one corpus scan) plus a keyed fetch
+  // join on nn_id for the candidate vectors.
+  private val RERANK_R = 20
+
+  def s10(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val short = pqSearch(e, pqReconstruct(e, pqSeedCodebook(e)),
+      probeBelow = 50, topK = RERANK_R).select("query_id", "nn_id")
+    val probe = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val wR = Window.partitionBy("query_id").orderBy(col("d2"), col("nn_id"))
+    short
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("t")), Seq("nn_id"))
+      .join(broadcast(probe), Seq("query_id"))
+      .withColumn("d2", round(sqd(col("q"), col("t")), 4))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "nn_id", "d2")
+      .orderBy("query_id", "rank")
+  }
+
+  val s10Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |ms AS (SELECT unnest(range($PQ_M)) AS m),
+       |cb AS (
+       |  SELECT m, vec_id AS cent_id,
+       |    list_slice(v, m * $PQ_DIM + 1, m * $PQ_DIM + $PQ_DIM) AS cv
+       |  FROM e CROSS JOIN ms WHERE vec_id < $PQ_KS),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(v, m * $PQ_DIM + 1, m * $PQ_DIM + $PQ_DIM) AS sv
+       |  FROM e CROSS JOIN ms),
+       |enc AS (
+       |  SELECT vec_id, m, cv FROM (
+       |    SELECT s.vec_id, s.m, c.cv,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_sum(list_transform(range($PQ_DIM),
+       |          i -> (s.sv[i + 1] - c.cv[i + 1]) * (s.sv[i + 1] - c.cv[i + 1]))),
+       |          c.cent_id) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY m)) AS r
+       |  FROM enc GROUP BY vec_id),
+       |short AS (
+       |  SELECT query_id, nn_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(list_sum(list_transform(range(64),
+       |          i -> (a.v[i + 1] - b.r[i + 1]) * (a.v[i + 1] - b.r[i + 1]))), 4),
+       |          b.vec_id) AS rank
+       |    FROM e a JOIN recon b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 50)
+       |  WHERE rank <= $RERANK_R)
+       |SELECT query_id, rank, nn_id, d2 FROM (
+       |  SELECT sh.query_id, sh.nn_id,
+       |    round(list_sum(list_transform(range(64),
+       |      i -> (q.v[i + 1] - t.v[i + 1]) * (q.v[i + 1] - t.v[i + 1]))), 4) AS d2,
+       |    row_number() OVER (PARTITION BY sh.query_id
+       |      ORDER BY round(list_sum(list_transform(range(64),
+       |        i -> (q.v[i + 1] - t.v[i + 1]) * (q.v[i + 1] - t.v[i + 1]))), 4),
+       |        sh.nn_id) AS rank
+       |  FROM short sh JOIN e q ON q.vec_id = sh.query_id
+       |  JOIN e t ON t.vec_id = sh.nn_id)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // ---- s07: IVF-PQ — the full billion-vector index shape ----
   //
   // s05's coarse quantizer picks the cell (candidate set ∝ 1/cells of
@@ -1031,7 +1111,8 @@ object Similarity {
     "s05_knn_ivf" -> (s05 _),
     "s06_knn_pq" -> (s06 _),
     "s07_knn_ivfpq" -> (s07 _),
-    "s08_knn_ivf_trained" -> (s08 _))
+    "s08_knn_ivf_trained" -> (s08 _),
+    "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
     "s09_opq_gated" -> s09Sql,
@@ -1042,5 +1123,6 @@ object Similarity {
     "s05_knn_ivf" -> s05Sql,
     "s06_knn_pq" -> s06Sql,
     "s07_knn_ivfpq" -> s07Sql,
-    "s08_knn_ivf_trained" -> s08Sql)
+    "s08_knn_ivf_trained" -> s08Sql,
+    "s10_knn_rerank" -> s10Sql)
 }

@@ -298,6 +298,17 @@ class OpsSpec extends SparkSpec {
       ops.Similarity.pqReconstruct(e, ops.Similarity.pqKMeansCodebook(e)),
       probeBelow = 50, topK = 3))
     assert(kmRecall > seedRecall, s"kmeans $kmRecall vs seed $seedRecall")
+    // s10 exact re-rank of the ADC-20 shortlist: repairs everything
+    // the codes mis-ordered INSIDE the shortlist, so it must dominate
+    // raw ADC top-3 under the same (seed) codebooks
+    val rerankRecall = recallOf(ops.Similarity.s10(spark, sf))
+    assert(rerankRecall >= seedRecall,
+      s"rerank $rerankRecall < raw ADC $seedRecall")
+    // and by a real margin: the shortlist at R=20 holds most of the
+    // true top-3, so exact re-scoring should land well above the
+    // quantized ordering, not epsilon above
+    assert(rerankRecall >= seedRecall + 0.2,
+      s"rerank $rerankRecall gains < 0.2 over ADC $seedRecall")
   }
 
   test("star CC equals min-label CC, and beats it on a long chain") {
