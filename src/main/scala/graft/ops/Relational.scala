@@ -1126,9 +1126,62 @@ object Relational {
       |  FROM lineitem GROUP BY 1, 2)
       |WHERE rn = 1 ORDER BY l_linenumber""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q46: time-series GAP FILL (densification + carry-forward) — the
+  // missing-timestamp repair every downstream window/as-of consumer
+  // assumes has already happened. Per group: build the dense day
+  // spine with sequence()+explode (min..max day, no driver loop),
+  // left-join the actuals, then last(ignoreNulls) over an ordered
+  // running frame carries the previous observation into the holes.
+  // Scale: the spine is generated group-locally (one row per group in,
+  // days out — no cross-group shuffle), the join is keyed on
+  // (group, day), and the carry-forward window partitions by group —
+  // at 100 TB the parallel unit is the group count (millions of
+  // entities), not the timeline length. First spine day always has an
+  // actual (the spine starts at the group's min day), so no leading
+  // nulls.
+  def q46(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("day_rev"))
+    val spine = base.groupBy("prio")
+      .agg(min("day").as("mind"), max("day").as("maxd"))
+      .select(col("prio"),
+        explode(sequence(col("mind"), col("maxd"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("prio").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(base, Seq("prio", "day"), "left")
+      .select(col("prio"), col("day"),
+        last(col("day_rev"), ignoreNulls = true).over(w).as("rev_filled"),
+        col("day_rev").isNull.as("is_filled"))
+      .orderBy("prio", "day")
+  }
+
+  val q46Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+      |      AS day_rev
+      |  FROM orders GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT prio,
+      |    CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT prio, min(day) AS mind, max(day) AS maxd
+      |        FROM base GROUP BY 1)),
+      |j AS (
+      |  SELECT s.prio, s.day, b.day_rev
+      |  FROM spine s LEFT JOIN base b ON s.prio = b.prio AND s.day = b.day)
+      |SELECT prio, day,
+      |  last_value(day_rev IGNORE NULLS) OVER (PARTITION BY prio ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled,
+      |  day_rev IS NULL AS is_filled
+      |FROM j ORDER BY prio, day""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_mode" -> (q45 _),
+    "q46_gap_fill" -> (q46 _),
     "q44_asof_forward" -> (q44 _),
     "q43_asof_outer" -> (q43 _),
     "q42_topk_agg" -> (q42 _),
@@ -1219,5 +1272,6 @@ object Relational {
     "q42_topk_agg" -> q42Sql,
     "q43_asof_outer" -> q43Sql,
     "q44_asof_forward" -> q44Sql,
-    "q45_mode" -> q45Sql)
+    "q45_mode" -> q45Sql,
+    "q46_gap_fill" -> q46Sql)
 }

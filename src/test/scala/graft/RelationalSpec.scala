@@ -90,4 +90,28 @@ class RelationalSpec extends SparkSpec {
     assert(rows.length == purchases)
     assert(rows.forall(_.getAs[Long]("n_clicks_1h") >= 0))
   }
+
+  test("q46 gap fill densifies the timeline and carries values forward") {
+    val rows = ops.Relational.q46(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the gate would pass vacuously on a dense timeline — there must
+    // BE holes, and each filled row must carry the last actual value
+    assert(rows.exists(_.getAs[Boolean]("is_filled")),
+      "no gaps filled: densification untested")
+    rows.groupBy(_.getAs[String]("prio")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[java.sql.Date]("day").getTime)
+      assert(!sorted.head.getAs[Boolean]("is_filled"),
+        "spine starts before the group's first actual")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[java.sql.Date]("day").toLocalDate ==
+            a.getAs[java.sql.Date]("day").toLocalDate.plusDays(1),
+            "timeline not dense")
+          if (b.getAs[Boolean]("is_filled"))
+            assert(b.getAs[Double]("rev_filled") == a.getAs[Double]("rev_filled"),
+              "filled row does not carry the previous value")
+        case _ => ()
+      }
+    }
+  }
 }
