@@ -151,9 +151,103 @@ object Pipeline {
        |LEFT JOIN (SELECT lang, count(*) AS n FROM capped GROUP BY 1) c USING (lang)
        |ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p02: INCREMENTAL curation ingest — the standing job of a training-
+  // data lake. New arrivals land in waves; each wave dedups against
+  // the PERSISTED fingerprint index of everything already accepted
+  // (anti-join on fp — one keyed shuffle against the index, never a
+  // rescan of historical text), dedups within itself (keep-lowest),
+  // and appends its survivors to the index. First-arrival-wins is the
+  // honest incremental semantics: a later wave can never evict an
+  // already-accepted document, even if it has a smaller id — the
+  // oracle expresses exactly that (argmin by (wave, doc_id) per fp),
+  // so a batch-minded implementation that re-deduped globally would
+  // hash-fail. The augmentation plants both hazard classes: +2000001
+  // copies flip parity (cross-wave dups that ONLY the disk index can
+  // catch) and +3000000 copies keep parity (within-wave dups). The
+  // final rollup reads the index BACK FROM DISK, so the gate checks
+  // what was actually persisted, not a plan-internal DataFrame.
+  // Scale: each wave is O(wave + index-keys) — two keyed shuffles and
+  // an append; the historical corpus is touched only through its
+  // (fp, id, lang) index, the exact shape i05 persists for ANN.
+  def p02(s: SparkSession, d: String): DataFrame = p02WithStats(s, d)._1
+
+  /** (gated rollup, wave-1 docs dropped purely by the historical
+    * index) — the second value pins non-vacuity in OpsSpec. */
+  def p02WithStats(s: SparkSession, d: String): (DataFrame, Long) = {
+    val dirP = java.nio.file.Files.createTempDirectory("graft_p02_")
+    val index = dirP.resolve("index").toString
+    try {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val aug = docs
+        .union(docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 2000001).as("doc_id"), col("lang"), col("text")))
+        .union(docs.filter(col("doc_id") % 70 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"), col("lang"), col("text")))
+      val withFp = aug.withColumn("fp",
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
+      val wave0 = withFp.filter(col("doc_id") % 2 === 0)
+      val wave1 = withFp.filter(col("doc_id") % 2 === 1)
+      // wave 0 bootstraps the lake: within-wave keep-lowest, index out
+      val k0 = wave0.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      wave0.join(k0, Seq("fp", "doc_id"), "left_semi")
+        .select("fp", "doc_id", "lang").write.parquet(index)
+      // wave 1: the index comes back from DISK; already-indexed fps
+      // are dropped sight-unseen (first-arrival-wins), the remainder
+      // dedups within-wave and appends
+      val index0 = s.read.parquet(index)
+      val crossWaveDrops =
+        wave1.join(index0.select("fp"), Seq("fp"), "left_semi").count()
+      val novel = wave1.join(index0.select("fp"), Seq("fp"), "left_anti")
+      val k1 = novel.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      novel.join(k1, Seq("fp", "doc_id"), "left_semi")
+        .select("fp", "doc_id", "lang").write.mode("append").parquet(index)
+      // the gate reads the persisted lake state, not a live plan
+      val out = s.read.parquet(index)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+        .localCheckpoint()
+      (out, crossWaveDrops)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  /** Total augmented arrivals — OpsSpec compares against kept. */
+  def p02ArrivalCount(s: SparkSession, d: String): Long = {
+    val n = Tables.documents(s, d).count()
+    val n100 = Tables.documents(s, d).filter(col("doc_id") % 100 === 0).count()
+    val n70 = Tables.documents(s, d).filter(col("doc_id") % 70 === 0).count()
+    n + n100 + n70
+  }
+
+  val p02Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL SELECT doc_id + 2000001, lang, text FROM documents
+      |    WHERE doc_id % 100 = 0
+      |  UNION ALL SELECT doc_id + 3000000, lang, text FROM documents
+      |    WHERE doc_id % 70 = 0),
+      |fps AS (
+      |  SELECT doc_id, lang,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+      |  FROM aug),
+      |keep AS (
+      |  SELECT doc_id, lang FROM (
+      |    SELECT doc_id, lang,
+      |      row_number() OVER (PARTITION BY fp
+      |        ORDER BY doc_id % 2, doc_id) AS rn
+      |    FROM fps) WHERE rn = 1)
+      |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_curation_funnel" -> (p01 _))
+    "p01_curation_funnel" -> (p01 _),
+    "p02_incremental_ingest" -> (p02 _))
 
   val oracles: Map[String, String] = Map(
-    "p01_curation_funnel" -> p01Sql)
+    "p01_curation_funnel" -> p01Sql,
+    "p02_incremental_ingest" -> p02Sql)
 }

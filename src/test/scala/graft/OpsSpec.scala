@@ -209,6 +209,20 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_edges") == co.size)
   }
 
+  test("p02 incremental ingest drops cross-wave dups via the persisted index") {
+    val (df, crossWaveDrops) = ops.Pipeline.p02WithStats(spark, sf)
+    // the parity-flipped copies land in wave 1 with their originals
+    // already indexed from wave 0 — if nothing is dropped by the
+    // disk-read index, the incremental path was never exercised
+    assert(crossWaveDrops > 0, "no cross-wave duplicates hit the index")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // and the lake holds strictly fewer docs than arrived
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val arrived = ops.Pipeline.p02ArrivalCount(spark, sf)
+    assert(kept < arrived, s"kept $kept of $arrived: dedup vacuous")
+  }
+
   test("g04 bounded-hop weighted SSSP matches a driver-side Bellman-Ford") {
     val got = ops.Graph.g04(spark, sf).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toSeq
