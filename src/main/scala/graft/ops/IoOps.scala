@@ -612,7 +612,73 @@ object IoOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // i13: RETENTION DELETE — the right-to-be-forgotten / TTL job every
+  // lake runs. A keyed forget-list deletes rows from a partitioned
+  // table by REWRITING ONLY THE AFFECTED PARTITIONS: the forget keys
+  // name their partitions (one semi-join against the lake), dynamic
+  // partition overwrite rewrites exactly those directories, every
+  // other partition's files stay byte-identical (pinned in IoSpec by
+  // file listing). At 100 TB the difference between this and a naive
+  // full-table rewrite is the whole job: delete cost scales with the
+  // affected partitions, not the corpus. The gate reads the lake back
+  // post-delete and hash-checks the rollup against the oracle's
+  // NOT-IN spec — a row lost from an untouched partition or a
+  // surviving forgotten row both flip the hash.
+  /** Keyed delete from a `partCol`-partitioned parquet lake, rewriting
+    * only the partitions the forget keys live in (dynamic partition
+    * overwrite). The affected-partition list is a semi-join against
+    * the lake collected driver-side — bounded by the partition-value
+    * count (directory metadata), never row data. */
+  def retentionDelete(s: SparkSession, lake: String, forget: DataFrame,
+      partCol: String): Unit = {
+    val t = s.read.parquet(lake)
+    val affected = t.join(forget, Seq("doc_id"), "left_semi")
+      .select(partCol).distinct().collect().map(_.getString(0))
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      t.filter(col(partCol).isin(affected.toSeq: _*))
+        .join(forget, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy(partCol).parquet(lake)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  def i13(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i13_")
+    val lake = dir + "/lake"
+    try {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      docs.write.partitionBy("lang").parquet(lake)
+      // the forget-list arrives keyed (doc_id), as from a privacy queue
+      val forget = docs.filter(col("lang") === "fr" && col("doc_id") % 5 === 0)
+        .select("doc_id")
+      retentionDelete(s, lake, forget, "lang")
+      s.read.parquet(lake)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("lang", "source")
+        .localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i13Sql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE NOT (lang = 'fr' AND doc_id % 5 = 0)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i13_retention_delete" -> (i13 _),
     "i12_bucketed_join" -> (i12 _),
     "i10_schema_evolution" -> (i10 _),
     "i11_compaction" -> (i11 _),
@@ -627,6 +693,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i13_retention_delete" -> i13Sql,
     "i12_bucketed_join" -> i12Sql,
     "i10_schema_evolution" -> i10Sql,
     "i11_compaction" -> i11Sql,

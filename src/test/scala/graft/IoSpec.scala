@@ -120,6 +120,33 @@ class IoSpec extends SparkSpec {
       "bucketed fact-fact join planned a shuffle exchange")
   }
 
+  test("i13 retention delete rewrites ONLY the affected partitions") {
+    val dir = tmp() + "/lake"
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars")
+    docs.write.partitionBy("lang").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def listing(lang: String): Seq[(String, Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/lang=$lang"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSeq.sorted
+    val enBefore = listing("en")
+    val frDocs = docs.filter(col("lang") === "fr").count()
+    val forget = docs.filter(col("lang") === "fr" && col("doc_id") % 5 === 0)
+      .select("doc_id")
+    val nForget = forget.count()
+    assert(nForget > 0, "forget list empty: delete untested")
+    ops.IoOps.retentionDelete(spark, dir, forget, "lang")
+    // untouched partition: same files, same bytes, same mtimes
+    assert(listing("en") == enBefore,
+      "retention delete rewrote an unaffected partition")
+    // affected partition: exactly the forgotten rows are gone
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("lang") === "fr").count() == frDocs - nForget)
+    assert(after.join(forget, Seq("doc_id"), "left_semi").count() == 0,
+      "a forgotten doc survived")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val docs = Tables.documents(spark, sf)
     val dir = tmp() + "/docs_part"
