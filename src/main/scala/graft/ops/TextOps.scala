@@ -514,7 +514,65 @@ object TextOps {
        |  FROM documents)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // t16: BIGRAM cross-entropy with add-1 smoothing — the perplexity-
+  // style quality score LLM curation actually filters on (t14's
+  // unigram model can't see word order; a shuffled document scores
+  // identically there but blows up here). Model: P(w2|w1) =
+  // (c(w1,w2)+1) / (c(w1)+V), self-trained on the corpus. Same
+  // fixed-point discipline as t14: each log term rounds to 6dp and
+  // sums as DECIMAL(18,6) — order-independent, so the doc score is
+  // bit-identical across engines and partitionings. Bigrams come from
+  // a group-local transform over the token array (no window, no
+  // cross-row shuffle); the LM tables broadcast here — at 100 TB the
+  // (w1,w2)-keyed join replaces the broadcast, same plan otherwise.
+  def t16(s: SparkSession, d: String): DataFrame = {
+    val toksDocs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigs = toksDocs.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cnt2 = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val cnt1 = bigs.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val vocab = toksDocs.select(explode(col("toks")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    val term = round(log((col("n2") + 1).cast("double") / (col("n1") + col("v"))), 6)
+      .cast("decimal(18,6)")
+    bigs.join(broadcast(cnt2), Seq("w1", "w2"))
+      .join(broadcast(cnt1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(term).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("s").cast("double") / col("n_bigrams")), 6).as("xent2"))
+      .orderBy("doc_id")
+  }
+
+  val t16Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+') AS toks
+      |  FROM documents),
+      |eligible AS (SELECT * FROM tk WHERE len(toks) >= 2),
+      |bigs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+      |  FROM eligible),
+      |b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bigs),
+      |cnt2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
+      |cnt1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
+      |vocab AS (
+      |  SELECT count(DISTINCT w) AS v
+      |  FROM (SELECT unnest(toks) AS w FROM eligible))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(-(CAST(sum(CAST(round(ln(CAST(n2 + 1 AS DOUBLE) / (n1 + v)), 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) / count(*)), 6) AS xent2
+      |FROM b JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN vocab
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_bigram_xent" -> (t16 _),
     "t15_lang_confusion" -> (t15 _),
     "t14_unigram_xent" -> (t14 _),
     "t13_collocations" -> (t13 _),
@@ -532,6 +590,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t16_bigram_xent" -> t16Sql,
     "t15_lang_confusion" -> t15Sql,
     "t14_unigram_xent" -> t14Sql,
     "t13_collocations" -> t13Sql,
