@@ -750,7 +750,81 @@ object Dedup {
        |             JOIN sh sb ON cands.b = sb.doc_id)
        |ORDER BY a, b""".stripMargin
 
+  // d14: quality-aware CANONICAL pick per duplicate cluster — real
+  // curation keeps the BEST copy, not the lowest id: d08's keep-first
+  // rule discards a cleaned/extended re-crawl in favor of a truncated
+  // first crawl. Each cluster member gets t02's quality score (length
+  // saturation + stopword penalty over the augmented corpus), the
+  // canonical doc is argmax(quality, tie → lowest id) — a window over
+  // cluster members only (cluster sizes are bounded by dup-group
+  // sizes, never corpus-wide). min_doc is carried so the output
+  // exposes exactly where quality-canonical differs from keep-first
+  // (the probe-tail near-copies score higher than their originals —
+  // non-vacuity pinned in OpsSpec).
+  def d14(s: SparkSession, d: String): DataFrame = {
+    val edges = candidates(s, d).cache()
+    val labels = connectedComponents(edges)
+    edges.unpersist()
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val qual = corpus(s, d)
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))))
+      .select(col("doc_id").as("node"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.5,
+          6).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("quality").desc, col("node"))
+    labels.select(col("label").as("cluster"), col("node"))
+      .join(qual, Seq("node"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("node")).as("min_doc"),
+        max(when(col("rn") === 1, col("node"))).as("keep_doc"),
+        max(when(col("rn") === 1, col("quality"))).as("keep_quality"))
+      .filter(col("n_docs") > 1)
+      .orderBy("cluster")
+  }
+
+  val d14Sql: String = {
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""$sqlDedupPrefix,
+       |sym AS (SELECT a, b FROM cands UNION ALL SELECT b, a FROM cands),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM sym
+       |    UNION
+       |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
+       |  SELECT * FROM r),
+       |labels AS (
+       |  SELECT a AS node, least(a, min(b)) AS label
+       |  FROM reach GROUP BY a),
+       |qual AS (
+       |  SELECT node,
+       |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
+       |          (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6) AS quality
+       |  FROM (
+       |    SELECT doc_id AS node,
+       |      len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) AS n_tokens,
+       |      len(list_filter(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
+       |          t -> list_contains($stopList, t))) AS n_stop
+       |    FROM corpus)),
+       |ranked AS (
+       |  SELECT l.label AS cluster, l.node, q.quality,
+       |    row_number() OVER (PARTITION BY l.label
+       |                       ORDER BY q.quality DESC, l.node) AS rn
+       |  FROM labels l JOIN qual q USING (node))
+       |SELECT cluster, count(*) AS n_docs, min(node) AS min_doc,
+       |  max(CASE WHEN rn = 1 THEN node END) AS keep_doc,
+       |  max(CASE WHEN rn = 1 THEN quality END) AS keep_quality
+       |FROM ranked GROUP BY 1 HAVING count(*) > 1 ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_canonical_pick" -> (d14 _),
     "d13_star_clusters" -> (d13 _),
     "d12_containment" -> (d12 _),
     "d11_simhash_neardup" -> (d11 _),
@@ -767,6 +841,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d14_canonical_pick" -> d14Sql,
     "d13_star_clusters" -> d08Sql,
     "d12_containment" -> d12Sql,
     "d11_simhash_neardup" -> d11Sql,

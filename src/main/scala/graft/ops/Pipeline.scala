@@ -243,11 +243,76 @@ object Pipeline {
       |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
       |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p03: DOMAIN-MIXTURE sampling — the step that turns a curated lake
+  // into a training mix: every corpus ships with target domain
+  // proportions (web/code/books/wiki weights), and the sampler must
+  // hit them deterministically. Sources roll up to 4 domains (src
+  // suffix mod 4); targets are INTEGER math off the corpus total
+  // (tot·pct div 100 — no float rounding to drift cross-engine), and
+  // each domain takes its first n_target docs in md5-hash order
+  // (t12's auditable, repartition-stable pick). dom0 is deliberately
+  // over-asked (50% target vs 25% share) so the shortage branch
+  // (take-all, n_taken < n_target) is exercised — the mixer a real
+  // pipeline needs when a domain runs dry. The checksum is an
+  // order-independent DECIMAL sum over the chosen ids' hash keys, so
+  // the gate pins the exact chosen SET, not just its size.
+  // Scale: one window shuffle keyed by domain (WindowGroupLimit
+  // pushes the rank filter below the sort at 100 TB), one 1-row
+  // broadcast total; no per-doc driver state.
+  def p03(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("dom"),
+        (substring(col("source"), 4, 10).cast("int") % 4).cast("string"))
+        .as("domain"))
+    val tot = docs.agg(count(lit(1)).as("tot"))
+    val pct = when(col("domain") === "dom0", 50)
+      .when(col("domain") === "dom1", 25)
+      .when(col("domain") === "dom2", 20)
+      .otherwise(5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(col("hkey"), col("doc_id"))
+    docs.crossJoin(broadcast(tot))
+      .withColumn("pct", pct)
+      .withColumn("n_target", expr("(tot * pct) div 100"))
+      .withColumn("hkey",
+        Hashing.hash56(concat_ws("#", lit("mix"), col("doc_id"))))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("domain", "pct", "n_target")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rn") <= col("n_target"), lit(1))).as("n_taken"),
+        sum(when(col("rn") <= col("n_target"), col("hkey")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("ids_checksum"))
+      .orderBy("domain")
+  }
+
+  val p03Sql: String =
+    s"""WITH doms AS (
+       |  SELECT doc_id, 'dom' || (substr(source, 4)::INT % 4) AS domain
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS tot FROM doms),
+       |ranked AS (
+       |  SELECT domain, pct, (tot.tot * pct) // 100 AS n_target, hkey,
+       |    row_number() OVER (PARTITION BY domain ORDER BY hkey, doc_id) AS rn
+       |  FROM (
+       |    SELECT doc_id, domain,
+       |      CASE domain WHEN 'dom0' THEN 50 WHEN 'dom1' THEN 25
+       |        WHEN 'dom2' THEN 20 ELSE 5 END AS pct,
+       |      ${Hashing.sqlHash56("'mix#' || doc_id")} AS hkey
+       |    FROM doms) t, tot)
+       |SELECT domain, pct, n_target, count(*) AS n_docs,
+       |  count(CASE WHEN rn <= n_target THEN 1 END) AS n_taken,
+       |  sum(CASE WHEN rn <= n_target THEN hkey ELSE 0 END)::DECIMAL(38,0)
+       |    AS ids_checksum
+       |FROM ranked GROUP BY 1, 2, 3 ORDER BY domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_funnel" -> (p01 _),
-    "p02_incremental_ingest" -> (p02 _))
+    "p02_incremental_ingest" -> (p02 _),
+    "p03_domain_mix" -> (p03 _))
 
   val oracles: Map[String, String] = Map(
     "p01_curation_funnel" -> p01Sql,
-    "p02_incremental_ingest" -> p02Sql)
+    "p02_incremental_ingest" -> p02Sql,
+    "p03_domain_mix" -> p03Sql)
 }

@@ -571,7 +571,145 @@ object TextOps {
       |FROM b JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN vocab
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // t17: PII detection + redaction — the compliance stage every
+  // production corpus runs before training: find emails / phone
+  // numbers / IPv4 addresses, count them per doc, and emit the
+  // REDACTED text's fingerprint (the downstream pipeline consumes
+  // redacted bytes; the fingerprint proves both engines produced the
+  // identical redaction). The synthetic corpus carries no natural
+  // PII, so deterministic spans are planted from doc_id (the p02
+  // planted-copy discipline) — every 7th doc an email, every 11th a
+  // phone, every 13th an IP; the oracle plants the identical spans,
+  // so a missed or over-eager match flips the hash. Pure per-row map
+  // stage: at 100 TB this fuses into the corpus scan, no shuffle
+  // until the final order. Patterns stay in the ASCII-classes
+  // subset where Java regex and RE2 agree (OpsSpec pins that zero
+  // matches survive in the redacted text).
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private[graft] def piiPlanted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com asap"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            (col("doc_id") % 9000 + 1000).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+        .as("text"))
+
+  def t17(s: SparkSession, d: String): DataFrame =
+    piiPlanted(s, d)
+      .withColumn("n_emails", regexp_count(col("text"), lit(emailRe)))
+      .withColumn("n_phones", regexp_count(col("text"), lit(phoneRe)))
+      .withColumn("n_ips", regexp_count(col("text"), lit(ipRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("has_pii"),
+        md5(col("redacted")).as("redacted_fp"))
+      .orderBy("doc_id")
+
+  private val sqlPiiPlanted: String =
+    """SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN ' contact user' || doc_id || '@example.com asap' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN ' call 555-' || (doc_id % 9000 + 1000) ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0
+      |      THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+      |      ELSE '' END AS text
+      |  FROM documents""".stripMargin
+
+  val t17Sql: String = {
+    val (e, p, ip) = (emailRe, phoneRe, ipRe)
+    s"""WITH pii AS ($sqlPiiPlanted)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$e')) AS n_emails,
+       |  len(regexp_extract_all(text, '$p')) AS n_phones,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+       |  len(regexp_extract_all(text, '$e')) +
+       |    len(regexp_extract_all(text, '$p')) +
+       |    len(regexp_extract_all(text, '$ip')) > 0 AS has_pii,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g')) AS redacted_fp
+       |FROM pii ORDER BY doc_id""".stripMargin
+  }
+
+  // t18: repetition filtering (the Gopher/MassiveText quality rules):
+  // documents dominated by a repeated phrase or a tiny vocabulary are
+  // boilerplate/spam, and perplexity-based filters (t14/t16) rank them
+  // ARTIFICIALLY well — a repetition rule must run beside them. Two
+  // signals per doc: top-bigram fraction (share of bigram slots taken
+  // by the most frequent bigram — the "most common 2-gram" rule) and
+  // duplicate-token fraction (1 − distinct/total). Integer counts +
+  // one rounded division each → bit-exact cross-engine; the flag
+  // compares the rounded values, so both engines decide identically.
+  // Scale shape: one keyed shuffle on (doc_id, bigram) — group-local,
+  // corpus-size-proportional, no cross-doc state; both flag classes
+  // non-empty pinned in OpsSpec.
+  def t18(s: SparkSession, d: String): DataFrame = {
+    val el = Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigs = el.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1))))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), max("n").as("max_bigram"))
+    el.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      .join(bigs, Seq("doc_id"))
+      .withColumn("top_bigram_frac",
+        round(col("max_bigram").cast("double") / col("n_bigrams"), 6))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("repetitive",
+        col("top_bigram_frac") >= 0.08 || col("dup_frac") >= 0.65)
+      .select("doc_id", "n_tokens", "n_distinct", "n_bigrams", "max_bigram",
+        "top_bigram_frac", "dup_frac", "repetitive")
+      .orderBy("doc_id")
+  }
+
+  val t18Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+') AS toks
+      |  FROM documents),
+      |el AS (SELECT * FROM tk WHERE len(toks) >= 2),
+      |b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM el),
+      |cnt AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+      |per AS (
+      |  SELECT doc_id, sum(n)::BIGINT AS n_bigrams, max(n) AS max_bigram
+      |  FROM cnt GROUP BY 1),
+      |uni AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    len(list_distinct(toks)) AS n_distinct
+      |  FROM el)
+      |SELECT doc_id, n_tokens, n_distinct, n_bigrams, max_bigram,
+      |  round(CAST(max_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_frac,
+      |  round(CAST(max_bigram AS DOUBLE) / n_bigrams, 6) >= 0.08 OR
+      |    round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) >= 0.65
+      |    AS repetitive
+      |FROM uni JOIN per USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_repetition" -> (t18 _),
+    "t17_pii_redact" -> (t17 _),
     "t16_bigram_xent" -> (t16 _),
     "t15_lang_confusion" -> (t15 _),
     "t14_unigram_xent" -> (t14 _),
@@ -590,6 +728,8 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t18_repetition" -> t18Sql,
+    "t17_pii_redact" -> t17Sql,
     "t16_bigram_xent" -> t16Sql,
     "t15_lang_confusion" -> t15Sql,
     "t14_unigram_xent" -> t14Sql,

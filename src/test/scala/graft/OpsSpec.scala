@@ -45,6 +45,54 @@ class OpsSpec extends SparkSpec {
     assert(c0.get.getAs[Long]("n_docs") >= 2L)
   }
 
+  test("d14 canonical pick diverges from keep-first where quality says so") {
+    val rows = ops.Dedup.d14(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // non-vacuity: at least one cluster's best-quality doc is NOT the
+    // lowest id (the probe-tail near-copy outscores its short original)
+    assert(rows.exists(r =>
+      r.getAs[Long]("keep_doc") != r.getAs[Long]("min_doc")),
+      "quality-canonical never diverged from keep-first")
+    // the canonical doc is a member: keep_doc >= min_doc always holds,
+    // and its quality is the cluster max by construction (rn = 1)
+    assert(rows.forall(r => r.getAs[Long]("keep_doc") >= r.getAs[Long]("min_doc")))
+  }
+
+  test("t17 finds exactly the planted PII and redacts it completely") {
+    val rows = ops.TextOps.t17(spark, sf).collect()
+    val n = rows.length
+    // exact plant accounting: one email per 7th doc, phone per 11th,
+    // IP per 13th — the detector must find all of them and nothing else
+    def planted(k: Int) = (0 until n).count(_ % k == 0)
+    assert(rows.map(_.getAs[Int]("n_emails")).sum == planted(7))
+    assert(rows.map(_.getAs[Int]("n_phones")).sum == planted(11))
+    assert(rows.map(_.getAs[Int]("n_ips")).sum == planted(13))
+    // redaction completeness: re-scanning the redacted text finds zero
+    // residual matches (reconstruct via the same planted corpus)
+    import org.apache.spark.sql.functions._
+    val redacted = ops.TextOps.piiPlanted(spark, sf)
+      .withColumn("r", regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        "\\b\\d{3}-\\d{4}\\b", "<PHONE>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+      .filter(regexp_count(col("r"),
+        lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}|\\b\\d{3}-\\d{4}\\b|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")) > 0)
+    assert(redacted.count() == 0, "residual PII after redaction")
+  }
+
+  test("t18 repetition rule splits the corpus (both classes non-empty)") {
+    val rows = ops.TextOps.t18(spark, sf).collect()
+    val flags = rows.map(_.getAs[Boolean]("repetitive"))
+    assert(flags.contains(true) && flags.contains(false),
+      "repetition thresholds are vacuous on this corpus")
+    // the signals are consistent fractions
+    assert(rows.forall { r =>
+      val tb = r.getAs[Double]("top_bigram_frac")
+      val df = r.getAs[Double]("dup_frac")
+      tb > 0.0 && tb <= 1.0 && df >= 0.0 && df < 1.0
+    })
+  }
+
   test("connectedComponents: chain graph converges with bounded lineage") {
     import spark.implicits._
     // path 0-1-2-...-11: diameter 11, so min-label propagation needs
@@ -221,6 +269,23 @@ class OpsSpec extends SparkSpec {
     val kept = rows.map(_.getAs[Long]("n_kept")).sum
     val arrived = ops.Pipeline.p02ArrivalCount(spark, sf)
     assert(kept < arrived, s"kept $kept of $arrived: dedup vacuous")
+  }
+
+  test("p03 mixture sampler hits targets and handles domain shortage") {
+    val rows = ops.Pipeline.p03(spark, sf).collect()
+    assert(rows.length == 4)
+    val byDom = rows.map(r => r.getAs[String]("domain") -> r).toMap
+    // dom0 is over-asked (50% target vs 25% share): shortage branch —
+    // it must take ALL its docs and still miss the target
+    val d0 = byDom("dom0")
+    assert(d0.getAs[Long]("n_taken") == d0.getAs[Long]("n_docs"))
+    assert(d0.getAs[Long]("n_taken") < d0.getAs[Long]("n_target"),
+      "shortage branch never exercised")
+    // adequately-supplied domains hit their targets exactly
+    Seq("dom1", "dom2", "dom3").foreach { dm =>
+      val r = byDom(dm)
+      assert(r.getAs[Long]("n_taken") == r.getAs[Long]("n_target"), dm)
+    }
   }
 
   test("g04 bounded-hop weighted SSSP matches a driver-side Bellman-Ford") {
