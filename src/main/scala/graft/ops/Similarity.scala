@@ -1102,7 +1102,71 @@ object Similarity {
       |  true AS opq_err_ok, true AS recall_floor_ok
       |FROM embeddings""".stripMargin
 
+  // ---- s11: SCALAR quantization (SQ8) — the third compression
+  // family beside PQ (s06) and IVF-PQ (s07): per-DIMENSION min/max
+  // train a linear 8-bit quantizer (FAISS ScalarQuantizer QT_8bit),
+  // 4× compression with far cheaper encode/decode than PQ (no
+  // codebook argmin — one multiply-add per dim). The right tool when
+  // memory pressure is moderate and encode throughput matters (e.g.
+  // re-encoding a 100 TB corpus nightly). Train is one 64-group
+  // min/max aggregation (map-side partial, 64-row broadcast back);
+  // encode/decode are per-row map work; search is s06's bounded-probe
+  // ADC. Rounding goes through floor(x + 0.5), not round(), because
+  // the two engines' double-rounding conventions differ at .5; the
+  // empty-range dim guards to code 0 so the formula is total. The
+  // full quantize→reconstruct→search pipeline is mirrored in the
+  // oracle, so the gate pins every code and every reconstructed
+  // distance. Reconstruction-error repair vs raw codes is pinned in
+  // OpsSpec (recall vs exact L2).
+  def sq8Reconstruct(e: DataFrame): DataFrame = {
+    val x = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val st = x.groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+    val code = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255 + 0.5)
+        .cast("long"))
+    x.join(broadcast(st), Seq("i"))
+      .withColumn("code", code)
+      .withColumn("r", col("mn") + (col("code") * (col("mx") - col("mn"))) / 255.0)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("r")))),
+        s => s.getField("r")).as("r"))
+  }
+
+  def s11(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    pqSearch(e, sq8Reconstruct(e), probeBelow = 50, topK = 3)
+  }
+
+  val s11Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |           FROM embeddings),
+      |dims AS (SELECT unnest(range(64)) AS i),
+      |x AS (SELECT vec_id, i, v[i + 1] AS x FROM e CROSS JOIN dims),
+      |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+      |codes AS (
+      |  SELECT vec_id, i,
+      |    CASE WHEN mx = mn THEN 0
+      |      ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT) END AS code,
+      |    mn, mx
+      |  FROM x JOIN st USING (i)),
+      |recon AS (
+      |  SELECT vec_id, list(mn + (code * (mx - mn)) / 255.0 ORDER BY i) AS r
+      |  FROM codes GROUP BY vec_id)
+      |SELECT query_id, rank, nn_id, adc FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+      |    round(list_sum(list_transform(range(64),
+      |      i -> (a.v[i + 1] - b.r[i + 1]) * (a.v[i + 1] - b.r[i + 1]))), 4) AS adc,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY round(list_sum(list_transform(range(64),
+      |        i -> (a.v[i + 1] - b.r[i + 1]) * (a.v[i + 1] - b.r[i + 1]))), 4),
+      |        b.vec_id) AS rank
+      |  FROM e a JOIN recon b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 50)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_knn_sq8" -> (s11 _),
     "s09_opq_gated" -> (s09 _),
     "s01_knn_brute" -> (s01 _),
     "s02_knn_bucketed" -> (s02 _),
@@ -1115,6 +1179,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s11_knn_sq8" -> s11Sql,
     "s09_opq_gated" -> s09Sql,
     "s01_knn_brute" -> s01Sql,
     "s02_knn_bucketed" -> s02Sql,

@@ -388,6 +388,12 @@ class OpsSpec extends SparkSpec {
     // quantized ordering, not epsilon above
     assert(rerankRecall >= seedRecall + 0.2,
       s"rerank $rerankRecall gains < 0.2 over ADC $seedRecall")
+    // s11 scalar quantization: 255 levels per dim is a far finer grid
+    // than PQ's 32 codewords per 8-dim subspace — SQ8's top-3 should
+    // be near-exact, far above any codebook method here
+    val sqRecall = recallOf(ops.Similarity.s11(spark, sf))
+    assert(sqRecall >= 0.9, s"SQ8 recall $sqRecall below 0.9")
+    assert(sqRecall > seedRecall, s"SQ8 $sqRecall not above PQ $seedRecall")
   }
 
   test("star CC equals min-label CC, and beats it on a long chain") {
