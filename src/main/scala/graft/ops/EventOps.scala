@@ -731,7 +731,87 @@ object EventOps {
       |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // e21: STREAMING session windows — the fourth formulation of gap
+  // sessionization (e02 lag/cumsum, e07 flatMapGroupsWithState, e15
+  // batch session_window) and the one production ingest runs:
+  // session_window inside a watermarked APPEND-mode streaming agg,
+  // where the state store MERGES sessions as events arrive and emits
+  // a session only once the watermark proves it closed. The corpus
+  // lands OUT OF ORDER (even-hour batch then odd-hour batch) under a
+  // watermark delay longer than the corpus span, so nothing drops
+  // and per-user session state must absorb both batches — the
+  // cross-batch merge is what distinguishes this from e15 (its
+  // necessity is pinned in StreamingSpec: per-parity sessionization
+  // gives different counts). Two far-future sentinel batches drive
+  // the two-batches-back watermark past every real session (the e20
+  // tail-flush rule); sentinels ride user −1 and are filtered. The
+  // rollup is gated against the SAME gap-session oracle as
+  // e02/e07/e15 — stuck state = missing sessions, premature emission
+  // = split sessions; both flip the hash.
+  def e21(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val ev = Tables.events(s, d).select("user_id", "ts")
+    val dirP = Files.createTempDirectory("graft_e21_")
+    val streamDir = dirP.resolve("stream")
+    Files.createDirectories(streamDir)
+    val sink = "graft_e21_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      def sentinel(plusDays: Long): DataFrame = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(plusDays * 86400)))),
+        schema)
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = dirP.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        val dest = streamDir.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(ev.filter(hour(col("ts")) % 2 === 0), "batch0", t0 - 80000)
+      land(ev.filter(hour(col("ts")) % 2 === 1), "batch1", t0 - 60000)
+      land(sentinel(400), "batch2", t0 - 40000)
+      land(sentinel(401), "batch3", t0 - 20000)
+      val stream = s.readStream
+        .schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      // delay > corpus span: out-of-order batches buffer, none drop
+      val agg = stream.withWatermark("ts", "8760 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum("n_events").as("n_events"))
+        .orderBy("user_id")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e21_stream_sessions" -> (e21 _),
     "e20_stream_outer_join" -> (e20 _),
     "e18_rate_ingest" -> (e18 _),
     "e19_dedup_bounded_state" -> (e19 _),
@@ -753,6 +833,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e21_stream_sessions" -> e15Sql, // 4th formulation, same oracle
     "e20_stream_outer_join" -> e20Sql,
     "e18_rate_ingest" -> e18Sql,
     "e19_dedup_bounded_state" -> e10Sql,

@@ -677,7 +677,86 @@ object IoOps {
       |WHERE NOT (lang = 'fr' AND doc_id % 5 = 0)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // i14: TIME TRAVEL via snapshot manifests — the lakehouse core
+  // mechanic (Iceberg/Delta) from first principles: a table version
+  // is a MANIFEST (list of data files), not a directory. Appends
+  // write new files + a new manifest; logical deletes drop files
+  // from the next manifest WITHOUT touching bytes; a reader pins a
+  // version by reading exactly its manifest's files. The gate
+  // computes all three versions' rollups AFTER all writes landed —
+  // so v1's numbers prove reader isolation (the append and the
+  // delete are invisible through the old manifest), and v3 proves
+  // the logical delete (add0's rows gone while its bytes remain —
+  // byte survival pinned in IoSpec). Scale: manifests are file-count
+  // metadata, never row data; version switch is O(1); no rewrite on
+  // append or delete — the property that makes snapshots affordable
+  // at 100 TB.
+  private def parquetFiles(s: SparkSession, dir: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+  }
+
+  def i14(s: SparkSession, d: String): DataFrame = i14WithStats(s, d)._1
+
+  /** (gated rollup, add0 bytes still on disk after the v3 logical
+    * delete, total data files, files visible to manifest v1) — the
+    * last three pin snapshot semantics in IoSpec. */
+  def i14WithStats(s: SparkSession, d: String): (DataFrame, Boolean, Int, Int) = {
+    val dir = tmpDir("graft_i14_")
+    import s.implicits._
+    def writeManifest(v: Int, paths: Seq[String]): Unit =
+      paths.toDF("path").coalesce(1).write.parquet(s"$dir/manifests/v$v")
+    def readSnapshot(v: Int): DataFrame = {
+      val paths = s.read.parquet(s"$dir/manifests/v$v")
+        .collect().map(_.getString(0)).sorted
+      s.read.parquet(paths: _*)
+    }
+    try {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      // v1: the initial load (pre-1996 orders)
+      orders.filter(col("o_orderdate") < "1996-01-01")
+        .write.parquet(s"$dir/data/add0")
+      val add0 = parquetFiles(s, s"$dir/data/add0")
+      writeManifest(1, add0)
+      // v2: append-only upgrade — new files, old files untouched
+      orders.filter(col("o_orderdate") >= "1996-01-01")
+        .write.parquet(s"$dir/data/add1")
+      val add1 = parquetFiles(s, s"$dir/data/add1")
+      writeManifest(2, add0 ++ add1)
+      // v3: logical delete of the initial load — add0 drops out of
+      // the manifest; its bytes stay on disk for time travel
+      writeManifest(3, add1)
+      // all three versions read AFTER every write landed
+      def rollup(v: Int): DataFrame =
+        readSnapshot(v).agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").cast("long").as("sum_keys"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_keys"))
+      val out = rollup(1).union(rollup(2)).union(rollup(3))
+        .orderBy("version")
+        .localCheckpoint()
+      (out, parquetFiles(s, s"$dir/data/add0").nonEmpty,
+        add0.size + add1.size, add0.size)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i14Sql: String =
+    """SELECT 1 AS version, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+      |FROM orders WHERE o_orderdate < DATE '1996-01-01'
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i14_time_travel" -> (i14 _),
     "i13_retention_delete" -> (i13 _),
     "i12_bucketed_join" -> (i12 _),
     "i10_schema_evolution" -> (i10 _),
@@ -693,6 +772,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i14_time_travel" -> i14Sql,
     "i13_retention_delete" -> i13Sql,
     "i12_bucketed_join" -> i12Sql,
     "i10_schema_evolution" -> i10Sql,

@@ -120,6 +120,22 @@ class IoSpec extends SparkSpec {
       "bucketed fact-fact join planned a shuffle exchange")
   }
 
+  test("i14 snapshots isolate readers and delete logically") {
+    val (df, add0Survives, totalFiles, v1Files) =
+      ops.IoOps.i14WithStats(spark, sf)
+    val rows = df.collect().map(r =>
+      r.getAs[Int]("version") -> (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_keys"))).toMap
+    // reader isolation: v1 + v3 partition v2 exactly (no row lost or
+    // double-counted across the append + logical delete)
+    assert(rows(1)._1 + rows(3)._1 == rows(2)._1)
+    assert(rows(1)._2 + rows(3)._2 == rows(2)._2)
+    assert(rows(1)._1 > 0 && rows(3)._1 > 0, "a version is empty: vacuous")
+    // the logical delete left add0's bytes on disk (time travel works)
+    assert(add0Survives, "logical delete physically removed files")
+    // and v1's manifest hides the appended files
+    assert(v1Files < totalFiles, "append visible to the old snapshot")
+  }
+
   test("i13 retention delete rewrites ONLY the affected partitions") {
     val dir = tmp() + "/lake"
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars")

@@ -121,4 +121,26 @@ class StreamingSpec extends SparkSpec {
     // query was down — the offset log prevented any reprocessing
     assert(run2Rows == 30, s"restart re-read $run2Rows input rows, want 30")
   }
+
+  test("e21 streaming sessions merge state across out-of-order batches") {
+    // necessity of the cross-batch merge: sessionizing each hour-parity
+    // slice separately yields MORE sessions than the full corpus — so
+    // the stream's per-user counts can only match batch e15 if the
+    // state store merged events across the two batches
+    def sessionsOf(par: Int): Long = Tables.events(spark, sf)
+      .filter(hour(col("ts")) % 2 === par)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)))
+      .count()
+    val full = ops.EventOps.e15(spark, sf)
+      .agg(sum("n_sessions")).collect()(0).getLong(0)
+    assert(sessionsOf(0) + sessionsOf(1) > full,
+      "parity split never splits a session: merge test is vacuous")
+    // and the stream reproduces batch e15 row-for-row
+    val streamed = ops.EventOps.e21(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = ops.EventOps.e15(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.sameElements(batch), "stream != batch sessionization")
+  }
 }
