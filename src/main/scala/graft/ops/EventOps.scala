@@ -810,7 +810,80 @@ object EventOps {
     }
   }
 
+  // e22: PEAK CONCURRENCY — "how many sessions were open at once,
+  // per day": the interval sweep every capacity/load analysis runs.
+  // Sessions (e02's gap rule) become ±1 boundary events; peak = max
+  // of the running sum. The scalable shape is the SEGMENT-SCAN sweep:
+  // the running sum is computed WITHIN each day partition (keyed
+  // window, never a corpus-wide sort), and day partials stitch with a
+  // cross-day carry — a prefix sum over the DAY DOMAIN (one row per
+  // day: metadata-scale, 30 rows here, ~36k for a century — the
+  // bounded-domain exception to the no-global-window rule, same tier
+  // as the 1-row broadcast aggregates). Midnight-spanning sessions
+  // are exactly why the carry exists: their +1 lands in one day's
+  // net, their −1 in the next. Tie rule pinned: starts sort before
+  // ends at the same instant (delta DESC), so touching/zero-length
+  // sessions count as concurrent — and with RANGE peer framing the
+  // day max is permutation-independent. The oracle computes the
+  // NAIVE global running sum; the two formulations must agree at
+  // every day boundary — a wrong carry flips the hash.
+  def e22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val iv = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("st"), max("us").as("en"))
+    val deltas = iv.select(col("st").as("us"), lit(1L).as("delta"))
+      .union(iv.select(col("en").as("us"), lit(-1L).as("delta")))
+      .withColumn("day", expr("us div 86400000000"))
+    val wd = Window.partitionBy("day").orderBy(col("us"), col("delta").desc)
+    val perDay = deltas
+      .withColumn("c", sum("delta").over(wd)) // RANGE frame: peers fold
+      .groupBy("day")
+      .agg(max("c").as("in_day_peak"), sum("delta").as("net"))
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry", coalesce(sum("net").over(wc), lit(0L)))
+      .select(col("day"), (col("carry") + col("in_day_peak")).as("peak"))
+      .orderBy("day")
+  }
+
+  val e22Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR lag(epoch_us(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_id
+      |  FROM tagged),
+      |iv AS (
+      |  SELECT user_id, session_id, min(us) AS st, max(us) AS en
+      |  FROM sess GROUP BY 1, 2),
+      |ev AS (
+      |  SELECT st AS us, 1 AS delta FROM iv
+      |  UNION ALL SELECT en, -1 FROM iv),
+      |run AS (
+      |  SELECT us // 86400000000 AS day,
+      |    sum(delta) OVER (ORDER BY us, delta DESC) AS c
+      |  FROM ev)
+      |SELECT day, max(c)::BIGINT AS peak
+      |FROM run GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_peak_concurrency" -> (e22 _),
     "e21_stream_sessions" -> (e21 _),
     "e20_stream_outer_join" -> (e20 _),
     "e18_rate_ingest" -> (e18 _),
@@ -833,6 +906,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e22_peak_concurrency" -> e22Sql,
     "e21_stream_sessions" -> e15Sql, // 4th formulation, same oracle
     "e20_stream_outer_join" -> e20Sql,
     "e18_rate_ingest" -> e18Sql,

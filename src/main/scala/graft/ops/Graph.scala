@@ -315,13 +315,116 @@ object Graph {
        |mind AS (SELECT node, min(dist) AS dist FROM r GROUP BY 1)
        |SELECT node, dist FROM mind ORDER BY dist, node LIMIT 25""".stripMargin
 
+  // g05: K-CORE decomposition by iterative peeling — the standard
+  // "dense substructure" graph operator (community seeds, spam rings,
+  // influence cores): repeatedly remove nodes with fewer than K
+  // neighbors among survivors until fixpoint. Runs on the STRONG-TIE
+  // trade graph (relations with ≥3 distinct orders) where removals
+  // actually cascade (5 peel rounds at sf0.01 — measured; the full
+  // graph is too dense to peel). Each round is one semi-join-restrict
+  // + one degree aggregation — edge-partitioned shuffles, state =
+  // survivor node set, lineage pinned per round (Iterate.pin). The
+  // oracle runs the identical peel as a recursive CTE whose working
+  // table carries the full survivor set per iteration, with the same
+  // round cap — so round-for-round removal decisions must agree.
+  // Output: core members + their in-core degree. The k-core
+  // characterization (every member ≥K in-core neighbors, every
+  // removed node <K neighbors IN THE CORE) is pinned in OpsSpec.
+  // NOTE the two formulations agree only while the core is NON-EMPTY
+  // (a recursive CTE's last working table is the last non-empty
+  // round; the Spark loop would continue to the empty fixpoint).
+  // These thresholds yield cores of 145/164/1000+ members at
+  // sf0.001/0.01/0.1 (measured); OpsSpec pins non-emptiness.
+  private val CORE_K = 3
+  private val CORE_MIN_ORDERS = 3
+  private val CORE_ROUNDS = 50
+
+  /** Strong-tie undirected edge list (both directions). */
+  private def strongEdges(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val st = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"),
+        (col("l_suppkey") + SUPPLIER_OFFSET).as("sn"))
+      .agg(countDistinct("o_orderkey").as("n_ord"))
+      .filter(col("n_ord") >= CORE_MIN_ORDERS)
+      .select("c", "sn")
+    st.select(col("c").as("src"), col("sn").as("dst"))
+      .union(st.select(col("sn").as("src"), col("c").as("dst")))
+  }
+
+  private[graft] def kcoreNodes(s: SparkSession, d: String): DataFrame = {
+    val edges = strongEdges(s, d).cache()
+    var surv = Iterate.pin(edges.select(col("src").as("node")).distinct())
+    var n = surv.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < CORE_ROUNDS) {
+      val deg = edges
+        .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      val next = Iterate.pin(
+        deg.filter(col("deg") >= CORE_K).select(col("src").as("node")))
+      val m = next.count()
+      done = m == n // survivors only shrink: count equality = set equality
+      surv = next
+      n = m
+      rounds += 1
+    }
+    edges.unpersist()
+    surv
+  }
+
+  def g05(s: SparkSession, d: String): DataFrame = {
+    val edges = strongEdges(s, d)
+    val core = kcoreNodes(s, d)
+    edges
+      .join(core.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
+  val g05Sql: String =
+    s"""WITH RECURSIVE ed AS (
+       |  SELECT o_custkey AS c, l_suppkey + $SUPPLIER_OFFSET AS sn
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= $CORE_MIN_ORDERS),
+       |sym AS (SELECT c AS src, sn AS dst FROM ed UNION ALL SELECT sn, c FROM ed),
+       |surv(iter, node) AS (
+       |  SELECT 0, src FROM (SELECT DISTINCT src FROM sym) t
+       |  UNION ALL
+       |  SELECT s.iter + 1, s.node
+       |  FROM surv s
+       |  JOIN (SELECT e.src AS node, count(*) AS deg FROM sym e
+       |        JOIN surv s1 ON e.src = s1.node
+       |        JOIN surv s2 ON e.dst = s2.node GROUP BY e.src) d
+       |    ON s.node = d.node
+       |  WHERE d.deg >= $CORE_K AND s.iter < $CORE_ROUNDS
+       |    AND (SELECT count(*) FROM surv) >
+       |        (SELECT count(*) FROM surv s3
+       |         JOIN (SELECT e.src AS node, count(*) AS deg FROM sym e
+       |               JOIN surv s1 ON e.src = s1.node
+       |               JOIN surv s2 ON e.dst = s2.node GROUP BY e.src) d2
+       |           ON s3.node = d2.node WHERE d2.deg >= $CORE_K)),
+       |core AS (
+       |  SELECT node FROM surv WHERE iter = (SELECT max(iter) FROM surv))
+       |SELECT e.src AS node, count(*) AS deg
+       |FROM sym e
+       |JOIN core c1 ON e.src = c1.node
+       |JOIN core c2 ON e.dst = c2.node
+       |GROUP BY 1 ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g05_kcore" -> (g05 _),
     "g03_bfs_hops" -> (g03 _),
     "g01_pagerank" -> (g01 _),
     "g02_triangles" -> (g02 _),
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g05_kcore" -> g05Sql,
     "g03_bfs_hops" -> g03Sql,
     "g01_pagerank" -> g01Sql,
     "g02_triangles" -> g02Sql,

@@ -271,6 +271,64 @@ class OpsSpec extends SparkSpec {
     assert(kept < arrived, s"kept $kept of $arrived: dedup vacuous")
   }
 
+  test("e22 day-partitioned sweep equals a driver-side global sweep") {
+    val got = ops.EventOps.e22(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("peak")).toMap
+    assert(got.nonEmpty)
+    assert(got.values.max > 1L, "never more than one concurrent session")
+    // brute-force: collect session intervals, one global ordered scan
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val iv = Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("user_id", "sid").agg(min("us").as("st"), max("us").as("en"))
+      .collect().map(r => (r.getAs[Long]("st"), r.getAs[Long]("en")))
+    // fold whole (us, delta) peer groups before sampling the running
+    // sum — the RANGE frame's peer semantics on both engine sides
+    val events = (iv.map(i => (i._1, 1)) ++ iv.map(i => (i._2, -1)))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .map { case ((us, dlt), n) => (us, dlt, dlt * n) }
+      .sortBy { case (us, dlt, _) => (us, -dlt) } // starts before ends
+    var c = 0
+    val peaks = collection.mutable.Map.empty[Long, Int]
+    events.foreach { case (us, _, groupSum) =>
+      c += groupSum
+      val day = us / 86400000000L
+      peaks(day) = math.max(peaks.getOrElse(day, Int.MinValue), c)
+    }
+    assert(got == peaks.map { case (k, v) => k -> v.toLong }.toMap,
+      "partitioned sweep != global sweep")
+  }
+
+  test("g05 k-core satisfies the exact k-core characterization") {
+    val core = ops.Graph.g05(spark, sf).collect()
+    assert(core.nonEmpty, "empty core: formulation equivalence breaks")
+    assert(core.forall(_.getAs[Long]("deg") >= 3))
+    // rebuild the strong-tie graph driver-side
+    val strong = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sn"))
+      .agg(countDistinct("o_orderkey").as("n_ord"))
+      .filter(col("n_ord") >= 3)
+      .select("c", "sn").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (strong ++ strong.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val coreSet = core.map(_.getAs[Long]("node")).toSet
+    val removed = nbrs.keySet -- coreSet
+    assert(removed.nonEmpty, "nothing peeled: vacuous")
+    // maximality: every removed node has < K neighbors IN the core
+    assert(removed.forall(n => (nbrs(n) & coreSet).size < 3))
+    // and membership: every core node has >= K core neighbors
+    assert(coreSet.forall(n => (nbrs(n) & coreSet).size >= 3))
+  }
+
   test("p03 mixture sampler hits targets and handles domain shortage") {
     val rows = ops.Pipeline.p03(spark, sf).collect()
     assert(rows.length == 4)
