@@ -161,15 +161,17 @@ object Recommend {
       val seen = hist.withColumnRenamed("item_id", "rec_item")
       val unseen = scored.join(seen, Seq("user_id", "rec_item"), "left_anti")
       val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
+      // top-10 cached: ranks 1-5 serve r05/r18/r19/r22, the 6-10 tail
+      // is r23's MMR candidate pool — one build, five consumers
       val recs = unseen.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+        .filter(col("rank") <= 10)
         .cache()
       recs.count() // materialize NOW — consumers must hit the cache
       recs
     })
 
   def r05(s: SparkSession, d: String): DataFrame =
-    r05Recs(s, d).orderBy("user_id", "rank")
+    r05Recs(s, d).filter(col("rank") <= 5).orderBy("user_id", "rank")
 
   val r05Sql: String =
     s"""WITH ratings AS (${Ratings.sqlRatings}),
@@ -691,7 +693,8 @@ object Recommend {
     val ratings = Ratings.implicitRatings(s, d)
     val users = Tables.customer(s, d).filter(col("c_custkey") < 60)
       .select(col("c_custkey").as("user_id"))
-    val cf = r05Recs(s, d).select(col("user_id"), col("rank"), col("rec_item"))
+    val cf = r05Recs(s, d).filter(col("rank") <= 5)
+      .select(col("user_id"), col("rank"), col("rec_item"))
     val seen = ratings.filter(col("user_id") < 60)
       .select("user_id", "item_id").distinct()
     val headN = seen.groupBy("user_id").agg(count(lit(1)).as("c"))
@@ -1214,7 +1217,7 @@ object Recommend {
     val meta = Tables.part(s, d)
       .select(col("p_partkey").as("rec_item"), col("p_name"),
         col("p_brand"), col("p_retailprice"))
-    r05Recs(s, d)
+    r05Recs(s, d).filter(col("rank") <= 5)
       .join(broadcast(meta), Seq("rec_item"))
       .select(col("user_id"), col("rank"), col("rec_item"), col("p_name"),
         col("p_brand"),
@@ -1237,7 +1240,8 @@ object Recommend {
   // everyone; these are the standard beyond-accuracy checks. All
   // counts integer; two single divisions at the end.
   def r19(s: SparkSession, d: String): DataFrame = {
-    val recs = r05Recs(s, d).select("user_id", "rec_item")
+    val recs = r05Recs(s, d).filter(col("rank") <= 5)
+      .select("user_id", "rec_item")
     val perItem = recs.groupBy("rec_item").agg(count(lit(1)).as("n_recs"))
     // top-10 via the TopKAgg heap (same (score DESC, id ASC) order as
     // the oracle's window) — no global unpartitioned sort, the rule
@@ -1280,7 +1284,141 @@ object Recommend {
        |  round(CAST(top10_recs AS DOUBLE) / n_recs_total, 6) AS top10_share
        |FROM tot CROSS JOIN cat CROSS JOIN top10""".stripMargin
 
+  // r23: MMR-DIVERSIFIED serving (Carbonell & Goldstein 1998) — the
+  // re-rank between scoring and response: pure relevance ranking
+  // serves five near-identical items; maximal marginal relevance
+  // greedily picks argmax of λ·rel − (1−λ)·max-sim-to-selected
+  // (λ = 0.5), trading a little relevance for coverage. Candidates =
+  // the r05Recs shared artifact's top-10 tail (one build, five
+  // consumer queries); similarity = r04's co-occurrence cosine
+  // (unlimited pair table — the top-200 display cut would starve the
+  // lookup); relevance normalized per user (score/max, in [0,1] with
+  // sim). The greedy loop is FIVE unrolled bounded steps — per step
+  // one anti-join (candidates minus selected), one ≤10×4-per-user
+  // sim lookup join, one per-user argmax — never corpus-scale work;
+  // the oracle unrolls the identical five steps as CTEs, so every
+  // pick and every mmr score is hash-pinned. Diversity-vs-relevance
+  // divergence (MMR ≠ top-5 for some user) pinned in RecommendSpec.
+  def r23(s: SparkSession, d: String): DataFrame = {
+    // FIXED-POINT micro-units throughout (the g01/r17 discipline):
+    // rel_i = score·10⁶ div max_score is exact integer division;
+    // sim_i = floor(cnt·10⁶ / sqrt(nᵢ·nⱼ)) is one IEEE sqrt + one
+    // division + floor — bit-identical cross-engine. A first cut
+    // rounded doubles (round(rel·0.5 − sim·0.5, 6)) and hash-failed
+    // at sf0.001: the halving lands values exactly on the 6dp
+    // rounding boundary, where Spark (decimal-string HALF_UP) and
+    // DuckDB (numeric) disagree. λ = 0.5 drops out of the argmax, so
+    // mmr = rel_i − maxsim_i needs no scaling at all.
+    val wmax = Window.partitionBy("user_id")
+    val cand = r05Recs(s, d)
+      .withColumn("rel", expr("(score * 1000000) div max(score) over " +
+        "(partition by user_id)"))
+      .select("user_id", "rec_item", "rel")
+    val oi = Ratings.orderItems(s, d)
+    val freq = oi.groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("n_ord"))
+    val simt = pairsOfSym(
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey")
+      .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .join(broadcast(freq).as("fi"), col("i") === col("fi.item"))
+      .join(broadcast(freq).as("fj"), col("j") === col("fj.item"))
+      .select(col("i"), col("j"),
+        floor(col("cnt") * 1000000L / sqrt(col("fi.n_ord") * col("fj.n_ord")))
+          .cast("long").as("sim"))
+    val wPick = Window.partitionBy("user_id")
+      .orderBy(col("mmr").desc, col("rec_item"))
+    var selected = cand
+      .withColumn("mmr", col("rel"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("rec_item"), lit(1).as("pos"), col("mmr"))
+    for (t <- 2 to 5) {
+      val remaining = cand.join(selected.select("user_id", "rec_item"),
+        Seq("user_id", "rec_item"), "left_anti")
+      val pick = remaining
+        .join(selected.select(col("user_id"), col("rec_item").as("sel")),
+          Seq("user_id"))
+        .join(simt, col("rec_item") === col("i") && col("sel") === col("j"),
+          "left")
+        .groupBy("user_id", "rec_item", "rel")
+        .agg(max(coalesce(col("sim"), lit(0L))).as("maxsim"))
+        .withColumn("mmr", col("rel") - col("maxsim"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("rec_item"), lit(t).as("pos"), col("mmr"))
+      selected = selected.union(pick)
+    }
+    selected.orderBy("user_id", "pos")
+  }
+
+  val r23Sql: String = {
+    val steps = (2 to 5).map { t =>
+      val prev = s"selall${t - 1}"
+      s"""sel$t AS (
+         |  SELECT user_id, rec_item, $t AS pos, mmr FROM (
+         |    SELECT mx.user_id, mx.rec_item,
+         |      mx.rel - mx.maxsim AS mmr,
+         |      row_number() OVER (PARTITION BY mx.user_id
+         |        ORDER BY mx.rel - mx.maxsim DESC, mx.rec_item) AS rn
+         |    FROM (
+         |      SELECT c.user_id, c.rec_item, c.rel,
+         |        max(coalesce(st.sim, 0)) AS maxsim
+         |      FROM cand c
+         |      JOIN $prev sl ON c.user_id = sl.user_id
+         |      LEFT JOIN simt st ON c.rec_item = st.i AND sl.rec_item = st.j
+         |      WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |        WHERE x.user_id = c.user_id AND x.rec_item = c.rec_item)
+         |      GROUP BY 1, 2, 3) mx)
+         |  WHERE rn = 1),
+         |selall$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |hist AS (SELECT DISTINCT user_id, item_id FROM ratings WHERE user_id < 50),
+       |oi AS (${Ratings.sqlOrderItems}),
+       |co AS (
+       |  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS cnt
+       |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |top10 AS (
+       |  SELECT user_id, rec_item, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 10),
+       |cand AS (
+       |  SELECT user_id, rec_item,
+       |    (score * 1000000) // max(score) OVER (PARTITION BY user_id) AS rel
+       |  FROM top10),
+       |freq AS (SELECT l_partkey AS item, count(*) AS n_ord FROM oi GROUP BY 1),
+       |co2 AS (SELECT i, j, cnt FROM co WHERE cnt >= 2),
+       |simt AS (
+       |  SELECT i, j,
+       |    CAST(floor(cnt * 1000000 / sqrt(fi.n_ord * fj.n_ord)) AS BIGINT) AS sim
+       |  FROM co2 JOIN freq fi ON co2.i = fi.item JOIN freq fj ON co2.j = fj.item),
+       |sel1 AS (
+       |  SELECT user_id, rec_item, 1 AS pos, rel AS mmr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY rel DESC, rec_item) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1),
+       |selall1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT user_id, rec_item, pos, mmr FROM selall5
+       |ORDER BY user_id, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r23_mmr_diversity" -> (r23 _),
     "r19_serving_health" -> (r19 _),
     "r18_serving_payload" -> (r18 _),
     "r17_ndcg" -> (r17 _),
@@ -1305,6 +1443,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r23_mmr_diversity" -> r23Sql,
     "r19_serving_health" -> r19Sql,
     "r18_serving_payload" -> r18Sql,
     "r17_ndcg" -> r17Sql,

@@ -24,6 +24,28 @@ class RecommendSpec extends SparkSpec {
     assert(recs.join(hist, Seq("user_id", "rec_item"), "left_semi").count() == 0)
   }
 
+  test("r23 MMR re-rank diverges from pure relevance for some user") {
+    val mmr = ops.Recommend.r23(spark, sf).collect()
+    val byUser = mmr.groupBy(_.getAs[Long]("user_id"))
+    // contract: exactly 5 picks per user, positions 1..5
+    assert(byUser.values.forall(_.map(_.getAs[Int]("pos")).sorted.sameElements(1 to 5)))
+    // pick 1 is the pure-relevance argmax (tie → lowest item)
+    val top1 = ops.Recommend.r05(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("rec_item")).toMap
+    assert(byUser.forall { case (u, rows) =>
+      rows.find(_.getAs[Int]("pos") == 1).get.getAs[Long]("rec_item") == top1(u)
+    })
+    // non-vacuity: diversity changed the SET for at least one user
+    val top5 = ops.Recommend.r05(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id")).view
+      .mapValues(_.map(_.getAs[Long]("rec_item")).toSet).toMap
+    val diverged = byUser.count { case (u, rows) =>
+      rows.map(_.getAs[Long]("rec_item")).toSet != top5(u)
+    }
+    assert(diverged > 0, "MMR never deviated from relevance top-5")
+  }
+
   test("r06 ALS recs: 5 per user, unseen only, gates all true") {
     val recs = ops.Recommend.alsTop5(spark, sf).cache()
     val perUser = recs.groupBy("user_id").count().collect()
