@@ -707,7 +707,60 @@ object TextOps {
       |FROM uni JOIN per USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // t19: quality-WEIGHTED sampling without replacement (Efraimidis–
+  // Spirakis exponential keys) — t12/p03 sample uniformly within
+  // strata; a curation pipeline also needs "sample 50 docs with
+  // probability ∝ quality". Each doc draws key = −ln(u)/w with u a
+  // HASH-DERIVED uniform ((hash56+1)/2⁵⁶ — deterministic, auditable,
+  // repartition-stable: the same trick that makes t12 engine-
+  // portable) and w = t02's quality (floored at 0.01 so the division
+  // is total); the 50 smallest keys are the weighted sample — the
+  // one-pass distributed weighted-sampling construction (top-k via
+  // TakeOrdered, no global sort materialization). Keys are rounded
+  // to 6dp before comparison (the t14 libm discipline; ties → doc
+  // id). Quality bias (sample mean quality > corpus mean) pinned in
+  // OpsSpec.
+  def t19(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val u = (Hashing.hash56(concat_ws("#", lit("ws"), col("doc_id"))) + 1)
+      .cast("double") / lit(7.2057594037927936e16) // 2^56
+    Tables.documents(s, d)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))))
+      .withColumn("w", greatest(
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.5, 6),
+        lit(0.01)))
+      .withColumn("skey", round(-log(u) / col("w"), 6))
+      .select("doc_id", "lang", "w", "skey")
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(50)
+  }
+
+  val t19Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, greatest(
+       |      round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
+       |            (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6),
+       |      0.01) AS w
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) AS n_tokens,
+       |      len(list_filter(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
+       |          t -> list_contains($stopList, t))) AS n_stop
+       |    FROM documents))
+       |SELECT doc_id, lang, w,
+       |  round(-ln((${Hashing.sqlHash56("'ws#' || doc_id")} + 1) /
+       |    72057594037927936.0) / w, 6) AS skey
+       |FROM q
+       |ORDER BY skey, doc_id LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_weighted_sample" -> (t19 _),
     "t18_repetition" -> (t18 _),
     "t17_pii_redact" -> (t17 _),
     "t16_bigram_xent" -> (t16 _),
@@ -728,6 +781,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t19_weighted_sample" -> t19Sql,
     "t18_repetition" -> t18Sql,
     "t17_pii_redact" -> t17Sql,
     "t16_bigram_xent" -> t16Sql,

@@ -271,6 +271,18 @@ class OpsSpec extends SparkSpec {
     assert(kept < arrived, s"kept $kept of $arrived: dedup vacuous")
   }
 
+  test("t19 weighted sample is biased toward high-quality docs") {
+    val sample = ops.TextOps.t19(spark, sf).collect()
+    assert(sample.length == 50)
+    val sampleMean = sample.map(_.getAs[Double]("w")).sum / sample.length
+    // corpus mean quality from the same formula (t18's corpus makes
+    // quality spread real, so the weighted pick must beat uniform)
+    val corpus = ops.TextOps.t02(spark, sf).collect().map(_.getAs[Double]("quality"))
+    val corpusMean = corpus.sum / corpus.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
   test("e22 day-partitioned sweep equals a driver-side global sweep") {
     val got = ops.EventOps.e22(spark, sf).collect()
       .map(r => r.getAs[Long]("day") -> r.getAs[Long]("peak")).toMap
