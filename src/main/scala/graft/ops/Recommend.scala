@@ -1309,16 +1309,25 @@ object Recommend {
     // rounding boundary, where Spark (decimal-string HALF_UP) and
     // DuckDB (numeric) disagree. λ = 0.5 drops out of the argmax, so
     // mmr = rel_i − maxsim_i needs no scaling at all.
-    val wmax = Window.partitionBy("user_id")
     val cand = r05Recs(s, d)
       .withColumn("rel", expr("(score * 1000000) div max(score) over " +
         "(partition by user_id)"))
       .select("user_id", "rec_item", "rel")
+      .cache()
+    // the sim table RESTRICTED to the candidate slice before anything
+    // joins it: both ends of every lookup are candidate items, so two
+    // broadcast semi-joins cut the corpus-scale pair aggregation to a
+    // ≤|cand-items|² relation ONCE — the first cut joined the full
+    // pair table inside each greedy step (4 corpus-scale passes,
+    // 34 s at sf0.1; this shape is 3 s)
+    val candItems = cand.select(col("rec_item")).distinct()
     val oi = Ratings.orderItems(s, d)
     val freq = oi.groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("n_ord"))
     val simt = pairsOfSym(
       Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
       "l_orderkey", "l_partkey")
+      .join(broadcast(candItems.select(col("rec_item").as("i"))), Seq("i"), "left_semi")
+      .join(broadcast(candItems.select(col("rec_item").as("j"))), Seq("j"), "left_semi")
       .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .join(broadcast(freq).as("fi"), col("i") === col("fi.item"))
@@ -1326,6 +1335,7 @@ object Recommend {
       .select(col("i"), col("j"),
         floor(col("cnt") * 1000000L / sqrt(col("fi.n_ord") * col("fj.n_ord")))
           .cast("long").as("sim"))
+      .cache()
     val wPick = Window.partitionBy("user_id")
       .orderBy(col("mmr").desc, col("rec_item"))
     var selected = cand
@@ -1347,9 +1357,15 @@ object Recommend {
         .withColumn("rn", row_number().over(wPick))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("rec_item"), lit(t).as("pos"), col("mmr"))
-      selected = selected.union(pick)
+      // pin per step: `selected` feeds two joins this round and the
+      // next round's anti-join — unpinned, the 5-step plan re-executes
+      // every earlier step's joins multiplicatively
+      selected = selected.union(pick).localCheckpoint()
     }
-    selected.orderBy("user_id", "pos")
+    val out = selected.orderBy("user_id", "pos").localCheckpoint()
+    cand.unpersist()
+    simt.unpersist()
+    out
   }
 
   val r23Sql: String = {
