@@ -1433,7 +1433,76 @@ object Recommend {
        |ORDER BY user_id, pos""".stripMargin
   }
 
+  // r24: ITEM cold start via CONTENT fallback — r22 backfills new
+  // USERS with popularity; a new ITEM has no interactions at all, so
+  // popularity can never surface it (the item-side cold-start hole
+  // every CF system ships with). Items with p_partkey % 17 = 0 play
+  // the new catalog arrivals: their interactions are HIDDEN from the
+  // history view (simulating day-zero items), and each user gets the
+  // top-3 new items by CONTENT match against their purchase profile
+  // — score = 2·(history items sharing the brand) + 1·(sharing the
+  // type), integer arithmetic end to end. Plumbing is all dims and
+  // keyed joins: part metadata broadcast, per-user brand/type
+  // profiles (two keyed aggs over history), new-item slice broadcast,
+  // score join keyed on brand/type, top-3 per user via the
+  // WindowGroupLimit-pushable rank. Non-vacuity (every user served 3
+  // genuinely hidden items, scores > 0) pinned in RecommendSpec.
+  def r24(s: SparkSession, d: String): DataFrame = {
+    val meta = Tables.part(s, d)
+      .select(col("p_partkey").as("item_id"), col("p_brand"), col("p_type"))
+    val newItems = meta.filter(col("item_id") % 17 === 0)
+    val hist = Ratings.implicitRatings(s, d)
+      .filter(col("user_id") < 50)
+      .filter(col("item_id") % 17 =!= 0) // day-zero items have no history
+      .select("user_id", "item_id").distinct()
+      .join(broadcast(meta), Seq("item_id"))
+    val brandProf = hist.groupBy("user_id", "p_brand")
+      .agg(count(lit(1)).as("n_b"))
+    val typeProf = hist.groupBy("user_id", "p_type")
+      .agg(count(lit(1)).as("n_t"))
+    val scored = newItems.select(col("item_id").as("new_item"),
+        col("p_brand"), col("p_type"))
+      .join(brandProf, Seq("p_brand"))
+      .join(typeProf, Seq("user_id", "p_type"), "left")
+      .select(col("user_id"), col("new_item"),
+        (col("n_b") * 2 + coalesce(col("n_t"), lit(0L))).as("score"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("score").desc, col("new_item"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("user_id", "rank", "new_item", "score")
+      .orderBy("user_id", "rank")
+  }
+
+  val r24Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |meta AS (SELECT p_partkey AS item_id, p_brand, p_type FROM part),
+       |hist AS (
+       |  SELECT DISTINCT r.user_id, r.item_id, m.p_brand, m.p_type
+       |  FROM ratings r JOIN meta m ON r.item_id = m.item_id
+       |  WHERE r.user_id < 50 AND r.item_id % 17 <> 0),
+       |brand_prof AS (
+       |  SELECT user_id, p_brand, count(*) AS n_b FROM hist GROUP BY 1, 2),
+       |type_prof AS (
+       |  SELECT user_id, p_type, count(*) AS n_t FROM hist GROUP BY 1, 2),
+       |new_items AS (
+       |  SELECT item_id AS new_item, p_brand, p_type FROM meta
+       |  WHERE item_id % 17 = 0),
+       |scored AS (
+       |  SELECT b.user_id, n.new_item,
+       |    b.n_b * 2 + coalesce(t.n_t, 0) AS score
+       |  FROM new_items n
+       |  JOIN brand_prof b ON n.p_brand = b.p_brand
+       |  LEFT JOIN type_prof t
+       |    ON t.user_id = b.user_id AND t.p_type = n.p_type)
+       |SELECT user_id, rank, new_item, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY score DESC, new_item) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r24_content_coldstart" -> (r24 _),
     "r23_mmr_diversity" -> (r23 _),
     "r19_serving_health" -> (r19 _),
     "r18_serving_payload" -> (r18 _),
@@ -1459,6 +1528,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r24_content_coldstart" -> r24Sql,
     "r23_mmr_diversity" -> r23Sql,
     "r19_serving_health" -> r19Sql,
     "r18_serving_payload" -> r18Sql,

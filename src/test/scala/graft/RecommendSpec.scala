@@ -46,6 +46,29 @@ class RecommendSpec extends SparkSpec {
     assert(diverged > 0, "MMR never deviated from relevance top-5")
   }
 
+  test("r24 content fallback serves day-zero items popularity cannot") {
+    val rows = ops.Recommend.r24(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // only hidden (day-zero) items are served, every score is a real
+    // content match
+    assert(rows.forall(_.getAs[Long]("new_item") % 17 == 0))
+    assert(rows.forall(_.getAs[Long]("score") > 0))
+    // ranks are dense from 1, capped at 3 (a user can match fewer
+    // than 3 of the small day-zero slice); someone gets the full 3
+    val perUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(perUser.values.forall { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      ranks.sameElements(1 to ranks.length) && ranks.length <= 3
+    })
+    assert(perUser.values.exists(_.length == 3))
+    // the hidden items DO have interactions in the raw data — so a
+    // CF/popularity path would have seen them; hiding is what makes
+    // this the item-cold-start scenario
+    val hiddenInteractions = etl.Ratings.implicitRatings(spark, sf)
+      .filter(col("item_id") % 17 === 0).count()
+    assert(hiddenInteractions > 0, "no hidden interactions: scenario vacuous")
+  }
+
   test("r06 ALS recs: 5 per user, unseen only, gates all true") {
     val recs = ops.Recommend.alsTop5(spark, sf).cache()
     val perUser = recs.groupBy("user_id").count().collect()
