@@ -882,7 +882,116 @@ object EventOps {
       |SELECT day, max(c)::BIGINT AS peak
       |FROM run GROUP BY 1 ORDER BY day""".stripMargin
 
+  // e23: STREAMING CDC APPLY via foreachBatch — the production sink
+  // API the e-series hadn't touched: declarative sinks (parquet/
+  // memory) can only append, so a change stream that must UPSERT and
+  // DELETE goes through foreachBatch, which hands each micro-batch
+  // to arbitrary batch code with exactly-once batch ids. Here each
+  // batch applies the i07 MERGE shape (full-outer join on the key)
+  // against the current lake version and writes a NEW version dir —
+  // foreachBatch + i14's versioning discipline composed: the lake is
+  // never rewritten in place, so a mid-merge crash can't corrupt the
+  // readable version (the Delta streaming-MERGE pattern from first
+  // principles). Wave 1 upserts + inserts, wave 2 deletes — applied
+  // in landing order (modTime-pinned files, one file per trigger);
+  // the oracle replays the identical waves relationally, so a
+  // reordered, lost, or double-applied change flips the hash.
+  private[graft] def e23WithStats(s: SparkSession, d: String): (DataFrame, Long) = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dirP = Files.createTempDirectory("graft_e23_")
+    val landing = dirP.resolve("landing")
+    val lakeRoot = dirP.resolve("lake").toString
+    Files.createDirectories(landing)
+    try {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select("doc_id", "lang", "n_chars")
+      base.write.parquet(s"$lakeRoot/v0")
+      // wave 1: updates (+1000 chars for every 10th doc) and inserts
+      // (+5000-offset copies of every 25th); wave 2: deletes of every
+      // 9th key in the POST-wave-1 keyspace (hits inserts too)
+      val w1 = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("U").as("op"),
+          lit(null).cast("string").as("c_lang"),
+          (col("n_chars") + 1000).as("c_chars"))
+        .union(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 5000).as("doc_id"), lit("I").as("op"),
+            col("lang").as("c_lang"), (col("n_chars") + 7).as("c_chars")))
+      val w2 = base.select(col("doc_id"), col("lang"), col("n_chars"))
+        .union(base.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id") + 5000, col("lang"), col("n_chars")))
+        .filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("c_lang"),
+          lit(null).cast("long").as("c_chars"))
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = dirP.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        val dest = landing.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(w1, "wave1", t0 - 60000)
+      land(w2, "wave2", t0 - 30000)
+      @volatile var current = "v0"
+      @volatile var nBatches = 0L
+      val q = s.readStream
+        .schema("doc_id LONG, op STRING, c_lang STRING, c_chars LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val lake = s.read.parquet(s"$lakeRoot/$current")
+          lake.join(batch, Seq("doc_id"), "full_outer")
+            .filter(col("op").isNull || col("op") =!= "D")
+            .select(col("doc_id"),
+              coalesce(col("c_lang"), col("lang")).as("lang"),
+              coalesce(col("c_chars"), col("n_chars")).as("n_chars"))
+            .write.parquet(s"$lakeRoot/v${id + 1}")
+          current = s"v${id + 1}"
+          nBatches += 1
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.read.parquet(s"$lakeRoot/$current")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("lang")
+        .localCheckpoint()
+      (out, nBatches)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  def e23(s: SparkSession, d: String): DataFrame = e23WithStats(s, d)._1
+
+  val e23Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 400),
+      |after1 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
+      |      AS n_chars
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 5000, lang, n_chars + 7 FROM base
+      |  WHERE doc_id % 25 = 0),
+      |final AS (SELECT * FROM after1 WHERE doc_id % 9 <> 0)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_stream_cdc" -> (e23 _),
     "e22_peak_concurrency" -> (e22 _),
     "e21_stream_sessions" -> (e21 _),
     "e20_stream_outer_join" -> (e20 _),
@@ -906,6 +1015,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e23_stream_cdc" -> e23Sql,
     "e22_peak_concurrency" -> e22Sql,
     "e21_stream_sessions" -> e15Sql, // 4th formulation, same oracle
     "e20_stream_outer_join" -> e20Sql,

@@ -122,6 +122,20 @@ class StreamingSpec extends SparkSpec {
     assert(run2Rows == 30, s"restart re-read $run2Rows input rows, want 30")
   }
 
+  test("e23 foreachBatch applies the CDC waves in order, one per batch") {
+    val (df, nBatches) = ops.EventOps.e23WithStats(spark, sf)
+    assert(nBatches == 2, s"expected 2 merge batches, got $nBatches")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 400).count()
+    val inserts = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 400 && col("doc_id") % 25 === 0).count()
+    // deletes really removed rows from the post-insert lake
+    assert(total < base + inserts, "deletes never applied")
+    assert(total > 0)
+  }
+
   test("e21 streaming sessions merge state across out-of-order batches") {
     // necessity of the cross-batch merge: sessionizing each hour-parity
     // slice separately yields MORE sessions than the full corpus — so
