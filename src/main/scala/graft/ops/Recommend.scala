@@ -1463,7 +1463,7 @@ object Recommend {
     val scored = newItems.select(col("item_id").as("new_item"),
         col("p_brand"), col("p_type"))
       .join(brandProf, Seq("p_brand"))
-      .join(typeProf, Seq("user_id", "p_type"), "left")
+      .join(broadcast(typeProf), Seq("user_id", "p_type"), "left")
       .select(col("user_id"), col("new_item"),
         (col("n_b") * 2 + coalesce(col("n_t"), lit(0L))).as("score"))
     val w = Window.partitionBy("user_id")

@@ -199,6 +199,40 @@ class PlanSpec extends SparkSpec {
     assert(!executedSmj, "backfill executed a sort-merge join")
   }
 
+  test("p03 window stays keyed by domain; the total broadcasts") {
+    val p = plan(ops.Pipeline.p03(spark, sf))
+    // the rank runs inside a domain-keyed exchange (the limit is
+    // column-bound — n_target — so WindowGroupLimit can't elide the
+    // in-partition sort, but the shuffle key keeps it corpus-parallel);
+    // the only global sort is the 4-row output ordering
+    assert(p.contains("Exchange hashpartitioning(domain"), p.take(1500))
+    // the 1-row total broadcasts, never shuffles the corpus against it
+    assert(p.contains("BroadcastNestedLoopJoin"), "corpus total not broadcast")
+  }
+
+  test("t17/t18 scans prune to the columns the ops read") {
+    val p17 = plan(ops.TextOps.t17(spark, sf))
+    assert(p17.contains("ReadSchema") && !p17.contains("n_chars"),
+      "t17 reads columns it never uses")
+    val p18 = plan(ops.TextOps.t18(spark, sf))
+    assert(!p18.contains("source"), "t18 reads columns it never uses")
+  }
+
+  test("r24 cold-start plan is all broadcast joins, no fact-fact shuffle join") {
+    val p = plan(ops.Recommend.r24(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // both profile joins broadcast (the profiles are bounded dims);
+    // a sort-merge here would shuffle the serving fan-out
+    assert(!p.contains("SortMergeJoin"), "profile join fell to sort-merge")
+    // and the top-3 rank gets the group-limit pushdown
+    assert(p.contains("WindowGroupLimit"), "top-3 rank not group-limited")
+  }
+
+  test("s11 SQ8 stats broadcast back; corpus never shuffles for the stats") {
+    val p = plan(ops.Similarity.s11(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("m07 broadcasts probes over one decode of the corpus") {
     val df = ops.Multimodal.m07(spark, sf)
     df.collect()
