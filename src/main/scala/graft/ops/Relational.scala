@@ -1179,7 +1179,83 @@ object Relational {
       |FROM j ORDER BY prio, day""".stripMargin
 
   /** Registry for SparkEntry. */
+  // q47: ordered STRING AGGREGATION (LISTAGG / string_agg) — the
+  // reporting surface that turns a group into a delimited manifest
+  // (baskets, tag lists, audit trails). Engines disagree on implicit
+  // aggregation order, so the contract is EXPLICIT order: sort the
+  // collected items in-row (array_sort on the formatted values),
+  // then join — deterministic under any partitioning, and exactly
+  // what the oracle's string_agg(... ORDER BY) pins. Per-group work
+  // is one collect_list; the basket strings stay bounded by the
+  // order's line count.
+  def q47(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_partkey").cast("string").as("pk"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        concat_ws(",", array_sort(collect_list(col("pk")))).as("basket"))
+      .filter(col("n_items") >= 4)
+      .orderBy("l_orderkey")
+
+  val q47Sql: String =
+    """SELECT l_orderkey, count(*) AS n_items,
+      |  string_agg(CAST(l_partkey AS VARCHAR), ','
+      |             ORDER BY CAST(l_partkey AS VARCHAR)) AS basket
+      |FROM lineitem WHERE l_orderkey < 1000
+      |GROUP BY 1 HAVING count(*) >= 4
+      |ORDER BY l_orderkey""".stripMargin
+
+  // q48: SCD2 TEMPORAL DIMENSION JOIN — the warehouse pattern for
+  // slowly-changing dimensions: facts must join the dimension VERSION
+  // valid at fact time, not today's row. Versions here are synthetic
+  // SCD2 history (every customer's original segment valid from epoch;
+  // every 3rd customer migrates segment on 1996-06-15), and the
+  // version lookup is EXACTLY a backward as-of join on (custkey,
+  // date) — the custom AsOfJoinExec with native DATE keys (q43's
+  // typed-key surface): one exchange+sort per side, single merge
+  // pass, no inequality-join explosion however long the version
+  // history grows. The rollup shows the migration: pre-1996 orders
+  // keep the original segment, later orders of migrated customers
+  // land in MIGRATED.
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val dim = cust.select(col("c_custkey").as("ck"),
+        to_date(lit("1992-01-01")).as("valid_from"),
+        col("c_mktsegment").as("segment"))
+      .union(cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), to_date(lit("1996-06-15")),
+          lit("MIGRATED")))
+    // orderdate lands as midnight-aligned TIMESTAMP_NTZ; the as-of
+    // exec takes its typed keys as DATE (lossless here)
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+    graft.plans.AsOf.join(o, dim, "o_custkey", "ck", "o_orderdate", "valid_from")
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("segment"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_year", "segment")
+  }
+
+  val q48Sql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey AS ck, DATE '1992-01-01' AS valid_from,
+      |    c_mktsegment AS segment
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, DATE '1996-06-15', 'MIGRATED'
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |j AS (
+      |  SELECT o.o_orderkey, o.o_orderdate, d.segment,
+      |    row_number() OVER (PARTITION BY o.o_orderkey
+      |                       ORDER BY d.valid_from DESC) AS rn
+      |  FROM orders o JOIN dim d
+      |    ON o.o_custkey = d.ck AND d.valid_from <= o.o_orderdate)
+      |SELECT year(o_orderdate) AS o_year, segment, count(*) AS n_orders
+      |FROM j WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_listagg" -> (q47 _),
+    "q48_scd2_join" -> (q48 _),
     "q45_mode" -> (q45 _),
     "q46_gap_fill" -> (q46 _),
     "q44_asof_forward" -> (q44 _),
@@ -1228,6 +1304,8 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q47_listagg" -> q47Sql,
+    "q48_scd2_join" -> q48Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_topk_revenue" -> q03Sql,

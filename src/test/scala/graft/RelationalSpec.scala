@@ -91,6 +91,29 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_clicks_1h") >= 0))
   }
 
+  test("q47 baskets are sorted, delimited, and sized to the group") {
+    val rows = ops.Relational.q47(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getAs[String]("basket").split(",")
+      assert(parts.length == r.getAs[Long]("n_items"))
+      assert(parts.sameElements(parts.sorted), "basket not in sorted order")
+    }
+  }
+
+  test("q48 SCD2 join versions facts by time, not by today's dim row") {
+    val rows = ops.Relational.q48(spark, sf).collect()
+    val migratedYears = rows.filter(_.getAs[String]("segment") == "MIGRATED")
+      .map(_.getAs[Int]("o_year"))
+    // the migrated segment exists, and only after its valid_from year
+    assert(migratedYears.nonEmpty, "no order ever saw the v2 dim row")
+    assert(migratedYears.forall(_ >= 1996), "v2 leaked before its validity")
+    // pre-migration years still carry original segments for migrated
+    // customers: at least one pre-1996 year has no MIGRATED at all
+    assert(rows.filter(_.getAs[Int]("o_year") < 1996)
+      .forall(_.getAs[String]("segment") != "MIGRATED"))
+  }
+
   test("q46 gap fill densifies the timeline and carries values forward") {
     val rows = ops.Relational.q46(spark, sf).collect()
     assert(rows.nonEmpty)
