@@ -823,7 +823,63 @@ object Dedup {
        |FROM ranked GROUP BY 1 HAVING count(*) > 1 ORDER BY cluster""".stripMargin
   }
 
+  // d15: SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023):
+  // cluster the embedding space with the TRAINED k-means quantizer
+  // (Similarity.ivfKMeansCentroids — the s08 coarse quantizer reused
+  // as SemDeDup's clustering stage), then verify cosine ≥ τ within
+  // each cluster only and keep the lowest id per duplicate group.
+  // This catches paraphrase-level duplication that string methods
+  // (MinHash d03, SimHash d11) cannot see, at cluster-size-bounded
+  // pairwise cost — SemDeDup's economics: k grows with the corpus so
+  // |cluster| stays bounded, and the τ-verify never crosses cluster
+  // boundaries. Planted exact copies (+100000, every 20th vec) are
+  // assignment-stable (identical vector ⇒ identical argmin cell), so
+  // the boolean contract is exact: every planted copy dropped, zero
+  // originals dropped (random 64-d vectors never reach τ = 0.999 —
+  // the threshold margin is pinned in OpsSpec together with
+  // dropped-set ≡ planted-set).
+  private[graft] def d15Augmented(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    base.union(base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("v")))
+  }
+
+  private[graft] def d15Dropped(s: SparkSession, d: String): DataFrame = {
+    val aug = d15Augmented(s, d).cache()
+    val cents = Similarity.ivfKMeansCentroids(aug, k = 8)
+    val assigned = Similarity.nearestCell(aug, cents)
+    val a = assigned.select(col("cell"), col("vec_id").as("a"), col("v").as("va"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("b"),
+      col("v").as("vb"))
+    val dropped = a.join(b, col("cell") === col("cell_b") && col("a") < col("b"))
+      .filter(graft.functions.VectorOps.cosineSim(col("va"), col("vb")) >= 0.999)
+      .select(col("b").as("vec_id")).distinct()
+    aug.unpersist()
+    dropped
+  }
+
+  def d15(s: SparkSession, d: String): DataFrame = {
+    val aug = d15Augmented(s, d)
+    val dropped = d15Dropped(s, d)
+    val planted = aug.filter(col("vec_id") >= 100000).select("vec_id")
+    aug.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(planted.join(dropped, Seq("vec_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("planted_all_dropped")))
+      .crossJoin(dropped.filter(col("vec_id") < 100000)
+        .agg((count(lit(1)) === 0).as("no_false_drops")))
+  }
+
+  val d15Sql: String =
+    """SELECT count(*) + count(CASE WHEN vec_id % 20 = 0 THEN 1 END) AS n_vecs,
+      |  count(CASE WHEN vec_id % 20 = 0 THEN 1 END) AS n_planted,
+      |  true AS planted_all_dropped,
+      |  true AS no_false_drops
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_semantic_dedup" -> (d15 _),
     "d14_canonical_pick" -> (d14 _),
     "d13_star_clusters" -> (d13 _),
     "d12_containment" -> (d12 _),
@@ -841,6 +897,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d15_semantic_dedup" -> d15Sql,
     "d14_canonical_pick" -> d14Sql,
     "d13_star_clusters" -> d08Sql,
     "d12_containment" -> d12Sql,

@@ -271,6 +271,32 @@ class OpsSpec extends SparkSpec {
     assert(kept < arrived, s"kept $kept of $arrived: dedup vacuous")
   }
 
+  test("d15 semantic dedup drops exactly the planted copies") {
+    val dropped = ops.Dedup.d15Dropped(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val planted = ops.Dedup.d15Augmented(spark, sf)
+      .filter(col("vec_id") >= 100000).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(planted.nonEmpty)
+    assert(dropped == planted,
+      s"dropped ${dropped.size} != planted ${planted.size}")
+    // threshold margin: the closest pair of ORIGINAL vectors sits far
+    // below tau = 0.999, so zero false drops is structural, not luck
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    var maxCos = -1.0
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < 64) {
+        dot += vecs(i)(k) * vecs(j)(k)
+        na += vecs(i)(k) * vecs(i)(k); nb += vecs(j)(k) * vecs(j)(k); k += 1
+      }
+      maxCos = math.max(maxCos, dot / math.sqrt(na * nb))
+    }
+    assert(maxCos < 0.99, s"original corpus has a pair at cos $maxCos")
+  }
+
   test("t19 weighted sample is biased toward high-quality docs") {
     val sample = ops.TextOps.t19(spark, sf).collect()
     assert(sample.length == 50)
