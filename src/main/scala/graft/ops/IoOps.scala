@@ -755,7 +755,59 @@ object IoOps {
       |FROM orders WHERE o_orderdate >= DATE '1996-01-01'
       |ORDER BY version""".stripMargin
 
+  // i15: PARTITION-SPEC EVOLUTION — the lake outlives its layout: an
+  // early epoch partitioned by lang only; operations later re-spec to
+  // (lang, source) for finer pruning. Iceberg calls this partition
+  // evolution; without engine support the portable answer is
+  // per-epoch directories, each read with ITS OWN spec and unioned —
+  // no historical rewrite (at 100 TB the rewrite IS the cost being
+  // avoided). A pruned query pushes its lang filter into BOTH
+  // branches' partition listings (per-branch PartitionFilters pinned
+  // in IoSpec via the executed plan), and the new epoch additionally
+  // prunes source. The gate hash-checks a filtered rollup across both
+  // epochs, so a row lost to either layout flips the hash.
+  def i15(s: SparkSession, d: String): DataFrame = i15WithPlan(s, d)._1
+
+  /** (gated rollup, executed-plan string of the pruned union read) —
+    * the plan carries both branches' PartitionFilters for IoSpec. */
+  def i15WithPlan(s: SparkSession, d: String): (DataFrame, String) = {
+    val dir = tmpDir("graft_i15_")
+    try {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      // epoch 1 (historical): partitioned by lang only
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.partitionBy("lang").parquet(s"$dir/epoch1")
+      // epoch 2 (current spec): partitioned by (lang, source)
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.partitionBy("lang", "source").parquet(s"$dir/epoch2")
+      val e1 = s.read.parquet(s"$dir/epoch1")
+        .select("doc_id", "lang", "source", "n_chars")
+      val e2 = s.read.parquet(s"$dir/epoch2")
+        .select("doc_id", "lang", "source", "n_chars")
+      val unioned = e1.union(e2).filter(col("lang") === "en")
+      val planStr = unioned.queryExecution.executedPlan.toString
+      val out = unioned
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("source")
+        .localCheckpoint()
+      (out, planStr)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i15Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i15_partition_evolution" -> (i15 _),
     "i14_time_travel" -> (i14 _),
     "i13_retention_delete" -> (i13 _),
     "i12_bucketed_join" -> (i12 _),
@@ -772,6 +824,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i15_partition_evolution" -> i15Sql,
     "i14_time_travel" -> i14Sql,
     "i13_retention_delete" -> i13Sql,
     "i12_bucketed_join" -> i12Sql,

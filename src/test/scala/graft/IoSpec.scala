@@ -136,6 +136,15 @@ class IoSpec extends SparkSpec {
     assert(v1Files < totalFiles, "append visible to the old snapshot")
   }
 
+  test("i15 evolved layouts both prune partitions under one query") {
+    val (df, plan) = ops.IoOps.i15WithPlan(spark, sf)
+    assert(df.collect().nonEmpty)
+    // the lang filter reaches BOTH epochs' partition listings
+    val pruned = "PartitionFilters: \\[isnotnull\\(lang".r
+      .findAllIn(plan).size
+    assert(pruned >= 2, s"only $pruned branch(es) pruned:\n" + plan.take(2000))
+  }
+
   test("i13 retention delete rewrites ONLY the affected partitions") {
     val dir = tmp() + "/lake"
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars")
