@@ -1253,7 +1253,66 @@ object Relational {
       |SELECT year(o_orderdate) AS o_year, segment, count(*) AS n_orders
       |FROM j WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // q49: Z-SCORE OUTLIER detection per group — the anomaly screen
+  // every metrics pipeline runs (fraud totals, sensor spikes, bad
+  // loads). TPC-H totals are too uniform to produce natural 2.5σ
+  // tails (measured max |z| ≈ 1.9), so anomalies are PLANTED — every
+  // 500th order's price ×10, the planted-hazard discipline — and the
+  // statistics are computed over the CONTAMINATED data, as a real
+  // monitor must. Per market segment: exact DECIMAL sufficient
+  // statistics (n, Σx, Σx²) — one shuffle, order-independent (the
+  // q40 discipline) — then mean/std as a FIXED-ORDER double chain
+  // and each order's z = (x − mean)/std; |z| > 2.5 flags. The stats
+  // broadcast back onto the fact scan (1 row per segment), so the
+  // flagging pass is map-side — no second shuffle of the facts.
+  // Flagged ≡ planted (no false positives even with inflated σ)
+  // pinned in RelationalSpec.
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"))
+    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val facts = o.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+        (col("o_totalprice").cast("double") *
+          when(col("o_orderkey") % 500 === 0, 10).otherwise(1)).as("x"))
+    val stats = facts.groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,6)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(28,6)")).as("sxx"))
+      .select(col("segment"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") /
+            col("n").cast("double")) / col("n").cast("double")).as("std"))
+    facts.join(broadcast(stats), Seq("segment"))
+      .withColumn("z", round((col("x") - col("mean")) / col("std"), 4))
+      .filter(abs(col("z")) > 2.5)
+      .select("o_orderkey", "segment", "x", "z")
+      .orderBy("o_orderkey")
+  }
+
+  val q49Sql: String =
+    """WITH facts AS (
+      |  SELECT o_orderkey, c_mktsegment AS segment,
+      |    CAST(o_totalprice AS DOUBLE) *
+      |      (CASE WHEN o_orderkey % 500 = 0 THEN 10 ELSE 1 END) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |stats AS (
+      |  SELECT segment,
+      |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE) AS mean,
+      |    sqrt((CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) -
+      |      CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) *
+      |        CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) /
+      |        CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)) AS std
+      |  FROM facts GROUP BY 1)
+      |SELECT o_orderkey, segment, x, round((x - mean) / std, 4) AS z
+      |FROM facts JOIN stats USING (segment)
+      |WHERE abs(round((x - mean) / std, 4)) > 2.5
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_outliers" -> (q49 _),
     "q47_listagg" -> (q47 _),
     "q48_scd2_join" -> (q48 _),
     "q45_mode" -> (q45 _),
@@ -1304,6 +1363,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q49_outliers" -> q49Sql,
     "q47_listagg" -> q47Sql,
     "q48_scd2_join" -> q48Sql,
     "q01_pricing_summary" -> q01Sql,

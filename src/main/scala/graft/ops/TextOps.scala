@@ -759,7 +759,70 @@ object TextOps {
        |ORDER BY skey, doc_id LIMIT 50""".stripMargin
   }
 
+  // t20: SOURCE DRIFT monitoring — KL divergence of each source's
+  // unigram distribution from the corpus distribution: the standing
+  // job that catches a crawler feed going off the rails (spam waves,
+  // template collapse, encoding rot) before it poisons a training
+  // mix. KL(p‖q) = Σ pᵢ·ln(pᵢ/qᵢ) over the corpus vocabulary;
+  // arithmetic follows the t14 discipline — integer counts, one
+  // ln+multiply per (source, word) rounded to 6dp, summed as
+  // DECIMAL(18,6) (order-independent, bit-identical cross-engine).
+  // Laplace-smoothed per-source counts keep the log total when a
+  // source misses a corpus word. Two keyed aggs + a broadcast
+  // vocabulary join — the unigram table is a dim at corpus scale.
+  def t20(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("source"), explode(tokens).as("w"))
+    val corpus = words.groupBy("w").agg(count(lit(1)).as("n_q"))
+    val corpusTot = words.agg(count(lit(1)).as("tq"))
+    val vocab = corpus.agg(count(lit(1)).as("v"))
+    val perSrc = words.groupBy("source", "w").agg(count(lit(1)).as("n_p"))
+    val srcTot = words.groupBy("source").agg(count(lit(1)).as("tp"))
+    // smoothed p_i over the corpus vocabulary; q_i needs no smoothing
+    // (corpus counts are positive for every vocab word)
+    val term = round(
+      ((col("n_p") + 1).cast("double") / (col("tp") + col("v"))) *
+        log(((col("n_p") + 1).cast("double") / (col("tp") + col("v"))) /
+          (col("n_q").cast("double") / col("tq"))), 6)
+      .cast("decimal(18,6)")
+    corpus.crossJoin(broadcast(srcTot))
+      .join(perSrc, Seq("source", "w"), "left")
+      .na.fill(0L, Seq("n_p"))
+      .crossJoin(broadcast(corpusTot))
+      .crossJoin(broadcast(vocab))
+      .groupBy("source", "tp")
+      .agg(sum(term).as("kl"))
+      .select(col("source"), col("tp").as("n_tokens"),
+        col("kl").cast("double").as("kl"))
+      .orderBy("source")
+  }
+
+  val t20Sql: String =
+    """WITH words AS (
+      |  SELECT source,
+      |    unnest(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) AS w
+      |  FROM documents),
+      |corpus AS (SELECT w, count(*) AS n_q FROM words GROUP BY 1),
+      |corpus_tot AS (SELECT count(*) AS tq FROM words),
+      |vocab AS (SELECT count(*) AS v FROM corpus),
+      |per_src AS (SELECT source, w, count(*) AS n_p FROM words GROUP BY 1, 2),
+      |src_tot AS (SELECT source, count(*) AS tp FROM words GROUP BY 1),
+      |terms AS (
+      |  SELECT st.source, st.tp,
+      |    CAST(round(
+      |      (CAST(coalesce(p.n_p, 0) + 1 AS DOUBLE) / (st.tp + vocab.v)) *
+      |        ln((CAST(coalesce(p.n_p, 0) + 1 AS DOUBLE) / (st.tp + vocab.v)) /
+      |           (CAST(c.n_q AS DOUBLE) / corpus_tot.tq)), 6)
+      |      AS DECIMAL(18,6)) AS term
+      |  FROM corpus c
+      |  CROSS JOIN src_tot st
+      |  LEFT JOIN per_src p ON p.source = st.source AND p.w = c.w
+      |  CROSS JOIN corpus_tot CROSS JOIN vocab)
+      |SELECT source, tp AS n_tokens, CAST(sum(term) AS DOUBLE) AS kl
+      |FROM terms GROUP BY 1, 2 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_source_drift" -> (t20 _),
     "t19_weighted_sample" -> (t19 _),
     "t18_repetition" -> (t18 _),
     "t17_pii_redact" -> (t17 _),
@@ -781,6 +844,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t20_source_drift" -> t20Sql,
     "t19_weighted_sample" -> t19Sql,
     "t18_repetition" -> t18Sql,
     "t17_pii_redact" -> t17Sql,

@@ -297,6 +297,15 @@ class OpsSpec extends SparkSpec {
     assert(maxCos < 0.99, s"original corpus has a pair at cos $maxCos")
   }
 
+  test("t20 drift scores are finite and ranked") {
+    val rows = ops.TextOps.t20(spark, sf).collect()
+    assert(rows.length == 20) // one row per source
+    val kls = rows.map(_.getAs[Double]("kl"))
+    assert(kls.forall(k => !k.isNaN && !k.isInfinite && math.abs(k) < 1.0))
+    // sources differ: the monitor can rank them (not all identical)
+    assert(kls.distinct.length > 1, "all sources scored identically")
+  }
+
   test("t19 weighted sample is biased toward high-quality docs") {
     val sample = ops.TextOps.t19(spark, sf).collect()
     assert(sample.length == 50)
