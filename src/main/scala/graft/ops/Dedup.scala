@@ -852,9 +852,12 @@ object Dedup {
     val a = assigned.select(col("cell"), col("vec_id").as("a"), col("v").as("va"))
     val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("b"),
       col("v").as("vb"))
+    // materialize before releasing the corpus cache — returned lazily,
+    // the pair join would otherwise recompute aug twice per consumer
     val dropped = a.join(b, col("cell") === col("cell_b") && col("a") < col("b"))
       .filter(graft.functions.VectorOps.cosineSim(col("va"), col("vb")) >= 0.999)
       .select(col("b").as("vec_id")).distinct()
+      .localCheckpoint()
     aug.unpersist()
     dropped
   }

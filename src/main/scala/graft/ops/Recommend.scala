@@ -1501,7 +1501,75 @@ object Recommend {
        |  FROM scored)
        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin
 
+  // r25: recommendation EXPLANATIONS — "because you bought X": for
+  // each served rec, the history item that contributed the most
+  // co-occurrence evidence (argmax cnt, tie → lowest item id). The
+  // explainability surface every serving API grows; computed over
+  // the same shared r05Recs artifact and the co-occurrence table
+  // RESTRICTED to served items before the join (the r23 slicing
+  // rule: both lookup ends are bounded sets, so the corpus-scale
+  // pair aggregation shrinks to |recs|×|history| work). One window
+  // argmax per (user, rec) over history-sized groups.
+  def r25(s: SparkSession, d: String): DataFrame = {
+    val recs = r05Recs(s, d).filter(col("rank") <= 5)
+      .select("user_id", "rank", "rec_item")
+    val recItems = recs.select(col("rec_item")).distinct()
+    val hist = Ratings.implicitRatings(s, d)
+      .filter(col("user_id") < 50).select("user_id", "item_id").distinct()
+    val co = pairsOfSym(
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey")
+      .join(broadcast(recItems.select(col("rec_item").as("j"))), Seq("j"),
+        "left_semi")
+      .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id", "rec_item")
+      .orderBy(col("contrib").desc, col("because_item"))
+    recs.join(hist, Seq("user_id"))
+      .join(co, col("item_id") === col("i") && col("rec_item") === col("j"))
+      .select(col("user_id"), col("rank"), col("rec_item"),
+        col("item_id").as("because_item"), col("cnt").as("contrib"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "rank", "rec_item", "because_item", "contrib")
+      .orderBy("user_id", "rank")
+  }
+
+  val r25Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |hist AS (SELECT DISTINCT user_id, item_id FROM ratings WHERE user_id < 50),
+       |oi AS (${Ratings.sqlOrderItems}),
+       |co AS (
+       |  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS cnt
+       |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |top5 AS (
+       |  SELECT user_id, rec_item, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 5),
+       |trip AS (
+       |  SELECT t.user_id, t.rank, t.rec_item,
+       |    h.item_id AS because_item, co.cnt AS contrib
+       |  FROM top5 t
+       |  JOIN hist h ON h.user_id = t.user_id
+       |  JOIN co ON co.i = h.item_id AND co.j = t.rec_item)
+       |SELECT user_id, rank, rec_item, because_item, contrib FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, rec_item
+       |    ORDER BY contrib DESC, because_item) AS rn
+       |  FROM trip)
+       |WHERE rn = 1 ORDER BY user_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r25_explanations" -> (r25 _),
     "r24_content_coldstart" -> (r24 _),
     "r23_mmr_diversity" -> (r23 _),
     "r19_serving_health" -> (r19 _),
@@ -1528,6 +1596,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r25_explanations" -> r25Sql,
     "r24_content_coldstart" -> r24Sql,
     "r23_mmr_diversity" -> r23Sql,
     "r19_serving_health" -> r19Sql,

@@ -69,6 +69,21 @@ class RecommendSpec extends SparkSpec {
     assert(hiddenInteractions > 0, "no hidden interactions: scenario vacuous")
   }
 
+  test("r25 explanations name a real history item for every rec") {
+    val expl = ops.Recommend.r25(spark, sf).collect()
+    assert(expl.nonEmpty)
+    // one explanation per (user, rec)
+    val keys = expl.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rec_item")))
+    assert(keys.distinct.length == keys.length)
+    // the because-item is genuinely in the user's history
+    val hist = etl.Ratings.implicitRatings(spark, sf)
+      .filter(col("user_id") < 50).select("user_id", "item_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expl.forall(r =>
+      hist((r.getAs[Long]("user_id"), r.getAs[Long]("because_item")))))
+    assert(expl.forall(_.getAs[Long]("contrib") > 0))
+  }
+
   test("r06 ALS recs: 5 per user, unseen only, gates all true") {
     val recs = ops.Recommend.alsTop5(spark, sf).cache()
     val perUser = recs.groupBy("user_id").count().collect()
