@@ -23,14 +23,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and integer-divide to micros
-    * (same truncation DuckDB applies when narrowing ns → us). */
+  /** events.parquet's `ts` physical type has varied across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only accepts as long via the legacy conf) and native
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Adapt on the read
+    * schema so every downstream op always sees a session-local
+    * TimestampType `ts` — the session timezone is pinned to UTC
+    * everywhere (Bench/Verify/specs), so the NTZ→LTZ cast is
+    * value-preserving and matches DuckDB's naive-timestamp reading. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = read(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long: integer-divide to micros (same truncation
+        // DuckDB applies when narrowing ns → us)
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
