@@ -32,6 +32,13 @@ object Tables {
     * everywhere (Bench/Verify/specs), so the NTZ→LTZ cast is
     * value-preserving and matches DuckDB's naive-timestamp reading. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // The NTZ→LTZ cast below is value-preserving ONLY under a UTC
+    // session (matching DuckDB's naive-timestamp reads). Every graft
+    // entrypoint pins it; fail loudly for any future caller that
+    // doesn't, instead of silently shifting every event timestamp.
+    require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+      "graft.Tables.events requires spark.sql.session.timeZone=UTC " +
+        "(set it in the SparkSession builder); read TESTDATA.md")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

@@ -306,13 +306,84 @@ object Pipeline {
        |    AS ids_checksum
        |FROM ranked GROUP BY 1, 2, 3 ORDER BY domain""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p04: TOKEN-BUDGET domain mixture — p03 counts documents, but a
+  // training mix is specified in TOKENS (a 100-doc domain of novels
+  // outweighs a 10k-doc domain of tweets). Same 4-domain rollup and
+  // md5-hash pick order; each domain's budget is INTEGER math off the
+  // corpus token total (tot_tokens·pct div 100), and a doc is taken
+  // iff its whole-prefix cumulative token count fits the budget (the
+  // deterministic prefix rule — no fractional documents). dom0 is
+  // over-asked (50% budget vs ~25% token share) so the take-all
+  // branch is real; the checksum pins the exact taken SET.
+  // Scale: tokenization is map-side; ONE window shuffle keyed by
+  // domain does the running sum (each domain's docs stream through
+  // one partition's sort — at 100 TB the mixer would sub-bucket by
+  // hash prefix and prefix-sum the bucket totals, same math); the
+  // corpus token total is a 1-row broadcast.
+  def p04(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("dom"),
+        (substring(col("source"), 4, 10).cast("int") % 4).cast("string"))
+        .as("domain"),
+      size(graft.functions.TextNorm.tokens(col("text"))).cast("long").as("n_tok"))
+    val tot = docs.agg(sum(col("n_tok")).as("tot_tok"))
+    val pct = when(col("domain") === "dom0", 50)
+      .when(col("domain") === "dom1", 25)
+      .when(col("domain") === "dom2", 20)
+      .otherwise(5)
+    val w = Window.partitionBy("domain").orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.crossJoin(broadcast(tot))
+      .withColumn("pct", pct)
+      .withColumn("budget", expr("(tot_tok * pct) div 100"))
+      .withColumn("hkey",
+        Hashing.hash56(concat_ws("#", lit("tokmix"), col("doc_id"))))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("taken", col("cum_tok") <= col("budget"))
+      .groupBy("domain", "pct", "budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        count(when(col("taken"), lit(1))).as("n_taken"),
+        sum(when(col("taken"), col("n_tok")).otherwise(lit(0L))).as("tok_taken"),
+        sum(when(col("taken"), col("hkey")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("ids_checksum"))
+      .orderBy("domain")
+  }
+
+  val p04Sql: String =
+    s"""WITH doms AS (
+       |  SELECT doc_id, 'dom' || (substr(source, 4)::INT % 4) AS domain,
+       |    len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'))::BIGINT AS n_tok
+       |  FROM documents),
+       |tot AS (SELECT sum(n_tok)::BIGINT AS tot_tok FROM doms),
+       |ranked AS (
+       |  SELECT domain, pct, (tot.tot_tok * pct) // 100 AS budget, n_tok, hkey,
+       |    sum(n_tok) OVER (PARTITION BY domain ORDER BY hkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |  FROM (
+       |    SELECT doc_id, domain, n_tok,
+       |      CASE domain WHEN 'dom0' THEN 50 WHEN 'dom1' THEN 25
+       |        WHEN 'dom2' THEN 20 ELSE 5 END AS pct,
+       |      ${Hashing.sqlHash56("'tokmix#' || doc_id")} AS hkey
+       |    FROM doms) t, tot)
+       |SELECT domain, pct, budget, count(*) AS n_docs,
+       |  sum(n_tok)::BIGINT AS tok_total,
+       |  count(CASE WHEN cum_tok <= budget THEN 1 END) AS n_taken,
+       |  sum(CASE WHEN cum_tok <= budget THEN n_tok ELSE 0 END)::BIGINT AS tok_taken,
+       |  sum(CASE WHEN cum_tok <= budget THEN hkey ELSE 0 END)::DECIMAL(38,0)
+       |    AS ids_checksum
+       |FROM ranked GROUP BY 1, 2, 3 ORDER BY domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_funnel" -> (p01 _),
     "p02_incremental_ingest" -> (p02 _),
-    "p03_domain_mix" -> (p03 _))
+    "p03_domain_mix" -> (p03 _),
+    "p04_token_mix" -> (p04 _))
 
   val oracles: Map[String, String] = Map(
     "p01_curation_funnel" -> p01Sql,
     "p02_incremental_ingest" -> p02Sql,
-    "p03_domain_mix" -> p03Sql)
+    "p03_domain_mix" -> p03Sql,
+    "p04_token_mix" -> p04Sql)
 }

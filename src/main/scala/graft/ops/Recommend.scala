@@ -1568,7 +1568,85 @@ object Recommend {
        |  FROM trip)
        |WHERE rn = 1 ORDER BY user_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r26: USER-based CF (k-nearest-neighbor users) — the classic
+  // neighborhood method the reference's item-based flow (r04/r05)
+  // complements: find the 5 most-similar users by cosine over item
+  // incidence (co-rated count / sqrt(|u|·|v|) — integer counts, two
+  // IEEE ops, bit-exact cross-engine per the r04 precedent), then
+  // recommend the items those neighbors rated that the target hasn't,
+  // scored by how many neighbors endorse each (integer votes; ties
+  // broken on item_id so the rank is a total order).
+  // Scale: user pairs come from ONE explode pass over per-item user
+  // baskets (pairsOfSym — no self-join); the quadratic hazard is the
+  // per-item fan-out (users-per-item²), which at warehouse scale gets
+  // the standard cap/sample on ultra-popular items — here item
+  // audiences are bounded, and the panel filter (u < 30) bounds the
+  // neighbor window. Everything else is keyed aggs.
+  def r26(s: SparkSession, d: String): DataFrame = {
+    val ui = Ratings.implicitRatings(s, d).select("user_id", "item_id").distinct()
+    val nItems = ui.groupBy(col("user_id").as("uid")).agg(count(lit(1)).as("n_items"))
+    val co = pairsOfSym(ui, "item_id", "user_id")
+      .groupBy(col("i").as("u"), col("j").as("v")).agg(count(lit(1)).as("co"))
+    val sims = co
+      .join(broadcast(nItems).as("nu"), col("u") === col("nu.uid"))
+      .join(broadcast(nItems).as("nv"), col("v") === col("nv.uid"))
+      .select(col("u"), col("v"), col("co"),
+        round(col("co") / sqrt(col("nu.n_items") * col("nv.n_items")), 6).as("sim"))
+    val wNb = Window.partitionBy("u")
+      .orderBy(col("sim").desc, col("co").desc, col("v"))
+    val nb = sims.filter(col("u") < 30)
+      .withColumn("nrank", row_number().over(wNb))
+      .filter(col("nrank") <= 5)
+      .select(col("u"), col("v"))
+    val cand = nb.join(ui, nb("v") === ui("user_id"))
+      .groupBy(col("u").as("user_id"), col("item_id").as("rec_item"))
+      .agg(count(lit(1)).as("n_nb"))
+    val seen = ui.withColumnRenamed("item_id", "rec_item")
+    val wRec = Window.partitionBy("user_id")
+      .orderBy(col("n_nb").desc, col("rec_item"))
+    cand.join(seen, Seq("user_id", "rec_item"), "left_anti")
+      .withColumn("rank", row_number().over(wRec))
+      .filter(col("rank") <= 5)
+      .select(col("user_id"), col("rank"), col("rec_item"), col("n_nb"))
+      .orderBy("user_id", "rank")
+  }
+
+  val r26Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |ui AS (SELECT DISTINCT user_id, item_id FROM ratings),
+       |n AS (SELECT user_id, count(*) AS n_items FROM ui GROUP BY 1),
+       |co AS (
+       |  SELECT a.user_id AS u, b.user_id AS v, count(*) AS co
+       |  FROM ui a JOIN ui b
+       |    ON a.item_id = b.item_id AND a.user_id <> b.user_id
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT co.u, co.v, co.co,
+       |    round(co.co / sqrt(nu.n_items * nv.n_items), 6) AS sim
+       |  FROM co JOIN n nu ON co.u = nu.user_id JOIN n nv ON co.v = nv.user_id),
+       |nb AS (
+       |  SELECT u, v FROM (
+       |    SELECT u, v,
+       |      row_number() OVER (PARTITION BY u ORDER BY sim DESC, co DESC, v) AS nrank
+       |    FROM sims WHERE u < 30) WHERE nrank <= 5),
+       |cand AS (
+       |  SELECT nb.u AS user_id, ui.item_id AS rec_item, count(*) AS n_nb
+       |  FROM nb JOIN ui ON nb.v = ui.user_id
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT c.user_id, c.rec_item, c.n_nb FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM ui s
+       |    WHERE s.user_id = c.user_id AND s.item_id = c.rec_item))
+       |SELECT user_id, rank, rec_item, n_nb FROM (
+       |  SELECT user_id, rec_item, n_nb,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY n_nb DESC, rec_item) AS rank
+       |  FROM unseen) WHERE rank <= 5
+       |ORDER BY user_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r26_user_knn" -> (r26 _),
     "r25_explanations" -> (r25 _),
     "r24_content_coldstart" -> (r24 _),
     "r23_mmr_diversity" -> (r23 _),
@@ -1596,6 +1674,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r26_user_knn" -> r26Sql,
     "r25_explanations" -> r25Sql,
     "r24_content_coldstart" -> r24Sql,
     "r23_mmr_diversity" -> r23Sql,

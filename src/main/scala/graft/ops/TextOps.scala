@@ -821,7 +821,62 @@ object TextOps {
       |SELECT source, tp AS n_tokens, CAST(sum(term) AS DOUBLE) AS kl
       |FROM terms GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  // t21: CHUNK-LEVEL exact dedup — the line/paragraph dedup pass every
+  // web-scale curation pipeline runs in addition to whole-doc dedup
+  // (C4 dedups at the line level; boilerplate repeats across pages
+  // that are not whole-document duplicates). The corpus has no line
+  // structure, so "lines" are consecutive 3-token chunks of the
+  // engine tokenizer's stream; first occurrence (doc_id, chunk_idx)
+  // wins globally. Per doc: chunk count, survivors, and a DECIMAL
+  // checksum over the kept chunks' hashes — pinning the exact kept
+  // SET cross-engine, not just its size.
+  // Scale: explode fans out ~n_tokens/3 rows, but the only shuffle is
+  // the window keyed by the (near-uniform) chunk fingerprint, then a
+  // keyed re-agg on doc_id — no joins, no driver state; this is the
+  // same banded shape as d01 at 100 TB.
+  def t21(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("toks"))
+      .withColumn("nch", expr("int((size(toks)+2) div 3)"))
+      .withColumn("chunks", transform(sequence(lit(0), greatest(col("nch"), lit(1)) - 1),
+        i => concat_ws(" ", slice(col("toks"), i * 3 + 1, lit(3)))))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      .withColumn("fp", md5(col("chunk")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
+        sum(when(col("rn") === 1, Hashing.hash56(col("fp"))).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("kept_checksum"))
+      .orderBy("doc_id")
+  }
+
+  val t21Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+') AS t
+       |  FROM documents),
+       |cl AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, greatest((len(t)+2)//3, 1)),
+       |      i -> array_to_string(t[i*3+1 : i*3+3], ' ')) AS chunks
+       |  FROM toks),
+       |chunks AS (
+       |  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+       |    md5(unnest(chunks)) AS fp
+       |  FROM cl),
+       |ranked AS (
+       |  SELECT doc_id, fp,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM chunks)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       |  sum(CASE WHEN rn = 1 THEN ${Hashing.sqlHash56("fp")} ELSE 0 END)::DECIMAL(38,0)
+       |    AS kept_checksum
+       |FROM ranked GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_chunk_dedup" -> (t21 _),
     "t20_source_drift" -> (t20 _),
     "t19_weighted_sample" -> (t19 _),
     "t18_repetition" -> (t18 _),
@@ -844,6 +899,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t21_chunk_dedup" -> t21Sql,
     "t20_source_drift" -> t20Sql,
     "t19_weighted_sample" -> t19Sql,
     "t18_repetition" -> t18Sql,

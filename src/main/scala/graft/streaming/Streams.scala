@@ -20,20 +20,32 @@ object Streams {
 
   case class SessionSummary(user_id: Long, n_sessions: Int, n_events: Long)
 
-  /** Streaming source over the events table (nanos → micros, same as
-    * Tables.events). maxFilesPerTrigger keeps micro-batches bounded. */
+  /** Streaming source over the events table, adapting to the same two
+    * physical `ts` generations as Tables.events: TIMESTAMP(NANOS)
+    * (readable only as long via the legacy conf → div 1000 to micros)
+    * and native TIMESTAMP(MICROS) (declared TIMESTAMP_NTZ, cast to the
+    * UTC-pinned session type). A stream source needs a user-declared
+    * schema, so probe the batch read's resolved schema first — a
+    * hard-coded encoding silently collapses every watermark/window
+    * when the testdata generation flips (round-6 e06/e09 red wave).
+    * maxFilesPerTrigger keeps micro-batches bounded. */
   def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-      "value DOUBLE, props STRING"
+    val nanosAsLong = s.read.parquet(s"$d/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsDecl = if (nanosAsLong) "LONG" else "TIMESTAMP_NTZ"
+    val schema = s"event_id LONG, ts $tsDecl, user_id LONG, " +
+      "event_type STRING, value DOUBLE, props STRING"
     // file-stream sources require a directory; glob-filter the events
     // file out of the shared sf dir
-    s.readStream
+    val raw = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ts = if (nanosAsLong) timestamp_micros(expr("ts div 1000"))
+             else col("ts").cast("timestamp")
+    raw.withColumn("ts", ts)
   }
 
   /** Streaming e01: watermarked tumbling-window counts per event type.
