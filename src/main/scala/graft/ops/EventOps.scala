@@ -990,7 +990,67 @@ object EventOps {
       |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // e24: MULTI-TOUCH ATTRIBUTION with exact integer credit — every
+  // purchase distributes its credit linearly across the user's
+  // clicks in the 7 days before it. Credit is 360360 integer units
+  // per purchase (divisible by 1..15, so equal shares are integral
+  // for any realistic touch count); the div remainder goes to the
+  // LATEST click (deterministic) so every purchase's credit sums
+  // exactly — no float shares whose accumulation order drifts
+  // cross-engine. Rollup: credit units and touch counts by the
+  // click's hour-of-day (the "which hour earns conversions" report).
+  // Scale: the q22 bounded range-join shape (equality on user_id
+  // carries the shuffle, the time predicate is a post-filter), then
+  // two windows keyed by purchase id — no global state.
+  def e24(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val touches = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS") &&
+        col("c_ts") < col("p_ts"))
+    val wN = Window.partitionBy("p_id")
+    // c_id tiebreak: same-timestamp clicks must pick the same
+    // remainder-receiver in both engines
+    val wLast = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id"))
+    touches
+      .withColumn("n_touch", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wLast))
+      .withColumn("credit",
+        expr("360360 div n_touch") +
+          when(col("rn") === 1, expr("360360 % n_touch")).otherwise(lit(0L)))
+      .groupBy(hour(col("c_ts")).as("click_hour"))
+      .agg(sum(col("credit")).as("credit_units"),
+        count(lit(1)).as("n_touches"))
+      .orderBy("click_hour")
+  }
+
+  val e24Sql: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+      |      FROM events WHERE event_type = 'click'),
+      |touches AS (
+      |  SELECT p_id, c_ts,
+      |    count(*) OVER (PARTITION BY p_id) AS n_touch,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id) AS rn
+      |  FROM p JOIN c ON p_user = c_user
+      |    AND c_ts >= p_ts - INTERVAL 7 DAY AND c_ts < p_ts)
+      |SELECT hour(c_ts) AS click_hour,
+      |  sum(360360 // n_touch +
+      |      CASE WHEN rn = 1 THEN 360360 % n_touch ELSE 0 END)::BIGINT
+      |    AS credit_units,
+      |  count(*) AS n_touches
+      |FROM touches GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e24_attribution" -> (e24 _),
     "e23_stream_cdc" -> (e23 _),
     "e22_peak_concurrency" -> (e22 _),
     "e21_stream_sessions" -> (e21 _),
@@ -1015,6 +1075,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e24_attribution" -> e24Sql,
     "e23_stream_cdc" -> e23Sql,
     "e22_peak_concurrency" -> e22Sql,
     "e21_stream_sessions" -> e15Sql, // 4th formulation, same oracle

@@ -416,7 +416,60 @@ object Graph {
        |JOIN core c2 ON e.dst = c2.node
        |GROUP BY 1 ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------------------
+  // g06: LINK PREDICTION by common-neighbor / Jaccard scoring — the
+  // classic graph-ML primitive (Liben-Nowell & Kleinberg): for pairs
+  // of customers sharing suppliers, score = |N(u) ∩ N(v)| and
+  // Jaccard = inter / (|N(u)| + |N(v)| − inter). Integer set sizes
+  // and ONE IEEE division rounded to 6dp → bit-exact cross-engine
+  // (the r04 discipline). Top-20 predicted links by (jaccard, inter,
+  // ids) — a total order.
+  // Scale: candidate pairs come from per-supplier customer baskets in
+  // ONE explode pass (no |V|² loop — only pairs with ≥1 shared
+  // supplier exist at all); hub suppliers are the quadratic hazard,
+  // capped/sampled at warehouse scale exactly like g02's
+  // degree-orientation bound. Neighbor sizes are a broadcast dim.
+  def g06(s: SparkSession, d: String): DataFrame = {
+    val cs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val deg = cs.groupBy(col("cust").as("uid")).agg(count(lit(1)).as("nsupp"))
+    // per-supplier customer baskets → ordered pairs (u < v), one pass
+    val baskets = cs.groupBy("supp")
+      .agg(sort_array(collect_set(col("cust"))).as("members"))
+    val pairs = baskets.select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val inter = pairs.groupBy("u", "v").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(deg).as("du"), col("u") === col("du.uid"))
+      .join(broadcast(deg).as("dv"), col("v") === col("dv.uid"))
+      .select(col("u"), col("v"), col("inter"),
+        round(col("inter") /
+          (col("du.nsupp") + col("dv.nsupp") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("inter").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  val g06Sql: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg AS (SELECT cust, count(*) AS nsupp FROM cs GROUP BY 1),
+      |inter AS (
+      |  SELECT a.cust AS u, b.cust AS v, count(*) AS inter
+      |  FROM cs a JOIN cs b ON a.supp = b.supp AND a.cust < b.cust
+      |  GROUP BY 1, 2)
+      |SELECT u, v, inter,
+      |  round(inter / (du.nsupp + dv.nsupp - inter), 6) AS jaccard
+      |FROM inter JOIN deg du ON u = du.cust JOIN deg dv ON v = dv.cust
+      |ORDER BY jaccard DESC, inter DESC, u, v LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g06_link_predict" -> (g06 _),
     "g05_kcore" -> (g05 _),
     "g03_bfs_hops" -> (g03 _),
     "g01_pagerank" -> (g01 _),
@@ -424,6 +477,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g06_link_predict" -> g06Sql,
     "g05_kcore" -> g05Sql,
     "g03_bfs_hops" -> g03Sql,
     "g01_pagerank" -> g01Sql,

@@ -806,7 +806,51 @@ object IoOps {
       |FROM documents WHERE lang = 'en'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i16: FILE-LEVEL STATS MANIFEST skipping — the Iceberg/Delta
+  // manifest idea, one level above i06's row-group footers: a tiny
+  // (file → min/max cluster key) manifest is consulted BEFORE
+  // planning the scan, so non-overlapping files never even appear in
+  // the read — at 100 TB that's the difference between "open 100k
+  // footers" and "open 4". Layout: 8 range-clustered files; manifest
+  // built in one pass (input_file_name rollup — stand-in for stats
+  // captured at write time); a point-range query selects overlapping
+  // files only (a metadata-scale driver decision, like i14's
+  // manifest) and the gate carries files_pruned = selected < total,
+  // which the oracle pins as TRUE — a non-pruning rewrite hash-fails.
+  def i16(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i16_")
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val manifest = Io.readParquet(s, dir)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .cache()
+    try {
+      val (lo, hi) = (200L, 350L)
+      val nTotal = manifest.count()
+      val selected = manifest
+        .filter(col("max_id") >= lo && col("min_id") <= hi)
+        .select("path").collect().map(_.getString(0)) // metadata-sized
+      Io.readParquet(s, selected.toIndexedSeq)
+        .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("files_pruned", lit(selected.length < nTotal))
+        .orderBy("lang")
+    } finally manifest.unpersist()
+  }
+
+  val i16Sql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS files_pruned
+      |FROM documents WHERE doc_id >= 200 AND doc_id <= 350
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i16_stats_manifest" -> (i16 _),
     "i15_partition_evolution" -> (i15 _),
     "i14_time_travel" -> (i14 _),
     "i13_retention_delete" -> (i13 _),
@@ -824,6 +868,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i16_stats_manifest" -> i16Sql,
     "i15_partition_evolution" -> i15Sql,
     "i14_time_travel" -> i14Sql,
     "i13_retention_delete" -> i13Sql,

@@ -243,7 +243,69 @@ object Multimodal {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // m08: A/V SYNC alignment — for every video frame, the latest audio
+  // chunk decoded at-or-before its presentation timestamp: the
+  // align-modalities step of any audio/video ingest (captioning,
+  // lip-sync features, AV training pairs). Frame/chunk timelines
+  // derive deterministically from the blob metadata (30fps-ish video
+  // pts vs ~47ms audio hops with per-blob phase offsets, so early
+  // frames genuinely precede the first audio chunk — the unsynced
+  // branch is real). The alignment is the custom AsOfJoinExec
+  // (plans/AsOf — the same operator the relational q26/q43/q48 family
+  // gates), keyed by blob, tie-broken on chunk index; per blob the
+  // frame/synced counts and the exact integer lag sum.
+  // Scale: both timelines explode bounded (≤7 rows/blob); the as-of
+  // join shuffles once on the blob key — media timelines co-locate by
+  // blob, never globally sorted.
+  def m08(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select("doc_id", "n_chars")
+    val v = base
+      .select(col("doc_id"), explode(sequence(lit(0), (col("n_chars") % 5 + 2).cast("int"))).as("k"))
+      .select(col("doc_id"), col("k"),
+        (col("k").cast("long") * 33366 + (col("doc_id") % 7) * 11).as("v_pts"))
+    val a = base
+      .select(col("doc_id").as("a_doc"), explode(sequence(lit(0), (col("n_chars") % 7 + 1).cast("int"))).as("j"))
+      .select(col("a_doc"), col("j").cast("long").as("a_idx"),
+        (col("j").cast("long") * 21333 + (col("a_doc") % 5) * 13).as("a_pts"))
+    val synced = graft.plans.AsOf.join(v, a, "doc_id", "a_doc", "v_pts", "a_pts",
+        rightTiebreak = Some("a_idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_synced"),
+        sum(col("v_pts") - col("a_pts")).as("lag_sum_us"))
+    v.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      .join(synced, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_synced"), lit(0L)).as("n_synced"),
+        coalesce(col("lag_sum_us"), lit(0L)).as("lag_sum_us"))
+      .orderBy("doc_id")
+  }
+
+  val m08Sql: String =
+    """WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 60),
+      |v AS (SELECT doc_id, unnest(range(0, n_chars % 5 + 3)) AS k FROM base),
+      |vf AS (SELECT doc_id, k, k*33366 + (doc_id % 7)*11 AS v_pts FROM v),
+      |a AS (SELECT doc_id AS a_doc, unnest(range(0, n_chars % 7 + 2)) AS j FROM base),
+      |ac AS (SELECT a_doc, j, j*21333 + (a_doc % 5)*13 AS a_pts FROM a),
+      |pairs AS (
+      |  SELECT vf.doc_id, vf.v_pts, ac.a_pts,
+      |    row_number() OVER (PARTITION BY vf.doc_id, vf.k
+      |                       ORDER BY ac.a_pts DESC, ac.j DESC) AS rn
+      |  FROM vf JOIN ac ON vf.doc_id = ac.a_doc AND ac.a_pts <= vf.v_pts),
+      |sy AS (
+      |  SELECT doc_id, count(*) AS n_synced,
+      |    sum(v_pts - a_pts)::BIGINT AS lag_sum_us
+      |  FROM pairs WHERE rn = 1 GROUP BY 1),
+      |nf AS (SELECT doc_id, count(*) AS n_frames FROM vf GROUP BY 1)
+      |SELECT nf.doc_id, nf.n_frames,
+      |  coalesce(sy.n_synced, 0) AS n_synced,
+      |  coalesce(sy.lag_sum_us, 0) AS lag_sum_us
+      |FROM nf LEFT JOIN sy ON nf.doc_id = sy.doc_id
+      |ORDER BY nf.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_av_sync" -> (m08 _),
     "m07_visual_search" -> (m07 _),
     "m06_chunk_reassembly" -> (m06 _),
     "m01_binary_meta" -> (m01 _),
@@ -253,6 +315,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m08_av_sync" -> m08Sql,
     "m07_visual_search" -> m07Sql,
     "m06_chunk_reassembly" -> m06Sql,
     "m01_binary_meta" -> m01Sql,

@@ -1645,7 +1645,53 @@ object Recommend {
        |  FROM unseen) WHERE rank <= 5
        |ORDER BY user_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r27: SEQUENTIAL (next-basket Markov) recommendation — item i in
+  // one order → item j in the SAME CUSTOMER'S NEXT order; the
+  // first-order transition counts behind "customers who bought this
+  // next bought..." serving. Order succession is a customer-keyed
+  // lead() window (date, then orderkey for same-day determinism);
+  // transitions are two orderkey-equality joins fanned through the
+  // basket pair explode. Top-200 transitions by (count, i, j) — a
+  // total order over integer counts.
+  // Scale: the window shuffles once on custkey; both item joins are
+  // keyed on orderkey (bucketable with the fact layout — i12's
+  // zero-exchange shape); the transition agg is map-side partial. No
+  // per-customer driver state, no sequence materialization beyond
+  // the 1-row lead.
+  def r27(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+    val wSeq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val seq = o.withColumn("nxt", lead(col("o_orderkey"), 1).over(wSeq))
+      .filter(col("nxt").isNotNull)
+      .select("o_orderkey", "nxt")
+    val li = Ratings.orderItems(s, d)
+    seq
+      .join(li.as("a"), col("o_orderkey") === col("a.l_orderkey"))
+      .join(li.as("b"), col("nxt") === col("b.l_orderkey"))
+      .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .orderBy(col("cnt").desc, col("i"), col("j"))
+      .limit(200)
+  }
+
+  val r27Sql: String =
+    s"""WITH seq AS (
+       |  SELECT o_orderkey,
+       |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate, o_orderkey) AS nxt
+       |  FROM orders),
+       |oi AS (${Ratings.sqlOrderItems})
+       |SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS cnt
+       |FROM seq
+       |JOIN oi a ON seq.o_orderkey = a.l_orderkey
+       |JOIN oi b ON seq.nxt = b.l_orderkey
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY cnt DESC, i, j LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r27_next_basket" -> (r27 _),
     "r26_user_knn" -> (r26 _),
     "r25_explanations" -> (r25 _),
     "r24_content_coldstart" -> (r24 _),
@@ -1674,6 +1720,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r27_next_basket" -> r27Sql,
     "r26_user_knn" -> r26Sql,
     "r25_explanations" -> r25Sql,
     "r24_content_coldstart" -> r24Sql,

@@ -1311,7 +1311,38 @@ object Relational {
       |WHERE abs(round((x - mean) / std, 4)) > 2.5
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q50: SLIDING-WINDOW DISTINCT COUNT — trailing-7-day active users
+  // per day, the DAU/WAU-style rollup every product dashboard runs.
+  // COUNT(DISTINCT) OVER a range window doesn't exist as a streaming
+  // aggregate in either engine's window machinery at scale; the
+  // distributed rewrite is contribution explosion: each (user, day)
+  // activity covers the 7 window-ends [day, day+6], so distinct
+  // (user, window_end) pairs count once each — two keyed shuffles
+  // (dedup, then count per window end), fan-out exactly ×7, no
+  // O(days × users) range join and no per-window re-scan. The oracle
+  // states the semantics directly as the range join + COUNT(DISTINCT).
+  def q50(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val spine = du.select("day").distinct()
+    val cover = du.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+    cover.join(spine, Seq("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_active_7d"))
+      .orderBy("day")
+  }
+
+  val q50Sql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |spine AS (SELECT DISTINCT day FROM du)
+      |SELECT s.day, count(DISTINCT u.user_id) AS n_active_7d
+      |FROM spine s JOIN du u ON u.day >= s.day - 6 AND u.day <= s.day
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_sliding_distinct" -> (q50 _),
     "q49_outliers" -> (q49 _),
     "q47_listagg" -> (q47 _),
     "q48_scd2_join" -> (q48 _),
@@ -1363,6 +1394,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q50_sliding_distinct" -> q50Sql,
     "q49_outliers" -> q49Sql,
     "q47_listagg" -> q47Sql,
     "q48_scd2_join" -> q48Sql,

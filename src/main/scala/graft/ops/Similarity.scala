@@ -1165,7 +1165,129 @@ object Similarity {
       |  WHERE a.vec_id < 50)
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // s12: RANGE (radius) similarity search — "everything within
+  // cos ≥ τ of the probe", the other half of the ANN API next to
+  // top-k (FAISS range_search). Exact: bounded probe panel × one
+  // corpus scan (the s01 shape); per probe the in-range COUNT, the
+  // id-sum checksum (pins the exact neighbor SET), and the summed
+  // 4dp-rounded cosines as DECIMAL (order-independent fixed point).
+  // Left join keeps probes with an empty ball (count 0) in the
+  // result — range search must distinguish "no neighbors" from
+  // "probe missing".
+  // Scale: the corpus side is one scan fanned per probe (broadcast
+  // panel); the IVF cells + triangle-inequality pruning path (skip a
+  // cell when centroid-cos bound < τ) composes from the s05/s08
+  // library when the panel is large.
+  def s12(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val hits = broadcast(probe)
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= 0.2)
+    probe.select("query_id")
+      .join(hits.groupBy("query_id")
+        .agg(count(lit(1)).as("n_in_range"),
+          sum(col("nn_id")).as("ids_sum"),
+          sum(col("cos").cast("decimal(10,4)")).as("cos_sum")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_in_range"), lit(0L)).as("n_in_range"),
+        coalesce(col("ids_sum"), lit(0L)).as("ids_sum"),
+        coalesce(col("cos_sum"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(10,4)")).as("cos_sum"))
+      .orderBy("query_id")
+  }
+
+  val s12Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |hits AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 10),
+       |agg AS (
+       |  SELECT query_id, count(*) AS n_in_range,
+       |    sum(nn_id)::BIGINT AS ids_sum,
+       |    sum(cos::DECIMAL(10,4)) AS cos_sum
+       |  FROM hits WHERE cos >= 0.2 GROUP BY 1)
+       |SELECT p.query_id,
+       |  coalesce(n_in_range, 0) AS n_in_range,
+       |  coalesce(ids_sum, 0) AS ids_sum,
+       |  coalesce(cos_sum, 0::DECIMAL(10,4)) AS cos_sum
+       |FROM (SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < 10) p
+       |LEFT JOIN agg USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // s13: MULTI-VECTOR late-interaction scoring (ColBERT MaxSim) — a
+  // document is a BAG of token vectors, not one pooled point:
+  // score(q,d) = Σ_i max_j sim(q_i, d_j). Each 64-dim embedding is
+  // treated as 8 token-vectors of 8 dims (the plumbing is the point —
+  // a real corpus ships array<array<float>>). Per-pair scoring is
+  // entirely in-row: nested transform/array_max/aggregate over
+  // sub-vector slices, no explode of the token dimension. Fixed-point
+  // discipline: each sub-cosine → floor(10⁴·cos) as BIGINT before the
+  // max/sum, so the score is exact integer math cross-engine (the r23
+  // lesson — double accumulation of rounded values drifts).
+  // Scale: probe panel broadcast × one corpus scan (s01 shape); the
+  // candidate-generation path at 100 TB is ANN over the pooled
+  // vectors (s05/s08) with MaxSim as the re-rank — s10's two-stage
+  // composition.
+  def s13(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    def sub(v: Column, i: Column): Column = slice(v, i * 8 + 1, lit(8))
+    val score = aggregate(
+      transform(sequence(lit(0), lit(7)), i =>
+        array_max(transform(sequence(lit(0), lit(7)), j =>
+          floor(cosine(sub(col("va"), i), sub(col("vb"), j)) * 10000).cast("long")))),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("nn_id"))
+    broadcast(probe)
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "nn_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  val s13Sql: String = {
+    val subDot = "list_sum(list_transform(range(8), k -> " +
+      "a.v[i*8+k+1] * b.v[j*8+k+1]))"
+    val subNorm = (side: String, idx: String) =>
+      s"sqrt(list_sum(list_transform(range(8), k -> " +
+        s"$side.v[$idx*8+k+1] * $side.v[$idx*8+k+1])))"
+    val unit = s"CAST(floor(10000 * $subDot / " +
+      s"(${subNorm("a", "i")} * ${subNorm("b", "j")})) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+       |    list_sum(list_transform(range(8), i ->
+       |      list_max(list_transform(range(8), j -> $unit))))::BIGINT AS score
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 5)
+       |SELECT query_id, rank, nn_id, score FROM (
+       |  SELECT query_id, nn_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_maxsim" -> (s13 _),
+    "s12_range_search" -> (s12 _),
     "s11_knn_sq8" -> (s11 _),
     "s09_opq_gated" -> (s09 _),
     "s01_knn_brute" -> (s01 _),
@@ -1179,6 +1301,8 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s13_maxsim" -> s13Sql,
+    "s12_range_search" -> s12Sql,
     "s11_knn_sq8" -> s11Sql,
     "s09_opq_gated" -> s09Sql,
     "s01_knn_brute" -> s01Sql,

@@ -16,6 +16,11 @@ object Io {
   def readParquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Multi-path variant — the manifest-driven read (i16) hands the
+    * planner ONLY the files whose stats overlap the predicate. */
+  def readParquet(s: SparkSession, paths: Seq[String]): DataFrame =
+    s.read.parquet(paths: _*)
+
   def readCsv(s: SparkSession, path: String, schema: StructType,
     header: Boolean = true, delimiter: String = ","): DataFrame =
     s.read.schema(schema)

@@ -183,4 +183,18 @@ class IoSpec extends SparkSpec {
     assert(en.count() ==
       docs.filter(col("lang") === "en").count())
   }
+
+  test("i16: the stats manifest actually prunes files and loses no rows") {
+    val rows = ops.IoOps.i16(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the gate column must be data-derived TRUE (the oracle pins TRUE;
+    // a manifest that selects everything would hash-fail there, and
+    // row-equality is covered by the lang rollup being oracle-gated)
+    assert(rows.forall(_.getAs[Boolean]("files_pruned")),
+      "manifest selected every file — no pruning happened")
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val expect = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 200 && col("doc_id") <= 350).count()
+    assert(total == expect, s"pruned read lost rows: $total != $expect")
+  }
 }

@@ -749,4 +749,111 @@ class OpsSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
   }
+
+  test("t21: kept chunks are exactly the distinct chunk fingerprints") {
+    val rows = ops.TextOps.t21(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val total = rows.map(_.getAs[Long]("n_chunks")).sum
+    // survivors ≡ one per distinct fingerprint — recomputed with the
+    // same engine tokenizer, so the identity pins first-wins semantics
+    val distinctFps = Tables.documents(spark, sf)
+      .select(graft.functions.TextNorm.tokens(col("text")).as("toks"))
+      .withColumn("nch", expr("int((size(toks)+2) div 3)"))
+      .select(explode(transform(
+        sequence(lit(0), greatest(col("nch"), lit(1)) - 1),
+        i => concat_ws(" ", slice(col("toks"), i * 3 + 1, lit(3))))).as("chunk"))
+      .select(md5(col("chunk")).as("fp")).distinct().count()
+    assert(kept == distinctFps, s"kept $kept != distinct chunks $distinctFps")
+    assert(kept < total, "chunk dedup vacuous — no chunk repeats in corpus")
+    // dedup bites: at least one doc loses SOME but not all chunks
+    assert(rows.exists(r => r.getAs[Long]("n_kept") > 0L &&
+      r.getAs[Long]("n_kept") < r.getAs[Long]("n_chunks")),
+      "no partial survivor — chunk granularity indistinct from doc dedup")
+  }
+
+  test("p04: token budgets are respected and both branches are real") {
+    val rows = ops.Pipeline.p04(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (budget, tokTaken) =
+        (r.getAs[Long]("budget"), r.getAs[Long]("tok_taken"))
+      assert(tokTaken <= budget, s"${r.getAs[String]("domain")} over budget")
+    }
+    val dom0 = rows.find(_.getAs[String]("domain") == "dom0").get
+    assert(dom0.getAs[Long]("n_taken") == dom0.getAs[Long]("n_docs"),
+      "over-asked dom0 should take every doc")
+    assert(rows.exists(r => r.getAs[Long]("n_taken") < r.getAs[Long]("n_docs")),
+      "no domain hit its budget — shortage branch vacuous")
+  }
+
+  test("g06: predicted links score in (0,1] and never share an edge count over the union") {
+    val rows = ops.Graph.g06(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      assert(r.getAs[Long]("inter") >= 1L)
+      assert(r.getAs[Long]("u") < r.getAs[Long]("v"), "pair not ordered")
+    }
+    // ranked descending
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("e24: credit conserves exactly — 360360 units per attributed purchase") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val attributed = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 7 DAYS") &&
+        col("cts") < col("pts"))
+      .select("event_id").distinct().count()
+    val total = ops.EventOps.e24(spark, sf)
+      .agg(sum(col("credit_units"))).collect()(0).getLong(0)
+    assert(total == 360360L * attributed,
+      s"credit leak: $total != 360360*$attributed")
+  }
+
+  test("s12: range search keeps empty balls distinguishable and counts consistent") {
+    val rows = ops.Similarity.s12(spark, sf).collect()
+    assert(rows.length == 10, "every probe must appear")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_in_range")
+      val cosSum = r.getAs[java.math.BigDecimal]("cos_sum").doubleValue()
+      // each contributing cosine is in [0.2, 1]; the sum must agree
+      assert(cosSum >= 0.2 * n - 1e-9 && cosSum <= 1.0 * n + 1e-9,
+        s"cos_sum $cosSum inconsistent with n=$n")
+    }
+  }
+
+  test("s13: MaxSim dominates the pooled single-vector ranking's floor") {
+    val rows = ops.Similarity.s13(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sc = r.getAs[Long]("score")
+      // 8 sub-vectors, each max ≤ 10000 units
+      assert(sc <= 80000L && sc >= -80000L, s"score out of bounds: $sc")
+    }
+    // per query, ranks are 1..3 with strictly ordered scores
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(Array(1, 2, 3)))
+      val scs = sorted.map(_.getAs[Long]("score"))
+      assert(scs.zip(scs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("m08: sync lag is non-negative and early frames stay unsynced") {
+    val rows = ops.Multimodal.m08(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_synced") <= r.getAs[Long]("n_frames"))
+      assert(r.getAs[Long]("lag_sum_us") >= 0L)
+    }
+    assert(rows.exists(r => r.getAs[Long]("n_synced") < r.getAs[Long]("n_frames")),
+      "no blob has an unsynced leading frame — phase offsets vacuous")
+  }
 }

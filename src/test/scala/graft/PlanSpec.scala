@@ -242,4 +242,46 @@ class PlanSpec extends SparkSpec {
     // exactly the columnar decode feeds both sides
     assert(p.contains("FeatureDecode"), "custom columnar decode not in plan")
   }
+
+  test("t21 chunk window shuffles on the fingerprint, not globally") {
+    val p = plan(ops.TextOps.t21(spark, sf))
+    assert(p.contains("Exchange hashpartitioning(fp"), p.take(1500))
+    // the only range exchange is the 500-row ordered output
+    val rangeExchanges = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(rangeExchanges <= 1, "unexpected global sort in the dedup path")
+  }
+
+  test("q50 contribution-explosion plan has no cartesian range join") {
+    val p = plan(ops.Relational.q50(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "sliding distinct fell back to an O(days x users) range join")
+    assert(p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
+  test("g06 degree dims broadcast onto the pair aggregation") {
+    val p = plan(ops.Graph.g06(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    val executedSmj = p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("SortMergeJoin"))
+    assert(!executedSmj, "degree join fell to sort-merge")
+  }
+
+  test("s12/s13 broadcast the probe panel over one corpus scan") {
+    for (df <- Seq(ops.Similarity.s12(spark, sf), ops.Similarity.s13(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+      // one corpus scan: embeddings appears in exactly two scans
+      // (probe side + corpus side), never a third pass
+      assert(p.linesIterator.count(_.contains("Scan parquet")) <= 3, // +1 spine/self
+        "extra corpus passes in range/maxsim plan")
+    }
+  }
+
+  test("e24 attribution rides one user-keyed join and purchase-keyed windows") {
+    val p = plan(ops.EventOps.e24(spark, sf))
+    // the range predicate must ride the equality join, not a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "touch join fell to a nested loop — range predicate not post-filtered")
+    assert(p.contains("Exchange hashpartitioning(p_id"), p.take(1500))
+  }
 }

@@ -235,4 +235,26 @@ class RecommendSpec extends SparkSpec {
     // exact list from a quarter of the catalog
     assert(overlap >= 0.5, f"overlap@5 $overlap%.3f < 0.5")
   }
+
+  test("r26: user-kNN recs are unseen items endorsed by 1..5 neighbors") {
+    import org.apache.spark.sql.functions._
+    val recs = ops.Recommend.r26(spark, sf)
+    val hist = etl.Ratings.implicitRatings(spark, sf)
+      .select(col("user_id"), col("item_id").as("rec_item")).distinct()
+    // no recommendation may already be in the user's history
+    assert(recs.join(hist, Seq("user_id", "rec_item")).count() == 0,
+      "recommended an already-seen item")
+    val rows = recs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val votes = r.getAs[Long]("n_nb")
+      assert(votes >= 1L && votes <= 5L, s"vote count out of range: $votes")
+    }
+    // at most 5 per user, ranks contiguous from 1
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to ranks.length))
+      assert(ranks.length <= 5)
+    }
+  }
 }

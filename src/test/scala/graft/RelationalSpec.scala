@@ -154,4 +154,21 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q50: trailing-7d actives dominate the daily actives and dedup users") {
+    import org.apache.spark.sql.functions._
+    val weekly = ops.Relational.q50(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("n_active_7d")).toMap
+    val daily = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("n")).toMap
+    assert(weekly.nonEmpty && weekly.keySet == daily.keySet)
+    val allUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    daily.foreach { case (day, n) =>
+      assert(weekly(day) >= n, s"$day: 7d actives below daily actives")
+      assert(weekly(day) <= allUsers, s"$day: distinct count exceeds universe")
+    }
+  }
 }
