@@ -363,13 +363,32 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("cluster")
 
-  def d08(s: SparkSession, d: String): DataFrame = {
-    val edges = candidates(s, d) // (a, b), a < b — verified LSH pairs
-      .cache()
-    val labels = connectedComponents(edges)
-    edges.unpersist()
-    clusterRollup(labels)
+  /** CC labels over the verified LSH candidate edges — a SHARED
+    * artifact (d08's rollup and d14's canonical pick both consume it;
+    * rebuilding costs the whole candidates + iterative-CC pipeline,
+    * a full corpus pass plus ~cluster-diameter shuffle rounds per
+    * consumer at 100 TB). Memoized per (application, dataset) like
+    * Recommend's modelCache; d13's alternating-star clustering stays
+    * INDEPENDENT on purpose — its hash-equality to this labeling is
+    * the two-algorithms-one-semantics gate, which sharing would
+    * vacate. Dead-context entries evicted the same way as memoKey. */
+  private val ccCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def ccLabels(s: SparkSession, d: String): DataFrame = {
+    val prefix = s.sparkContext.applicationId + "#"
+    ccCache.keys.filterNot(_.startsWith(prefix)).foreach(ccCache.remove)
+    ccCache.getOrElseUpdate(prefix + d, {
+      val edges = candidates(s, d) // (a, b), a < b — verified LSH pairs
+        .cache()
+      val labels = connectedComponents(edges).cache()
+      labels.count() // materialize NOW — consumers must hit the cache
+      edges.unpersist()
+      labels
+    })
   }
+
+  def d08(s: SparkSession, d: String): DataFrame =
+    clusterRollup(ccLabels(s, d))
 
   val d08Sql: String =
     s"""$sqlDedupPrefix,
@@ -762,9 +781,7 @@ object Dedup {
   // (the probe-tail near-copies score higher than their originals —
   // non-vacuity pinned in OpsSpec).
   def d14(s: SparkSession, d: String): DataFrame = {
-    val edges = candidates(s, d).cache()
-    val labels = connectedComponents(edges)
-    edges.unpersist()
+    val labels = ccLabels(s, d) // shared with d08 — one CC build
     val stopArr = array(TextOps.stopwords.map(lit): _*)
     val qual = corpus(s, d)
       .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))

@@ -140,17 +140,36 @@ object EventOps {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Run `body` (a micro-batch stream build + drain) with
+    * spark.sql.shuffle.partitions temporarily lowered. Stateful
+    * streaming operators create one state store per shuffle partition
+    * PER MICRO-BATCH; at the batch-analytics default (32 here) a
+    * 3-batch interval join pays ~100 state-store open/commit cycles
+    * for a few thousand rows — pure fixed overhead. The right number
+    * tracks per-batch stream volume, not batch-table fan-out (the
+    * standard Structured Streaming deployment tuning); results are
+    * partition-count-independent, only the state plumbing shrinks.
+    * Restored after the drain, so the sink-side batch rollup (executed
+    * by the caller later) plans at the session default. */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // e06: the SAME hourly rollup as e01, computed through Structured
   // Streaming (file micro-batches → complete-mode memory sink) and
   // checked against e01's oracle — proving batch/stream symmetry.
   def e06(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e06_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.Streams
-      .tumblingCounts(graft.streaming.Streams.eventStream(s, d))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(sink)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(s, 8) {
+      val q = graft.streaming.Streams
+        .tumblingCounts(graft.streaming.Streams.eventStream(s, d))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(sink)
       .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
         col("n"), col("sum_value"))
@@ -207,12 +226,14 @@ object EventOps {
   // eviction semantics under the correctness gate, not just ScalaTest.
   def e09(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e09_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.Streams
-      .purchaseClickPairs(graft.streaming.Streams.eventStream(s, d))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(sink)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(s, 8) {
+      val q = graft.streaming.Streams
+        .purchaseClickPairs(graft.streaming.Streams.eventStream(s, d))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(sink)
       .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -231,12 +252,14 @@ object EventOps {
   // is the batch count(DISTINCT), so the stream must dedup exactly.
   def e10(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e10_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.Streams
-      .dedupPairs(graft.streaming.Streams.eventStream(s, d))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(sink)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(s, 8) {
+      val q = graft.streaming.Streams
+        .dedupPairs(graft.streaming.Streams.eventStream(s, d))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
@@ -257,14 +280,16 @@ object EventOps {
   // eviction behavior differs, which is exactly the point.
   def e19(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e19_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.Streams.eventStream(s, d)
-      .withWatermark("ts", "60 days")
-      .select("user_id", "event_type", "ts")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .writeStream.outputMode("append")
-      .format("memory").queryName(sink)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(s, 8) {
+      val q = graft.streaming.Streams.eventStream(s, d)
+        .withWatermark("ts", "60 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
@@ -477,10 +502,12 @@ object EventOps {
       val agg = stream.withWatermark("ts", "26 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamPartitions(s, 8) {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .filter(col("event_type") =!= "sentinel")
         .select(unix_micros(col("window.start")).as("hour_us"),
@@ -597,31 +624,33 @@ object EventOps {
       .select(col("value"), (col("value") % 10).as("part_key"))
       .groupBy("part_key")
       .agg(count(lit(1)).as("n_rows"), sum("value").as("sum_v"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(sink)
-      .start()
-    try {
-      // an unbounded source never drains, so processAllAvailable can't
-      // terminate it — poll the sink until the bounded claim is fully
-      // delivered (extra in-flight batches are no-ops past the filter)
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def delivered(): Long = {
-        val r = s.table(sink).agg(coalesce(sum("n_rows"), lit(0L))).collect()(0)
-        r.getLong(0)
+    withStreamPartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .start()
+      try {
+        // an unbounded source never drains, so processAllAvailable can't
+        // terminate it — poll the sink until the bounded claim is fully
+        // delivered (extra in-flight batches are no-ops past the filter)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        def delivered(): Long = {
+          val r = s.table(sink).agg(coalesce(sum("n_rows"), lit(0L))).collect()(0)
+          r.getLong(0)
+        }
+        while (delivered() < n && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        q.stop()
+        // fail LOUDLY on a stalled host rather than freezing a partial
+        // snapshot: a silent under-count downstream would hash-fail in
+        // a way that reads as an engine correctness bug
+        val got = delivered()
+        if (got < n) throw new IllegalStateException(
+          s"e18 ingest timed out: $got of $n rows delivered within 60s")
+        s.table(sink).orderBy("part_key").localCheckpoint()
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sink)
       }
-      while (delivered() < n && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      q.stop()
-      // fail LOUDLY on a stalled host rather than freezing a partial
-      // snapshot: a silent under-count downstream would hash-fail in
-      // a way that reads as an engine correctness bug
-      val got = delivered()
-      if (got < n) throw new IllegalStateException(
-        s"e18 ingest timed out: $got of $n rows delivered within 60s")
-      s.table(sink).orderBy("part_key").localCheckpoint()
-    } finally {
-      if (q.isActive) q.stop()
-      s.catalog.dropTempView(sink)
     }
   }
 
@@ -704,10 +733,12 @@ object EventOps {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"),
         "left_outer")
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamPartitions(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .filter(col("p_type") === "purchase")
         .groupBy(col("p_user").as("user_id"))
@@ -792,10 +823,12 @@ object EventOps {
       val agg = stream.withWatermark("ts", "8760 hours")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamPartitions(s, 8) {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .filter(col("user_id") >= 0)
         .groupBy("user_id")
