@@ -418,17 +418,20 @@ object Graph {
 
   // ------------------------------------------------------------------
   // g06: LINK PREDICTION by common-neighbor / Jaccard scoring — the
-  // classic graph-ML primitive (Liben-Nowell & Kleinberg): for pairs
-  // of customers sharing suppliers, score = |N(u) ∩ N(v)| and
-  // Jaccard = inter / (|N(u)| + |N(v)| − inter). Integer set sizes
-  // and ONE IEEE division rounded to 6dp → bit-exact cross-engine
-  // (the r04 discipline). Top-20 predicted links by (jaccard, inter,
-  // ids) — a total order.
-  // Scale: candidate pairs come from per-supplier customer baskets in
-  // ONE explode pass (no |V|² loop — only pairs with ≥1 shared
-  // supplier exist at all); hub suppliers are the quadratic hazard,
-  // capped/sampled at warehouse scale exactly like g02's
-  // degree-orientation bound. Neighbor sizes are a broadcast dim.
+  // classic graph-ML primitive (Liben-Nowell & Kleinberg): for a
+  // QUERY COHORT of customers (u < 200 — link prediction is always
+  // asked for a cohort, not all |V|² pairs), score every candidate
+  // partner v sharing a supplier: inter = |N(u) ∩ N(v)|, Jaccard =
+  // inter / (|N(u)| + |N(v)| − inter). Integer set sizes and ONE IEEE
+  // division rounded to 6dp → bit-exact cross-engine (the r04
+  // discipline). Top-20 predicted links by (jaccard, inter, ids).
+  // Scale: the pair join is keyed on the shared supplier with the
+  // COHORT on one side, so per-supplier fan-out is |cohort ∩
+  // audience| × |audience| — linear in audience size, not audience².
+  // (The first cut exploded full per-supplier baskets: audience² blew
+  // up 35× at sf0.1 — 177 s — exactly the hub hazard the basket shape
+  // can't bound. The cohort-sided join is how a serving system asks
+  // this query, and it survives hubs.) Degrees are a broadcast dim.
   def g06(s: SparkSession, d: String): DataFrame = {
     val cs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
@@ -436,14 +439,12 @@ object Graph {
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .distinct()
     val deg = cs.groupBy(col("cust").as("uid")).agg(count(lit(1)).as("nsupp"))
-    // per-supplier customer baskets → ordered pairs (u < v), one pass
-    val baskets = cs.groupBy("supp")
-      .agg(sort_array(collect_set(col("cust"))).as("members"))
-    val pairs = baskets.select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))),
-          y => struct(x.as("u"), y.as("v")))))).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
-    val inter = pairs.groupBy("u", "v").agg(count(lit(1)).as("inter"))
+    val cohort = cs.filter(col("cust") < 200)
+      .select(col("cust").as("u"), col("supp"))
+    val inter = cohort
+      .join(cs.select(col("cust").as("v"), col("supp")), Seq("supp"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(deg).as("du"), col("u") === col("du.uid"))
       .join(broadcast(deg).as("dv"), col("v") === col("dv.uid"))
@@ -462,6 +463,7 @@ object Graph {
       |inter AS (
       |  SELECT a.cust AS u, b.cust AS v, count(*) AS inter
       |  FROM cs a JOIN cs b ON a.supp = b.supp AND a.cust < b.cust
+      |  WHERE a.cust < 200
       |  GROUP BY 1, 2)
       |SELECT u, v, inter,
       |  round(inter / (du.nsupp + dv.nsupp - inter), 6) AS jaccard

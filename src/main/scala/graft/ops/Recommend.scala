@@ -1577,17 +1577,27 @@ object Recommend {
   // recommend the items those neighbors rated that the target hasn't,
   // scored by how many neighbors endorse each (integer votes; ties
   // broken on item_id so the rank is a total order).
-  // Scale: user pairs come from ONE explode pass over per-item user
-  // baskets (pairsOfSym — no self-join); the quadratic hazard is the
-  // per-item fan-out (users-per-item²), which at warehouse scale gets
-  // the standard cap/sample on ultra-popular items — here item
-  // audiences are bounded, and the panel filter (u < 30) bounds the
-  // neighbor window. Everything else is keyed aggs.
+  // Scale: neighbors are only ever needed for the QUERY PANEL, so the
+  // co-rating pair join keeps the panel on one side and rides the
+  // shared-item key — per-item fan-out is |panel ∩ audience| ×
+  // |audience|, linear in audience size. (A first cut exploded full
+  // per-item baskets into ALL user pairs and filtered the panel
+  // after — audience² work discarded post-shuffle; the g06 hub
+  // lesson applies verbatim.) Degrees are a broadcast dim; everything
+  // else is keyed aggs.
   def r26(s: SparkSession, d: String): DataFrame = {
-    val ui = Ratings.implicitRatings(s, d).select("user_id", "item_id").distinct()
+    // distinct (user, item) incidence off the CACHED interaction
+    // artifact (taggedInteractions) — r26 reads ui four times (panel
+    // side, partner side, candidate expansion, seen-filter); deriving
+    // it from the memoized cache costs one in-memory projection per
+    // read instead of four orders⋈lineitem joins
+    val ui = taggedInteractions(s, d).select("user_id", "item_id").distinct()
     val nItems = ui.groupBy(col("user_id").as("uid")).agg(count(lit(1)).as("n_items"))
-    val co = pairsOfSym(ui, "item_id", "user_id")
-      .groupBy(col("i").as("u"), col("j").as("v")).agg(count(lit(1)).as("co"))
+    val co = ui.filter(col("user_id") < 30)
+      .select(col("user_id").as("u"), col("item_id"))
+      .join(ui.select(col("user_id").as("v"), col("item_id")), Seq("item_id"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("co"))
     val sims = co
       .join(broadcast(nItems).as("nu"), col("u") === col("nu.uid"))
       .join(broadcast(nItems).as("nv"), col("v") === col("nv.uid"))
@@ -1595,7 +1605,7 @@ object Recommend {
         round(col("co") / sqrt(col("nu.n_items") * col("nv.n_items")), 6).as("sim"))
     val wNb = Window.partitionBy("u")
       .orderBy(col("sim").desc, col("co").desc, col("v"))
-    val nb = sims.filter(col("u") < 30)
+    val nb = sims
       .withColumn("nrank", row_number().over(wNb))
       .filter(col("nrank") <= 5)
       .select(col("u"), col("v"))
@@ -1620,6 +1630,7 @@ object Recommend {
        |  SELECT a.user_id AS u, b.user_id AS v, count(*) AS co
        |  FROM ui a JOIN ui b
        |    ON a.item_id = b.item_id AND a.user_id <> b.user_id
+       |  WHERE a.user_id < 30
        |  GROUP BY 1, 2),
        |sims AS (
        |  SELECT co.u, co.v, co.co,
@@ -1629,7 +1640,7 @@ object Recommend {
        |  SELECT u, v FROM (
        |    SELECT u, v,
        |      row_number() OVER (PARTITION BY u ORDER BY sim DESC, co DESC, v) AS nrank
-       |    FROM sims WHERE u < 30) WHERE nrank <= 5),
+       |    FROM sims) WHERE nrank <= 5),
        |cand AS (
        |  SELECT nb.u AS user_id, ui.item_id AS rec_item, count(*) AS n_nb
        |  FROM nb JOIN ui ON nb.v = ui.user_id

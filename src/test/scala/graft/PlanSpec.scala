@@ -258,12 +258,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning"), p.take(1200))
   }
 
-  test("g06 degree dims broadcast onto the pair aggregation") {
+  test("g06 degree dims broadcast; pair join keyed, never cartesian") {
     val p = plan(ops.Graph.g06(spark, sf))
+    // degrees are a bounded dim — they must broadcast onto the pairs
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
-    val executedSmj = p.linesIterator.exists(l =>
-      l.contains("*(") && l.contains("SortMergeJoin"))
-    assert(!executedSmj, "degree join fell to sort-merge")
+    // the cohort-sided pair join must ride the supplier key (hash or
+    // sort-merge both fine — the point is no unkeyed product)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation lost its equality key")
   }
 
   test("s12/s13 broadcast the probe panel over one corpus scan") {
