@@ -875,7 +875,140 @@ object TextOps {
        |    AS kept_checksum
        |FROM ranked GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // t22: N-GRAM NOVELTY / commonness profile — what fraction of a
+  // document's word-trigrams are corpus-common (document frequency
+  // > 3 — calibrated to the corpus: max trigram DF is 7)? High common-fraction docs are boilerplate-heavy (low
+  // novelty — weak training signal, memorization risk); the standard
+  // companion metric to t18's within-doc repetition rules. DF counts
+  // one occurrence per (doc, trigram) — a 56-bit trigram hash keys
+  // the DF table so the join carries longs, never strings.
+  // Scale: explode → distinct(doc, tri) → keyed DF agg → hash join
+  // back → per-doc rollup; every shuffle is keyed by the near-uniform
+  // trigram hash or doc_id, map-side partials throughout.
+  def t22(s: SparkSession, d: String): DataFrame = {
+    val tris = Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => Hashing.hash56(concat_ws(" ",
+          get(col("toks"), i), get(col("toks"), i + 1), get(col("toks"), i + 2)))))
+        .as("th"))
+    val docTri = tris.distinct()
+    val df = docTri.groupBy("th").agg(count(lit(1)).as("df"))
+    tris
+      .join(df.filter(col("df") > 3).select(col("th"), lit(1L).as("common")),
+        Seq("th"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        count(col("common")).as("n_common"))
+      .withColumn("common_frac",
+        round(col("n_common").cast("double") / col("n_tri"), 6))
+      .orderBy("doc_id")
+  }
+
+  val t22Sql: String = {
+    val toks = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH toksd AS (SELECT doc_id, $toks AS t FROM documents),
+       |tris AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(len(t) - 2),
+       |      i -> ${Hashing.sqlHash56("t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")}))
+       |      AS th
+       |  FROM toksd WHERE len(t) >= 3),
+       |dfreq AS (
+       |  SELECT th, count(*) AS df FROM (SELECT DISTINCT doc_id, th FROM tris)
+       |  GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_tri,
+       |  count(CASE WHEN df > 3 THEN 1 END) AS n_common,
+       |  round(count(CASE WHEN df > 3 THEN 1 END) / count(*), 6) AS common_frac
+       |FROM tris LEFT JOIN dfreq USING (th)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // t23: 13-GRAM DECONTAMINATION — the GPT-3-style method completing
+  // d09's exact+LSH story: a TRAINING doc is dirty if it shares ANY
+  // 13-token contiguous shingle with the eval set. Catches partial
+  // containment that whole-doc hashing misses and that MinHash
+  // under-weights (a 120-char quote inside an otherwise-novel doc).
+  // Same train/eval split as d09 (source number < 10 trains); planted
+  // contamination = an eval substring grafted onto filler, so the
+  // dirty set is non-empty by construction and the oracle rebuilds
+  // the identical plant. Per source: train docs, dirty count, and a
+  // DECIMAL checksum over dirty ids (pins the exact dirty SET).
+  // Scale: two shingle explodes, one long-keyed semi join against the
+  // (much smaller) eval shingle set — at 100 TB the eval side
+  // broadcast-fits and the train side streams map-side.
+  def t23(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"),
+        substring(col("source"), 4, 10).cast("int").as("srcn"))
+    val evalD = docs.filter(col("srcn") >= 10)
+    val planted = evalD.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 4000000).as("doc_id"),
+        concat(substring(col("text"), 20, 120),
+          lit(" entirely unrelated filler appended afterwards")).as("text"),
+        lit("planted").as("source"))
+    val train = docs.filter(col("srcn") < 10)
+      .select("doc_id", "text", "source").union(planted)
+    def shingles(df: DataFrame): DataFrame = df
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+      .filter(size(col("toks")) >= 13)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 13),
+        i => Hashing.hash56(concat_ws(" ", slice(col("toks"), i + 1, lit(13))))))
+        .as("sh"))
+    val evalSh = shingles(evalD.select(col("doc_id"), col("text")))
+      .select("sh").distinct()
+    val dirty = shingles(train)
+      .join(evalSh, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("is_dirty", lit(1L))
+    train.join(dirty, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("is_dirty")).as("n_dirty"),
+        sum(when(col("is_dirty").isNotNull,
+            Hashing.hash56(concat_ws("#", lit("dc"), col("doc_id"))))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).as("dirty_checksum"))
+      .orderBy("source")
+  }
+
+  val t23Sql: String = {
+    val toks = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    def sh13(src: String) =
+      s"""SELECT doc_id,
+         |    unnest(list_transform(range(len(t) - 12),
+         |      i -> ${Hashing.sqlHash56("array_to_string(t[i+1:i+13], ' ')")}))
+         |      AS sh
+         |  FROM (SELECT doc_id, $toks AS t FROM $src) WHERE len(t) >= 13""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, source, CAST(substr(source, 4) AS INT) AS srcn
+       |  FROM documents),
+       |evald AS (SELECT doc_id, text FROM docs WHERE srcn >= 10),
+       |train AS (
+       |  SELECT doc_id, text, source FROM docs WHERE srcn < 10
+       |  UNION ALL
+       |  SELECT doc_id + 4000000,
+       |    substr(text, 20, 120) || ' entirely unrelated filler appended afterwards',
+       |    'planted'
+       |  FROM evald WHERE doc_id % 30 = 0),
+       |evalsh AS (SELECT DISTINCT sh FROM (${sh13("evald")})),
+       |dirty AS (
+       |  SELECT DISTINCT doc_id FROM (${sh13("train")})
+       |  WHERE sh IN (SELECT sh FROM evalsh))
+       |SELECT source, count(*) AS n_docs,
+       |  count(dirty.doc_id) AS n_dirty,
+       |  sum(CASE WHEN dirty.doc_id IS NOT NULL
+       |      THEN ${Hashing.sqlHash56("'dc#' || train.doc_id")} ELSE 0 END)
+       |    ::DECIMAL(38,0) AS dirty_checksum
+       |FROM train LEFT JOIN dirty ON train.doc_id = dirty.doc_id
+       |GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_ngram_decontam" -> (t23 _),
+    "t22_ngram_novelty" -> (t22 _),
     "t21_chunk_dedup" -> (t21 _),
     "t20_source_drift" -> (t20 _),
     "t19_weighted_sample" -> (t19 _),
@@ -899,6 +1032,8 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t23_ngram_decontam" -> t23Sql,
+    "t22_ngram_novelty" -> t22Sql,
     "t21_chunk_dedup" -> t21Sql,
     "t20_source_drift" -> t20Sql,
     "t19_weighted_sample" -> t19Sql,

@@ -772,6 +772,36 @@ class OpsSpec extends SparkSpec {
       "no partial survivor — chunk granularity indistinct from doc dedup")
   }
 
+  test("t23: every planted contamination is caught; clean sources stay mostly clean") {
+    val rows = ops.TextOps.t23(spark, sf).collect()
+    val planted = rows.find(_.getAs[String]("source") == "planted").get
+    assert(planted.getAs[Long]("n_docs") > 0L)
+    // a doc that CONTAINS an eval substring must be flagged even
+    // though its whole-doc hash and most of its content are novel.
+    // A short donor doc can leave the grafted span under 13 tokens —
+    // legitimately undetectable — so the pin is "nearly all", not
+    // "all" (the oracle hash pins the exact dirty set regardless)
+    assert(planted.getAs[Long]("n_dirty") * 4 >= planted.getAs[Long]("n_docs") * 3,
+      s"planted contamination mostly escaped: ${planted.getAs[Long]("n_dirty")}" +
+        s" of ${planted.getAs[Long]("n_docs")}")
+    rows.filterNot(_.getAs[String]("source") == "planted").foreach { r =>
+      assert(r.getAs[Long]("n_dirty") <= r.getAs[Long]("n_docs") / 2,
+        s"${r.getAs[String]("source")}: natural dirty rate implausibly high")
+    }
+  }
+
+  test("t22: common fraction is a valid ratio and the signal is non-vacuous") {
+    val rows = ops.TextOps.t22(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("common_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_common") <= r.getAs[Long]("n_tri"))
+    }
+    assert(rows.exists(_.getAs[Long]("n_common") > 0L),
+      "no corpus-common trigram found — threshold miscalibrated")
+  }
+
   test("p04: token budgets are respected and both branches are real") {
     val rows = ops.Pipeline.p04(spark, sf).collect()
     assert(rows.length == 4)
