@@ -856,7 +856,63 @@ object IoOps {
       |FROM documents WHERE doc_id >= 200 AND doc_id <= 350
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i17: ORPHAN-FILE VACUUM — the lake maintenance job (Delta VACUUM /
+  // Iceberg remove_orphan_files): a crashed writer leaves data files
+  // in the table directory that no manifest references; readers that
+  // trust the directory listing double-count them, and they leak
+  // storage forever. Build: a 4-file lake whose manifest is captured
+  // at write time; two orphan files planted beside them (a "failed
+  // write"'s leftovers). Vacuum = directory listing anti-joined
+  // against the manifest (driver-side metadata op, like i14/i16) →
+  // delete. The gate reads the lake AFTER vacuum: the lang rollup
+  // must equal the clean corpus (deleting a referenced file would
+  // drop rows; missing an orphan would double-count doc_id%50 docs)
+  // and the oracle pins n_orphans_removed = 2 as a literal.
+  def i17(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = tmpDir("graft_i17_")
+    val lake = root + "/lake"
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    docs.repartitionByRange(4, col("doc_id")).write.mode("overwrite").parquet(lake)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    def dataFiles(): Seq[String] = {
+      val it = fs.listStatus(new org.apache.hadoop.fs.Path(lake))
+      it.toIndexedSeq.map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+    }
+    val manifest = dataFiles().toSet // captured at write time
+    // plant two orphans: leftover part-files of an aborted write
+    val scratch = root + "/scratch"
+    docs.filter(col("doc_id") % 50 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(scratch)
+    val srcListing = Files.list(Paths.get(scratch))
+    val part = try srcListing.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally srcListing.close()
+    Seq("orphan-000.parquet", "orphan-001.parquet").foreach { name =>
+      Files.copy(part, Paths.get(lake, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    // vacuum: listing \ manifest → delete
+    val orphans = dataFiles().filterNot(manifest)
+    orphans.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(lake + "/" + n), false)
+    }
+    Io.readParquet(s, lake)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("n_orphans_removed", lit(orphans.size.toLong))
+      .orderBy("lang")
+  }
+
+  val i17Sql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(2 AS BIGINT) AS n_orphans_removed
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i17_vacuum_orphans" -> (i17 _),
     "i16_stats_manifest" -> (i16 _),
     "i15_partition_evolution" -> (i15 _),
     "i14_time_travel" -> (i14 _),
@@ -875,6 +931,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i17_vacuum_orphans" -> i17Sql,
     "i16_stats_manifest" -> i16Sql,
     "i15_partition_evolution" -> i15Sql,
     "i14_time_travel" -> i14Sql,

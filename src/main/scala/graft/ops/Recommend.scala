@@ -1701,7 +1701,43 @@ object Recommend {
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY cnt DESC, i, j LIMIT 200""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r28: TIME-DECAYED popularity — r02's non-personalized baseline
+  // with recency: each order's quantity contributes q · 2^(−age),
+  // age in years behind the corpus's newest order. The weights are
+  // EXACT dyadic rationals (1.0 / (1 << age), never libm pow), and
+  // quantities are integer-valued, so every partial sum is exactly
+  // representable and the total is bit-identical regardless of
+  // reduction order — the float-accumulation analogue of the g01
+  // fixed-point rule, without scaling. Top-20 by (score, item).
+  // Scale: one orderkey join (bucketable), one keyed agg with
+  // map-side partials; the max-date is a 1-row broadcast.
+  def r28(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity")
+    val maxY = o.agg(max(year(col("o_orderdate"))).as("max_y"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(maxY))
+      .withColumn("age", col("max_y") - year(col("o_orderdate")))
+      .withColumn("w", lit(1.0) / expr("shiftleft(1L, int(age))"))
+      .groupBy(col("l_partkey").as("item_id"))
+      .agg(sum(col("l_quantity") * col("w")).as("decayed_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("decayed_qty").desc, col("item_id"))
+      .limit(20)
+  }
+
+  val r28Sql: String =
+    """WITH maxy AS (SELECT max(year(o_orderdate)) AS max_y FROM orders)
+      |SELECT l_partkey AS item_id,
+      |  sum(l_quantity * (1.0 / (1 << (max_y - year(o_orderdate)))))
+      |    AS decayed_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey, maxy
+      |GROUP BY 1 ORDER BY decayed_qty DESC, item_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r28_decayed_popularity" -> (r28 _),
     "r27_next_basket" -> (r27 _),
     "r26_user_knn" -> (r26 _),
     "r25_explanations" -> (r25 _),
@@ -1731,6 +1767,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r28_decayed_popularity" -> r28Sql,
     "r27_next_basket" -> r27Sql,
     "r26_user_knn" -> r26Sql,
     "r25_explanations" -> r25Sql,

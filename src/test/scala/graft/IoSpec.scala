@@ -184,6 +184,16 @@ class IoSpec extends SparkSpec {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("i17: vacuum removes exactly the planted orphans, lake rows conserved") {
+    val rows = ops.IoOps.i17(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_orphans_removed") == 2L),
+      "vacuum did not remove exactly the two planted orphan files")
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count(),
+      "post-vacuum lake row count diverged from the corpus")
+  }
+
   test("i16: the stats manifest actually prunes files and loses no rows") {
     val rows = ops.IoOps.i16(spark, sf).collect()
     assert(rows.nonEmpty)

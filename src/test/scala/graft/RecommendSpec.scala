@@ -236,6 +236,27 @@ class RecommendSpec extends SparkSpec {
     assert(overlap >= 0.5, f"overlap@5 $overlap%.3f < 0.5")
   }
 
+  test("r28: decay strictly demotes stale quantity relative to r02's raw counts") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Recommend.r28(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      // decayed score can never exceed the raw quantity sum it decays
+      assert(r.getAs[Double]("decayed_qty") > 0.0)
+    }
+    val scores = rows.map(_.getAs[Double]("decayed_qty"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // decay is real: at least one item's decayed score is strictly
+    // below its raw quantity total (some order is older than max year)
+    val raw = etl.Ratings.implicitRatings(spark, sf)
+      .groupBy("item_id").agg(sum("rating").as("raw"))
+    val joined = ops.Recommend.r28(spark, sf)
+      .join(raw, Seq("item_id")).collect()
+    assert(joined.exists(r =>
+      r.getAs[Double]("decayed_qty") < r.getAs[Double]("raw")),
+      "no decay observed — all orders in the newest year?")
+  }
+
   test("r26: user-kNN recs are unseen items endorsed by 1..5 neighbors") {
     import org.apache.spark.sql.functions._
     val recs = ops.Recommend.r26(spark, sf)
