@@ -898,7 +898,59 @@ object Dedup {
       |  true AS no_false_drops
       |FROM embeddings""".stripMargin
 
+  // ------------------------------------------------------------------
+  // d16: BAG-OF-WORDS (order-invariant) dedup — the reorder blind spot
+  // of exact dedup: templated/boilerplate text re-emitted with
+  // shuffled clause order hashes differently under t04's normalized
+  // fingerprint but identically under a SORTED-token-multiset
+  // fingerprint. Planted reorderings (token stream reversed — worst
+  // case for any order-sensitive hash) are caught by construction;
+  // per bag-group the gate reports how many ORDER VARIANTS the bag
+  // hides (n_exact_variants > 1 ⟺ reorder-only duplication that d01
+  // cannot see). Scale: two per-row fingerprints + ONE groupBy on the
+  // near-uniform bag hash — d01's exact shape, same 100 TB story.
+  def d16(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 45 === 0)
+      .select((col("doc_id") + 5000000).as("doc_id"),
+        concat_ws(" ", reverse(toks)).as("text"))
+    base.union(planted)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(toks))).as("bag_fp"),
+        md5(concat_ws(" ", toks)).as("exact_fp"))
+      .groupBy("bag_fp")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("exact_fp")).as("n_exact_variants"),
+        min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("keep_doc")
+      .select("keep_doc", "n_docs", "n_exact_variants")
+  }
+
+  val d16Sql: String = {
+    val toks = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 5000000,
+       |    array_to_string(list_reverse($toks), ' ')
+       |  FROM documents WHERE doc_id % 45 = 0),
+       |fps AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort($toks), ' ')) AS bag_fp,
+       |    md5(array_to_string($toks, ' ')) AS exact_fp
+       |  FROM base)
+       |SELECT keep_doc, n_docs, n_exact_variants FROM (
+       |  SELECT bag_fp, count(*) AS n_docs,
+       |    count(DISTINCT exact_fp) AS n_exact_variants,
+       |    min(doc_id) AS keep_doc
+       |  FROM fps GROUP BY 1)
+       |WHERE n_docs > 1 ORDER BY keep_doc""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_bow_dedup" -> (d16 _),
     "d15_semantic_dedup" -> (d15 _),
     "d14_canonical_pick" -> (d14 _),
     "d13_star_clusters" -> (d13 _),
@@ -917,6 +969,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d16_bow_dedup" -> d16Sql,
     "d15_semantic_dedup" -> d15Sql,
     "d14_canonical_pick" -> d14Sql,
     "d13_star_clusters" -> d08Sql,

@@ -304,7 +304,76 @@ object Multimodal {
       |FROM nf LEFT JOIN sy ON nf.doc_id = sy.doc_id
       |ORDER BY nf.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // m09: MULTIMODAL TOKEN BUDGET accounting — a mixed-modality
+  // training mix is costed in model tokens, and image/video items
+  // contribute VISION tokens (ViT patches: ⌈w/16⌉·⌈h/16⌉ per frame,
+  // frames from the m02 sampling rule) while text contributes its
+  // tokenizer count. Per (source, media_type): item count, text
+  // tokens, media tokens, and the combined budget — the table a p04
+  // mixer consumes when the corpus stops being text-only. All
+  // integer arithmetic off m01's modality rule and m04's header-
+  // derived dimensions (cited formulas inline, cross-engine exact).
+  // Scale: pure per-row math + one keyed agg, map-side partials.
+  def m09(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(toks).cast("long").as("text_tokens"),
+        // m01's modality rule
+        when(col("n_chars") % 3 === 0, "image/fake")
+          .when(col("n_chars") % 3 === 1, "audio/fake")
+          .otherwise("video/fake").as("media_type"),
+        // m04's header-derived dimensions
+        (lit(16) + col("n_chars") % 64).cast("long").as("w"),
+        (lit(16) + (col("n_chars") * 7) % 48).cast("long").as("h"),
+        // m02's frame census: frames k with k*64+16 <= n_chars, k<4
+        least(lit(4), greatest(lit(0),
+          expr("(n_chars - 16) div 64") + 1)).cast("long").as("n_frames"))
+      .withColumn("patches",
+        expr("((w + 15) div 16) * ((h + 15) div 16)"))
+      .withColumn("media_tokens",
+        when(col("media_type") === "image/fake", col("patches"))
+          .when(col("media_type") === "video/fake",
+            col("patches") * col("n_frames"))
+          // audio: ~1 token per 4 chars of payload (frame-rate proxy)
+          .otherwise(expr("n_chars div 4")))
+      .groupBy("source", "media_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("text_tokens")).as("text_tokens"),
+        sum(col("media_tokens")).as("media_tokens"),
+        sum(col("text_tokens") + col("media_tokens")).as("total_tokens"))
+      .orderBy("source", "media_type")
+  }
+
+  val m09Sql: String = {
+    val toks = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH base AS (
+       |  SELECT source, n_chars,
+       |    len($toks)::BIGINT AS text_tokens,
+       |    CASE WHEN n_chars % 3 = 0 THEN 'image/fake'
+       |         WHEN n_chars % 3 = 1 THEN 'audio/fake'
+       |         ELSE 'video/fake' END AS media_type,
+       |    (16 + n_chars % 64)::BIGINT AS w,
+       |    (16 + (n_chars * 7) % 48)::BIGINT AS h,
+       |    least(4, greatest(0, (n_chars - 16) // 64 + 1))::BIGINT AS n_frames
+       |  FROM documents),
+       |costed AS (
+       |  SELECT source, media_type, text_tokens,
+       |    CASE media_type
+       |      WHEN 'image/fake' THEN ((w + 15) // 16) * ((h + 15) // 16)
+       |      WHEN 'video/fake' THEN ((w + 15) // 16) * ((h + 15) // 16) * n_frames
+       |      ELSE n_chars // 4 END AS media_tokens
+       |  FROM base)
+       |SELECT source, media_type, count(*) AS n_items,
+       |  sum(text_tokens)::BIGINT AS text_tokens,
+       |  sum(media_tokens)::BIGINT AS media_tokens,
+       |  sum(text_tokens + media_tokens)::BIGINT AS total_tokens
+       |FROM costed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_token_budget" -> (m09 _),
     "m08_av_sync" -> (m08 _),
     "m07_visual_search" -> (m07 _),
     "m06_chunk_reassembly" -> (m06 _),
@@ -315,6 +384,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m09_token_budget" -> m09Sql,
     "m08_av_sync" -> m08Sql,
     "m07_visual_search" -> m07Sql,
     "m06_chunk_reassembly" -> m06Sql,

@@ -772,6 +772,34 @@ class OpsSpec extends SparkSpec {
       "no partial survivor — chunk granularity indistinct from doc dedup")
   }
 
+  test("d16: planted reversals group with their originals; keep is the original") {
+    val rows = ops.Dedup.d16(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every surfaced bag group hides at least one reorder variant
+      // (pure exact dups are d01's business and excluded by design)
+      assert(r.getAs[Long]("n_exact_variants") >= 1L)
+      assert(r.getAs[Long]("n_docs") >= 2L)
+      // keep-lowest: the original (< 5e6) wins over its planted copy
+      assert(r.getAs[Long]("keep_doc") < 5000000L)
+    }
+    assert(rows.exists(_.getAs[Long]("n_exact_variants") > 1L),
+      "no reorder-only duplication caught — plants vacuous")
+  }
+
+  test("m09: token budget conserves and vision costs scale with patches") {
+    val rows = ops.Multimodal.m09(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") ==
+        r.getAs[Long]("text_tokens") + r.getAs[Long]("media_tokens"))
+      assert(r.getAs[Long]("media_tokens") > 0L)
+    }
+    val types = rows.map(_.getAs[String]("media_type")).distinct.sorted
+    assert(types.sameElements(Array("audio/fake", "image/fake", "video/fake")),
+      s"modalities missing: ${types.mkString(",")}")
+  }
+
   test("t23: every planted contamination is caught; clean sources stay mostly clean") {
     val rows = ops.TextOps.t23(spark, sf).collect()
     val planted = rows.find(_.getAs[String]("source") == "planted").get
