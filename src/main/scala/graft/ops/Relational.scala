@@ -1341,7 +1341,71 @@ object Relational {
       |FROM spine s JOIN du u ON u.day >= s.day - 6 AND u.day <= s.day
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q51: GAPS-AND-ISLANDS interval merge — the classic hard-SQL
+  // pattern behind uptime/coverage/billing queries: each event opens
+  // a 10-minute activity interval; overlapping/touching intervals per
+  // user merge into islands. Island detection is one window pass: an
+  // interval starts a new island iff its start exceeds the running
+  // max of all previous ends (strictly — touching intervals merge);
+  // island id = running sum of those starts. All integer micros, so
+  // the merged spans are exact cross-engine. Per user: island count,
+  // covered time, longest island.
+  // Scale: ONE shuffle keyed by user; both windows (running max,
+  // running sum) ride the same user-keyed sort — Spark plans them in
+  // a single WindowExec over one exchange. No self-joins, no
+  // interval×interval blowup.
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val span = 10L * 60 * 1000000 // 10 min in micros
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + span)
+    val wOrd = Window.partitionBy("user_id").orderBy("st", "en")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("prev_max_en", max(col("en")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist")).as("covered_us"),
+        max(col("ien") - col("ist")).as("longest_us"))
+      .orderBy("user_id")
+  }
+
+  val q51Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS st, epoch_us(ts) + 600000000 AS en
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, st, en,
+      |    CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, en
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, en
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_island
+      |  FROM iv),
+      |islands AS (
+      |  SELECT user_id,
+      |    sum(new_island) OVER (PARTITION BY user_id ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+      |    st, en
+      |  FROM flagged),
+      |merged AS (
+      |  SELECT user_id, island, min(st) AS ist, max(en) AS ien
+      |  FROM islands GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |  sum(ien - ist)::BIGINT AS covered_us,
+      |  max(ien - ist)::BIGINT AS longest_us
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_interval_merge" -> (q51 _),
     "q50_sliding_distinct" -> (q50 _),
     "q49_outliers" -> (q49 _),
     "q47_listagg" -> (q47 _),
@@ -1394,6 +1458,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q51_interval_merge" -> q51Sql,
     "q50_sliding_distinct" -> q50Sql,
     "q49_outliers" -> q49Sql,
     "q47_listagg" -> q47Sql,

@@ -155,6 +155,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q51: islands partition coverage — bounds hold and merging is real") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q51(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perUserEvents = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val (u, n, cov, longest) = (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_islands"), r.getAs[Long]("covered_us"),
+        r.getAs[Long]("longest_us"))
+      val span = 600000000L
+      // each island covers at least one interval; coverage is bounded
+      // by (events × span) above and (islands × span) below
+      assert(cov >= n * span, s"user $u: island shorter than one interval")
+      assert(cov <= perUserEvents(u) * span, s"user $u: coverage over-counts")
+      assert(longest >= span && longest <= cov)
+      assert(n <= perUserEvents(u))
+    }
+    // merging is non-vacuous: someone has fewer islands than events
+    assert(rows.exists(r => r.getAs[Long]("n_islands") <
+      perUserEvents(r.getAs[Long]("user_id"))),
+      "no overlapping intervals merged — span too small for the corpus")
+  }
+
   test("q50: trailing-7d actives dominate the daily actives and dedup users") {
     import org.apache.spark.sql.functions._
     val weekly = ops.Relational.q50(spark, sf).collect()
