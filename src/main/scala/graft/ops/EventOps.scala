@@ -1082,7 +1082,64 @@ object EventOps {
       |  count(*) AS n_touches
       |FROM touches GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // e25: LATENESS PROFILE — the diagnostic that SIZES watermarks: for
+  // each event, lateness = (max event-time seen so far in arrival
+  // order) − (own event-time); its distribution tells you what
+  // `withWatermark` delay loses which fraction of data (e16 gates the
+  // drop semantics, this measures what delay to pick). The synthetic
+  // log arrives perfectly event-time-ordered, so the replay adds a
+  // deterministic per-event delivery delay (hash-derived, ≤ 2 h — the
+  // out-of-orderness a real broker shows) and orders by the jittered
+  // arrival time; running max is ONE ordered window over the log —
+  // the only global sort in the family, acceptable for a diagnostic
+  // run, and at 100 TB it shards by (source, day) first. Buckets in
+  // integer micros — exact cross-engine, plus the max per bucket.
+  def e25(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("arrival_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("arrival_us", col("us") +
+        graft.functions.Hashing.hash56(
+          concat_ws("#", lit("lat"), col("event_id"))) % (7200L * 1000000))
+      .withColumn("late_us", max(col("us")).over(w) - col("us"))
+      .withColumn("bucket",
+        when(col("late_us") === 0, "a_on_time")
+          .when(col("late_us") <= 60L * 1000000, "b_1min")
+          .when(col("late_us") <= 600L * 1000000, "c_10min")
+          .when(col("late_us") <= 3600L * 1000000, "d_1hour")
+          .when(col("late_us") <= 86400L * 1000000, "e_1day")
+          .otherwise("f_over_1day"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy("bucket")
+  }
+
+  val e25Sql: String =
+    s"""WITH arr AS (
+      |  SELECT event_id, epoch_us(ts) AS us,
+      |    epoch_us(ts) + ${graft.functions.Hashing.sqlHash56("'lat#' || event_id")}
+      |      % 7200000000 AS arrival_us
+      |  FROM events),
+      |lat AS (
+      |  SELECT event_id,
+      |    max(us) OVER (ORDER BY arrival_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - us AS late_us
+      |  FROM arr)
+      |SELECT CASE WHEN late_us = 0 THEN 'a_on_time'
+      |  WHEN late_us <= 60000000 THEN 'b_1min'
+      |  WHEN late_us <= 600000000 THEN 'c_10min'
+      |  WHEN late_us <= 3600000000 THEN 'd_1hour'
+      |  WHEN late_us <= 86400000000 THEN 'e_1day'
+      |  ELSE 'f_over_1day' END AS bucket,
+      |  count(*) AS n_events, max(late_us)::BIGINT AS max_late_us
+      |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e25_lateness_profile" -> (e25 _),
     "e24_attribution" -> (e24 _),
     "e23_stream_cdc" -> (e23 _),
     "e22_peak_concurrency" -> (e22 _),
@@ -1108,6 +1165,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e25_lateness_profile" -> e25Sql,
     "e24_attribution" -> e24Sql,
     "e23_stream_cdc" -> e23Sql,
     "e22_peak_concurrency" -> e22Sql,

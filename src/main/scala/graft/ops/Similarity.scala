@@ -1285,7 +1285,55 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // s14: FILTERED (metadata-constrained) k-NN — "nearest neighbors
+  // WHERE label = mine": the defining vector-database feature beyond
+  // raw ANN (FAISS IDSelector, pgvector WHERE, Qdrant payload
+  // filters). Exact semantics: per probe, top-3 by cosine among ONLY
+  // the corpus vectors sharing the probe's label. The filter composes
+  // BEFORE the distance fan-out — a post-filter after top-k would
+  // return < k rows whenever near neighbors have the wrong label
+  // (the classic filtered-search correctness trap; the gate's exact
+  // per-label ranking would hash-fail a post-filter rewrite).
+  // Scale: label equality rides the join condition, so Catalyst plans
+  // a hash join keyed on label — each probe only ever meets its own
+  // label partition, corpus scanned once; the IVF composition
+  // (per-label cell lists) is the documented big-corpus path.
+  def s14(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("va"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    broadcast(probe)
+      .join(e.select(col("vec_id").as("nn_id"), col("label"), col("v").as("vb")),
+        col("q_label") === col("label"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "q_label", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val s14Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings)
+       |SELECT query_id, q_label, rank, nn_id, cos FROM (
+       |  SELECT a.vec_id AS query_id, a.label AS q_label, b.vec_id AS nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |               b.vec_id) AS rank
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 12)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_filtered_knn" -> (s14 _),
     "s13_maxsim" -> (s13 _),
     "s12_range_search" -> (s12 _),
     "s11_knn_sq8" -> (s11 _),
@@ -1301,6 +1349,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s14_filtered_knn" -> s14Sql,
     "s13_maxsim" -> s13Sql,
     "s12_range_search" -> s12Sql,
     "s11_knn_sq8" -> s11Sql,

@@ -772,6 +772,36 @@ class OpsSpec extends SparkSpec {
       "no partial survivor — chunk granularity indistinct from doc dedup")
   }
 
+  test("s14: filtered search returns only same-label neighbors, k deep") {
+    val rows = ops.Similarity.s14(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      // the constraint is semantic: neighbor label == probe label
+      assert(labels(r.getAs[Long]("nn_id")) == r.getAs[Int]("q_label"),
+        "cross-label neighbor leaked through the filter")
+    }
+    // full depth: every probe fills all 3 ranks (post-filter rewrites
+    // come up short here when near neighbors carry other labels)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(Array(1, 2, 3)))
+    }
+  }
+
+  test("e25: the lateness profile is non-degenerate and internally consistent") {
+    val rows = ops.EventOps.e25(spark, sf).collect()
+    assert(rows.length >= 3, "lateness collapsed into too few buckets")
+    val byBucket = rows.map(r => r.getAs[String]("bucket") ->
+      (r.getAs[Long]("n_events"), r.getAs[Long]("max_late_us"))).toMap
+    assert(byBucket.contains("a_on_time"), "no on-time events at all")
+    byBucket.get("b_1min").foreach { case (_, m) => assert(m <= 60000000L) }
+    byBucket.get("c_10min").foreach { case (_, m) => assert(m <= 600000000L) }
+    byBucket.get("d_1hour").foreach { case (_, m) => assert(m <= 3600000000L) }
+    assert(byBucket("a_on_time")._2 == 0L)
+  }
+
   test("d16: planted reversals group with their originals; keep is the original") {
     val rows = ops.Dedup.d16(spark, sf).collect()
     assert(rows.nonEmpty)
