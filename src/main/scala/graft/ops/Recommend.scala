@@ -690,18 +690,22 @@ object Recommend {
   // hash-gated; the exactly-5 / fallback-is-top-popularity contracts
   // are additionally pinned in RecommendSpec.
   def r22(s: SparkSession, d: String): DataFrame = {
-    val ratings = Ratings.implicitRatings(s, d)
+    // the ratings matrix has one row per DISTINCT (user, item), so
+    // both the seen-set and the audience counts are derivable from
+    // the memoized interaction artifact — r22 previously rebuilt the
+    // orders⋈lineitem ratings join three times per invocation (seen,
+    // popularity, and the headN scalar read)
+    val ui = taggedInteractions(s, d).select("user_id", "item_id").distinct()
     val users = Tables.customer(s, d).filter(col("c_custkey") < 60)
       .select(col("c_custkey").as("user_id"))
     val cf = r05Recs(s, d).filter(col("rank") <= 5)
       .select(col("user_id"), col("rank"), col("rec_item"))
-    val seen = ratings.filter(col("user_id") < 60)
-      .select("user_id", "item_id").distinct()
+    val seen = ui.filter(col("user_id") < 60)
     val headN = seen.groupBy("user_id").agg(count(lit(1)).as("c"))
       .agg(coalesce(max(col("c")), lit(0L)).as("m"))
       .collect()(0).getLong(0).toInt + 10
-    // one row per (user, item) in ratings → count = audience size
-    val pop = ratings.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+    // one row per (user, item) → count = audience size
+    val pop = ui.groupBy("item_id").agg(count(lit(1)).as("cnt"))
       .agg(graft.functions.TopKAgg.topK(
         col("cnt").cast("double"), col("item_id"), headN).as("tk"))
       .select(posexplode(col("tk")).as(Seq("pos", "e")))
