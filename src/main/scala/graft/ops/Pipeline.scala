@@ -282,7 +282,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("rn") <= col("n_target"), lit(1))).as("n_taken"),
         sum(when(col("rn") <= col("n_target"), col("hkey")).otherwise(lit(0L))
-          .cast("decimal(38,0)")).as("ids_checksum"))
+          .cast("decimal(38,0)")).cast("string").as("ids_checksum"))
       .orderBy("domain")
   }
 
@@ -302,7 +302,7 @@ object Pipeline {
        |    FROM doms) t, tot)
        |SELECT domain, pct, n_target, count(*) AS n_docs,
        |  count(CASE WHEN rn <= n_target THEN 1 END) AS n_taken,
-       |  sum(CASE WHEN rn <= n_target THEN hkey ELSE 0 END)::DECIMAL(38,0)
+       |  sum(CASE WHEN rn <= n_target THEN hkey ELSE 0 END)::DECIMAL(38,0)::VARCHAR
        |    AS ids_checksum
        |FROM ranked GROUP BY 1, 2, 3 ORDER BY domain""".stripMargin
 
@@ -347,7 +347,7 @@ object Pipeline {
         count(when(col("taken"), lit(1))).as("n_taken"),
         sum(when(col("taken"), col("n_tok")).otherwise(lit(0L))).as("tok_taken"),
         sum(when(col("taken"), col("hkey")).otherwise(lit(0L))
-          .cast("decimal(38,0)")).as("ids_checksum"))
+          .cast("decimal(38,0)")).cast("string").as("ids_checksum"))
       .orderBy("domain")
   }
 
@@ -371,7 +371,7 @@ object Pipeline {
        |  sum(n_tok)::BIGINT AS tok_total,
        |  count(CASE WHEN cum_tok <= budget THEN 1 END) AS n_taken,
        |  sum(CASE WHEN cum_tok <= budget THEN n_tok ELSE 0 END)::BIGINT AS tok_taken,
-       |  sum(CASE WHEN cum_tok <= budget THEN hkey ELSE 0 END)::DECIMAL(38,0)
+       |  sum(CASE WHEN cum_tok <= budget THEN hkey ELSE 0 END)::DECIMAL(38,0)::VARCHAR
        |    AS ids_checksum
        |FROM ranked GROUP BY 1, 2, 3 ORDER BY domain""".stripMargin
 

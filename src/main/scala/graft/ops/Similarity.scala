@@ -1198,8 +1198,7 @@ object Similarity {
       .select(col("query_id"),
         coalesce(col("n_in_range"), lit(0L)).as("n_in_range"),
         coalesce(col("ids_sum"), lit(0L)).as("ids_sum"),
-        coalesce(col("cos_sum"), lit(java.math.BigDecimal.ZERO)
-          .cast("decimal(10,4)")).as("cos_sum"))
+        coalesce(col("cos_sum").cast("double"), lit(0.0)).as("cos_sum"))
       .orderBy("query_id")
   }
 
@@ -1219,7 +1218,7 @@ object Similarity {
        |SELECT p.query_id,
        |  coalesce(n_in_range, 0) AS n_in_range,
        |  coalesce(ids_sum, 0) AS ids_sum,
-       |  coalesce(cos_sum, 0::DECIMAL(10,4)) AS cos_sum
+       |  CAST(coalesce(cos_sum, 0) AS DOUBLE) AS cos_sum
        |FROM (SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < 10) p
        |LEFT JOIN agg USING (query_id)
        |ORDER BY query_id""".stripMargin

@@ -848,7 +848,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("rn") === 1, lit(1))).as("n_kept"),
         sum(when(col("rn") === 1, Hashing.hash56(col("fp"))).otherwise(lit(0L))
-          .cast("decimal(38,0)")).as("kept_checksum"))
+          .cast("decimal(38,0)")).cast("string").as("kept_checksum"))
       .orderBy("doc_id")
   }
 
@@ -871,7 +871,7 @@ object TextOps {
        |  FROM chunks)
        |SELECT doc_id, count(*) AS n_chunks,
        |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
-       |  sum(CASE WHEN rn = 1 THEN ${Hashing.sqlHash56("fp")} ELSE 0 END)::DECIMAL(38,0)
+       |  sum(CASE WHEN rn = 1 THEN ${Hashing.sqlHash56("fp")} ELSE 0 END)::DECIMAL(38,0)::VARCHAR
        |    AS kept_checksum
        |FROM ranked GROUP BY 1 ORDER BY doc_id""".stripMargin
 
@@ -970,7 +970,8 @@ object TextOps {
         count(col("is_dirty")).as("n_dirty"),
         sum(when(col("is_dirty").isNotNull,
             Hashing.hash56(concat_ws("#", lit("dc"), col("doc_id"))))
-          .otherwise(lit(0L)).cast("decimal(38,0)")).as("dirty_checksum"))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).cast("string")
+        .as("dirty_checksum"))
       .orderBy("source")
   }
 
@@ -1001,7 +1002,7 @@ object TextOps {
        |  count(dirty.doc_id) AS n_dirty,
        |  sum(CASE WHEN dirty.doc_id IS NOT NULL
        |      THEN ${Hashing.sqlHash56("'dc#' || train.doc_id")} ELSE 0 END)
-       |    ::DECIMAL(38,0) AS dirty_checksum
+       |    ::DECIMAL(38,0)::VARCHAR AS dirty_checksum
        |FROM train LEFT JOIN dirty ON train.doc_id = dirty.doc_id
        |GROUP BY 1 ORDER BY source""".stripMargin
   }

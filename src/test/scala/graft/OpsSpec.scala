@@ -910,7 +910,7 @@ class OpsSpec extends SparkSpec {
     assert(rows.length == 10, "every probe must appear")
     rows.foreach { r =>
       val n = r.getAs[Long]("n_in_range")
-      val cosSum = r.getAs[java.math.BigDecimal]("cos_sum").doubleValue()
+      val cosSum = r.getAs[Double]("cos_sum")
       // each contributing cosine is in [0.2, 1]; the sum must agree
       assert(cosSum >= 0.2 * n - 1e-9 && cosSum <= 1.0 * n + 1e-9,
         s"cos_sum $cosSum inconsistent with n=$n")
