@@ -1138,7 +1138,52 @@ object EventOps {
       |  count(*) AS n_events, max(late_us)::BIGINT AS max_late_us
       |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // e26: BATCH+STREAM BACKFILL HANDOFF (the lambda/kappa-architecture
+  // correctness condition): history up to a cutoff is served by a
+  // batch rollup, the tail after it by the streaming pipeline, and
+  // their union must equal the pure-batch answer BIT-EXACTLY — the
+  // property that lets a deployment bootstrap a stream job from a
+  // warehouse backfill without a seam. The cutoff is day-truncated
+  // (derived from the data, not wall clock), so no 1-hour window
+  // straddles it and each (hour, event_type) row comes from exactly
+  // one side; events at the cutoff belong to the stream (>= vs <).
+  // Oracle: e01's full rollup — any dropped, duplicated, or
+  // seam-split row hash-fails.
+  // Scale: the batch side is the ordinary windowed agg; the stream
+  // side is e06's plan with the cutoff filter pushed into the file
+  // source; the union is append-only concatenation, no re-shuffle.
+  def e26(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val dayUs = 86400L * 1000000L
+    val cutoffUs =
+      ((mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2) / dayUs) * dayUs
+    val batchPart = ev.filter(unix_micros(col("ts")) < cutoffUs)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double")
+          .as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_value"))
+    val sink = "graft_e26_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(s, 8) {
+      val q = graft.streaming.Streams.tumblingCounts(
+          graft.streaming.Streams.eventStream(s, d)
+            .filter(unix_micros(col("ts")) >= cutoffUs))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val streamPart = s.table(sink)
+      .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_value"))
+    batchPart.unionByName(streamPart).orderBy("hour_us", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e26_stream_backfill" -> (e26 _),
     "e25_lateness_profile" -> (e25 _),
     "e24_attribution" -> (e24 _),
     "e23_stream_cdc" -> (e23 _),
@@ -1165,6 +1210,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e26_stream_backfill" -> e01Sql, // handoff union ≡ the pure-batch rollup
     "e25_lateness_profile" -> e25Sql,
     "e24_attribution" -> e24Sql,
     "e23_stream_cdc" -> e23Sql,

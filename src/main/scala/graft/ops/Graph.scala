@@ -470,7 +470,84 @@ object Graph {
       |FROM inter JOIN deg du ON u = du.cust JOIN deg dv ON v = dv.cust
       |ORDER BY jaccard DESC, inter DESC, u, v LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // g07: COMMUNITY DETECTION by synchronous label propagation
+  // (Raghavan et al. 2007) over the strong-tie graph — the
+  // linear-time community primitive next to g05's k-core. Classic
+  // async LPA is visit-order-dependent (useless under a hash gate and
+  // irreproducible on a cluster); the synchronous variant with a
+  // DETERMINISTIC tie rule is exact: each round every node adopts the
+  // most frequent label among its neighbors ∪ itself, ties broken by
+  // smallest label. The argmax is integer-PACKED — min over
+  // (CNT_CAP − cnt)·PACK + label — so it is a plain min aggregation:
+  // map-side partial, no exchange+sort, and bit-identical in both
+  // engines (the ANN-assign argmin discipline). Pack bounds are
+  // data-derived at gate scale (labels < PACK, degrees < CNT_CAP);
+  // at 100 TB the same argmax runs over a (cnt DESC, label ASC)
+  // struct min instead — identical semantics, no packing bound.
+  // 3 fixed rounds (the LPA literature's "most labels settle in <5
+  // iterations"; fixed rounds keep the oracle's recursion finite).
+  // Scale: one edge-keyed shuffle + one node-keyed min-agg per
+  // round, state pinned per round (d08's bounded-lineage rule) —
+  // the Pregel cost, nothing quadratic anywhere.
+  private val LPA_ROUNDS = 3
+  private val LPA_PACK = 4000000L
+  private val LPA_CNT_CAP = 1000000L
+
+  def g07(s: SparkSession, d: String): DataFrame = {
+    val edges = strongEdges(s, d).cache()
+    var lab = Iterate.pin(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    (1 to LPA_ROUNDS).foreach { _ =>
+      val nbr = edges
+        .join(lab.select(col("node").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val votes = nbr.union(lab)
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(min((lit(LPA_CNT_CAP) - col("cnt")) * LPA_PACK + col("label"))
+          .as("pack"))
+        .select(col("node"), (col("pack") % LPA_PACK).as("label"))
+      lab = Iterate.pin(votes)
+    }
+    edges.unpersist()
+    lab.groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("rep"),
+        sum(col("node")).cast("long").as("ids_sum"))
+      .orderBy("label")
+  }
+
+  val g07Sql: String =
+    s"""WITH RECURSIVE ed AS (
+       |  SELECT o_custkey AS c, l_suppkey + $SUPPLIER_OFFSET AS sn
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= $CORE_MIN_ORDERS),
+       |sym AS (SELECT c AS src, sn AS dst FROM ed UNION ALL SELECT sn, c FROM ed),
+       |lab(iter, node, label) AS (
+       |  SELECT 0, src, src FROM (SELECT DISTINCT src FROM sym) t
+       |  UNION ALL
+       |  SELECT v.iter + 1, v.node,
+       |    min(($LPA_CNT_CAP - v.cnt) * $LPA_PACK + v.label) % $LPA_PACK
+       |  FROM (
+       |    SELECT y.iter, y.node, y.label, count(*) AS cnt
+       |    FROM (
+       |      SELECT l.iter, e.dst AS node, l.label
+       |      FROM sym e JOIN lab l ON e.src = l.node
+       |      UNION ALL
+       |      SELECT iter, node, label FROM lab
+       |    ) y
+       |    GROUP BY 1, 2, 3
+       |  ) v
+       |  WHERE v.iter < $LPA_ROUNDS
+       |  GROUP BY v.iter, v.node)
+       |SELECT label, count(*) AS n_nodes, min(node) AS rep,
+       |  sum(node)::BIGINT AS ids_sum
+       |FROM lab WHERE iter = $LPA_ROUNDS
+       |GROUP BY 1 ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g07_label_prop" -> (g07 _),
     "g06_link_predict" -> (g06 _),
     "g05_kcore" -> (g05 _),
     "g03_bfs_hops" -> (g03 _),
@@ -479,6 +556,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g07_label_prop" -> g07Sql,
     "g06_link_predict" -> g06Sql,
     "g05_kcore" -> g05Sql,
     "g03_bfs_hops" -> g03Sql,

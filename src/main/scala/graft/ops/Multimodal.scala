@@ -372,7 +372,57 @@ object Multimodal {
        |FROM costed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // m10: PERCEPTUAL-HASH media dedup — content-addressed (whole-file
+  // md5) dedup misses re-encoded copies of the same media: identical
+  // pixels, different container bytes (new EXIF, different mux). The
+  // perceptual pipeline hashes the DECODED content instead: decode →
+  // canonical frame → fingerprint → bucket-group. Decode is the
+  // repo's deterministic stub (the canonical "frame" = the payload's
+  // first 64 bytes; a real pipeline puts pHash/aHash of decoded
+  // pixels here — same plumbing, swapped kernel). Planted re-encodes
+  // (every 37th doc re-ingested with trailing metadata bytes) have
+  // DIFFERENT file hashes but the SAME frame hash, so the gate pins
+  // exactly the property that makes perceptual dedup worth running:
+  // n_files > 1 inside one phash bucket.
+  // Scale: fingerprinting is map-side; the only shuffle is the
+  // groupBy on the (uniform) 128-bit frame hash — d01's shape; no
+  // pairwise comparisons anywhere.
+  def m10(s: SparkSession, d: String): DataFrame = {
+    val base = media(s, d).select(col("doc_id"), col("payload"))
+    val planted = base.filter(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("payload"),
+          encode(lit(" [exif:reencoded-2026]"), "UTF-8")).as("payload"))
+    base.union(planted)
+      .select(col("doc_id"),
+        md5(substring(col("payload"), 1, 64)).as("phash"),
+        md5(col("payload")).as("file_md5"))
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("file_md5")).as("n_files"),
+        min(col("doc_id")).as("canonical_id"),
+        sum(col("doc_id")).as("ids_sum"))
+      .filter(col("n_copies") > 1)
+      .orderBy("phash")
+  }
+
+  val m10Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, md5(substr(text, 1, 64)) AS phash,
+      |    md5(text) AS file_md5
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    md5(substr(text || ' [exif:reencoded-2026]', 1, 64)),
+      |    md5(text || ' [exif:reencoded-2026]')
+      |  FROM documents WHERE doc_id % 37 = 0)
+      |SELECT phash, count(*) AS n_copies,
+      |  count(DISTINCT file_md5) AS n_files,
+      |  min(doc_id) AS canonical_id, sum(doc_id)::BIGINT AS ids_sum
+      |FROM m GROUP BY 1 HAVING count(*) > 1 ORDER BY phash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_phash_dedup" -> (m10 _),
     "m09_token_budget" -> (m09 _),
     "m08_av_sync" -> (m08 _),
     "m07_visual_search" -> (m07 _),
@@ -384,6 +434,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m10_phash_dedup" -> m10Sql,
     "m09_token_budget" -> m09Sql,
     "m08_av_sync" -> m08Sql,
     "m07_visual_search" -> m07Sql,

@@ -375,15 +375,63 @@ object Pipeline {
        |    AS ids_checksum
        |FROM ranked GROUP BY 1, 2, 3 ORDER BY domain""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p05: SHARDED TRAINING-DATA EXPORT — the terminal step of every
+  // curation pipeline: the curated mix is written as N deterministic
+  // shards (the unit a training job's data loader consumes), and the
+  // export is audited through a per-shard MANIFEST (doc count, byte
+  // volume, id-set checksum). Shard assignment is content-hash mod N
+  // — reproducible across re-runs and cluster sizes (no
+  // partition-index dependence), and simultaneously the corpus
+  // "global shuffle" training wants: the hash IS the permutation, so
+  // no O(corpus) sort is ever planned. The op really WRITES the
+  // shards (partitionBy parquet layout, one directory per shard) and
+  // builds the manifest from the READ-BACK files, so the gate pins
+  // the round-trip, not just the plan: a lost or misrouted row
+  // hash-fails the manifest.
+  // Scale: one hash-keyed exchange into the writer (nShards output
+  // groups; at 100 TB nShards = corpus/target-shard-size and the
+  // same plan holds), manifest agg is map-side over the re-read —
+  // no driver state, no global sort.
+  def p05(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_p05_").toString
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .withColumn("hkey",
+        Hashing.hash56(concat_ws("#", lit("shard"), col("doc_id"))))
+      .withColumn("shard", (col("hkey") % nShards).cast("int"))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("hkey")).cast("decimal(38,0)").cast("string")
+          .as("ids_checksum"))
+      .orderBy("shard")
+  }
+
+  val p05Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |    ${Hashing.sqlHash56("'shard#' || doc_id")} AS hkey
+       |  FROM documents)
+       |SELECT CAST(hkey % 8 AS INT) AS shard, count(*) AS n_docs,
+       |  sum(n_chars)::BIGINT AS sum_chars,
+       |  sum(hkey)::DECIMAL(38,0)::VARCHAR AS ids_checksum
+       |FROM t GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_funnel" -> (p01 _),
     "p02_incremental_ingest" -> (p02 _),
     "p03_domain_mix" -> (p03 _),
-    "p04_token_mix" -> (p04 _))
+    "p04_token_mix" -> (p04 _),
+    "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
     "p01_curation_funnel" -> p01Sql,
     "p02_incremental_ingest" -> p02Sql,
     "p03_domain_mix" -> p03Sql,
-    "p04_token_mix" -> p04Sql)
+    "p04_token_mix" -> p04Sql,
+    "p05_shard_export" -> p05Sql)
 }

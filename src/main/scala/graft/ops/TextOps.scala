@@ -1007,7 +1007,63 @@ object TextOps {
        |GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  // t24: READABILITY scoring (Flesch reading-ease) — the classic
+  // document-difficulty signal a curation pipeline mixes into quality
+  // scoring (too-simple = boilerplate/listicles, too-complex = OCR
+  // garbage). Sentences = [.!?]+ runs, FALLING BACK to fixed-length
+  // 17-token segmentation when a document carries no terminal
+  // punctuation (transcripts/subtitles — and this synthetic corpus,
+  // which has none, so the fallback branch is the exercised one);
+  // words = the engine tokenizer; syllables ≈ vowel-group runs (the
+  // standard cheap proxy; the class is spelled with BOTH cases so no
+  // engine-specific lower() semantics enter the gate). The score is
+  // computed in ONE fixed double expression — two long→double
+  // divisions, two multiplies, two subtractions in the same order in
+  // both dialects, so every operation is correctly rounded
+  // identically and the doubles are bit-exact cross-engine (the q40
+  // closed-form discipline).
+  // Scale: pure map-side scan work — three regex passes fused into
+  // one codegen stage, no shuffle at all.
+  def t24(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long").as("n_punct"),
+        regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+          .as("n_syll"))
+      .withColumn("n_sents",
+        greatest(col("n_punct"), expr("(n_words + 16) div 17")))
+      .drop("n_punct")
+      .filter(col("n_sents") > 0 && col("n_words") > 0)
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sents").cast("double"))
+          - lit(84.6) * (col("n_syll").cast("double") /
+              col("n_words").cast("double")))
+      .orderBy("doc_id")
+
+  val t24Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len(${graft.functions.TextNorm.sqlTokens("text")})::BIGINT AS n_words,
+       |    len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_punct,
+       |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT AS n_syll
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, n_words, n_syll,
+       |    greatest(n_punct, (n_words + 16) // 17)::BIGINT AS n_sents
+       |  FROM f)
+       |SELECT doc_id, n_words, n_sents, n_syll,
+       |  CAST(206.835 AS DOUBLE)
+       |    - CAST(1.015 AS DOUBLE) *
+       |        (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+       |    - CAST(84.6 AS DOUBLE) *
+       |        (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+       |FROM g WHERE n_sents > 0 AND n_words > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_readability" -> (t24 _),
     "t23_ngram_decontam" -> (t23 _),
     "t22_ngram_novelty" -> (t22 _),
     "t21_chunk_dedup" -> (t21 _),
@@ -1033,6 +1089,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t24_readability" -> t24Sql,
     "t23_ngram_decontam" -> t23Sql,
     "t22_ngram_novelty" -> t22Sql,
     "t21_chunk_dedup" -> t21Sql,

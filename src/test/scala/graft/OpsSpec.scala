@@ -944,4 +944,73 @@ class OpsSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("n_synced") < r.getAs[Long]("n_frames")),
       "no blob has an unsynced leading frame — phase offsets vacuous")
   }
+
+  test("p05: shard export conserves the corpus and is reproducible") {
+    val m1 = ops.Pipeline.p05(spark, sf).collect()
+    assert(m1.length == 8, "every shard directory must land")
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(m1.map(_.getAs[Long]("n_docs")).sum == corpus,
+      "a row was lost or duplicated in the export round-trip")
+    // content-hash sharding is independent of run/partitioning: a
+    // second export must produce the identical manifest
+    val m2 = ops.Pipeline.p05(spark, sf).collect()
+    assert(m1.map(_.toString).sameElements(m2.map(_.toString)),
+      "shard assignment is not reproducible across runs")
+  }
+
+  test("e26: the backfill handoff is seamless and both sides contribute") {
+    val union = ops.EventOps.e26(spark, sf).collect()
+    val batch = ops.EventOps.e01(spark, sf).collect()
+    assert(union.map(_.toString).sameElements(batch.map(_.toString)),
+      "batch-history + stream-tail union diverges from the pure-batch rollup")
+    // non-vacuity: the day-truncated midpoint cutoff splits the data,
+    // so BOTH the batch half and the stream half own windows
+    val hours = batch.map(_.getAs[Long]("hour_us")).distinct.sorted
+    val dayUs = 86400L * 1000000L
+    val cutoff = ((hours.head + (hours.last - hours.head) / 2) / dayUs) * dayUs
+    assert(hours.exists(_ < cutoff) && hours.exists(_ >= cutoff),
+      "cutoff landed outside the data — one side of the handoff is vacuous")
+  }
+
+  test("t24: fallback segmentation engages and scores stay finite") {
+    val rows = ops.TextOps.t24(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("n_words"); val se = r.getAs[Long]("n_sents")
+      // this corpus has no terminal punctuation, so every document
+      // must take the fixed-length 17-token fallback
+      assert(se == (w + 16) / 17, s"doc ${r.getAs[Long]("doc_id")} " +
+        s"did not use fallback segmentation: words=$w sents=$se")
+      assert(!r.getAs[Double]("flesch").isNaN)
+    }
+  }
+
+  test("m10: perceptual buckets catch re-encodes whole-file hashing misses") {
+    val rows = ops.Multimodal.m10(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val beyondExact = rows.filter(_.getAs[Long]("n_files") > 1)
+    assert(beyondExact.nonEmpty,
+      "no cluster spans distinct file hashes — the planted re-encodes " +
+        "were not caught, perceptual hashing added nothing over md5")
+    // every such cluster pairs an original (id < 2_000_000) with its
+    // re-ingested copy
+    beyondExact.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") < 2000000L)
+      assert(r.getAs[Long]("n_copies") >= 2L)
+    }
+  }
+
+  test("g07: synchronous LPA conserves nodes and coarsens the graph") {
+    val comm = ops.Graph.g07(spark, sf).collect()
+    assert(comm.nonEmpty)
+    val nodes = comm.map(_.getAs[Long]("n_nodes")).sum
+    // every community label is itself a node id that seeded round 0
+    comm.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") >= 1L)
+      assert(r.getAs[Long]("ids_sum") >= r.getAs[Long]("rep"))
+    }
+    // propagation must actually merge: fewer communities than nodes
+    assert(comm.length < nodes,
+      s"LPA produced $nodes singleton communities — no label ever spread")
+  }
 }
