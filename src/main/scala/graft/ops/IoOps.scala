@@ -911,7 +911,73 @@ object IoOps {
       |  CAST(2 AS BIGINT) AS n_orphans_removed
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // i18: SNAPSHOT DIFF (table_changes between two lake versions) —
+  // the audit every CDC consumer, replication checker, and "what did
+  // last night's job do" investigation runs: key-level classification
+  // of two snapshots into added / deleted / changed / unchanged, then
+  // a per-class rollup. Both versions are WRITTEN to parquet and the
+  // diff runs over the READ-BACK files (the i14 discipline — the gate
+  // covers the disk round-trip); v_old = pre-1996 orders, v_new =
+  // all orders minus every 53rd key (deletes), with every 97th key's
+  // price bumped by the i07 decimal-exact ×1.1 (changes) and the
+  // 1996+ rows newly present (adds). The change test compares the
+  // decimal-derived doubles — bit-equal cross-engine, so "changed"
+  // is exact, not epsilon.
+  // Scale: ONE full-outer join keyed on the primary key (both sides
+  // shuffle-partitioned on it; with i12's bucketed layout the
+  // exchange vanishes), then a tiny 4-row rollup. No ordering, no
+  // window.
+  def i18(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i18_")
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+    orders.filter(col("o_orderdate") < "1996-01-01")
+      .write.parquet(s"$dir/v_old")
+    orders.filter(col("o_orderkey") % 53 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0,
+          round(col("o_totalprice").cast("decimal(18,2)") * lit(1.1), 2)
+            .cast("double"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"))
+      .write.parquet(s"$dir/v_new")
+    val vOld = Io.readParquet(s, s"$dir/v_old")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p_old"))
+    val vNew = Io.readParquet(s, s"$dir/v_new")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p_new"))
+    vOld.join(vNew, Seq("k"), "full_outer")
+      .withColumn("class",
+        when(col("p_old").isNull, "added")
+          .when(col("p_new").isNull, "deleted")
+          .when(col("p_old") === col("p_new"), "unchanged")
+          .otherwise("changed"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("k")).cast("long").as("sum_keys"))
+      .orderBy("class")
+  }
+
+  val i18Sql: String =
+    """WITH v_old AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p_old
+      |  FROM orders WHERE o_orderdate < '1996-01-01'),
+      |v_new AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 97 = 0
+      |      THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+      |        AS DOUBLE)
+      |      ELSE o_totalprice END AS p_new
+      |  FROM orders WHERE o_orderkey % 53 <> 0)
+      |SELECT CASE WHEN p_old IS NULL THEN 'added'
+      |    WHEN p_new IS NULL THEN 'deleted'
+      |    WHEN p_old = p_new THEN 'unchanged'
+      |    ELSE 'changed' END AS class,
+      |  count(*) AS n_keys, sum(k)::BIGINT AS sum_keys
+      |FROM v_old FULL OUTER JOIN v_new USING (k)
+      |GROUP BY 1 ORDER BY class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i18_snapshot_diff" -> (i18 _),
     "i17_vacuum_orphans" -> (i17 _),
     "i16_stats_manifest" -> (i16 _),
     "i15_partition_evolution" -> (i15 _),
@@ -931,6 +997,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i18_snapshot_diff" -> i18Sql,
     "i17_vacuum_orphans" -> i17Sql,
     "i16_stats_manifest" -> i16Sql,
     "i15_partition_evolution" -> i15Sql,

@@ -421,7 +421,63 @@ object Multimodal {
       |  min(doc_id) AS canonical_id, sum(doc_id)::BIGINT AS ids_sum
       |FROM m GROUP BY 1 HAVING count(*) > 1 ORDER BY phash""".stripMargin
 
+  // m11: SEQUENCE-PACKING audit — LLM training concatenates documents
+  // in (shuffled) order and cuts the token stream into fixed-length
+  // training sequences; every cut that lands mid-document bleeds
+  // attention across unrelated text. This op computes, per packing
+  // stream, the per-sequence composition: how many documents START in
+  // each 512-token sequence, their token mass, and how many run past
+  // the cut (the contamination count a packing-aware loader masks).
+  // Pack order is the content-hash permutation (p05's shuffle
+  // discipline — reproducible, no RNG); the stream is packed PER
+  // SOURCE, which is both how heterogeneous corpora are actually
+  // packed (domain-pure streams) and what makes the window scale: one
+  // keyed partition per source, never a global sort.
+  // All integer math — cum/start/seq boundaries are exact in both
+  // engines.
+  def m11(s: SparkSession, d: String): DataFrame = {
+    val seqLen = 512L
+    val w = Window.partitionBy("source")
+      .orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextNorm.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("hkey", graft.functions.Hashing.hash56(
+        concat_ws("#", lit("pack"), col("doc_id"))))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $seqLen"))
+      .withColumn("straddles",
+        expr(s"(cum - 1) div $seqLen") > col("seq_id"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tokens_started"),
+        count(when(col("straddles"), lit(1))).as("n_straddle"))
+      .orderBy("source", "seq_id")
+  }
+
+  val m11Sql: String = {
+    val toks = graft.functions.TextNorm.sqlTokens("text")
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, len($toks)::BIGINT AS n_tok,
+       |    ${graft.functions.Hashing.sqlHash56("'pack#' || doc_id")} AS hkey
+       |  FROM documents),
+       |packed AS (
+       |  SELECT source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+       |  FROM docs WHERE n_tok >= 1)
+       |SELECT source, (cum - n_tok) // 512 AS seq_id,
+       |  count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens_started,
+       |  count(CASE WHEN (cum - 1) // 512 > (cum - n_tok) // 512
+       |    THEN 1 END) AS n_straddle
+       |FROM packed GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_sequence_packing" -> (m11 _),
     "m10_phash_dedup" -> (m10 _),
     "m09_token_budget" -> (m09 _),
     "m08_av_sync" -> (m08 _),
@@ -434,6 +490,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m11_sequence_packing" -> m11Sql,
     "m10_phash_dedup" -> m10Sql,
     "m09_token_budget" -> m09Sql,
     "m08_av_sync" -> m08Sql,

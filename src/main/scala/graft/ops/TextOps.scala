@@ -1062,7 +1062,70 @@ object TextOps {
        |        (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
        |FROM g WHERE n_sents > 0 AND n_words > 0 ORDER BY doc_id""".stripMargin
 
+  // t25: DSIR importance weighting (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling") — the modern
+  // domain-targeting selector: score every corpus document by how
+  // much more likely a TARGET-domain unigram LM finds it than the
+  // corpus LM, logw(doc) = Σ_tok [ln p_target(tok) − ln p_corpus
+  // (tok)]; resampling by these weights tilts a general crawl toward
+  // the target domain. Target here = the src0 feed; both LMs are
+  // Laplace-smoothed over the SHARED corpus vocabulary (so unseen-in-
+  // target tokens penalize, never NaN). Determinism: each per-token
+  // term is one 6dp-rounded double (t14's discipline — rounding
+  // absorbs libm last-ulp variance) summed as DECIMAL — exact and
+  // order-independent; top-50 by (logw, doc_id) total order.
+  // Scale: two vocab aggs (target side is a fraction of the corpus),
+  // both joined BROADCAST onto one token explode, one doc-keyed agg —
+  // the t14 shape with a second, smaller dim.
+  def t25(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(tokens).as("w"))
+    val corpus = words.groupBy("w").agg(count(lit(1)).as("n_c"))
+    val target = words.filter(col("source") === "src0")
+      .groupBy("w").agg(count(lit(1)).as("n_t"))
+    val totals = words.agg(
+      count(lit(1)).as("tot_c"),
+      count(when(col("source") === "src0", lit(1))).as("tot_t"),
+      countDistinct(col("w")).as("vocab"))
+    val term = round(
+      log((col("n_t") + 1).cast("double") / (col("tot_t") + col("vocab"))) -
+        log((col("n_c") + 1).cast("double") / (col("tot_c") + col("vocab"))),
+      6).cast("decimal(18,6)")
+    words.join(broadcast(corpus), Seq("w"))
+      .join(broadcast(target), Seq("w"), "left")
+      .na.fill(0L, Seq("n_t"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(term).cast("double"), 6).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val t25Sql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, source,
+       |    unnest(${graft.functions.TextNorm.sqlTokens("text")}) AS w
+       |  FROM documents),
+       |corpus AS (SELECT w, count(*) AS n_c FROM words GROUP BY 1),
+       |target AS (SELECT w, count(*) AS n_t FROM words
+       |           WHERE source = 'src0' GROUP BY 1),
+       |totals AS (
+       |  SELECT count(*) AS tot_c,
+       |    count(CASE WHEN source = 'src0' THEN 1 END) AS tot_t,
+       |    count(DISTINCT w) AS vocab
+       |  FROM words)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(CAST(sum(CAST(round(
+       |      ln(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) / (tot_t + vocab)) -
+       |      ln(CAST(n_c + 1 AS DOUBLE) / (tot_c + vocab)), 6)
+       |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS logw
+       |FROM words JOIN corpus USING (w) LEFT JOIN target USING (w)
+       |CROSS JOIN totals
+       |GROUP BY doc_id ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_dsir_weights" -> (t25 _),
     "t24_readability" -> (t24 _),
     "t23_ngram_decontam" -> (t23 _),
     "t22_ngram_novelty" -> (t22 _),
@@ -1089,6 +1152,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t25_dsir_weights" -> t25Sql,
     "t24_readability" -> t24Sql,
     "t23_ngram_decontam" -> t23Sql,
     "t22_ngram_novelty" -> t22Sql,

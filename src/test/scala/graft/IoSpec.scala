@@ -194,6 +194,20 @@ class IoSpec extends SparkSpec {
       "post-vacuum lake row count diverged from the corpus")
   }
 
+  test("i18: the snapshot diff exercises all four classes and conserves keys") {
+    val rows = ops.IoOps.i18(spark, sf).collect()
+    val byClass = rows.map(r => r.getAs[String]("class") ->
+      r.getAs[Long]("n_keys")).toMap
+    assert(byClass.keySet == Set("added", "deleted", "changed", "unchanged"),
+      s"a diff class is vacuous: ${byClass.keySet}")
+    val orders = Tables.orders(spark, sf)
+    val nOld = orders.filter(col("o_orderdate") < "1996-01-01").count()
+    val nNew = orders.filter(col("o_orderkey") % 53 =!= 0).count()
+    // old = deleted + changed + unchanged; new = added + changed + unchanged
+    assert(byClass("deleted") + byClass("changed") + byClass("unchanged") == nOld)
+    assert(byClass("added") + byClass("changed") + byClass("unchanged") == nNew)
+  }
+
   test("i16: the stats manifest actually prunes files and loses no rows") {
     val rows = ops.IoOps.i16(spark, sf).collect()
     assert(rows.nonEmpty)

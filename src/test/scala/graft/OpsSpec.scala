@@ -1000,6 +1000,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m11: packing conserves tokens and cuts really land mid-document") {
+    val rows = ops.Multimodal.m11(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.size
+    val totalTok = graft.Tables.documents(spark, sf)
+      .select(size(graft.functions.TextNorm.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") >= 1).agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("tokens_started")).sum == totalTok,
+      "token mass lost between the corpus and the packed sequences")
+    assert(rows.exists(_.getAs[Long]("n_straddle") > 0L),
+      "no document straddles a cut — the contamination diagnostic is vacuous")
+    // per source, sequence ids are the contiguous prefix 0..max
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ids = rs.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.sameElements(0L to ids.last),
+        s"$src has a gap in its sequence ids")
+    }
+  }
+
+  test("t25: DSIR weights rank the target domain's own docs to the top") {
+    val top = ops.TextOps.t25(spark, sf).collect()
+    assert(top.length == 50)
+    val ws = top.map(_.getAs[Double]("logw"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "not sorted")
+    // the whole point of importance weighting: src0 (the target feed)
+    // must be over-represented in the top-50 relative to its corpus
+    // share
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val topSrc0 = top.count(r => docs(r.getAs[Long]("doc_id")) == "src0")
+    val share = docs.values.count(_ == "src0").toDouble / docs.size
+    assert(topSrc0.toDouble / 50 > share,
+      s"top-50 src0 fraction ${topSrc0 / 50.0} not above corpus share $share")
+  }
+
   test("g07: synchronous LPA conserves nodes and coarsens the graph") {
     val comm = ops.Graph.g07(spark, sf).collect()
     assert(comm.nonEmpty)
