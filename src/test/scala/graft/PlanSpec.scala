@@ -286,4 +286,28 @@ class PlanSpec extends SparkSpec {
       "touch join fell to a nested loop — range predicate not post-filtered")
     assert(p.contains("Exchange hashpartitioning(p_id"), p.take(1500))
   }
+
+  test("m11 packing window is source-keyed, never a single global sort") {
+    val p = plan(ops.Multimodal.m11(spark, sf))
+    assert(p.contains("Exchange hashpartitioning(source"), p.take(1500))
+    // the only range exchange is the small ordered rollup output
+    val ranges = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, "packing planned a global sort of the corpus")
+  }
+
+  test("t25 DSIR dims broadcast onto one token explode") {
+    val p = plan(ops.TextOps.t25(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "a vocabulary dim fell to sort-merge — the corpus explode re-shuffled")
+  }
+
+  test("i18 snapshot diff is one key-keyed join, no product") {
+    val p = plan(ops.IoOps.i18(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "diff lost its key equality")
+    assert(p.contains("FullOuter") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+      p.take(1500))
+  }
 }
