@@ -1740,7 +1740,83 @@ object Recommend {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey, maxy
       |GROUP BY 1 ORDER BY decayed_qty DESC, item_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r29: CALIBRATED-RECOMMENDATION audit (Steck 2018) — accuracy
+  // metrics (r12/r17/r20) don't catch a recommender that collapses a
+  // user's varied tastes onto their majority genre; calibration
+  // compares each user's HISTORY genre distribution p with their
+  // RECS' distribution q. Metric: total-variation distance, computed
+  // EXACTLY — common denominator 5·H makes every per-genre term the
+  // integer |5·h_g − H·r_g|, summed as integers; the single closing
+  // division tv = tv_scaled/(10·H) is one IEEE op on identical
+  // integers, bit-exact cross-engine. Genres = part brands; recs =
+  // the memoized r05 serving artifact (sixth consumer — no pipeline
+  // re-run); users whose recs list is empty score tv = 0.5·2 → their
+  // full history mass is uncovered, exactly what the audit should say.
+  // Scale: brand dim broadcasts onto history and recs scans; one
+  // (user, brand)-keyed full-outer merge + one user-keyed agg.
+  def r29(s: SparkSession, d: String): DataFrame = {
+    val brands = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val hist = Ratings.implicitRatings(s, d)
+      .filter(col("user_id") < 50).select("user_id", "item_id").distinct()
+    val h = hist.join(broadcast(brands), col("item_id") === col("p_partkey"))
+      .groupBy(col("user_id"), col("p_brand")).agg(count(lit(1)).as("h_g"))
+    val hTot = h.groupBy("user_id").agg(sum(col("h_g")).as("h_tot"))
+    val r = r05Recs(s, d).filter(col("rank") <= 5)
+      .join(broadcast(brands), col("rec_item") === col("p_partkey"))
+      .groupBy(col("user_id"), col("p_brand")).agg(count(lit(1)).as("r_g"))
+    h.join(r, Seq("user_id", "p_brand"), "full_outer")
+      .na.fill(0L, Seq("h_g", "r_g"))
+      .join(hTot, Seq("user_id"))
+      .groupBy(col("user_id"), col("h_tot"))
+      .agg(sum(abs(col("h_g") * 5 - col("h_tot") * col("r_g")))
+        .cast("long").as("tv_scaled"))
+      .select(col("user_id"), col("h_tot"), col("tv_scaled"),
+        (col("tv_scaled").cast("double") / (col("h_tot") * 10)).as("tv"))
+      .orderBy("user_id")
+  }
+
+  val r29Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |hist AS (SELECT DISTINCT user_id, item_id FROM ratings WHERE user_id < 50),
+       |oi AS (${Ratings.sqlOrderItems}),
+       |co AS (
+       |  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS cnt
+       |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |recs AS (
+       |  SELECT user_id, rec_item FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 5),
+       |h AS (SELECT user_id, p_brand, count(*) AS h_g
+       |      FROM hist JOIN part ON item_id = p_partkey GROUP BY 1, 2),
+       |htot AS (SELECT user_id, sum(h_g)::BIGINT AS h_tot FROM h GROUP BY 1),
+       |r AS (SELECT user_id, p_brand, count(*) AS r_g
+       |      FROM recs JOIN part ON rec_item = p_partkey GROUP BY 1, 2),
+       |j AS (
+       |  SELECT coalesce(h.user_id, r.user_id) AS user_id,
+       |    coalesce(h.p_brand, r.p_brand) AS p_brand,
+       |    coalesce(h_g, 0) AS h_g, coalesce(r_g, 0) AS r_g
+       |  FROM h FULL OUTER JOIN r
+       |    ON h.user_id = r.user_id AND h.p_brand = r.p_brand)
+       |SELECT j.user_id, h_tot,
+       |  sum(abs(5 * h_g - h_tot * r_g))::BIGINT AS tv_scaled,
+       |  CAST(sum(abs(5 * h_g - h_tot * r_g)) AS DOUBLE) / (10 * h_tot) AS tv
+       |FROM j JOIN htot ON j.user_id = htot.user_id
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r29_calibration" -> (r29 _),
     "r28_decayed_popularity" -> (r28 _),
     "r27_next_basket" -> (r27 _),
     "r26_user_knn" -> (r26 _),
@@ -1771,6 +1847,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r29_calibration" -> r29Sql,
     "r28_decayed_popularity" -> r28Sql,
     "r27_next_basket" -> r27Sql,
     "r26_user_knn" -> r26Sql,

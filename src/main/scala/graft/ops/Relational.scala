@@ -1404,7 +1404,57 @@ object Relational {
       |  max(ien - ist)::BIGINT AS longest_us
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q52: WEIGHTED MEDIAN per group — the robust-statistics aggregate
+  // (median price weighted by traded quantity: "the price at which
+  // half the VOLUME cleared", not half the line items). No engine has
+  // it built in; the distributed form is the textbook two-window
+  // rewrite: collapse to (group, value) weight sums, one group-keyed
+  // cumulative window over value order, pick the smallest value whose
+  // cumulative weight reaches half the total (2·cum ≥ total — integer
+  // comparison, no division). Quantities are integral doubles → exact
+  // longs; the median PRICE is selected, never arithmetically mixed,
+  // so no float math enters the gate at all.
+  // Scale: one (group,value) agg shuffle + one group-keyed window
+  // sharing the same exchange; groups are the parallel unit — the
+  // q24 exact-percentile shape without interpolation.
+  def q52(s: SparkSession, d: String): DataFrame = {
+    val byVal = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "price")
+      .agg(sum(col("qty")).as("w"))
+    val cumW = Window.partitionBy("l_returnflag").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("l_returnflag")
+    byVal
+      .withColumn("cw", sum(col("w")).over(cumW))
+      .withColumn("tw", sum(col("w")).over(totW))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min(col("price")).as("w_median"),
+        min(col("tw")).cast("long").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  val q52Sql: String =
+    """WITH byval AS (
+      |  SELECT l_returnflag, l_extendedprice AS price,
+      |    sum(CAST(l_quantity AS BIGINT)) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, price,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cw,
+      |    sum(w) OVER (PARTITION BY l_returnflag)::BIGINT AS tw
+      |  FROM byval)
+      |SELECT l_returnflag, min(price) AS w_median,
+      |  min(tw)::BIGINT AS total_weight
+      |FROM cum WHERE cw * 2 >= tw
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_weighted_median" -> (q52 _),
     "q51_interval_merge" -> (q51 _),
     "q50_sliding_distinct" -> (q50 _),
     "q49_outliers" -> (q49 _),
@@ -1458,6 +1508,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q52_weighted_median" -> q52Sql,
     "q51_interval_merge" -> q51Sql,
     "q50_sliding_distinct" -> q50Sql,
     "q49_outliers" -> q49Sql,

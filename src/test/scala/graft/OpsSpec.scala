@@ -1037,6 +1037,21 @@ class OpsSpec extends SparkSpec {
       s"top-50 src0 fraction ${topSrc0 / 50.0} not above corpus share $share")
   }
 
+  test("g08: modularity terms are a partition quality score, degrees conserved") {
+    val rows = ops.Graph.g08(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m2 = rows.map(_.getAs[Long]("deg_sum")).sum // Σ deg_c = 2m
+    assert(m2 > 0)
+    val q = rows.map(_.getAs[Double]("q_term")).sum
+    assert(q > -0.5 && q <= 1.0, s"modularity $q outside its proven range")
+    assert(rows.exists(_.getAs[Long]("intra") > 0L),
+      "no community holds any internal edge — propagation produced noise")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("intra") <= r.getAs[Long]("deg_sum"),
+        "a community has more internal edge-ends than total edge-ends")
+    }
+  }
+
   test("g07: synchronous LPA conserves nodes and coarsens the graph") {
     val comm = ops.Graph.g07(spark, sf).collect()
     assert(comm.nonEmpty)

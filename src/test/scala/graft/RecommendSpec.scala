@@ -278,4 +278,20 @@ class RecommendSpec extends SparkSpec {
       assert(ranks.length <= 5)
     }
   }
+
+  test("r29: calibration TV is a distance in [0,1] and covered users beat uncovered") {
+    val rows = ops.Recommend.r29(spark, sf).collect()
+    assert(rows.length == 50, "every cohort user must be audited")
+    rows.foreach { r =>
+      val tv = r.getAs[Double]("tv")
+      assert(tv >= 0.0 && tv <= 1.0, s"tv out of range: $tv")
+      // tv == tv_scaled / (10 * h_tot) exactly
+      assert(tv == r.getAs[Long]("tv_scaled").toDouble /
+        (10.0 * r.getAs[Long]("h_tot")))
+    }
+    // a user with any recs at all has tv < 1 (some mass overlaps or
+    // at minimum the metric stays a proper distance); non-vacuity:
+    // distributions differ somewhere
+    assert(rows.exists(_.getAs[Double]("tv") > 0.0), "all users perfectly calibrated — vacuous")
+  }
 }

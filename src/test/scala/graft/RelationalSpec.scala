@@ -196,4 +196,23 @@ class RelationalSpec extends SparkSpec {
       assert(weekly(day) <= allUsers, s"$day: distinct count exceeds universe")
     }
   }
+
+  test("q52: the weighted median satisfies the exact characterization") {
+    val med = ops.Relational.q52(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("w_median"), r.getAs[Long]("total_weight"))).toMap
+    assert(med.nonEmpty)
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    med.foreach { case (flag, (m, tw)) =>
+      val grp = rows.filter(_._1 == flag)
+      assert(grp.map(_._3).sum == tw)
+      val below = grp.filter(_._2 < m).map(_._3).sum
+      val atOrBelow = grp.filter(_._2 <= m).map(_._3).sum
+      assert(below * 2 < tw, s"$flag: weight below median reaches half")
+      assert(atOrBelow * 2 >= tw, s"$flag: median does not cover half the weight")
+    }
+  }
 }
