@@ -1815,7 +1815,101 @@ object Recommend {
        |FROM j JOIN htot ON j.user_id = htot.user_id
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r30: RECIPROCAL-RANK-FUSION serving (Cormack et al. — the
+  // standard way production retrieval blends heterogeneous rankers
+  // without score calibration): fuse the personalized co-occurrence
+  // ranking (the memoized r05 artifact, ranks 1-10) with the
+  // popularity ranking (global head re-ranked per user after
+  // seen-item exclusion), score = Σ 1/(60+rank). The RRF terms are
+  // EXACT INTEGER units — 10⁹ div (60+rank) — so fusion is integer
+  // addition, immune to float-sum ordering, and the top-5 pick is a
+  // total order (score desc, item).
+  // Scale: ranker A is cached; ranker B broadcasts a 30-item
+  // popularity head against the cohort (never ranks the catalog);
+  // the fuse is one (user,item)-keyed outer merge + one user-keyed
+  // WindowGroupLimit top-5.
+  def r30(s: SparkSession, d: String): DataFrame = {
+    val recsA = r05Recs(s, d).filter(col("rank") <= 10)
+      .select(col("user_id"), col("rec_item").as("item"),
+        col("rank").as("rank_a"))
+    val pop = Ratings.implicitRatings(s, d)
+      .select("user_id", "item_id").distinct()
+      .groupBy(col("item_id").as("item")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item")).limit(30)
+    val hist = Ratings.implicitRatings(s, d)
+      .filter(col("user_id") < 50).select("user_id", "item_id").distinct()
+    val wB = Window.partitionBy("user_id")
+      .orderBy(col("n_users").desc, col("item"))
+    val recsB = hist.select("user_id").distinct()
+      .crossJoin(broadcast(pop))
+      .join(hist.withColumnRenamed("item_id", "item"),
+        Seq("user_id", "item"), "left_anti")
+      .withColumn("rank_b", row_number().over(wB))
+      .filter(col("rank_b") <= 10)
+      .select("user_id", "item", "rank_b")
+    val wF = Window.partitionBy("user_id")
+      .orderBy(col("score_units").desc, col("item"))
+    recsA.join(recsB, Seq("user_id", "item"), "full_outer")
+      .withColumn("score_units",
+        coalesce(expr("1000000000 div (60 + rank_a)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + rank_b)"), lit(0L)))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 5)
+      .select("user_id", "item", "score_units", "rank")
+      .orderBy("user_id", "rank")
+  }
+
+  val r30Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |hist AS (SELECT DISTINCT user_id, item_id FROM ratings WHERE user_id < 50),
+       |oi AS (${Ratings.sqlOrderItems}),
+       |co AS (
+       |  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS cnt
+       |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |recs_a AS (
+       |  SELECT user_id, rec_item AS item, rank AS rank_a FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 10),
+       |pop AS (
+       |  SELECT item_id AS item, count(*) AS n_users
+       |  FROM (SELECT DISTINCT user_id, item_id FROM ratings)
+       |  GROUP BY 1 ORDER BY n_users DESC, item LIMIT 30),
+       |recs_b AS (
+       |  SELECT user_id, item, rank_b FROM (
+       |    SELECT u.user_id, p.item,
+       |      row_number() OVER (PARTITION BY u.user_id
+       |                         ORDER BY p.n_users DESC, p.item) AS rank_b
+       |    FROM (SELECT DISTINCT user_id FROM hist) u CROSS JOIN pop p
+       |    WHERE NOT EXISTS (SELECT 1 FROM hist h
+       |                      WHERE h.user_id = u.user_id AND h.item_id = p.item))
+       |  WHERE rank_b <= 10),
+       |fused AS (
+       |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       |    coalesce(a.item, b.item) AS item,
+       |    coalesce(1000000000 // (60 + rank_a), 0) +
+       |      coalesce(1000000000 // (60 + rank_b), 0) AS score_units
+       |  FROM recs_a a FULL OUTER JOIN recs_b b
+       |    ON a.user_id = b.user_id AND a.item = b.item)
+       |SELECT user_id, item, score_units::BIGINT AS score_units, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |                               ORDER BY score_units DESC, item) AS rank
+       |  FROM fused)
+       |WHERE rank <= 5 ORDER BY user_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r30_rank_fusion" -> (r30 _),
     "r29_calibration" -> (r29 _),
     "r28_decayed_popularity" -> (r28 _),
     "r27_next_basket" -> (r27 _),
@@ -1847,6 +1941,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r30_rank_fusion" -> r30Sql,
     "r29_calibration" -> r29Sql,
     "r28_decayed_popularity" -> r28Sql,
     "r27_next_basket" -> r27Sql,

@@ -1331,7 +1331,59 @@ object Similarity {
        |  WHERE a.vec_id < 12)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // s15: CONTRASTIVE-PAIR MINING (hard negatives) — the training-data
+  // op behind every embedding model: per anchor, the closest
+  // SAME-label vector is the positive and the closest DIFFERENT-label
+  // vectors are the hard negatives (the near-misses that actually
+  // move the loss; random negatives are trivial). One bounded anchor
+  // panel × one corpus scan (the s01 shape) with the codegen cosine
+  // kernel; ranking is a (query, kind)-keyed window — WindowGroupLimit
+  // bounds the sort, and at 100 TB the panel side broadcasts while
+  // the corpus streams map-side, exactly s01's scale story. 4dp
+  // rounding + nn_id tiebreak keep the pick cross-engine exact.
+  def s15(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val probe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"),
+        col("label").as("ql"))
+    val pairs = broadcast(probe)
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+        col("label").as("nl")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("kind", when(col("ql") === col("nl"), "pos").otherwise("neg"))
+    val w = Window.partitionBy("query_id", "kind")
+      .orderBy(col("cos").desc, col("nn_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter((col("kind") === "pos" && col("rank") <= 1) ||
+        (col("kind") === "neg" && col("rank") <= 3))
+      .select("query_id", "kind", "rank", "nn_id", "cos")
+      .orderBy("query_id", "kind", "rank")
+  }
+
+  val s15Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |                  label
+       |           FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    CASE WHEN a.label = b.label THEN 'pos' ELSE 'neg' END AS kind
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 10),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id, kind
+       |    ORDER BY cos DESC, nn_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, kind, rank, nn_id, cos FROM ranked
+       |WHERE (kind = 'pos' AND rank <= 1) OR (kind = 'neg' AND rank <= 3)
+       |ORDER BY query_id, kind, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_hard_negatives" -> (s15 _),
     "s14_filtered_knn" -> (s14 _),
     "s13_maxsim" -> (s13 _),
     "s12_range_search" -> (s12 _),
@@ -1348,6 +1400,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s15_hard_negatives" -> s15Sql,
     "s14_filtered_knn" -> s14Sql,
     "s13_maxsim" -> s13Sql,
     "s12_range_search" -> s12Sql,

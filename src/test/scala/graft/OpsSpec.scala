@@ -1037,6 +1037,27 @@ class OpsSpec extends SparkSpec {
       s"top-50 src0 fraction ${topSrc0 / 50.0} not above corpus share $share")
   }
 
+  test("s15: positives share the anchor's label, negatives never do") {
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = ops.Similarity.s15(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = labels(r.getAs[Long]("query_id"))
+      val n = labels(r.getAs[Long]("nn_id"))
+      if (r.getAs[String]("kind") == "pos") assert(n == q, "positive crosses labels")
+      else assert(n != q, "negative shares the anchor's label")
+    }
+    // per anchor: exactly one positive, negatives ranked contiguously
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.count(_.getAs[String]("kind") == "pos") == 1)
+      val negRanks = rs.filter(_.getAs[String]("kind") == "neg")
+        .map(_.getAs[Int]("rank")).sorted
+      assert(negRanks.sameElements(1 to negRanks.length))
+    }
+  }
+
   test("g08: modularity terms are a partition quality score, degrees conserved") {
     val rows = ops.Graph.g08(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -279,6 +279,24 @@ class RecommendSpec extends SparkSpec {
     }
   }
 
+  test("r30: RRF scores are exact integer units inside the dual-source bounds") {
+    val rows = ops.Recommend.r30(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val unit = (r: Int) => 1000000000L / (60 + r)
+    rows.foreach { r =>
+      val sc = r.getAs[Long]("score_units")
+      // one source at worst rank 10 .. both sources at rank 1
+      assert(sc >= unit(10) && sc <= 2 * unit(1), s"score out of bounds: $sc")
+    }
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to ranks.length) && ranks.length <= 5)
+      // fused order is non-increasing in score
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score_units"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("r29: calibration TV is a distance in [0,1] and covered users beat uncovered") {
     val rows = ops.Recommend.r29(spark, sf).collect()
     assert(rows.length == 50, "every cohort user must be audited")
