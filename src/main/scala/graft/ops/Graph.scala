@@ -339,18 +339,23 @@ object Graph {
   private val CORE_MIN_ORDERS = 3
   private val CORE_ROUNDS = 50
 
-  /** Strong-tie undirected edge list (both directions). */
+  /** Strong-tie undirected edge list (both directions). Both
+    * orientations come out of ONE explode over the aggregated ties —
+    * a union of two projections would duplicate the whole
+    * join+aggregate subtree in every consumer's plan (Spark has no
+    * common-subtree reuse), doubling the g05/g07/g08 edge build. */
   private def strongEdges(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-    val st = l.join(o, l("l_orderkey") === o("o_orderkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_custkey").as("c"),
         (col("l_suppkey") + SUPPLIER_OFFSET).as("sn"))
       .agg(countDistinct("o_orderkey").as("n_ord"))
       .filter(col("n_ord") >= CORE_MIN_ORDERS)
-      .select("c", "sn")
-    st.select(col("c").as("src"), col("sn").as("dst"))
-      .union(st.select(col("sn").as("src"), col("c").as("dst")))
+      .select(explode(array(
+        struct(col("c").as("src"), col("sn").as("dst")),
+        struct(col("sn").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   private[graft] def kcoreNodes(s: SparkSession, d: String): DataFrame = {
@@ -574,18 +579,22 @@ object Graph {
   // broadcast. One edge scan + three keyed aggs — nothing quadratic.
   def g08(s: SparkSession, d: String): DataFrame = {
     val lab = lpaLabels(s, d)
-    val e2 = strongEdges(s, d)
+    // ONE pass over the labeled edge list: deg_sum and intra share
+    // the same keyed agg (a conditional count, not a second subtree),
+    // and 2m re-derives from the tiny per-label stats — the corpus
+    // subtree appears exactly once in the plan (the round-6 rule:
+    // no query re-executes its own pipeline three times).
+    val stats = strongEdges(s, d)
       .join(broadcast(lab.select(col("node").as("src"), col("label").as("ls"))),
         Seq("src"))
       .join(broadcast(lab.select(col("node").as("dst"), col("label").as("ld"))),
         Seq("dst"))
-    val m2 = e2.agg(count(lit(1)).as("m2"))
+      .groupBy(col("ls").as("label"))
+      .agg(count(lit(1)).as("deg_sum"),
+        count(when(col("ls") === col("ld"), lit(1))).as("intra"))
+    val m2 = stats.agg(sum(col("deg_sum")).cast("long").as("m2"))
     val nn = lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
-    val degs = e2.groupBy(col("ls").as("label")).agg(count(lit(1)).as("deg_sum"))
-    val intra = e2.filter(col("ls") === col("ld"))
-      .groupBy(col("ls").as("label")).agg(count(lit(1)).as("intra"))
-    nn.join(degs, Seq("label"), "left")
-      .join(intra, Seq("label"), "left")
+    nn.join(stats, Seq("label"), "left")
       .na.fill(0L, Seq("deg_sum", "intra"))
       .crossJoin(broadcast(m2))
       .select(col("label"), col("n_nodes"), col("intra"), col("deg_sum"),
