@@ -976,7 +976,90 @@ object IoOps {
       |FROM v_old FULL OUTER JOIN v_new USING (k)
       |GROUP BY 1 ORDER BY class""".stripMargin
 
+  // i19: OPTIMISTIC-CONCURRENCY COMMIT (the Delta/Iceberg writer
+  // protocol): two writers read the same snapshot and both try to
+  // commit version v+1; the commit primitive is an ATOMIC
+  // create-if-absent of the version's manifest file, so exactly one
+  // wins and the loser must re-read the new latest, re-validate
+  // (append-only changes always commute), and commit v+2 — never
+  // blind-overwrite, never lost update. Both writers here run the
+  // REAL primitive (CREATE_NEW on the manifest path; the loser's
+  // attempt genuinely throws) with deterministic win order so the
+  // gate can pin the outcome: the final snapshot must hold base +
+  // BOTH appends and exactly 3 committed versions — a lost update or
+  // double-commit hash-fails the rollup.
+  // Scale: commits are metadata-sized (a manifest of file paths);
+  // data files land once and are never rewritten — the whole race is
+  // on a few-KB object, exactly why OCC scales to thousands of
+  // concurrent writers in production lakes.
+  def i19(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i19_")
+    import java.nio.file.{Files => JFiles, Paths, StandardOpenOption}
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    def writeData(name: String, df: DataFrame): Seq[String] = {
+      df.write.parquet(s"$dir/data/$name")
+      parquetFiles(s, s"$dir/data/$name")
+    }
+    // the OCC primitive: atomically create manifests/v<N>; throws if
+    // another writer already committed that version
+    def tryCommit(v: Int, paths: Seq[String]): Boolean =
+      try {
+        JFiles.createDirectories(Paths.get(s"$dir/manifests"))
+        JFiles.write(Paths.get(s"$dir/manifests/v$v"),
+          paths.mkString("\n").getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW) // atomic create-if-absent
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def latest(): (Int, Seq[String]) = {
+      val vs = JFiles.list(Paths.get(s"$dir/manifests")).iterator()
+      var mx = 0
+      while (vs.hasNext) {
+        val n = vs.next().getFileName.toString
+        mx = math.max(mx, n.stripPrefix("v").toInt)
+      }
+      (mx, JFiles.readAllLines(Paths.get(s"$dir/manifests/v$mx"))
+        .toArray(Array.empty[String]).toSeq)
+    }
+    val base = writeData("base", orders.filter(col("o_orderdate") < "1996-01-01"))
+    require(tryCommit(1, base), "v1 must be uncontended")
+    // both writers snapshot v1, prepare disjoint appends
+    val (v0, snap0) = latest()
+    val addA = writeData("addA", orders.filter(
+      col("o_orderdate") >= "1996-01-01" && col("o_orderkey") % 2 === 0))
+    val addB = writeData("addB", orders.filter(
+      col("o_orderdate") >= "1996-01-01" && col("o_orderkey") % 2 =!= 0))
+    // writer A wins v2
+    require(tryCommit(v0 + 1, snap0 ++ addA), "writer A must win v2")
+    // writer B's attempt at the SAME version must lose...
+    val bFirstTry = tryCommit(v0 + 1, snap0 ++ addB)
+    // ...then rebase: re-read latest, re-validate (append-only
+    // commutes), commit the next version
+    var retries = 0
+    var committed = bFirstTry
+    while (!committed) {
+      retries += 1
+      val (vNow, snapNow) = latest()
+      committed = tryCommit(vNow + 1, snapNow ++ addB)
+    }
+    val (vFinal, files) = latest()
+    Io.readParquet(s, files)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).cast("long").as("sum_keys"))
+      .withColumn("final_version", lit(vFinal))
+      .withColumn("conflict_retries", lit(retries))
+      .orderBy("o_orderstatus")
+  }
+
+  val i19Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  sum(o_orderkey)::BIGINT AS sum_keys,
+      |  3 AS final_version, 1 AS conflict_retries
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i19_occ_commit" -> (i19 _),
     "i18_snapshot_diff" -> (i18 _),
     "i17_vacuum_orphans" -> (i17 _),
     "i16_stats_manifest" -> (i16 _),
@@ -997,6 +1080,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i19_occ_commit" -> i19Sql,
     "i18_snapshot_diff" -> i18Sql,
     "i17_vacuum_orphans" -> i17Sql,
     "i16_stats_manifest" -> i16Sql,

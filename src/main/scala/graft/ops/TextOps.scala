@@ -1124,7 +1124,53 @@ object TextOps {
        |CROSS JOIN totals
        |GROUP BY doc_id ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin
 
+  // t26: CCNet PERPLEXITY BUCKETING (Wenzek et al. 2020) — the
+  // head/middle/tail split every CommonCrawl-scale pipeline applies:
+  // per source, rank documents by LM score (t14's unigram
+  // cross-entropy — low = common/fluent, high = rare/noisy) and cut
+  // into ntile(3) buckets; head feeds training, tail gets dropped or
+  // re-filtered. Total order (xent, doc_id) makes the ntile cut
+  // cross-engine exact; per-bucket xent mass sums as DECIMAL(18,6)
+  // (the already-6dp-rounded doubles are exact decimals — order-
+  // independent), and the id-set checksum pins EXACTLY which docs
+  // landed in which bucket, the actual curation decision.
+  // Scale: t14's two keyed aggs + one source-keyed window + one
+  // rollup; the doc→source join is doc-keyed (bucketable), nothing
+  // global.
+  def t26(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("xent"), col("doc_id"))
+    t14(s, d).select(col("doc_id"), col("xent"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .withColumn("b", ntile(3).over(w))
+      .withColumn("bucket", when(col("b") === 1, "a_head")
+        .when(col("b") === 2, "b_middle").otherwise("c_tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("xent").cast("decimal(18,6)")).cast("double").as("xent_mass"),
+        sum(Hashing.hash56(concat_ws("#", lit("ccb"), col("doc_id"))))
+          .cast("decimal(38,0)").cast("string").as("ids_checksum"))
+      .orderBy("source", "bucket")
+  }
+
+  val t26Sql: String =
+    s"""WITH x AS ($t14Sql),
+       |b AS (
+       |  SELECT d.source, x.doc_id, x.xent,
+       |    ntile(3) OVER (PARTITION BY d.source
+       |                   ORDER BY x.xent, x.doc_id) AS b
+       |  FROM x JOIN documents d USING (doc_id))
+       |SELECT source,
+       |  CASE b WHEN 1 THEN 'a_head' WHEN 2 THEN 'b_middle'
+       |    ELSE 'c_tail' END AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CAST(xent AS DECIMAL(18,6))) AS DOUBLE) AS xent_mass,
+       |  sum(${Hashing.sqlHash56("'ccb#' || doc_id")})::DECIMAL(38,0)::VARCHAR
+       |    AS ids_checksum
+       |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_ccnet_buckets" -> (t26 _),
     "t25_dsir_weights" -> (t25 _),
     "t24_readability" -> (t24 _),
     "t23_ngram_decontam" -> (t23 _),
@@ -1152,6 +1198,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t26_ccnet_buckets" -> t26Sql,
     "t25_dsir_weights" -> t25Sql,
     "t24_readability" -> t24Sql,
     "t23_ngram_decontam" -> t23Sql,

@@ -194,6 +194,20 @@ class IoSpec extends SparkSpec {
       "post-vacuum lake row count diverged from the corpus")
   }
 
+  test("i19: OCC commit loses exactly one race, final snapshot holds both appends") {
+    val rows = ops.IoOps.i19(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("final_version") == 3,
+        "the rebased commit did not land as v3")
+      assert(r.getAs[Int]("conflict_retries") == 1,
+        "writer B's first commit should fail exactly once through CREATE_NEW")
+    }
+    val expect = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == expect,
+      "an append was lost or doubled across the contended commits")
+  }
+
   test("i18: the snapshot diff exercises all four classes and conserves keys") {
     val rows = ops.IoOps.i18(spark, sf).collect()
     val byClass = rows.map(r => r.getAs[String]("class") ->

@@ -1037,6 +1037,23 @@ class OpsSpec extends SparkSpec {
       s"top-50 src0 fraction ${topSrc0 / 50.0} not above corpus share $share")
   }
 
+  test("t26: CCNet buckets are balanced and perplexity-ordered per source") {
+    val rows = ops.TextOps.t26(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[String]("bucket")).sorted
+        .sameElements(Array("a_head", "b_middle", "c_tail")),
+        s"$src: a bucket is missing")
+      val sizes = rs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$src: ntile split unbalanced: ${sizes.toList}")
+      // mean xent must be non-decreasing head -> middle -> tail
+      val means = rs.sortBy(_.getAs[String]("bucket"))
+        .map(r => r.getAs[Double]("xent_mass") / r.getAs[Long]("n_docs"))
+      assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+        s"$src: bucket perplexity not monotone: ${means.toList}")
+    }
+  }
+
   test("s15: positives share the anchor's label, negatives never do") {
     val labels = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
