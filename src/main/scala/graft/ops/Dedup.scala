@@ -949,7 +949,113 @@ object Dedup {
        |WHERE n_docs > 1 ORDER BY keep_doc""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // d17: EXACT-SUBSTRING dedup (the ExactSubstr method of Lee et al.
+  // 2021, "Deduplicating Training Data Makes Language Models Better")
+  // — the span-level completion of the dedup family: d01/t04 drop
+  // whole-document copies, t21 dedups disjoint chunks, but the
+  // training-data finding is that REPEATED SPANS inside otherwise
+  // novel documents (licenses, navigation boilerplate, quoted blocks)
+  // should be CUT from every occurrence after the first. Here: every
+  // overlapping ES_K-token window is fingerprinted (56-bit hash of
+  // the joined tokens); the globally FIRST occurrence of a window
+  // (by (doc_id, pos) — deterministic total order) survives, every
+  // later occurrence marks its token span [pos, pos+ES_K) for
+  // removal; per doc the marked spans are merged with q51's
+  // gaps-and-islands one-window pass (overlapping windows of one
+  // repeated passage collapse to one island) and the survivor count
+  // is n_tokens − covered. The corpus has natural repeated passages
+  // (2k+ duplicated windows across ~47 docs at sf0.01 — measured),
+  // so the op is non-vacuous without planting.
+  // Scale: the window explode fans out ~n_tokens rows/doc, then TWO
+  // keyed shuffles — the occurrence window keyed by the near-uniform
+  // 56-bit window hash, and the island merge keyed by doc_id. No
+  // joins, no suffix array (the sequential ExactSubstr machinery),
+  // no driver state: this is the distributed form that survives
+  // 100 TB, with ES_K the knob trading recall for fan-out.
+  private val ES_K = 10
+
+  def d17(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.TextNorm.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") >= ES_K)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(sequence(lit(0), (col("n_tokens") - ES_K).cast("int")),
+          i => Hashing.hash56(concat_ws(" ", slice(col("toks"), i + 1, lit(ES_K))))))
+          .as(Seq("pos", "wh")))
+    val wOcc = w.partitionBy("wh").orderBy("doc_id", "pos")
+    val cut = wins
+      .withColumn("rn", row_number().over(wOcc))
+      .filter(col("rn") > 1) // first global occurrence survives
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("st"), (col("pos") + ES_K).cast("long").as("en"))
+    val wOrd = w.partitionBy("doc_id").orderBy("st", "en")
+    val wPrev = wOrd.rowsBetween(w.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(w.unboundedPreceding, w.currentRow)
+    cut
+      .withColumn("prev_max_en", max(col("en")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(max(col("n_tokens")).as("nt"), count(lit(1)).as("nw"),
+        min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy("doc_id")
+      .agg(max(col("nt")).as("n_tokens"),
+        sum(col("nw")).cast("long").as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("ien") - col("ist")).cast("long").as("n_cut_tokens"))
+      .withColumn("keep_frac",
+        round((col("n_tokens") - col("n_cut_tokens")).cast("double") /
+          col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  val d17Sql: String = {
+    val toks = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH toksd AS (SELECT doc_id, $toks AS t FROM documents),
+       |wins AS (
+       |  SELECT doc_id, len(t)::BIGINT AS n_tokens, i - 1 AS pos,
+       |    ${Hashing.sqlHash56(s"array_to_string(t[i:i+${ES_K - 1}], ' ')")} AS wh
+       |  FROM toksd, unnest(range(1, len(t) - ${ES_K - 2})) u(i)
+       |  WHERE len(t) >= $ES_K),
+       |ranked AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+       |  FROM wins),
+       |cut AS (
+       |  SELECT doc_id, n_tokens, pos::BIGINT AS st, (pos + $ES_K)::BIGINT AS en
+       |  FROM ranked WHERE rn > 1),
+       |flagged AS (
+       |  SELECT doc_id, n_tokens, st, en,
+       |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS new_island
+       |  FROM cut),
+       |islands AS (
+       |  SELECT doc_id, n_tokens, st, en,
+       |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM flagged),
+       |merged AS (
+       |  SELECT doc_id, island, max(n_tokens) AS nt, count(*) AS nw,
+       |    min(st) AS ist, max(en) AS ien
+       |  FROM islands GROUP BY 1, 2)
+       |SELECT doc_id, max(nt) AS n_tokens,
+       |  sum(nw)::BIGINT AS n_dup_windows,
+       |  count(*) AS n_spans,
+       |  sum(ien - ist)::BIGINT AS n_cut_tokens,
+       |  round((max(nt) - sum(ien - ist)) / max(nt), 6) AS keep_frac
+       |FROM merged GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_substr_dedup" -> (d17 _),
     "d16_bow_dedup" -> (d16 _),
     "d15_semantic_dedup" -> (d15 _),
     "d14_canonical_pick" -> (d14 _),
@@ -969,6 +1075,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d17_substr_dedup" -> d17Sql,
     "d16_bow_dedup" -> d16Sql,
     "d15_semantic_dedup" -> d15Sql,
     "d14_canonical_pick" -> d14Sql,

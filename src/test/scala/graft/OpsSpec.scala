@@ -817,6 +817,32 @@ class OpsSpec extends SparkSpec {
       "no reorder-only duplication caught — plants vacuous")
   }
 
+  test("d17: dup-window accounting exact; cut spans bounded by doc length") {
+    val rows = ops.Dedup.d17(spark, sf).collect()
+    assert(rows.nonEmpty, "no repeated spans found — op vacuous on this corpus")
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      val cut = r.getAs[Long]("n_cut_tokens")
+      // every cut span is at least one full window, spans never exceed the doc
+      assert(cut >= 10L && cut <= nt)
+      assert(r.getAs[Long]("n_spans") >= 1L)
+      assert(r.getAs[Long]("n_dup_windows") >= r.getAs[Long]("n_spans"))
+      assert(r.getAs[Double]("keep_frac") >= 0.0 && r.getAs[Double]("keep_frac") < 1.0)
+    }
+    // global accounting: cut occurrences = total windows − distinct windows
+    // (exactly one occurrence of each window hash survives)
+    import org.apache.spark.sql.functions._
+    val wins = Tables.documents(spark, sf)
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+      .filter(size(col("toks")) >= 10)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 10),
+        i => graft.functions.Hashing.hash56(concat_ws(" ",
+          slice(col("toks"), i + 1, lit(10)))))).as("wh"))
+    val total = wins.count()
+    val distinctW = wins.distinct().count()
+    assert(rows.map(_.getAs[Long]("n_dup_windows")).sum == total - distinctW)
+  }
+
   test("m09: token budget conserves and vision costs scale with patches") {
     val rows = ops.Multimodal.m09(spark, sf).collect()
     assert(rows.nonEmpty)
