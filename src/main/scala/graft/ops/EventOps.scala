@@ -1182,7 +1182,69 @@ object EventOps {
     batchPart.unionByName(streamPart).orderBy("hour_us", "event_type")
   }
 
+  // ------------------------------------------------------------------
+  // e27: TRENDING MOVERS report — per (props.k, day), today's event
+  // count against the trailing-7-day baseline, ranked by the rise
+  // ratio: the "what's suddenly hot" standing job behind trending
+  // topics / anomaly dashboards. A fixed burst THRESHOLD is the trap
+  // — at sf0.1 (~33 events/key/day) a 2× daily jump never occurs
+  // naturally (measured: zero), so a thresholded screen is vacuous
+  // exactly when the data grows; the report form ranks ALL scored
+  // (key, day) cells and keeps the top 20, non-vacuous at every
+  // scale. The ratio is EXACT INTEGER per-mille — (7000·cnt) div
+  // prev7 — so ranking is integer comparison, no float division
+  // drift; scoring requires a full 7-day baseline (rn > 7, prev7 >
+  // 0). Gaps are real zeros: each key's timeline densifies over its
+  // min..max day via sequence()+explode (q46's group-local spine —
+  // the parallel unit is the key count, never timeline length).
+  // Composes e05's JSON extraction (get_json_object, codegen'd).
+  // Scale: one (k,day)-keyed count agg, one per-key spine explode +
+  // left join, one k-partitioned window — every shuffle keyed by the
+  // ~|keys| domain, final TakeOrdered 20 (no global sort
+  // materialization).
+  def e27(s: SparkSession, d: String): DataFrame = {
+    val dc = Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        to_date(col("ts")).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("cnt"))
+    val spine = dc.groupBy("k")
+      .agg(min(col("day")).as("mind"), max(col("day")).as("maxd"))
+      .select(col("k"), explode(expr("sequence(mind, maxd, interval 1 day)")).as("day"))
+    val wOrd = Window.partitionBy("k").orderBy("day")
+    spine.join(dc, Seq("k", "day"), "left")
+      .select(col("k"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("prev7", sum(col("cnt")).over(wOrd.rowsBetween(-7, -1)))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") > 7 && col("prev7") > 0)
+      .select(col("k"), col("day"), col("cnt"), col("prev7"),
+        expr("(7000 * cnt) div prev7").as("ratio_pm"))
+      .orderBy(col("ratio_pm").desc, col("k"), col("day"))
+      .limit(20)
+  }
+
+  val e27Sql: String =
+    """WITH dc AS (
+      |  SELECT CAST(props->>'k' AS BIGINT) AS k, CAST(ts AS DATE) AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT k, unnest(generate_series(mind, maxd, INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT k, min(day) AS mind, max(day) AS maxd FROM dc GROUP BY 1)),
+      |dense AS (
+      |  SELECT s.k, s.day, coalesce(dc.cnt, 0)::BIGINT AS cnt
+      |  FROM spine s LEFT JOIN dc ON s.k = dc.k AND s.day = dc.day),
+      |wv AS (
+      |  SELECT k, day, cnt,
+      |    sum(cnt) OVER (PARTITION BY k ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS prev7,
+      |    row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+      |  FROM dense)
+      |SELECT k, day, cnt, prev7, (7000 * cnt) // prev7 AS ratio_pm
+      |FROM wv WHERE rn > 7 AND prev7 > 0
+      |ORDER BY ratio_pm DESC, k, day LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e27_trending" -> (e27 _),
     "e26_stream_backfill" -> (e26 _),
     "e25_lateness_profile" -> (e25 _),
     "e24_attribution" -> (e24 _),
@@ -1210,6 +1272,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e27_trending" -> e27Sql,
     "e26_stream_backfill" -> e01Sql, // handoff union ≡ the pure-batch rollup
     "e25_lateness_profile" -> e25Sql,
     "e24_attribution" -> e24Sql,

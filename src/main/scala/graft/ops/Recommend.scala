@@ -1908,7 +1908,74 @@ object Recommend {
        |  FROM fused)
        |WHERE rank <= 5 ORDER BY user_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r31: EXPOSURE-INEQUALITY audit (long-tail / popularity-bias
+  // health): the Gini coefficient of recommendation exposure across
+  // the WHOLE catalog (never-served items count as zero — the tail a
+  // bestseller-loop recommender starves), plus the top-1% exposure
+  // share and the zero-exposure item count. r19 reports coverage and
+  // top-10 concentration; Gini is the standard single-number
+  // inequality summary next to them (fairness/diversity literature's
+  // headline metric). Computed EXACTLY: items ranked ascending by
+  // (exposure, item_id), G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) — every
+  // sum a bigint over integers (tie order cannot change Σ i·xᵢ:
+  // equal x makes the assignment of ranks within the tie group
+  // irrelevant), ONE closing IEEE division per metric, 6dp at the
+  // boundary. Ninth consumer of the memoized r05Recs artifact.
+  // Scale: the ranking window is GLOBAL but over the ITEM CATALOG —
+  // a dim-bounded diagnostic (items, not interactions; the e22
+  // day-domain class), after a keyed exposure agg + a broadcast-safe
+  // left join; the fact-sized work is one pass over the recs table.
+  def r31(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("x", "item_id")
+    val exposure = Ratings.implicitRatings(s, d)
+      .select(col("item_id")).distinct()
+      .join(r05Recs(s, d).filter(col("rank") <= 5)
+          .groupBy(col("rec_item").as("item_id"))
+          .agg(count(lit(1)).as("n_recs")),
+        Seq("item_id"), "left")
+      .select(col("item_id"), coalesce(col("n_recs"), lit(0L)).as("x"))
+    exposure
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("x")).cast("long").as("total_exposure"),
+        count(when(col("x") === 0, lit(1))).as("n_zero_exposure"),
+        sum(col("i") * col("x")).cast("long").as("rank_mass"),
+        sum(when(col("i") > col("n") - greatest(expr("n div 100"), lit(1L)),
+          col("x")).otherwise(lit(0L))).cast("long").as("top1pct_mass"))
+      .select(col("n_items"), col("total_exposure"), col("n_zero_exposure"),
+        round((lit(2.0) * col("rank_mass") -
+          (col("n_items") + 1).cast("double") * col("total_exposure")) /
+          (col("n_items").cast("double") * col("total_exposure")), 6).as("gini"),
+        round(col("top1pct_mass").cast("double") / col("total_exposure"), 6)
+          .as("top1pct_share"))
+  }
+
+  val r31Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |per_item AS (
+       |  SELECT rec_item AS item_id, count(*) AS n_recs
+       |  FROM ($r05Sql) GROUP BY 1),
+       |exposure AS (
+       |  SELECT c.item_id, coalesce(p.n_recs, 0)::BIGINT AS x
+       |  FROM (SELECT DISTINCT item_id FROM ratings) c
+       |  LEFT JOIN per_item p USING (item_id)),
+       |ranked AS (
+       |  SELECT x, row_number() OVER (ORDER BY x, item_id)::BIGINT AS i,
+       |    count(*) OVER ()::BIGINT AS n
+       |  FROM exposure)
+       |SELECT count(*) AS n_items,
+       |  sum(x)::BIGINT AS total_exposure,
+       |  count(CASE WHEN x = 0 THEN 1 END) AS n_zero_exposure,
+       |  round((2.0 * sum(i * x) - (count(*) + 1)::DOUBLE * sum(x)) /
+       |    (count(*)::DOUBLE * sum(x)), 6) AS gini,
+       |  round(sum(CASE WHEN i > n - greatest(n // 100, 1) THEN x ELSE 0 END)::DOUBLE
+       |    / sum(x), 6) AS top1pct_share
+       |FROM ranked""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r31_gini_exposure" -> (r31 _),
     "r30_rank_fusion" -> (r30 _),
     "r29_calibration" -> (r29 _),
     "r28_decayed_popularity" -> (r28 _),
@@ -1941,6 +2008,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r31_gini_exposure" -> r31Sql,
     "r30_rank_fusion" -> r30Sql,
     "r29_calibration" -> r29Sql,
     "r28_decayed_popularity" -> r28Sql,

@@ -1453,7 +1453,104 @@ object Relational {
       |FROM cum WHERE cw * 2 >= tw
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q53: MAD (median-absolute-deviation) robust outlier screen — the
+  // robust companion to q49's z-score monitor. q49 documents its own
+  // masking hazard: the planted ×10 anomalies inflate the
+  // contaminated mean/std, so a big outlier can hide a smaller one.
+  // Median and MAD have a 50% breakdown point — the same plants leave
+  // them untouched — so the modified z-score rz = 0.6745·(x−med)/MAD
+  // (Iglewicz–Hoberg) has ZERO false positives on the uniform
+  // naturals (natural |rz| tops out ≈1.35 < 3.5) and catches every
+  // plant whose inflated value actually leaves the natural range —
+  // no plant can mask another (a plant landing INSIDE the natural
+  // range is invisible to any screen; RelationalSpec pins both
+  // properties). Both medians are exact
+  // VALUE SELECTIONS (q52's discipline: smallest value with
+  // 2·cum ≥ n — integer comparison, never interpolation), and rz is
+  // one fixed-order IEEE expression on identical doubles — bit-exact
+  // cross-engine with a 4dp round only at the boundary.
+  // Scale: per-median work is a (segment, value) pre-agg + one
+  // segment-keyed cumulative window (both shuffles keyed by segment /
+  // near-uniform value), med/MAD are 5-row broadcast dims back onto
+  // the fact scan — flagging is map-side, the q49 shape with two
+  // extra tiny windows. Facts re-derive per stage (orders scan ×3);
+  // at 100 TB the facts table is the cached artifact.
+  private def q53Facts(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"))
+    val seg = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+        (col("o_totalprice").cast("double") *
+          when(col("o_orderkey") % 500 === 0, 10).otherwise(1)).as("x"))
+  }
+
+  /** Exact lower median of `valueCol` per segment (q52 selection with
+    * unit weights): smallest value whose cumulative count doubles past
+    * the total. */
+  private def q53Median(facts: DataFrame, valueCol: String, out: String): DataFrame = {
+    val cumW = Window.partitionBy("segment").orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("segment")
+    facts.groupBy(col("segment"), col(valueCol))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("cw", sum(col("w")).over(cumW))
+      .withColumn("tw", sum(col("w")).over(totW))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("segment")
+      .agg(min(col(valueCol)).as(out))
+  }
+
+  def q53(s: SparkSession, d: String): DataFrame = {
+    val facts = q53Facts(s, d)
+    val med = q53Median(facts, "x", "med")
+    val mad = q53Median(
+      facts.join(broadcast(med), Seq("segment"))
+        .select(col("segment"), abs(col("x") - col("med")).as("ad")),
+      "ad", "mad")
+    facts.join(broadcast(med), Seq("segment"))
+      .join(broadcast(mad), Seq("segment"))
+      .withColumn("rz",
+        round(lit(0.6745) * (col("x") - col("med")) / col("mad"), 4))
+      .filter(abs(col("rz")) > 3.5)
+      .select("o_orderkey", "segment", "x", "med", "mad", "rz")
+      .orderBy("o_orderkey")
+  }
+
+  val q53Sql: String =
+    """WITH facts AS (
+      |  SELECT o_orderkey, c_mktsegment AS segment,
+      |    CAST(o_totalprice AS DOUBLE) *
+      |      (CASE WHEN o_orderkey % 500 = 0 THEN 10 ELSE 1 END) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |medc AS (
+      |  SELECT segment, x,
+      |    sum(cnt) OVER (PARTITION BY segment ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(cnt) OVER (PARTITION BY segment) AS tw
+      |  FROM (SELECT segment, x, count(*) AS cnt FROM facts GROUP BY 1, 2)),
+      |med AS (SELECT segment, min(x) AS med FROM medc
+      |        WHERE cw * 2 >= tw GROUP BY 1),
+      |devs AS (
+      |  SELECT f.segment, abs(f.x - m.med) AS ad
+      |  FROM facts f JOIN med m USING (segment)),
+      |madc AS (
+      |  SELECT segment, ad,
+      |    sum(cnt) OVER (PARTITION BY segment ORDER BY ad
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(cnt) OVER (PARTITION BY segment) AS tw
+      |  FROM (SELECT segment, ad, count(*) AS cnt FROM devs GROUP BY 1, 2)),
+      |mad AS (SELECT segment, min(ad) AS mad FROM madc
+      |        WHERE cw * 2 >= tw GROUP BY 1)
+      |SELECT o_orderkey, segment, x, med, mad,
+      |  round(0.6745 * (x - med) / mad, 4) AS rz
+      |FROM facts JOIN med USING (segment) JOIN mad USING (segment)
+      |WHERE abs(round(0.6745 * (x - med) / mad, 4)) > 3.5
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_mad_outliers" -> (q53 _),
     "q52_weighted_median" -> (q52 _),
     "q51_interval_merge" -> (q51 _),
     "q50_sliding_distinct" -> (q50 _),
@@ -1508,6 +1605,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q53_mad_outliers" -> q53Sql,
     "q52_weighted_median" -> q52Sql,
     "q51_interval_merge" -> q51Sql,
     "q50_sliding_distinct" -> q50Sql,

@@ -318,6 +318,19 @@ class OpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("e27: report is ratio-dominant — no excluded cell out-ranks an included one") {
+    val rows = ops.EventOps.e27(spark, sf).collect()
+    assert(rows.length == 20)
+    val ratios = rows.map(_.getAs[Long]("ratio_pm"))
+    assert(ratios.sameElements(ratios.sortBy(-_)), "report not rank-ordered")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("prev7") > 0L)
+      // ratio is the exact integer per-mille of cnt vs trailing mean
+      assert(r.getAs[Long]("ratio_pm") ==
+        7000L * r.getAs[Long]("cnt") / r.getAs[Long]("prev7"))
+    }
+  }
+
   test("e22 day-partitioned sweep equals a driver-side global sweep") {
     val got = ops.EventOps.e22(spark, sf).collect()
       .map(r => r.getAs[Long]("day") -> r.getAs[Long]("peak")).toMap

@@ -297,6 +297,31 @@ class RecommendSpec extends SparkSpec {
     }
   }
 
+  test("r31: gini matches a driver-side recompute and bounds hold") {
+    val r = ops.Recommend.r31(spark, sf).collect().head
+    val n = r.getAs[Long]("n_items")
+    val tot = r.getAs[Long]("total_exposure")
+    val gini = r.getAs[Double]("gini")
+    assert(gini >= 0.0 && gini < 1.0)
+    // with zero-exposure items in the population, share conservation:
+    assert(r.getAs[Long]("n_zero_exposure") < n)
+    assert(r.getAs[Double]("top1pct_share") > 0.0 &&
+      r.getAs[Double]("top1pct_share") <= 1.0)
+    // driver-side recompute from the raw artifact (dim-bounded)
+    val counts = ops.Recommend.r05(spark, sf).groupBy("rec_item")
+      .count().collect().map(x => x.getAs[Long]("rec_item") -> x.getAs[Long]("count")).toMap
+    val catalog = graft.etl.Ratings.implicitRatings(spark, sf)
+      .select("item_id").distinct().collect().map(_.getAs[Long]("item_id"))
+    val xs = catalog.map(i => (counts.getOrElse(i, 0L), i)).sorted.map(_._1)
+    val nn = xs.length.toLong
+    val s1 = xs.sum
+    val rankMass = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val expect = BigDecimal((2.0 * rankMass - (nn + 1).toDouble * s1) /
+      (nn.toDouble * s1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(n == nn && tot == s1 && math.abs(gini - expect) < 1e-9,
+      s"gini $gini vs recompute $expect")
+  }
+
   test("r29: calibration TV is a distance in [0,1] and covered users beat uncovered") {
     val rows = ops.Recommend.r29(spark, sf).collect()
     assert(rows.length == 50, "every cohort user must be audited")

@@ -131,6 +131,37 @@ class RelationalSpec extends SparkSpec {
     assert(flagged.nonEmpty, "screen caught nothing")
   }
 
+  test("q53 MAD screen: zero false positives, every out-of-range plant caught") {
+    val flagged = ops.Relational.q53(spark, sf).collect()
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    val orders = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+        col("o_totalprice").cast("double").as("p")).collect()
+    val planted = orders.filter(_.getAs[Long]("o_orderkey") % 500 == 0)
+    assert(planted.nonEmpty, "no planted anomalies at this scale")
+    // zero false positives: median/MAD have a 50% breakdown point, so
+    // the plants cannot inflate the scale estimate the way they
+    // inflate q49's std
+    assert(flagged.subsetOf(planted.map(_.getAs[Long]("o_orderkey")).toSet),
+      s"false positives: ${(flagged -- planted.map(_.getAs[Long]("o_orderkey"))).take(5)}")
+    // robustness-to-masking: a plant whose ×10 value exceeds its
+    // segment's natural max CANNOT hide behind other plants (q49's
+    // documented failure mode) — all such plants must be flagged.
+    // (A plant whose ×10 value lands inside the natural range is
+    // legitimately invisible to any outlier screen.)
+    val natMax = orders.filter(_.getAs[Long]("o_orderkey") % 500 != 0)
+      .groupBy(_.getAs[String]("seg"))
+      .map { case (s2, rs) => s2 -> rs.map(_.getAs[Double]("p")).max }
+    val mustCatch = planted.filter(r =>
+      r.getAs[Double]("p") * 10 > natMax(r.getAs[String]("seg")))
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    assert(mustCatch.nonEmpty, "no out-of-range plants at this scale")
+    assert(mustCatch.subsetOf(flagged),
+      s"masked plants missed: ${(mustCatch -- flagged).take(5)}")
+  }
+
   test("q46 gap fill densifies the timeline and carries values forward") {
     val rows = ops.Relational.q46(spark, sf).collect()
     assert(rows.nonEmpty)
