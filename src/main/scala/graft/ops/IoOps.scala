@@ -1058,7 +1058,80 @@ object IoOps {
       |  3 AS final_version, 1 AS conflict_retries
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i20: INCREMENTAL READ between snapshots — the consumption twin of
+  // i14's versioning and i18's row diff: a downstream consumer (the
+  // "streaming from a table" mechanic — Delta/Iceberg incremental
+  // scan) checkpoints the last manifest version it processed and each
+  // run reads ONLY the files the new manifest added (manifest set
+  // difference — METADATA-sized planning, no row diffing, no re-scan
+  // of history). Three append waves land as v1..v3; the consumer
+  // processes inc(v) = files(v) ∖ files(v−1) and the gate rolls up
+  // each increment — a re-read file (dupes) or a skipped file (loss)
+  // flips the hash, and the oracle reproduces the waves as date-range
+  // rollups. IoSpec pins the conservation law: increments are
+  // pairwise DISJOINT file sets whose union is exactly snapshot v3,
+  // and their row totals rebuild the full table. Scale: each
+  // consumer run's input is proportional to the DELTA, not the
+  // table — the property that makes a standing downstream job
+  // affordable on a 100 TB lake.
+  def i20(s: SparkSession, d: String): DataFrame = i20WithFiles(s, d)._1
+
+  /** (gated per-increment rollup, the per-increment file lists) — the
+    * file lists pin disjointness + coverage in IoSpec. */
+  def i20WithFiles(s: SparkSession, d: String): (DataFrame, Seq[Seq[String]]) = {
+    val dir = tmpDir("graft_i20_")
+    import s.implicits._
+    try {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      def wave(n: Int, dfw: DataFrame): Seq[String] = {
+        dfw.repartition(2).write.parquet(s"$dir/data/w$n")
+        parquetFiles(s, s"$dir/data/w$n")
+      }
+      val w1 = wave(1, orders.filter(col("o_orderdate") < "1995-01-01"))
+      val w2 = wave(2, orders.filter(
+        col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01"))
+      val w3 = wave(3, orders.filter(col("o_orderdate") >= "1996-01-01"))
+      def writeManifest(v: Int, paths: Seq[String]): Unit =
+        paths.toDF("path").coalesce(1).write.parquet(s"$dir/manifests/v$v")
+      writeManifest(1, w1)
+      writeManifest(2, w1 ++ w2)
+      writeManifest(3, w1 ++ w2 ++ w3)
+      def manifestPaths(v: Int): Set[String] =
+        s.read.parquet(s"$dir/manifests/v$v").collect().map(_.getString(0)).toSet
+      // the incremental consumer: per version, plan ONLY the delta
+      val incFiles = (1 to 3).map { v =>
+        val prev = if (v == 1) Set.empty[String] else manifestPaths(v - 1)
+        (manifestPaths(v) -- prev).toSeq.sorted
+      }
+      val out = incFiles.zipWithIndex.map { case (files, i) =>
+        s.read.parquet(files: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            sum("o_orderkey").cast("long").as("sum_keys"))
+          .select(lit(i + 1).as("version"), col("n_rows"), col("sum_keys"))
+      }.reduce(_.union(_)).orderBy("version").localCheckpoint()
+      (out, incFiles)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i20Sql: String =
+    """SELECT 1 AS version, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+      |FROM orders WHERE o_orderdate < DATE '1995-01-01'
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
+      |WHERE o_orderdate >= DATE '1996-01-01'
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i20_incremental_read" -> (i20 _),
     "i19_occ_commit" -> (i19 _),
     "i18_snapshot_diff" -> (i18 _),
     "i17_vacuum_orphans" -> (i17 _),
@@ -1080,6 +1153,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i20_incremental_read" -> i20Sql,
     "i19_occ_commit" -> i19Sql,
     "i18_snapshot_diff" -> i18Sql,
     "i17_vacuum_orphans" -> i17Sql,

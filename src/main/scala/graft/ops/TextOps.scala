@@ -1169,7 +1169,62 @@ object TextOps {
        |    AS ids_checksum
        |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
 
+  // ------------------------------------------------------------------
+  // t27: ENCODING-DAMAGE (mojibake) screen — the byte-hygiene filter
+  // every web-crawl pipeline runs before tokenization (bad decodes
+  // poison vocabularies and blow up token counts): three damage
+  // classes per doc — U+FFFD replacement chars (a decoder already
+  // gave up), the Ã-lead double-encoded-UTF-8 signature (bytes of a
+  // UTF-8 'é' re-read as Latin-1: "Ã©" — the classic mojibake), and
+  // C0 control chars outside \t\n\r (binary bleeding into text).
+  // The corpus is clean ASCII (measured: zero natural hits), so
+  // damage is PLANTED deterministically from doc_id (the t17
+  // discipline: doc_id%43 ∈ {0,1,2} picks the class) and the flagged
+  // set is exactly the planted set — pinned in OpsSpec per class.
+  // Patterns stay in the byte-class regex subset where Java regex
+  // and RE2 agree. Pure per-row map stage, zero shuffles before the
+  // tiny flagged-set sort — at 100 TB this runs inside the ingest
+  // scan for free.
+  private val mojiPlant = "\u00c3\u00a9\u00c3\u00a8" // C3-lead pairs (e-acute/e-grave double-encoded)
+  private val replPlant = "\ufffd\ufffd"
+  private val ctlPlant = "\u0007"
+
+  def t27(s: SparkSession, d: String): DataFrame = {
+    val damaged = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 43 === 0, concat(col("text"), lit(" " + mojiPlant)))
+        .when(col("doc_id") % 43 === 1, concat(col("text"), lit(" " + replPlant)))
+        .when(col("doc_id") % 43 === 2, concat(col("text"), lit(" x" + ctlPlant + "y")))
+        .otherwise(col("text")).as("text"))
+    damaged
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\ufffd")).cast("long").as("n_repl"),
+        regexp_count(col("text"), lit("\u00c3.")).cast("long").as("n_moji"),
+        regexp_count(col("text"), lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+          .cast("long").as("n_ctl"))
+      .filter(col("n_repl") + col("n_moji") + col("n_ctl") > 0)
+      .orderBy("doc_id")
+  }
+
+  val t27Sql: String =
+    """WITH damaged AS (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN doc_id % 43 = 0 THEN text || ' ' || chr(195) || chr(169) || chr(195) || chr(168)
+      |      WHEN doc_id % 43 = 1 THEN text || ' ' || chr(65533) || chr(65533)
+      |      WHEN doc_id % 43 = 2 THEN text || ' x' || chr(7) || 'y'
+      |      ELSE text END AS text
+      |  FROM documents),
+      |counted AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, chr(65533)))::BIGINT AS n_repl,
+      |    len(regexp_extract_all(text, chr(195) || '.'))::BIGINT AS n_moji,
+      |    len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))::BIGINT AS n_ctl
+      |  FROM damaged)
+      |SELECT doc_id, n_repl, n_moji, n_ctl FROM counted
+      |WHERE n_repl + n_moji + n_ctl > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_mojibake" -> (t27 _),
     "t26_ccnet_buckets" -> (t26 _),
     "t25_dsir_weights" -> (t25 _),
     "t24_readability" -> (t24 _),
@@ -1198,6 +1253,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t27_mojibake" -> t27Sql,
     "t26_ccnet_buckets" -> t26Sql,
     "t25_dsir_weights" -> t25Sql,
     "t24_readability" -> t24Sql,

@@ -194,6 +194,21 @@ class IoSpec extends SparkSpec {
       "post-vacuum lake row count diverged from the corpus")
   }
 
+  test("i20: increments are disjoint file sets that rebuild the full table") {
+    val (df, incFiles) = ops.IoOps.i20WithFiles(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    // pairwise disjoint: no file is ever processed twice
+    val sets = incFiles.map(_.toSet)
+    for (i <- sets.indices; j <- sets.indices if i < j)
+      assert(sets(i).intersect(sets(j)).isEmpty,
+        s"file re-processed across increments $i/$j")
+    assert(sets.forall(_.nonEmpty), "an empty increment — wave vacuous")
+    // conservation: incremental row totals rebuild the full table
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables.orders(spark, sf).count())
+  }
+
   test("i19: OCC commit loses exactly one race, final snapshot holds both appends") {
     val rows = ops.IoOps.i19(spark, sf).collect()
     assert(rows.nonEmpty)

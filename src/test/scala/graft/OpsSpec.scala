@@ -318,6 +318,24 @@ class OpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("t27: flagged docs are exactly the planted set, each caught by its own class") {
+    val rows = ops.TextOps.t27(spark, sf).collect()
+    val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
+    val planted = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getAs[Long]("doc_id")).filter(_ % 43 <= 2).toSet
+    assert(planted.nonEmpty)
+    assert(flagged == planted,
+      s"missed ${(planted -- flagged).take(3)}, false ${(flagged -- planted).take(3)}")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      (id % 43) match {
+        case 0 => assert(r.getAs[Long]("n_moji") > 0 && r.getAs[Long]("n_repl") == 0)
+        case 1 => assert(r.getAs[Long]("n_repl") > 0 && r.getAs[Long]("n_ctl") == 0)
+        case 2 => assert(r.getAs[Long]("n_ctl") > 0 && r.getAs[Long]("n_moji") == 0)
+      }
+    }
+  }
+
   test("e27: report is ratio-dominant — no excluded cell out-ranks an included one") {
     val rows = ops.EventOps.e27(spark, sf).collect()
     assert(rows.length == 20)
