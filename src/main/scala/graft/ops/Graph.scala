@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -624,7 +624,64 @@ object Graph {
        |FROM nn LEFT JOIN degs USING (label) LEFT JOIN intra USING (label)
        |CROSS JOIN m2t ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------------------
+  // g09: DEGREE ASSORTATIVITY (Newman 2002) — do well-connected nodes
+  // link to other well-connected nodes (r>0, social-network shape) or
+  // to leaves (r<0, hub-and-spoke/technological shape)? The one-number
+  // mixing diagnostic every graph health report carries next to g02's
+  // clustering and g08's modularity. r = Pearson correlation of
+  // (deg(src), deg(dst)) over the DIRECTED symmetric edge list —
+  // computed with q40's exact-sufficient-statistics discipline:
+  // degrees are integers, all six sums accumulate as DECIMAL(38,0)
+  // (exact, reduction-order-independent — n·Σxy already brushes 10^18
+  // at sf0.1, past what bigint affords at 100×), and the closed form
+  // is ONE fixed-order double expression rounded 6dp. Scale: one
+  // degree agg + two broadcast joins of the node-sized degree dim
+  // onto one edge scan + a map-side partial agg — no edge×edge work.
+  def g09(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    e.join(broadcast(deg.select(col("node").as("src"), col("dg").as("dx"))), Seq("src"))
+      .join(broadcast(deg.select(col("node").as("dst"), col("dg").as("dy"))), Seq("dst"))
+      .agg(count(lit(1)).as("n_directed"),
+        sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+        sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+        sum(dec(col("dy")) * dec(col("dy"))).as("syy"),
+        sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+      .select(
+        expr("n_directed div 2").as("n_edges"),
+        round((col("n_directed").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n_directed").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n_directed").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
+  }
+
+  val g09Sql: String =
+    s"""WITH $sqlEdges,
+       |dgr AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY 1),
+       |j AS (
+       |  SELECT e.src, e.dst, a.dg AS dx, b.dg AS dy
+       |  FROM edges e JOIN dgr a ON e.src = a.node JOIN dgr b ON e.dst = b.node),
+       |stats AS (
+       |  SELECT count(*) AS n_directed,
+       |    sum(dx::DECIMAL(38,0)) AS sx, sum(dy::DECIMAL(38,0)) AS sy,
+       |    sum(dx::DECIMAL(38,0) * dx::DECIMAL(38,0)) AS sxx,
+       |    sum(dy::DECIMAL(38,0) * dy::DECIMAL(38,0)) AS syy,
+       |    sum(dx::DECIMAL(38,0) * dy::DECIMAL(38,0)) AS sxy
+       |  FROM j)
+       |SELECT n_directed // 2 AS n_edges,
+       |  round((n_directed::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+       |    sqrt((n_directed::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+       |         (n_directed::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+       |    AS assortativity
+       |FROM stats""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g09_assortativity" -> (g09 _),
     "g08_modularity" -> (g08 _),
     "g07_label_prop" -> (g07 _),
     "g06_link_predict" -> (g06 _),
@@ -635,6 +692,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g09_assortativity" -> g09Sql,
     "g08_modularity" -> g08Sql,
     "g07_label_prop" -> g07Sql,
     "g06_link_predict" -> g06Sql,

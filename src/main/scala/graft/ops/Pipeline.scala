@@ -421,7 +421,112 @@ object Pipeline {
        |  sum(hkey)::DECIMAL(38,0)::VARCHAR AS ids_checksum
        |FROM t GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p06: DATA CARD — the per-source dataset report every published
+  // corpus ships (Datasheets for Datasets / data cards): volume,
+  // language mix (count + argmax language with a pinned tie rule),
+  // token mass, mean quality, duplicate exposure, and median length,
+  // one row per source. Every number reuses a gated operator's
+  // formula (t01 tokens, t02 quality, t03's lang domain, t04's
+  // fingerprint, q52's median selection) so the report is checkable
+  // end-to-end — the card IS the pipeline's health dashboard, not a
+  // new metric. Determinism discipline: mean quality sums the
+  // 6dp-rounded per-doc qualities as DECIMAL(18,6) (exact,
+  // order-independent — t14's rule) with ONE closing division;
+  // median_chars is an exact value selection (2·cum ≥ n), never
+  // interpolated; top_lang ties break to the smallest lang string.
+  // Scale: doc-level features are map-side on one corpus scan; the
+  // shuffles are all keyed — fp (dup exposure), (source, lang),
+  // source (median + final rollup). Nothing pairwise, nothing global.
+  def p06(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val wFp = Window.partitionBy("fp")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.5, 6))
+      .withColumn("fp_grp", count(lit(1)).over(wFp))
+    // exact lower median of n_chars per source (q52 selection)
+    val wCum = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("source")
+    val med = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("w"))
+      .withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("tw", sum(col("w")).over(wTot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("source").agg(min(col("n_chars")).as("median_chars"))
+    // argmax language with tie → smallest lang
+    val wLang = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang"))
+    val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wLang))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(col("quality").cast("decimal(18,6)")).as("qsum"),
+        count(when(col("fp_grp") > 1, lit(1))).as("dup_docs"))
+      .join(topLang, Seq("source"))
+      .join(med, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+        col("total_tokens"),
+        round(col("qsum").cast("double") / col("n_docs"), 6).as("mean_quality"),
+        col("dup_docs"), col("median_chars"))
+      .orderBy("source")
+  }
+
+  val p06Sql: String = {
+    val toks = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH feat AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    len($toks) AS n_tokens,
+       |    len(list_filter($toks, t -> list_contains($stopList, t))) AS n_stop,
+       |    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+       |  FROM documents),
+       |docs AS (
+       |  SELECT *,
+       |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
+       |      (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6) AS quality,
+       |    count(*) OVER (PARTITION BY fp) AS fp_grp
+       |  FROM feat),
+       |med AS (
+       |  SELECT source, min(n_chars) AS median_chars FROM (
+       |    SELECT source, n_chars,
+       |      sum(w) OVER (PARTITION BY source ORDER BY n_chars
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+       |      sum(w) OVER (PARTITION BY source) AS tw
+       |    FROM (SELECT source, n_chars, count(*) AS w FROM docs GROUP BY 1, 2))
+       |  WHERE cw * 2 >= tw GROUP BY 1),
+       |toplang AS (
+       |  SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY count(*) DESC, lang) AS rn
+       |    FROM docs GROUP BY 1, 2)
+       |  WHERE rn = 1),
+       |card AS (
+       |  SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    sum(quality::DECIMAL(18,6)) AS qsum,
+       |    count(CASE WHEN fp_grp > 1 THEN 1 END) AS dup_docs
+       |  FROM docs GROUP BY 1)
+       |SELECT c.source, n_docs, n_langs, top_lang, total_tokens,
+       |  round(qsum::DOUBLE / n_docs, 6) AS mean_quality,
+       |  dup_docs, median_chars
+       |FROM card c JOIN toplang USING (source) JOIN med USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p06_datacard" -> (p06 _),
     "p01_curation_funnel" -> (p01 _),
     "p02_incremental_ingest" -> (p02 _),
     "p03_domain_mix" -> (p03 _),
@@ -429,6 +534,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p06_datacard" -> p06Sql,
     "p01_curation_funnel" -> p01Sql,
     "p02_incremental_ingest" -> p02Sql,
     "p03_domain_mix" -> p03Sql,

@@ -318,6 +318,45 @@ class OpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("g09: assortativity matches a driver-side recompute and is a correlation") {
+    val r = ops.Graph.g09(spark, sf).collect().head
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+    // driver-side recompute from raw tables (graph is dim-bounded at gate SF)
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val pairs = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .collect().map(x => (o(x.getLong(0)), x.getLong(1) + 1000000L)).distinct
+    val edges = pairs.flatMap(p => Seq(p, p.swap))
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val xs = edges.map(e => (deg(e._1), deg(e._2)))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+    val sxx = xs.map(v => v._1.toDouble * v._1).sum
+    val syy = xs.map(v => v._2.toDouble * v._2).sum
+    val sxy = xs.map(v => v._1.toDouble * v._2).sum
+    val expect = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(a - expect) < 1e-4, s"$a vs $expect")
+    assert(r.getAs[Long]("n_edges") == pairs.length.toLong)
+  }
+
+  test("p06: data card tallies agree with the gated operators it summarizes") {
+    val rows = ops.Pipeline.p06(spark, sf).collect()
+    val corpus = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus.count())
+    // dup exposure consistent with t04's fingerprint groups
+    val dupTotal = ops.TextOps.t04(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("n_docs") > 1)
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("dup_docs")).sum == dupTotal)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_quality") > 0.0 &&
+        r.getAs[Double]("mean_quality") <= 1.0)
+      assert(r.getAs[Long]("n_langs") >= 1L)
+    }
+  }
+
   test("t27: flagged docs are exactly the planted set, each caught by its own class") {
     val rows = ops.TextOps.t27(spark, sf).collect()
     val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
