@@ -1130,7 +1130,120 @@ object IoOps {
       |WHERE o_orderdate >= DATE '1996-01-01'
       |ORDER BY version""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i21: WRITE-AUDIT-PUBLISH (the Iceberg WAP / Delta-constraints /
+  // DLT-expectations governance pattern): a writer never mutates the
+  // readable table — it STAGES files, runs the audit expectations on
+  // the staged READ-BACK (what would be published, not what the plan
+  // claims), and only a passing audit swaps the manifest. Two staged
+  // batches: A is clean and publishes v2; B carries planted
+  // violations (every 7th orderkey's totalprice negated — the q49
+  // planting discipline) so its audit fails and the latest readable
+  // snapshot PROVABLY stays v2 — the gate reads it after the failed
+  // attempt, so a leaked bad row or a lost good row flips the hash.
+  // The audit booleans and violation counts are DATA-DERIVED on both
+  // sides (the oracle re-derives them from the same predicate), never
+  // literals. B's staged files stay on disk unreferenced — exactly
+  // the orphans i17's vacuum collects (pinned in IoSpec, with
+  // latest-manifest ≡ v2). Scale: audit cost is one scan of the
+  // STAGED DELTA, publish is a metadata-sized manifest write — the
+  // table itself is never re-validated or rewritten.
+  def i21(s: SparkSession, d: String): DataFrame = i21WithAudit(s, d)._1
+
+  /** (gated steps, audit A passed, audit B passed, latest manifest
+    * files, staged-B files still on disk) — for the IoSpec pins. */
+  def i21WithAudit(s: SparkSession, d: String)
+      : (DataFrame, Boolean, Boolean, Seq[String], Seq[String]) = {
+    val dir = tmpDir("graft_i21_")
+    import s.implicits._
+    try {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      orders.filter(col("o_orderdate") < "1996-01-01")
+        .write.parquet(s"$dir/data/base")
+      val base = parquetFiles(s, s"$dir/data/base")
+      def writeManifest(v: Int, paths: Seq[String]): Unit =
+        paths.toDF("path").coalesce(1).write.parquet(s"$dir/manifests/v$v")
+      writeManifest(1, base)
+      var latest = base
+      var version = 1
+      // stage A: clean append (1996 H1)
+      orders.filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1996-07-01")
+        .write.parquet(s"$dir/staging/a")
+      // stage B: the rest, with planted constraint violations
+      orders.filter(col("o_orderdate") >= "1996-07-01")
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        .write.parquet(s"$dir/staging/b")
+      // the audit runs on the staged READ-BACK — files, not plans
+      def audit(stage: String): (Long, Boolean) = {
+        val stg = Io.readParquet(s, parquetFiles(s, stage))
+        val viol = stg.filter(col("o_totalprice") <= 0 ||
+          col("o_orderkey").isNull).count()
+        (viol, viol == 0 && stg.count() > 0)
+      }
+      def tryPublish(stage: String): (Long, Boolean) = {
+        val (viol, ok) = audit(stage)
+        if (ok) {
+          latest = latest ++ parquetFiles(s, stage)
+          version += 1
+          writeManifest(version, latest)
+        }
+        (viol, ok)
+      }
+      val (violA, okA) = tryPublish(s"$dir/staging/a")
+      val (violB, okB) = tryPublish(s"$dir/staging/b")
+      // gate: the READABLE snapshot after each step (re-read through
+      // the latest manifest so a wrong publish cannot hide)
+      def snap(v: Int): DataFrame =
+        Io.readParquet(s,
+          s.read.parquet(s"$dir/manifests/v$v").collect().map(_.getString(0)).toSeq)
+      def step(n: Int, df: DataFrame, viol: Long, pub: Boolean): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum("o_orderkey").cast("long").as("sum_keys"))
+          .select(lit(n).as("step"), col("n_rows"), col("sum_keys"),
+            lit(viol).as("n_violations"), lit(pub).as("published"))
+      val out = step(1, snap(1), 0L, pub = true)
+        .union(step(2, snap(version), violA, okA))
+        .union(step(3, snap(version), violB, okB))
+        .orderBy("step").localCheckpoint()
+      (out, okA, okB, latest, parquetFiles(s, s"$dir/staging/b"))
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i21Sql: String =
+    """WITH v2 AS (
+      |  SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+      |  FROM orders WHERE o_orderdate < DATE '1996-07-01')
+      |SELECT 1 AS step, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(0 AS BIGINT) AS n_violations, true AS published
+      |FROM orders WHERE o_orderdate < DATE '1996-01-01'
+      |UNION ALL
+      |SELECT 2, n_rows, sum_keys,
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_orderdate >= DATE '1996-01-01'
+      |     AND o_orderdate < DATE '1996-07-01' AND o_totalprice <= 0),
+      |  true
+      |FROM v2
+      |UNION ALL
+      |SELECT 3, n_rows, sum_keys,
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_orderdate >= DATE '1996-07-01'
+      |     AND (o_orderkey % 7 = 0 OR o_totalprice <= 0)),
+      |  NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_orderdate >= DATE '1996-07-01'
+      |      AND (o_orderkey % 7 = 0 OR o_totalprice <= 0))
+      |FROM v2
+      |ORDER BY step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i21_wap_publish" -> (i21 _),
     "i20_incremental_read" -> (i20 _),
     "i19_occ_commit" -> (i19 _),
     "i18_snapshot_diff" -> (i18 _),
@@ -1153,6 +1266,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i21_wap_publish" -> i21Sql,
     "i20_incremental_read" -> i20Sql,
     "i19_occ_commit" -> i19Sql,
     "i18_snapshot_diff" -> i18Sql,

@@ -1974,7 +1974,161 @@ object Recommend {
        |    / sum(x), 6) AS top1pct_share
        |FROM ranked""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r32: INTERLEAVED ranker comparison (balanced interleaving,
+  // Joachims/Radlinski — how production search/recsys A/B-tests two
+  // rankers within one result list instead of across user buckets):
+  // ranker A = the r12-protocol CF recs (the memoized evalRecs
+  // artifact), ranker B = train-popularity with seen-items excluded
+  // (r22's data-derived head rule). Per user a COIN (user_id % 2)
+  // decides priority; A's rank-r item lands at position 2r−1+coin,
+  // B's at 2r−coin (disjoint parities — a shared item can never tie
+  // for a slot), duplicates collapse to their earliest position and
+  // the OWNING team keeps the slot; the top-6 slots are "displayed".
+  // Clicks are the held-out TEST interactions (the same protocol as
+  // r12/r17/r20); each clicked slot credits its owning team, per-user
+  // winner = more credited clicks, output = the global scoreboard.
+  // Everything is integer arithmetic on deterministic ranks — exact
+  // cross-engine. Scale: two bounded per-user lists (≤5 each) →
+  // interleave/dedup/credit are (user)-keyed windows over ≤10 rows
+  // per user; the only corpus-sized work is the artifacts both
+  // rankers already share.
+  def r32(s: SparkSession, d: String): DataFrame = {
+    val oi = taggedInteractions(s, d)
+    val uiTrain = oi.filter(!col("is_test"))
+      .select("user_id", "item_id").distinct()
+    val histTrain = uiTrain.filter(col("user_id") < 100)
+    val recsA = evalRecs(s, d)
+      .select(col("user_id"), col("rec_item").as("item_id"),
+        col("rank").cast("long").as("rnk"), lit(0L).as("team"))
+    // data-derived head size (r22's rule): enough that every panel
+    // user still has >= 5 unseen head items
+    val headN = histTrain.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("m"))
+      .collect()(0).getLong(0).toInt + 10
+    val head = uiTrain.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+      .agg(graft.functions.TopKAgg.topK(
+        col("cnt").cast("double"), col("item_id"), headN).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("long").as("prank"), col("e.id").as("item_id"))
+    val panel = recsA.select("user_id").distinct()
+    val wB = Window.partitionBy("user_id").orderBy("prank")
+    val recsB = panel.crossJoin(broadcast(head))
+      .join(histTrain, Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rnk", row_number().over(wB).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("user_id"), col("item_id"), col("rnk"), lit(1L).as("team"))
+    val coin = (col("user_id") % 2).cast("long")
+    val slots = recsA
+      .select(col("user_id"), col("item_id"), col("team"),
+        (lit(2L) * col("rnk") - 1 + coin).as("pos"))
+      .union(recsB.select(col("user_id"), col("item_id"), col("team"),
+        (lit(2L) * col("rnk") - coin).as("pos")))
+    val wDed = Window.partitionBy("user_id", "item_id").orderBy("pos")
+    val wDisp = Window.partitionBy("user_id").orderBy("pos")
+    val display = slots
+      .withColumn("dr", row_number().over(wDed)).filter(col("dr") === 1)
+      .withColumn("slot", row_number().over(wDisp)).filter(col("slot") <= 6)
+    val histTest = oi.filter(col("is_test") && col("user_id") < 100)
+      .select("user_id", "item_id").distinct()
+      .withColumn("clicked", lit(1L))
+    display.join(histTest, Seq("user_id", "item_id"), "left")
+      .groupBy("user_id")
+      .agg(sum(when(col("clicked") === 1 && col("team") === 0, 1L)
+          .otherwise(0L)).as("ca"),
+        sum(when(col("clicked") === 1 && col("team") === 1, 1L)
+          .otherwise(0L)).as("cb"))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("ca") > col("cb"), lit(1))).as("wins_cf"),
+        count(when(col("cb") > col("ca"), lit(1))).as("wins_pop"),
+        count(when(col("ca") === col("cb"), lit(1))).as("ties"),
+        sum(col("ca")).cast("long").as("clicks_cf"),
+        sum(col("cb")).cast("long").as("clicks_pop"))
+  }
+
+  val r32Sql: String = {
+    val split = Split.sqlIsTest(Seq("user_id", "item_id"))
+    s"""WITH oi AS (
+       |  SELECT DISTINCT l_orderkey AS ok, o_custkey AS user_id,
+       |    l_partkey AS item_id
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |tagged AS (SELECT *, $split AS is_test FROM oi),
+       |train AS (SELECT * FROM tagged WHERE NOT is_test),
+       |ui_train AS (SELECT DISTINCT user_id, item_id FROM train),
+       |hist_train AS (SELECT * FROM ui_train WHERE user_id < 100),
+       |co AS (
+       |  SELECT a.item_id AS i, b.item_id AS j, count(*) AS cnt
+       |  FROM train a JOIN train b
+       |    ON a.ok = b.ok AND a.item_id <> b.item_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist_train h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist_train h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |recsa AS (
+       |  SELECT user_id, rec_item AS item_id, rank AS rnk, 0 AS team FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 5),
+       |head_n AS (
+       |  SELECT coalesce(max(c), 0) + 10 AS n FROM (
+       |    SELECT count(*) AS c FROM hist_train GROUP BY user_id)),
+       |head AS (
+       |  SELECT item_id, prank FROM (
+       |    SELECT item_id, row_number() OVER (ORDER BY cnt DESC, item_id) AS prank
+       |    FROM (SELECT item_id, count(*) AS cnt FROM ui_train GROUP BY 1))
+       |  WHERE prank <= (SELECT n FROM head_n)),
+       |panel AS (SELECT DISTINCT user_id FROM recsa),
+       |recsb AS (
+       |  SELECT user_id, item_id, rnk, 1 AS team FROM (
+       |    SELECT p.user_id, h.item_id,
+       |      row_number() OVER (PARTITION BY p.user_id ORDER BY h.prank) AS rnk
+       |    FROM panel p CROSS JOIN head h
+       |    WHERE NOT EXISTS (SELECT 1 FROM hist_train t
+       |      WHERE t.user_id = p.user_id AND t.item_id = h.item_id))
+       |  WHERE rnk <= 5),
+       |slots AS (
+       |  SELECT user_id, item_id, team,
+       |    2 * rnk - 1 + user_id % 2 AS pos FROM recsa
+       |  UNION ALL
+       |  SELECT user_id, item_id, team,
+       |    2 * rnk - user_id % 2 AS pos FROM recsb),
+       |display AS (
+       |  SELECT user_id, item_id, team, pos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY pos) AS slot
+       |    FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY user_id, item_id
+       |        ORDER BY pos) AS dr FROM slots)
+       |    WHERE dr = 1)
+       |  WHERE slot <= 6),
+       |hist_test AS (
+       |  SELECT DISTINCT user_id, item_id FROM tagged
+       |  WHERE is_test AND user_id < 100),
+       |per_user AS (
+       |  SELECT d.user_id,
+       |    count(CASE WHEN t.item_id IS NOT NULL AND d.team = 0 THEN 1 END) AS ca,
+       |    count(CASE WHEN t.item_id IS NOT NULL AND d.team = 1 THEN 1 END) AS cb
+       |  FROM display d
+       |  LEFT JOIN hist_test t
+       |    ON d.user_id = t.user_id AND d.item_id = t.item_id
+       |  GROUP BY 1)
+       |SELECT count(*) AS n_users,
+       |  count(CASE WHEN ca > cb THEN 1 END) AS wins_cf,
+       |  count(CASE WHEN cb > ca THEN 1 END) AS wins_pop,
+       |  count(CASE WHEN ca = cb THEN 1 END) AS ties,
+       |  sum(ca)::BIGINT AS clicks_cf,
+       |  sum(cb)::BIGINT AS clicks_pop
+       |FROM per_user""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r32_interleaving" -> (r32 _),
     "r31_gini_exposure" -> (r31 _),
     "r30_rank_fusion" -> (r30 _),
     "r29_calibration" -> (r29 _),
@@ -2008,6 +2162,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r32_interleaving" -> r32Sql,
     "r31_gini_exposure" -> r31Sql,
     "r30_rank_fusion" -> r30Sql,
     "r29_calibration" -> r29Sql,

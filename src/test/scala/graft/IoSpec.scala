@@ -209,6 +209,22 @@ class IoSpec extends SparkSpec {
     assert(total == Tables.orders(spark, sf).count())
   }
 
+  test("i21: failed audit never publishes; bad staging stays orphaned on disk") {
+    val (df, okA, okB, latestManifest, stagedB) = ops.IoOps.i21WithAudit(spark, sf)
+    val rows = df.collect()
+    assert(okA && !okB, s"audits: A=$okA B=$okB")
+    // the failed attempt left the readable snapshot identical to v2
+    val s2 = rows.find(_.getAs[Int]("step") == 2).get
+    val s3 = rows.find(_.getAs[Int]("step") == 3).get
+    assert(s2.getAs[Long]("n_rows") == s3.getAs[Long]("n_rows") &&
+      s2.getAs[Long]("sum_keys") == s3.getAs[Long]("sum_keys"))
+    assert(s3.getAs[Long]("n_violations") > 0L, "plant vacuous")
+    // B's files were staged (exist) but are referenced by NO manifest
+    assert(stagedB.nonEmpty)
+    assert(stagedB.toSet.intersect(latestManifest.toSet).isEmpty,
+      "bad staging leaked into the published manifest")
+  }
+
   test("i19: OCC commit loses exactly one race, final snapshot holds both appends") {
     val rows = ops.IoOps.i19(spark, sf).collect()
     assert(rows.nonEmpty)

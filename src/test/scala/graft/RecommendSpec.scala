@@ -297,6 +297,18 @@ class RecommendSpec extends SparkSpec {
     }
   }
 
+  test("r32: scoreboard conserves users and both rankers draw real clicks") {
+    val r = ops.Recommend.r32(spark, sf).collect().head
+    val n = r.getAs[Long]("n_users")
+    assert(n > 0)
+    assert(r.getAs[Long]("wins_cf") + r.getAs[Long]("wins_pop") +
+      r.getAs[Long]("ties") == n)
+    // non-vacuity: the comparison only means something if clicks land
+    // on BOTH rankers' displayed slots somewhere in the panel
+    assert(r.getAs[Long]("clicks_cf") > 0L, "CF never clicked — eval vacuous")
+    assert(r.getAs[Long]("clicks_pop") > 0L, "popularity never clicked — eval vacuous")
+  }
+
   test("r31: gini matches a driver-side recompute and bounds hold") {
     val r = ops.Recommend.r31(spark, sf).collect().head
     val n = r.getAs[Long]("n_items")
