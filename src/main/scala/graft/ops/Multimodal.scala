@@ -476,7 +476,92 @@ object Multimodal {
        |FROM packed GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // m12: MODALITY ROUTER — the ingest front door of a mixed-media
+  // lake: blobs arrive untyped, the router sniffs MAGIC BYTES (the
+  // first uint32 word — how file(1)/tika decide, never trusting
+  // extensions), routes each detected modality through its own parse
+  // (m05's big-endian word reads: sample-rate-ish for RIFF, dims-ish
+  // for PNG, fps-ish for FTYP) and QUARANTINES what it cannot
+  // identify instead of crashing the pipeline on it. Containers are
+  // synthesized deterministically (doc_id%4 picks a 4-byte magic
+  // prepended to the payload; %4==3 gets none → unknown), but
+  // DETECTION runs on the constructed blob bytes in both engines —
+  // the oracle sniffs the same magic from the same hex, never peeks
+  // at doc_id — so a router bug (wrong magic constant, off-by-one
+  // substring) flips the hash. Pure map-side classify + one keyed
+  // 4-row rollup; at 100 TB this is the binaryFile scan plus free
+  // per-row work (i08's source feeds it).
+  private val MAGIC_RIFF = 0x52494646L // "RIFF"
+  private val MAGIC_PNG = 0x504e4758L  // "PNGX"
+  private val MAGIC_FTYP = 0x46545950L // "FTYP"
+
+  def m12(s: SparkSession, d: String): DataFrame = {
+    val blob = concat(
+      when(col("doc_id") % 4 === 0, encode(lit("RIFF"), "UTF-8"))
+        .when(col("doc_id") % 4 === 1, encode(lit("PNGX"), "UTF-8"))
+        .when(col("doc_id") % 4 === 2, encode(lit("FTYP"), "UTF-8"))
+        .otherwise(encode(lit(""), "UTF-8")),
+      col("payload"))
+    media(s, d)
+      .select(col("doc_id"), blob.as("blob"))
+      .select(col("doc_id"), length(col("blob")).as("blen"),
+        conv(hex(substring(col("blob"), 1, 4)), 16, 10).cast("long").as("magic"),
+        conv(hex(substring(col("blob"), 5, 4)), 16, 10).cast("long").as("word1"))
+      .select(col("doc_id"), col("blen"),
+        when(col("magic") === MAGIC_RIFF, lit("audio"))
+          .when(col("magic") === MAGIC_PNG, lit("image"))
+          .when(col("magic") === MAGIC_FTYP, lit("video"))
+          .otherwise(lit("unknown")).as("detected_type"),
+        col("word1"))
+      .groupBy("detected_type")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("blen")).cast("long").as("total_bytes"),
+        sum(when(col("detected_type") === "audio", col("word1") % 48000)
+          .when(col("detected_type") === "image", col("word1") % 4096)
+          .when(col("detected_type") === "video", col("word1") % 60)
+          .otherwise(lit(0L))).cast("long").as("meta_sum"))
+      .orderBy("detected_type")
+  }
+
+  val m12Sql: String =
+    s"""WITH blob AS (
+       |  SELECT doc_id,
+       |    hex(encode(CASE
+       |      WHEN doc_id % 4 = 0 THEN 'RIFF' || text
+       |      WHEN doc_id % 4 = 1 THEN 'PNGX' || text
+       |      WHEN doc_id % 4 = 2 THEN 'FTYP' || text
+       |      ELSE text END)) AS bh,
+       |    octet_length(encode(CASE
+       |      WHEN doc_id % 4 = 0 THEN 'RIFF' || text
+       |      WHEN doc_id % 4 = 1 THEN 'PNGX' || text
+       |      WHEN doc_id % 4 = 2 THEN 'FTYP' || text
+       |      ELSE text END)) AS blen
+       |  FROM documents),
+       |sniffed AS (
+       |  SELECT doc_id, blen,
+       |    ('0x' || substr(bh, 1, 8))::BIGINT AS magic,
+       |    ('0x' || substr(bh, 9, 8))::BIGINT AS word1
+       |  FROM blob),
+       |typed AS (
+       |  SELECT doc_id, blen, word1,
+       |    CASE magic
+       |      WHEN $MAGIC_RIFF THEN 'audio'
+       |      WHEN $MAGIC_PNG THEN 'image'
+       |      WHEN $MAGIC_FTYP THEN 'video'
+       |      ELSE 'unknown' END AS detected_type
+       |  FROM sniffed)
+       |SELECT detected_type, count(*) AS n_blobs,
+       |  CAST(sum(blen) AS BIGINT) AS total_bytes,
+       |  CAST(sum(CASE detected_type
+       |    WHEN 'audio' THEN word1 % 48000
+       |    WHEN 'image' THEN word1 % 4096
+       |    WHEN 'video' THEN word1 % 60
+       |    ELSE 0 END) AS BIGINT) AS meta_sum
+       |FROM typed GROUP BY 1 ORDER BY detected_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_modality_router" -> (m12 _),
     "m11_sequence_packing" -> (m11 _),
     "m10_phash_dedup" -> (m10 _),
     "m09_token_budget" -> (m09 _),
@@ -490,6 +575,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m12_modality_router" -> m12Sql,
     "m11_sequence_packing" -> m11Sql,
     "m10_phash_dedup" -> m10Sql,
     "m09_token_budget" -> m09Sql,

@@ -2127,7 +2127,97 @@ object Recommend {
        |FROM per_user""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // r33: IPS (inverse-propensity-scored) offline evaluation — the
+  // counterfactual-eval correction every offline recsys study needs:
+  // raw click-through over-credits popular items because the data was
+  // LOGGED under a popularity-shaped exposure policy; weighting each
+  // click by 1/propensity (propensity ∝ the item's train audience)
+  // recovers an estimate of how the ranker would do under uniform
+  // exposure (Horvitz–Thompson / the Joachims unbiased-LTR line).
+  // Weights are EXACT integers — w(i) = 10⁶ div audience(i) — so the
+  // IPS mass is a bigint sum immune to accumulation order; raw CTR
+  // and the debiased ips_ctr close with one rounded division each.
+  // Scores the memoized evalRecs artifact against the r12-protocol
+  // test clicks. Scale: recs ⋈ audience dim (broadcast-sized) ⋈
+  // test-clicks left join — all keyed, one pass over the bounded
+  // recs table.
+  def r33(s: SparkSession, d: String): DataFrame = {
+    val ipsScale = 1000000L
+    val oi = taggedInteractions(s, d)
+    val uiTrain = oi.filter(!col("is_test"))
+      .select("user_id", "item_id").distinct()
+    val pop = uiTrain.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+    val histTest = oi.filter(col("is_test") && col("user_id") < 100)
+      .select("user_id", "item_id").distinct()
+      .withColumn("clicked", lit(1L))
+    evalRecs(s, d)
+      .select(col("user_id"), col("rec_item").as("item_id"))
+      .join(broadcast(pop), Seq("item_id"))
+      .join(histTest, Seq("user_id", "item_id"), "left")
+      .agg(count(lit(1)).as("n_recs"),
+        count(col("clicked")).as("n_clicks"),
+        sum(when(col("clicked") === 1, expr(s"${ipsScale}L div cnt"))
+          .otherwise(lit(0L))).cast("long").as("ips_mass"))
+      .select(col("n_recs"), col("n_clicks"),
+        round(col("n_clicks").cast("double") / col("n_recs"), 6).as("raw_ctr"),
+        col("ips_mass"),
+        round(col("ips_mass").cast("double") /
+          (col("n_recs").cast("double") * ipsScale), 6).as("ips_ctr"))
+  }
+
+  val r33Sql: String = {
+    val split = Split.sqlIsTest(Seq("user_id", "item_id"))
+    s"""WITH oi AS (
+       |  SELECT DISTINCT l_orderkey AS ok, o_custkey AS user_id,
+       |    l_partkey AS item_id
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |tagged AS (SELECT *, $split AS is_test FROM oi),
+       |train AS (SELECT * FROM tagged WHERE NOT is_test),
+       |ui_train AS (SELECT DISTINCT user_id, item_id FROM train),
+       |hist_train AS (SELECT * FROM ui_train WHERE user_id < 100),
+       |co AS (
+       |  SELECT a.item_id AS i, b.item_id AS j, count(*) AS cnt
+       |  FROM train a JOIN train b
+       |    ON a.ok = b.ok AND a.item_id <> b.item_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist_train h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist_train h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |recsa AS (
+       |  SELECT user_id, rec_item AS item_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 5),
+       |pop AS (SELECT item_id, count(*) AS cnt FROM ui_train GROUP BY 1),
+       |hist_test AS (
+       |  SELECT DISTINCT user_id, item_id FROM tagged
+       |  WHERE is_test AND user_id < 100),
+       |j AS (
+       |  SELECT r.user_id, r.item_id, p.cnt,
+       |    CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS clicked
+       |  FROM recsa r
+       |  JOIN pop p ON r.item_id = p.item_id
+       |  LEFT JOIN hist_test t
+       |    ON r.user_id = t.user_id AND r.item_id = t.item_id)
+       |SELECT count(*) AS n_recs,
+       |  count(CASE WHEN clicked = 1 THEN 1 END) AS n_clicks,
+       |  round(count(CASE WHEN clicked = 1 THEN 1 END) / count(*), 6) AS raw_ctr,
+       |  CAST(sum(CASE WHEN clicked = 1 THEN 1000000 // cnt ELSE 0 END) AS BIGINT)
+       |    AS ips_mass,
+       |  round(CAST(sum(CASE WHEN clicked = 1 THEN 1000000 // cnt ELSE 0 END)
+       |      AS DOUBLE) / (count(*)::DOUBLE * 1000000), 6) AS ips_ctr
+       |FROM j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r33_ips_eval" -> (r33 _),
     "r32_interleaving" -> (r32 _),
     "r31_gini_exposure" -> (r31 _),
     "r30_rank_fusion" -> (r30 _),
@@ -2162,6 +2252,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r33_ips_eval" -> r33Sql,
     "r32_interleaving" -> r32Sql,
     "r31_gini_exposure" -> r31Sql,
     "r30_rank_fusion" -> r30Sql,

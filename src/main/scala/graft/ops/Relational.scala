@@ -1549,7 +1549,73 @@ object Relational {
       |WHERE abs(round(0.6745 * (x - med) / mad, 4)) > 3.5
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q54: NEAREST as-of join — the third direction of the as-of family
+  // (q21/q26 backward, q44 forward): for every signup, the click
+  // closest in time in EITHER direction, ties (equal distance) to the
+  // backward match — the sensor-alignment semantics (pair each
+  // reading with the nearest reference sample, pandas merge_asof
+  // direction='nearest'). Composed from TWO passes of the custom
+  // AsOfJoinExec (backward + forward, both left_outer so loners
+  // survive) merged by one event-keyed comparison — no inequality
+  // join, no per-left candidate scan; each pass is the exec's
+  // one-exchange-one-sort-per-side merge. The tie ladder is fully
+  // pinned (distance, then backward-over-forward, then greatest
+  // click id — the exec's rightTiebreak), so the oracle's direct
+  // formulation (rank all candidate clicks by the same ladder) must
+  // agree row-for-row, nulls included.
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("signup_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("click_us"))
+    val back = graft.plans.AsOf.join(su, c, "user_id", "c_user",
+        "signup_us", "click_us", joinType = "left_outer",
+        rightTiebreak = Some("click_id"))
+      .select(col("event_id"), col("user_id"), col("signup_us"),
+        col("click_id").as("b_id"), col("click_us").as("b_us"))
+    val fwd = graft.plans.AsOf.join(su, c, "user_id", "c_user",
+        "signup_us", "click_us", joinType = "left_outer",
+        direction = "forward", rightTiebreak = Some("click_id"))
+      .select(col("event_id").as("f_eid"),
+        col("click_id").as("f_id"), col("click_us").as("f_us"))
+    back.join(fwd, col("event_id") === col("f_eid"))
+      .withColumn("db", col("signup_us") - col("b_us"))
+      .withColumn("df", col("f_us") - col("signup_us"))
+      .withColumn("pick_b",
+        col("b_us").isNotNull && (col("f_us").isNull || col("db") <= col("df")))
+      .select(col("event_id"), col("user_id"), col("signup_us"),
+        when(col("pick_b"), col("b_id")).otherwise(col("f_id")).as("click_id"),
+        when(col("pick_b"), col("b_us")).otherwise(col("f_us")).as("click_us"),
+        when(col("pick_b"), col("db")).otherwise(col("df")).as("delta_us"),
+        when(col("pick_b"), lit("backward"))
+          .when(col("f_us").isNotNull, lit("forward")).as("dir"))
+      .orderBy("event_id")
+  }
+
+  val q54Sql: String =
+    """WITH su AS (SELECT * FROM events WHERE event_type = 'signup'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT su.event_id,
+      |    c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+      |    abs(epoch_us(c.ts) - epoch_us(su.ts)) AS delta_us,
+      |    CASE WHEN c.ts <= su.ts THEN 'backward' ELSE 'forward' END AS dir,
+      |    row_number() OVER (PARTITION BY su.event_id
+      |      ORDER BY abs(epoch_us(c.ts) - epoch_us(su.ts)),
+      |        CASE WHEN c.ts <= su.ts THEN 0 ELSE 1 END,
+      |        c.event_id DESC) AS rn
+      |  FROM su JOIN c ON su.user_id = c.user_id)
+      |SELECT s2.event_id, s2.user_id, epoch_us(s2.ts) AS signup_us,
+      |  p.click_id, p.click_us, p.delta_us, p.dir
+      |FROM su s2 LEFT JOIN pairs p ON s2.event_id = p.event_id AND p.rn = 1
+      |ORDER BY s2.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_asof_nearest" -> (q54 _),
     "q53_mad_outliers" -> (q53 _),
     "q52_weighted_median" -> (q52 _),
     "q51_interval_merge" -> (q51 _),
@@ -1605,6 +1671,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q54_asof_nearest" -> q54Sql,
     "q53_mad_outliers" -> q53Sql,
     "q52_weighted_median" -> q52Sql,
     "q51_interval_merge" -> q51Sql,

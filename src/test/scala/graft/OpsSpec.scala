@@ -318,6 +318,52 @@ class OpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("q54: nearest as-of picks the true minimum-distance click with the pinned tie ladder") {
+    val rows = ops.Relational.q54(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type")).collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id"))) }
+    var matched = 0
+    rows.foreach { r =>
+      val su = r.getAs[Long]("signup_us")
+      clicks.get(r.getAs[Long]("user_id")) match {
+        case None => assert(r.isNullAt(r.fieldIndex("click_id")))
+        case Some(cs) =>
+          matched += 1
+          val best = cs.minBy { case (us, id) =>
+            (math.abs(us - su), if (us <= su) 0 else 1, -id) }
+          assert(r.getAs[Long]("click_id") == best._2,
+            s"signup ${r.getAs[Long]("event_id")}: got ${r.getAs[Long]("click_id")}, want ${best._2}")
+          assert(r.getAs[Long]("delta_us") == math.abs(best._1 - su))
+      }
+    }
+    assert(matched > 0)
+  }
+
+  test("m12: every modality routes; quarantine catches exactly the unheadered blobs") {
+    val rows = ops.Multimodal.m12(spark, sf).collect()
+    val byType = rows.map(r => r.getAs[String]("detected_type") ->
+      r.getAs[Long]("n_blobs")).toMap
+    assert(byType.keySet == Set("audio", "image", "video", "unknown"))
+    // no natural text in this corpus begins with a registered magic,
+    // so detection must reproduce the synthesis classes exactly
+    val n = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(byType("audio") == n.count(_ % 4 == 0))
+    assert(byType("image") == n.count(_ % 4 == 1))
+    assert(byType("video") == n.count(_ % 4 == 2))
+    assert(byType("unknown") == n.count(_ % 4 == 3))
+    rows.filter(_.getAs[String]("detected_type") != "unknown")
+      .foreach(r => assert(r.getAs[Long]("meta_sum") > 0L))
+  }
+
   test("g09: assortativity matches a driver-side recompute and is a correlation") {
     val r = ops.Graph.g09(spark, sf).collect().head
     val a = r.getAs[Double]("assortativity")

@@ -297,6 +297,17 @@ class RecommendSpec extends SparkSpec {
     }
   }
 
+  test("r33: IPS mass is positive and popularity debiasing only shrinks CTR") {
+    val r = ops.Recommend.r33(spark, sf).collect().head
+    assert(r.getAs[Long]("n_clicks") > 0L, "no test clicks — eval vacuous")
+    assert(r.getAs[Long]("ips_mass") > 0L)
+    // w(i) = 1e6 div audience(i) <= 1e6, so the IPS estimate can never
+    // exceed the raw CTR — equality only if every clicked item has
+    // audience 1
+    assert(r.getAs[Double]("ips_ctr") <= r.getAs[Double]("raw_ctr"))
+    assert(r.getAs[Double]("ips_ctr") > 0.0)
+  }
+
   test("r32: scoreboard conserves users and both rankers draw real clicks") {
     val r = ops.Recommend.r32(spark, sf).collect().head
     val n = r.getAs[Long]("n_users")
