@@ -1243,7 +1243,100 @@ object EventOps {
       |FROM wv WHERE rn > 7 AND prev7 > 0
       |ORDER BY ratio_pm DESC, k, day LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // e28: UPDATE output mode gated — the third Structured Streaming
+  // output semantics (e06 gates append, e13/e18 complete): update
+  // mode emits, per micro-batch, exactly the aggregate rows that
+  // CHANGED — the mode a downstream keyed store (Redis/serving cache)
+  // consumes. Three deterministic micro-batches (event_id % 3 lands
+  // each third in modTime order — the e16 controlled-replay
+  // machinery) update a (day, event_type) count; the foreachBatch
+  // sink records every emission WITH its batch id. The gate pins BOTH
+  // halves of the semantics relationally: the final state (last
+  // emission per key) must equal the batch aggregate, and
+  // n_emissions per key must equal the number of thirds that contain
+  // an event of that key — an over-emitting stream (complete-mode
+  // behavior) or a missed update both flip the hash. No watermark:
+  // update-without-watermark keeps all state — the bounded-state
+  // variant is e19's dropDuplicatesWithinWatermark story.
+  // Scale: state is one row per (day, type); per-batch emission work
+  // ∝ changed keys, the property the gate proves.
+  def e28(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "user_id")
+    val dirP = Files.createTempDirectory("graft_e28_")
+    val streamDir = dirP.resolve("stream")
+    val outDir = dirP.resolve("updates").toString
+    Files.createDirectories(streamDir)
+    try {
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = dirP.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        val dest = streamDir.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { b =>
+        land(ev.filter(col("event_id") % 3 === b), s"batch$b",
+          t0 - 80000 + b * 20000)
+      }
+      val stream = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      // key includes a user cohort so that, at gate scale, many keys
+      // genuinely DON'T change in every batch — without it every key
+      // updates every batch and the gate could not tell update mode
+      // from complete mode (measured: 0/150 sparse keys at sf0.01
+      // with the coarse key; thousands with the cohort)
+      val agg = stream
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+          (col("user_id") % 20).as("cohort"))
+        .agg(count(lit(1)).as("n"))
+      withStreamPartitions(s, 8) {
+        val q = agg.writeStream.outputMode("update")
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", dirP.resolve("ckpt").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val emissions = s.read.parquet(outDir)
+        .select(to_date(col("w.start")).as("day"), col("event_type"),
+          col("cohort"), col("n"), col("batch_id"))
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy("day", "event_type", "cohort")
+        .orderBy(col("batch_id").desc)
+      emissions
+        .withColumn("rn", row_number().over(wLast))
+        .groupBy("day", "event_type", "cohort")
+        .agg(max(when(col("rn") === 1, col("n"))).as("n_final"),
+          count(lit(1)).as("n_emissions"))
+        .orderBy("day", "event_type", "cohort")
+        .localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  val e28Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, user_id % 20 AS cohort,
+      |  count(*) AS n_final,
+      |  count(DISTINCT event_id % 3) AS n_emissions
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e28_stream_update_mode" -> (e28 _),
     "e27_trending" -> (e27 _),
     "e26_stream_backfill" -> (e26 _),
     "e25_lateness_profile" -> (e25 _),
@@ -1272,6 +1365,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e28_stream_update_mode" -> e28Sql,
     "e27_trending" -> e27Sql,
     "e26_stream_backfill" -> e01Sql, // handoff union ≡ the pure-batch rollup
     "e25_lateness_profile" -> e25Sql,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Hashing
 
 /** Graph analytics over relational edge sets (g01..g02) — the
   * large-graph operator family next to Dedup's connected components.
@@ -680,7 +681,68 @@ object Graph {
        |    AS assortativity
        |FROM stats""".stripMargin
 
+  // ------------------------------------------------------------------
+  // g10: RANDOM-WALK corpus generation (DeepWalk/node2vec sampling —
+  // the training-data op for graph embeddings: walks ARE the
+  // sentences the skip-gram model trains on). True RNG is useless
+  // under a hash gate and irreproducible across retries on a real
+  // cluster, so the walk is HASH-DRIVEN: at step k the walk from seed
+  // w moves to argmin over neighbors u of hash56("w#k#u") — a
+  // deterministic pseudo-random uniform choice (the Efraimidis-key
+  // idea t19 uses for weighted sampling), reproducible bit-for-bit
+  // from (seed, step) alone. Seeds = cohort customers (< 50) present
+  // in the trade graph; 3 unrolled steps (fixed literals — no loop
+  // state), each step one edge join keyed by the current node + one
+  // walk-keyed argmin window over that node's neighbor fan-out.
+  // Symmetric trade graph ⇒ no dead ends. The oracle unrolls the
+  // identical three steps as chained CTEs with the same
+  // (score, dst) ranking. Scale: per step the shuffle is keyed by
+  // the frontier node; work ∝ Σ deg(frontier), the Pregel cost —
+  // walks never enumerate paths, state is one row per walk.
+  def g10(s: SparkSession, d: String): DataFrame = {
+    val e = Iterate.pin(edges(s, d))
+    var walks = e.select(col("src").as("walk_id")).distinct()
+      .filter(col("walk_id") < 50)
+      .select(col("walk_id"), col("walk_id").as("cur"))
+    val hops = (1 to 3).map { k =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("walk_id").orderBy("score", "dst")
+      walks = walks.join(e, walks("cur") === e("src"))
+        .select(col("walk_id"), col("dst"),
+          Hashing.hash56(concat_ws("#", col("walk_id"), lit(k), col("dst")))
+            .as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("walk_id"), col("dst").as("cur"))
+      walks.withColumnRenamed("cur", s"hop$k")
+    }
+    hops.reduce((a, b) => a.join(b, Seq("walk_id")))
+      .orderBy("walk_id")
+  }
+
+  val g10Sql: String = {
+    def step(k: Int): String =
+      s"""w$k AS (
+         |  SELECT walk_id, dst AS cur FROM (
+         |    SELECT s.walk_id, e.dst,
+         |      row_number() OVER (PARTITION BY s.walk_id ORDER BY
+         |        ${graft.functions.Hashing.sqlHash56(s"s.walk_id || '#' || $k || '#' || e.dst")},
+         |        e.dst) AS rn
+         |    FROM w${k - 1} s JOIN edges e ON s.cur = e.src)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH $sqlEdges,
+       |w0 AS (
+       |  SELECT src AS walk_id, src AS cur FROM (SELECT DISTINCT src FROM edges)
+       |  WHERE src < 50),
+       |${(1 to 3).map(step).mkString(",\n")}
+       |SELECT w0.walk_id, w1.cur AS hop1, w2.cur AS hop2, w3.cur AS hop3
+       |FROM w0 JOIN w1 USING (walk_id) JOIN w2 USING (walk_id)
+       |JOIN w3 USING (walk_id)
+       |ORDER BY walk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_random_walks" -> (g10 _),
     "g09_assortativity" -> (g09 _),
     "g08_modularity" -> (g08 _),
     "g07_label_prop" -> (g07 _),
@@ -692,6 +754,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g10_random_walks" -> g10Sql,
     "g09_assortativity" -> g09Sql,
     "g08_modularity" -> g08Sql,
     "g07_label_prop" -> g07Sql,

@@ -1223,7 +1223,55 @@ object TextOps {
       |SELECT doc_id, n_repl, n_moji, n_ctl FROM counted
       |WHERE n_repl + n_moji + n_ctl > 0 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // t28: TOKENIZER FERTILITY audit — the multilingual budgeting
+  // question behind every mixed-language corpus: how many subword
+  // tokens does a language cost per word, and how many bytes per
+  // subword? (High-fertility languages burn context windows; teams
+  // rebalance mixes and tokenizer vocabularies off exactly this
+  // table.) The subword model is the repo's deterministic stand-in
+  // (the m03 stub discipline): a word of length L costs ⌈L/4⌉
+  // pieces — swap in a learned BPE at deployment, the plumbing and
+  // the audit shape are what is gated. Per lang: docs, UTF-8 bytes,
+  // words (engine tokenizer), subwords — all exact integer sums —
+  // and two 4dp-rounded closing divisions (fertility = subwords per
+  // word, bytes_per_subword). One map-side pass + a 5-row lang agg.
+  def t28(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), octet_length(col("text")).cast("long").as("nb"),
+        tokens.as("toks"))
+      .select(col("lang"), col("nb"), size(col("toks")).cast("long").as("nw"),
+        expr("aggregate(transform(toks, w -> (length(w) + 3) div 4), 0L, (a, x) -> a + x)")
+          .as("nsub"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).cast("long").as("total_bytes"),
+        sum(col("nw")).cast("long").as("total_words"),
+        sum(col("nsub")).cast("long").as("total_subwords"))
+      .withColumn("fertility",
+        round(col("total_subwords").cast("double") / col("total_words"), 4))
+      .withColumn("bytes_per_subword",
+        round(col("total_bytes").cast("double") / col("total_subwords"), 4))
+      .orderBy("lang")
+
+  val t28Sql: String = {
+    val toks = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH feat AS (
+       |  SELECT lang, octet_length(encode(text))::BIGINT AS nb,
+       |    len($toks)::BIGINT AS nw,
+       |    list_sum(list_transform($toks, w -> (length(w) + 3) // 4))::BIGINT AS nsub
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  sum(nb)::BIGINT AS total_bytes,
+       |  sum(nw)::BIGINT AS total_words,
+       |  sum(nsub)::BIGINT AS total_subwords,
+       |  round(sum(nsub)::DOUBLE / sum(nw), 4) AS fertility,
+       |  round(sum(nb)::DOUBLE / sum(nsub), 4) AS bytes_per_subword
+       |FROM feat GROUP BY 1 ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_fertility" -> (t28 _),
     "t27_mojibake" -> (t27 _),
     "t26_ccnet_buckets" -> (t26 _),
     "t25_dsir_weights" -> (t25 _),
@@ -1253,6 +1301,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t28_fertility" -> t28Sql,
     "t27_mojibake" -> t27Sql,
     "t26_ccnet_buckets" -> t26Sql,
     "t25_dsir_weights" -> t25Sql,

@@ -318,6 +318,41 @@ class OpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("g10: every walk hop follows a real edge and all seeds complete") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Graph.g10(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the undirected trade edge set driver-side
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey").collect()
+      .flatMap { r =>
+        val c = o(r.getLong(0)); val sn = r.getLong(1) + 1000000L
+        Seq((c, sn), (sn, c))
+      }.toSet
+    rows.foreach { r =>
+      val path = Seq(r.getAs[Long]("walk_id"), r.getAs[Long]("hop1"),
+        r.getAs[Long]("hop2"), r.getAs[Long]("hop3"))
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(es.contains((a, b)), s"walk ${path.head}: $a -> $b is not an edge")
+      }
+    }
+    // every cohort seed that exists in the graph walks the full length
+    val seeds = es.map(_._1).filter(_ < 50)
+    assert(rows.map(_.getAs[Long]("walk_id")).toSet == seeds)
+  }
+
+  test("t28: fertility bounds hold and token mass conserves vs the tokenizer") {
+    val rows = ops.TextOps.t28(spark, sf).collect()
+    assert(rows.length >= 2, "fewer than 2 languages — audit vacuous")
+    rows.foreach { r =>
+      // a word costs at least one subword piece
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Double]("bytes_per_subword") > 0.0)
+      assert(r.getAs[Long]("total_subwords") >= r.getAs[Long]("total_words"))
+    }
+  }
+
   test("q54: nearest as-of picks the true minimum-distance click with the pinned tie ladder") {
     val rows = ops.Relational.q54(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -95,6 +95,22 @@ class StreamingSpec extends SparkSpec {
     batch.foreach { case (u, n) => assert(out(u).toLong == n, s"user $u") }
   }
 
+  test("e28 update mode emits strictly fewer rows than complete mode would") {
+    val rows = ops.EventOps.e28(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nKeys = rows.length.toLong
+    val emitted = rows.map(_.getAs[Long]("n_emissions")).sum
+    // complete mode re-emits every key every batch (3 × keys); update
+    // mode must emit only changed keys — and at this scale many keys
+    // genuinely skip batches
+    assert(emitted < 3 * nKeys,
+      s"emitted $emitted of ${3 * nKeys} — indistinguishable from complete mode")
+    assert(rows.exists(_.getAs[Long]("n_emissions") < 3))
+    // final state rebuilt from the update stream equals the batch count
+    val total = rows.map(_.getAs[Long]("n_final")).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
   test("e20 outer join emits the null-padded tail (non-vacuous gate)") {
     val rows = ops.EventOps.e20(spark, sf).collect()
     assert(rows.nonEmpty)
