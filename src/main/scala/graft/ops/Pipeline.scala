@@ -525,7 +525,95 @@ object Pipeline {
        |ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // p07: LEAKAGE-SAFE SPLIT EXPORT — the train/val/test cut every
+  // training pipeline ships, with the rule naive hash-splitting
+  // violates: DUPLICATE documents must land in the SAME split (a doc
+  // hash-split independently of its copy leaks eval answers into
+  // train — the contamination d09/t23 hunt after the fact; the fix
+  // is to split by DUPLICATE CLUSTER, not by doc). Clusters = t04's
+  // normalized fingerprint, cluster key = min doc_id per fp; split =
+  // hash56 of the CLUSTER key mod 10 (0-7 train / 8 val / 9 test).
+  // The corpus gets the d01 planted copies (every 100th doc, the
+  // Dedup augmentation) so multi-doc clusters are real. The export
+  // physically writes the three split dirs and the gate reads them
+  // BACK: per split, docs, clusters, and a string-rendered checksum
+  // over doc ids pinning the exact membership SET — plus a
+  // data-derived no_straddle boolean the oracle must also derive
+  // TRUE (computed over fp groups spanning splits — a doc-keyed
+  // split would flip it red along with every checksum).
+  // Scale: one fp-keyed window (cluster key), map-side split tag,
+  // one partitioned write, read-back rollup — d01's shuffle shape
+  // plus the disk round-trip.
+  def p07(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p07_").toString
+    try {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.union(
+        base.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val wFp = Window.partitionBy("fp")
+      val tagged = corpus
+        .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
+        .withColumn("cluster_key", min(col("doc_id")).over(wFp))
+        .withColumn("bucket",
+          Hashing.hash56(concat(lit("p07#"), col("cluster_key").cast("string"))) % 10)
+        .withColumn("split",
+          when(col("bucket") <= 7, "train").when(col("bucket") === 8, "val")
+            .otherwise("test"))
+      tagged.select("doc_id", "fp", "cluster_key", "split")
+        .write.partitionBy("split").parquet(s"$dir/splits")
+      val back = s.read.parquet(s"$dir/splits")
+      val straddle = back.groupBy("fp")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(count(when(col("ns") > 1, lit(1))).as("n_straddling"))
+      back.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_key")).as("n_clusters"),
+          sum(Hashing.hash56(concat(lit("p07c#"), col("doc_id").cast("string")))
+            .cast("decimal(38,0)")).cast("string").as("ids_checksum"))
+        .crossJoin(broadcast(straddle))
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          col("ids_checksum"), (col("n_straddling") === 0).as("no_straddle"))
+        .orderBy("split")
+        .localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val p07Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 100 = 0),
+       |fps AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+       |  FROM corpus),
+       |clustered AS (
+       |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS cluster_key
+       |  FROM fps),
+       |tagged AS (
+       |  SELECT doc_id, fp, cluster_key,
+       |    CASE WHEN ${Hashing.sqlHash56("'p07#' || cluster_key::VARCHAR")} % 10 <= 7
+       |      THEN 'train'
+       |      WHEN ${Hashing.sqlHash56("'p07#' || cluster_key::VARCHAR")} % 10 = 8
+       |      THEN 'val' ELSE 'test' END AS split
+       |  FROM clustered),
+       |straddle AS (
+       |  SELECT count(CASE WHEN ns > 1 THEN 1 END) AS n_straddling FROM (
+       |    SELECT fp, count(DISTINCT split) AS ns FROM tagged GROUP BY 1))
+       |SELECT split, count(*) AS n_docs,
+       |  count(DISTINCT cluster_key) AS n_clusters,
+       |  sum(${Hashing.sqlHash56("'p07c#' || doc_id::VARCHAR")})::DECIMAL(38,0)::VARCHAR
+       |    AS ids_checksum,
+       |  (SELECT n_straddling FROM straddle) = 0 AS no_straddle
+       |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_split_export" -> (p07 _),
     "p06_datacard" -> (p06 _),
     "p01_curation_funnel" -> (p01 _),
     "p02_incremental_ingest" -> (p02 _),
@@ -534,6 +622,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p07_split_export" -> p07Sql,
     "p06_datacard" -> p06Sql,
     "p01_curation_funnel" -> p01Sql,
     "p02_incremental_ingest" -> p02Sql,

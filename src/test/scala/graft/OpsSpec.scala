@@ -318,6 +318,20 @@ class OpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("p07: splits cover the corpus and no duplicate cluster straddles") {
+    val rows = ops.Pipeline.p07(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    rows.foreach(r => assert(r.getAs[Boolean]("no_straddle"),
+      "a duplicate cluster straddles splits — leakage"))
+    val nBase = Tables.documents(spark, sf).count()
+    val nPlanted = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nBase + nPlanted)
+    // plants are real: clusters < docs in at least one split overall
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum <
+      rows.map(_.getAs[Long]("n_docs")).sum)
+  }
+
   test("g10: every walk hop follows a real edge and all seeds complete") {
     import org.apache.spark.sql.functions._
     val rows = ops.Graph.g10(spark, sf).collect()
