@@ -1335,7 +1335,52 @@ object EventOps {
       |  count(DISTINCT event_id % 3) AS n_emissions
       |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------------------------
+  // e29: COHORT RETENTION MATRIX — the growth-analytics triangle
+  // (cohort acquisition day × day-offset → how many came back): e04
+  // gates the single next-day cell; this is the full 0..7-offset
+  // curve every product team actually reads. Cohort = a user's first
+  // active day; a (cohort, offset) cell counts DISTINCT users active
+  // exactly offset days after their first day; rate closes with one
+  // 4dp-rounded division against the cohort size. All integer until
+  // that boundary. Scale: first-day is one user-keyed min-agg, the
+  // matrix is one (user)-keyed join + one (cohort, offset)-keyed
+  // count-distinct, cohort sizes broadcast back — no day×day work,
+  // no window over the corpus.
+  def e29(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = du.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val cells = du.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("offset"))
+      .filter(col("offset") <= 7)
+      .groupBy("cohort", "offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 4).as("rate"))
+      .orderBy("cohort", "offset")
+  }
+
+  val e29Sql: String =
+    """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first AS (SELECT user_id, min(day) AS cohort FROM du GROUP BY 1),
+      |cells AS (
+      |  SELECT f.cohort, (du.day - f.cohort)::BIGINT AS "offset",
+      |    count(DISTINCT du.user_id) AS n_active
+      |  FROM du JOIN first f USING (user_id)
+      |  WHERE du.day - f.cohort <= 7
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT cohort, count(*) AS n_cohort FROM first GROUP BY 1)
+      |SELECT cohort, "offset", n_active, n_cohort,
+      |  round(CAST(n_active AS DOUBLE) / n_cohort, 4) AS rate
+      |FROM cells JOIN sizes USING (cohort)
+      |ORDER BY cohort, "offset"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e29_retention_matrix" -> (e29 _),
     "e28_stream_update_mode" -> (e28 _),
     "e27_trending" -> (e27 _),
     "e26_stream_backfill" -> (e26 _),
@@ -1365,6 +1410,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e29_retention_matrix" -> e29Sql,
     "e28_stream_update_mode" -> e28Sql,
     "e27_trending" -> e27Sql,
     "e26_stream_backfill" -> e01Sql, // handoff union ≡ the pure-batch rollup

@@ -741,7 +741,78 @@ object Graph {
        |ORDER BY walk_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // g11: HITS hubs-and-authorities (Kleinberg) on the BIPARTITE trade
+  // graph — the second eigenvector-style ranking beside g01's
+  // PageRank, and the natural one for two-sided markets: customers
+  // are hubs (they "endorse" by buying), suppliers are authorities.
+  // Same fixed-point discipline as g01: scores iterate as bigint
+  // micro-units (SCALE 10⁶), each half-step is an integer edge-sum
+  // and the L1 normalization is `raw · SCALE div total` — exact
+  // integer math, bit-identical across engines and reduction orders
+  // (float HITS diverges by accumulation order; ungateable). SCALE
+  // 10⁶ keeps every product inside bigint at sf0.1 (raw ≤ deg·SCALE
+  // ≈ 10¹⁰, ×SCALE ≈ 10¹⁶); at 100× the products move to
+  // DECIMAL(38,0) — the g09 rule. 3 unrolled rounds, per-round
+  // lineage pinned (each half reads the other's state). Output:
+  // top-20 authorities. Scale: one edge-keyed sum + one 1-row
+  // broadcast total per half-step — the Pregel cost, like g01.
+  private val HITS_SCALE = 1000000L
+  private val HITS_ROUNDS = 3
+
+  def g11(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val e = Iterate.pin(l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sn")).distinct())
+    var hub = Iterate.pin(e.select(col("c")).distinct()
+      .withColumn("h", lit(HITS_SCALE)))
+    var auth: DataFrame = null
+    for (_ <- 1 to HITS_ROUNDS) {
+      val araw = e.join(hub, Seq("c")).groupBy("sn").agg(sum(col("h")).as("ar"))
+      val atot = araw.agg(sum(col("ar")).as("at"))
+      auth = Iterate.pin(araw.crossJoin(broadcast(atot))
+        .select(col("sn"), expr(s"ar * ${HITS_SCALE}L div at").as("a")))
+      val hraw = e.join(auth, Seq("sn")).groupBy("c").agg(sum(col("a")).as("hr"))
+      val htot = hraw.agg(sum(col("hr")).as("ht"))
+      hub = Iterate.pin(hraw.crossJoin(broadcast(htot))
+        .select(col("c"), expr(s"hr * ${HITS_SCALE}L div ht").as("h")))
+    }
+    auth.orderBy(col("a").desc, col("sn")).limit(20)
+      .select(col("sn").as("supplier"), col("a").as("auth_fp"),
+        round(col("a").cast("double") / HITS_SCALE, 6).as("auth"))
+  }
+
+  val g11Sql: String = {
+    val rounds = (1 to HITS_ROUNDS).map { k =>
+      s"""a${k}r AS (
+         |  SELECT sn, CAST(sum(h) AS BIGINT) AS ar
+         |  FROM e JOIN h${k - 1} USING (c) GROUP BY 1),
+         |a$k AS (
+         |  SELECT sn, ar * $HITS_SCALE //
+         |    (SELECT CAST(sum(ar) AS BIGINT) FROM a${k}r) AS a
+         |  FROM a${k}r),
+         |h${k}r AS (
+         |  SELECT c, CAST(sum(a) AS BIGINT) AS hr
+         |  FROM e JOIN a$k USING (sn) GROUP BY 1),
+         |h$k AS (
+         |  SELECT c, hr * $HITS_SCALE //
+         |    (SELECT CAST(sum(hr) AS BIGINT) FROM h${k}r) AS h
+         |  FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sn
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT c, CAST($HITS_SCALE AS BIGINT) AS h
+       |       FROM (SELECT DISTINCT c FROM e)),
+       |$rounds
+       |SELECT sn AS supplier, a AS auth_fp,
+       |  round(a / $HITS_SCALE.0, 6) AS auth
+       |FROM a$HITS_ROUNDS ORDER BY a DESC, sn LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_hits" -> (g11 _),
     "g10_random_walks" -> (g10 _),
     "g09_assortativity" -> (g09 _),
     "g08_modularity" -> (g08 _),
@@ -754,6 +825,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g11_hits" -> g11Sql,
     "g10_random_walks" -> g10Sql,
     "g09_assortativity" -> g09Sql,
     "g08_modularity" -> g08Sql,

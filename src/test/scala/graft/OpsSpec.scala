@@ -318,6 +318,45 @@ class OpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("e29: cohort cell zero is the cohort itself and rates stay bounded") {
+    val rows = ops.EventOps.e29(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zero = rows.filter(_.getAs[Long]("offset") == 0L)
+    assert(zero.nonEmpty)
+    zero.foreach(r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_cohort"),
+        "offset-0 must count the whole cohort (first day IS activity)"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+      assert(r.getAs[Double]("rate") > 0.0 && r.getAs[Double]("rate") <= 1.0)
+    }
+  }
+
+  test("g11: HITS authorities match an exact driver-side integer recompute") {
+    val out = ops.Graph.g11(spark, sf).collect()
+    assert(out.length > 0)
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey").collect()
+      .map(r => (o(r.getLong(0)), r.getLong(1))).distinct
+    val S = 1000000L
+    var h = e.map(_._1).distinct.map(_ -> S).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val ar = e.groupBy(_._2).map { case (sn, es) => sn -> es.map(x => h(x._1)).sum }
+      val at = ar.values.sum
+      a = ar.map { case (sn, v) => sn -> v * S / at }
+      val hr = e.groupBy(_._1).map { case (c, es) => c -> es.map(x => a(x._2)).sum }
+      val ht = hr.values.sum
+      h = hr.map { case (c, v) => c -> v * S / ht }
+    }
+    val expect = a.toSeq.sortBy { case (sn, v) => (-v, sn) }.take(20)
+    out.zip(expect).foreach { case (row, (sn, v)) =>
+      assert(row.getAs[Long]("supplier") == sn && row.getAs[Long]("auth_fp") == v,
+        s"mismatch: got (${row.getAs[Long]("supplier")}, ${row.getAs[Long]("auth_fp")}), want ($sn, $v)")
+    }
+  }
+
   test("p07: splits cover the corpus and no duplicate cluster straddles") {
     val rows = ops.Pipeline.p07(spark, sf).collect()
     assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
