@@ -1054,7 +1054,102 @@ object Dedup {
        |FROM merged GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // d18: LSH PARAMETER TUNING table — the knob d03's Scaladoc keeps
+  // pointing at, made a first-class op: for each (bands, rows) split
+  // of the SAME K=16 MinHash signature, the candidate volume, how
+  // many candidates verify at Jaccard ≥ 0.6, and the precision. This
+  // is the table you actually pick LSH parameters from at 100 TB —
+  // more bands ⇒ higher recall (more verified dups found) at more
+  // candidate work; the S-curve P(collide) = 1−(1−s^r)^b in data.
+  // One signature pass (cached for the invocation) and one shingle
+  // pass serve all three configs; each config is then the d03/d04
+  // machinery with its own banding — band fan-out b rows/doc, bucket
+  // join, candidates-only verify. Integer counts + one 4dp closing
+  // division. Monotone candidate growth in band count pinned in
+  // OpsSpec.
+  private val TUNE_CONFIGS = Seq((2, 8), (4, 4), (8, 2))
+  private val TUNE_TAU = 0.6
+
+  def d18(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d).cache()
+    val sh = corpus(s, d)
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
+      .cache()
+    try {
+      val rowsOut = TUNE_CONFIGS.map { case (nb, nr) =>
+        val bandStructs = (0 until nb).map { b =>
+          struct(lit(b).as("band"), Hashing.hash56(concat_ws("_",
+            transform(slice(col("sig"), b * nr + 1, nr), x => x.cast("string"))))
+            .as("bucket"))
+        }
+        val bb = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val cands = bb.select(col("band"), col("bucket"), col("doc_id").as("a"))
+          .join(bb.select(col("band").as("b2"), col("bucket").as("k2"),
+            col("doc_id").as("b")),
+            col("band") === col("b2") && col("bucket") === col("k2") &&
+              col("a") < col("b"))
+          .select("a", "b").distinct()
+        val verified = cands
+          .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+          .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+          .withColumn("jaccard",
+            round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              size(array_union(col("sha"), col("shb"))), 6))
+          .filter(col("jaccard") >= TUNE_TAU)
+        cands.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_verified"))))
+          .select(lit(nb).as("bands"), lit(nr).as("rows"),
+            col("n_candidates"), col("n_verified"),
+            round(col("n_verified").cast("double") / col("n_candidates"), 4)
+              .as("precision"))
+      }
+      rowsOut.reduce(_.union(_)).orderBy("bands").localCheckpoint()
+    } finally { sigs.unpersist(); sh.unpersist() }
+  }
+
+  val d18Sql: String = {
+    def ctesFor(nb: Int, nr: Int): String = {
+      val bandSel = (0 until nb).map { b =>
+        val lo = b * nr + 1
+        val hi = b * nr + nr
+        s"""SELECT doc_id, $b AS band,
+           |      ${Hashing.sqlHash56(s"array_to_string(sig[$lo:$hi], '_')")} AS bucket
+           |    FROM sigs""".stripMargin
+      }.mkString("\n    UNION ALL ")
+      s"""b_$nb AS (
+         |    $bandSel),
+         |c_$nb AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM b_$nb x JOIN b_$nb y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |v_$nb AS (
+         |  SELECT a, b FROM c_$nb
+         |  JOIN sh sa ON a = sa.doc_id JOIN sh sb ON b = sb.doc_id
+         |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= $TUNE_TAU)""".stripMargin
+    }
+    def selFor(nb: Int, nr: Int): String =
+      s"""SELECT $nb AS bands, $nr AS rows,
+         |  (SELECT count(*) FROM c_$nb) AS n_candidates,
+         |  (SELECT count(*) FROM v_$nb) AS n_verified,
+         |  round((SELECT count(*) FROM v_$nb) /
+         |        (SELECT count(*) FROM c_$nb), 4) AS precision""".stripMargin
+    s"""WITH corpus AS ($sqlCorpus),
+       |sigs AS ($sqlSignatures),
+       |sh AS (
+       |  SELECT doc_id, list_distinct($sqlShingles) AS sh
+       |  FROM corpus WHERE len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) >= 3),
+       |${TUNE_CONFIGS.map { case (nb, nr) => ctesFor(nb, nr) }.mkString(",\n")}
+       |${TUNE_CONFIGS.map { case (nb, nr) => selFor(nb, nr) }.mkString("\nUNION ALL\n")}
+       |ORDER BY bands""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_lsh_tuning" -> (d18 _),
     "d17_substr_dedup" -> (d17 _),
     "d16_bow_dedup" -> (d16 _),
     "d15_semantic_dedup" -> (d15 _),
@@ -1075,6 +1170,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d18_lsh_tuning" -> d18Sql,
     "d17_substr_dedup" -> d17Sql,
     "d16_bow_dedup" -> d16Sql,
     "d15_semantic_dedup" -> d15Sql,

@@ -1021,6 +1021,21 @@ class OpsSpec extends SparkSpec {
       "no reorder-only duplication caught — plants vacuous")
   }
 
+  test("d18: candidate volume and recall grow monotonically with band count") {
+    val rows = ops.Dedup.d18(spark, sf).collect().sortBy(_.getAs[Int]("bands"))
+    assert(rows.length == 3)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      // finer banding can only add collisions (a (b,r)-split collision
+      // set is contained in every finer split's)
+      assert(hi.getAs[Long]("n_candidates") >= lo.getAs[Long]("n_candidates"))
+      assert(hi.getAs[Long]("n_verified") >= lo.getAs[Long]("n_verified"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_verified") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Double]("precision") > 0.0 && r.getAs[Double]("precision") <= 1.0)
+    }
+  }
+
   test("d17: dup-window accounting exact; cut spans bounded by doc length") {
     val rows = ops.Dedup.d17(spark, sf).collect()
     assert(rows.nonEmpty, "no repeated spans found — op vacuous on this corpus")
