@@ -2216,7 +2216,91 @@ object Recommend {
        |FROM j""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // r34: TWO-STAGE serving (retrieval + ranking — the production
+  // recommender architecture): stage 1 RETRIEVES cheap candidates
+  // (the memoized r05Recs co-occurrence top-10 — tenth consumer of
+  // the shared artifact), stage 2 RE-RANKS them with the expensive
+  // model (ALS factor dot product, the codegen DotProduct kernel) and
+  // serves the top-5. This split is why billion-item systems work:
+  // the model never scores the catalog, only O(users × 10)
+  // candidates. Gated r06-style via the serving-list contract as
+  // data-derived counts/booleans (float ALS scores can't hash
+  // cross-engine): candidate volume and Σ min(5, per-user candidates)
+  // come from the oracle's own CTEs, full factor coverage and
+  // exactly-min(5,·) per user are computed from the actual join
+  // results — a lost candidate or a missing factor flips them. That
+  // the ALS stage genuinely REORDERS retrieval (two-stage non-vacuity)
+  // is pinned row-wise in RecommendSpec via r34Served.
+  /** The served list (user_id, rec_item, rr, n_cand) — RecommendSpec
+    * gates re-ranking non-vacuity and subset discipline row-wise. */
+  def r34Served(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorOps.dotProduct _
+    val model = alsModel(s, d)
+    val cands = r05Recs(s, d)
+    val uf = model.userFactors
+      .select(col("id").as("user_id"), col("features").cast("array<double>").as("fu"))
+    val itf = model.itemFactors
+      .select(col("id").as("rec_item"), col("features").cast("array<double>").as("fi"))
+    val w = Window.partitionBy("user_id").orderBy(col("als_score").desc, col("rec_item"))
+    val wAll = Window.partitionBy("user_id")
+    cands.join(uf, Seq("user_id")).join(broadcast(itf), Seq("rec_item"))
+      .withColumn("als_score", dot(col("fu"), col("fi")))
+      .withColumn("rr", row_number().over(w))
+      .withColumn("n_cand", count(lit(1)).over(wAll))
+      .filter(col("rr") <= 5)
+      .select("user_id", "rec_item", "rr", "n_cand")
+  }
+
+  /** The stage-1 retrieval pool (the r05Recs top-10 artifact) — for
+    * RecommendSpec's subset pin. */
+  def r05Candidates(s: SparkSession, d: String): DataFrame = r05Recs(s, d)
+
+  def r34(s: SparkSession, d: String): DataFrame = {
+    val cands = r05Recs(s, d)
+    val served = r34Served(s, d)
+    val perUser = served.groupBy("user_id")
+      .agg(count(lit(1)).as("n_srv"), max(col("n_cand")).as("nc"))
+    cands.agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_candidates"))
+      .join(served.agg(count(lit(1)).as("n_served")))
+      .join(perUser.agg(
+        count(when(col("n_srv") =!= least(lit(5L), col("nc")), lit(1)))
+          .as("n_bad_len")))
+      .select(col("n_users"), col("n_candidates"), col("n_served"),
+        (col("n_bad_len") === 0).as("exact_min5"))
+  }
+
+  val r34Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |hist AS (SELECT DISTINCT user_id, item_id FROM ratings WHERE user_id < 50),
+       |oi AS (${Ratings.sqlOrderItems}),
+       |co AS (
+       |  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS cnt
+       |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |recs AS (
+       |  SELECT user_id, rec_item FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY score DESC, rec_item) AS rank
+       |    FROM unseen)
+       |  WHERE rank <= 10),
+       |per_user AS (SELECT user_id, count(*) AS nc FROM recs GROUP BY 1)
+       |SELECT (SELECT count(DISTINCT user_id) FROM recs) AS n_users,
+       |  (SELECT count(*) FROM recs) AS n_candidates,
+       |  (SELECT CAST(sum(least(5, nc)) AS BIGINT) FROM per_user) AS n_served,
+       |  true AS exact_min5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r34_two_stage" -> (r34 _),
     "r33_ips_eval" -> (r33 _),
     "r32_interleaving" -> (r32 _),
     "r31_gini_exposure" -> (r31 _),
@@ -2252,6 +2336,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r34_two_stage" -> r34Sql,
     "r33_ips_eval" -> r33Sql,
     "r32_interleaving" -> r32Sql,
     "r31_gini_exposure" -> r31Sql,

@@ -297,6 +297,28 @@ class RecommendSpec extends SparkSpec {
     }
   }
 
+  test("r34: ALS re-rank serves a candidate subset and genuinely reorders retrieval") {
+    val served = ops.Recommend.r34Served(spark, sf).collect()
+    assert(served.nonEmpty)
+    val cands = ops.Recommend.r05Candidates(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rec_item"))).toSet
+    served.foreach { r =>
+      assert(cands.contains((r.getAs[Long]("user_id"), r.getAs[Long]("rec_item"))),
+        "served an item outside the retrieval candidates")
+      assert(r.getAs[Int]("rr") <= 5)
+    }
+    // two-stage non-vacuity: the model stage must CHANGE the ranking
+    // for at least one user vs the retrieval top-5
+    val retrievalTop5 = ops.Recommend.r05(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Long]("rec_item")).toSet }
+    val servedBy = served.groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Long]("rec_item")).toSet }
+    assert(servedBy.exists { case (u, items) =>
+      retrievalTop5.get(u).exists(_ != items)
+    }, "ALS stage never changed any user's top-5 — re-ranking vacuous")
+  }
+
   test("r33: IPS mass is positive and popularity debiasing only shrinks CTR") {
     val r = ops.Recommend.r33(spark, sf).collect().head
     assert(r.getAs[Long]("n_clicks") > 0L, "no test clicks — eval vacuous")
