@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -1242,7 +1242,77 @@ object IoOps {
       |FROM v2
       |ORDER BY step""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i22: MASKED (pseudonymized) EXPORT — the data-governance twin of
+  // t17's in-text redaction: before a warehouse table leaves its
+  // trust boundary (vendor share, analytics sandbox), direct
+  // identifiers are replaced by DETERMINISTIC tokens — tok_ +
+  // salted-hash prefix — so the export stays JOINABLE (same value ⇒
+  // same token, across tables and across runs) while raw values never
+  // land on disk. The export is physically written and the gate reads
+  // it BACK: per segment, row count, distinct name tokens (must equal
+  // distinct raw names — tokenization is injective on this domain; a
+  // sloppy truncating mask collapses customers and flips the count),
+  // a checksum pinning the exact token VALUES, and a data-derived
+  // no_leak boolean (zero read-back tokens match the raw-value
+  // pattern). Oracle applies the identical mask formula relationally.
+  // Determinism-across-writes and no-raw-strings-on-disk pinned in
+  // IoSpec. Scale: pure map-side column transform inside the export
+  // scan; the salt would be a keyed secret at deployment.
+  private val MASK_SALT = "graft-mask-v1"
+
+  private def maskTok(c: Column): Column =
+    concat(lit("tok_"), substring(md5(concat(c, lit(MASK_SALT))), 1, 12))
+
+  def i22(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i22_")
+    try {
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          maskTok(col("c_name")).as("name_tok"))
+        .write.parquet(s"$dir/export")
+      val back = s.read.parquet(s"$dir/export")
+      val raw = Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_name")).as("n_raw_names"))
+      back.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("name_tok")).as("n_name_tokens"),
+          sum(graft.functions.Hashing.hash56(col("name_tok"))
+            .cast("decimal(38,0)")).cast("string").as("tok_checksum"),
+          count(when(col("name_tok").rlike("Customer|#"), lit(1))).as("n_leaks"))
+        .join(broadcast(raw), Seq("c_mktsegment"))
+        .select(col("c_mktsegment"), col("n_rows"), col("n_name_tokens"),
+          (col("n_name_tokens") === col("n_raw_names")).as("injective"),
+          (col("n_leaks") === 0L).as("no_leak"), col("tok_checksum"))
+        .orderBy("c_mktsegment")
+        .localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i22Sql: String =
+    s"""WITH masked AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |    'tok_' || substr(md5(c_name || '$MASK_SALT'), 1, 12) AS name_tok
+       |  FROM customer),
+       |raw AS (
+       |  SELECT c_mktsegment, count(DISTINCT c_name) AS n_raw_names
+       |  FROM customer GROUP BY 1)
+       |SELECT c_mktsegment, count(*) AS n_rows,
+       |  count(DISTINCT name_tok) AS n_name_tokens,
+       |  count(DISTINCT name_tok) = any_value(n_raw_names) AS injective,
+       |  count(CASE WHEN regexp_matches(name_tok, 'Customer|#') THEN 1 END) = 0
+       |    AS no_leak,
+       |  sum(${graft.functions.Hashing.sqlHash56("name_tok")})::DECIMAL(38,0)::VARCHAR
+       |    AS tok_checksum
+       |FROM masked JOIN raw USING (c_mktsegment)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i22_masked_export" -> (i22 _),
     "i21_wap_publish" -> (i21 _),
     "i20_incremental_read" -> (i20 _),
     "i19_occ_commit" -> (i19 _),
@@ -1266,6 +1336,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i22_masked_export" -> i22Sql,
     "i21_wap_publish" -> i21Sql,
     "i20_incremental_read" -> i20Sql,
     "i19_occ_commit" -> i19Sql,

@@ -1614,7 +1614,101 @@ object Relational {
       |FROM su s2 LEFT JOIN pairs p ON s2.event_id = p.event_id AND p.rn = 1
       |ORDER BY s2.event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q55: BOOTSTRAP CONFIDENCE INTERVAL — the statistical-rigor op
+  // behind every metric dashboard ("corpus mean quality is 0.61 —
+  // plus or minus WHAT?"): the Poisson bootstrap (Chamandy et al.,
+  // the resampling scheme that works on distributed data because each
+  // row draws its replicate weight independently — no global
+  // multinomial). True RNG is ungateable, so replicate weights are
+  // HASH-DERIVED: w(doc, b) inverts the Poisson(1) CDF on integer
+  // thresholds of hash56(doc#b) mod 10⁶ — exact integer comparisons,
+  // bit-identical in both engines (the g10/t19 determinism rule).
+  // Per replicate the weighted mean uses the t14 discipline
+  // (6dp-rounded per-doc quality × integer weight summed as DECIMAL,
+  // one closing division); the CI is an EXACT ORDER-STATISTIC
+  // selection over the B=40 replicate means (ranks 2 and 39 — the
+  // q52 value-selection rule, never interpolation). Scale: the ×B
+  // fan-out is map-side (explode before the replicate-keyed agg);
+  // B tiny rows do the final selection. Coverage sanity (point inside
+  // CI, CI brackets have width) pinned in RelationalSpec.
+  private val BOOT_B = 40
+  // P(Poisson(1) <= k) · 1e6 for k = 0..3
+  private val POIS = Seq(367879L, 735759L, 919699L, 981012L)
+
+  def q55(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      .withColumn("q6",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.5, 6))
+    val point = docs.agg(
+      round(sum(col("q6").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("point"))
+    val weighted = docs
+      .select(col("doc_id"), col("q6"),
+        explode(sequence(lit(0), lit(BOOT_B - 1))).as("b"))
+      .withColumn("m",
+        graft.functions.Hashing.hash56(
+          concat(col("doc_id").cast("string"), lit("#"), col("b").cast("string")))
+          % 1000000L)
+      .withColumn("w",
+        when(col("m") < POIS(0), 0L).when(col("m") < POIS(1), 1L)
+          .when(col("m") < POIS(2), 2L).when(col("m") < POIS(3), 3L)
+          .otherwise(4L))
+      .groupBy("b")
+      .agg(round(sum((col("q6") * col("w")).cast("decimal(18,6)")).cast("double") /
+        sum(col("w")), 6).as("mean_b"))
+    val wOrd = Window.orderBy("mean_b", "b")
+    val ci = weighted.withColumn("rn", row_number().over(wOrd))
+      .agg(max(when(col("rn") === 2, col("mean_b"))).as("ci_lo"),
+        max(when(col("rn") === BOOT_B - 1, col("mean_b"))).as("ci_hi"),
+        count(lit(1)).as("n_replicates"))
+    point.crossJoin(broadcast(ci))
+      .select(col("point"), col("ci_lo"), col("ci_hi"), col("n_replicates"))
+  }
+
+  val q55Sql: String = {
+    val toksE = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    round(least(1.0, CAST(len($toksE) AS DOUBLE) / 100.0) * 0.5 +
+       |      (1.0 - CAST(len(list_filter($toksE, t -> list_contains($stopList, t)))
+       |        AS DOUBLE) / len($toksE)) * 0.5, 6) AS q6
+       |  FROM documents),
+       |pt AS (
+       |  SELECT round(CAST(sum(q6::DECIMAL(18,6)) AS DOUBLE) / count(*), 6)
+       |    AS point FROM docs),
+       |wts AS (
+       |  SELECT b, q6,
+       |    CASE WHEN m < ${POIS(0)} THEN 0 WHEN m < ${POIS(1)} THEN 1
+       |         WHEN m < ${POIS(2)} THEN 2 WHEN m < ${POIS(3)} THEN 3
+       |         ELSE 4 END AS w
+       |  FROM (
+       |    SELECT d.q6, r.range AS b,
+       |      ${graft.functions.Hashing.sqlHash56("d.doc_id || '#' || r.range")} % 1000000 AS m
+       |    FROM docs d CROSS JOIN range($BOOT_B) r)),
+       |means AS (
+       |  SELECT b,
+       |    round(CAST(sum((q6 * w)::DECIMAL(18,6)) AS DOUBLE) /
+       |      CAST(sum(w) AS BIGINT), 6) AS mean_b
+       |  FROM wts GROUP BY 1),
+       |ranked AS (
+       |  SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn FROM means),
+       |ci AS (
+       |  SELECT max(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+       |    max(CASE WHEN rn = ${BOOT_B - 1} THEN mean_b END) AS ci_hi,
+       |    count(*) AS n_replicates
+       |  FROM ranked)
+       |SELECT point, ci_lo, ci_hi, n_replicates FROM pt CROSS JOIN ci""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_bootstrap_ci" -> (q55 _),
     "q54_asof_nearest" -> (q54 _),
     "q53_mad_outliers" -> (q53 _),
     "q52_weighted_median" -> (q52 _),
@@ -1671,6 +1765,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q55_bootstrap_ci" -> q55Sql,
     "q54_asof_nearest" -> q54Sql,
     "q53_mad_outliers" -> q53Sql,
     "q52_weighted_median" -> q52Sql,

@@ -209,6 +209,19 @@ class IoSpec extends SparkSpec {
     assert(total == Tables.orders(spark, sf).count())
   }
 
+  test("i22: masking is injective, leak-free, and deterministic across exports") {
+    val a = ops.IoOps.i22(spark, sf).collect()
+    a.foreach { r =>
+      assert(r.getAs[Boolean]("injective"), "mask collapsed distinct names")
+      assert(r.getAs[Boolean]("no_leak"), "raw value pattern leaked into tokens")
+    }
+    // a second physical export must produce identical tokens (joinability
+    // across runs and across tables)
+    val b = ops.IoOps.i22(spark, sf).collect()
+    assert(a.map(_.getAs[String]("tok_checksum")).toSeq ==
+      b.map(_.getAs[String]("tok_checksum")).toSeq)
+  }
+
   test("i21: failed audit never publishes; bad staging stays orphaned on disk") {
     val (df, okA, okB, latestManifest, stagedB) = ops.IoOps.i21WithAudit(spark, sf)
     val rows = df.collect()

@@ -131,6 +131,15 @@ class RelationalSpec extends SparkSpec {
     assert(flagged.nonEmpty, "screen caught nothing")
   }
 
+  test("q55: bootstrap CI brackets the point estimate with real width") {
+    val r = ops.Relational.q55(spark, sf).collect().head
+    val (p, lo, hi) = (r.getAs[Double]("point"), r.getAs[Double]("ci_lo"),
+      r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Long]("n_replicates") == 40L)
+    assert(lo < hi, "degenerate interval")
+    assert(p >= lo && p <= hi, s"point $p outside [$lo, $hi]")
+  }
+
   test("q53 MAD screen: zero false positives, every out-of-range plant caught") {
     val flagged = ops.Relational.q53(spark, sf).collect()
       .map(_.getAs[Long]("o_orderkey")).toSet
