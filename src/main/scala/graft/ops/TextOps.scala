@@ -73,7 +73,7 @@ object TextOps {
   // t03: marker-token language-ID heuristic. The corpus vocabulary is
   // shared across langs, so this predicts from marker frequencies —
   // the operator shape (n-gram/marker scoring + argmax) is the point.
-  private[ops] val markers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("table", "row", "key"),
     "fr" -> Seq("query", "window"),
     "es" -> Seq("scan", "group"),
@@ -1270,7 +1270,72 @@ object TextOps {
        |FROM feat GROUP BY 1 ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // t29: CLASS-BASED TF-IDF keyword signatures (c-TF-IDF, the
+  // BERTopic representation op): t11 asks "what characterizes this
+  // DOCUMENT"; this asks "what characterizes this CLASS" — the
+  // slice-level keyword signature a curator reads to understand what
+  // each partition of the corpus contains (and the topic-label step
+  // of every clustering pipeline). Classes are LANGUAGES here — the
+  // corpus's 31-token shared vocabulary makes source classes
+  // degenerate (measured: one sub-ubiquitous token), while the langs
+  // genuinely differ through t03's marker tokens, which the
+  // signatures must REDISCOVER from data (pinned in OpsSpec: each
+  // lang's top keyword is one of its markers). Presence-based idf is
+  // useless on a shared vocabulary (every token occurs in every
+  // class — measured: a binary-idf cut empties the table), so the
+  // score is FREQUENCY LIFT — the class rate over the corpus rate,
+  // c-TF-IDF's frequency-weighted spirit: lift = (tf_c · toks_all) /
+  // (toks_c · tf_tot), computed as ONE division of exact bigint
+  // cross-products (never nested rate divisions whose intermediate
+  // rounding differs), 6dp-rounded before ranking (the t11 rule) with
+  // token tie-break; min-support tf ≥ 5 keeps rare-token noise out.
+  // Scale: one token explode with map-side partial agg to (class,
+  // token), two broadcast total dims + a 1-row corpus total,
+  // WindowGroupLimit top-5 per class.
+  def t29(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val classTot = tf.groupBy("lang").agg(sum(col("tf")).as("toks_c"))
+    val tokTot = tf.groupBy("token").agg(sum(col("tf")).as("tf_tot"))
+    val corpusTot = tf.agg(sum(col("tf")).as("toks_all"))
+    val w = Window.partitionBy("lang").orderBy(col("lift").desc, col("token"))
+    tf.filter(col("tf") >= 5) // min support: rare-token noise can't rank
+      .join(broadcast(classTot), Seq("lang"))
+      .join(broadcast(tokTot), Seq("token"))
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("lift",
+        round((col("tf") * col("toks_all")).cast("double") /
+          (col("toks_c") * col("tf_tot")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "token", "tf", "lift")
+      .orderBy("lang", "rank")
+  }
+
+  val t29Sql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) AS token
+      |  FROM documents),
+      |tfc AS (SELECT lang, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |ct AS (SELECT lang, CAST(sum(tf) AS BIGINT) AS toks_c FROM tfc GROUP BY 1),
+      |tt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS tf_tot FROM tfc GROUP BY 1),
+      |alltot AS (SELECT CAST(sum(tf) AS BIGINT) AS toks_all FROM tfc)
+      |SELECT lang, rank, token, tf, lift FROM (
+      |  SELECT tfc.lang, tfc.token, tfc.tf,
+      |    round(CAST(tfc.tf * alltot.toks_all AS DOUBLE) /
+      |      (ct.toks_c * tt.tf_tot), 6) AS lift,
+      |    row_number() OVER (PARTITION BY tfc.lang
+      |      ORDER BY round(CAST(tfc.tf * alltot.toks_all AS DOUBLE) /
+      |        (ct.toks_c * tt.tf_tot), 6) DESC, tfc.token) AS rank
+      |  FROM tfc JOIN ct ON tfc.lang = ct.lang
+      |  JOIN tt ON tfc.token = tt.token CROSS JOIN alltot
+      |  WHERE tfc.tf >= 5)
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_class_tfidf" -> (t29 _),
     "t28_fertility" -> (t28 _),
     "t27_mojibake" -> (t27 _),
     "t26_ccnet_buckets" -> (t26 _),
@@ -1301,6 +1366,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t29_class_tfidf" -> t29Sql,
     "t28_fertility" -> t28Sql,
     "t27_mojibake" -> t27Sql,
     "t26_ccnet_buckets" -> t26Sql,

@@ -395,6 +395,27 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("walk_id")).toSet == seeds)
   }
 
+  test("t29: class signatures are over-represented tokens; markers surface") {
+    val rows = ops.TextOps.t29(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.size == 5)
+    val markers = ops.TextOps.markers.toMap
+    byLang.foreach { case (lang, g) =>
+      assert(g.length == 5)
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      val scores = sorted.map(_.getAs[Double]("lift"))
+      scores.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+      // every signature token is genuinely OVER-represented in its class
+      assert(scores.head > 1.0, s"$lang top lift ${scores.head} not above parity")
+    }
+    // the generator's lang-marker bias must be visible: at least one
+    // language's TOP keyword is one of its own t03 marker tokens
+    assert(byLang.exists { case (lang, g) =>
+      markers(lang).contains(
+        g.minBy(_.getAs[Int]("rank")).getAs[String]("token"))
+    }, "no language's top keyword is a marker — lift signature vacuous")
+  }
+
   test("t28: fertility bounds hold and token mass conserves vs the tokenizer") {
     val rows = ops.TextOps.t28(spark, sf).collect()
     assert(rows.length >= 2, "fewer than 2 languages — audit vacuous")
