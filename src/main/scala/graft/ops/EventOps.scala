@@ -1379,7 +1379,97 @@ object EventOps {
       |FROM cells JOIN sizes USING (cohort)
       |ORDER BY cohort, "offset"""".stripMargin
 
+  // ------------------------------------------------------------------
+  // e30: CONVERSION-LATENCY distribution — time-to-first-action after
+  // a trigger (signup → next purchase by the same user): the funnel
+  // e03 counts WHO converts; this measures HOW FAST, the number
+  // growth/activation teams actually watch. Pairing is the FORWARD
+  // as-of through the custom AsOfJoinExec (left_outer — never-
+  // converting signups survive as nulls; q44's direction, one
+  // exchange+sort per side, no inequality explosion); conversion =
+  // within 7 days. Per signup-day cohort: signups, conversions, a
+  // 4dp-rounded rate, and EXACT median / p90 latency by value
+  // selection (smallest latency with 2·cum ≥ n, 10·cum ≥ 9·n — the
+  // q52 rule, integer micros, never interpolation). Scale: one as-of
+  // pass + one cohort-keyed cum window over converted rows.
+  private val CONV_WINDOW_US = 7L * 86400 * 1000000
+  def e30(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("s_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"))
+    val paired = graft.plans.AsOf.join(su, p, "user_id", "p_user", "s_us", "p_us",
+        joinType = "left_outer", direction = "forward", rightTiebreak = Some("p_id"))
+      .select(col("event_id"), col("s_us"),
+        (col("p_us") - col("s_us")).as("lat_us"))
+      .withColumn("cohort", to_date(timestamp_micros(col("s_us"))))
+      .withColumn("converted",
+        col("lat_us").isNotNull && col("lat_us") <= CONV_WINDOW_US)
+    val counts = paired.groupBy("cohort")
+      .agg(count(lit(1)).as("n_signups"),
+        count(when(col("converted"), lit(1))).as("n_converted"))
+    val wCum = Window.partitionBy("cohort").orderBy("lat_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("cohort")
+    val conv = paired.filter(col("converted"))
+      .groupBy("cohort", "lat_us").agg(count(lit(1)).as("w"))
+      .withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("tw", sum(col("w")).over(wTot))
+    val med = conv.filter(col("cw") * 2 >= col("tw"))
+      .groupBy("cohort").agg(min(col("lat_us")).as("med_lat_us"))
+    val p90 = conv.filter(col("cw") * 10 >= col("tw") * 9)
+      .groupBy("cohort").agg(min(col("lat_us")).as("p90_lat_us"))
+    counts.join(med, Seq("cohort"), "left").join(p90, Seq("cohort"), "left")
+      .select(col("cohort"), col("n_signups"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_signups"), 4).as("conv_rate"),
+        col("med_lat_us"), col("p90_lat_us"))
+      .orderBy("cohort")
+  }
+
+  val e30Sql: String =
+    s"""WITH su AS (SELECT event_id, user_id, epoch_us(ts) AS s_us
+       |           FROM events WHERE event_type = 'signup'),
+       |p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+       |      FROM events WHERE event_type = 'purchase'),
+       |paired AS (
+       |  SELECT su.event_id, su.s_us, mp.p_us - su.s_us AS lat_us
+       |  FROM su LEFT JOIN (
+       |    SELECT * FROM (
+       |      SELECT su2.event_id AS sid, p.p_us,
+       |        row_number() OVER (PARTITION BY su2.event_id
+       |          ORDER BY p.p_us ASC, p.p_id DESC) AS rn
+       |      FROM su su2 JOIN p ON su2.user_id = p.user_id
+       |        AND p.p_us >= su2.s_us) WHERE rn = 1) mp
+       |  ON su.event_id = mp.sid),
+       |tagged AS (
+       |  SELECT event_id, make_timestamp(s_us)::DATE AS cohort, lat_us,
+       |    lat_us IS NOT NULL AND lat_us <= $CONV_WINDOW_US AS converted
+       |  FROM paired),
+       |counts AS (
+       |  SELECT cohort, count(*) AS n_signups,
+       |    count(CASE WHEN converted THEN 1 END) AS n_converted
+       |  FROM tagged GROUP BY 1),
+       |conv AS (
+       |  SELECT cohort, lat_us,
+       |    sum(w) OVER (PARTITION BY cohort ORDER BY lat_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+       |    sum(w) OVER (PARTITION BY cohort) AS tw
+       |  FROM (SELECT cohort, lat_us, count(*) AS w FROM tagged
+       |        WHERE converted GROUP BY 1, 2)),
+       |med AS (SELECT cohort, min(lat_us) AS med_lat_us FROM conv
+       |        WHERE cw * 2 >= tw GROUP BY 1),
+       |p90 AS (SELECT cohort, min(lat_us) AS p90_lat_us FROM conv
+       |        WHERE cw * 10 >= tw * 9 GROUP BY 1)
+       |SELECT cohort, n_signups, n_converted,
+       |  round(CAST(n_converted AS DOUBLE) / n_signups, 4) AS conv_rate,
+       |  med_lat_us, p90_lat_us
+       |FROM counts LEFT JOIN med USING (cohort) LEFT JOIN p90 USING (cohort)
+       |ORDER BY cohort""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e30_conversion_latency" -> (e30 _),
     "e29_retention_matrix" -> (e29 _),
     "e28_stream_update_mode" -> (e28 _),
     "e27_trending" -> (e27 _),
@@ -1410,6 +1500,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e30_conversion_latency" -> e30Sql,
     "e29_retention_matrix" -> e29Sql,
     "e28_stream_update_mode" -> e28Sql,
     "e27_trending" -> e27Sql,

@@ -2299,7 +2299,62 @@ object Recommend {
        |  (SELECT CAST(sum(least(5, nc)) AS BIGINT) FROM per_user) AS n_served,
        |  true AS exact_min5""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r35: SEGMENT EXPOSURE PARITY — the group-fairness audit (does one
+  // customer segment get systematically less personalized, more
+  // bestseller-only service?): per market segment, serving volume,
+  // distinct items served, catalog coverage, and the mean POPULARITY
+  // PERCENTILE of served items — a segment whose mean percentile sits
+  // far above the others is being fed the bestseller loop r19 warns
+  // about, invisible in global metrics. Percentiles are EXACT integer
+  // per-mille ranks over the audience-count order ((rank−1)·1000 div
+  // (n−1)), the mean is one bigint sum + one 4dp closing division;
+  // eleventh consumer of the shared r05Recs artifact. Scale: item
+  // percentile table is a catalog-dim ranking (broadcast back),
+  // serving scan is one pass keyed by user → segment join.
+  def r35(s: SparkSession, d: String): DataFrame = {
+    val ui = taggedInteractions(s, d).select("user_id", "item_id").distinct()
+    val w = Window.orderBy(col("cnt"), col("item_id"))
+    val nItems = ui.select("item_id").distinct().count()
+    val pct = ui.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("item_id"),
+        expr(s"((rnk - 1) * 1000) div (${nItems}L - 1)").as("pop_pm"))
+    val seg = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val recs = r05Recs(s, d).filter(col("rank") <= 5)
+    recs
+      .join(broadcast(seg), Seq("user_id"))
+      .join(broadcast(pct), recs("rec_item") === pct("item_id"))
+      .groupBy("segment")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_recs"),
+        countDistinct(col("rec_item")).as("n_distinct_items"),
+        round(sum(col("pop_pm")).cast("double") / count(lit(1)), 4)
+          .as("mean_pop_pm"))
+      .orderBy("segment")
+  }
+
+  val r35Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |ui AS (SELECT DISTINCT user_id, item_id FROM ratings),
+       |pct AS (
+       |  SELECT item_id,
+       |    ((row_number() OVER (ORDER BY cnt, item_id) - 1) * 1000) //
+       |      ((SELECT count(DISTINCT item_id) FROM ui) - 1) AS pop_pm
+       |  FROM (SELECT item_id, count(*) AS cnt FROM ui GROUP BY 1)),
+       |recs AS (SELECT user_id, rec_item FROM ($r05Sql)),
+       |seg AS (SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer)
+       |SELECT segment, count(DISTINCT r.user_id) AS n_users,
+       |  count(*) AS n_recs,
+       |  count(DISTINCT r.rec_item) AS n_distinct_items,
+       |  round(CAST(sum(pop_pm) AS DOUBLE) / count(*), 4) AS mean_pop_pm
+       |FROM recs r JOIN seg USING (user_id)
+       |JOIN pct ON r.rec_item = pct.item_id
+       |GROUP BY 1 ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r35_segment_parity" -> (r35 _),
     "r34_two_stage" -> (r34 _),
     "r33_ips_eval" -> (r33 _),
     "r32_interleaving" -> (r32 _),
@@ -2336,6 +2391,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r35_segment_parity" -> r35Sql,
     "r34_two_stage" -> r34Sql,
     "r33_ips_eval" -> r33Sql,
     "r32_interleaving" -> r32Sql,

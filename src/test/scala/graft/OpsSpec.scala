@@ -318,6 +318,21 @@ class OpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("e30: latency quantiles are ordered and only converted signups have them") {
+    val rows = ops.EventOps.e30(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_converted") > 0L), "nobody converts — vacuous")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_signups"))
+      if (r.getAs[Long]("n_converted") > 0) {
+        val med = r.getAs[Long]("med_lat_us")
+        val p90 = r.getAs[Long]("p90_lat_us")
+        assert(med >= 0 && p90 >= med, s"quantiles disordered: $med > $p90")
+        assert(p90 <= 7L * 86400 * 1000000, "p90 outside the conversion window")
+      } else assert(r.isNullAt(r.fieldIndex("med_lat_us")))
+    }
+  }
+
   test("e29: cohort cell zero is the cohort itself and rates stay bounded") {
     val rows = ops.EventOps.e29(spark, sf).collect()
     assert(rows.nonEmpty)

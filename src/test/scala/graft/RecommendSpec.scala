@@ -297,6 +297,17 @@ class RecommendSpec extends SparkSpec {
     }
   }
 
+  test("r35: every segment is audited and percentile means are in range") {
+    val rows = ops.Recommend.r35(spark, sf).collect()
+    assert(rows.length == 5, "a market segment fell out of the audit")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") > 0)
+      assert(r.getAs[Long]("n_distinct_items") <= r.getAs[Long]("n_recs"))
+      val m = r.getAs[Double]("mean_pop_pm")
+      assert(m >= 0.0 && m <= 1000.0)
+    }
+  }
+
   test("r34: ALS re-rank serves a candidate subset and genuinely reorders retrieval") {
     val served = ops.Recommend.r34Served(spark, sf).collect()
     assert(served.nonEmpty)
