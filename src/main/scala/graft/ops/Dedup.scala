@@ -1148,7 +1148,73 @@ object Dedup {
        |ORDER BY bands""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // d19: MINHASH ESTIMATION-ERROR audit — the sketch-accuracy gate
+  // for the dedup stack, completing the family q25 (HLL ±5%) and q39
+  // (GK quantile bound) started: over the LSH candidates, the MinHash
+  // ESTIMATE (matching signature components / K — exact integers both
+  // engines) against the EXACT shingle-set Jaccard, bucketed by
+  // estimate decile: per bucket, pair count, mean absolute error
+  // (6dp-rounded per-pair errors summed as DECIMAL — t14's
+  // order-independent discipline) and worst error. The table that
+  // tells you whether K=16 is enough before you trust d04's verify
+  // threshold at 100 TB. Candidates-only work (never all-pairs); one
+  // signature join + one set join + a decile-keyed agg.
+  def d19(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d)
+    val sh = corpus(s, d)
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
+    val est = candidates(s, d)
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .withColumn("n_match",
+        expr(s"aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("exact",
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 6))
+      .withColumn("err",
+        round(abs(col("n_match").cast("double") / K - col("exact")), 6))
+      .withColumn("bucket", expr(s"CAST((n_match * 10) div $K AS BIGINT)"))
+    est.groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("err").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_abs_err"),
+        max(col("err")).as("max_abs_err"))
+      .orderBy("bucket")
+  }
+
+  val d19Sql: String =
+    s"""$sqlDedupPrefix,
+       |sh AS (
+       |  SELECT doc_id, list_distinct($sqlShingles) AS sh
+       |  FROM corpus WHERE len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) >= 3),
+       |est AS (
+       |  SELECT a, b,
+       |    list_sum(list_transform(range(1, $K + 1),
+       |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS n_match,
+       |    round(CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(ha.sh, hb.sh))), 6) AS exact
+       |  FROM cands
+       |  JOIN sigs sa ON cands.a = sa.doc_id
+       |  JOIN sigs sb ON cands.b = sb.doc_id
+       |  JOIN sh ha ON cands.a = ha.doc_id
+       |  JOIN sh hb ON cands.b = hb.doc_id),
+       |errs AS (
+       |  SELECT ((n_match * 10) // $K)::BIGINT AS bucket,
+       |    round(abs(CAST(n_match AS DOUBLE) / $K - exact), 6) AS err
+       |  FROM est)
+       |SELECT bucket, count(*) AS n_pairs,
+       |  round(CAST(sum(err::DECIMAL(18,6)) AS DOUBLE) / count(*), 6)
+       |    AS mean_abs_err,
+       |  max(err) AS max_abs_err
+       |FROM errs GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_minhash_error" -> (d19 _),
     "d18_lsh_tuning" -> (d18 _),
     "d17_substr_dedup" -> (d17 _),
     "d16_bow_dedup" -> (d16 _),
@@ -1170,6 +1236,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d19_minhash_error" -> d19Sql,
     "d18_lsh_tuning" -> d18Sql,
     "d17_substr_dedup" -> d17Sql,
     "d16_bow_dedup" -> d16Sql,

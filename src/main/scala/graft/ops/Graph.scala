@@ -811,7 +811,94 @@ object Graph {
        |FROM a$HITS_ROUNDS ORDER BY a DESC, sn LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // g12: EGO-NETWORK features — the per-node feature vector graph-ML
+  // pipelines feed to fraud/risk/community classifiers (degree,
+  // edges among neighbors, ego density): g10 samples walk CONTEXTS
+  // for embeddings, this computes the hand-engineered features that
+  // still rule tabular graph models. Runs on the item co-occurrence
+  // graph (the trade graph is bipartite — ego edges there are
+  // identically zero) for a query COHORT (item < 200 — the g06 rule:
+  // feature serving is asked for a cohort, and the
+  // neighbor-pair join keeps the cohort on one side so per-node work
+  // is deg(u)·deg(v)-bounded, never audience²): deg = |N(u)|,
+  // ego_edges = |{(a,b) ∈ E : a,b ∈ N(u)}| (counted once per
+  // unordered pair), density = ego_edges / C(deg, 2) — integer
+  // counts, ONE 4dp-rounded closing division. The ego-edge count is
+  // the wedge-close join of g02 restricted to the cohort's
+  // neighborhoods: cohort-adjacency ⋈ adjacency on the shared
+  // neighbor, closed against the edge set.
+  /** Symmetric item co-occurrence edges (g02's graph — the trade graph
+    * is BIPARTITE, so ego edges there are identically zero; item
+    * neighborhoods genuinely close). */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    val oi = graft.etl.Ratings.orderItems(s, d)
+    oi.as("a").join(oi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(explode(array(
+        struct(col("i").as("src"), col("j").as("dst")),
+        struct(col("j").as("src"), col("i").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  private val g12SqlCoEdges: String =
+    """co AS (
+      |  SELECT a.l_partkey AS i, b.l_partkey AS j
+      |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (SELECT i AS src, j AS dst FROM co
+      |          UNION ALL SELECT j, i FROM co)""".stripMargin
+
+  def g12(s: SparkSession, d: String): DataFrame = {
+    val e = Iterate.pin(coEdges(s, d))
+    val cohortAdj = e.filter(col("src") < 200)
+      .select(col("src").as("u"), col("dst").as("n1"))
+    val deg = cohortAdj.groupBy("u").agg(count(lit(1)).as("deg"))
+    // unordered neighbor pairs of each cohort node, closed iff the
+    // pair is itself an edge (left-semi against the edge list)
+    val egoEdges = cohortAdj
+      .join(cohortAdj.select(col("u"), col("n1").as("n2")), Seq("u"))
+      .filter(col("n1") < col("n2"))
+      .join(e.select(col("src").as("n1"), col("dst").as("n2")),
+        Seq("n1", "n2"), "left_semi")
+      .groupBy("u").agg(count(lit(1)).as("ego_edges"))
+    deg.join(egoEdges, Seq("u"), "left")
+      .select(col("u").as("node"), col("deg"),
+        coalesce(col("ego_edges"), lit(0L)).as("ego_edges"),
+        round(when(col("deg") >= 2,
+          coalesce(col("ego_edges"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1) / lit(2)))
+          .otherwise(lit(0.0)), 4).as("density"))
+      .orderBy("node")
+  }
+
+  val g12Sql: String =
+    s"""WITH $g12SqlCoEdges,
+       |cadj AS (SELECT src AS u, dst AS n1 FROM edges WHERE src < 200),
+       |deg AS (SELECT u, count(*) AS deg FROM cadj GROUP BY 1),
+       |ego AS (
+       |  SELECT a.u, count(*) AS ego_edges
+       |  FROM cadj a JOIN (SELECT u, n1 AS n2 FROM cadj) b ON a.u = b.u
+       |  WHERE a.n1 < b.n2
+       |    AND EXISTS (SELECT 1 FROM edges e
+       |                WHERE e.src = a.n1 AND e.dst = b.n2)
+       |  GROUP BY 1)
+       |SELECT deg.u AS node, deg.deg,
+       |  coalesce(ego.ego_edges, 0)::BIGINT AS ego_edges,
+       |  round(CASE WHEN deg.deg >= 2
+       |    THEN coalesce(ego.ego_edges, 0)::DOUBLE /
+       |      (deg.deg * (deg.deg - 1) / 2)
+       |    ELSE 0.0 END, 4) AS density
+       |FROM deg LEFT JOIN ego USING (u) ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g12_ego_features" -> (g12 _),
     "g11_hits" -> (g11 _),
     "g10_random_walks" -> (g10 _),
     "g09_assortativity" -> (g09 _),
@@ -825,6 +912,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g12_ego_features" -> g12Sql,
     "g11_hits" -> g11Sql,
     "g10_random_walks" -> g10Sql,
     "g09_assortativity" -> g09Sql,

@@ -1057,6 +1057,48 @@ class OpsSpec extends SparkSpec {
       "no reorder-only duplication caught — plants vacuous")
   }
 
+  test("d19: error table covers every candidate pair with bounded errors") {
+    val rows = ops.Dedup.d19(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(nPairs == ops.Dedup.d03(spark, sf).count(),
+      "error audit dropped candidate pairs")
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_abs_err")
+      val mx = r.getAs[Double]("max_abs_err")
+      assert(mean >= 0.0 && mean <= mx && mx <= 1.0)
+    }
+    // the sketch must be INFORMATIVE: overall weighted mean error well
+    // under random guessing (K=16 → sd <= 1/(2*sqrt(K)) = 0.125 per
+    // pair; allow slack for tiny buckets)
+    val wmean = rows.map(r =>
+      r.getAs[Double]("mean_abs_err") * r.getAs[Long]("n_pairs")).sum / nPairs
+    assert(wmean <= 0.125, s"weighted mean error $wmean — sketch uninformative")
+  }
+
+  test("g12: ego features match a driver-side brute-force recompute") {
+    val rows = ops.Graph.g12(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the co-occurrence graph driver-side
+    val oi = graft.etl.Ratings.orderItems(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val co = oi.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val items = basket.map(_._2).distinct.sorted.toSeq
+      for (i <- items; j <- items if i < j) yield (i, j)
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = (co.toSeq ++ co.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { r =>
+      val u = r.getAs[Long]("node")
+      val ns = adj(u)
+      assert(r.getAs[Long]("deg") == ns.size.toLong)
+      val expect = ns.toSeq.combinations(2)
+        .count { case Seq(a, b) => co.contains((a min b, a max b)) }
+      assert(r.getAs[Long]("ego_edges") == expect.toLong,
+        s"node $u: ego ${r.getAs[Long]("ego_edges")} want $expect")
+    }
+  }
+
   test("d18: candidate volume and recall grow monotonically with band count") {
     val rows = ops.Dedup.d18(spark, sf).collect().sortBy(_.getAs[Int]("bands"))
     assert(rows.length == 3)
