@@ -1468,7 +1468,62 @@ object EventOps {
        |FROM counts LEFT JOIN med USING (cohort) LEFT JOIN p90 USING (cohort)
        |ORDER BY cohort""".stripMargin
 
+  // ------------------------------------------------------------------
+  // e31: WINDOWED funnel (max-gap step semantics — the Amplitude-style
+  // product funnel): e03 only requires first-view < first-click <
+  // first-purchase over the whole history; real funnels require each
+  // step within a WINDOW of the previous (view → click ≤ 24h → \
+  // purchase ≤ 24h), with GREEDY anchoring (the FIRST qualifying
+  // event at each step — deterministic, and what funnel products
+  // actually compute). A user whose click trails the view by a week
+  // passes e03 and must FAIL here (divergence pinned in OpsSpec).
+  // Anchors chain: min view per user → min click in (view, view+24h]
+  // → min purchase in (click, click+24h]. Each step is one user-keyed
+  // join + conditional min-agg — integers in micros throughout.
+  private val FUNNEL_GAP_US = 24L * 3600 * 1000000
+  def e31(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("view_us") &&
+        col("us") <= col("view_us") + FUNNEL_GAP_US)
+      .groupBy("user_id").agg(min(col("us")).as("click_us"),
+        min(col("view_us")).as("view_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") > col("click_us") &&
+        col("us") <= col("click_us") + FUNNEL_GAP_US)
+      .groupBy("user_id").agg(min(col("us")).as("purchase_us"),
+        min(col("click_us")).as("click_us"), min(col("view_us")).as("view_us"))
+    p.select("user_id", "view_us", "click_us", "purchase_us")
+      .orderBy("user_id")
+  }
+
+  val e31Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |v AS (SELECT user_id, min(us) AS view_us FROM ev
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (
+       |  SELECT ev.user_id, min(ev.us) AS click_us, min(v.view_us) AS view_us
+       |  FROM ev JOIN v USING (user_id)
+       |  WHERE ev.event_type = 'click' AND ev.us > v.view_us
+       |    AND ev.us <= v.view_us + $FUNNEL_GAP_US
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT ev.user_id, min(ev.us) AS purchase_us,
+       |    min(c.click_us) AS click_us, min(c.view_us) AS view_us
+       |  FROM ev JOIN c USING (user_id)
+       |  WHERE ev.event_type = 'purchase' AND ev.us > c.click_us
+       |    AND ev.us <= c.click_us + $FUNNEL_GAP_US
+       |  GROUP BY 1)
+       |SELECT user_id, view_us, click_us, purchase_us FROM p
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e31_windowed_funnel" -> (e31 _),
     "e30_conversion_latency" -> (e30 _),
     "e29_retention_matrix" -> (e29 _),
     "e28_stream_update_mode" -> (e28 _),
@@ -1500,6 +1555,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e31_windowed_funnel" -> e31Sql,
     "e30_conversion_latency" -> e30Sql,
     "e29_retention_matrix" -> e29Sql,
     "e28_stream_update_mode" -> e28Sql,

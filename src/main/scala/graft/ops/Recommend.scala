@@ -2353,7 +2353,60 @@ object Recommend {
        |JOIN pct ON r.rec_item = pct.item_id
        |GROUP BY 1 ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r36: ASSOCIATION RULES (A ⇒ B with support / confidence / lift —
+  // the Apriori-for-pairs retail classic): r03 counts co-occurrence
+  // and r04 scores symmetric similarity; RULES are DIRECTIONAL —
+  // confidence P(B|A) = c(AB)/c(A) is not P(A|B) — and thresholded on
+  // support, which is what makes them actionable ("stock B next to
+  // A"). Exact integer counts over distinct (order, item) baskets;
+  // support and confidence as EXACT integer per-mille (÷ via div),
+  // lift as ONE division of bigint cross-products (c(AB)·N /
+  // (c(A)·c(B)) — the t29 rule, no nested rate divisions), rounded
+  // 6dp before the (lift, conf, A, B) ranking. Top-20 rules. Scale:
+  // the basket-pair explode is r03's one-shuffle pairsOfSym shape;
+  // item supports broadcast; min-support prunes before ranking.
+  private val RULE_MIN_AB = 3L
+  def r36(s: SparkSession, d: String): DataFrame = {
+    val oi = Ratings.orderItems(s, d)
+    val nBaskets = oi.select("l_orderkey").distinct().count()
+    val itemCnt = oi.groupBy(col("l_partkey").as("item"))
+      .agg(count(lit(1)).as("c1"))
+    val ab = pairsOfSym(oi.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("item_id")), "ok", "item_id")
+      .groupBy(col("i").as("a"), col("j").as("b"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= RULE_MIN_AB)
+    ab.join(broadcast(itemCnt.select(col("item").as("a"), col("c1").as("ca"))), Seq("a"))
+      .join(broadcast(itemCnt.select(col("item").as("b"), col("c1").as("cb"))), Seq("b"))
+      .select(col("a"), col("b"), col("cab"),
+        expr(s"(cab * 1000000) div ${nBaskets}L").as("support_ppm"),
+        expr("(cab * 1000000) div ca").as("conf_ppm"),
+        round((col("cab") * nBaskets).cast("double") / (col("ca") * col("cb")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("conf_ppm").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val r36Sql: String =
+    s"""WITH oi AS (${Ratings.sqlOrderItems}),
+       |nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM oi),
+       |ic AS (SELECT l_partkey AS item, count(*) AS c1 FROM oi GROUP BY 1),
+       |ab AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cab
+       |  FROM oi x JOIN oi y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $RULE_MIN_AB)
+       |SELECT a, b, cab,
+       |  (cab * 1000000) // (SELECT n FROM nb) AS support_ppm,
+       |  (cab * 1000000) // ca.c1 AS conf_ppm,
+       |  round(CAST(cab * (SELECT n FROM nb) AS DOUBLE) / (ca.c1 * cb.c1), 6)
+       |    AS lift
+       |FROM ab JOIN ic ca ON ab.a = ca.item JOIN ic cb ON ab.b = cb.item
+       |ORDER BY lift DESC, conf_ppm DESC, a, b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r36_basket_rules" -> (r36 _),
     "r35_segment_parity" -> (r35 _),
     "r34_two_stage" -> (r34 _),
     "r33_ips_eval" -> (r33 _),
@@ -2391,6 +2444,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r36_basket_rules" -> r36Sql,
     "r35_segment_parity" -> r35Sql,
     "r34_two_stage" -> r34Sql,
     "r33_ips_eval" -> r33Sql,

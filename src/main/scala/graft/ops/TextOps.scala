@@ -1334,7 +1334,73 @@ object TextOps {
       |  WHERE tfc.tf >= 5)
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // t30: SLIDING-WINDOW CHUNKING for retrieval/embedding pipelines
+  // (the RAG chunker): documents split into W=64-token windows with
+  // stride S=32 (50% overlap — the context-preservation convention),
+  // the CONSTRUCTION op upstream of every embedding index (s-series
+  // consumes vectors per chunk, not per doc). Per doc: token count,
+  // chunk count (1 + ⌈(n−W)/S⌉ for n > W, else 1), total chunk-token
+  // mass (pins the window/stride arithmetic: overlap means Σlen >
+  // n exactly when n > W), and a checksum over the chunk-text hashes
+  // (pins the exact chunk CONTENT, not just counts). Entirely IN-ROW
+  // — transform over the start sequence + aggregate folds, no
+  // explode, ZERO shuffles before the doc-ordered output: at 100 TB
+  // this is free work inside the corpus scan.
+  private val CHUNK_W = 64
+  private val CHUNK_S = 32
+  def t30(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= CHUNK_W, lit(1L))
+          .otherwise(expr(
+            s"1L + CAST((n_tokens - $CHUNK_W + $CHUNK_S - 1) div $CHUNK_S AS BIGINT)")))
+      .withColumn("starts",
+        transform(sequence(lit(0L), col("n_chunks") - 1), i => i * CHUNK_S))
+      .withColumn("sum_len",
+        aggregate(transform(col("starts"),
+            st => least(lit(CHUNK_W.toLong), col("n_tokens") - st)),
+          lit(0L), (a, x) => a + x))
+      .withColumn("chunk_checksum",
+        aggregate(transform(col("starts"), st =>
+            graft.functions.Hashing.hash56(concat_ws(" ",
+              slice(col("toks"), (st + 1).cast("int"),
+                least(lit(CHUNK_W.toLong), col("n_tokens") - st).cast("int"))))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+          (a, x) => a + x.cast("decimal(38,0)"))
+          .cast("string"))
+      .select("doc_id", "n_tokens", "n_chunks", "sum_len", "chunk_checksum")
+      .orderBy("doc_id")
+
+  val t30Sql: String = {
+    val toksE = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH toksd AS (
+       |  SELECT doc_id, $toksE AS t, len($toksE)::BIGINT AS n
+       |  FROM documents WHERE len($toksE) > 0),
+       |chunked AS (
+       |  SELECT doc_id, n,
+       |    CASE WHEN n <= $CHUNK_W THEN 1
+       |      ELSE 1 + (n - $CHUNK_W + $CHUNK_S - 1) // $CHUNK_S END AS n_chunks,
+       |    t
+       |  FROM toksd),
+       |folded AS (
+       |  SELECT doc_id, n AS n_tokens, n_chunks::BIGINT AS n_chunks,
+       |    list_sum(list_transform(range(0, n_chunks),
+       |      i -> least($CHUNK_W, n - i * $CHUNK_S)))::BIGINT AS sum_len,
+       |    list_sum(list_transform(range(0, n_chunks),
+       |      i -> ${Hashing.sqlHash56(
+                s"array_to_string(t[i * $CHUNK_S + 1 : i * $CHUNK_S + least($CHUNK_W, n - i * $CHUNK_S)], ' ')")}))
+       |      ::DECIMAL(38,0)::VARCHAR AS chunk_checksum
+       |  FROM chunked)
+       |SELECT doc_id, n_tokens, n_chunks, sum_len, chunk_checksum
+       |FROM folded ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_chunk_windows" -> (t30 _),
     "t29_class_tfidf" -> (t29 _),
     "t28_fertility" -> (t28 _),
     "t27_mojibake" -> (t27 _),
@@ -1366,6 +1432,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t30_chunk_windows" -> t30Sql,
     "t29_class_tfidf" -> t29Sql,
     "t28_fertility" -> t28Sql,
     "t27_mojibake" -> t27Sql,

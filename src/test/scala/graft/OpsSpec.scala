@@ -318,6 +318,38 @@ class OpsSpec extends SparkSpec {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("e31: the max-gap constraint genuinely excludes e03-passing users") {
+    val windowed = ops.EventOps.e31(spark, sf).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    val ordered = ops.EventOps.e03(spark, sf).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(windowed.nonEmpty, "nobody completes the windowed funnel")
+    assert((ordered -- windowed).nonEmpty,
+      "every loosely-ordered user also passes windowed — gap constraint vacuous")
+    // step ordering holds within every completing user
+    ops.EventOps.e31(spark, sf).collect().foreach { r =>
+      val (v, c, p) = (r.getAs[Long]("view_us"), r.getAs[Long]("click_us"),
+        r.getAs[Long]("purchase_us"))
+      assert(v < c && c < p)
+      assert(c - v <= 24L * 3600 * 1000000 && p - c <= 24L * 3600 * 1000000)
+    }
+  }
+
+  test("t30: chunking covers every token and overlaps exactly when multi-chunk") {
+    val rows = ops.TextOps.t30(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_chunks") > 1L), "no doc needs chunking")
+    rows.foreach { r =>
+      val (n, k, sl) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("sum_len"))
+      // full coverage: total chunk mass at least the doc, with strict
+      // overlap exactly when the doc splits
+      if (k == 1) assert(sl == n) else assert(sl > n)
+      // the closed form: k = 1 + ceil((n - W) / S) for n > W
+      if (n > 64) assert(k == 1 + (n - 64 + 31) / 32) else assert(k == 1)
+    }
+  }
+
   test("e30: latency quantiles are ordered and only converted signups have them") {
     val rows = ops.EventOps.e30(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -297,6 +297,19 @@ class RecommendSpec extends SparkSpec {
     }
   }
 
+  test("r36: surfaced rules are high-lift with consistent probabilities") {
+    val rows = ops.Recommend.r36(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      // lift > 1: the rule beats independence (else it isn't a rule)
+      assert(r.getAs[Double]("lift") > 1.0)
+      val conf = r.getAs[Long]("conf_ppm")
+      assert(conf > 0 && conf <= 1000000L)
+      assert(r.getAs[Long]("support_ppm") <= conf,
+        "support cannot exceed confidence (c(A) <= N)")
+    }
+  }
+
   test("r35: every segment is audited and percentile means are in range") {
     val rows = ops.Recommend.r35(spark, sf).collect()
     assert(rows.length == 5, "a market segment fell out of the audit")
