@@ -1382,7 +1382,138 @@ object Similarity {
        |WHERE (kind = 'pos' AND rank <= 1) OR (kind = 'neg' AND rank <= 3)
        |ORDER BY query_id, kind, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // s16: IVF RECALL/COST SWEEP — the ANN counterpart of d18's LSH
+  // tuning table, and the table you actually pick nProbe from: for
+  // nProbe ∈ {1, 2, 4, 8} over the s05 seed quantizer, the candidate
+  // volume (the COST — candidates scanned ∝ nProbe/cells of the
+  // corpus) against recall vs the exact brute-force top-3 on the
+  // same bounded query panel. Everything in the gate is an INTEGER
+  // (counts + per-mille recall via div — cosines only order the
+  // top-3 sets, 4dp-rounded on both sides as everywhere in the
+  // s-series), so the whole sweep hash-gates cross-engine. Recall
+  // monotone and candidates linear in nProbe pinned in OpsSpec (the
+  // 1−(1−s^r)^b curve's ANN sibling). Scale: the exact reference is
+  // panel-bounded (s01's rule); each sweep point is the s05 cell
+  // join — candidates-only, never all-pairs.
+  private val SWEEP_PROBES = Seq(1, 2, 4, 8)
+
+  def s16(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents2 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val assigned = nearestCell(e, cents2).localCheckpoint()
+    val probes = assigned.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    // per query, every cell ranked by distance (the probe order)
+    val wC = Window.partitionBy("query_id").orderBy(col("d2"), col("cent_id"))
+    val qcell = probes.join(broadcast(cents2))
+      .withColumn("d2", sqd(col("va"), col("cv")))
+      .withColumn("crank", row_number().over(wC))
+      .select("query_id", "va", "cent_id", "crank")
+      .localCheckpoint()
+    // exact reference: brute-force top-3 on the panel (4dp discipline)
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    val exact = probes.join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 3)
+      .select("query_id", "nn_id")
+      .localCheckpoint()
+    val cand = assigned.select(col("vec_id").as("nn_id"),
+      col("cell").as("cent_id"), col("v").as("vb"))
+    val sweeps = SWEEP_PROBES.map { np =>
+      val pc = qcell.filter(col("crank") <= np)
+        .join(cand, Seq("cent_id"))
+        .filter(col("query_id") =!= col("nn_id"))
+      val wA = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+      val approx = pc
+        .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+        .withColumn("rank", row_number().over(wA))
+        .filter(col("rank") <= 3)
+        .select("query_id", "nn_id")
+      val hits = approx.join(exact, Seq("query_id", "nn_id"), "left_semi")
+      pc.agg(count(lit(1)).as("n_candidates"),
+          countDistinct(col("query_id")).as("n_queries"))
+        .join(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("n_candidates"), col("n_hits"),
+          expr("(1000 * n_hits) div (3 * n_queries)").as("recall_pm"))
+    }
+    sweeps.reduce(_.union(_)).orderBy("nprobe").localCheckpoint()
+  }
+
+  val s16Sql: String = {
+    def sweep(np: Int): String =
+      s"""SELECT $np::BIGINT AS nprobe,
+         |  (SELECT count(DISTINCT query_id) FROM pc_$np) AS n_queries,
+         |  (SELECT count(*) FROM pc_$np) AS n_candidates,
+         |  (SELECT count(*) FROM hits_$np) AS n_hits,
+         |  ((1000 * (SELECT count(*) FROM hits_$np)) //
+         |   (3 * (SELECT count(DISTINCT query_id) FROM pc_$np)))::BIGINT
+         |    AS recall_pm""".stripMargin
+    def ctes(np: Int): String =
+      s"""pc_$np AS (
+         |  SELECT q.query_id, q.va AS v, b.vec_id AS nn_id, b.v AS vb
+         |  FROM qcell q JOIN assigned b ON q.cent_id = b.cell
+         |  WHERE q.crank <= $np AND q.query_id <> b.vec_id),
+         |ap_$np AS (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT query_id, nn_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(list_sum(list_transform(range(64),
+         |          i -> v[i + 1] * vb[i + 1])) /
+         |          (sqrt(list_sum(list_transform(v, x -> x * x))) *
+         |           sqrt(list_sum(list_transform(vb, x -> x * x)))), 4) DESC,
+         |        nn_id) AS rank
+         |    FROM pc_$np)
+         |  WHERE rank <= 3),
+         |hits_$np AS (
+         |  SELECT a.query_id, a.nn_id FROM ap_$np a
+         |  WHERE EXISTS (SELECT 1 FROM exact x
+         |    WHERE x.query_id = a.query_id AND x.nn_id = a.nn_id))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_sum(list_transform(range(64),
+       |          i -> (e.v[i + 1] - c.cv[i + 1]) * (e.v[i + 1] - c.cv[i + 1]))),
+       |          c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS va FROM assigned
+       |           WHERE vec_id < 100),
+       |qcell AS (
+       |  SELECT query_id, va, cent_id, crank FROM (
+       |    SELECT p.query_id, p.va, c.cent_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_sum(list_transform(range(64),
+       |          i -> (p.va[i + 1] - c.cv[i + 1]) * (p.va[i + 1] - c.cv[i + 1]))),
+       |          c.cent_id) AS crank
+       |    FROM probes p CROSS JOIN cents c)),
+       |exact AS (
+       |  SELECT query_id, nn_id FROM (
+       |    SELECT p.query_id, b.vec_id AS nn_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY round(list_sum(list_transform(range(64),
+       |          i -> p.va[i + 1] * b.v[i + 1])) /
+       |          (sqrt(list_sum(list_transform(p.va, x -> x * x))) *
+       |           sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) DESC,
+       |        b.vec_id) AS rank
+       |    FROM probes p JOIN e b ON p.query_id <> b.vec_id)
+       |  WHERE rank <= 3),
+       |${SWEEP_PROBES.map(ctes).mkString(",\n")}
+       |${SWEEP_PROBES.map(sweep).mkString("\nUNION ALL\n")}
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_nprobe_sweep" -> (s16 _),
     "s15_hard_negatives" -> (s15 _),
     "s14_filtered_knn" -> (s14 _),
     "s13_maxsim" -> (s13 _),
@@ -1400,6 +1531,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s16_nprobe_sweep" -> s16Sql,
     "s15_hard_negatives" -> s15Sql,
     "s14_filtered_knn" -> s14Sql,
     "s13_maxsim" -> s13Sql,

@@ -1089,6 +1089,23 @@ class OpsSpec extends SparkSpec {
       "no reorder-only duplication caught — plants vacuous")
   }
 
+  test("s16: recall climbs monotonically with nProbe and nears exact at 8/10 cells") {
+    val rows = ops.Similarity.s16(spark, sf).collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Long]("n_hits") > lo.getAs[Long]("n_hits"),
+        "recall did not strictly improve with more probes")
+      assert(hi.getAs[Long]("n_candidates") > lo.getAs[Long]("n_candidates"))
+    }
+    // probing 8 of 10 cells must recover most of the exact set
+    assert(rows.last.getAs[Long]("recall_pm") >= 850L,
+      s"recall at nProbe=8 only ${rows.last.getAs[Long]("recall_pm")}‰")
+    // and the sweep's cost axis is real: candidates scale ~linearly
+    val c1 = rows.head.getAs[Long]("n_candidates")
+    val c8 = rows.last.getAs[Long]("n_candidates")
+    assert(c8 > 6 * c1 && c8 < 10 * c1)
+  }
+
   test("d19: error table covers every candidate pair with bounded errors") {
     val rows = ops.Dedup.d19(spark, sf).collect()
     assert(rows.nonEmpty)
