@@ -1213,7 +1213,116 @@ object Dedup {
        |  max(err) AS max_abs_err
        |FROM errs GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------------
+  // d20: the DEDUP ONION — layered removal accounting (what each
+  // successive dedup pass ADDS over the previous ones — the table a
+  // curation team uses to decide which layers are worth their cost):
+  // L1 exact (t04's normalized fp, keep-first) → L2 bag-of-words
+  // (d16's sorted-token fp over L1 survivors — catches reorders exact
+  // hashing missed) → L3 verified near-dup (d03/d04's LSH+Jaccard ≥
+  // 0.6 over L2 survivors, higher id of each verified pair dropped —
+  // catches the edited tails). The corpus carries ALL the d-series
+  // plants (exact copies, probe tails, reversals) so every layer
+  // provably removes something new (strictly-positive increments
+  // pinned in OpsSpec, plus chain conservation n_out = n_in −
+  // n_dropped). Scale: each layer is its own op's keyed shape —
+  // fp groupBy, bag groupBy, banded LSH candidates-only — run over
+  // the shrinking survivor set, exactly how the production onion is
+  // ordered (cheap layers first).
+  def d20(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val base = corpus(s, d)
+    val aug = base.union(
+      Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") % 45 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat_ws(" ", reverse(toks)).as("text")))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val wBag = org.apache.spark.sql.expressions.Window.partitionBy("bag_fp")
+    val tagged = aug
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
+      .withColumn("keep1", col("doc_id") === min(col("doc_id")).over(wFp))
+    val l1 = tagged.filter(col("keep1")).select(col("doc_id"), col("text"))
+    val l1b = l1
+      .withColumn("bag_fp", md5(concat_ws(" ", sort_array(toks))))
+      .withColumn("keep2", col("doc_id") === min(col("doc_id")).over(wBag))
+    val l2 = l1b.filter(col("keep2")).select(col("doc_id"), col("text"))
+    // L3: verified near-dup pairs among L2 survivors
+    val sh = l2
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
+    val bb = bands(sigsFor(l2))
+    val cands3 = bb.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(bb.select(col("band").as("b2"), col("bucket").as("k2"),
+        col("doc_id").as("b")),
+        col("band") === col("b2") && col("bucket") === col("k2") &&
+          col("a") < col("b"))
+      .select("a", "b").distinct()
+    val drop3 = cands3
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .filter(round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))), 6) >= 0.6)
+      .select(col("b").as("doc_id")).distinct()
+    val l3 = l2.join(drop3, Seq("doc_id"), "left_anti")
+    import s.implicits._
+    def row(layer: String, nIn: Long, nOut: Long) =
+      (layer, nIn, nIn - nOut, nOut)
+    val (n0, n1, n2, n3) = (aug.count(), l1.count(), l2.count(), l3.count())
+    Seq(row("1_exact", n0, n1), row("2_bag", n1, n2), row("3_neardup", n2, n3))
+      .toDF("layer", "n_in", "n_dropped", "n_out")
+      .coalesce(1).orderBy("layer")
+  }
+
+  val d20Sql: String = {
+    val toks = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH corpus0 AS ($sqlCorpus),
+       |aug AS (
+       |  SELECT doc_id, text FROM corpus0
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, array_to_string(list_reverse($toks), ' ')
+       |  FROM documents WHERE doc_id % 45 = 0),
+       |l1 AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      min(doc_id) OVER (PARTITION BY
+       |        md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS k
+       |    FROM aug) WHERE doc_id = k),
+       |l2 AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      min(doc_id) OVER (PARTITION BY
+       |        md5(array_to_string(list_sort($toks), ' '))) AS k
+       |    FROM l1) WHERE doc_id = k),
+       |sigs AS (${sqlSignaturesFrom("l2")}),
+       |bands AS (${sqlBandsFrom("sigs")}),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |sh AS (
+       |  SELECT doc_id, list_distinct($sqlShingles) AS sh
+       |  FROM l2 WHERE len($toks) >= 3),
+       |drop3 AS (
+       |  SELECT DISTINCT b AS doc_id FROM cands
+       |  JOIN sh sa ON cands.a = sa.doc_id JOIN sh sb ON cands.b = sb.doc_id
+       |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.6),
+       |l3 AS (SELECT doc_id FROM l2 WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+       |ns AS (
+       |  SELECT (SELECT count(*) FROM aug) AS n0,
+       |    (SELECT count(*) FROM l1) AS n1,
+       |    (SELECT count(*) FROM l2) AS n2,
+       |    (SELECT count(*) FROM l3) AS n3)
+       |SELECT '1_exact' AS layer, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM ns
+       |UNION ALL SELECT '2_bag', n1, n1 - n2, n2 FROM ns
+       |UNION ALL SELECT '3_neardup', n2, n2 - n3, n3 FROM ns
+       |ORDER BY layer""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_dedup_onion" -> (d20 _),
     "d19_minhash_error" -> (d19 _),
     "d18_lsh_tuning" -> (d18 _),
     "d17_substr_dedup" -> (d17 _),
@@ -1236,6 +1345,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d20_dedup_onion" -> d20Sql,
     "d19_minhash_error" -> d19Sql,
     "d18_lsh_tuning" -> d18Sql,
     "d17_substr_dedup" -> d17Sql,

@@ -560,7 +560,87 @@ object Multimodal {
        |    ELSE 0 END) AS BIGINT) AS meta_sum
        |FROM typed GROUP BY 1 ORDER BY detected_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // m13: IMAGE-TEXT PAIR construction (the LAION-style contrastive
+  // pretraining dataset builder — the terminal op of a multimodal
+  // curation pipeline): each media blob pairs with its caption (the
+  // doc's first 12 tokens — the alt-text stand-in), then the LAION
+  // filter stack: caption quality (≥ 5 tokens, declared-en) and
+  // PAIR-level dedup — the key is (decoded-frame hash, caption fp),
+  // so a re-encoded copy of the same image with the same caption
+  // (planted: every 37th doc re-emitted with transcode tail bytes —
+  // m10's discipline; same first-64-byte frame, different file
+  // bytes) collapses to one training pair even though file-level
+  // hashing would keep both. Per source: raw pairs, quality
+  // survivors, unique pairs, and a checksum pinning the exact kept
+  // pair SET. All map-side until one (frame, caption)-keyed window +
+  // one source rollup.
+  def m13(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val base = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+    val aug = base.union(base.filter(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + 7000000).as("doc_id"), col("source"), col("lang"),
+        concat(col("text"), lit(" [transcode-tail]")).as("text")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("frame", "cap_fp")
+    val pairs = aug
+      .withColumn("frame", md5(substring(col("text"), 1, 64)))
+      .withColumn("caption", concat_ws(" ", slice(toks, 1, 12)))
+      .withColumn("cap_fp", md5(col("caption")))
+      .withColumn("quality",
+        size(toks) >= 5 && col("lang") === "en")
+    val unique = pairs.filter(col("quality"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+    pairs.groupBy("source")
+      .agg(count(lit(1)).as("n_raw_pairs"),
+        count(when(col("quality"), lit(1))).as("n_quality_pairs"))
+      .join(unique.filter(col("keep")).groupBy("source")
+          .agg(count(lit(1)).as("n_unique_pairs"),
+            sum(graft.functions.Hashing.hash56(
+              concat(lit("m13#"), col("frame"), col("cap_fp")))
+              .cast("decimal(38,0)")).cast("string").as("pair_checksum")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_unique_pairs"))
+      .orderBy("source")
+  }
+
+  val m13Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 7000000, source, lang, text || ' [transcode-tail]'
+      |  FROM documents WHERE doc_id % 37 = 0),
+      |pairs AS (
+      |  SELECT doc_id, source,
+      |    md5(substr(text, 1, 64)) AS frame,
+      |    md5(array_to_string(
+      |      regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')[1:12], ' '))
+      |      AS cap_fp,
+      |    len(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) >= 5
+      |      AND lang = 'en' AS quality
+      |  FROM base),
+      |uniq AS (
+      |  SELECT source, frame, cap_fp FROM (
+      |    SELECT source, frame, cap_fp, doc_id,
+      |      min(doc_id) OVER (PARTITION BY frame, cap_fp) AS k
+      |    FROM pairs WHERE quality)
+      |  WHERE doc_id = k),
+      |counts AS (
+      |  SELECT source, count(*) AS n_raw_pairs,
+      |    count(CASE WHEN quality THEN 1 END) AS n_quality_pairs
+      |  FROM pairs GROUP BY 1),
+      |uc AS (
+      |  SELECT source, count(*) AS n_unique_pairs,
+      |    sum(""".stripMargin +
+      graft.functions.Hashing.sqlHash56("'m13#' || frame || cap_fp") +
+      """)::DECIMAL(38,0)::VARCHAR AS pair_checksum
+      |  FROM uniq GROUP BY 1)
+      |SELECT source, n_raw_pairs, n_quality_pairs,
+      |  coalesce(n_unique_pairs, 0) AS n_unique_pairs, pair_checksum
+      |FROM counts LEFT JOIN uc USING (source)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_caption_pairs" -> (m13 _),
     "m12_modality_router" -> (m12 _),
     "m11_sequence_packing" -> (m11 _),
     "m10_phash_dedup" -> (m10 _),
@@ -575,6 +655,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m13_caption_pairs" -> m13Sql,
     "m12_modality_router" -> m12Sql,
     "m11_sequence_packing" -> m11Sql,
     "m10_phash_dedup" -> m10Sql,

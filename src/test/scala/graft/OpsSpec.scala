@@ -1089,6 +1089,42 @@ class OpsSpec extends SparkSpec {
       "no reorder-only duplication caught — plants vacuous")
   }
 
+  test("m13: planted re-encodes collapse to one pair; filters genuinely cut") {
+    val rows = ops.Multimodal.m13(spark, sf).collect()
+    assert(rows.length == 20)
+    val raw = rows.map(_.getAs[Long]("n_raw_pairs")).sum
+    val qual = rows.map(_.getAs[Long]("n_quality_pairs")).sum
+    val uniq = rows.map(_.getAs[Long]("n_unique_pairs")).sum
+    // the quality stack cuts (non-en + short captions exist)
+    assert(qual < raw)
+    // pair dedup collapses the planted re-encodes: every en plant
+    // shares (frame, caption) with its original
+    assert(uniq < qual, "no pair collapsed — re-encode plants vacuous")
+    val enPlants = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0 &&
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .count()
+    // every en plant collapses; NATURAL shared-prefix pairs (the same
+    // repeated passages d17 finds) may collapse more
+    assert(qual - uniq >= enPlants,
+      s"collapsed ${qual - uniq}, expected at least the $enPlants en plants")
+  }
+
+  test("d20: every onion layer removes something new and the chain conserves") {
+    val rows = ops.Dedup.d20(spark, sf).collect().sortBy(_.getAs[String]("layer"))
+    assert(rows.map(_.getAs[String]("layer")).toSeq ==
+      Seq("1_exact", "2_bag", "3_neardup"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") > 0L,
+        s"layer ${r.getAs[String]("layer")} removed nothing — plants vacuous")
+      assert(r.getAs[Long]("n_out") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped"))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out"), "chain broken")
+    }
+  }
+
   test("s16: recall climbs monotonically with nProbe and nears exact at 8/10 cells") {
     val rows = ops.Similarity.s16(spark, sf).collect().sortBy(_.getAs[Long]("nprobe"))
     assert(rows.length == 4)
