@@ -1522,7 +1522,52 @@ object EventOps {
        |SELECT user_id, view_us, click_us, purchase_us FROM p
        |ORDER BY user_id""".stripMargin
 
+  // e32: INTER-ARRIVAL GAP monitoring (the heartbeat/freshness check
+  // every ingest pipeline alarms on — "did the click feed stall?"):
+  // per event type, the gap profile between consecutive events —
+  // max gap, count of gaps over the 1-hour SLA, and the mean gap —
+  // all EXACT integers (gaps in epoch micros via lag, seconds via
+  // div; mean = sum div n div 10⁶ — no float in the gate). The
+  // deterministic order is (ts, event_id), the engine-wide event tie
+  // ladder.
+  // Scale: ONE window shuffle keyed by event_type + the same-keyed
+  // agg (no second exchange — the window output is already
+  // partitioned by the group key); 5 rows out at any SF. A stalled
+  // feed shows as max_gap_s >> mean_gap_s long before volume drops.
+  def e32(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        count(when(col("gap_us") > lit(3600L * 1000000L), lit(1)))
+          .as("n_gaps_gt_1h"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .select(col("event_type"), col("n_events"), col("n_gaps"),
+        expr("max_gap_us div 1000000").as("max_gap_s"),
+        col("n_gaps_gt_1h"),
+        expr("(sum_gap_us div n_gaps) div 1000000").as("mean_gap_s"))
+      .orderBy("event_type")
+  }
+
+  val e32Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, epoch_us(ts) - lag(epoch_us(ts), 1)
+      |      OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  count(gap_us) AS n_gaps,
+      |  (max(gap_us) // 1000000)::BIGINT AS max_gap_s,
+      |  count(CASE WHEN gap_us > 3600000000 THEN 1 END) AS n_gaps_gt_1h,
+      |  ((sum(gap_us)::BIGINT // count(gap_us)) // 1000000)::BIGINT AS mean_gap_s
+      |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e32_gap_monitor" -> (e32 _),
     "e31_windowed_funnel" -> (e31 _),
     "e30_conversion_latency" -> (e30 _),
     "e29_retention_matrix" -> (e29 _),
@@ -1555,6 +1600,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e32_gap_monitor" -> e32Sql,
     "e31_windowed_funnel" -> e31Sql,
     "e30_conversion_latency" -> e30Sql,
     "e29_retention_matrix" -> e29Sql,

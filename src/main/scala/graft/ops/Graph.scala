@@ -897,7 +897,117 @@ object Graph {
        |    ELSE 0.0 END, 4) AS density
        |FROM deg LEFT JOIN ego USING (u) ORDER BY node""".stripMargin
 
+  // g13: K-TRUSS decomposition — the TRIANGLE-cohesion analogue of
+  // g05's k-core (Cohen 2008): repeatedly delete edges supported by
+  // fewer than K−2 triangles among surviving edges until fixpoint.
+  // A k-truss is a strictly stronger community signal than a k-core
+  // (every edge sits in K−2 triangles, so members share multiple
+  // mutual neighbors — the spam-ring/community-seed primitive that
+  // degree alone fakes). Runs on the item co-purchase graph of a
+  // 1-in-4 catalog cohort (l_partkey % 4 = 0): truss peeling
+  // recomputes per-edge support EVERY round, so its cost is
+  // rounds × one triangle enumeration — the proportional cohort
+  // (same 25% of the catalog at every SF, unlike a fixed id cap
+  // whose induced graph empties at 100×) keeps that bounded while
+  // the peel still cascades (3 rounds / 7 249→181 edges at sf0.01;
+  // measured). Each round: one i<j-ordered triangle enumeration
+  // (e1=(a,b) ⋈ e2=(b,c) ⋈ closure (a,c) — each triangle exactly
+  // once), one unpivot-and-count keyed by edge, one filter; lineage
+  // pinned per round (Iterate.pin), survivor-count equality is the
+  // fixpoint test (edge sets only shrink). Support is recomputed
+  // over the FINAL set for the output, so the emitted numbers are
+  // the truss's own supports whether the loop converged or hit the
+  // round cap. The oracle runs the identical peel as a recursive
+  // CTE (g05's shape: working table carries the survivor edge set,
+  // progress guard stops at the last shrinking round, same cap) and
+  // re-derives final supports outside the recursion — so
+  // round-for-round deletion decisions must agree edge-for-edge.
+  private val TRUSS_K = 6
+  private val TRUSS_ROUNDS = 12
+
+  /** Distinct co-purchase pairs (i < j) over the 1-in-4 item cohort. */
+  private def trussEdges(s: SparkSession, d: String): DataFrame = {
+    val oi = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    oi.as("a").join(oi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .select("i", "j")
+  }
+
+  /** Per-edge triangle support over an (i < j) edge set: enumerate
+    * each triangle once via the ordered 3-way join, then count each
+    * of its 3 edges. */
+  private def edgeSupport(co: DataFrame): DataFrame = {
+    val tri = co.as("e1").join(co.as("e2"), col("e1.j") === col("e2.i"))
+      .join(co.as("e3"),
+        col("e3.i") === col("e1.i") && col("e3.j") === col("e2.j"))
+      .select(col("e1.i").as("a"), col("e1.j").as("b"), col("e2.j").as("c"))
+    tri.select(col("a").as("i"), col("b").as("j"))
+      .union(tri.select(col("b"), col("c")))
+      .union(tri.select(col("a"), col("c")))
+      .groupBy("i", "j").agg(count(lit(1)).as("support"))
+  }
+
+  def g13(s: SparkSession, d: String): DataFrame = {
+    var co = Iterate.pin(trussEdges(s, d))
+    var n = co.count()
+    var rounds = 0
+    var done = n == 0
+    while (!done && rounds < TRUSS_ROUNDS) {
+      val kept = Iterate.pin(edgeSupport(co)
+        .filter(col("support") >= TRUSS_K - 2)
+        .select("i", "j"))
+      val m = kept.count()
+      done = m == n // edges only shrink: count equality = set equality
+      co = kept
+      n = m
+      rounds += 1
+    }
+    edgeSupport(co).orderBy("i", "j")
+  }
+
+  val g13Sql: String = {
+    val sup =
+      """SELECT i, j, count(*) AS sup FROM (
+        |          SELECT t.a AS i, t.b AS j FROM tr t
+        |          UNION ALL SELECT t.b, t.c FROM tr t
+        |          UNION ALL SELECT t.a, t.c FROM tr t) e GROUP BY 1, 2"""
+        .stripMargin
+    def supOver(src: String): String =
+      s"""WITH tr AS (
+         |          SELECT e1.i AS a, e1.j AS b, e2.j AS c
+         |          FROM $src e1 JOIN $src e2 ON e1.j = e2.i
+         |          JOIN $src e3 ON e3.i = e1.i AND e3.j = e2.j)
+         |        $sup""".stripMargin
+    s"""WITH RECURSIVE co AS (
+       |  WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |              WHERE l_partkey % 4 = 0)
+       |  SELECT a.l_partkey AS i, b.l_partkey AS j
+       |  FROM oi a JOIN oi b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |surv(iter, i, j) AS (
+       |  SELECT 0, i, j FROM co
+       |  UNION ALL
+       |  SELECT s.iter + 1, s.i, s.j
+       |  FROM surv s
+       |  JOIN (${supOver("surv")}) d ON s.i = d.i AND s.j = d.j
+       |  WHERE d.sup >= ${TRUSS_K - 2} AND s.iter < $TRUSS_ROUNDS
+       |    AND (SELECT count(*) FROM surv) >
+       |        (SELECT count(*) FROM (${supOver("surv")}) d2
+       |         WHERE d2.sup >= ${TRUSS_K - 2})),
+       |truss AS (
+       |  SELECT i, j FROM surv WHERE iter = (SELECT max(iter) FROM surv))
+       |SELECT i, j, CAST(sup AS BIGINT) AS support
+       |FROM (${supOver("truss")}) f ORDER BY i, j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g13_ktruss" -> (g13 _),
     "g12_ego_features" -> (g12 _),
     "g11_hits" -> (g11 _),
     "g10_random_walks" -> (g10 _),
@@ -912,6 +1022,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g13_ktruss" -> g13Sql,
     "g12_ego_features" -> g12Sql,
     "g11_hits" -> g11Sql,
     "g10_random_walks" -> g10Sql,

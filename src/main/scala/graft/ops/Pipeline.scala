@@ -612,7 +612,85 @@ object Pipeline {
        |  (SELECT n_straddling FROM straddle) = 0 AS no_straddle
        |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p08: QUALITY-CURRICULUM schedule — curriculum training feeds the
+  // model progressively broader quality slices (highest-quality docs
+  // first, the full mix last). Docs get an INTEGER quality score
+  // (the t02 signals in fixed-point: 5000·min(n_tok,100) length
+  // saturation + stopword penalty, 0..10⁶ — no float in the gate),
+  // are deciled WITHIN their source (ntile(10) partitioned by source
+  // — curricula are defined per-domain, and the window never needs a
+  // global sort), and three phases widen over the deciles
+  // (1→top-3, 2→top-6, 3→all). Per phase the schedule reports
+  // cumulative docs/tokens, the token share of the corpus (integer
+  // ppm off a 1-row broadcast total), and the checksum of the docs
+  // NEWLY INTRODUCED in that phase — so the gate pins the exact
+  // phase membership, not just sizes.
+  // Scale: tokenization map-side, ONE window shuffle keyed by
+  // source, a 3-row broadcast phase dim, one keyed agg.
+  def p08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
+      .withColumn("score_fp",
+        lit(5000L) * least(col("n_tok"), lit(100L)) + lit(500000L) -
+          expr("(500000 * n_stop) div n_tok"))
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy("source").orderBy(col("score_fp").desc, col("doc_id"))))
+      .withColumn("hkey",
+        Hashing.hash56(concat_ws("#", lit("cur"), col("doc_id"))))
+    val tot = docs.agg(sum(col("n_tok")).as("tot_tok"))
+    val phases = Seq((1, 0, 3), (2, 3, 6), (3, 6, 10))
+      .toDF("phase", "prev_dec", "max_dec")
+    docs.join(broadcast(phases), col("decile") <= col("max_dec"))
+      .groupBy("phase", "max_dec")
+      .agg(count(lit(1)).as("n_docs_cum"),
+        sum(col("n_tok")).as("tok_cum"),
+        count(when(col("decile") > col("prev_dec"), lit(1))).as("n_new_docs"),
+        sum(when(col("decile") > col("prev_dec"), col("hkey")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).cast("string").as("new_ids_checksum"))
+      .crossJoin(broadcast(tot))
+      .select(col("phase"), col("max_dec").as("n_deciles"), col("n_docs_cum"),
+        col("tok_cum"), expr("(1000000 * tok_cum) div tot_tok").as("tok_share_ppm"),
+        col("n_new_docs"), col("new_ids_checksum"))
+      .orderBy("phase")
+  }
+
+  val p08Sql: String = {
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'))::BIGINT AS n_tok,
+       |    len(list_filter(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
+       |        t -> list_contains($stopList, t)))::BIGINT AS n_stop
+       |  FROM documents),
+       |dec AS (
+       |  SELECT doc_id, source, n_tok,
+       |    ntile(10) OVER (PARTITION BY source ORDER BY score_fp DESC, doc_id)
+       |      AS decile,
+       |    ${Hashing.sqlHash56("'cur#' || doc_id")} AS hkey
+       |  FROM (
+       |    SELECT *,
+       |      5000 * least(n_tok, 100) + 500000 - (500000 * n_stop) // n_tok
+       |        AS score_fp
+       |    FROM docs) t),
+       |tot AS (SELECT sum(n_tok)::BIGINT AS tot_tok FROM docs),
+       |phases(phase, prev_dec, max_dec) AS (VALUES (1, 0, 3), (2, 3, 6), (3, 6, 10))
+       |SELECT phase, max_dec AS n_deciles, count(*) AS n_docs_cum,
+       |  sum(n_tok)::BIGINT AS tok_cum,
+       |  (1000000 * sum(n_tok)::BIGINT) // tot.tot_tok AS tok_share_ppm,
+       |  count(CASE WHEN decile > prev_dec THEN 1 END) AS n_new_docs,
+       |  sum(CASE WHEN decile > prev_dec THEN hkey ELSE 0 END)
+       |    ::DECIMAL(38,0)::VARCHAR AS new_ids_checksum
+       |FROM dec JOIN phases ON decile <= max_dec, tot
+       |GROUP BY phase, max_dec, tot.tot_tok ORDER BY phase""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_curriculum" -> (p08 _),
     "p07_split_export" -> (p07 _),
     "p06_datacard" -> (p06 _),
     "p01_curation_funnel" -> (p01 _),
@@ -622,6 +700,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p08_curriculum" -> p08Sql,
     "p07_split_export" -> p07Sql,
     "p06_datacard" -> p06Sql,
     "p01_curation_funnel" -> p01Sql,

@@ -214,7 +214,7 @@ object Recommend {
     // pin one model + cached-DataFrame graph per stopped context
     val prefix = s.sparkContext.applicationId + "#"
     Seq(modelCache, centsCache, oiCache, r05Cache, r14Cache,
-      evalRecsCache).foreach { c =>
+      evalRecsCache, evalScoresCache).foreach { c =>
       c.keys.filterNot(_.startsWith(prefix)).foreach(c.remove)
     }
     gridCache.keys.filterNot(_.startsWith(prefix)).foreach(gridCache.remove)
@@ -482,8 +482,16 @@ object Recommend {
     * query re-ran this identical subtree. */
   private val evalRecsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private def evalRecs(s: SparkSession, d: String): DataFrame =
-    evalRecsCache.getOrElseUpdate(memoKey(s, d), {
+  /** The pre-rank candidate artifact behind [[evalRecs]]: every
+    * scored, unseen-in-train (user, item, score) for the eval cohort.
+    * Factored out (and memoized) because the @K evals consume its
+    * top-5 while r37's AUC ranks the FULL candidate list — without
+    * the shared cache AUC would re-run the whole co-occurrence
+    * build. */
+  private val evalScoresCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def evalScores(s: SparkSession, d: String): DataFrame =
+    evalScoresCache.getOrElseUpdate(memoKey(s, d), {
       val train = taggedInteractions(s, d).filter(!col("is_test"))
       val co = pairsOfSym(train, "ok", "item_id")
         .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
@@ -495,8 +503,15 @@ object Recommend {
       val unseen = scored.join(
         histTrain.withColumnRenamed("item_id", "rec_item"),
         Seq("user_id", "rec_item"), "left_anti")
+        .cache()
+      unseen.count() // materialize NOW — consumers must hit the cache
+      unseen
+    })
+
+  private def evalRecs(s: SparkSession, d: String): DataFrame =
+    evalRecsCache.getOrElseUpdate(memoKey(s, d), {
       val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
-      val recs = unseen.withColumn("rank", row_number().over(w))
+      val recs = evalScores(s, d).withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("user_id", "rec_item", "rank")
         .cache()
@@ -1209,6 +1224,98 @@ object Recommend {
        |      FROM rel GROUP BY 1) n
        |LEFT JOIN ap a ON n.user_id = a.user_id
        |ORDER BY n.user_id""".stripMargin
+  }
+
+  // r37: AUC — the THRESHOLD-FREE ranking metric next to the @K
+  // family (r12 precision, r17 NDCG, r20 MAP/recall): the probability
+  // that a random held-out positive outranks a random unlabeled
+  // candidate. Candidate-limited AUC over the shared evalScores
+  // artifact (the full scored-unseen list, not just the top-5), via
+  // the Mann-Whitney rank-sum identity: U = Σ_pos avgrank − P(P+1)/2,
+  // AUC = U/(P·N). Ties are handled EXACTLY with average ranks kept
+  // in integers by doubling: r2 = 2·rank() + ties − 1 is twice the
+  // average rank, so u2 = Σ_pos r2 − P(P+1) = 2U is an exact integer
+  // under any reduction order, and auc_ppm = 10⁶·u2 div (2·P·N) is a
+  // pure-integer quotient — the r33 "integer parts-per-million"
+  // discipline, no float in the gate. Per-user rows: the gate pins
+  // every user's rank-sum, not one blended mean.
+  // Scale: ONE window shuffle keyed by user over the (already
+  // memoized) candidate artifact + one keyed agg — AUC costs no more
+  // than the @5 evals; n_pos/n_neg are data-derived, never constants.
+  def r37(s: SparkSession, d: String): DataFrame = {
+    val oi = taggedInteractions(s, d)
+    val rel = oi.filter(col("is_test") && col("user_id") < 100)
+      .select(col("user_id"), col("item_id").as("rec_item")).distinct()
+      .withColumn("pos", lit(1L))
+    val labeled = evalScores(s, d).join(rel, Seq("user_id", "rec_item"), "left")
+      .withColumn("pos", coalesce(col("pos"), lit(0L)))
+    val wR = Window.partitionBy("user_id").orderBy(col("score"))
+    val wT = Window.partitionBy("user_id", "score")
+    val per = labeled
+      .withColumn("rk", rank().over(wR).cast("long"))
+      .withColumn("ties", count(lit(1)).over(wT))
+      .groupBy("user_id")
+      .agg(sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"),
+        sum(when(col("pos") === 1, lit(2L) * col("rk") + col("ties") - 1L)
+          .otherwise(lit(0L))).as("possum2"))
+    per.filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("user_id"), col("n_pos"), col("n_neg"),
+        (col("possum2") - col("n_pos") * (col("n_pos") + 1)).as("u2"),
+        expr("(1000000 * (possum2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)")
+          .as("auc_ppm"))
+      .orderBy("user_id")
+  }
+
+  val r37Sql: String = {
+    val split = Split.sqlIsTest(Seq("user_id", "item_id"))
+    s"""WITH oi AS (
+       |  SELECT DISTINCT l_orderkey AS ok, o_custkey AS user_id,
+       |    l_partkey AS item_id
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |tagged AS (SELECT *, $split AS is_test FROM oi),
+       |train AS (SELECT * FROM tagged WHERE NOT is_test),
+       |co AS (
+       |  SELECT a.item_id AS i, b.item_id AS j, count(*) AS cnt
+       |  FROM train a JOIN train b
+       |    ON a.ok = b.ok AND a.item_id <> b.item_id
+       |  GROUP BY 1, 2),
+       |hist_train AS (
+       |  SELECT DISTINCT user_id, item_id FROM train WHERE user_id < 100),
+       |scored AS (
+       |  SELECT h.user_id, co.j AS rec_item, CAST(sum(co.cnt) AS BIGINT) AS score
+       |  FROM hist_train h JOIN co ON h.item_id = co.i
+       |  GROUP BY 1, 2),
+       |unseen AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist_train h
+       |                    WHERE h.user_id = s.user_id AND h.item_id = s.rec_item)),
+       |rel AS (
+       |  SELECT DISTINCT user_id, item_id FROM tagged
+       |  WHERE is_test AND user_id < 100),
+       |labeled AS (
+       |  SELECT u.user_id, u.score,
+       |    CASE WHEN EXISTS (SELECT 1 FROM rel
+       |                      WHERE rel.user_id = u.user_id
+       |                        AND rel.item_id = u.rec_item)
+       |      THEN 1 ELSE 0 END AS pos
+       |  FROM unseen u),
+       |ranked AS (
+       |  SELECT user_id, pos,
+       |    rank() OVER (PARTITION BY user_id ORDER BY score) AS rk,
+       |    count(*) OVER (PARTITION BY user_id, score) AS ties
+       |  FROM labeled),
+       |per AS (
+       |  SELECT user_id, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+       |    CAST(sum(CASE WHEN pos = 1 THEN 2 * rk + ties - 1 ELSE 0 END)
+       |      AS BIGINT) AS possum2
+       |  FROM ranked GROUP BY 1)
+       |SELECT user_id, n_pos, n_neg,
+       |  possum2 - n_pos * (n_pos + 1) AS u2,
+       |  (1000000 * (possum2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg)
+       |    AS auc_ppm
+       |FROM per WHERE n_pos > 0 AND n_neg > 0 ORDER BY user_id""".stripMargin
   }
 
   // r18: the SERVING PAYLOAD — recommendations joined with the item
@@ -2406,6 +2513,7 @@ object Recommend {
        |ORDER BY lift DESC, conf_ppm DESC, a, b LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r37_auc" -> (r37 _),
     "r36_basket_rules" -> (r36 _),
     "r35_segment_parity" -> (r35 _),
     "r34_two_stage" -> (r34 _),
@@ -2444,6 +2552,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r37_auc" -> r37Sql,
     "r36_basket_rules" -> r36Sql,
     "r35_segment_parity" -> r35Sql,
     "r34_two_stage" -> r34Sql,

@@ -1399,7 +1399,131 @@ object TextOps {
        |FROM folded ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // t31: HEAD-COVERAGE / Zipf audit — what fraction of the corpus
+  // token mass do the top-10/100/1000 types carry? The vocab-sizing
+  // and tokenizer-budget diagnostic (a head-heavy corpus wastes
+  // vocab slots on boilerplate; a flat one needs a bigger
+  // vocabulary). Deterministic head: types ordered (freq DESC, term)
+  // — and the head is computed with sort+limit, which Spark plans as
+  // TakeOrderedAndProject (per-partition heaps merged on the driver,
+  // NO global sort-shuffle of the vocabulary; at 100 TB the vocab is
+  // 10⁸ rows and a global window would single-partition it). The
+  // 1000-row head then gets exact ranks from a bounded window.
+  // Coverage is integer ppm off a 1-row broadcast total; all counts
+  // exact bigints.
+  def t31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val totals = vocab.agg(count(lit(1)).as("n_types"),
+      sum(col("freq")).as("total_tokens"))
+    val head = vocab.orderBy(col("freq").desc, col("term")).limit(1000)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("freq").desc, col("term"))))
+    val ks = Seq(10, 100, 1000).toDF("k")
+    head.join(broadcast(ks), col("rn") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_types_head"),
+        sum(col("freq")).as("mass_head"),
+        min(col("freq")).as("freq_at_k"))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("n_types_head"), col("mass_head"),
+        expr("(1000000 * mass_head) div total_tokens").as("coverage_ppm"),
+        col("freq_at_k"), col("n_types"), col("total_tokens"))
+      .orderBy("k")
+  }
+
+  val t31Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) AS term
+      |  FROM documents),
+      |vocab AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
+      |ranked AS (
+      |  SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rn
+      |  FROM vocab),
+      |tot AS (SELECT count(*)::BIGINT AS n_types, sum(freq)::BIGINT AS total_tokens
+      |        FROM vocab),
+      |ks(k) AS (VALUES (10), (100), (1000))
+      |SELECT k, count(*) AS n_types_head, sum(freq)::BIGINT AS mass_head,
+      |  (1000000 * sum(freq)::BIGINT) // tot.total_tokens AS coverage_ppm,
+      |  min(freq)::BIGINT AS freq_at_k, tot.n_types, tot.total_tokens
+      |FROM ranked JOIN ks ON rn <= k, tot
+      |GROUP BY k, tot.n_types, tot.total_tokens ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // t32: GOPHER RULE SUITE with per-rule attribution (Rae et al. 2021
+  // §A1.1 — the named heuristic battery production corpus filters
+  // run): per source × rule, how many docs each rule would remove —
+  // the attribution matrix that tells a curator WHICH rule is doing
+  // the work (t02 scores quality; this explains the kill decisions).
+  // Rules, all exact-integer tests (cross-multiplied — no float in
+  // the gate): r1 too-short (<30 words), r2 mean word length outside
+  // [3,10] (3n>chars or chars>10n — the clean-corpus guard; fires on
+  // boilerplate/minified junk), r3 fewer than 2 stopword hits
+  // (Gopher's "contains required words"), r4 duplicate-token mass
+  // (distinct types < half the tokens — the repetition screen), r5
+  // the any-rule union (the actual removal count — rules overlap, so
+  // r5 ≠ Σ r1..r4).
+  // Scale: per-doc flags are map-side folds on ONE corpus scan; the
+  // stack() unpivot is in-row; the only shuffle is the final
+  // (source, rule)-keyed agg — 100 rows out at any SF.
+  def t32(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d).select(col("source"),
+        size(tokens).cast("long").as("n_words"),
+        size(array_distinct(tokens)).cast("long").as("n_distinct"),
+        aggregate(transform(tokens, t => length(t)), lit(0),
+          (a, x) => a + x).cast("long").as("n_wchars"),
+        size(filter(tokens, t => array_contains(stopArr, t))).cast("long")
+          .as("n_stop"))
+      .withColumn("r1", col("n_words") < 30)
+      .withColumn("r2", lit(3L) * col("n_words") > col("n_wchars") ||
+        col("n_wchars") > lit(10L) * col("n_words"))
+      .withColumn("r3", col("n_stop") < 2)
+      .withColumn("r4", lit(2L) * col("n_distinct") < col("n_words"))
+      .select(col("source"), expr(
+        "stack(5, 'r1_too_short', r1, 'r2_wordlen_out', r2, " +
+          "'r3_low_stopword', r3, 'r4_high_dup', r4, " +
+          "'r5_any', r1 OR r2 OR r3 OR r4) AS (rule, flag)"))
+      .groupBy("source", "rule")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("flag"), lit(1))).as("n_flagged"))
+      .withColumn("flag_ppm", expr("(1000000 * n_flagged) div n_docs"))
+      .orderBy("source", "rule")
+  }
+
+  val t32Sql: String = {
+    val tok = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+       |  SELECT source, len($tok)::BIGINT AS n_words,
+       |    len(list_distinct($tok))::BIGINT AS n_distinct,
+       |    list_sum(list_transform($tok, t -> len(t)))::BIGINT AS n_wchars,
+       |    len(list_filter($tok, t -> list_contains($stopList, t)))::BIGINT
+       |      AS n_stop
+       |  FROM documents),
+       |fl AS (
+       |  SELECT source, n_words < 30 AS r1,
+       |    3 * n_words > n_wchars OR n_wchars > 10 * n_words AS r2,
+       |    n_stop < 2 AS r3, 2 * n_distinct < n_words AS r4
+       |  FROM f),
+       |st AS (
+       |  SELECT source, 'r1_too_short' AS rule, r1 AS flag FROM fl
+       |  UNION ALL SELECT source, 'r2_wordlen_out', r2 FROM fl
+       |  UNION ALL SELECT source, 'r3_low_stopword', r3 FROM fl
+       |  UNION ALL SELECT source, 'r4_high_dup', r4 FROM fl
+       |  UNION ALL SELECT source, 'r5_any', r1 OR r2 OR r3 OR r4 FROM fl)
+       |SELECT source, rule, count(*) AS n_docs,
+       |  count(CASE WHEN flag THEN 1 END) AS n_flagged,
+       |  (1000000 * count(CASE WHEN flag THEN 1 END)) // count(*) AS flag_ppm
+       |FROM st GROUP BY 1, 2 ORDER BY source, rule""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_gopher_rules" -> (t32 _),
+    "t31_head_coverage" -> (t31 _),
     "t30_chunk_windows" -> (t30 _),
     "t29_class_tfidf" -> (t29 _),
     "t28_fertility" -> (t28 _),
@@ -1432,6 +1556,8 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t32_gopher_rules" -> t32Sql,
+    "t31_head_coverage" -> t31Sql,
     "t30_chunk_windows" -> t30Sql,
     "t29_class_tfidf" -> t29Sql,
     "t28_fertility" -> t28Sql,

@@ -1184,6 +1184,85 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("t32: rule attribution is consistent — any-rule bounds and firing rules") {
+    val rows = ops.TextOps.t32(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(rows.length == bySrc.size * 5, "every source must carry all 5 rules")
+    bySrc.foreach { case (src, rs) =>
+      val n = rs.map(_.getAs[Long]("n_docs")).distinct
+      assert(n.length == 1, s"$src: rules disagree on doc count")
+      val f = rs.map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_flagged")).toMap
+      val indiv = Seq("r1_too_short", "r2_wordlen_out", "r3_low_stopword", "r4_high_dup").map(f)
+      assert(f("r5_any") >= indiv.max && f("r5_any") <= indiv.sum,
+        s"$src: any-rule count ${f("r5_any")} outside [max, sum] of $indiv")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("flag_ppm") ==
+          1000000L * r.getAs[Long]("n_flagged") / r.getAs[Long]("n_docs"))
+      }
+    }
+    // the corpus-discriminating rules fire somewhere; r2 is the
+    // clean-corpus guard (word lengths are 1..8 here, mean in [3,10])
+    def tot(rule: String) = rows.filter(_.getAs[String]("rule") == rule)
+      .map(_.getAs[Long]("n_flagged")).sum
+    Seq("r1_too_short", "r3_low_stopword", "r4_high_dup").foreach { r =>
+      assert(tot(r) > 0, s"$r never fires — threshold lost its data")
+    }
+  }
+
+  test("e32: gap profile is internally consistent per event type") {
+    val rows = ops.EventOps.e32(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events"); val g = r.getAs[Long]("n_gaps")
+      assert(g == n - 1, s"${r.getAs[String]("event_type")}: gaps $g != n-1")
+      assert(r.getAs[Long]("max_gap_s") >= r.getAs[Long]("mean_gap_s"))
+      assert(r.getAs[Long]("n_gaps_gt_1h") <= g)
+      assert(r.getAs[Long]("mean_gap_s") >= 0)
+    }
+    // cross-check one type's max gap against a driver-side recompute
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val maxGap = ev.sliding(2).map { case Array(a, b) => b._1 - a._1 }.max
+    val row = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(row.getAs[Long]("max_gap_s") == maxGap / 1000000L,
+      "max gap disagrees with driver-side recompute")
+  }
+
+  test("g13: k-truss property holds — every edge in >= K-2 triangles IN the truss") {
+    val rows = ops.Graph.g13(spark, sf).collect()
+    assert(rows.nonEmpty, "truss peeled to empty at spec SF")
+    val truss = rows.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    // driver-side recompute of support within the surviving edge set
+    val inT = truss
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i"), r.getAs[Long]("j"))
+      assert(i < j, "edges must be (i < j) ordered")
+      // each triangle on (i,j) found via its third vertex exactly once
+      val third = inT.collect {
+        case (a, b) if a == i && b != j => b
+        case (a, b) if b == i => a
+        case (a, b) if a == j && b != i => b
+        case (a, b) if b == j && a != i => a
+      }
+      val exact = third.toSeq.distinct
+        .count(c => inT.contains((i min c, i max c)) && inT.contains((j min c, j max c)))
+      assert(r.getAs[Long]("support") == exact.toLong,
+        s"edge ($i,$j): support ${r.getAs[Long]("support")} want $exact")
+      assert(exact >= 4, s"edge ($i,$j) support $exact < K-2 — not a 6-truss")
+    }
+    // the truss is a subgraph of the cohort co-purchase graph
+    val oi = graft.etl.Ratings.orderItems(spark, sf)
+      .filter(col("l_partkey") % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val co = oi.groupBy(_._1).values.flatMap { basket =>
+      val items = basket.map(_._2).distinct.sorted.toSeq
+      for (i <- items; j <- items if i < j) yield (i, j)
+    }.toSet
+    assert(truss.subsetOf(co), "truss edge outside the co-purchase graph")
+  }
+
   test("d18: candidate volume and recall grow monotonically with band count") {
     val rows = ops.Dedup.d18(spark, sf).collect().sortBy(_.getAs[Int]("bands"))
     assert(rows.length == 3)

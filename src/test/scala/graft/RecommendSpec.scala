@@ -391,6 +391,38 @@ class RecommendSpec extends SparkSpec {
       s"gini $gini vs recompute $expect")
   }
 
+  test("r37: AUC rank-sum bounds, exact ppm quotient, cohort consistency with r20") {
+    val rows = ops.Recommend.r37(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("n_pos"); val n = r.getAs[Long]("n_neg")
+      val u2 = r.getAs[Long]("u2"); val ppm = r.getAs[Long]("auc_ppm")
+      assert(p > 0 && n > 0)
+      // 0 <= U <= P*N  (U is a count of concordant pairs + half-ties)
+      assert(u2 >= 0 && u2 <= 2 * p * n, s"u2 $u2 outside [0, ${2 * p * n}]")
+      assert(ppm == (1000000L * u2) / (2 * p * n), "ppm must be the exact quotient")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // calibration: the testdata's interactions are hash-uniform, so the
+    // pooled AUC must sit NEAR CHANCE (measured 0.476/0.500 at
+    // sf0.001/0.01) — a biased rank-sum (e.g. mishandled ties, off-by-one
+    // in the U statistic) shows up as systematic drift from 0.5
+    val num = rows.map(r => 1000000L * r.getAs[Long]("u2")).sum
+    val den = rows.map(r => 2 * r.getAs[Long]("n_pos") * r.getAs[Long]("n_neg")).sum
+    assert(num / den > 400000L && num / den < 600000L,
+      s"pooled AUC ${num / den} ppm systematically off chance on uniform data")
+    // protocol consistency: every AUC user has held-out positives in r20,
+    // and never more scored positives than relevant items
+    val rel = ops.Recommend.r20(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_rel")).toMap
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(rel.contains(u), s"user $u in r37 but not r20")
+      assert(r.getAs[Long]("n_pos") <= rel(u),
+        s"user $u: scored positives exceed held-out relevants")
+    }
+  }
+
   test("r29: calibration TV is a distance in [0,1] and covered users beat uncovered") {
     val rows = ops.Recommend.r29(spark, sf).collect()
     assert(rows.length == 50, "every cohort user must be audited")
