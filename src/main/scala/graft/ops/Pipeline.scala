@@ -689,7 +689,66 @@ object Pipeline {
        |GROUP BY phase, max_dec, tot.tot_tok ORDER BY phase""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // p09: TEMPERATURE-SCALED domain mixture (the mT5/XLM-R α-sampling
+  // rule, α=0.3 — p03/p04 hit EXPLICIT targets; this DERIVES the
+  // targets from the data, upweighting small domains so they aren't
+  // drowned without letting them dominate): sampling weight
+  // w_i ∝ share_i^α over the 4-domain token rollup. The single
+  // irrational op (pow) is 6dp-rounded per domain (4 values — the
+  // t14 libm-absorbing discipline); normalization sums those exact
+  // decimals and everything downstream is integer off w_ppm
+  // (target_tok = tot·w_ppm div 10⁶). α<1 flattening (small domains
+  // boosted above share, big ones below) is pinned in OpsSpec.
+  // Scale: tokenization map-side, one 4-group agg; every later join
+  // is a 1-row/4-row broadcast — no second corpus pass.
+  def p09(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      concat(lit("dom"),
+        (substring(col("source"), 4, 10).cast("int") % 4).cast("string"))
+        .as("domain"),
+      size(graft.functions.TextNorm.tokens(col("text"))).cast("long").as("n_tok"))
+    val dom = docs.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+    val tot = dom.agg(sum(col("n_tok")).as("tot_tok"))
+    val w = dom.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(1000000 * n_tok) div tot_tok"))
+      .withColumn("w6",
+        round(pow(col("n_tok").cast("double") / col("tot_tok"), lit(0.3)), 6))
+    val ws = w.agg(sum(col("w6").cast("decimal(20,6)")).as("wsum"))
+    w.crossJoin(broadcast(ws))
+      .withColumn("w_ppm",
+        round(lit(1000000.0) * col("w6") / col("wsum").cast("double"), 0)
+          .cast("long"))
+      .select(col("domain"), col("n_docs"), col("n_tok"), col("share_ppm"),
+        col("w6"), col("w_ppm"),
+        expr("(tot_tok * w_ppm) div 1000000").as("target_tok"))
+      .orderBy("domain")
+  }
+
+  val p09Sql: String =
+    """WITH docs AS (
+      |  SELECT 'dom' || (substr(source, 4)::INT % 4) AS domain,
+      |    len(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+'))::BIGINT
+      |      AS n_tok
+      |  FROM documents),
+      |dom AS (SELECT domain, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tok
+      |        FROM docs GROUP BY 1),
+      |tot AS (SELECT sum(n_tok)::BIGINT AS tot_tok FROM dom),
+      |w AS (
+      |  SELECT domain, n_docs, n_tok, tot.tot_tok,
+      |    (1000000 * n_tok) // tot.tot_tok AS share_ppm,
+      |    round(pow(n_tok::DOUBLE / tot.tot_tok, 0.3), 6) AS w6
+      |  FROM dom, tot),
+      |ws AS (SELECT sum(w6::DECIMAL(20,6)) AS wsum FROM w)
+      |SELECT domain, n_docs, n_tok, share_ppm, w6,
+      |  round(1000000.0 * w6 / ws.wsum::DOUBLE, 0)::BIGINT AS w_ppm,
+      |  (tot_tok * round(1000000.0 * w6 / ws.wsum::DOUBLE, 0)::BIGINT) // 1000000
+      |    AS target_tok
+      |FROM w, ws ORDER BY domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_temperature_mix" -> (p09 _),
     "p08_curriculum" -> (p08 _),
     "p07_split_export" -> (p07 _),
     "p06_datacard" -> (p06 _),
@@ -700,6 +759,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p09_temperature_mix" -> p09Sql,
     "p08_curriculum" -> p08Sql,
     "p07_split_export" -> p07Sql,
     "p06_datacard" -> p06Sql,

@@ -2512,7 +2512,68 @@ object Recommend {
        |FROM ab JOIN ic ca ON ab.a = ca.item JOIN ic cb ON ab.b = cb.item
        |ORDER BY lift DESC, conf_ppm DESC, a, b LIMIT 20""".stripMargin
 
+  // r38: CATALOG COVERAGE + NOVELTY @k (aggregate-diversity health
+  // beside r31's Gini — Gini says exposure is unequal; this says how
+  // much of the catalog serving TOUCHES and how far into the tail it
+  // reaches): for k ∈ {1,3,5}, distinct served items vs catalog
+  // (integer ppm) and mean self-information −log₂(pop/N) of served
+  // slots — per-item novelty is the ONE irrational op, 6dp-rounded
+  // (t14 discipline) then summed as DECIMAL (exact, order-free) with
+  // a single closing IEEE division. Tenth consumer of the memoized
+  // r05Recs artifact. A bestseller-loop recommender shows flat
+  // novelty across k; a healthy ranker's novelty RISES with k (the
+  // tail lives below rank 1).
+  // Scale: popularity is a keyed item agg (dim-bounded), the recs
+  // join is catalog-dim, the k fan-out a 3-row broadcast — no
+  // interaction-scale shuffle beyond the popularity build.
+  def r38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ratings = Ratings.implicitRatings(s, d)
+    val pop = ratings.groupBy(col("item_id").as("rec_item"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = ratings.agg(count(lit(1)).as("n_inter"),
+      countDistinct(col("item_id")).as("catalog_n"))
+    val nov = r05Recs(s, d).filter(col("rank") <= 5)
+      .join(pop, Seq("rec_item"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nov6",
+        round(log2(col("n_inter").cast("double") / col("cnt")), 6))
+    val ks = Seq(1, 3, 5).toDF("k")
+    nov.join(broadcast(ks), col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_slots"),
+        countDistinct(col("rec_item")).as("n_distinct_items"),
+        max(col("catalog_n")).as("catalog_n"),
+        sum(col("nov6").cast("decimal(20,6)")).as("novsum"))
+      .select(col("k"), col("n_slots"), col("n_distinct_items"),
+        col("catalog_n"),
+        expr("(1000000 * n_distinct_items) div catalog_n").as("coverage_ppm"),
+        round(col("novsum").cast("double") / col("n_slots"), 6)
+          .as("novelty_mean"))
+      .orderBy("k")
+  }
+
+  val r38Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |pop AS (SELECT item_id AS rec_item, count(*) AS cnt
+       |        FROM ratings GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n_inter,
+       |          count(DISTINCT item_id)::BIGINT AS catalog_n FROM ratings),
+       |nov AS (
+       |  SELECT r.rank, r.rec_item,
+       |    round(log2(tot.n_inter::DOUBLE / p.cnt), 6) AS nov6
+       |  FROM ($r05Sql) r JOIN pop p USING (rec_item), tot),
+       |ks(k) AS (VALUES (1), (3), (5))
+       |SELECT k, count(*) AS n_slots,
+       |  count(DISTINCT rec_item) AS n_distinct_items,
+       |  tot.catalog_n,
+       |  (1000000 * count(DISTINCT rec_item)) // tot.catalog_n AS coverage_ppm,
+       |  round(sum(nov6::DECIMAL(20,6))::DOUBLE / count(*), 6) AS novelty_mean
+       |FROM nov JOIN ks ON rank <= k, tot
+       |GROUP BY k, tot.catalog_n ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r38_coverage_novelty" -> (r38 _),
     "r37_auc" -> (r37 _),
     "r36_basket_rules" -> (r36 _),
     "r35_segment_parity" -> (r35 _),
@@ -2552,6 +2613,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r38_coverage_novelty" -> r38Sql,
     "r37_auc" -> r37Sql,
     "r36_basket_rules" -> r36Sql,
     "r35_segment_parity" -> r35Sql,

@@ -1184,6 +1184,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("p09: temperature sampling flattens the mix without reordering it") {
+    val rows = ops.Pipeline.p09(spark, sf).collect()
+    assert(rows.length == 4)
+    val share = rows.map(_.getAs[Long]("share_ppm"))
+    val w = rows.map(_.getAs[Long]("w_ppm"))
+    // weights renormalize (ppm rounding slack only)
+    assert(math.abs(w.sum - 1000000L) <= 4, s"w_ppm sum ${w.sum}")
+    // order-preserving: bigger share never gets a smaller weight
+    val wByShare = rows.sortBy(_.getAs[Long]("share_ppm")).map(_.getAs[Long]("w_ppm"))
+    assert(wByShare.zip(wByShare.tail).forall { case (a, b) => a <= b },
+      "temperature reordered the domains")
+    // α<1 flattening: spread compresses, max-share shrinks, min grows
+    assert(w.max - w.min < share.max - share.min, "no compression")
+    val maxDom = rows.maxBy(_.getAs[Long]("share_ppm"))
+    val minDom = rows.minBy(_.getAs[Long]("share_ppm"))
+    assert(maxDom.getAs[Long]("w_ppm") < maxDom.getAs[Long]("share_ppm"))
+    assert(minDom.getAs[Long]("w_ppm") > minDom.getAs[Long]("share_ppm"))
+    // target tokens are the exact integer consequence of w_ppm
+    val tot = rows.map(_.getAs[Long]("n_tok")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target_tok") ==
+        tot * r.getAs[Long]("w_ppm") / 1000000L)
+    }
+  }
+
   test("t32: rule attribution is consistent — any-rule bounds and firing rules") {
     val rows = ops.TextOps.t32(spark, sf).collect()
     val bySrc = rows.groupBy(_.getAs[String]("source"))

@@ -391,6 +391,28 @@ class RecommendSpec extends SparkSpec {
       s"gini $gini vs recompute $expect")
   }
 
+  test("r38: coverage grows with k, slots fill exactly, novelty stays in-range") {
+    val rows = ops.Recommend.r38(spark, sf).collect().sortBy(_.getAs[Int]("k"))
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(1, 3, 5))
+    val nUsers = ops.Recommend.r05(spark, sf)
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      val k = r.getAs[Int]("k")
+      // every cohort user serves a full slate at every k
+      assert(r.getAs[Long]("n_slots") == nUsers * k,
+        s"k=$k: slots ${r.getAs[Long]("n_slots")} != $nUsers*$k")
+      assert(r.getAs[Long]("n_distinct_items") <= r.getAs[Long]("n_slots"))
+      assert(r.getAs[Long]("coverage_ppm") ==
+        1000000L * r.getAs[Long]("n_distinct_items") / r.getAs[Long]("catalog_n"))
+      val nov = r.getAs[Double]("novelty_mean")
+      val bound = math.log(r.getAs[Long]("catalog_n").toDouble * 1000) / math.log(2)
+      assert(nov > 0 && nov < bound, s"novelty $nov out of range")
+    }
+    // wider slates can only touch MORE of the catalog
+    val dist = rows.map(_.getAs[Long]("n_distinct_items"))
+    assert(dist.zip(dist.tail).forall { case (a, b) => a <= b })
+  }
+
   test("r37: AUC rank-sum bounds, exact ppm quotient, cohort consistency with r20") {
     val rows = ops.Recommend.r37(spark, sf).collect()
     assert(rows.nonEmpty)
