@@ -1311,7 +1311,87 @@ object IoOps {
        |FROM masked JOIN raw USING (c_mktsegment)
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // i23: CORRUPT-RECORD QUARANTINE on JSONL ingest — the dead-letter
+  // routing every production feed needs (i02 round-trips clean JSONL;
+  // real landing zones carry truncated/mangled lines, and dropping
+  // them silently or failing the whole batch are both wrong). A
+  // landing dir is built from customer rows rendered as JSON lines
+  // with a deterministic subset (custkey % 7 = 0) truncated
+  // mid-object (unparseable); the PERMISSIVE read routes rows via
+  // columnNameOfCorruptRecord: good rows feed the rollup, quarantined
+  // rows keep their RAW line, from which dead-letter triage recovers
+  // the key by regex. The gate pins all three: conservation
+  // (total = good + quarantined), the exact good id-set + balance
+  // mass, and the exact recovered dead-letter key set — a parser that
+  // drops, double-routes, or half-parses any line hash-fails.
+  // Scale: parse + route are map-side over the landing scan; one
+  // global agg of six scalars. The quarantine side writes to a
+  // dead-letter dir in production — same plan, different sink.
+  def i23(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i23_")
+    try {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          to_json(struct(col("c_custkey"), col("c_name"), col("c_acctbal")))
+            .as("line"))
+        .select(when(col("c_custkey") % 7 === 0,
+            expr("substring(line, 1, length(line) - 2)"))
+          .otherwise(col("line")).as("value"))
+        .write.text(s"$dir/landing")
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$dir/landing")
+        .cache() // corrupt-column queries need the materialized parse
+      val ok = col("_corrupt_record").isNull
+      val out = parsed.agg(
+        count(lit(1)).as("n_total"),
+        count(when(ok, lit(1))).as("n_good"),
+        count(when(!ok, lit(1))).as("n_quarantined"),
+        sum(when(ok, graft.functions.Hashing.hash56(
+            concat_ws("#", lit("ok"), col("c_custkey"))))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).cast("string")
+          .as("good_ids_checksum"),
+        sum(when(ok, col("c_acctbal").cast("decimal(12,2)"))).cast("double")
+          .as("good_acctbal"),
+        sum(when(!ok, graft.functions.Hashing.hash56(concat_ws("#", lit("dl"),
+            regexp_extract(col("_corrupt_record"), "\"c_custkey\":(\\d+)", 1))))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).cast("string")
+          .as("deadletter_checksum"))
+        .localCheckpoint()
+      parsed.unpersist()
+      out
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i23Sql: String = {
+    import graft.functions.Hashing
+    s"""WITH marked AS (
+       |  SELECT c_custkey, c_acctbal, c_custkey % 7 = 0 AS corrupt
+       |  FROM customer)
+       |SELECT count(*) AS n_total,
+       |  count(CASE WHEN NOT corrupt THEN 1 END) AS n_good,
+       |  count(CASE WHEN corrupt THEN 1 END) AS n_quarantined,
+       |  sum(CASE WHEN NOT corrupt
+       |        THEN ${Hashing.sqlHash56("'ok#' || c_custkey")} ELSE 0 END)
+       |    ::DECIMAL(38,0)::VARCHAR AS good_ids_checksum,
+       |  sum(CASE WHEN NOT corrupt THEN c_acctbal::DECIMAL(12,2) END)::DOUBLE
+       |    AS good_acctbal,
+       |  sum(CASE WHEN corrupt
+       |        THEN ${Hashing.sqlHash56("'dl#' || c_custkey")} ELSE 0 END)
+       |    ::DECIMAL(38,0)::VARCHAR AS deadletter_checksum
+       |FROM marked""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i23_quarantine" -> (i23 _),
     "i22_masked_export" -> (i22 _),
     "i21_wap_publish" -> (i21 _),
     "i20_incremental_read" -> (i20 _),
@@ -1336,6 +1416,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i23_quarantine" -> i23Sql,
     "i22_masked_export" -> i22Sql,
     "i21_wap_publish" -> i21Sql,
     "i20_incremental_read" -> i20Sql,

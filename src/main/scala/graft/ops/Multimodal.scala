@@ -639,7 +639,60 @@ object Multimodal {
       |FROM counts LEFT JOIN uc USING (source)
       |ORDER BY source""".stripMargin
 
+  // m14: ASPECT-RATIO BUCKETING (the SDXL/NovelAI training trick —
+  // batching images of wildly different shapes into one fixed
+  // resolution either crops or wastes pixels; bucketing groups them
+  // into a few canonical aspect classes first, and every diffusion /
+  // VLM data pipeline runs this step before batch assembly). Dims
+  // come from m04's deterministic header stand-in; classification is
+  // EXACT integer cross-multiplication against the ¾ / 1 / 4⁄3
+  // aspect breakpoints (never a float ratio): tall (4w<3h), portrait
+  // (w<h), landscape (3w<4h), wide (rest) — a total, mutually
+  // exclusive rule ladder. Per bucket: volume, distinct dim count,
+  // pixel mass, and the id-set checksum pinning EXACT membership
+  // (the actual batching decision).
+  // Scale: classification is map-side inside the metadata scan; one
+  // 4-group keyed agg — no image bytes move, only header dims.
+  def m14(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        (lit(16) + col("n_chars") % 64).cast("long").as("w"),
+        (lit(16) + (col("n_chars") * 7) % 48).cast("long").as("h"))
+      .withColumn("bucket",
+        when(lit(4L) * col("w") < lit(3L) * col("h"), "b0_tall")
+          .when(col("w") < col("h"), "b1_portrait")
+          .when(lit(3L) * col("w") < lit(4L) * col("h"), "b2_landscape")
+          .otherwise("b3_wide"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_images"),
+        countDistinct(col("w") * 100 + col("h")).as("n_dims"),
+        sum(col("w") * col("h")).as("sum_pixels"),
+        sum(graft.functions.Hashing.hash56(
+            concat_ws("#", lit("ab"), col("doc_id")))
+          .cast("decimal(38,0)")).cast("string").as("ids_checksum"))
+      .orderBy("bucket")
+
+  val m14Sql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    (16 + n_chars % 64)::BIGINT AS w,
+       |    (16 + (n_chars * 7) % 48)::BIGINT AS h
+       |  FROM documents),
+       |cls AS (
+       |  SELECT doc_id, w, h,
+       |    CASE WHEN 4 * w < 3 * h THEN 'b0_tall'
+       |         WHEN w < h THEN 'b1_portrait'
+       |         WHEN 3 * w < 4 * h THEN 'b2_landscape'
+       |         ELSE 'b3_wide' END AS bucket
+       |  FROM dims)
+       |SELECT bucket, count(*) AS n_images,
+       |  count(DISTINCT w * 100 + h) AS n_dims,
+       |  sum(w * h)::BIGINT AS sum_pixels,
+       |  sum(${graft.functions.Hashing.sqlHash56("'ab#' || doc_id")})
+       |    ::DECIMAL(38,0)::VARCHAR AS ids_checksum
+       |FROM cls GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_aspect_buckets" -> (m14 _),
     "m13_caption_pairs" -> (m13 _),
     "m12_modality_router" -> (m12 _),
     "m11_sequence_packing" -> (m11 _),
@@ -655,6 +708,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m14_aspect_buckets" -> m14Sql,
     "m13_caption_pairs" -> m13Sql,
     "m12_modality_router" -> m12Sql,
     "m11_sequence_packing" -> m11Sql,

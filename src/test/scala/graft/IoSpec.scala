@@ -209,6 +209,27 @@ class IoSpec extends SparkSpec {
     assert(total == Tables.orders(spark, sf).count())
   }
 
+  test("i23: quarantine conserves the batch and routes exactly the planted corruption") {
+    val row = ops.IoOps.i23(spark, sf).collect().head
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(row.getAs[Long]("n_total") == cust.length,
+      "parser dropped or duplicated landing lines")
+    assert(row.getAs[Long]("n_total") ==
+      row.getAs[Long]("n_good") + row.getAs[Long]("n_quarantined"),
+      "a line was routed to both or neither side")
+    val planted = cust.count(_._1 % 7 == 0)
+    assert(row.getAs[Long]("n_quarantined") == planted,
+      s"quarantined ${row.getAs[Long]("n_quarantined")} != planted $planted")
+    assert(planted > 0, "no corruption planted at spec SF — test is vacuous")
+    val goodSum = BigDecimal(cust.filter(_._1 % 7 != 0)
+      .map(c => BigDecimal(c._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      .toString).toDouble
+    assert(row.getAs[Double]("good_acctbal") == goodSum,
+      "good-side balance mass drifted from the source rows")
+  }
+
   test("i22: masking is injective, leak-free, and deterministic across exports") {
     val a = ops.IoOps.i22(spark, sf).collect()
     a.foreach { r =>

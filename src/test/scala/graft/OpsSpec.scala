@@ -1184,6 +1184,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m14: aspect buckets partition the corpus under the exact integer rule") {
+    val rows = ops.Multimodal.m14(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("n_chars").collect()
+      .map(_.getLong(0))
+    def bucket(nc: Long): String = {
+      val w = 16 + nc % 64; val h = 16 + (nc * 7) % 48
+      if (4 * w < 3 * h) "b0_tall"
+      else if (w < h) "b1_portrait"
+      else if (3 * w < 4 * h) "b2_landscape"
+      else "b3_wide"
+    }
+    val expect = docs.groupBy(bucket).map { case (b, xs) => b -> xs.length.toLong }
+    assert(rows.map(_.getAs[Long]("n_images")).sum == docs.length,
+      "buckets must partition the corpus")
+    rows.foreach { r =>
+      val b = r.getAs[String]("bucket")
+      assert(r.getAs[Long]("n_images") == expect.getOrElse(b, 0L),
+        s"$b: count disagrees with driver-side rule recompute")
+      assert(r.getAs[Long]("n_dims") <= r.getAs[Long]("n_images"))
+    }
+    assert(rows.length >= 3, "aspect rule degenerated — corpus spans buckets")
+  }
+
   test("p09: temperature sampling flattens the mix without reordering it") {
     val rows = ops.Pipeline.p09(spark, sf).collect()
     assert(rows.length == 4)
