@@ -1006,7 +1006,65 @@ object Graph {
        |FROM (${supOver("truss")}) f ORDER BY i, j""".stripMargin
   }
 
+  // g14: HARMONIC CENTRALITY for a seed cohort (Boldi-Vigna's
+  // closeness fix — 1/∞ = 0 makes it well-defined on disconnected
+  // graphs, which bipartite trade graphs usually are): multi-source
+  // BFS (g03's frontier shape with a seed dimension — ONE iteration
+  // serves all seeds, the standard trick that beats per-seed BFS by
+  // the seed count) to radius 3, then HC(s) = Σ_reached 1/d kept
+  // EXACT as integer sixths (LCM(1,2,3)=6 ⇒ 6/d ∈ {6,3,2} — float
+  // harmonic sums are reduction-order-dependent and ungateable).
+  // Per-round state is (seed, node, mindist); min-groupBy dedup
+  // reproduces the oracle's UNION set recursion.
+  // Scale: each round is one frontier×edges shuffle keyed by node +
+  // one (seed,node) agg; state is O(seeds × reached), lineage pinned
+  // per round (Iterate.pin). The d1/d2/d3 ring counts expose the
+  // expansion profile the centrality number summarizes.
+  private val HC_SEEDS: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+  private val HC_ROUNDS = 3
+
+  def g14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Iterate.pin(edges(s, d))
+    var dist = Iterate.pin(
+      HC_SEEDS.map(x => (x, x, 0)).toDF("seed", "node", "dist"))
+    for (_ <- 1 to HC_ROUNDS) {
+      dist = Iterate.pin(dist
+        .union(dist.join(e, dist("node") === e("src"))
+          .select(col("seed"), col("dst").as("node"),
+            (col("dist") + 1).as("dist")))
+        .groupBy("seed", "node").agg(min("dist").as("dist")))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        count(when(col("dist") === 1, lit(1))).as("n_d1"),
+        count(when(col("dist") === 2, lit(1))).as("n_d2"),
+        count(when(col("dist") === 3, lit(1))).as("n_d3"),
+        sum(expr("6 div dist")).cast("long").as("harmonic6"))
+      .orderBy("seed")
+  }
+
+  val g14Sql: String = {
+    val seedRows = HC_SEEDS.map(x => s"($x)").mkString(", ")
+    s"""WITH RECURSIVE $sqlEdges,
+       |seeds(seed) AS (VALUES $seedRows),
+       |r(seed, node, dist) AS (
+       |  SELECT seed::BIGINT, seed::BIGINT, 0 FROM seeds
+       |  UNION
+       |  SELECT r.seed, e.dst, r.dist + 1 FROM r JOIN edges e ON r.node = e.src
+       |  WHERE r.dist < $HC_ROUNDS),
+       |mind AS (SELECT seed, node, min(dist) AS dist FROM r GROUP BY 1, 2)
+       |SELECT seed, count(*) AS n_reached,
+       |  count(CASE WHEN dist = 1 THEN 1 END) AS n_d1,
+       |  count(CASE WHEN dist = 2 THEN 1 END) AS n_d2,
+       |  count(CASE WHEN dist = 3 THEN 1 END) AS n_d3,
+       |  sum(6 // dist)::BIGINT AS harmonic6
+       |FROM mind WHERE dist > 0 GROUP BY 1 ORDER BY seed""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g14_harmonic" -> (g14 _),
     "g13_ktruss" -> (g13 _),
     "g12_ego_features" -> (g12 _),
     "g11_hits" -> (g11 _),
@@ -1022,6 +1080,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g14_harmonic" -> g14Sql,
     "g13_ktruss" -> g13Sql,
     "g12_ego_features" -> g12Sql,
     "g11_hits" -> g11Sql,

@@ -1521,7 +1521,64 @@ object TextOps {
        |FROM st GROUP BY 1, 2 ORDER BY source, rule""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // t33: BPE MERGE MINING — round 1 of byte-pair-encoding tokenizer
+  // training (Sennrich et al. 2016) at corpus scale: count adjacent
+  // symbol pairs (overlapping, the zip convention — 'aaa' yields
+  // (a,a) twice), rank candidates (cnt DESC, pair — the deterministic
+  // merge tie ladder), and for each of the top-10 report what the
+  // merge would DO: tokens touched and the exact number of merge
+  // sites under left-to-right NON-OVERLAP application (BPE's apply
+  // rule — a run of 3 merges once; computed via length-delta of
+  // non-overlapping replace, which is exactly that semantics in both
+  // engines). chosen marks the pair round 2 would start from. All
+  // counts exact bigints.
+  // Scale: the bigram explode is map-side inside the token explode
+  // (bounded ×avg-token-len fan-out), one pair-keyed agg; the
+  // apply-stats pass joins the corpus against a 10-row BROADCAST of
+  // candidates — one more corpus pass, never a per-pair scan.
+  def t33(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(explode(tokens).as("t"))
+    val pairCnt = toks.filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val top = pairCnt.orderBy(col("cnt").desc, col("pair")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
+          .cast("long"))
+    toks.join(broadcast(top), col("t").contains(col("pair")))
+      .groupBy("pair", "rank", "cnt")
+      .agg(count(lit(1)).as("n_tokens_touched"),
+        sum(expr("(length(t) - length(replace(t, pair, ''))) div 2"))
+          .cast("long").as("n_merges"))
+      .withColumn("chosen", col("rank") === 1L)
+      .orderBy("rank")
+  }
+
+  val t33Sql: String = {
+    val tok = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH toks AS (SELECT unnest($tok) AS t FROM documents),
+       |bi AS (
+       |  SELECT unnest(list_transform(range(1, len(t)), i -> substr(t, i, 2)))
+       |    AS pair
+       |  FROM toks WHERE len(t) >= 2),
+       |pc AS (SELECT pair, count(*) AS cnt FROM bi GROUP BY 1),
+       |top AS (SELECT pair, cnt,
+       |          row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+       |        FROM pc ORDER BY cnt DESC, pair LIMIT 10)
+       |SELECT top.pair, top.rank, top.cnt,
+       |  count(*) AS n_tokens_touched,
+       |  sum((len(t.t) - len(replace(t.t, top.pair, ''))) // 2)::BIGINT
+       |    AS n_merges,
+       |  top.rank = 1 AS chosen
+       |FROM toks t JOIN top ON contains(t.t, top.pair)
+       |GROUP BY 1, 2, 3 ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_bpe_merge" -> (t33 _),
     "t32_gopher_rules" -> (t32 _),
     "t31_head_coverage" -> (t31 _),
     "t30_chunk_windows" -> (t30 _),
@@ -1556,6 +1613,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t33_bpe_merge" -> t33Sql,
     "t32_gopher_rules" -> t32Sql,
     "t31_head_coverage" -> t31Sql,
     "t30_chunk_windows" -> t30Sql,

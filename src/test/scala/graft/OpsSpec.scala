@@ -1184,6 +1184,57 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("g14: harmonic sixths decompose exactly into the BFS rings") {
+    val rows = ops.Graph.g14(spark, sf).collect()
+    assert(rows.nonEmpty, "no seed reached anything")
+    rows.foreach { r =>
+      val (d1, d2, d3) = (r.getAs[Long]("n_d1"), r.getAs[Long]("n_d2"),
+        r.getAs[Long]("n_d3"))
+      assert(r.getAs[Long]("n_reached") == d1 + d2 + d3)
+      assert(r.getAs[Long]("harmonic6") == 6 * d1 + 3 * d2 + 2 * d3,
+        s"seed ${r.getAs[Long]("seed")}: harmonic6 is not the exact ring sum")
+    }
+    // ring-1 of seed 1 must be exactly its distinct supplier partners
+    rows.find(_.getAs[Long]("seed") == 1L).foreach { r =>
+      val o = Tables.orders(spark, sf).filter(col("o_custkey") === 1)
+        .select("o_orderkey")
+      val nSupp = Tables.lineitem(spark, sf)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select("l_suppkey").distinct().count()
+      assert(r.getAs[Long]("n_d1") == nSupp,
+        s"seed 1 ring-1 ${r.getAs[Long]("n_d1")} != supplier partners $nSupp")
+    }
+  }
+
+  test("t33: BPE candidates rank correctly and merge counts obey overlap bounds") {
+    val out = ops.TextOps.t33(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    val cnts = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "candidate counts must be nonincreasing in rank")
+    assert(out.count(_.getAs[Boolean]("chosen")) == 1)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_merges") <= r.getAs[Long]("cnt"),
+        "non-overlap merges cannot exceed overlapping adjacency count")
+      assert(r.getAs[Long]("n_merges") >= r.getAs[Long]("n_tokens_touched"),
+        "every touched token carries at least one merge site")
+    }
+    // driver-side recompute of the winning pair from the raw corpus
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => java.text.Normalizer.normalize(r.getString(0),
+          java.text.Normalizer.Form.NFC)
+        .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty))
+    val pairCounts = toks.filter(_.length >= 2)
+      .flatMap(t => t.sliding(2)).groupBy(identity).map { case (p, xs) =>
+        p -> xs.length.toLong }
+    val best = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    val chosen = out.find(_.getAs[Boolean]("chosen")).get
+    assert(chosen.getAs[String]("pair") == best._1 &&
+      chosen.getAs[Long]("cnt") == best._2,
+      s"chosen ${chosen.getAs[String]("pair")} != recomputed ${best._1}")
+  }
+
   test("m14: aspect buckets partition the corpus under the exact integer rule") {
     val rows = ops.Multimodal.m14(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("n_chars").collect()
