@@ -708,8 +708,11 @@ object Pipeline {
         (substring(col("source"), 4, 10).cast("int") % 4).cast("string"))
         .as("domain"),
       size(graft.functions.TextNorm.tokens(col("text"))).cast("long").as("n_tok"))
+    // pin the 4-row rollup: tot/wsum re-derive from IT, not from two
+    // more corpus scans (the plan audit showed 3 parquet passes here)
     val dom = docs.groupBy("domain")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      .localCheckpoint()
     val tot = dom.agg(sum(col("n_tok")).as("tot_tok"))
     val w = dom.crossJoin(broadcast(tot))
       .withColumn("share_ppm", expr("(1000000 * n_tok) div tot_tok"))
