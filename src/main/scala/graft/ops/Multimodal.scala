@@ -691,7 +691,82 @@ object Multimodal {
        |    ::DECIMAL(38,0)::VARCHAR AS ids_checksum
        |FROM cls GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // m15: CROSS-MODAL RETRIEVAL EVAL (the CLIP-style image→text
+  // benchmark — the metric a contrastive pairing model is trained
+  // against, and the downstream check on m13's constructed pairs):
+  // vectors pair up as (image 2k, text 2k+1); for a 50-query panel of
+  // images, rank ALL texts by cosine and find the true caption's
+  // rank. Reported: recall@1/5/10 (counts — the oracle derives the
+  // same integers), EXACT median rank (q52's order-statistic
+  // selection, never interpolation) and the exact rank sum. Ties
+  // break (cos DESC, cand_id) — the engine-wide ladder; cosine is
+  // the codegen'd fused kernel, 4dp-rounded BEFORE ranking in both
+  // engines (the s01 discipline).
+  // Scale: panel-bounded (50 queries) × one text-corpus scan — the
+  // s01 rule; the rank window is keyed by query. The 50-row
+  // order-statistic window is query-count-bounded, never corpus.
+  def m15(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val img = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 100)
+      .select(expr("vec_id div 2").as("pair_id"), col("v").as("va"))
+    val txt = e.filter(col("vec_id") % 2 === 1)
+      .select(expr("vec_id div 2").as("cand_id"), col("v").as("vb"))
+    val w = Window.partitionBy("pair_id").orderBy(col("cos").desc, col("cand_id"))
+    val hits = broadcast(img).join(txt)
+      .withColumn("cos",
+        round(graft.functions.VectorOps.cosineSim(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("cand_id") === col("pair_id"))
+      .select(col("pair_id"), col("rank").as("true_rank"))
+    hits
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("true_rank"), col("pair_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .agg(count(lit(1)).as("n_queries"),
+        count(when(col("true_rank") <= 1, lit(1))).as("r_at_1"),
+        count(when(col("true_rank") <= 5, lit(1))).as("r_at_5"),
+        count(when(col("true_rank") <= 10, lit(1))).as("r_at_10"),
+        max(when(col("pos") === expr("(n + 1) div 2"), col("true_rank")))
+          .as("median_rank"),
+        sum(col("true_rank")).as("rank_sum"))
+  }
+
+  val m15Sql: String = {
+    val dot = "list_sum(list_transform(range(64), i -> q.va[i + 1] * t.vb[i + 1]))"
+    def norm(alias: String, c: String) =
+      s"sqrt(list_sum(list_transform($alias.$c, x -> x * x)))"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |q AS (SELECT vec_id // 2 AS pair_id, v AS va FROM e
+       |      WHERE vec_id % 2 = 0 AND vec_id < 100),
+       |t AS (SELECT vec_id // 2 AS cand_id, v AS vb FROM e WHERE vec_id % 2 = 1),
+       |ranked AS (
+       |  SELECT q.pair_id, t.cand_id,
+       |    row_number() OVER (
+       |      PARTITION BY q.pair_id
+       |      ORDER BY round($dot / (${norm("q", "va")} * ${norm("t", "vb")}), 4)
+       |        DESC, t.cand_id)::BIGINT AS rank
+       |  FROM q, t),
+       |hits AS (
+       |  SELECT pair_id, rank AS true_rank FROM ranked
+       |  WHERE cand_id = pair_id),
+       |pos AS (
+       |  SELECT true_rank,
+       |    row_number() OVER (ORDER BY true_rank, pair_id)::BIGINT AS pos,
+       |    count(*) OVER ()::BIGINT AS n
+       |  FROM hits)
+       |SELECT count(*) AS n_queries,
+       |  count(CASE WHEN true_rank <= 1 THEN 1 END) AS r_at_1,
+       |  count(CASE WHEN true_rank <= 5 THEN 1 END) AS r_at_5,
+       |  count(CASE WHEN true_rank <= 10 THEN 1 END) AS r_at_10,
+       |  max(CASE WHEN pos = (n + 1) // 2 THEN true_rank END) AS median_rank,
+       |  sum(true_rank)::BIGINT AS rank_sum
+       |FROM pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_crossmodal_eval" -> (m15 _),
     "m14_aspect_buckets" -> (m14 _),
     "m13_caption_pairs" -> (m13 _),
     "m12_modality_router" -> (m12 _),
@@ -708,6 +783,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m15_crossmodal_eval" -> m15Sql,
     "m14_aspect_buckets" -> m14Sql,
     "m13_caption_pairs" -> m13Sql,
     "m12_modality_router" -> m12Sql,

@@ -2572,7 +2572,84 @@ object Recommend {
        |FROM nov JOIN ks ON rank <= k, tot
        |GROUP BY k, tot.catalog_n ORDER BY k""".stripMargin
 
+  // r39: ε-GREEDY EXPLORATION serving (the explore/exploit slate mix
+  // every production recommender runs to keep gathering signal on
+  // unserved items — pure exploitation is the feedback loop r31's
+  // Gini diagnoses): a 20% hash-selected user cohort gets its rank-5
+  // slot replaced by an EXPLORATION item drawn from a fixed
+  // hash-sampled catalog pool (~5% of items — the per-epoch pool a
+  // real system refreshes; the per-user pick ranks user×pool, never
+  // user×catalog), excluding the user's history and their exploit
+  // slate. Everything is hash-deterministic (ε draw, pool
+  // membership, per-user pick order), so the EXACT slate gates
+  // cross-engine — "random" exploration with a reproducible audit
+  // trail. Eleventh consumer of the memoized r05Recs artifact.
+  // Scale: pool is dim-bounded and broadcast; exclusions are two
+  // keyed anti-joins on the (cohort × pool) frame; the slate join is
+  // a per-user broadcast-sized left join.
+  def r39(s: SparkSession, d: String): DataFrame = {
+    val recs = r05Recs(s, d).filter(col("rank") <= 5)
+    val exploring = recs.select("user_id").distinct()
+      .filter(Hashing.hash56(concat_ws("#", lit("eps"), col("user_id"))) % 100 < 20)
+    val hist = Ratings.implicitRatings(s, d).filter(col("user_id") < 50)
+      .select("user_id", "item_id").distinct()
+    val pool = Ratings.implicitRatings(s, d).select("item_id").distinct()
+      .filter(Hashing.hash56(concat_ws("#", lit("pool"), col("item_id"))) % 20 === 0)
+    val w = Window.partitionBy("user_id").orderBy(col("hk"), col("item_id"))
+    val pick = exploring.crossJoin(broadcast(pool))
+      .join(hist, Seq("user_id", "item_id"), "left_anti")
+      .join(recs.select(col("user_id"), col("rec_item").as("item_id")),
+        Seq("user_id", "item_id"), "left_anti")
+      .withColumn("hk",
+        Hashing.hash56(concat_ws("#", lit("xp"), col("user_id"), col("item_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("item_id").as("xp_item"))
+    recs.join(pick, Seq("user_id"), "left")
+      .select(col("user_id"), col("rank").cast("long").as("rank"),
+        when(col("rank") === 5 && col("xp_item").isNotNull, col("xp_item"))
+          .otherwise(col("rec_item")).as("item_id"),
+        when(col("rank") === 5 && col("xp_item").isNotNull, lit("explore"))
+          .otherwise(lit("exploit")).as("source"))
+      .orderBy("user_id", "rank")
+  }
+
+  val r39Sql: String = {
+    val epsHash = graft.functions.Hashing.sqlHash56("'eps#' || user_id")
+    val poolHash = graft.functions.Hashing.sqlHash56("'pool#' || item_id")
+    val pickHash =
+      graft.functions.Hashing.sqlHash56("'xp#' || user_id || '#' || item_id")
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |recs AS (SELECT user_id, rec_item, rank FROM ($r05Sql)),
+       |exploring AS (
+       |  SELECT DISTINCT user_id FROM recs WHERE $epsHash % 100 < 20),
+       |hist AS (
+       |  SELECT DISTINCT user_id, item_id FROM ratings WHERE user_id < 50),
+       |pool AS (
+       |  SELECT DISTINCT item_id FROM ratings WHERE $poolHash % 20 = 0),
+       |cand AS (
+       |  SELECT x.user_id, p.item_id, $pickHash AS hk
+       |  FROM exploring x, pool p
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+       |                    WHERE h.user_id = x.user_id AND h.item_id = p.item_id)
+       |    AND NOT EXISTS (SELECT 1 FROM recs r
+       |                    WHERE r.user_id = x.user_id AND r.rec_item = p.item_id)),
+       |pick AS (
+       |  SELECT user_id, item_id AS xp_item FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                 ORDER BY hk, item_id) AS rn
+       |    FROM cand) WHERE rn = 1)
+       |SELECT r.user_id, r.rank::BIGINT AS rank,
+       |  CASE WHEN r.rank = 5 AND p.xp_item IS NOT NULL THEN p.xp_item
+       |       ELSE r.rec_item END AS item_id,
+       |  CASE WHEN r.rank = 5 AND p.xp_item IS NOT NULL THEN 'explore'
+       |       ELSE 'exploit' END AS source
+       |FROM recs r LEFT JOIN pick p USING (user_id)
+       |ORDER BY user_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r39_epsilon_greedy" -> (r39 _),
     "r38_coverage_novelty" -> (r38 _),
     "r37_auc" -> (r37 _),
     "r36_basket_rules" -> (r36 _),
@@ -2613,6 +2690,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r39_epsilon_greedy" -> r39Sql,
     "r38_coverage_novelty" -> r38Sql,
     "r37_auc" -> r37Sql,
     "r36_basket_rules" -> r36Sql,

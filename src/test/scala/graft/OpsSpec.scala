@@ -1235,6 +1235,22 @@ class OpsSpec extends SparkSpec {
       s"chosen ${chosen.getAs[String]("pair")} != recomputed ${best._1}")
   }
 
+  test("m15: retrieval metrics obey order-statistic and recall identities") {
+    val r = ops.Multimodal.m15(spark, sf).collect().head
+    val n = r.getAs[Long]("n_queries")
+    val nTexts = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 1).count()
+    assert(n > 0)
+    val (r1, r5, r10) = (r.getAs[Long]("r_at_1"), r.getAs[Long]("r_at_5"),
+      r.getAs[Long]("r_at_10"))
+    assert(r1 <= r5 && r5 <= r10 && r10 <= n, "recall@k must be nested")
+    assert(r.getAs[Long]("median_rank") >= 1 &&
+      r.getAs[Long]("median_rank") <= nTexts)
+    assert(r.getAs[Long]("rank_sum") >= n &&
+      r.getAs[Long]("rank_sum") <= n * nTexts,
+      "rank sum outside the feasible envelope")
+  }
+
   test("m14: aspect buckets partition the corpus under the exact integer rule") {
     val rows = ops.Multimodal.m14(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("n_chars").collect()

@@ -391,6 +391,37 @@ class RecommendSpec extends SparkSpec {
       s"gini $gini vs recompute $expect")
   }
 
+  test("r39: exploration replaces only rank-5, never repeats the slate or history") {
+    val rows = ops.Recommend.r39(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        s"user $u: slate is not exactly ranks 1..5")
+      val explored = rs.filter(_.getAs[String]("source") == "explore")
+      assert(explored.forall(_.getAs[Long]("rank") == 5L),
+        s"user $u: exploration outside the rank-5 slot")
+      assert(explored.length <= 1)
+    }
+    val nExplore = rows.count(_.getAs[String]("source") == "explore")
+    assert(nExplore > 0, "epsilon cohort is empty — exploration never exercised")
+    assert(nExplore < byUser.size, "every user exploring — epsilon gate lost")
+    // the explore item is genuinely novel for its user: not in the
+    // exploit slate and not in their interaction history
+    val exploit = ops.Recommend.r05(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Long]("rec_item")).toSet }
+    val hist = graft.etl.Ratings.implicitRatings(spark, sf)
+      .filter(col("user_id") < 50).select("user_id", "item_id").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(1)).toSet }
+    rows.filter(_.getAs[String]("source") == "explore").foreach { r =>
+      val (u, it) = (r.getAs[Long]("user_id"), r.getAs[Long]("item_id"))
+      assert(!exploit.getOrElse(u, Set.empty).contains(it),
+        s"user $u explores an item already on their exploit slate")
+      assert(!hist.getOrElse(u, Set.empty).contains(it),
+        s"user $u explores an item from their own history")
+    }
+  }
+
   test("r38: coverage grows with k, slots fill exactly, novelty stays in-range") {
     val rows = ops.Recommend.r38(spark, sf).collect().sortBy(_.getAs[Int]("k"))
     assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(1, 3, 5))
