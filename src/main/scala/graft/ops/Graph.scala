@@ -1063,7 +1063,71 @@ object Graph {
        |FROM mind WHERE dist > 0 GROUP BY 1 ORDER BY seed""".stripMargin
   }
 
+  // g15: NEIGHBOR SAMPLING (the GraphSAGE/PinSAGE minibatch sampler —
+  // GNN training never aggregates full neighborhoods; it samples a
+  // fixed fanout per hop, and the sampler IS the scalability claim of
+  // that literature): fanout [3, 2] over two hops from a 4-seed
+  // cohort. The draw is hash-ranked per (seed, src) — "uniform
+  // without replacement" with a reproducible audit trail (the r39
+  // discipline), so the EXACT sampled edge list gates cross-engine.
+  // Emitted rows are the sampled edges (seed, hop, src, dst) — the
+  // actual minibatch a GNN layer would aggregate.
+  // Scale: each hop is one frontier×edges join + a (seed,src)-keyed
+  // rank window whose `rank <= fanout` filter pushes into
+  // WindowGroupLimit (per-group heaps, no full neighbor sort);
+  // frontier size is seeds×∏fanouts — bounded by construction, the
+  // whole point of sampled aggregation.
+  private val SAGE_SEEDS: Seq[Long] = Seq(1L, 2L, 3L, 4L)
+  private val SAGE_FANOUT = Seq(3, 2)
+
+  def g15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Iterate.pin(edges(s, d))
+    def sampleHop(frontier: DataFrame, hop: Int, fanout: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("seed", "src").orderBy(col("hk"), col("dst"))
+      frontier.join(e, frontier("node") === e("src"))
+        .select(col("seed"), col("src"), col("dst"))
+        .withColumn("hk", Hashing.hash56(concat_ws("#",
+          lit("sage"), lit(hop), col("seed"), col("src"), col("dst"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= fanout)
+        .select(col("seed"), lit(hop).as("hop"), col("src"), col("dst"))
+    }
+    val seeds = SAGE_SEEDS.map(x => (x, x)).toDF("seed", "node")
+    val h1 = sampleHop(seeds, 1, SAGE_FANOUT.head)
+    val h2 = sampleHop(h1.select(col("seed"), col("dst").as("node")), 2,
+      SAGE_FANOUT(1))
+    h1.union(h2).orderBy("seed", "hop", "src", "dst")
+  }
+
+  val g15Sql: String = {
+    val seedRows = SAGE_SEEDS.map(x => s"($x)").mkString(", ")
+    def hash(hop: Int, seed: String) = graft.functions.Hashing.sqlHash56(
+      s"'sage#$hop#' || $seed || '#' || e.src || '#' || e.dst")
+    s"""WITH $sqlEdges,
+       |seeds(seed) AS (VALUES $seedRows),
+       |h1 AS (
+       |  SELECT seed, src, dst FROM (
+       |    SELECT s.seed::BIGINT AS seed, e.src, e.dst,
+       |      row_number() OVER (PARTITION BY s.seed, e.src
+       |                         ORDER BY ${hash(1, "s.seed")}, e.dst) AS rn
+       |    FROM seeds s JOIN edges e ON e.src = s.seed)
+       |  WHERE rn <= ${SAGE_FANOUT.head}),
+       |h2 AS (
+       |  SELECT seed, src, dst FROM (
+       |    SELECT h.seed, e.src, e.dst,
+       |      row_number() OVER (PARTITION BY h.seed, e.src
+       |                         ORDER BY ${hash(2, "h.seed")}, e.dst) AS rn
+       |    FROM h1 h JOIN edges e ON e.src = h.dst)
+       |  WHERE rn <= ${SAGE_FANOUT(1)})
+       |SELECT seed, 1 AS hop, src, dst FROM h1
+       |UNION ALL SELECT seed, 2, src, dst FROM h2
+       |ORDER BY seed, hop, src, dst""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g15_neighbor_sample" -> (g15 _),
     "g14_harmonic" -> (g14 _),
     "g13_ktruss" -> (g13 _),
     "g12_ego_features" -> (g12 _),
@@ -1080,6 +1144,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g15_neighbor_sample" -> g15Sql,
     "g14_harmonic" -> g14Sql,
     "g13_ktruss" -> g13Sql,
     "g12_ego_features" -> g12Sql,

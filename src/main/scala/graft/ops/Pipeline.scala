@@ -750,7 +750,86 @@ object Pipeline {
       |    AS target_tok
       |FROM w, ws ORDER BY domain""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p10: WATER-FILLING token allocation (the capacity-capped mixer —
+  // p03/p04 pick WITHIN a domain, p09 derives weights; this solves
+  // the allocation problem they hand off: targets can EXCEED a
+  // domain's supply, and the excess must flow to domains that still
+  // have capacity, proportionally, without anyone over-filling):
+  // budget = 60% of corpus tokens, targets = the p03 pct mix
+  // (50/25/20/5 — dom0's target deliberately exceeds its ~25% supply
+  // so the cap genuinely binds), round 1 allocates min(target,
+  // supply), round 2 redistributes the leftover ∝ pct over the
+  // unsaturated domains, again capped. All integer div arithmetic —
+  // the floor slack is bounded by the divisor count and pinned.
+  // Scale: ONE corpus pass builds the 4-row supply rollup
+  // (localCheckpoint-pinned, the p09 rule); both rounds are 4-row ×
+  // 1-row-broadcast math — the allocation algebra never touches the
+  // corpus again.
+  def p10(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      concat(lit("dom"),
+        (substring(col("source"), 4, 10).cast("int") % 4).cast("string"))
+        .as("domain"),
+      size(graft.functions.TextNorm.tokens(col("text"))).cast("long").as("n_tok"))
+    val dom = docs.groupBy("domain").agg(sum(col("n_tok")).as("supply"))
+      .localCheckpoint()
+    val tot = dom.agg(sum(col("supply")).as("tot"))
+    val pct = when(col("domain") === "dom0", 50L)
+      .when(col("domain") === "dom1", 25L)
+      .when(col("domain") === "dom2", 20L).otherwise(5L)
+    val base = dom.crossJoin(broadcast(tot))
+      .withColumn("pct", pct)
+      .withColumn("budget", expr("(tot * 60) div 100"))
+      .withColumn("alloc1", least(col("supply"), expr("(budget * pct) div 100")))
+    val l1 = base.agg(sum(col("alloc1")).as("given1"),
+      sum(when(col("alloc1") < col("supply"), col("pct")).otherwise(lit(0L)))
+        .as("pct_unsat"))
+    base.crossJoin(broadcast(l1))
+      .withColumn("leftover", col("budget") - col("given1"))
+      .withColumn("final_alloc", least(col("supply"),
+        col("alloc1") + when(col("alloc1") < col("supply") && col("pct_unsat") > 0,
+          expr("(leftover * pct) div pct_unsat")).otherwise(lit(0L))))
+      .select(col("domain"), col("supply"), col("pct"), col("budget"),
+        col("alloc1"), col("final_alloc"),
+        (col("final_alloc") === col("supply")).as("saturated"))
+      .orderBy("domain")
+  }
+
+  val p10Sql: String =
+    """WITH docs AS (
+      |  SELECT 'dom' || (substr(source, 4)::INT % 4) AS domain,
+      |    len(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+'))::BIGINT
+      |      AS n_tok
+      |  FROM documents),
+      |dom AS (SELECT domain, sum(n_tok)::BIGINT AS supply FROM docs GROUP BY 1),
+      |tot AS (SELECT sum(supply)::BIGINT AS tot FROM dom),
+      |base AS (
+      |  SELECT domain, supply,
+      |    CASE domain WHEN 'dom0' THEN 50 WHEN 'dom1' THEN 25
+      |      WHEN 'dom2' THEN 20 ELSE 5 END::BIGINT AS pct,
+      |    (tot.tot * 60) // 100 AS budget,
+      |    least(supply, ((tot.tot * 60) // 100 *
+      |      CASE domain WHEN 'dom0' THEN 50 WHEN 'dom1' THEN 25
+      |        WHEN 'dom2' THEN 20 ELSE 5 END) // 100) AS alloc1
+      |  FROM dom, tot),
+      |l1 AS (
+      |  SELECT sum(alloc1)::BIGINT AS given1,
+      |    sum(CASE WHEN alloc1 < supply THEN pct ELSE 0 END)::BIGINT AS pct_unsat
+      |  FROM base)
+      |SELECT domain, supply, pct, budget, alloc1,
+      |  least(supply, alloc1 + CASE
+      |    WHEN alloc1 < supply AND l1.pct_unsat > 0
+      |      THEN ((budget - l1.given1) * pct) // l1.pct_unsat
+      |    ELSE 0 END) AS final_alloc,
+      |  least(supply, alloc1 + CASE
+      |    WHEN alloc1 < supply AND l1.pct_unsat > 0
+      |      THEN ((budget - l1.given1) * pct) // l1.pct_unsat
+      |    ELSE 0 END) = supply AS saturated
+      |FROM base, l1 ORDER BY domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_water_filling" -> (p10 _),
     "p09_temperature_mix" -> (p09 _),
     "p08_curriculum" -> (p08 _),
     "p07_split_export" -> (p07 _),
@@ -762,6 +841,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p10_water_filling" -> p10Sql,
     "p09_temperature_mix" -> p09Sql,
     "p08_curriculum" -> p08Sql,
     "p07_split_export" -> p07Sql,

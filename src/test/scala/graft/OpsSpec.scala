@@ -1184,6 +1184,61 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("g15: sampled minibatch respects fanouts, hop chaining, and the edge set") {
+    val rows = ops.Graph.g15(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val h1 = rows.filter(_.getAs[Int]("hop") == 1)
+    val h2 = rows.filter(_.getAs[Int]("hop") == 2)
+    // fanout caps per (seed, src)
+    h1.groupBy(r => (r.getAs[Long]("seed"), r.getAs[Long]("src")))
+      .foreach { case ((s0, _), rs) => assert(rs.length <= 3, s"seed $s0 h1 fanout") }
+    h2.groupBy(r => (r.getAs[Long]("seed"), r.getAs[Long]("src")))
+      .foreach { case ((s0, _), rs) => assert(rs.length <= 2, s"seed $s0 h2 fanout") }
+    // hop-1 expands the seed itself; hop-2 expands only sampled hop-1 nodes
+    h1.foreach(r => assert(r.getAs[Long]("src") == r.getAs[Long]("seed")))
+    val h1dsts = h1.groupBy(_.getAs[Long]("seed"))
+      .map { case (s0, rs) => s0 -> rs.map(_.getAs[Long]("dst")).toSet }
+    h2.foreach { r =>
+      assert(h1dsts(r.getAs[Long]("seed")).contains(r.getAs[Long]("src")),
+        "hop-2 source was never sampled in hop 1")
+    }
+    // every sampled edge is a real edge of the symmetric trade graph
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val base = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1000000L)).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("src"), r.getAs[Long]("dst"))
+      assert(base.contains((a, b)) || base.contains((b, a)),
+        s"sampled edge ($a,$b) not in the trade graph")
+    }
+  }
+
+  test("p10: the water-filling allocation caps, conserves, and converges") {
+    val rows = ops.Pipeline.p10(spark, sf).collect()
+    assert(rows.length == 4)
+    val budget = rows.head.getAs[Long]("budget")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("final_alloc") <= r.getAs[Long]("supply"),
+        s"${r.getAs[String]("domain")}: allocated past capacity")
+      assert(r.getAs[Long]("final_alloc") >= r.getAs[Long]("alloc1"),
+        "round 2 may only add")
+      assert(r.getAs[Boolean]("saturated") ==
+        (r.getAs[Long]("final_alloc") == r.getAs[Long]("supply")))
+    }
+    // dom0's 50% target must genuinely exceed its ~25% supply
+    val dom0 = rows.find(_.getAs[String]("domain") == "dom0").get
+    assert(dom0.getAs[Boolean]("saturated"),
+      "dom0 cap never bound — the shortage branch is vacuous")
+    assert(rows.count(!_.getAs[Boolean]("saturated")) > 0,
+      "everything saturated — redistribution untested")
+    val given = rows.map(_.getAs[Long]("final_alloc")).sum
+    assert(given <= budget, "allocation exceeds the budget")
+    assert(budget - given <= 8,
+      s"floor slack ${budget - given} exceeds the div-loss bound")
+  }
+
   test("g14: harmonic sixths decompose exactly into the BFS rings") {
     val rows = ops.Graph.g14(spark, sf).collect()
     assert(rows.nonEmpty, "no seed reached anything")
