@@ -1566,7 +1566,57 @@ object EventOps {
       |  ((sum(gap_us)::BIGINT // count(gap_us)) // 1000000)::BIGINT AS mean_gap_s
       |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // e33: CAPPED DWELL TIME (time-on-page — the engagement metric web
+  // analytics reports; e32 watches the FEED's health, this watches
+  // the USER's attention): dwell of an event = gap to the SAME
+  // user's next event (lead under the (ts, event_id) ladder), capped
+  // at 1800 s — the standard session-timeout convention that stops
+  // an overnight gap from counting as eight hours of reading. Last
+  // events have no successor and are excluded from the mean but
+  // counted (n_last) — silently dropping them hides a
+  // one-event-per-user corpus. All exact integers: micros via lead,
+  // seconds via div, mean = sum div n.
+  // Scale: ONE user-keyed window + one type-keyed agg; the cap is a
+  // map-side least().
+  private val DWELL_CAP_S = 1800L
+
+  def e33(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("raw_s",
+        (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))),
+      )
+      .withColumn("raw_s", expr("raw_s div 1000000"))
+      .withColumn("dwell_s", least(col("raw_s"), lit(DWELL_CAP_S)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("raw_s")).as("n_measured"),
+        (count(lit(1)) - count(col("raw_s"))).as("n_last"),
+        count(when(col("raw_s") > DWELL_CAP_S, lit(1))).as("n_capped"),
+        sum(col("dwell_s")).as("dwell_sum_s"))
+      .withColumn("mean_dwell_s", expr("dwell_sum_s div n_measured"))
+      .orderBy("event_type")
+  }
+
+  val e33Sql: String =
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |    (lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+       |                                 ORDER BY ts, event_id)
+       |     - epoch_us(ts)) // 1000000 AS raw_s
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(raw_s) AS n_measured,
+       |  count(*) - count(raw_s) AS n_last,
+       |  count(CASE WHEN raw_s > $DWELL_CAP_S THEN 1 END) AS n_capped,
+       |  sum(least(raw_s, $DWELL_CAP_S))::BIGINT AS dwell_sum_s,
+       |  (sum(least(raw_s, $DWELL_CAP_S))::BIGINT // count(raw_s))
+       |    AS mean_dwell_s
+       |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e33_dwell_time" -> (e33 _),
     "e32_gap_monitor" -> (e32 _),
     "e31_windowed_funnel" -> (e31 _),
     "e30_conversion_latency" -> (e30 _),
@@ -1600,6 +1650,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e33_dwell_time" -> e33Sql,
     "e32_gap_monitor" -> e32Sql,
     "e31_windowed_funnel" -> e31Sql,
     "e30_conversion_latency" -> e30Sql,

@@ -1577,7 +1577,55 @@ object TextOps {
        |GROUP BY 1, 2, 3 ORDER BY rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // t34: FEATURE HASHING (the hashing trick — Weinberger et al. 2009:
+  // vocabulary-free featurization for linear models/CTR at scale,
+  // where a 10⁸-type vocabulary can't ship a dictionary): every type
+  // hashes into one of 64 buckets; the report is the per-bucket
+  // feature profile — token mass, COLLISION load (types per bucket —
+  // the quantity that decides whether 64 is enough), and the
+  // heaviest resident type under the (freq DESC, term) ladder. All
+  // exact integers; the hash is the engine-portable md5-derived
+  // hash56, so bucket assignment gates cross-engine.
+  // Scale: one token explode + term-keyed agg builds the vocab
+  // (corpus-scale shuffle #1 — shared with t31's shape); bucketing
+  // and the top-resident window are VOCAB-dim, never corpus-dim.
+  def t34(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("bucket",
+        Hashing.hash56(concat(lit("fh#"), col("term"))) % 64)
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("freq").desc, col("term"))
+    vocab.withColumn("rn", row_number().over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("freq")).as("mass"),
+        max(when(col("rn") === 1, col("term"))).as("top_term"),
+        max(when(col("rn") === 1, col("freq"))).as("top_freq"))
+      .orderBy("bucket")
+  }
+
+  val t34Sql: String = {
+    val tok = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    val h = graft.functions.Hashing.sqlHash56("'fh#' || term")
+    s"""WITH vocab AS (
+       |  SELECT term, count(*) AS freq FROM (
+       |    SELECT unnest($tok) AS term FROM documents) GROUP BY 1),
+       |b AS (
+       |  SELECT term, freq, $h % 64 AS bucket,
+       |    row_number() OVER (PARTITION BY $h % 64
+       |                       ORDER BY freq DESC, term) AS rn
+       |  FROM vocab)
+       |SELECT bucket, count(*) AS n_types, sum(freq)::BIGINT AS mass,
+       |  max(CASE WHEN rn = 1 THEN term END) AS top_term,
+       |  max(CASE WHEN rn = 1 THEN freq END)::BIGINT AS top_freq
+       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_feature_hashing" -> (t34 _),
     "t33_bpe_merge" -> (t33 _),
     "t32_gopher_rules" -> (t32 _),
     "t31_head_coverage" -> (t31 _),
@@ -1613,6 +1661,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t34_feature_hashing" -> t34Sql,
     "t33_bpe_merge" -> t33Sql,
     "t32_gopher_rules" -> t32Sql,
     "t31_head_coverage" -> t31Sql,

@@ -1184,6 +1184,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("e33: dwell accounting conserves events and caps correctly") {
+    val rows = ops.EventOps.e33(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") ==
+        r.getAs[Long]("n_measured") + r.getAs[Long]("n_last"),
+        "every event is measured XOR last")
+      assert(r.getAs[Long]("n_capped") <= r.getAs[Long]("n_measured"))
+      assert(r.getAs[Long]("dwell_sum_s") <= 1800L * r.getAs[Long]("n_measured"),
+        "cap leaked — a dwell exceeds the session timeout")
+      assert(r.getAs[Long]("mean_dwell_s") ==
+        r.getAs[Long]("dwell_sum_s") / r.getAs[Long]("n_measured"))
+    }
+    // exactly one last event per user, spread across the types
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_last")).sum == nUsers,
+      "per-user last-event count drifted from the user population")
+  }
+
+  test("t34: hashing conserves the vocabulary and the token mass") {
+    val rows = ops.TextOps.t34(spark, sf).collect()
+    assert(rows.length <= 64)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextNorm.tokens(col("text"))).as("t"))
+    val (nTypes, nToks) = (vocab.distinct().count(), vocab.count())
+    assert(rows.map(_.getAs[Long]("n_types")).sum == nTypes,
+      "bucketing lost or duplicated vocabulary types")
+    assert(rows.map(_.getAs[Long]("mass")).sum == nToks,
+      "bucketing lost or duplicated token mass")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("top_freq") <= r.getAs[Long]("mass"))
+      assert(r.getAs[String]("top_term") != null)
+      assert(r.getAs[Long]("n_types") >= 1)
+    }
+  }
+
   test("g15: sampled minibatch respects fanouts, hop chaining, and the edge set") {
     val rows = ops.Graph.g15(spark, sf).collect()
     assert(rows.nonEmpty)
