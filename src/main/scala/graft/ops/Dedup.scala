@@ -1321,7 +1321,73 @@ object Dedup {
        |ORDER BY layer""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // d21: GDPR DELETE across duplicate clusters (right-to-be-forgotten
+  // done correctly — deleting only the REQUESTED doc_id leaves its
+  // byte-identical copies serving the same content; i13 deletes by
+  // retention key, this deletes by CONTENT identity): requests (a
+  // hash-drawn 2% plus the %200 cohort, which provably includes docs
+  // whose planted copies live at +2000000 — the amplification branch
+  // is never vacuous) expand through the t04 exact fingerprint to
+  // EVERY doc in the same cluster; tombstoned = cluster members,
+  // surviving = the rest. The gate pins request/tombstone/survivor
+  // conservation, the amplification count (tombstoned − requests —
+  // the copies a naive id-delete would have missed), and the exact
+  // surviving id-set checksum (a survivor sharing a tombstoned fp
+  // flips it).
+  // Scale: fingerprint map-side on one corpus scan; the cluster
+  // expansion is ONE fp-keyed semi-join + its anti twin — never
+  // pairwise.
+  def d21(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+    val docs = corpus(s, d).select(col("doc_id"), fp.as("fp"))
+    val requests = docs.filter(
+      Hashing.hash56(concat_ws("#", lit("del"), col("doc_id"))) % 50 === 0 ||
+        // base docs only (< 1e6): the +2000000 copies must be reached
+        // through the CLUSTER, not independently requested — that is
+        // exactly the amplification the op demonstrates
+        (col("doc_id") % 200 === 0 && col("doc_id") < 1000000))
+    val tombFps = requests.select("fp").distinct()
+    val tomb = docs.join(tombFps, Seq("fp"), "left_semi")
+    val surv = docs.join(tombFps, Seq("fp"), "left_anti")
+    requests.agg(count(lit(1)).as("n_requests"))
+      .crossJoin(broadcast(tombFps.agg(count(lit(1)).as("n_clusters"))))
+      .crossJoin(broadcast(tomb.agg(count(lit(1)).as("n_tombstoned"))))
+      .crossJoin(broadcast(surv.agg(count(lit(1)).as("n_surviving"),
+        sum(Hashing.hash56(concat_ws("#", lit("sv"), col("doc_id")))
+          .cast("decimal(38,0)")).cast("string").as("surviving_checksum"))))
+      .select(col("n_requests"), col("n_clusters"), col("n_tombstoned"),
+        (col("n_tombstoned") - col("n_requests")).as("amplification"),
+        col("n_surviving"), col("surviving_checksum"))
+  }
+
+  val d21Sql: String = {
+    val h = graft.functions.Hashing.sqlHash56("'del#' || doc_id")
+    val sv = graft.functions.Hashing.sqlHash56("'sv#' || doc_id")
+    s"""WITH c AS ($sqlCorpus),
+       |f AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+       |  FROM c),
+       |req AS (
+       |  SELECT * FROM f
+       |  WHERE $h % 50 = 0 OR (doc_id % 200 = 0 AND doc_id < 1000000)),
+       |tomb_fp AS (SELECT DISTINCT fp FROM req),
+       |tomb AS (SELECT f.* FROM f JOIN tomb_fp USING (fp)),
+       |surv AS (SELECT f.* FROM f
+       |         WHERE NOT EXISTS (SELECT 1 FROM tomb_fp t WHERE t.fp = f.fp))
+       |SELECT (SELECT count(*) FROM req) AS n_requests,
+       |  (SELECT count(*) FROM tomb_fp) AS n_clusters,
+       |  (SELECT count(*) FROM tomb) AS n_tombstoned,
+       |  (SELECT count(*) FROM tomb) - (SELECT count(*) FROM req)
+       |    AS amplification,
+       |  (SELECT count(*) FROM surv) AS n_surviving,
+       |  (SELECT sum($sv)::DECIMAL(38,0)::VARCHAR FROM surv)
+       |    AS surviving_checksum""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_gdpr_delete" -> (d21 _),
     "d20_dedup_onion" -> (d20 _),
     "d19_minhash_error" -> (d19 _),
     "d18_lsh_tuning" -> (d18 _),
@@ -1345,6 +1411,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d21_gdpr_delete" -> d21Sql,
     "d20_dedup_onion" -> d20Sql,
     "d19_minhash_error" -> d19Sql,
     "d18_lsh_tuning" -> d18Sql,

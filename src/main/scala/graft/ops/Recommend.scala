@@ -2648,7 +2648,55 @@ object Recommend {
        |ORDER BY user_id, rank""".stripMargin
   }
 
+  // r40: UCB1 BANDIT RANKING (Auer et al. 2002 — the optimism-under-
+  // uncertainty score that decides which arm to pull next; r39's
+  // ε-greedy explores blindly, UCB explores where the CONFIDENCE
+  // interval is widest): arms = the 20 most-played items, reward =
+  // repeat-line purchase share, score = mean + √(2·ln N / n). The
+  // exact part of the contract is integer (plays, successes, the ppm
+  // mean); the one irrational composite is rounded 6dp ONCE at the
+  // end (t14 discipline — √ is correctly-rounded IEEE, ln agrees to
+  // ulps, the composite is stable under 6dp), and the ranking runs
+  // on the ROUNDED score with the item tie ladder, so rank order
+  // gates cross-engine.
+  // Scale: one keyed agg + a 20-row TakeOrdered — the bandit algebra
+  // is arm-dim; N broadcasts off the 20-row arm table.
+  def r40(s: SparkSession, d: String): DataFrame = {
+    val arms = Ratings.implicitRatings(s, d).groupBy("item_id")
+      .agg(count(lit(1)).as("plays"),
+        count(when(col("n_lines") >= 2, lit(1))).as("successes"))
+      .orderBy(col("plays").desc, col("item_id")).limit(20)
+    val tot = arms.agg(sum(col("plays")).as("n_total"))
+    arms.crossJoin(broadcast(tot))
+      .withColumn("succ_ppm", expr("(1000000 * successes) div plays"))
+      .withColumn("ucb6",
+        round(col("successes").cast("double") / col("plays") +
+          sqrt(lit(2.0) * log(col("n_total").cast("double")) / col("plays")),
+          6))
+      .withColumn("ucb_rank", row_number().over(
+        Window.orderBy(col("ucb6").desc, col("item_id"))).cast("long"))
+      .select("item_id", "plays", "successes", "succ_ppm", "ucb6", "ucb_rank")
+      .orderBy("ucb_rank")
+  }
+
+  val r40Sql: String = {
+    val ucb = "round(successes::DOUBLE / plays + " +
+      "sqrt(2.0 * ln(tot.n_total::DOUBLE) / plays), 6)"
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |arms AS (
+       |  SELECT item_id, count(*) AS plays,
+       |    count(CASE WHEN n_lines >= 2 THEN 1 END) AS successes
+       |  FROM ratings GROUP BY 1 ORDER BY plays DESC, item_id LIMIT 20),
+       |tot AS (SELECT sum(plays)::BIGINT AS n_total FROM arms)
+       |SELECT item_id, plays, successes,
+       |  (1000000 * successes) // plays AS succ_ppm,
+       |  $ucb AS ucb6,
+       |  row_number() OVER (ORDER BY $ucb DESC, item_id)::BIGINT AS ucb_rank
+       |FROM arms, tot ORDER BY ucb_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r40_ucb_bandit" -> (r40 _),
     "r39_epsilon_greedy" -> (r39 _),
     "r38_coverage_novelty" -> (r38 _),
     "r37_auc" -> (r37 _),
@@ -2690,6 +2738,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r40_ucb_bandit" -> r40Sql,
     "r39_epsilon_greedy" -> r39Sql,
     "r38_coverage_novelty" -> r38Sql,
     "r37_auc" -> r37Sql,

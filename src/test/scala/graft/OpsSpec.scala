@@ -1184,6 +1184,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d21: content-identity delete amplifies past the request set and conserves") {
+    val r = ops.Dedup.d21(spark, sf).collect().head
+    assert(r.getAs[Long]("amplification") > 0,
+      "no planted copy was reached through a cluster — the op is vacuous")
+    assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_requests"))
+    assert(r.getAs[Long]("n_tombstoned") >= r.getAs[Long]("n_requests"))
+    // tombstoned + surviving must partition the planted corpus exactly
+    val base = Tables.documents(spark, sf).count()
+    val corpusN = base +
+      Tables.documents(spark, sf).filter(col("doc_id") % 100 === 0).count() +
+      Tables.documents(spark, sf).filter(col("doc_id") % 50 === 0).count()
+    assert(r.getAs[Long]("n_tombstoned") + r.getAs[Long]("n_surviving") == corpusN,
+      "delete lost or duplicated corpus rows")
+  }
+
+  test("r40: UCB is optimistic, monotone in its inputs, and rank-consistent") {
+    val rows = ops.Recommend.r40(spark, sf).collect().sortBy(_.getAs[Long]("ucb_rank"))
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val mean = r.getAs[Long]("successes").toDouble / r.getAs[Long]("plays")
+      assert(r.getAs[Double]("ucb6") > mean,
+        "the exploration bonus vanished — UCB must exceed the empirical mean")
+      assert(r.getAs[Long]("succ_ppm") ==
+        1000000L * r.getAs[Long]("successes") / r.getAs[Long]("plays"))
+    }
+    val scores = rows.map(r => (r.getAs[Double]("ucb6"), r.getAs[Long]("item_id")))
+    scores.zip(scores.tail).foreach { case ((s1, i1), (s2, i2)) =>
+      assert(s1 > s2 || (s1 == s2 && i1 < i2), "rank order violates the tie ladder")
+    }
+  }
+
   test("e33: dwell accounting conserves events and caps correctly") {
     val rows = ops.EventOps.e33(spark, sf).collect()
     assert(rows.nonEmpty)
