@@ -2695,7 +2695,66 @@ object Recommend {
        |FROM arms, tot ORDER BY ucb_rank""".stripMargin
   }
 
+  // r41: SHIFTED POSITIVE PMI item association (Levy & Goldberg 2014 —
+  // SGNS/word2vec implicitly factorizes the PMI−ln k matrix, so the
+  // SPPMI table IS the embedding-free stand-in for item2vec): over
+  // order baskets, PMI(i,j) = ln(co·B / (n_i·n_j)) with B = basket
+  // count, shift k = 5. All sufficient statistics are exact integers
+  // (co, n_i, n_j, B, and the ppm lift ratio); each PMI value is ONE
+  // IEEE division + ONE ln, rounded 6dp once (the r40/t14 libm
+  // discipline), and the ranking runs on the ROUNDED score with the
+  // (i, j) tie ladder — cross-engine stable.
+  // Scale: pair generation rides r03's one-shuffle basketPairs
+  // (per-basket local explosion, never a corpus self-join); the item
+  // frequency dim broadcasts; the PMI algebra is pair-dim.
+  def r41(s: SparkSession, d: String): DataFrame = {
+    val oi = Ratings.orderItems(s, d)
+    val freq = oi.groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("n_ord"))
+    val baskets = oi.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    val co = basketPairs(s, d)
+      .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    co.join(broadcast(freq).as("fi"), col("i") === col("fi.item"))
+      .join(broadcast(freq).as("fj"), col("j") === col("fj.item"))
+      .crossJoin(broadcast(baskets))
+      .withColumn("lift_ppm",
+        expr("(1000000 * cnt * n_baskets) div (fi.n_ord * fj.n_ord)"))
+      .withColumn("pmi6",
+        round(log((col("cnt") * col("n_baskets")).cast("double") /
+          (col("fi.n_ord") * col("fj.n_ord")).cast("double")), 6))
+      .withColumn("sppmi6",
+        greatest(lit(0.0),
+          round(log((col("cnt") * col("n_baskets")).cast("double") /
+            (lit(5L) * col("fi.n_ord") * col("fj.n_ord")).cast("double")), 6)))
+      .select(col("i"), col("j"), col("cnt"), col("lift_ppm"),
+        col("pmi6"), col("sppmi6"))
+      .orderBy(col("sppmi6").desc, col("i"), col("j"))
+      .limit(200)
+  }
+
+  val r41Sql: String =
+    s"""WITH oi AS (${Ratings.sqlOrderItems}),
+       |freq AS (SELECT l_partkey AS item, count(*) AS n_ord FROM oi GROUP BY 1),
+       |b AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM oi),
+       |co AS (
+       |  SELECT a.l_partkey AS i, b2.l_partkey AS j, count(*) AS cnt
+       |  FROM oi a JOIN oi b2
+       |    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT i, j, cnt,
+       |  (1000000 * cnt * n_baskets) // (fi.n_ord * fj.n_ord) AS lift_ppm,
+       |  round(ln((cnt * n_baskets)::DOUBLE / (fi.n_ord * fj.n_ord)::DOUBLE), 6)
+       |    AS pmi6,
+       |  greatest(0.0,
+       |    round(ln((cnt * n_baskets)::DOUBLE / (5 * fi.n_ord * fj.n_ord)::DOUBLE), 6))
+       |    AS sppmi6
+       |FROM co JOIN freq fi ON co.i = fi.item
+       |        JOIN freq fj ON co.j = fj.item
+       |CROSS JOIN b
+       |ORDER BY sppmi6 DESC, i, j LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r41_sppmi" -> (r41 _),
     "r40_ucb_bandit" -> (r40 _),
     "r39_epsilon_greedy" -> (r39 _),
     "r38_coverage_novelty" -> (r38 _),
@@ -2738,6 +2797,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r41_sppmi" -> r41Sql,
     "r40_ucb_bandit" -> r40Sql,
     "r39_epsilon_greedy" -> r39Sql,
     "r38_coverage_novelty" -> r38Sql,

@@ -1624,7 +1624,75 @@ object TextOps {
        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // t35: ZIPF RANK-FREQUENCY FIT per language — the corpus-health
+  // diagnostic (natural text follows freq ∝ rank^s with s ≈ −1;
+  // machine-generated/boilerplate corpora bend the curve, so the
+  // fitted slope is a per-language generation-artifact alarm next to
+  // t20's KL drift). OLS of ln(freq) on ln(rank) over the top-300
+  // ranks: each log rounds to 6dp ONCE and lands in DECIMAL(18,6), so
+  // every sufficient statistic (Σx, Σy, Σx², Σxy) is an exact,
+  // order-independent decimal sum (t14 discipline); the closed-form
+  // slope/intercept then run as pure IEEE double arithmetic on those
+  // exact sums — identical formula both engines, rounded 6dp once.
+  // Scale: one token explode + (lang, term)-keyed agg (the corpus
+  // shuffle); ranking and the OLS algebra are VOCAB-dim, windowed per
+  // language — never a global sort.
+  def t35(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d).select(col("lang"), explode(tokens).as("w"))
+    val freq = words.groupBy("lang", "w").agg(count(lit(1)).as("n"))
+    val vocabStats = freq.groupBy("lang")
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_tokens"))
+    val ranked = freq
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("w"))))
+      .filter(col("rank") <= 300)
+      .withColumn("x", round(log(col("rank").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("y", round(log(col("n").cast("double")), 6).cast("decimal(18,6)"))
+    val sums = ranked.groupBy("lang").agg(
+      count(lit(1)).as("n_pts"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    val slopeRaw = (col("n_pts") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_pts") * col("sxx") - col("sx") * col("sx"))
+    sums.join(broadcast(vocabStats), Seq("lang"))
+      .withColumn("slope6", round(slopeRaw, 6))
+      .withColumn("intercept6",
+        round((col("sy") - slopeRaw * col("sx")) / col("n_pts"), 6))
+      .select("lang", "n_types", "n_tokens", "n_pts", "slope6", "intercept6")
+      .orderBy("lang")
+  }
+
+  val t35Sql: String = {
+    val tok = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    val slope = "(n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx)"
+    s"""WITH words AS (
+       |  SELECT lang, unnest($tok) AS w FROM documents),
+       |freq AS (SELECT lang, w, count(*) AS n FROM words GROUP BY 1, 2),
+       |vs AS (SELECT lang, count(*) AS n_types, sum(n)::BIGINT AS n_tokens
+       |       FROM freq GROUP BY 1),
+       |ranked AS (
+       |  SELECT lang, n,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rank
+       |  FROM freq QUALIFY rank <= 300),
+       |pts AS (SELECT lang,
+       |    CAST(round(ln(rank::DOUBLE), 6) AS DECIMAL(18,6)) AS x,
+       |    CAST(round(ln(n::DOUBLE), 6) AS DECIMAL(18,6)) AS y
+       |  FROM ranked),
+       |sums AS (SELECT lang, count(*) AS n_pts,
+       |    sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+       |    sum(x*x)::DOUBLE AS sxx, sum(x*y)::DOUBLE AS sxy
+       |  FROM pts GROUP BY 1)
+       |SELECT lang, n_types, n_tokens, n_pts,
+       |  round($slope, 6) AS slope6,
+       |  round((sy - ($slope) * sx) / n_pts, 6) AS intercept6
+       |FROM sums JOIN vs USING (lang) ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_zipf_fit" -> (t35 _),
     "t34_feature_hashing" -> (t34 _),
     "t33_bpe_merge" -> (t33 _),
     "t32_gopher_rules" -> (t32 _),
@@ -1661,6 +1729,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t35_zipf_fit" -> t35Sql,
     "t34_feature_hashing" -> t34Sql,
     "t33_bpe_merge" -> t33Sql,
     "t32_gopher_rules" -> t32Sql,

@@ -1234,6 +1234,35 @@ class OpsSpec extends SparkSpec {
       "per-user last-event count drifted from the user population")
   }
 
+  test("t35: Zipf fit matches a driver-side OLS recompute and slopes stay negative") {
+    val rows = ops.TextOps.t35(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute one language's slope from the raw frequency table
+    val lang0 = rows.head.getAs[String]("lang")
+    val freq = Tables.documents(spark, sf).filter(col("lang") === lang0)
+      .select(explode(graft.functions.TextNorm.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("count")))
+      .sortBy { case (w, n) => (-n, w) }.take(300)
+    val pts = freq.zipWithIndex.map { case ((_, n), i) =>
+      (BigDecimal(math.log(i + 1.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(math.log(n.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val np = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val slope = (np * sxy - sx * sy) / (np * sxx - sx * sx)
+    val row0 = rows.find(_.getAs[String]("lang") == lang0).get
+    assert(math.abs(row0.getAs[Double]("slope6") - slope) < 1e-5,
+      s"slope ${row0.getAs[Double]("slope6")} vs recompute $slope")
+    assert(row0.getAs[Long]("n_pts") == math.min(300L, row0.getAs[Long]("n_types")))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("slope6") < 0.0, s"${r.getAs[String]("lang")}: non-decreasing rank-frequency curve")
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_types"))
+    }
+  }
+
   test("t34: hashing conserves the vocabulary and the token mass") {
     val rows = ops.TextOps.t34(spark, sf).collect()
     assert(rows.length <= 64)

@@ -491,4 +491,31 @@ class RecommendSpec extends SparkSpec {
     // distributions differ somewhere
     assert(rows.exists(_.getAs[Double]("tv") > 0.0), "all users perfectly calibrated — vacuous")
   }
+
+  test("r41: SPPMI values recompute from raw co-occurrence statistics") {
+    val rows = ops.Recommend.r41(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val oi = graft.etl.Ratings.orderItems(spark, sf)
+    val nB = oi.select("l_orderkey").distinct().count()
+    val freq = oi.groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("count")).toMap
+    rows.take(20).foreach { r =>
+      val (i, j, cnt) = (r.getAs[Long]("i"), r.getAs[Long]("j"), r.getAs[Long]("cnt"))
+      val (ni, nj) = (freq(i), freq(j))
+      val pmi = BigDecimal(math.log((cnt * nB).toDouble / (ni * nj).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("pmi6") == pmi, s"pair ($i,$j): pmi mismatch")
+      val sppmi = math.max(0.0,
+        BigDecimal(math.log((cnt * nB).toDouble / (5.0 * (ni * nj)).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Double]("sppmi6") == sppmi, s"pair ($i,$j): sppmi mismatch")
+      assert(r.getAs[Long]("lift_ppm") == 1000000L * cnt * nB / (ni * nj))
+      assert(r.getAs[Double]("sppmi6") <= r.getAs[Double]("pmi6"),
+        "shift raised the score")
+    }
+    // ranking runs on the rounded score with the (i, j) ladder
+    val keys = rows.map(r => (-r.getAs[Double]("sppmi6"),
+      r.getAs[Long]("i"), r.getAs[Long]("j"))).toSeq
+    assert(keys == keys.sorted, "output is not in SPPMI-desc tie-ladder order")
+  }
 }
