@@ -828,7 +828,82 @@ object Pipeline {
       |    ELSE 0 END) = supply AS saturated
       |FROM base, l1 ORDER BY domain""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p11: CROSS-SOURCE QUALITY CALIBRATION table (equipercentile
+  // equating — the fix for the classifier-drift problem where one
+  // source's "0.8 quality" means another's "0.6", so a single global
+  // threshold over- or under-prunes per source): each source's decile
+  // boundaries of the t02 quality score are mapped onto the REFERENCE
+  // source's boundaries (reference = lexicographically-first source —
+  // data-derived, no hard-coded name). The emitted table is the
+  // per-(source, decile) raw→calibrated boundary mapping a curation
+  // run applies before thresholding. Whole contract is integer
+  // (quality in exact micro-units; decile assignment by integer rank
+  // arithmetic).
+  // Scale: quality is a per-row map; ranks are windows PARTITIONED BY
+  // source (never a global sort); the decile table is sources×10 rows
+  // and the reference dim broadcasts.
+  def p11(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks).as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.5, 6))
+      .withColumn("u", round(col("quality") * 1e6, 0).cast("long"))
+    val ranked = q
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("u"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("decile", expr("((r - 1) * 10) div n_s"))
+    val deciles = ranked.groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"), max(col("u")).as("raw_max_u"),
+        min(col("u")).as("raw_min_u"))
+    val refSrc = q.agg(min(col("source")).as("ref_source"))
+    val ref = deciles.join(broadcast(refSrc),
+        deciles("source") === refSrc("ref_source"))
+      .select(col("decile"), col("raw_max_u").as("ref_max_u"))
+    deciles.join(broadcast(ref), Seq("decile"))
+      .select(col("source"), col("decile"), col("n_docs"),
+        col("raw_min_u"), col("raw_max_u"), col("ref_max_u"),
+        (col("ref_max_u") - col("raw_max_u")).as("shift_u"))
+      .orderBy("source", "decile")
+  }
+
+  val p11Sql: String = {
+    val tok = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    round((least(1.0, n_tokens / 100.0) * 0.5 +
+       |           (1.0 - n_stop::DOUBLE / n_tokens) * 0.5), 6) AS quality
+       |  FROM (SELECT doc_id, source, len($tok)::BIGINT AS n_tokens,
+       |          len(list_filter($tok, t -> list_contains($stopList, t)))::BIGINT
+       |            AS n_stop
+       |        FROM documents)),
+       |u AS (SELECT doc_id, source, round(quality * 1e6, 0)::BIGINT AS u FROM q),
+       |ranked AS (
+       |  SELECT source, u,
+       |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY source) AS n_s
+       |  FROM u),
+       |deciles AS (
+       |  SELECT source, ((r - 1) * 10) // n_s AS decile, count(*) AS n_docs,
+       |    max(u) AS raw_max_u, min(u) AS raw_min_u
+       |  FROM ranked GROUP BY 1, 2),
+       |ref AS (
+       |  SELECT decile, raw_max_u AS ref_max_u FROM deciles
+       |  WHERE source = (SELECT min(source) FROM documents))
+       |SELECT source, decile, n_docs, raw_min_u, raw_max_u, ref_max_u,
+       |  ref_max_u - raw_max_u AS shift_u
+       |FROM deciles JOIN ref USING (decile)
+       |ORDER BY source, decile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_quality_calibration" -> (p11 _),
     "p10_water_filling" -> (p10 _),
     "p09_temperature_mix" -> (p09 _),
     "p08_curriculum" -> (p08 _),
@@ -841,6 +916,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p11_quality_calibration" -> p11Sql,
     "p10_water_filling" -> p10Sql,
     "p09_temperature_mix" -> p09Sql,
     "p08_curriculum" -> p08Sql,

@@ -1707,7 +1707,52 @@ object Relational {
        |SELECT point, ci_lo, ci_hi, n_replicates FROM pt CROSS JOIN ci""".stripMargin
   }
 
+  // q56: HIERARCHICAL ROLLUP (BOM/org-chart subtree aggregation —
+  // the recursive-hierarchy query class): parts form a decimal-trie
+  // tree (parent = partkey div 10), and each internal node's subtree
+  // mass is the sum over ALL descendants. The recursion is flattened
+  // into a closed form — every part explodes into its ≤7 ancestor
+  // prefixes, then ONE keyed agg per ancestor — so the plan is a
+  // bounded map-side fan-out + one shuffle instead of a depth-many
+  // iterative join (the 100 TB shape; the oracle walks the same
+  // ancestor list). Money in exact DECIMAL(12,2) cents; top-50 nodes
+  // under the (mass DESC, node) ladder.
+  def q56(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice").cast("decimal(12,2)").as("price"))
+    val anc = p.select(explode(sequence(lit(0), lit(6))).as("k"),
+        col("p_partkey"), col("price"))
+      .withColumn("node", expr("p_partkey div cast(pow(10, k) as long)"))
+      .filter(col("node") > 0)
+    anc.groupBy("node")
+      .agg(count(lit(1)).as("n_desc"),
+        sum(col("price")).as("subtree_price"),
+        max(when(col("k") === 0, col("price"))).as("own_price"))
+      .withColumn("is_leaf", col("n_desc") === 1)
+      .select(col("node"), col("n_desc"),
+        col("subtree_price").cast("double").as("subtree_price"),
+        coalesce(col("own_price"), lit(BigDecimal(0)).cast("decimal(12,2)"))
+          .cast("double").as("own_price"), col("is_leaf"))
+      .orderBy(col("subtree_price").desc, col("node"))
+      .limit(50)
+  }
+
+  val q56Sql: String =
+    """WITH anc AS (
+      |  SELECT p_partkey // power(10, k)::BIGINT AS node, k,
+      |    CAST(p_retailprice AS DECIMAL(12,2)) AS price
+      |  FROM part, unnest(range(0, 7)) AS t(k)
+      |  WHERE p_partkey // power(10, k)::BIGINT > 0)
+      |SELECT node, count(*) AS n_desc,
+      |  CAST(sum(price) AS DOUBLE) AS subtree_price,
+      |  CAST(coalesce(max(CASE WHEN k = 0 THEN price END),
+      |                0::DECIMAL(12,2)) AS DOUBLE) AS own_price,
+      |  count(*) = 1 AS is_leaf
+      |FROM anc GROUP BY 1
+      |ORDER BY subtree_price DESC, node LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_hierarchy_rollup" -> (q56 _),
     "q55_bootstrap_ci" -> (q55 _),
     "q54_asof_nearest" -> (q54 _),
     "q53_mad_outliers" -> (q53 _),
@@ -1765,6 +1810,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q56_hierarchy_rollup" -> q56Sql,
     "q55_bootstrap_ci" -> q55Sql,
     "q54_asof_nearest" -> q54Sql,
     "q53_mad_outliers" -> q53Sql,

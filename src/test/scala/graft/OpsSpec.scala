@@ -1311,6 +1311,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("p11: calibration is identity on the reference source and conserves docs") {
+    val rows = ops.Pipeline.p11(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val refSrc = rows.map(_.getAs[String]("source")).min
+    rows.filter(_.getAs[String]("source") == refSrc).foreach { r =>
+      assert(r.getAs[Long]("shift_u") == 0L,
+        s"reference source shifted at decile ${r.getAs[Long]("decile")}")
+    }
+    // every source contributes exactly its doc count across its deciles
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val counts = Tables.documents(spark, sf).groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == counts(src),
+        s"$src: decile doc counts do not conserve the source population")
+      assert(rs.map(_.getAs[Long]("decile")).sorted.toSeq == (0L to 9L),
+        s"$src: missing or duplicated deciles")
+      // decile boundaries are monotone within a source
+      val bounds = rs.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("raw_max_u"))
+      assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b },
+        s"$src: decile boundaries not monotone")
+    }
+    assert(rows.exists(_.getAs[Long]("shift_u") != 0L),
+      "no source needs calibration — vacuous on this corpus")
+  }
+
   test("p10: the water-filling allocation caps, conserves, and converges") {
     val rows = ops.Pipeline.p10(spark, sf).collect()
     assert(rows.length == 4)

@@ -131,6 +131,32 @@ class RelationalSpec extends SparkSpec {
     assert(flagged.nonEmpty, "screen caught nothing")
   }
 
+  test("q56: subtree masses recompute from the raw prefix relation") {
+    val rows = ops.Relational.q56(spark, sf).collect()
+    assert(rows.length == 50)
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice").cast("decimal(12,2)"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    rows.take(10).foreach { r =>
+      val node = r.getAs[Long]("node")
+      // descendants of `node` = parts whose decimal-prefix chain hits it
+      val desc = parts.filter { case (p, _) =>
+        Iterator.iterate(p)(_ / 10).takeWhile(_ > 0).contains(node)
+      }
+      assert(r.getAs[Long]("n_desc") == desc.length.toLong,
+        s"node $node: descendant count mismatch")
+      val mass = desc.map(_._2.unscaledValue.longValue).sum
+      assert(math.round(r.getAs[Double]("subtree_price") * 100) == mass,
+        s"node $node: subtree mass mismatch")
+      assert(r.getAs[Boolean]("is_leaf") == (desc.length == 1))
+    }
+    // internal consistency: a parent's subtree strictly exceeds any child's
+    val byNode = rows.map(r => r.getAs[Long]("node") -> r.getAs[Double]("subtree_price")).toMap
+    byNode.foreach { case (n, m) =>
+      byNode.get(n / 10).foreach(pm => assert(pm > m, s"parent of $n lighter than child"))
+    }
+  }
+
   test("q55: bootstrap CI brackets the point estimate with real width") {
     val r = ops.Relational.q55(spark, sf).collect().head
     val (p, lo, hi) = (r.getAs[Double]("point"), r.getAs[Double]("ci_lo"),
