@@ -1615,7 +1615,144 @@ object EventOps {
        |    AS mean_dwell_s
        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // e34: SESSION PATH MINING (top clickstream trigrams — the "what do
+  // users actually do" query behind funnel design; e03/e31 CHECK a
+  // hypothesized path, this DISCOVERS the paths worth hypothesizing):
+  // events sessionize under e02's 30-min gap rule, and every run of
+  // three consecutive events INSIDE one session contributes the
+  // trigram t1>t2>t3; top-20 paths under the (n DESC, path ASC)
+  // ladder plus each path's distinct-user reach. The session
+  // constraint is enforced WITHOUT a second exchange: session_id is
+  // a running sum over the user window and the trigram is valid iff
+  // lead(session_id, 2) equals session_id — all four window columns
+  // (running sum + three leads) share the ONE (user)-keyed
+  // exchange+sort; a (user, session)-partitioned lead would re-hash
+  // the corpus per window.
+  // Scale: one user-keyed window shuffle + one path-keyed agg; paths
+  // are a bounded alphabet (|event_type|³), the top-20 sort is
+  // path-dim.
+  def e34(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L
+          || lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(cum))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("sid3", lead(col("sid"), 2).over(w))
+      .filter(col("sid3") === col("sid"))
+      .withColumn("path",
+        concat_ws(">", col("event_type"), col("t2"), col("t3")))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val e34Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR lag(epoch_us(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS sid
+      |  FROM tagged),
+      |tri AS (
+      |  SELECT user_id, sid,
+      |    event_type AS t1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3,
+      |    lead(sid, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid3
+      |  FROM sess)
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM tri WHERE sid3 = sid
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  // e35: IDEMPOTENT SINK under AT-LEAST-ONCE REPLAY — the
+  // exactly-once-by-construction pattern for arbitrary (non-file)
+  // sinks: foreachBatch guarantees only at-least-once delivery (a
+  // lost ack after a successful write re-delivers the batch), so the
+  // sink must absorb duplicates. e17 relies on the parquet sink's own
+  // commit log; this op builds the guarantee for a sink that has
+  // none: the batch handler writes its rollup PARTITIONED BY batch_id
+  // with dynamic partition overwrite, so a re-delivered batch
+  // replaces its own partition with identical content instead of
+  // appending a second copy. The handler here applies EVERY batch
+  // TWICE — the worst-case redelivery schedule — and the gate reads
+  // the store against the plain batch oracle: an append-shaped sink
+  // doubles every count and hash-fails; a lost batch goes missing and
+  // hash-fails. n_batches = 3 (3 landing files × maxFilesPerTrigger=1)
+  // is pinned by the oracle literal.
+  // Scale: per batch ONE keyed rollup shuffle + a partition-scoped
+  // commit; the store grows by batch-dim partitions, and the final
+  // audit rollup is a keyed agg over (batch, type)-dim rows, not raw
+  // events.
+  def e35(s: SparkSession, d: String): DataFrame = {
+    val dirP = java.nio.file.Files.createTempDirectory("graft_e35_")
+    val landing = dirP.resolve("landing").toString
+    val store = dirP.resolve("store").toString
+    try {
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(3)
+        .write.parquet(landing)
+      def applyBatch(df: DataFrame, batchId: Long): Unit =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).as("v"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store)
+      withStreamPartitions(s, 8) {
+        val q = s.readStream
+          .schema("event_id LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing)
+          .writeStream
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            applyBatch(df, bid)
+            applyBatch(df, bid) // the redelivery: same batch, same id
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(store)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n_events"),
+          round(sum(col("v")), 2).cast("double").as("sum_value"),
+          countDistinct(col("batch_id")).as("n_batches"))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  val e35Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value,
+      |  CAST(3 AS BIGINT) AS n_batches
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e35_replay_merge" -> (e35 _),
+    "e34_session_paths" -> (e34 _),
     "e33_dwell_time" -> (e33 _),
     "e32_gap_monitor" -> (e32 _),
     "e31_windowed_funnel" -> (e31 _),
@@ -1650,6 +1787,8 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e35_replay_merge" -> e35Sql,
+    "e34_session_paths" -> e34Sql,
     "e33_dwell_time" -> e33Sql,
     "e32_gap_monitor" -> e32Sql,
     "e31_windowed_funnel" -> e31Sql,

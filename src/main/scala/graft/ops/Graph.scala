@@ -1126,7 +1126,94 @@ object Graph {
        |ORDER BY seed, hop, src, dst""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // g16: PERSONALIZED PAGERANK (random walk with restart — the
+  // "related to THESE nodes" ranker behind who-to-follow, related-
+  // items and graph-based retrieval; g01 ranks globally, this ranks
+  // relative to a seed set): teleport mass lands ONLY on the seeds
+  // (the 5 highest-degree nodes under the (deg DESC, node) ladder —
+  // data-derived, so regenerated testdata can't vacate the gate),
+  // and dangling mass returns to the seeds too. Same fixed-point
+  // integer discipline as g01 (bigint 10^12 micro-units; every
+  // per-round sum/div exact, bit-identical across engines and
+  // reduction orders), same bounded-lineage round loop (Iterate.pin
+  // truncates the 3^k unrolled subtree), one edge shuffle per round.
+  // Output: top-20 by (rank_fp DESC, node) with seed flags — seeds
+  // dominate but mass measurably diffuses to their neighborhoods.
+  def g16(s: SparkSession, d: String): DataFrame = {
+    val e = Iterate.pin(edges(s, d))
+    val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
+      .union(Tables.supplier(s, d)
+        .select((col("s_suppkey") + SUPPLIER_OFFSET).as("node")))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val nS = 5
+    val seeds = deg.orderBy(col("deg").desc, col("node")).limit(nS)
+      .select(col("node").as("seed"))
+    var cur = nodes.join(deg, Seq("node"), "left")
+      .join(broadcast(seeds), col("node") === col("seed"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        when(col("seed").isNotNull, 1L).otherwise(0L).as("is_seed"),
+        when(col("seed").isNotNull, lit(SCALE / nS)).otherwise(lit(0L)).as("r"))
+    cur = Iterate.pin(cur)
+    for (_ <- 1 to ITERS) {
+      val inc = cur.filter(col("deg") > 0)
+        .join(e, cur("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r div deg")).as("inc"))
+      val dang = cur.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      cur = cur.select("node", "deg", "is_seed")
+        .join(inc, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("deg"), col("is_seed"),
+          expr(s"is_seed * ((15 * (${SCALE}L div $nS)) div 100) + " +
+            s"($DAMP_NUM * (coalesce(inc, 0L) + is_seed * (dang div $nS))) div 100")
+            .as("r"))
+      cur = Iterate.pin(cur)
+    }
+    cur.select(col("node"), col("is_seed"), col("r").as("rank_fp"),
+        round(col("r").cast("double") / SCALE.toDouble, 6).as("rank"))
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(20)
+  }
+
+  val g16Sql: String = {
+    val nS = 5
+    def iter(k: Int): String =
+      s"""pit$k AS (
+         |  SELECT p.node, p.deg, p.is_seed,
+         |    p.is_seed * ((15 * ($SCALE // $nS)) // 100)
+         |      + ($DAMP_NUM * (coalesce(inc.s, 0)
+         |          + p.is_seed * (dg.dang // $nS))) // 100 AS r
+         |  FROM pit${k - 1} p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(c.r // c.deg) AS BIGINT) AS s
+         |    FROM pit${k - 1} c JOIN edges e ON c.node = e.src
+         |    WHERE c.deg > 0 GROUP BY 1) inc ON p.node = inc.node
+         |  CROSS JOIN (
+         |    SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+         |    FROM pit${k - 1} WHERE deg = 0) dg)""".stripMargin
+    s"""WITH $sqlEdges,
+       |nodes AS (SELECT c_custkey AS node FROM customer
+       |          UNION ALL SELECT s_suppkey + $SUPPLIER_OFFSET FROM supplier),
+       |dgr AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |seeds AS (SELECT node AS seed FROM dgr
+       |          ORDER BY deg DESC, node LIMIT $nS),
+       |pit0 AS (
+       |  SELECT n.node, coalesce(dgr.deg, 0) AS deg,
+       |    CASE WHEN sd.seed IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+       |    CASE WHEN sd.seed IS NOT NULL THEN ${SCALE / nS} ELSE 0 END AS r
+       |  FROM nodes n
+       |  LEFT JOIN dgr ON n.node = dgr.node
+       |  LEFT JOIN seeds sd ON n.node = sd.seed),
+       |${(1 to ITERS).map(iter).mkString(",\n")}
+       |SELECT node, CAST(is_seed AS BIGINT) AS is_seed, r AS rank_fp,
+       |  round(r / ${SCALE.toDouble}, 6) AS rank
+       |FROM pit$ITERS ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g16_ppr" -> (g16 _),
     "g15_neighbor_sample" -> (g15 _),
     "g14_harmonic" -> (g14 _),
     "g13_ktruss" -> (g13 _),
@@ -1144,6 +1231,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g16_ppr" -> g16Sql,
     "g15_neighbor_sample" -> g15Sql,
     "g14_harmonic" -> g14Sql,
     "g13_ktruss" -> g13Sql,

@@ -1390,7 +1390,71 @@ object IoOps {
        |FROM marked""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // i24: VALUE-MEMBERSHIP (bloom-style) FILE SKIPPING — the parquet
+  // bloom-filter / Iceberg value-set idea, the POINT-LOOKUP
+  // complement to i16's min/max ranges: hash-clustered layouts have
+  // interleaved key ranges, so min/max stats prune NOTHING for a
+  // point probe, yet each key lives in exactly one file — a per-file
+  // membership sketch recovers the pruning without the reader ever
+  // knowing the writer's partitioner. Layout: 16 hash-clustered
+  // files; sketch = the file's distinct (hash56(doc_id) mod 16384)
+  // bit set, built in one read pass (stand-in for bits captured at
+  // write time); a 5-key probe set (data-derived: the 5 smallest
+  // doc_ids divisible by 97) selects only files whose sketch holds
+  // the probe's bit. False positives cost an extra file read, never
+  // a wrong row — the gate carries files_pruned, which a
+  // read-everything rewrite flips to false and hash-fails.
+  // Scale: the sketch table is (files × bits)-dim metadata; the probe
+  // decision is a driver-side broadcast-semi-join of 5 keys; the
+  // selected read is O(matching files), not O(table).
+  def i24(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Hashing
+    val dir = tmpDir("graft_i24_")
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    docs.repartition(16, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val sketch = Io.readParquet(s, dir)
+      .select(input_file_name().as("path"),
+        (Hashing.hash56(concat_ws("#", lit("bf"), col("doc_id"))) % 16384)
+          .as("bit"))
+      .distinct()
+      .cache()
+    try {
+      val nTotal = sketch.select("path").distinct().count()
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select("doc_id").orderBy("doc_id").limit(5)
+        .collect().map(_.getLong(0)) // metadata-sized (5 keys)
+      val probeBits = probes
+        .map(id => graft.functions.Md5Prefix56.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"bf#$id"), 7)
+          % 16384).toSet
+      val selected = sketch
+        .filter(col("bit").isInCollection(probeBits.toSeq))
+        .select("path").distinct().collect().map(_.getString(0))
+      Io.readParquet(s, selected.toIndexedSeq)
+        .filter(col("doc_id").isInCollection(probes.toIndexedSeq))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("files_pruned", lit(selected.length < nTotal))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally {
+      sketch.unpersist()
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i24Sql: String =
+    """SELECT doc_id, lang, n_chars, TRUE AS files_pruned
+      |FROM documents
+      |WHERE doc_id % 97 = 0
+      |  AND doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+      |                 ORDER BY doc_id LIMIT 5)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i24_bloom_skip" -> (i24 _),
     "i23_quarantine" -> (i23 _),
     "i22_masked_export" -> (i22 _),
     "i21_wap_publish" -> (i21 _),
@@ -1416,6 +1480,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i24_bloom_skip" -> i24Sql,
     "i23_quarantine" -> i23Sql,
     "i22_masked_export" -> i22Sql,
     "i21_wap_publish" -> i21Sql,

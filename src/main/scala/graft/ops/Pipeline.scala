@@ -406,8 +406,12 @@ object Pipeline {
       .groupBy(col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("sum_chars"),
-        sum(col("hkey")).cast("decimal(38,0)").cast("string")
-          .as("ids_checksum"))
+        // cast BEFORE the sum: ~256 hash56 values overflow a LONG
+        // accumulator (2^56 each), and ANSI mode turns that into a
+        // runtime error the moment a shard grows past toy size —
+        // caught by the sf0.1 sweep, invisible at the sf0.01 gate
+        sum(col("hkey").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .cast("string").as("ids_checksum"))
       .orderBy("shard")
   }
 

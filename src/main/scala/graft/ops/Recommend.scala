@@ -2753,7 +2753,59 @@ object Recommend {
        |CROSS JOIN b
        |ORDER BY sppmi6 DESC, i, j LIMIT 200""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r42: NEGATIVE-SAMPLING TABLE (word2vec/item2vec unigram^0.75 — the
+  // training-data artifact every embedding run consumes: r41 mines
+  // the POSITIVE pairs, this allocates the NEGATIVES): raw popularity
+  // is too head-heavy (hot items swamp every batch) and uniform is
+  // too tail-heavy (gradients starve), so the sampling distribution
+  // is n^0.75 — the Mikolov smoothing. The one irrational op (pow)
+  // rounds to 6dp ONCE per item (p09 discipline); normalization sums
+  // exact DECIMAL(20,6); everything downstream is integer off the
+  // rounded ppm weight: n_neg = (B·ppm) div 10^6 for the 250k-draw
+  // table. Output: top-50 items by (n DESC, item_id) with raw vs
+  // smoothed ppm side by side — the flattening is the contract
+  // (head share shrinks, tail share grows; pinned in RecommendSpec).
+  // Scale: one orders⋈lineitem shuffle + item-keyed agg (the r01
+  // matrix shape); the weight algebra and ranking are item-dim; the
+  // ppm normalizer is a 1-row broadcast.
+  private val NEG_BUDGET = 250000L
+
+  def r42(s: SparkSession, d: String): DataFrame = {
+    val n = Ratings.implicitRatings(s, d)
+      .groupBy(col("item_id")).agg(count(lit(1)).as("n"))
+    val tot = n.agg(sum(col("n")).as("tot"))
+    val w = n.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(1000000 * n) div tot"))
+      .withColumn("w6", round(pow(col("n").cast("double"), lit(0.75)), 6))
+    val ws = w.agg(sum(col("w6").cast("decimal(20,6)")).as("wsum"))
+    w.crossJoin(broadcast(ws))
+      .withColumn("ppm",
+        round(lit(1000000.0) * col("w6") / col("wsum").cast("double"), 0)
+          .cast("long"))
+      .withColumn("n_neg", expr(s"(${NEG_BUDGET}L * ppm) div 1000000"))
+      .select("item_id", "n", "share_ppm", "w6", "ppm", "n_neg")
+      .orderBy(col("n").desc, col("item_id"))
+      .limit(50)
+  }
+
+  val r42Sql: String =
+    s"""WITH r AS (${Ratings.sqlRatings}),
+       |n AS (SELECT item_id, count(*) AS n FROM r GROUP BY 1),
+       |tot AS (SELECT sum(n)::BIGINT AS tot FROM n),
+       |w AS (
+       |  SELECT item_id, n, (1000000 * n) // tot.tot AS share_ppm,
+       |    round(pow(n::DOUBLE, 0.75), 6) AS w6
+       |  FROM n, tot),
+       |ws AS (SELECT sum(w6::DECIMAL(20,6)) AS wsum FROM w)
+       |SELECT item_id, n, share_ppm, w6,
+       |  round(1000000.0 * w6 / ws.wsum::DOUBLE, 0)::BIGINT AS ppm,
+       |  ($NEG_BUDGET * round(1000000.0 * w6 / ws.wsum::DOUBLE, 0)::BIGINT)
+       |    // 1000000 AS n_neg
+       |FROM w, ws ORDER BY n DESC, item_id LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r42_neg_sampling" -> (r42 _),
     "r41_sppmi" -> (r41 _),
     "r40_ucb_bandit" -> (r40 _),
     "r39_epsilon_greedy" -> (r39 _),
@@ -2797,6 +2849,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r42_neg_sampling" -> r42Sql,
     "r41_sppmi" -> r41Sql,
     "r40_ucb_bandit" -> r40Sql,
     "r39_epsilon_greedy" -> r39Sql,

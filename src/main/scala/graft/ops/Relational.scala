@@ -1751,7 +1751,63 @@ object Relational {
       |FROM anc GROUP BY 1
       |ORDER BY subtree_price DESC, node LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q57: INTERVAL OVERLAP JOIN via grid bucketing — the interval×
+  // interval join class (ad attribution windows × incident windows;
+  // q22/q48 join a POINT against an interval, this joins interval
+  // against interval). Naive form is an inequality join the planner
+  // can only nested-loop; the distributed rewrite buckets time into
+  // grid cells of the interval width so candidates meet on an
+  // EQUI-key: each interval touches ≤2 cells, and a pair is counted
+  // in exactly ONE cell — the cell containing the overlap start
+  // (greatest of the two starts lies inside both intervals by
+  // definition) — so no post-join distinct is needed, the dedup that
+  // usually makes bucketed interval joins shuffle twice.
+  // A = per-purchase attribution windows [ts−30min, ts); B = per-
+  // error incident windows [ts, ts+30min), same user. All integer
+  // micros; overlap = least(ends) − greatest(starts).
+  // Scale: fan-out ≤2× per side, ONE (user, cell) equi-shuffle, then
+  // a user-keyed agg; the oracle states the inequality-join semantics
+  // directly.
+  def q57(s: SparkSession, d: String): DataFrame = {
+    val W = 1800000000L // 30-min grid = the interval width, micros
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_id"), col("user_id"),
+        (col("us") - W).as("a_s"), col("us").as("a_e"))
+      .withColumn("cell", explode(sequence(
+        expr(s"a_s div ${W}L"), expr(s"(a_e - 1) div ${W}L"))))
+    val b = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("us").as("b_s"), (col("us") + W).as("b_e"))
+      .withColumn("b_cell", explode(sequence(
+        expr(s"b_s div ${W}L"), expr(s"(b_e - 1) div ${W}L"))))
+    a.join(b, col("user_id") === col("b_user") && col("cell") === col("b_cell")
+        && col("a_s") < col("b_e") && col("b_s") < col("a_e")
+        && col("cell") === expr(s"greatest(a_s, b_s) div ${W}L"))
+      .withColumn("ov_us", least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ov_us")).as("sum_ov_us"))
+      .orderBy("user_id")
+  }
+
+  val q57Sql: String =
+    """SELECT a.user_id, count(*) AS n_pairs,
+      |  CAST(sum(least(a.a_e, b.b_e) - greatest(a.a_s, b.b_s)) AS BIGINT)
+      |    AS sum_ov_us
+      |FROM (SELECT event_id, user_id, epoch_us(ts) - 1800000000 AS a_s,
+      |        epoch_us(ts) AS a_e
+      |      FROM events WHERE event_type = 'purchase') a
+      |JOIN (SELECT user_id AS b_user, epoch_us(ts) AS b_s,
+      |        epoch_us(ts) + 1800000000 AS b_e
+      |      FROM events WHERE event_type = 'error') b
+      |  ON a.user_id = b.b_user AND a.a_s < b.b_e AND b.b_s < a.a_e
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_interval_overlap" -> (q57 _),
     "q56_hierarchy_rollup" -> (q56 _),
     "q55_bootstrap_ci" -> (q55 _),
     "q54_asof_nearest" -> (q54 _),
@@ -1810,6 +1866,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q57_interval_overlap" -> q57Sql,
     "q56_hierarchy_rollup" -> q56Sql,
     "q55_bootstrap_ci" -> q55Sql,
     "q54_asof_nearest" -> q54Sql,

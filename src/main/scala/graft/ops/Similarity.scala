@@ -1512,7 +1512,56 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // s17: SERVING WITH DELETE TOMBSTONES — the index-maintenance
+  // problem every production ANN deployment has and batch rebuilds
+  // dodge: vectors get deleted (GDPR, catalog churn) faster than the
+  // index rebuilds, so serving must honor a tombstone set. The rule
+  // that makes it correct is WHERE the tombstones compose: the
+  // anti-join must land BEFORE the top-k selection (delete-aware
+  // candidate generation). Filtering the SERVED LIST afterwards
+  // under-fills k — a probe whose true neighbors were deleted returns
+  // fewer than k rows — and that rewrite rows+hash-fails this gate
+  // because the oracle ranks over the surviving corpus only.
+  // Tombstones are data-derived (vec_id % 13 = 0 — includes live top
+  // hits, so the served lists PROVABLY differ from the undeleted
+  // serve; non-vacuity pinned in OpsSpec). Same bounded-probe ×
+  // one-corpus-scan shape as s01 with the codegen cosine kernel; the
+  // tombstone set applies as a map-side predicate here (id-rule) and
+  // as a broadcast anti-join for an arbitrary delete list.
+  def s17(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val live = e.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id").as("nn_id"), col("v").as("vb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    broadcast(probe).join(live)
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "nn_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val s17Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings)
+       |SELECT query_id, rank, nn_id, cos FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |               b.vec_id) AS rank
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND b.vec_id % 13 <> 0
+       |  WHERE a.vec_id < 10)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_tombstone_serve" -> (s17 _),
     "s16_nprobe_sweep" -> (s16 _),
     "s15_hard_negatives" -> (s15 _),
     "s14_filtered_knn" -> (s14 _),
@@ -1531,6 +1580,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s17_tombstone_serve" -> s17Sql,
     "s16_nprobe_sweep" -> s16Sql,
     "s15_hard_negatives" -> s15Sql,
     "s14_filtered_knn" -> s14Sql,

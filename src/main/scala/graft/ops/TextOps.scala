@@ -1691,7 +1691,99 @@ object TextOps {
        |FROM sums JOIN vs USING (lang) ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // t36: BM25 RANKED RETRIEVAL — the IR scoring function behind every
+  // lexical search stack (Robertson–Spärck Jones with Lucene's +1
+  // idf floor; k1=1.2, b=0.75). t11 stops at TF-IDF weights; this is
+  // the full query-time ranker: a 5-term query scores every matching
+  // doc and the top-10 land under the (score DESC, doc_id) ladder.
+  // The query is DATA-DERIVED (df ranks 21–25 — mid-head terms that
+  // discriminate; rank 1 terms match everything) so the gate can't go
+  // vacuous on regenerated testdata. Float discipline: idf rounds to
+  // 6dp ONCE into DECIMAL(18,6); each (doc,term) contribution is one
+  // fixed-order IEEE expression — idf · tf·(k1+1) / (tf + k1·(1−b +
+  // b·dl/avgdl)) — rounded 6dp once; the per-doc score is then an
+  // exact, order-independent decimal sum (t14/t35 discipline).
+  // Scale: pass 1 (query derivation) is the vocab build — distinct
+  // (doc,term) explode → term-keyed df agg (a FIXED query list skips
+  // it); pass 2 explodes the corpus once, inner-joins the BROADCAST
+  // 5-term dim (map-side — non-matching tokens never shuffle), and
+  // aggregates (doc,term); dl rides the explode so no doc-length
+  // join. The df rank window is vocab-dim; top-10 is a TakeOrdered.
+  def t36(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("toks"), size(tokens).as("dl"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val df = docs.select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("rn").between(21, 25))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf6",
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 6).cast("decimal(18,6)"))
+      .select(col("term"), col("idf6"), col("n_docs"), col("sum_dl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
+        first(col("idf6")).as("idf6"),
+        first(col("n_docs")).as("n_docs"), first(col("sum_dl")).as("sum_dl"))
+    tf
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("contrib6",
+        round(col("idf6").cast("double") *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))),
+          6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("contrib6")).as("score6"))
+      .orderBy(col("score6").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val t36Sql: String = {
+    val tok = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH docs AS (
+       |  SELECT doc_id, $tok AS toks, len($tok) AS dl FROM documents),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM docs),
+       |df AS (
+       |  SELECT term, count(*) AS df FROM (
+       |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM docs)
+       |  GROUP BY 1),
+       |qterms AS (
+       |  SELECT term,
+       |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+       |      AS DECIMAL(18,6)) AS idf6,
+       |    n_docs, sum_dl
+       |  FROM (SELECT term, df,
+       |          row_number() OVER (ORDER BY df DESC, term) AS rn FROM df), corpus
+       |  WHERE rn BETWEEN 21 AND 25),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf,
+       |    any_value(dl) AS dl, any_value(idf6) AS idf6,
+       |    any_value(n_docs) AS n_docs, any_value(sum_dl) AS sum_dl
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs) x
+       |  JOIN qterms USING (term)
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(idf6::DOUBLE * (tf::DOUBLE * 2.2) /
+       |      (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE /
+       |        (sum_dl::DOUBLE / n_docs::DOUBLE)))), 6)
+       |      AS DECIMAL(18,6)) AS contrib6
+       |  FROM tf)
+       |SELECT doc_id, count(*) AS n_hit, sum(contrib6) AS score6
+       |FROM scored GROUP BY 1
+       |ORDER BY score6 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_bm25" -> (t36 _),
     "t35_zipf_fit" -> (t35 _),
     "t34_feature_hashing" -> (t34 _),
     "t33_bpe_merge" -> (t33 _),
@@ -1729,6 +1821,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t36_bm25" -> t36Sql,
     "t35_zipf_fit" -> t35Sql,
     "t34_feature_hashing" -> t34Sql,
     "t33_bpe_merge" -> t33Sql,

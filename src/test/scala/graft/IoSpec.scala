@@ -300,4 +300,16 @@ class IoSpec extends SparkSpec {
       .filter(col("doc_id") >= 200 && col("doc_id") <= 350).count()
     assert(total == expect, s"pruned read lost rows: $total != $expect")
   }
+
+  test("i24: membership-sketch pruning conserves the probe set and actually prunes") {
+    val rows = ops.IoOps.i24(spark, sf).collect()
+    val expect = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0)
+      .select("doc_id").orderBy("doc_id").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == expect,
+      "pruned read lost or invented probe rows")
+    assert(rows.forall(_.getAs[Boolean]("files_pruned")),
+      "sketch consulted but nothing pruned — min/max-style vacuity")
+  }
 }

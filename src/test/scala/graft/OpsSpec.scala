@@ -1882,4 +1882,110 @@ class OpsSpec extends SparkSpec {
     assert(comm.length < nodes,
       s"LPA produced $nodes singleton communities — no label ever spread")
   }
+
+  test("g16: PPR concentrates mass on the seed set but provably diffuses beyond it") {
+    val rows = ops.Graph.g16(spark, sf).collect()
+    assert(rows.length == 20)
+    val seeds = rows.filter(_.getAs[Long]("is_seed") == 1L)
+    assert(seeds.length == 5, s"expected all 5 seeds in the top-20, got ${seeds.length}")
+    assert(rows.exists(_.getAs[Long]("is_seed") == 0L),
+      "no non-seed node gained rank — teleport mass never diffused")
+    val fps = rows.map(_.getAs[Long]("rank_fp"))
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b })
+    assert(fps.forall(_ > 0L))
+  }
+
+  test("s17: tombstoned vectors never serve, and the delete set provably changes lists") {
+    val served = ops.Similarity.s17(spark, sf).collect()
+    assert(served.forall(_.getAs[Long]("nn_id") % 13 != 0L),
+      "a tombstoned vector was served")
+    // non-vacuity: the undeleted serve must contain tombstoned ids,
+    // i.e. the anti-join is doing real work on this data
+    val unfiltered = ops.Similarity.s01(spark, sf).collect()
+    assert(unfiltered.exists(_.getAs[Long]("nn_id") % 13 == 0L),
+      "no tombstoned id in the unfiltered top-5 — the gate is vacuous")
+    // every probe still gets a full k=5 list (the under-fill a
+    // post-filter rewrite would cause)
+    served.groupBy(_.getAs[Long]("query_id")).foreach { case (q, g) =>
+      assert(g.length == 5, s"probe $q under-filled: ${g.length} rows")
+    }
+  }
+
+  test("e34: paths are in-alphabet trigrams and counts match a driver-side replay") {
+    val rows = ops.EventOps.e34(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = Tables.events(spark, sf).select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val segs = r.getAs[String]("path").split(">")
+      assert(segs.length == 3 && segs.forall(types.contains))
+      assert(r.getAs[Long]("n") >= r.getAs[Long]("n_users"))
+    }
+    // ladder: non-increasing counts
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // driver-side replay: recompute the top path's count from raw events
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000L,
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    var counts = Map.empty[String, Long].withDefaultValue(0L)
+    evs.groupBy(_._1).foreach { case (_, g) =>
+      val seq = g.sortBy(e => (e._2, e._3))
+      // session ids under the 30-min gap rule
+      var sid = 0; var last = Long.MinValue
+      val sids = seq.map { e =>
+        if (last == Long.MinValue || e._2 - last > 1800000000L) sid += 1
+        last = e._2; sid
+      }
+      for (i <- 0 until seq.length - 2
+           if sids(i + 2) == sids(i)) {
+        val p = s"${seq(i)._4}>${seq(i + 1)._4}>${seq(i + 2)._4}"
+        counts = counts.updated(p, counts(p) + 1L)
+      }
+    }
+    val top = rows.head
+    assert(counts(top.getAs[String]("path")) == top.getAs[Long]("n"),
+      s"top path count drifted from replay")
+  }
+
+  test("t36: BM25 top docs match a driver-side recompute of the full ranking") {
+    val rows = ops.TextOps.t36(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") >= 1L && r.getAs[Long]("n_hit") <= 5L)
+      assert(r.getAs[java.math.BigDecimal]("score6").signum > 0)
+    }
+    // recompute BM25 over the whole corpus driver-side
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextNorm.tokens(col("text")).as("toks"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getSeq[String](1)))
+    val nDocs = docs.length.toDouble
+    val sumDl = docs.map(_._2.length.toLong).sum.toDouble
+    val avgdl = sumDl / nDocs
+    val dfMap = docs.flatMap { case (_, t) => t.distinct }.groupBy(identity)
+      .map { case (t, v) => (t, v.length.toLong) }
+    val qterms = dfMap.toSeq.sortBy { case (t, n) => (-n, t) }.slice(20, 25)
+    val scores = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val hits = qterms.flatMap { case (term, dfv) =>
+        val tf = toks.count(_ == term).toDouble
+        if (tf == 0) None else {
+          val idf6 = BigDecimal(math.log((nDocs - dfv + 0.5) / (dfv + 0.5) + 1.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          Some(BigDecimal(idf6.toDouble * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }
+      if (hits.isEmpty) None else Some((id, hits.sum, hits.length))
+    }.sortBy { case (id, sc, _) => (-sc, id) }.take(10)
+    rows.zip(scores).foreach { case (r, (id, sc, nh)) =>
+      assert(r.getAs[Long]("doc_id") == id, "BM25 ranking order drifted")
+      assert(r.getAs[Long]("n_hit") == nh.toLong)
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("score6")) == sc,
+        s"doc $id: score ${r.getAs[java.math.BigDecimal]("score6")} vs replay $sc")
+    }
+  }
 }

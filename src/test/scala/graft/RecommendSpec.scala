@@ -518,4 +518,29 @@ class RecommendSpec extends SparkSpec {
       r.getAs[Long]("i"), r.getAs[Long]("j"))).toSeq
     assert(keys == keys.sorted, "output is not in SPPMI-desc tie-ladder order")
   }
+
+  test("r42: the 0.75 smoothing provably flattens the sampling distribution") {
+    val rows = ops.Recommend.r42(spark, sf).collect()
+    assert(rows.length == 50)
+    // head share must SHRINK and the (relative) tail share must GROW:
+    // ppm/share ratio is monotone non-increasing in n
+    val head = rows.head // max n under the (n DESC, item_id) ladder
+    assert(head.getAs[Long]("ppm") < head.getAs[Long]("share_ppm"),
+      "smoothing failed to shrink the head item's share")
+    val ratios = rows.map(r =>
+      (r.getAs[Long]("n"),
+        r.getAs[Long]("ppm").toDouble / r.getAs[Long]("share_ppm").toDouble))
+    // integer-ppm rounding wobbles the ratio by ~1/ppm, so compare with
+    // a 1% slack — the 0.75-power trend dominates at any real gap in n
+    ratios.sliding(2).foreach { case Array((nA, rA), (nB, rB)) =>
+      if (nA > nB) assert(rA <= rB * 1.01,
+        s"ppm/share ratio not monotone: n=$nA ratio=$rA vs n=$nB ratio=$rB")
+    }
+    // driver-side recompute of the head item's weight and table slot
+    val n = head.getAs[Long]("n").toDouble
+    val w6 = BigDecimal(math.pow(n, 0.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(head.getAs[Double]("w6") - w6) < 1e-9)
+    assert(head.getAs[Long]("n_neg") == 250000L * head.getAs[Long]("ppm") / 1000000L)
+  }
 }

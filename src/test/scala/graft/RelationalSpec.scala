@@ -157,6 +157,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q57: bucketed interval join matches a direct driver-side inequality join") {
+    val rows = ops.Relational.q57(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val W = 1800000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    val expect = byUser.flatMap { case (u, g) =>
+      val as = g.filter(_._2 == "purchase").map(e => (e._3 - W, e._3))
+      val bs = g.filter(_._2 == "error").map(e => (e._3, e._3 + W))
+      val pairs = for (a <- as; b <- bs if a._1 < b._2 && b._1 < a._2)
+        yield math.min(a._2, b._2) - math.max(a._1, b._1)
+      if (pairs.isEmpty) None else Some(u -> (pairs.length.toLong, pairs.sum))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, ov) = expect(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_pairs") == n && r.getAs[Long]("sum_ov_us") == ov,
+        s"user ${r.getAs[Long]("user_id")} drifted from the direct join")
+    }
+  }
+
   test("q55: bootstrap CI brackets the point estimate with real width") {
     val r = ops.Relational.q55(spark, sf).collect().head
     val (p, lo, hi) = (r.getAs[Double]("point"), r.getAs[Double]("ci_lo"),

@@ -173,4 +173,19 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(streamed.sameElements(batch), "stream != batch sessionization")
   }
+
+  test("e35: double-delivered batches land exactly once in the partitioned store") {
+    val rows = ops.EventOps.e35(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") == batch(r.getAs[String]("event_type")),
+        s"${r.getAs[String]("event_type")}: replay double-counted or lost rows")
+      assert(r.getAs[Long]("n_batches") == 3L)
+    }
+  }
 }
