@@ -1386,7 +1386,90 @@ object Dedup {
        |    AS surviving_checksum""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // d22: EXACT set-similarity self-join via PREFIX FILTERING (the
+  // AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008) —
+  // the NO-FALSE-NEGATIVES complement to d03's MinHash-LSH: LSH is
+  // probabilistic (a true near-dup pair can miss every band), prefix
+  // filtering is exact — if Jaccard(a,b) ≥ τ the two prefixes MUST
+  // share a token, so the candidate set provably contains every
+  // qualifying pair. The filter: order every doc's shingle-hash set
+  // by GLOBAL frequency (rarest first — ties by hash, a total order),
+  // keep only the first n − ⌈τ·n⌉ + 1 tokens as the doc's prefix
+  // (⌈0.6n⌉ = (3n+4) div 5, integer math), and candidates meet on a
+  // prefix-token equi-join. Rare-first ordering is what makes the
+  // candidate volume small: prefixes concentrate on low-df tokens
+  // that few docs share. Verification is d04's exact Jaccard over
+  // the full sets, but computed on shingle hash56 sets (identical
+  // inter/uni — the hash is injective on this corpus).
+  // Scale: token df is one keyed agg; the prefix rank is a doc-keyed
+  // window (WindowGroupLimit-friendly); candidates shuffle on the
+  // prefix TOKEN — never all-pairs; verify touches candidates only.
+  // Completeness vs brute force + candidate volume < LSH misses
+  // pinned in OpsSpec.
+  def d22(s: SparkSession, d: String): DataFrame = {
+    val sets = corpus(s, d)
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingles(col("toks")))
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), t => Hashing.hash56(t))).as("hs"))
+    val tok = sets.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val pref = tok.join(df, Seq("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .select("doc_id", "h")
+    val cands = pref.select(col("h"), col("doc_id").as("a"))
+      .join(pref.select(col("h").as("h2"), col("doc_id").as("b")),
+        col("h") === col("h2") && col("a") < col("b"))
+      .select("a", "b").distinct()
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("uni", size(array_union(col("ha"), col("hb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select("a", "b", "inter", "uni", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  val d22Sql: String = {
+    val hsets =
+      s"""SELECT doc_id, list_distinct(list_transform($sqlShingles,
+         |    t -> ${Hashing.sqlHash56("t")})) AS hs
+         |  FROM corpus
+         |  WHERE len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) >= 3""".stripMargin
+    s"""WITH corpus AS ($sqlCorpus),
+       |sets AS ($hsets),
+       |tok AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sets),
+       |df AS (SELECT h, count(*) AS df FROM tok GROUP BY 1),
+       |pref AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT t.doc_id, t.h, t.n,
+       |      row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.h) AS rn
+       |    FROM tok t JOIN df ON t.h = df.h)
+       |  WHERE rn <= n - (3 * n + 4) // 5 + 1),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM pref x JOIN pref y ON x.h = y.h AND x.doc_id < y.doc_id)
+       |SELECT a, b, inter, uni, jaccard FROM (
+       |  SELECT a, b,
+       |    len(list_intersect(sa.hs, sb.hs)) AS inter,
+       |    len(list_distinct(list_concat(sa.hs, sb.hs))) AS uni,
+       |    round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+       |  FROM cands JOIN sets sa ON cands.a = sa.doc_id
+       |             JOIN sets sb ON cands.b = sb.doc_id)
+       |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_prefix_filter" -> (d22 _),
     "d21_gdpr_delete" -> (d21 _),
     "d20_dedup_onion" -> (d20 _),
     "d19_minhash_error" -> (d19 _),
@@ -1411,6 +1494,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d22_prefix_filter" -> d22Sql,
     "d21_gdpr_delete" -> d21Sql,
     "d20_dedup_onion" -> d20Sql,
     "d19_minhash_error" -> d19Sql,

@@ -1782,7 +1782,147 @@ object TextOps {
        |ORDER BY score6 DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // t37: HEAPS'-LAW VOCABULARY-GROWTH FIT per language (V ≈ k·N^β,
+  // β ≈ 0.4–0.8 for natural text — t35's Zipf slope checks the
+  // FREQUENCY curve, this checks the GROWTH curve; together they are
+  // the two classical lexical-statistics alarms for boilerplate or
+  // machine-generated corpora, and β is also the number that sizes a
+  // tokenizer vocabulary for a 100 TB crawl). The doc sequence is the
+  // t12 auditable hash order (md5-keyed — repartition-stable, so
+  // "after N tokens" means the same docs in both engines); 8
+  // checkpoints at ranks (i·R) div 8 sample the curve; V(r) = terms
+  // whose FIRST occurrence rank ≤ r, computed from a (lang,term)
+  // min-rank agg + a rank-dim histogram — never a per-checkpoint
+  // corpus re-scan. The vocabulary unit is the WORD TRIGRAM (t05's
+  // shingle): the synthetic corpus draws words from a closed ~31-type
+  // vocabulary, so the unigram curve saturates in the first handful
+  // of docs and the fit goes vacuous (β ≈ 0 measured) — trigram types
+  // are combinatorial and keep growing, which is also the unit a
+  // shingle-based dedup index actually sizes for.
+  // OLS of ln V on ln N under t35's fixed-point
+  // discipline: each log 6dp-rounded ONCE into DECIMAL(18,6), sums
+  // exact and order-independent, closed-form slope/intercept as pure
+  // IEEE algebra on those sums.
+  // Scale: ONE corpus explode; doc stats are a doc-keyed agg + one
+  // lang-keyed window; first-occurrence is a (lang,term)-keyed agg
+  // over the explode joined to the doc-dim rank table; the
+  // checkpoint fan-out is a broadcast 8-row-per-lang dim against a
+  // rank-dim histogram (≤2 shuffles touch corpus-scale data).
+  def t37(s: SparkSession, d: String): DataFrame = {
+    val tris = (toks: Column) => transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))
+    val ex = Tables.documents(s, d)
+      .withColumn("toks", tokens)
+      .filter(size(col("toks")) >= 3)
+      .select(col("lang"), col("doc_id"), explode(tris(col("toks"))).as("term"))
+    val docDim = ex.groupBy("lang", "doc_id")
+      .agg(count(lit(1)).as("ntoks"))
+      .withColumn("hkey",
+        Hashing.hash56(concat_ws("#", lit("heaps"), col("doc_id"))))
+    val w = Window.partitionBy("lang").orderBy(col("hkey"), col("doc_id"))
+    val ranked = docDim
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cumtok", sum(col("ntoks")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val langDim = ranked.groupBy("lang")
+      .agg(max(col("rn")).as("r_max"), sum(col("ntoks")).as("n_tokens"))
+    val cps = langDim
+      .select(col("lang"), col("r_max"),
+        explode(sequence(lit(1), lit(8))).as("i"))
+      .select(col("lang"), expr("(i * r_max) div 8").as("ri"))
+      .filter(col("ri") >= 1).distinct()
+    val firsts = ex
+      .join(ranked.select(col("lang"), col("doc_id"), col("rn")),
+        Seq("lang", "doc_id"))
+      .groupBy("lang", "term").agg(min(col("rn")).as("fr"))
+    val vocabDim = firsts.groupBy("lang").agg(count(lit(1)).as("vocab"))
+    val hist = firsts.groupBy("lang", "fr").agg(count(lit(1)).as("c"))
+    val vAt = hist.join(broadcast(cps.withColumnRenamed("lang", "l2")),
+        col("lang") === col("l2") && col("fr") <= col("ri"))
+      .groupBy("lang", "ri").agg(sum(col("c")).as("v"))
+    val nAt = ranked.join(cps, Seq("lang")).filter(col("rn") === col("ri"))
+      .select(col("lang"), col("ri"), col("cumtok").as("ntok"))
+    val pts = nAt.join(vAt, Seq("lang", "ri"))
+      .withColumn("x", round(log(col("ntok").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("y", round(log(col("v").cast("double")), 6).cast("decimal(18,6)"))
+    val sums = pts.groupBy("lang").agg(
+      count(lit(1)).as("n_pts"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    val slopeRaw = (col("n_pts") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_pts") * col("sxx") - col("sx") * col("sx"))
+    sums
+      .join(broadcast(langDim.withColumnRenamed("r_max", "n_docs")), Seq("lang"))
+      .join(broadcast(vocabDim), Seq("lang"))
+      // + 0.0 canonicalizes IEEE −0.0 to +0.0 (a saturated-flat curve
+      // rounds to −0.0 in one engine and +0.0 in the other)
+      .withColumn("beta6", round(slopeRaw, 6) + lit(0.0))
+      .withColumn("lnk6",
+        round((col("sy") - slopeRaw * col("sx")) / col("n_pts"), 6) + lit(0.0))
+      .select("lang", "n_docs", "n_tokens", "vocab", "n_pts", "beta6", "lnk6")
+      .orderBy("lang")
+  }
+
+  val t37Sql: String = {
+    val tok = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    val slope = "(n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx)"
+    s"""WITH ex AS (
+       |  SELECT lang, doc_id, unnest(list_transform(range(len(toks) - 2),
+       |      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS term
+       |  FROM (SELECT lang, doc_id, $tok AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |docdim AS (
+       |  SELECT lang, doc_id, count(*) AS ntoks,
+       |    ${Hashing.sqlHash56("'heaps#' || doc_id")} AS hkey
+       |  FROM ex GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lang, doc_id, ntoks,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn,
+       |    sum(ntoks) OVER (PARTITION BY lang ORDER BY hkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtok
+       |  FROM docdim),
+       |langdim AS (
+       |  SELECT lang, max(rn) AS r_max, sum(ntoks)::BIGINT AS n_tokens
+       |  FROM ranked GROUP BY 1),
+       |cps AS (
+       |  SELECT DISTINCT lang, (i * r_max) // 8 AS ri
+       |  FROM langdim CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+       |  WHERE (i * r_max) // 8 >= 1),
+       |firsts AS (
+       |  SELECT ex.lang, ex.term, min(r.rn) AS fr
+       |  FROM ex JOIN ranked r ON ex.lang = r.lang AND ex.doc_id = r.doc_id
+       |  GROUP BY 1, 2),
+       |vocabdim AS (SELECT lang, count(*) AS vocab FROM firsts GROUP BY 1),
+       |hist AS (SELECT lang, fr, count(*) AS c FROM firsts GROUP BY 1, 2),
+       |vat AS (
+       |  SELECT h.lang, cp.ri, sum(h.c)::BIGINT AS v
+       |  FROM hist h JOIN cps cp ON h.lang = cp.lang AND h.fr <= cp.ri
+       |  GROUP BY 1, 2),
+       |nat AS (
+       |  SELECT r.lang, cp.ri, r.cumtok AS ntok
+       |  FROM ranked r JOIN cps cp ON r.lang = cp.lang AND r.rn = cp.ri),
+       |pts AS (
+       |  SELECT lang,
+       |    CAST(round(ln(ntok::DOUBLE), 6) AS DECIMAL(18,6)) AS x,
+       |    CAST(round(ln(v::DOUBLE), 6) AS DECIMAL(18,6)) AS y
+       |  FROM nat JOIN vat USING (lang, ri)),
+       |sums AS (
+       |  SELECT lang, count(*) AS n_pts,
+       |    sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+       |    sum(x*x)::DOUBLE AS sxx, sum(x*y)::DOUBLE AS sxy
+       |  FROM pts GROUP BY 1)
+       |SELECT lang, r_max AS n_docs, n_tokens, vocab, n_pts,
+       |  round($slope, 6) + 0.0 AS beta6,
+       |  round((sy - ($slope) * sx) / n_pts, 6) + 0.0 AS lnk6
+       |FROM sums JOIN langdim USING (lang) JOIN vocabdim USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t37_heaps_fit" -> (t37 _),
     "t36_bm25" -> (t36 _),
     "t35_zipf_fit" -> (t35 _),
     "t34_feature_hashing" -> (t34 _),
@@ -1821,6 +1961,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t37_heaps_fit" -> t37Sql,
     "t36_bm25" -> t36Sql,
     "t35_zipf_fit" -> t35Sql,
     "t34_feature_hashing" -> t34Sql,

@@ -1988,4 +1988,62 @@ class OpsSpec extends SparkSpec {
         s"doc $id: score ${r.getAs[java.math.BigDecimal]("score6")} vs replay $sc")
     }
   }
+
+  test("d22: prefix filtering is COMPLETE vs brute-force all-pairs Jaccard") {
+    // the augmented corpus, shingle-hash sets — same construction as d22
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val aug = docs
+      .union(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft dedup probe tail")).as("text")))
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val sets = aug
+      .withColumn("toks", toks).filter(size(col("toks")) >= 3)
+      .withColumn("sh", transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
+          get(col("toks"), i + 2))))
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"),
+          t => graft.functions.Hashing.hash56(t))).as("hs"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[Long](1).toSet))
+    // brute force every pair in the driver — affordable at sf0.001 only
+    val brute = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (ida, sa) = sets(i); (idb, sb) = sets(j)
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if uni > 0 && BigDecimal(inter.toDouble / uni)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.6")
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+    val got = ops.Dedup.d22(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(got == brute,
+      s"prefix filter missed ${(brute -- got).take(5)} / extra ${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "vacuous: no qualifying pairs at this SF")
+  }
+
+  test("t37: Heaps exponent lands in (0,1) and the vocab column is the true type count") {
+    val rows = ops.TextOps.t37(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val beta = r.getAs[Double]("beta6")
+      assert(beta > 0.0 && beta < 1.0,
+        s"${r.getAs[String]("lang")}: beta $beta outside (0,1)")
+      assert(r.getAs[Long]("n_pts") == 8L)
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+    }
+    // recompute one language's trigram type count independently
+    val lang0 = rows.head.getAs[String]("lang")
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val nTypes = Tables.documents(spark, sf).filter(col("lang") === lang0)
+      .withColumn("toks", toks).filter(size(col("toks")) >= 3)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
+          get(col("toks"), i + 2)))).as("t"))
+      .distinct().count()
+    assert(rows.find(_.getAs[String]("lang") == lang0).get
+      .getAs[Long]("vocab") == nTypes)
+  }
 }
