@@ -1806,7 +1806,66 @@ object Relational {
       |  ON a.user_id = b.b_user AND a.a_s < b.b_e AND b.b_s < a.a_e
       |GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q58: REAGGREGABLE DISTINCT-COUNT SKETCH ROLLUP (Apache
+  // DataSketches HLL via hll_sketch_agg/hll_union_agg — the pattern
+  // behind every pre-aggregated OLAP cube: exact COUNT(DISTINCT) is
+  // NOT reaggregable, so a nation-level rollup can never answer a
+  // region-level distinct question; a mergeable sketch can. Build the
+  // sketch ONCE per nation (the stored fine-grain artifact — at
+  // 100 TB this is the only corpus-scale pass), then answer region
+  // and global questions by UNIONING the 25 nation sketches — a
+  // metadata-sized merge, no fact re-scan. q25 showed the one-shot
+  // approx_count_distinct; this is the build-once/merge-many
+  // lifecycle that makes sketches an INDEX rather than a query.
+  // Gate: the estimate itself is engine-specific (DataSketches
+  // hashing), so the hash-gated columns are the EXACT distinct counts
+  // (oracle-checkable) plus the est_ok boolean contract —
+  // 20·|est − exact| ≤ exact, i.e. within 5% (lgK=12 ⇒ ~1.6% RSE;
+  // 5% is ≥3σ — deterministic for this data, honest at any SF). The
+  // exact side exists only for the gate; production serves the
+  // estimate. Distance-to-bound pinned in RelationalSpec.
+  def q58(s: SparkSession, d: String): DataFrame = {
+    val facts = Tables.orders(s, d).select("o_custkey")
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").cast("long").as("region"),
+        col("c_nationkey").as("nation"), col("c_custkey").as("cust"))
+    val natSk = facts.groupBy("region", "nation")
+      .agg(hll_sketch_agg(col("cust"), lit(12)).as("sk"))
+    val regEst = natSk.groupBy("region")
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .union(natSk.select(lit(-1L).cast("long").as("region"), col("sk"))
+        .groupBy("region").agg(hll_union_agg(col("sk")).as("sk")))
+      .select(col("region"), hll_sketch_estimate(col("sk")).as("est"))
+    val exact = facts.groupBy("region")
+      .agg(count_distinct(col("cust")).as("n_exact"))
+      .union(facts.select(lit(-1L).cast("long").as("region"), col("cust"))
+        .groupBy("region").agg(count_distinct(col("cust")).as("n_exact")))
+    exact.join(regEst, Seq("region"))
+      .withColumn("est_ok",
+        abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+      .select("region", "n_exact", "est_ok")
+      .orderBy("region")
+  }
+
+  val q58Sql: String =
+    """WITH facts AS (
+      |  SELECT n_regionkey AS region, c_custkey AS cust
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT region, n_exact, TRUE AS est_ok FROM (
+      |  SELECT region::BIGINT AS region, count(DISTINCT cust) AS n_exact
+      |  FROM facts GROUP BY 1
+      |  UNION ALL
+      |  SELECT -1, count(DISTINCT cust) FROM facts)
+      |ORDER BY region""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_sketch_rollup" -> (q58 _),
     "q57_interval_overlap" -> (q57 _),
     "q56_hierarchy_rollup" -> (q56 _),
     "q55_bootstrap_ci" -> (q55 _),
@@ -1866,6 +1925,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q58_sketch_rollup" -> q58Sql,
     "q57_interval_overlap" -> q57Sql,
     "q56_hierarchy_rollup" -> q56Sql,
     "q55_bootstrap_ci" -> q55Sql,

@@ -1560,7 +1560,80 @@ object Similarity {
        |  WHERE a.vec_id < 10)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // s18: MATRYOSHKA prefix-dimension two-stage search (Kusupati et
+  // al. 2022 — MRL-trained embeddings order information by dimension,
+  // so the FIRST 8 of 64 dims are themselves a usable embedding;
+  // production retrieval scans the 8-dim prefix (8× less memory
+  // traffic than full vectors, no codebook to train — the trainless
+  // alternative to s06's PQ) and re-ranks a R=20 shortlist with the
+  // full vector, s10's fetch-join shape: the full-precision corpus
+  // never streams through stage 1, only R rows per query leave
+  // storage. cos8 rides along so the output exposes what the prefix
+  // scorer believed vs the exact order. The synthetic embeddings are
+  // not MRL-trained, so the prefix is an honest random-projection
+  // proxy; the recall-vs-prefix-only gain is pinned in OpsSpec
+  // rather than promised a trained-model floor.
+  private val MRL_D = 8
+  private val MRL_R = 20
+
+  def s18(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("cos8").desc, col("nn_id"))
+    val short = broadcast(probe
+        .select(col("query_id"), slice(col("q"), 1, MRL_D).as("q8")))
+      .join(e.select(col("vec_id").as("nn_id"),
+        slice(col("v"), 1, MRL_D).as("t8")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos8", round(cosine(col("q8"), col("t8")), 4))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= MRL_R)
+      .select("query_id", "nn_id", "cos8")
+    val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    short
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("t")), Seq("nn_id"))
+      .join(broadcast(probe), Seq("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("t")), 4))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "nn_id", "cos", "cos8")
+      .orderBy("query_id", "rank")
+  }
+
+  val s18Sql: String = {
+    val dot8 = s"list_sum(list_transform(range($MRL_D), i -> a.v[i + 1] * b.v[i + 1]))"
+    def norm8(side: String) =
+      s"sqrt(list_sum(list_transform(list_slice($side.v, 1, $MRL_D), x -> x * x)))"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |short AS (
+       |  SELECT query_id, nn_id, cos8 FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+       |      round($dot8 / (${norm8("a")} * ${norm8("b")}), 4) AS cos8,
+       |      row_number() OVER (
+       |        PARTITION BY a.vec_id
+       |        ORDER BY round($dot8 / (${norm8("a")} * ${norm8("b")}), 4) DESC,
+       |                 b.vec_id) AS rn
+       |    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 10)
+       |  WHERE rn <= $MRL_R)
+       |SELECT query_id, rank, nn_id, cos, cos8 FROM (
+       |  SELECT s.query_id, s.nn_id, s.cos8,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY s.query_id
+       |      ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |               s.nn_id) AS rank
+       |  FROM short s JOIN e a ON s.query_id = a.vec_id
+       |               JOIN e b ON s.nn_id = b.vec_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_mrl_prefix" -> (s18 _),
     "s17_tombstone_serve" -> (s17 _),
     "s16_nprobe_sweep" -> (s16 _),
     "s15_hard_negatives" -> (s15 _),
@@ -1580,6 +1653,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s18_mrl_prefix" -> s18Sql,
     "s17_tombstone_serve" -> s17Sql,
     "s16_nprobe_sweep" -> s16Sql,
     "s15_hard_negatives" -> s15Sql,

@@ -2046,4 +2046,30 @@ class OpsSpec extends SparkSpec {
     assert(rows.find(_.getAs[String]("lang") == lang0).get
       .getAs[Long]("vocab") == nTypes)
   }
+
+  test("s18: full-vector re-rank repairs what the 8-dim prefix mis-ordered") {
+    val exact = ops.Similarity.s01(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val rr = ops.Similarity.s18(spark, sf).collect()
+    assert(rr.nonEmpty)
+    // ranks are dense 1..5 per query and ordered by the EXACT cosine
+    rr.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"query $q: served order not the exact-cosine order")
+    }
+    val rerank = rr.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val rerankRecall = (rerank & exact).size.toDouble / exact.size
+    // prefix-only top-5: rank the shortlist by cos8 instead
+    val prefixOnly = rr.groupBy(_.getAs[Long]("query_id")).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy(r => (-r.getAs[Double]("cos8"), r.getAs[Long]("nn_id"))).take(5)
+        .toSeq.map(r => (q, r.getAs[Long]("nn_id")))
+    }.toSet
+    val prefixRecall = (prefixOnly & exact).size.toDouble / exact.size
+    assert(rerankRecall >= prefixRecall,
+      s"re-rank recall $rerankRecall below prefix-only $prefixRecall")
+    assert(rerankRecall > 0.0, "vacuous: shortlist never contains a true neighbor")
+  }
 }

@@ -305,4 +305,32 @@ class RelationalSpec extends SparkSpec {
       assert(atOrBelow * 2 >= tw, s"$flag: median does not cover half the weight")
     }
   }
+
+  test("q58: sketch union is LOSSLESS reaggregation and estimates sit inside the bound") {
+    val rows = ops.Relational.q58(spark, sf).collect()
+    assert(rows.length >= 2)
+    assert(rows.forall(_.getAs[Boolean]("est_ok")), "an estimate broke the 5% bound")
+    // the reaggregability identity the op exists for: unioning the
+    // nation-level sketches must give the IDENTICAL estimate as one
+    // direct global sketch at the same lgK (HLL union is register-max —
+    // lossless at equal lgK)
+    val facts = Tables.orders(spark, sf).select("o_custkey")
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"), col("c_custkey").as("cust"))
+    val direct = facts.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("cust"), lit(12))).as("est"))
+      .collect().head.getAs[Long]("est")
+    val merged = facts.groupBy("nation")
+      .agg(hll_sketch_agg(col("cust"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getAs[Long]("est")
+    assert(direct == merged,
+      s"sketch union is not lossless: direct $direct vs merged $merged")
+    // non-vacuity: the global row aggregates more than any single region
+    val global = rows.find(_.getAs[Long]("region") == -1L).get.getAs[Long]("n_exact")
+    rows.filter(_.getAs[Long]("region") >= 0L).foreach { r =>
+      assert(r.getAs[Long]("n_exact") < global)
+    }
+  }
 }
