@@ -1212,7 +1212,85 @@ object Graph {
        |FROM pit$ITERS ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // g17: LOCAL CLUSTERING COEFFICIENT (Watts–Strogatz) for the
+  // highest-degree nodes of the co-purchase graph — g02 reports ONE
+  // global closure rate; the per-node coefficient is the node-level
+  // community signal (a hub with lcc≈0 is a broker bridging unrelated
+  // baskets, lcc≈1 a clique member), and the degree/lcc anti-
+  // correlation is the classic hierarchy diagnostic. Triangles are
+  // enumerated ONCE via g02's degree-oriented wedge join (each
+  // triangle exactly once, O(m^1.5) hub-proof) and attributed to all
+  // three members by a 3-row explode; lcc = 2·t·10⁶ div (d·(d−1)) in
+  // exact integer ppm — no float in the gate. Top-20 under the
+  // (deg DESC, node) ladder.
+  // Scale: the wedge join is the g02 shape (oriented adjacency keyed
+  // on the low-degree endpoint); attribution is a bounded 3× explode
+  // of the TRIANGLE set; the final window is vocab-dim.
+  def g17(s: SparkSession, d: String): DataFrame = {
+    val oi = graft.etl.Ratings.orderItems(s, d)
+    val co = oi.as("a").join(oi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("i", "j")
+    val deg = co.select(col("i").as("node")).union(co.select(col("j")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val oriented = co
+      .join(deg.select(col("node").as("i"), col("dg").as("di")), Seq("i"))
+      .join(deg.select(col("node").as("j"), col("dg").as("dj")), Seq("j"))
+      .select(
+        when(struct(col("di"), col("i")) < struct(col("dj"), col("j")), col("i"))
+          .otherwise(col("j")).as("a"),
+        when(struct(col("di"), col("i")) < struct(col("dj"), col("j")), col("j"))
+          .otherwise(col("i")).as("b"))
+    val ob = oriented.join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+    val triMembers = ob.as("w1").join(ob.as("w2"),
+        col("w1.a") === col("w2.a") &&
+          struct(col("w1.db"), col("w1.b")) < struct(col("w2.db"), col("w2.b")))
+      .join(oriented.as("cl"),
+        col("cl.a") === col("w1.b") && col("cl.b") === col("w2.b"))
+      .select(explode(array(col("w1.a"), col("w1.b"), col("w2.b"))).as("node"))
+    val tn = triMembers.groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("dg") >= 2)
+      .join(tn, Seq("node"), "left")
+      .select(col("node"), col("dg").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_ppm",
+        expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+      .orderBy(col("deg").desc, col("node"))
+      .limit(20)
+  }
+
+  val g17Sql: String =
+    """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS (
+      |  SELECT a.l_partkey AS i, b.l_partkey AS j
+      |  FROM oi a JOIN oi b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |dgr AS (
+      |  SELECT node, count(*) AS dg FROM (
+      |    SELECT i AS node FROM co UNION ALL SELECT j FROM co) GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.i AS x, e1.j AS y, e2.j AS z
+      |  FROM co e1 JOIN co e2 ON e1.j = e2.i
+      |  JOIN co e3 ON e3.i = e1.i AND e3.j = e2.j),
+      |tn AS (
+      |  SELECT node, count(*) AS n_tri FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) GROUP BY 1)
+      |SELECT node, dg AS deg, coalesce(n_tri, 0) AS n_tri,
+      |  (2 * coalesce(n_tri, 0) * 1000000) // (dg * (dg - 1)) AS lcc_ppm
+      |FROM dgr LEFT JOIN tn USING (node)
+      |WHERE dg >= 2
+      |ORDER BY deg DESC, node LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g17_clustering" -> (g17 _),
     "g16_ppr" -> (g16 _),
     "g15_neighbor_sample" -> (g15 _),
     "g14_harmonic" -> (g14 _),
@@ -1231,6 +1309,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g17_clustering" -> g17Sql,
     "g16_ppr" -> g16Sql,
     "g15_neighbor_sample" -> g15Sql,
     "g14_harmonic" -> g14Sql,

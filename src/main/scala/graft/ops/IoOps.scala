@@ -1453,7 +1453,80 @@ object IoOps {
       |                 ORDER BY doc_id LIMIT 5)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i25: MERGE-ON-READ POSITION DELETES (the Iceberg-v2 delete-file
+  // protocol — i13 deletes by REWRITING affected partitions
+  // (copy-on-write); at high delete rates the rewrite amplification
+  // is the cost, so v2 lakes instead write an O(deletes) DELETE FILE
+  // of (data_file, row_position) pairs and every reader anti-joins it
+  // at scan time). The positions are REAL: the delete file is built
+  // from the scan-exposed `_metadata.file_path`/`_metadata.row_index`
+  // metadata columns, and the MOR read filters by POSITION ONLY — a
+  // position mechanism that misaddresses rows deletes the wrong docs
+  // and flips the id-set checksum. Compaction then folds the deletes
+  // into new data files (the delete file retires) and the gate's
+  // compact_ok boolean pins that the compacted table reproduces the
+  // MOR view column-for-column.
+  // Scale: delete write is O(deletes) metadata, data files stay
+  // byte-identical (pinned in IoSpec); the MOR anti-join keys on
+  // (file, pos) — at 100 TB the delete side is a broadcast or a
+  // file-partitioned merge, never a data rewrite until compaction
+  // chooses one.
+  def i25(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i25_")
+    val data = dir + "/data"
+    val dels = dir + "/deletes"
+    val compacted = dir + "/data_v2"
+    try {
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        .repartition(8, col("doc_id")).write.parquet(data)
+      def scan: DataFrame = s.read.parquet(data)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("pos"))
+      // the delete file: positions of every doc_id % 7 == 0 row
+      scan.filter(col("doc_id") % 7 === 0).select("fp", "pos")
+        .coalesce(1).write.parquet(dels)
+      val delDf = s.read.parquet(dels)
+      val mor = scan.join(delDf, Seq("fp", "pos"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+      mor.repartition(4).write.parquet(compacted)
+      def rollup(df: DataFrame): DataFrame = df.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        // cast BEFORE the sum — p05's ANSI-overflow rule
+        sum(graft.functions.Hashing.hash56(
+          concat_ws("#", lit("mor"), col("doc_id"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("ids_checksum"))
+      rollup(mor)
+        .join(rollup(s.read.parquet(compacted))
+          .select(col("lang"), col("n_docs").as("c_n"),
+            col("sum_chars").as("c_s"), col("ids_checksum").as("c_c")),
+          Seq("lang"))
+        .withColumn("compact_ok",
+          col("n_docs") === col("c_n") && col("sum_chars") === col("c_s") &&
+            col("ids_checksum") === col("c_c"))
+        .select("lang", "n_docs", "sum_chars", "ids_checksum", "compact_ok")
+        .orderBy("lang")
+        .localCheckpoint() // pin rows so the finally can delete the dirs
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i25Sql: String = {
+    val h = graft.functions.Hashing.sqlHash56("'mor#' || doc_id")
+    s"""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       |  sum(($h)::DECIMAL(38,0))::DECIMAL(38,0)::VARCHAR AS ids_checksum,
+       |  TRUE AS compact_ok
+       |FROM documents WHERE doc_id % 7 <> 0
+       |GROUP BY 1 ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i25_pos_deletes" -> (i25 _),
     "i24_bloom_skip" -> (i24 _),
     "i23_quarantine" -> (i23 _),
     "i22_masked_export" -> (i22 _),
@@ -1480,6 +1553,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i25_pos_deletes" -> i25Sql,
     "i24_bloom_skip" -> i24Sql,
     "i23_quarantine" -> i23Sql,
     "i22_masked_export" -> i22Sql,

@@ -312,4 +312,41 @@ class IoSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("files_pruned")),
       "sketch consulted but nothing pruned — min/max-style vacuity")
   }
+
+  test("i25: the delete file is O(deletes) and data files stay byte-identical") {
+    // replicate the MOR flow with inspectable dirs: write data, write a
+    // position-delete file, and pin that (1) no data file was touched,
+    // (2) the position-only anti-join equals the predicate delete
+    val dir = java.nio.file.Files.createTempDirectory("graft_i25spec_").toString
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+      docs.repartition(4, col("doc_id")).write.parquet(s"$dir/data")
+      def scan = spark.read.parquet(s"$dir/data")
+        .select(col("doc_id"), col("lang"),
+          col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("pos"))
+      val before = new java.io.File(s"$dir/data").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+      scan.filter(col("doc_id") % 7 === 0).select("fp", "pos")
+        .write.parquet(s"$dir/deletes")
+      val after = new java.io.File(s"$dir/data").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+      assert(before == after, "a data file changed — that's copy-on-write, not MOR")
+      val nDel = spark.read.parquet(s"$dir/deletes").count()
+      assert(nDel == docs.filter(col("doc_id") % 7 === 0).count())
+      assert(nDel > 0, "vacuous: no planted deletes at this SF")
+      val morIds = scan
+        .join(spark.read.parquet(s"$dir/deletes"), Seq("fp", "pos"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expect = docs.filter(col("doc_id") % 7 =!= 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(morIds == expect, "position-addressed delete hit the wrong rows")
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
 }

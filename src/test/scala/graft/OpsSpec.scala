@@ -2072,4 +2072,35 @@ class OpsSpec extends SparkSpec {
       s"re-rank recall $rerankRecall below prefix-only $prefixRecall")
     assert(rerankRecall > 0.0, "vacuous: shortlist never contains a true neighbor")
   }
+
+  test("g17: per-node coefficients match a driver-side triangle replay") {
+    val rows = ops.Graph.g17(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lcc_ppm") >= 0L && r.getAs[Long]("lcc_ppm") <= 1000000L)
+    }
+    // rebuild the co-purchase graph in the driver and recount
+    val oi = graft.etl.Ratings.orderItems(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = oi.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val items = basket.map(_._2).distinct.sorted
+      for (i <- items.indices; j <- (i + 1) until items.length)
+        yield (items(i), items(j))
+    }.groupBy(identity).iterator
+      // NOT .collect{case (e,v) ...=> e}: collecting tuples out of a Map
+      // rebuilds a Map and silently dedupes edges by left endpoint
+      .filter(_._2.size >= 2).map(_._1).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("node"); val nbrs = adj(n)
+      assert(r.getAs[Long]("deg") == nbrs.size.toLong)
+      val t = nbrs.toSeq.combinations(2).count { case Seq(x, y) =>
+        edges.contains((math.min(x, y), math.max(x, y)))
+      }
+      assert(r.getAs[Long]("n_tri") == t.toLong,
+        s"node $n: triangle count ${r.getAs[Long]("n_tri")} vs replay $t")
+    }
+  }
 }
