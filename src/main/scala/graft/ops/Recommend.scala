@@ -2804,7 +2804,119 @@ object Recommend {
        |    // 1000000 AS n_neg
        |FROM w, ws ORDER BY n DESC, item_id LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r43: SEQUENTIAL-RECOMMENDER EVALUATION under leave-last-out (the
+  // next-basket protocol — r12/r17/r20 evaluate the CF ranking against
+  // a random holdout; sequential models are graded on predicting the
+  // NEXT basket from the one before it, and a random split would leak
+  // the future into training): per customer the LAST order is the
+  // test basket, the PENULTIMATE order is the query context, and the
+  // transition table (r27's consecutive-order item pairs) trains on
+  // every transition EXCEPT the one into the last order — the rnd≠2
+  // filter IS the no-leakage rule. Candidates score by summed
+  // transition counts from the context items, top-5 under the
+  // (score DESC, item) ladder; hit@1/hit@5 as exact integers and ppm
+  // rates (10⁶·hits div scored-users — no float).
+  // Scale: the train table is r27's shape (one custkey window + two
+  // orderkey-keyed joins); scoring is a context×transition keyed join
+  // + user-keyed WindowGroupLimit top-5; the hit check is one
+  // (user,item)-keyed join; closers are 1-row broadcast aggs.
+  /** The eval's per-user top-5 (user, j, rk) — split out so the spec
+    * can replay one customer's slate against a driver-side recompute. */
+  private def r43Parts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+    val wAsc = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wDesc = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val seq = o.withColumn("nxt", lead(col("o_orderkey"), 1).over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+    val li = Ratings.orderItems(s, d)
+    val trans = seq.filter(col("nxt").isNotNull && col("rnd") =!= 2)
+      .join(li.as("a"), col("o_orderkey") === col("a.l_orderkey"))
+      .join(li.as("b"), col("nxt") === col("b.l_orderkey"))
+      .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+    val src = seq.filter(col("rnd") === 2)
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("i"))
+    val scores = src.join(trans, Seq("i"))
+      .groupBy("user", "j").agg(sum(col("cnt")).as("score"))
+    val wTop = Window.partitionBy("user").orderBy(col("score").desc, col("j"))
+    val top = scores.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+    val tst = seq.filter(col("rnd") === 1)
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("j"))
+    (src, scores, top, tst)
+  }
+
+  /** One customer's served slate, rank order — the spec's replay hook. */
+  def r43Probe(s: SparkSession, d: String, user: Long): List[Long] = {
+    val (_, _, top, _) = r43Parts(s, d)
+    top.filter(col("user") === user).orderBy("rk")
+      .select("j").collect().map(_.getLong(0)).toList
+  }
+
+  def r43(s: SparkSession, d: String): DataFrame = {
+    val (src, scores, top, tst) = r43Parts(s, d)
+    val hits = top.join(tst, Seq("user", "j"))
+      .groupBy("user").agg(min(col("rk")).as("best_rk"))
+    val nEval = src.agg(count_distinct(col("user")).as("n_eval"))
+    val nScored = scores.agg(count_distinct(col("user")).as("n_scored"))
+    val h = hits.agg(count(lit(1)).as("hit5"),
+      count(when(col("best_rk") === 1, lit(1))).as("hit1"))
+    nEval.crossJoin(broadcast(nScored)).crossJoin(broadcast(h))
+      .select(col("n_eval"), col("n_scored"), col("hit1"), col("hit5"),
+        expr("(1000000 * hit1) div n_scored").as("hit1_ppm"),
+        expr("(1000000 * hit5) div n_scored").as("hit5_ppm"))
+  }
+
+  val r43Sql: String =
+    s"""WITH seq AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate, o_orderkey) AS nxt,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnd
+       |  FROM orders),
+       |oi AS (${Ratings.sqlOrderItems}),
+       |trans AS (
+       |  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS cnt
+       |  FROM seq
+       |  JOIN oi a ON seq.o_orderkey = a.l_orderkey
+       |  JOIN oi b ON seq.nxt = b.l_orderkey
+       |  WHERE seq.nxt IS NOT NULL AND seq.rnd <> 2
+       |  GROUP BY 1, 2),
+       |src AS (
+       |  SELECT o_custkey AS usr, l_partkey AS i
+       |  FROM seq JOIN oi ON seq.o_orderkey = oi.l_orderkey WHERE rnd = 2),
+       |scores AS (
+       |  SELECT usr, j, sum(cnt) AS score
+       |  FROM src JOIN trans USING (i) GROUP BY 1, 2),
+       |top AS (
+       |  SELECT usr, j, row_number() OVER (PARTITION BY usr
+       |    ORDER BY score DESC, j) AS rk
+       |  FROM scores QUALIFY rk <= 5),
+       |tst AS (
+       |  SELECT o_custkey AS usr, l_partkey AS j
+       |  FROM seq JOIN oi ON seq.o_orderkey = oi.l_orderkey WHERE rnd = 1),
+       |hits AS (
+       |  SELECT top.usr, min(rk) AS best_rk
+       |  FROM top JOIN tst ON top.usr = tst.usr AND top.j = tst.j
+       |  GROUP BY 1),
+       |e AS (SELECT count(DISTINCT usr) AS n_eval FROM src),
+       |sc AS (SELECT count(DISTINCT usr) AS n_scored FROM scores),
+       |h AS (SELECT count(*) AS hit5,
+       |        count(CASE WHEN best_rk = 1 THEN 1 END) AS hit1 FROM hits)
+       |SELECT n_eval, n_scored, hit1, hit5,
+       |  (1000000 * hit1) // n_scored AS hit1_ppm,
+       |  (1000000 * hit5) // n_scored AS hit5_ppm
+       |FROM e, sc, h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r43_seq_eval" -> (r43 _),
     "r42_neg_sampling" -> (r42 _),
     "r41_sppmi" -> (r41 _),
     "r40_ucb_bandit" -> (r40 _),
@@ -2849,6 +2961,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r43_seq_eval" -> r43Sql,
     "r42_neg_sampling" -> r42Sql,
     "r41_sppmi" -> r41Sql,
     "r40_ucb_bandit" -> r40Sql,

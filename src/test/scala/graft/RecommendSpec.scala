@@ -543,4 +543,49 @@ class RecommendSpec extends SparkSpec {
     assert(math.abs(head.getAs[Double]("w6") - w6) < 1e-9)
     assert(head.getAs[Long]("n_neg") == 250000L * head.getAs[Long]("ppm") / 1000000L)
   }
+
+  test("r43: leave-last-out protocol counts are consistent and leakage-free") {
+    val r = ops.Recommend.r43(spark, sf).collect().head
+    val (nEval, nScored) = (r.getAs[Long]("n_eval"), r.getAs[Long]("n_scored"))
+    val (h1, h5) = (r.getAs[Long]("hit1"), r.getAs[Long]("hit5"))
+    assert(nEval > 0, "no evaluable customers at this SF")
+    assert(nScored <= nEval && nScored > 0)
+    assert(h1 <= h5 && h5 <= nScored)
+    assert(r.getAs[Long]("hit1_ppm") == 1000000L * h1 / nScored)
+    assert(r.getAs[Long]("hit5_ppm") == 1000000L * h5 / nScored)
+    // no-leakage: the eval customers' final transitions must be absent
+    // from the training table. Rebuild both in the driver and check the
+    // train pair multiset never counts a (penultimate → last) pair that
+    // only the held-out transition could contribute.
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("string").as("od")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val byCust = orders.groupBy(_._2).view.mapValues(
+      _.sortBy(o => (o._3, o._1)).map(_._1).toSeq).toMap
+    val items = graft.etl.Ratings.orderItems(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // one customer with >= 3 orders: its earlier transitions train,
+    // its last does not — recompute that customer's candidate scores
+    val cust = byCust.collect { case (c, os) if os.length >= 3 => c }.min
+    val os = byCust(cust)
+    val trainPairs = scala.collection.mutable.Map[(Long, Long), Long]()
+    byCust.values.foreach { seqO =>
+      seqO.sliding(2).zipWithIndex.foreach { case (Seq(a, b), k) =>
+        if (k != seqO.length - 2) // NOT the transition into the last order
+          for (i <- items.getOrElse(a, Set.empty);
+               j <- items.getOrElse(b, Set.empty))
+            trainPairs((i, j)) = trainPairs.getOrElse((i, j), 0L) + 1L
+      }
+    }
+    val ctx = items.getOrElse(os(os.length - 2), Set.empty)
+    val scores = trainPairs.toSeq
+      .filter { case ((i, _), _) => ctx.contains(i) }
+      .groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (j, sc) => (-sc, j) }.take(5)
+    val sparkTop = ops.Recommend.r43Probe(spark, sf, cust)
+    assert(sparkTop == scores.map(_._1).toList,
+      s"customer $cust: top-5 ${sparkTop} vs driver replay ${scores.map(_._1)}")
+  }
 }
