@@ -1525,7 +1525,68 @@ object IoOps {
        |GROUP BY 1 ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // i26: SHALLOW (ZERO-COPY) CLONE — the Delta `CLONE`/Iceberg
+  // snapshot-ref mechanic: a dev/test/experiment copy of a 100 TB
+  // table cannot be a data copy; a shallow clone is a NEW TABLE whose
+  // manifest references the SOURCE's data files (i14's
+  // manifest-as-version idea crossed table boundaries). The clone is
+  // O(metadata) to create, and because manifests are immutable it is
+  // a frozen snapshot: the source appending AFTER the clone does not
+  // leak into clone reads (if it did, the cloned 'en' rollup would
+  // double and the hash would fail — the planted append is exactly an
+  // 'en' re-copy). zero_copy pins that no data directory exists under
+  // the clone and every referenced file lives under the source;
+  // src_advanced pins the source really moved on (v2 manifest lists
+  // more files than the clone).
+  // Scale: clone creation reads/writes one manifest — file-count
+  // metadata, never row data; clone reads plan directly over the
+  // referenced files.
+  def i26(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i26_")
+    import s.implicits._
+    try {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      docs.write.parquet(s"$dir/src/data/add0")
+      val v1 = parquetFiles(s, s"$dir/src/data/add0")
+      v1.toDF("path").coalesce(1).write.parquet(s"$dir/src/manifests/v1")
+      // the clone: copy the MANIFEST, never the data
+      s.read.parquet(s"$dir/src/manifests/v1").coalesce(1)
+        .write.parquet(s"$dir/clone/manifests/v1")
+      // the source evolves after the clone froze
+      docs.filter(col("lang") === "en")
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          col("lang"), col("n_chars"))
+        .write.parquet(s"$dir/src/data/add1")
+      (v1 ++ parquetFiles(s, s"$dir/src/data/add1")).toDF("path")
+        .coalesce(1).write.parquet(s"$dir/src/manifests/v2")
+      val clonePaths = s.read.parquet(s"$dir/clone/manifests/v1")
+        .collect().map(_.getString(0)).sorted
+      val zeroCopy = !new java.io.File(s"$dir/clone/data").exists() &&
+        clonePaths.nonEmpty && clonePaths.forall(_.contains("/src/data/"))
+      val srcAdvanced =
+        s.read.parquet(s"$dir/src/manifests/v2").count() > clonePaths.length
+      s.read.parquet(clonePaths: _*)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("src_advanced", lit(srcAdvanced))
+        .orderBy("lang")
+        .localCheckpoint() // pin rows so the finally can delete the dirs
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i26Sql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+      |  TRUE AS zero_copy, TRUE AS src_advanced
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i26_shallow_clone" -> (i26 _),
     "i25_pos_deletes" -> (i25 _),
     "i24_bloom_skip" -> (i24 _),
     "i23_quarantine" -> (i23 _),
@@ -1553,6 +1614,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i26_shallow_clone" -> i26Sql,
     "i25_pos_deletes" -> i25Sql,
     "i24_bloom_skip" -> i24Sql,
     "i23_quarantine" -> i23Sql,

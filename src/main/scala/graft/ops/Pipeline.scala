@@ -906,7 +906,107 @@ object Pipeline {
        |ORDER BY source, decile""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // p12: EPOCH (REPETITION) ALLOCATION under a data-constrained budget
+  // (Muennighoff et al. 2023 — when the token budget EXCEEDS the
+  // unique supply, training repeats data; repeated epochs have
+  // decaying value and beyond ~4 epochs add ~nothing. p10 allocates
+  // when supply covers the budget; this is the regime where it
+  // doesn't): budget = 250% of unique corpus tokens, targets = the
+  // p03 pct mix, per-domain allocation capped at 4·supply (the
+  // repetition ceiling), leftover redistributed ∝ pct over uncapped
+  // domains (p10's one-round rule), re-capped. Beside the raw
+  // allocation the table reports epochs_pct (100·alloc div supply)
+  // and EFFECTIVE tokens under an epoch-halving value model (epoch e
+  // contributes supply div 2^(e−1); the partial epoch pro-rata at
+  // its depth) — all integer div arithmetic, no float in the gate.
+  // dom0's target (125% of corpus) provably exceeds its 4-epoch
+  // ceiling, so the cap and the redistribution both bind.
+  // Scale: ONE corpus pass builds the 4-row supply rollup
+  // (localCheckpoint-pinned); the allocation algebra is 4-row ×
+  // 1-row-broadcast math.
+  def p12(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      concat(lit("dom"),
+        (substring(col("source"), 4, 10).cast("int") % 4).cast("string"))
+        .as("domain"),
+      size(graft.functions.TextNorm.tokens(col("text"))).cast("long").as("n_tok"))
+    val dom = docs.groupBy("domain").agg(sum(col("n_tok")).as("supply"))
+      .localCheckpoint()
+    val tot = dom.agg(sum(col("supply")).as("tot"))
+    val pct = when(col("domain") === "dom0", 50L)
+      .when(col("domain") === "dom1", 25L)
+      .when(col("domain") === "dom2", 20L).otherwise(5L)
+    val base = dom.crossJoin(broadcast(tot))
+      .withColumn("pct", pct)
+      .withColumn("budget", expr("(tot * 250) div 100"))
+      .withColumn("target", expr("(budget * pct) div 100"))
+      .withColumn("alloc1", least(col("target"), expr("4 * supply")))
+    val l1 = base.agg(sum(col("alloc1")).as("given1"),
+      sum(when(col("alloc1") < expr("4 * supply"), col("pct"))
+        .otherwise(lit(0L))).as("pct_unc"))
+    base.crossJoin(broadcast(l1))
+      .withColumn("alloc", least(expr("4 * supply"),
+        col("alloc1") + when(
+          col("alloc1") < expr("4 * supply") && col("pct_unc") > 0,
+          expr("((budget - given1) * pct) div pct_unc")).otherwise(lit(0L))))
+      .withColumn("epochs_pct", expr("(100 * alloc) div supply"))
+      .withColumn("full_e", expr("alloc div supply"))
+      .withColumn("rem", expr("alloc % supply"))
+      .withColumn("effective", expr(
+        """(CASE WHEN full_e >= 1 THEN supply ELSE 0 END) +
+          |(CASE WHEN full_e >= 2 THEN supply div 2 ELSE 0 END) +
+          |(CASE WHEN full_e >= 3 THEN supply div 4 ELSE 0 END) +
+          |(CASE WHEN full_e >= 4 THEN supply div 8 ELSE 0 END) +
+          |rem div (CASE full_e WHEN 0 THEN 1 WHEN 1 THEN 2
+          |  WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END)""".stripMargin))
+      .select("domain", "pct", "supply", "target", "alloc",
+        "epochs_pct", "effective")
+      .orderBy("domain")
+  }
+
+  val p12Sql: String =
+    """WITH docs AS (
+      |  SELECT 'dom' || (substr(source, 4)::INT % 4) AS domain,
+      |    len(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+'))::BIGINT
+      |      AS n_tok
+      |  FROM documents),
+      |dom AS (SELECT domain, sum(n_tok)::BIGINT AS supply FROM docs GROUP BY 1),
+      |tot AS (SELECT sum(supply)::BIGINT AS tot FROM dom),
+      |base AS (
+      |  SELECT domain, supply,
+      |    CASE domain WHEN 'dom0' THEN 50 WHEN 'dom1' THEN 25
+      |      WHEN 'dom2' THEN 20 ELSE 5 END::BIGINT AS pct,
+      |    (tot.tot * 250) // 100 AS budget
+      |  FROM dom, tot),
+      |b2 AS (
+      |  SELECT *, (budget * pct) // 100 AS target,
+      |    least((budget * pct) // 100, 4 * supply) AS alloc1
+      |  FROM base),
+      |l1 AS (
+      |  SELECT sum(alloc1)::BIGINT AS given1,
+      |    sum(CASE WHEN alloc1 < 4 * supply THEN pct ELSE 0 END)::BIGINT
+      |      AS pct_unc
+      |  FROM b2),
+      |fin AS (
+      |  SELECT domain, pct, supply, target,
+      |    least(4 * supply, alloc1 + CASE
+      |      WHEN alloc1 < 4 * supply AND l1.pct_unc > 0
+      |        THEN ((budget - l1.given1) * pct) // l1.pct_unc
+      |      ELSE 0 END) AS alloc
+      |  FROM b2, l1)
+      |SELECT domain, pct, supply, target, alloc,
+      |  (100 * alloc) // supply AS epochs_pct,
+      |  (CASE WHEN alloc // supply >= 1 THEN supply ELSE 0 END) +
+      |  (CASE WHEN alloc // supply >= 2 THEN supply // 2 ELSE 0 END) +
+      |  (CASE WHEN alloc // supply >= 3 THEN supply // 4 ELSE 0 END) +
+      |  (CASE WHEN alloc // supply >= 4 THEN supply // 8 ELSE 0 END) +
+      |  (alloc % supply) // (CASE alloc // supply WHEN 0 THEN 1 WHEN 1 THEN 2
+      |    WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS effective
+      |FROM fin ORDER BY domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_epoch_allocation" -> (p12 _),
     "p11_quality_calibration" -> (p11 _),
     "p10_water_filling" -> (p10 _),
     "p09_temperature_mix" -> (p09 _),
@@ -920,6 +1020,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p12_epoch_allocation" -> p12Sql,
     "p11_quality_calibration" -> p11Sql,
     "p10_water_filling" -> p10Sql,
     "p09_temperature_mix" -> p09Sql,

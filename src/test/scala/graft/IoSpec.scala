@@ -343,6 +343,20 @@ class IoSpec extends SparkSpec {
       val expect = docs.filter(col("doc_id") % 7 =!= 0)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(morIds == expect, "position-addressed delete hit the wrong rows")
+      // shallow-clone economics on the same lake: the clone artifact is
+      // FILE-dimensional (one row per referenced data file), never
+      // row-dimensional — at toy SF byte sizes are all footer overhead,
+      // so the scale pin is the cardinality, not the bytes
+      locally { import spark.implicits._
+        spark.read.parquet(s"$dir/data").inputFiles.toSeq
+          .toDF("path").coalesce(1).write.parquet(s"$dir/clone_manifest") }
+      val nDataFiles = new java.io.File(s"$dir/data").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val manifestRows = spark.read.parquet(s"$dir/clone_manifest").count()
+      assert(manifestRows == nDataFiles.toLong,
+        s"clone manifest has $manifestRows rows for $nDataFiles data files")
+      assert(manifestRows < spark.read.parquet(s"$dir/data").count(),
+        "manifest cardinality reached row cardinality")
     } finally {
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)

@@ -2073,6 +2073,26 @@ class OpsSpec extends SparkSpec {
     assert(rerankRecall > 0.0, "vacuous: shortlist never contains a true neighbor")
   }
 
+  test("p12: epoch allocation caps at 4 epochs, conserves the budget, and decays value") {
+    val rows = ops.Pipeline.p12(spark, sf).collect()
+    assert(rows.length == 4)
+    val budget = rows.map(r => r.getAs[Long]("supply")).sum * 250 / 100
+    rows.foreach { r =>
+      val (supply, alloc, eff) = (r.getAs[Long]("supply"),
+        r.getAs[Long]("alloc"), r.getAs[Long]("effective"))
+      assert(alloc <= 4 * supply, s"${r.getAs[String]("domain")}: over the 4-epoch ceiling")
+      assert(r.getAs[Long]("epochs_pct") == 100L * alloc / supply)
+      assert(eff <= alloc, "effective tokens exceed allocated tokens")
+      assert(eff >= alloc / 8, "decay model floor broken (worst epoch is 1/8 value)")
+    }
+    // the cap must genuinely bind somewhere and the floor slack is bounded
+    assert(rows.exists(r => r.getAs[Long]("alloc") == 4 * r.getAs[Long]("supply")),
+      "vacuous: no domain hit the repetition ceiling")
+    val given = rows.map(_.getAs[Long]("alloc")).sum
+    assert(given <= budget && budget - given <= 8,
+      s"allocation $given vs budget $budget — conservation broken")
+  }
+
   test("g17: per-node coefficients match a driver-side triangle replay") {
     val rows = ops.Graph.g17(spark, sf).collect()
     assert(rows.nonEmpty)
