@@ -1408,12 +1408,16 @@ object Dedup {
   // Completeness vs brute force + candidate volume < LSH misses
   // pinned in OpsSpec.
   def d22(s: SparkSession, d: String): DataFrame = {
-    val sets = corpus(s, d)
+    // pin the shingle-hash sets ONCE: four consumers (df, prefix, both
+    // verify sides) would otherwise each re-tokenize + re-hash the
+    // corpus — the VERDICT-r5 recompute antipattern. At cluster scale
+    // this is the persisted set index an AllPairs job writes first.
+    val sets = Iterate.pin(corpus(s, d)
       .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles(col("toks")))
       .select(col("doc_id"),
-        array_distinct(transform(col("sh"), t => Hashing.hash56(t))).as("hs"))
+        array_distinct(transform(col("sh"), t => Hashing.hash56(t))).as("hs")))
     val tok = sets.select(col("doc_id"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
     val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
@@ -1422,10 +1426,19 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("df"), col("h"))))
       .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
-      .select("doc_id", "h")
-    val cands = pref.select(col("h"), col("doc_id").as("a"))
-      .join(pref.select(col("h").as("h2"), col("doc_id").as("b")),
-        col("h") === col("h2") && col("a") < col("b"))
+      .select("doc_id", "h", "n")
+    // length filter (the AllPairs second prune): J ≥ τ forces
+    // min(n_a,n_b) ≥ τ·max — 5·min ≥ 3·max in integers — so size-
+    // mismatched pairs drop inside the join condition, before the
+    // distinct and the verify ever see them. On THIS corpus it is
+    // load-bearing: the closed word vocabulary makes shingle df high,
+    // and without it the bucket join fans out ~3× wider (measured).
+    val cands = pref.select(col("h"), col("doc_id").as("a"), col("n").as("na"))
+      .join(pref.select(col("h").as("h2"), col("doc_id").as("b"),
+        col("n").as("nb")),
+        col("h") === col("h2") && col("a") < col("b") &&
+          lit(5) * least(col("na"), col("nb")) >=
+            lit(3) * greatest(col("na"), col("nb")))
       .select("a", "b").distinct()
     cands
       .join(sets.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
@@ -1449,14 +1462,15 @@ object Dedup {
        |tok AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sets),
        |df AS (SELECT h, count(*) AS df FROM tok GROUP BY 1),
        |pref AS (
-       |  SELECT doc_id, h FROM (
+       |  SELECT doc_id, h, n FROM (
        |    SELECT t.doc_id, t.h, t.n,
        |      row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.h) AS rn
        |    FROM tok t JOIN df ON t.h = df.h)
        |  WHERE rn <= n - (3 * n + 4) // 5 + 1),
        |cands AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM pref x JOIN pref y ON x.h = y.h AND x.doc_id < y.doc_id)
+       |  FROM pref x JOIN pref y ON x.h = y.h AND x.doc_id < y.doc_id
+       |    AND 5 * least(x.n, y.n) >= 3 * greatest(x.n, y.n))
        |SELECT a, b, inter, uni, jaccard FROM (
        |  SELECT a, b,
        |    len(list_intersect(sa.hs, sb.hs)) AS inter,
