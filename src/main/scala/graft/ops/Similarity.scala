@@ -1632,7 +1632,161 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // s19: HYBRID (dense + lexical) RETRIEVAL with reciprocal-rank
+  // fusion — the production search stack: a dense ANN ranking catches
+  // semantic matches, BM25 catches exact-term matches, and RRF blends
+  // them WITHOUT score calibration (ranks are comparable, scores are
+  // not — r30's insight applied across modalities). Query docs are
+  // the 5 aligned (vec_id = doc_id) probes; the lexical query is each
+  // probe doc's top-5 tf terms (data-derived, (tf DESC, term)
+  // ladder). Both rankers emit a K=50 shortlist (a ranker never ranks
+  // the catalog — the r30 rule); fusion score = Σ 10⁹ div (60+rank)
+  // in EXACT INTEGERS, absent side contributes 0; top-5 per query
+  // under (rrf DESC, doc). BM25 follows t36's discipline to the
+  // letter (6dp idf/contribution decimals, order-free sums).
+  // Scale: dense is s01's broadcast-probe × one-corpus-scan; lexical
+  // is one corpus explode inner-joined to a BROADCAST 25-term query
+  // dim; fusion is a (query,doc)-keyed outer merge of two 50-row
+  // shortlists.
+  private val HYB_K = 50
+
+  def s19(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val wD = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+    val dense = broadcast(probes)
+      .join(e.select(col("vec_id").as("doc_id"), col("v").as("t")))
+      .filter(col("query_id") =!= col("doc_id"))
+      .withColumn("cos", round(cosine(col("q"), col("t")), 4))
+      .withColumn("rd", row_number().over(wD))
+      .filter(col("rd") <= HYB_K)
+      .select("query_id", "doc_id", "rd")
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("dl"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfT = docs.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val wQ = Window.partitionBy("query_id").orderBy(col("tf").desc, col("term"))
+    val qterms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("rq", row_number().over(wQ))
+      .filter(col("rq") <= 5)
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf6",
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 6).cast("decimal(18,6)"))
+      .select(col("query_id"), col("term"), col("idf6"),
+        col("n_docs"), col("sum_dl"))
+    val wL = Window.partitionBy("query_id").orderBy(col("score6").desc, col("doc_id"))
+    val lex = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
+        first(col("idf6")).as("idf6"), first(col("n_docs")).as("n_docs"),
+        first(col("sum_dl")).as("sum_dl"))
+      .withColumn("contrib6",
+        round(col("idf6").cast("double") *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("dl").cast("double") /
+              (col("sum_dl").cast("double") / col("n_docs").cast("double"))))),
+          6).cast("decimal(18,6)"))
+      .groupBy("query_id", "doc_id").agg(sum(col("contrib6")).as("score6"))
+      .withColumn("rl", row_number().over(wL))
+      .filter(col("rl") <= HYB_K)
+      .select("query_id", "doc_id", "rl")
+    val wF = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000000 div (60 + rd)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + rl)"), lit(0L)))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("rd").as("dense_rank"), col("rl").as("lex_rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s19Sql: String = {
+    val tok = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |dense AS (
+       |  SELECT query_id, doc_id, rd FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+       |      row_number() OVER (
+       |        PARTITION BY a.vec_id
+       |        ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |                 b.vec_id) AS rd
+       |    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 5)
+       |  WHERE rd <= $HYB_K),
+       |docs AS (SELECT doc_id, $tok AS toks, len($tok) AS dl FROM documents),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM docs),
+       |dft AS (
+       |  SELECT term, count(*) AS df FROM (
+       |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM docs)
+       |  GROUP BY 1),
+       |qterms AS (
+       |  SELECT query_id, term,
+       |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+       |      AS DECIMAL(18,6)) AS idf6,
+       |    n_docs, sum_dl
+       |  FROM (
+       |    SELECT query_id, term, tf,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY tf DESC, term) AS rq
+       |    FROM (
+       |      SELECT query_id, term, count(*) AS tf FROM (
+       |        SELECT doc_id AS query_id, unnest(toks) AS term
+       |        FROM docs WHERE doc_id < 5)
+       |      GROUP BY 1, 2)) x
+       |  JOIN dft USING (term) CROSS JOIN corpus
+       |  WHERE rq <= 5),
+       |lex AS (
+       |  SELECT query_id, doc_id, rl FROM (
+       |    SELECT query_id, doc_id, score6,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score6 DESC, doc_id) AS rl
+       |    FROM (
+       |      SELECT query_id, doc_id, sum(contrib6) AS score6 FROM (
+       |        SELECT q.query_id, t.doc_id,
+       |          CAST(round(q.idf6::DOUBLE * (count(*)::DOUBLE * 2.2) /
+       |            (count(*)::DOUBLE + 1.2 * (0.25 + 0.75 * (t.dl::DOUBLE /
+       |              (q.sum_dl::DOUBLE / q.n_docs::DOUBLE)))), 6)
+       |            AS DECIMAL(18,6)) AS contrib6
+       |        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs) t
+       |        JOIN qterms q USING (term)
+       |        WHERE t.doc_id <> q.query_id
+       |        GROUP BY q.query_id, t.doc_id, q.term, t.dl, q.idf6,
+       |                 q.sum_dl, q.n_docs)
+       |      GROUP BY 1, 2))
+       |  WHERE rl <= $HYB_K)
+       |SELECT query_id, rank, doc_id, rrf, dense_rank, lex_rank FROM (
+       |  SELECT coalesce(dense.query_id, lex.query_id) AS query_id,
+       |    coalesce(dense.doc_id, lex.doc_id) AS doc_id,
+       |    coalesce(1000000000 // (60 + rd), 0)
+       |      + coalesce(1000000000 // (60 + rl), 0) AS rrf,
+       |    rd AS dense_rank, rl AS lex_rank,
+       |    row_number() OVER (
+       |      PARTITION BY coalesce(dense.query_id, lex.query_id)
+       |      ORDER BY coalesce(1000000000 // (60 + rd), 0)
+       |        + coalesce(1000000000 // (60 + rl), 0) DESC,
+       |        coalesce(dense.doc_id, lex.doc_id)) AS rank
+       |  FROM dense FULL OUTER JOIN lex
+       |    ON dense.query_id = lex.query_id AND dense.doc_id = lex.doc_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_hybrid_search" -> (s19 _),
     "s18_mrl_prefix" -> (s18 _),
     "s17_tombstone_serve" -> (s17 _),
     "s16_nprobe_sweep" -> (s16 _),
@@ -1653,6 +1807,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s19_hybrid_search" -> s19Sql,
     "s18_mrl_prefix" -> s18Sql,
     "s17_tombstone_serve" -> s17Sql,
     "s16_nprobe_sweep" -> s16Sql,

@@ -2073,6 +2073,30 @@ class OpsSpec extends SparkSpec {
     assert(rerankRecall > 0.0, "vacuous: shortlist never contains a true neighbor")
   }
 
+  test("s19: RRF fusion arithmetic replays and genuinely blends both rankers") {
+    val rows = ops.Similarity.s19(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rd = Option(r.getAs[Any]("dense_rank")).map(_.toString.toLong)
+      val rl = Option(r.getAs[Any]("lex_rank")).map(_.toString.toLong)
+      val expect = rd.map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        rl.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf") == expect,
+        s"rrf ${r.getAs[Long]("rrf")} != replay $expect for ranks $rd/$rl")
+      assert(rd.nonEmpty || rl.nonEmpty, "a fused row came from neither ranker")
+    }
+    // the fusion must genuinely blend: somewhere a doc is ranked by BOTH
+    // rankers, and somewhere a served doc came from only one side
+    assert(rows.exists(r => r.getAs[Any]("dense_rank") != null &&
+      r.getAs[Any]("lex_rank") != null), "no doc ranked by both rankers")
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val scores = sorted.map(_.getAs[Long]("rrf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q: fused order not by rrf")
+    }
+  }
+
   test("p12: epoch allocation caps at 4 epochs, conserves the budget, and decays value") {
     val rows = ops.Pipeline.p12(spark, sf).collect()
     assert(rows.length == 4)
