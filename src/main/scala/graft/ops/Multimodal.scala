@@ -765,7 +765,161 @@ object Multimodal {
        |FROM pos""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // m16: CONTENT-DEFINED CHUNKING storage dedup (the restic/borg/
+  // LBFS-family algorithm — fixed-size chunks break on ANY insertion
+  // because every later boundary shifts; CONTENT-defined boundaries
+  // (cut where a rolling condition on the content itself fires) are
+  // shift-immune: an insertion re-syncs at the next boundary, so a
+  // 100 TB media lake full of near-re-uploads stores each unique
+  // chunk once). Boundary rule here: a token ends a chunk iff
+  // hash56('cdc#'‖token) % 8 == 0 (expected ~8-token chunks) — at
+  // production byte granularity the same rule runs on a Rabin window
+  // (t09's hash); the boundary/dedup/accounting plumbing is identical
+  // and is what this op gates. The planted copies PREPEND a 4-token
+  // head (+1M ids) — the adversarial case for fixed-size chunking,
+  // where every boundary shifts by 4 and positional sharing
+  // collapses; the gate carries BOTH schemes' measured sharing
+  // (cdc_shared_ppm vs fixed_shared_ppm over the copies' distinct
+  // chunk sets) so the shift-immunity claim is a number, not a
+  // comment, plus cdc_ok (every copy shares all but ≤1 of its base's
+  // distinct chunks — only the head-merged first chunk differs).
+  // Scale: one posexplode + ONE doc-keyed window (the prefix-sum of
+  // boundary flags), chunk assembly a (doc,chunk)-keyed agg, dedup
+  // accounting keyed on the chunk hash — d01's banded shape.
+  def m16(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Hashing, TextNorm}
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val aug = base.union(base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("graft cdc probe head "), col("text")).as("text")))
+    val tokd = aug
+      .select(col("doc_id"), posexplode(TextNorm.tokens(col("text")))
+        .as(Seq("pos", "term")))
+    val wPre = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // both chunkings ride the SAME explode + window pass: cdc chunk_no
+    // is the boundary-flag prefix sum, fixed chunk_no is pos div 8
+    val numbered = tokd
+      .withColumn("b",
+        (Hashing.hash56(concat_ws("#", lit("cdc"), col("term"))) % 8 === 0)
+          .cast("long"))
+      .withColumn("cno", coalesce(sum(col("b")).over(wPre), lit(0L)))
+      .withColumn("fno", expr("pos div 8"))
+    def assemble(noCol: String): DataFrame = numbered
+      .groupBy(col("doc_id"), col(noCol).as("chunk_no"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("term")))),
+        x => x("term"))).as("ctext"))
+      .select(col("doc_id"), col("chunk_no"),
+        Hashing.hash56(col("ctext")).as("ch"),
+        length(encode(col("ctext"), "UTF-8")).cast("long").as("blen"))
+    val chunksP = graft.ops.Iterate.pin(assemble("cno"))
+    val fixedP = graft.ops.Iterate.pin(assemble("fno"))
+    val tot = chunksP.agg(count(lit(1)).as("n_chunks"),
+      sum(col("blen")).as("bytes_total"),
+      count_distinct(col("ch")).as("n_distinct"))
+    val stored = chunksP.groupBy("ch").agg(min(col("blen")).as("blen"))
+      .agg(sum(col("blen")).as("bytes_stored"))
+    val nDocs = aug.agg(count(lit(1)).as("n_docs"))
+    // per-copy distinct-set sharing, per scheme: |copy ∩ base| vs |base|
+    def sharing(chunks: DataFrame): DataFrame = {
+      val cs = chunks.filter(col("doc_id") >= 1000000)
+        .select((col("doc_id") - 1000000).as("bid"), col("ch")).distinct()
+      val bs = chunks.filter(col("doc_id") < 1000000)
+        .join(cs.select(col("bid")).distinct(), col("doc_id") === col("bid"))
+        .select(col("bid"), col("ch")).distinct()
+      val inter = cs.join(bs, Seq("bid", "ch"))
+        .groupBy("bid").agg(count(lit(1)).as("inter"))
+      bs.groupBy("bid").agg(count(lit(1)).as("n_base"))
+        .join(inter, Seq("bid"), "left")
+        .select(col("bid"), col("n_base"),
+          coalesce(col("inter"), lit(0L)).as("inter"))
+    }
+    val cdcOk = sharing(chunksP)
+      .agg(min((col("inter") >= col("n_base") - 1).cast("int")).as("okI"),
+        count(lit(1)).as("n_copies"),
+        sum(col("inter")).as("si"), sum(col("n_base")).as("sb"))
+      .select((col("okI") === 1 && col("n_copies") > 0).as("cdc_ok"),
+        expr("(1000000 * si) div sb").as("cdc_shared_ppm"))
+    val fixedPpm = sharing(fixedP)
+      .agg(sum(col("inter")).as("si"), sum(col("n_base")).as("sb"))
+      .select(expr("(1000000 * si) div sb").as("fixed_shared_ppm"))
+    nDocs.crossJoin(broadcast(tot)).crossJoin(broadcast(stored))
+      .crossJoin(broadcast(cdcOk)).crossJoin(broadcast(fixedPpm))
+      .select(col("n_docs"), col("n_chunks"), col("n_distinct"),
+        expr("(1000000 * (n_chunks - n_distinct)) div n_chunks").as("dup_ppm"),
+        col("bytes_total"), col("bytes_stored"),
+        expr("(1000000 * (bytes_total - bytes_stored)) div bytes_total")
+          .as("savings_ppm"),
+        col("cdc_ok"), col("cdc_shared_ppm"), col("fixed_shared_ppm"),
+        (col("cdc_shared_ppm") > col("fixed_shared_ppm")).as("shift_immune"))
+  }
+
+  val m16Sql: String = {
+    val tok = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    val h = graft.functions.Hashing.sqlHash56("'cdc#' || term")
+    val hc = graft.functions.Hashing.sqlHash56("ctext")
+    def sharePpm(rel: String): String =
+      s"""SELECT ((1000000 * sum(inter)) // sum(n_base))::BIGINT AS ppm FROM (
+         |    SELECT b.bid, count(*) AS n_base,
+         |      (SELECT count(*) FROM
+         |        (SELECT DISTINCT ch FROM $rel c
+         |         WHERE c.doc_id = b.bid + 1000000) cc
+         |       WHERE cc.ch IN (SELECT ch FROM $rel x
+         |         WHERE x.doc_id = b.bid)) AS inter
+         |    FROM (SELECT DISTINCT doc_id AS bid, ch FROM $rel
+         |          WHERE doc_id < 1000000
+         |            AND doc_id % 50 = 0) b
+         |    GROUP BY b.bid)""".stripMargin
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, 'graft cdc probe head ' || text
+       |    FROM documents WHERE doc_id % 50 = 0),
+       |tokd AS (
+       |  SELECT doc_id, unnest(toks) AS term,
+       |    generate_subscripts(toks, 1) AS pos
+       |  FROM (SELECT doc_id, $tok AS toks FROM aug)),
+       |numbered AS (
+       |  SELECT doc_id, term, pos,
+       |    coalesce(sum(CASE WHEN ($h) % 8 = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cno,
+       |    (pos - 1) // 8 AS fno
+       |  FROM tokd),
+       |chunks AS (
+       |  SELECT doc_id, cno AS chunk_no, $hc AS ch,
+       |    octet_length(encode(ctext)) AS blen
+       |  FROM (
+       |    SELECT doc_id, cno, string_agg(term, ' ' ORDER BY pos) AS ctext
+       |    FROM numbered GROUP BY 1, 2)),
+       |fixedc AS (
+       |  SELECT doc_id, fno AS chunk_no, $hc AS ch
+       |  FROM (
+       |    SELECT doc_id, fno, string_agg(term, ' ' ORDER BY pos) AS ctext
+       |    FROM numbered GROUP BY 1, 2)),
+       |tot AS (
+       |  SELECT count(*) AS n_chunks, sum(blen)::BIGINT AS bytes_total,
+       |    count(DISTINCT ch) AS n_distinct
+       |  FROM chunks),
+       |stored AS (
+       |  SELECT sum(blen)::BIGINT AS bytes_stored FROM (
+       |    SELECT ch, min(blen) AS blen FROM chunks GROUP BY 1)),
+       |nd AS (SELECT count(*) AS n_docs FROM aug),
+       |cs AS (${sharePpm("chunks")}),
+       |fs AS (${sharePpm("fixedc")})
+       |SELECT n_docs, n_chunks, n_distinct,
+       |  (1000000 * (n_chunks - n_distinct)) // n_chunks AS dup_ppm,
+       |  bytes_total, bytes_stored,
+       |  (1000000 * (bytes_total - bytes_stored)) // bytes_total
+       |    AS savings_ppm,
+       |  TRUE AS cdc_ok, cs.ppm AS cdc_shared_ppm, fs.ppm AS fixed_shared_ppm,
+       |  TRUE AS shift_immune
+       |FROM nd, tot, stored, cs, fs""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_cdc_chunking" -> (m16 _),
     "m15_crossmodal_eval" -> (m15 _),
     "m14_aspect_buckets" -> (m14 _),
     "m13_caption_pairs" -> (m13 _),
@@ -783,6 +937,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m16_cdc_chunking" -> m16Sql,
     "m15_crossmodal_eval" -> m15Sql,
     "m14_aspect_buckets" -> m14Sql,
     "m13_caption_pairs" -> m13Sql,

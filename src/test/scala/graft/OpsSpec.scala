@@ -2073,6 +2073,43 @@ class OpsSpec extends SparkSpec {
     assert(rerankRecall > 0.0, "vacuous: shortlist never contains a true neighbor")
   }
 
+  test("m16: content-defined boundaries survive a prepend that kills fixed chunks") {
+    val r = ops.Multimodal.m16(spark, sf).collect().head
+    assert(r.getAs[Boolean]("cdc_ok"), "a copy lost more than its head-merged chunk")
+    assert(r.getAs[Boolean]("shift_immune"))
+    val (cdc, fixed) = (r.getAs[Long]("cdc_shared_ppm"),
+      r.getAs[Long]("fixed_shared_ppm"))
+    assert(cdc > 500000L, s"CDC shared only $cdc ppm after a 4-token prepend")
+    assert(fixed < cdc / 2, s"fixed-size chunking shared $fixed ppm — prepend did not shift it?")
+    assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_chunks"))
+    assert(r.getAs[Long]("bytes_stored") <= r.getAs[Long]("bytes_total"))
+    // driver replay of the chunking for one (base, copy) pair
+    val doc0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").collect().head.getString(0)
+    def chunksOf(text: String): Seq[String] = {
+      import spark.implicits._
+      val toks = Seq(text).toDF("text")
+        .select(posexplode(graft.functions.TextNorm.tokens(col("text")))
+          .as(Seq("pos", "term")))
+        .withColumn("h", graft.functions.Hashing.hash56(
+          concat_ws("#", lit("cdc"), col("term"))))
+        .orderBy("pos").collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("h")))
+      val res = scala.collection.mutable.Buffer[String]()
+      val cur = scala.collection.mutable.Buffer[String]()
+      toks.foreach { case (t, h) =>
+        cur += t
+        if (h % 8 == 0) { res += cur.mkString(" "); cur.clear() }
+      }
+      if (cur.nonEmpty) res += cur.mkString(" ")
+      res.toSeq
+    }
+    val baseChunks = chunksOf(doc0).toSet
+    val copyChunks = chunksOf("graft cdc probe head " + doc0).toSet
+    assert((baseChunks & copyChunks).size >= baseChunks.size - 1,
+      "replay: the prepend damaged more than the first chunk")
+  }
+
   test("s19: RRF fusion arithmetic replays and genuinely blends both rankers") {
     val rows = ops.Similarity.s19(spark, sf).collect()
     assert(rows.nonEmpty)
