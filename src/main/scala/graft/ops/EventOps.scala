@@ -1750,7 +1750,76 @@ object EventOps {
       |  CAST(3 AS BIGINT) AS n_batches
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // e36: INCREMENTAL BATCH over a stream — Trigger.AvailableNow (the
+  // scheduled-job unification: a nightly job wants streaming's
+  // exactly-once bookkeeping WITHOUT a 24/7 cluster, so it starts,
+  // drains exactly what has arrived since the last run through the
+  // SAME checkpoint, and terminates). Two separate query invocations
+  // share one checkpoint: run 1 lands waves 0+1 and drains them; new
+  // waves 2+3 land while nothing runs; run 2 drains ONLY the delta.
+  // The parquet sink + checkpoint give exactly-once across the
+  // invocations — a re-read of wave 0 by run 2 would double its rows
+  // and hash-fail. n_after_run1 (the store row count BETWEEN runs) is
+  // data-derived and oracle-pinned as exactly waves 0+1
+  // (event_id % 4 < 2): a run-1 that under- or over-drains flips it.
+  // Scale: the catch-up is bounded by arrivals since the last run,
+  // not stream history; state/bookkeeping live in the checkpoint dir
+  // exactly as the 24/7 variant's would.
+  def e36(s: SparkSession, d: String): DataFrame = {
+    val dirP = java.nio.file.Files.createTempDirectory("graft_e36_")
+    val (landing, store, ckpt) = (dirP.resolve("landing").toString,
+      dirP.resolve("store").toString, dirP.resolve("ckpt").toString)
+    java.nio.file.Files.createDirectories(dirP.resolve("landing"))
+    try {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          col("value"), (col("event_id") % 4).as("wave"))
+      def land(w: Long): Unit =
+        ev.filter(col("wave") === w).drop("wave")
+          .coalesce(1).write.parquet(s"$landing/w$w")
+      def drain(): Unit = withStreamPartitions(s, 8) {
+        val q = s.readStream
+          .schema("event_id LONG, event_type STRING, value DOUBLE")
+          .option("pathGlobFilter", "*.parquet")
+          .option("recursiveFileLookup", "true")
+          .parquet(landing)
+          .writeStream
+          .format("parquet")
+          .option("path", store)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      land(0); land(1)
+      drain() // run 1: waves 0+1
+      val afterRun1 = s.read.parquet(store).count()
+      land(2); land(3)
+      drain() // run 2: the delta only — same checkpoint
+      s.read.parquet(store)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(12,2)")), 2).cast("double")
+            .as("sum_value"))
+        .withColumn("n_after_run1", lit(afterRun1))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  val e36Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+      |    AS sum_value,
+      |  (SELECT count(*) FROM events WHERE event_id % 4 < 2) AS n_after_run1
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e36_available_now" -> (e36 _),
     "e35_replay_merge" -> (e35 _),
     "e34_session_paths" -> (e34 _),
     "e33_dwell_time" -> (e33 _),
@@ -1787,6 +1856,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e36_available_now" -> e36Sql,
     "e35_replay_merge" -> e35Sql,
     "e34_session_paths" -> e34Sql,
     "e33_dwell_time" -> e33Sql,

@@ -188,4 +188,18 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Long]("n_batches") == 3L)
     }
   }
+
+  test("e36: a second AvailableNow run drains only the delta, a third drains nothing") {
+    val rows = ops.EventOps.e36(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    val firstHalf = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_id") % 4 < 2).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "two catch-up runs did not reconstruct the full stream")
+    assert(rows.head.getAs[Long]("n_after_run1") == firstHalf,
+      "run 1 drained more or less than the two landed waves")
+    assert(firstHalf > 0 && firstHalf < total,
+      "vacuous: the wave split gave one run everything")
+  }
 }
