@@ -2915,7 +2915,96 @@ object Recommend {
        |  (1000000 * hit5) // n_scored AS hit5_ppm
        |FROM e, sc, h""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r44: RFM SEGMENTATION (recency/frequency/monetary — the classic
+  // customer-value feature table that feeds churn models, campaign
+  // targeting and the cold-start priors r22/r24 lean on): per
+  // customer, recency = integer days since their last order (ref =
+  // corpus max date, data-derived), frequency = order count, monetary
+  // = exact DECIMAL(12,2) spend; each dimension quintiled by ntile(5)
+  // under a fully-pinned total order (value, then custkey — ntile is
+  // deterministic only under a total order) with 5 = best; segments
+  // by the standard (R,F) rule grid. The gate is the SEGMENT ROLLUP
+  // (counts, exact decimal spend, integer mean recency) plus a
+  // per-segment id-set checksum — ONE mis-scored customer moves a
+  // checksum and hash-fails, so the whole assignment is pinned
+  // without emitting a customer-dim table.
+  // Scale: one custkey-keyed agg over orders; the three ntile windows
+  // are customer-dim (at 100 TB: range-partitioned percentile cuts
+  // instead of a global ntile sort — same assignments, q24's rule).
+  def r44(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("cust"),
+        col("o_orderdate").cast("timestamp").as("od"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val ref = o.agg(max(col("od")).as("refd"))
+    val rfm = o.groupBy("cust")
+      .agg(max(col("od")).as("lastd"), count(lit(1)).as("frequency"),
+        sum(col("price")).cast("decimal(18,2)").as("monetary"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        expr("(unix_micros(refd) - unix_micros(lastd)) div 86400000000"))
+    val rT = ntile(5).over(Window.orderBy(col("recency_days"), col("cust")))
+    val fT = ntile(5).over(Window.orderBy(col("frequency").desc, col("cust")))
+    val mT = ntile(5).over(Window.orderBy(col("monetary").desc, col("cust")))
+    val scored = rfm
+      .withColumn("r_score", lit(6) - rT)
+      .withColumn("f_score", lit(6) - fT)
+      .withColumn("m_score", lit(6) - mT)
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champions")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular"))
+    scored.groupBy("segment")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary")).cast("decimal(18,2)").as("monetary_sum"),
+        expr("sum(recency_days) div count(1)").as("avg_recency_days"),
+        sum(Hashing.hash56(concat_ws("#", lit("rfm"), col("cust")))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
+          .as("ids_checksum"))
+      .orderBy("segment")
+  }
+
+  val r44Sql: String = {
+    val h = Hashing.sqlHash56("'rfm#' || cust")
+    s"""WITH o AS (
+       |  SELECT o_custkey AS cust, o_orderdate AS od,
+       |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+       |  FROM orders),
+       |ref AS (SELECT max(od) AS refd FROM o),
+       |rfm AS (
+       |  SELECT cust, max(od) AS lastd, count(*) AS frequency,
+       |    CAST(sum(price) AS DECIMAL(18,2)) AS monetary,
+       |    (epoch_us(ref.refd) - epoch_us(max(od))) // 86400000000
+       |      AS recency_days
+       |  FROM o, ref GROUP BY cust, ref.refd),
+       |scored AS (
+       |  SELECT cust, recency_days, frequency, monetary,
+       |    6 - ntile(5) OVER (ORDER BY recency_days, cust) AS r_score,
+       |    6 - ntile(5) OVER (ORDER BY frequency DESC, cust) AS f_score,
+       |    6 - ntile(5) OVER (ORDER BY monetary DESC, cust) AS m_score
+       |  FROM rfm),
+       |seg AS (
+       |  SELECT *,
+       |    CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+       |         WHEN f_score >= 4 THEN 'loyal'
+       |         WHEN r_score >= 4 THEN 'recent'
+       |         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+       |         WHEN r_score <= 2 THEN 'hibernating'
+       |         ELSE 'regular' END AS segment
+       |  FROM scored)
+       |SELECT segment, count(*) AS n_users,
+       |  CAST(sum(monetary) AS DECIMAL(18,2)) AS monetary_sum,
+       |  (sum(recency_days) // count(*))::BIGINT AS avg_recency_days,
+       |  sum(($h)::DECIMAL(38,0))::DECIMAL(38,0)::VARCHAR AS ids_checksum
+       |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r44_rfm_features" -> (r44 _),
     "r43_seq_eval" -> (r43 _),
     "r42_neg_sampling" -> (r42 _),
     "r41_sppmi" -> (r41 _),
@@ -2961,6 +3050,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r44_rfm_features" -> r44Sql,
     "r43_seq_eval" -> r43Sql,
     "r42_neg_sampling" -> r42Sql,
     "r41_sppmi" -> r41Sql,

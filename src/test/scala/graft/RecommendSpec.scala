@@ -588,4 +588,23 @@ class RecommendSpec extends SparkSpec {
     assert(sparkTop == scores.map(_._1).toList,
       s"customer $cust: top-5 ${sparkTop} vs driver replay ${scores.map(_._1)}")
   }
+
+  test("r44: RFM segments conserve customers and order by behavior") {
+    val rows = ops.Recommend.r44(spark, sf).collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.values.map(_.getAs[Long]("n_users")).sum == nCust,
+      "segmentation lost or duplicated customers")
+    // behavioral sanity: champions are more recent than hibernating,
+    // and spend more per head than the corpus average
+    val champs = rows("champions"); val hib = rows("hibernating")
+    assert(champs.getAs[Long]("avg_recency_days") <
+      hib.getAs[Long]("avg_recency_days"))
+    val champMean = BigDecimal(champs.getAs[java.math.BigDecimal]("monetary_sum")) /
+      champs.getAs[Long]("n_users")
+    val globalMean = rows.values.map(r =>
+      BigDecimal(r.getAs[java.math.BigDecimal]("monetary_sum"))).sum / nCust
+    assert(champMean > globalMean,
+      s"champions per-head spend $champMean not above corpus mean $globalMean")
+  }
 }
