@@ -1818,7 +1818,132 @@ object EventOps {
       |  (SELECT count(*) FROM events WHERE event_id % 4 < 2) AS n_after_run1
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // e37: MULTI-SOURCE WATERMARK (the min-across-sources rule — a real
+  // pipeline unions feeds that advance at different speeds; if the
+  // global watermark followed the FASTEST source, every slower feed's
+  // rows would arrive "late" and silently drop. Spark's default
+  // multipleWatermarkPolicy=min is the correctness choice and this op
+  // gates it): source A (even users) lands everything and a +10-day
+  // sentinel IMMEDIATELY — its branch watermark leaps past the whole
+  // corpus; source B (odd users) lands its early hours, THEN its late
+  // hours, then its sentinels. Under min-policy B's second file is
+  // on-time (the global watermark waited for B); under a max policy A's
+  // sentinel would have closed every window first and B's file would
+  // drop — half the odd-user counts vanish and the hash fails. The
+  // oracle is the plain batch rollup over ALL events: the gate passes
+  // ONLY if nothing dropped.
+  // Scale: two file sources, one union, one watermarked keyed window
+  // agg — state bounded by open windows, exactly the 24/7 shape.
+  def e37(s: SparkSession, d: String): DataFrame = e37Flow(s, d, "min")
+
+  /** The e37 topology with the watermark policy explicit — the spec
+    * reruns it under "max" and pins that rows GENUINELY drop (the
+    * divergence that makes the min gate non-vacuous). */
+  private[graft] def e37Flow(s: SparkSession, d: String,
+      policy: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "user_id")
+    val dirP = Files.createTempDirectory("graft_e37_")
+    val (dirA, dirB) = (dirP.resolve("srcA"), dirP.resolve("srcB"))
+    Files.createDirectories(dirA); Files.createDirectories(dirB)
+    val sink = "graft_e37_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      def sentinel(plusDays: Long): DataFrame = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(0L,
+          java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(plusDays * 86400)),
+          "sentinel", -1L)),
+        schema)
+      def land(df: DataFrame, dir: java.nio.file.Path, name: String,
+          mtimeMs: Long): Unit = {
+        val tmp = dirP.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        val dest = dir.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      val a = ev.filter(col("user_id") % 2 === 0)
+      val b = ev.filter(col("user_id") % 2 === 1)
+      // chronological midpoint — B's arrival genuinely trails in event
+      // time, the situation the min policy exists for
+      val Seq(minUs, maxUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+      val midUs = (minUs + maxUs) / 2
+      val bEarly = b.filter(unix_micros(col("ts")) < midUs)
+      val bMaxTs = bEarly.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val bNudge = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(0L, bMaxTs, "sentinel", -1L)),
+        schema)
+      // A races ahead: corpus + far-future sentinels, first in line
+      land(a, dirA, "a0", t0 - 100000)
+      land(sentinel(10), dirA, "a1", t0 - 90000)
+      land(sentinel(11), dirA, "a2", t0 - 80000)
+      // B trails: first half of the timeline, a no-advance nudge (so
+      // A's sentinel watermark is definitely in force when B's second
+      // half arrives — the e16 two-batches-back rule), the second
+      // half, then B's own flush sentinels
+      land(bEarly, dirB, "b0", t0 - 100000)
+      land(bNudge, dirB, "b1", t0 - 90000)
+      land(b.filter(unix_micros(col("ts")) >= midUs), dirB, "b2", t0 - 80000)
+      land(sentinel(10), dirB, "b3", t0 - 70000)
+      land(sentinel(11), dirB, "b4", t0 - 60000)
+      def src(dir: java.nio.file.Path): DataFrame = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withWatermark("ts", "2 hours")
+      val agg = src(dirA).union(src(dirB))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val prevPolicy = s.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
+      s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+      try withStreamPartitions(s, 8) {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally prevPolicy match {
+        case Some(v) => s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", v)
+        case None => s.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+      }
+      s.table(sink)
+        .filter(col("event_type") =!= "sentinel")
+        .select(unix_micros(col("window.start")).as("hour_us"),
+          col("event_type"), col("n"))
+        .orderBy("hour_us", "event_type")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  val e37Sql: String =
+    """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us,
+      |  event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e37_multisource_watermark" -> (e37 _),
     "e36_available_now" -> (e36 _),
     "e35_replay_merge" -> (e35 _),
     "e34_session_paths" -> (e34 _),
@@ -1856,6 +1981,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e37_multisource_watermark" -> e37Sql,
     "e36_available_now" -> e36Sql,
     "e35_replay_merge" -> e35Sql,
     "e34_session_paths" -> e34Sql,

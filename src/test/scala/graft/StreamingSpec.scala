@@ -202,4 +202,15 @@ class StreamingSpec extends SparkSpec {
     assert(firstHalf > 0 && firstHalf < total,
       "vacuous: the wave split gave one run everything")
   }
+
+  test("e37: min-policy loses nothing; the max policy genuinely drops the slow feed") {
+    val minRows = ops.EventOps.e37Flow(spark, sf, "min").collect()
+      .map(_.getAs[Long]("n")).sum
+    val batch = Tables.events(spark, sf).count()
+    assert(minRows == batch, s"min policy lost rows: $minRows vs $batch")
+    val maxRows = ops.EventOps.e37Flow(spark, sf, "max").collect()
+      .map(_.getAs[Long]("n")).sum
+    assert(maxRows < minRows,
+      s"max policy dropped nothing ($maxRows) — the min gate is vacuous")
+  }
 }
