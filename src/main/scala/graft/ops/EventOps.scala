@@ -1942,7 +1942,146 @@ object EventOps {
       |  event_type, count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // e38: TIMER-DRIVEN SESSION EMISSION — flatMapGroupsWithState with
+  // EventTimeTimeout, the production stateful primitive the e-series
+  // hasn't gated yet: e07's NoTimeout variant emits running summaries
+  // per batch, but a real sessionizer must emit a session exactly once,
+  // WHEN IT CLOSES — either because a later event opened the next
+  // session (data-driven close) or because the watermark proved no
+  // more events can arrive (TIMER close — the only way the last
+  // session per user ever emits on an unbounded stream). State per
+  // user is one open session (start, last, count); every update arms
+  // a timeout at last + gap, and the timeout callback emits + clears.
+  // The corpus lands as two chronological halves (sessions spanning
+  // the file boundary must continue across batches — a state reset
+  // between files would split them and hash-fail) plus two sentinel
+  // batches that walk the watermark past every timer. The gate is the
+  // full closed-session table (user, start, end, n) against e02's
+  // gap-session oracle — byte-exact session boundaries, every session
+  // emitted exactly once.
+  // Scale: state is O(users), partitioned by the group key; timers
+  // ride the state store — no scan of history at close time.
+  def e38(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id")
+    val dirP = Files.createTempDirectory("graft_e38_")
+    val streamDir = dirP.resolve("stream")
+    Files.createDirectories(streamDir)
+    val sink = "graft_e38_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val Seq(minUs, maxUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+      val midUs = (minUs + maxUs) / 2
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      def sentinel(plusDays: Long): DataFrame = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(0L,
+          new java.sql.Timestamp(maxUs / 1000 + plusDays * 86400000L), -1L)),
+        schema)
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = dirP.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        val dest = streamDir.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(ev.filter(unix_micros(col("ts")) < midUs), "b0", t0 - 100000)
+      land(ev.filter(unix_micros(col("ts")) >= midUs), "b1", t0 - 90000)
+      land(sentinel(10), "b2", t0 - 80000)
+      land(sentinel(11), "b3", t0 - 70000)
+      // ts stays in the tuple: the watermark attribute must survive
+      // projection all the way into the stateful operator
+      val stream = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long, Long)]
+      val GAP = 1800L * 1000000L
+      val sessions = stream.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (user, it,
+           state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+            if (!it.hasNext && state.hasTimedOut) {
+              // the timer close: the watermark proved the session over
+              val (start, last, n) = state.get
+              state.remove()
+              Iterator.single((user, start, last, n))
+            } else {
+              val evs = it.toSeq.map(e => (e._3, e._4)).sortBy(identity)
+              var out = List.empty[(Long, Long, Long, Long)]
+              var (start, last, n) =
+                state.getOption.getOrElse((-1L, -1L, 0L))
+              evs.foreach { case (us, _) =>
+                if (start < 0) { start = us; last = us; n = 1L }
+                else if (us - last > GAP) {
+                  out ::= ((user, start, last, n))
+                  start = us; last = us; n = 1L
+                } else { last = us; n += 1L }
+              }
+              state.update((start, last, n))
+              state.setTimeoutTimestamp(last / 1000 + 1800000 + 1)
+              out.reverseIterator
+            }
+        }
+      withStreamPartitions(s, 8) {
+        val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "start_us")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  val e38Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR lag(epoch_us(ts), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM tagged)
+      |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e38_session_timers" -> (e38 _),
     "e37_multisource_watermark" -> (e37 _),
     "e36_available_now" -> (e36 _),
     "e35_replay_merge" -> (e35 _),
@@ -1981,6 +2120,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e38_session_timers" -> e38Sql,
     "e37_multisource_watermark" -> e37Sql,
     "e36_available_now" -> e36Sql,
     "e35_replay_merge" -> e35Sql,
