@@ -1289,7 +1289,75 @@ object Graph {
       |WHERE dg >= 2
       |ORDER BY deg DESC, node LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // g18: DIAMETER LOWER BOUND by DOUBLE SWEEP (Magnien–Latapy–Habib —
+  // the two-BFS heuristic that brackets a graph's diameter without
+  // the all-pairs computation no 100 TB graph can afford: BFS from a
+  // well-connected seed, then BFS again from the FARTHEST node found;
+  // the second eccentricity is a certified lower bound, and on
+  // real-world graphs usually the diameter itself): seed = the
+  // highest-degree node under the (deg DESC, node) ladder
+  // (data-derived), both sweeps capped at 6 rounds (the trade graph's
+  // reach — ring counts vanish before the cap), everything in-plan —
+  // the far node feeds sweep 2 as a 1-row broadcast, never a driver
+  // scalar. g03's frontier shape: per round one edge-keyed shuffle +
+  // one min-agg, state |V|, lineage pinned.
+  private val DS_ROUNDS = 6
+
+  def g18(s: SparkSession, d: String): DataFrame = {
+    val e = Iterate.pin(edges(s, d))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(col("deg").desc, col("node")).limit(1)
+      .select(col("node"))
+    def sweep(from: DataFrame): DataFrame = {
+      var dist = Iterate.pin(from.select(col("node"), lit(0).as("dist")))
+      for (_ <- 1 to DS_ROUNDS) {
+        dist = dist
+          .union(dist.join(e, dist("node") === e("src"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+          .groupBy("node").agg(min("dist").as("dist"))
+        dist = Iterate.pin(dist)
+      }
+      dist
+    }
+    val d1 = sweep(seed)
+    val far = d1.orderBy(col("dist").desc, col("node")).limit(1)
+      .select(col("node"))
+    val d2 = sweep(far)
+    seed.select(col("node").as("seed"))
+      .crossJoin(broadcast(d1.agg(max(col("dist")).as("ecc_seed"),
+        count(lit(1)).as("n_reached_seed"))))
+      .crossJoin(broadcast(far.select(col("node").as("far_node"))))
+      .crossJoin(broadcast(d2.agg(max(col("dist")).as("diameter_lb"),
+        count(lit(1)).as("n_reached_far"))))
+  }
+
+  val g18Sql: String =
+    s"""WITH RECURSIVE $sqlEdges,
+       |dgr AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |seed AS (SELECT node FROM dgr ORDER BY deg DESC, node LIMIT 1),
+       |r1(node, dist) AS (
+       |  SELECT node, 0 FROM seed
+       |  UNION
+       |  SELECT e.dst, r1.dist + 1 FROM r1 JOIN edges e ON r1.node = e.src
+       |  WHERE r1.dist < $DS_ROUNDS),
+       |d1 AS (SELECT node, min(dist) AS dist FROM r1 GROUP BY 1),
+       |far AS (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1),
+       |r2(node, dist) AS (
+       |  SELECT node, 0 FROM far
+       |  UNION
+       |  SELECT e.dst, r2.dist + 1 FROM r2 JOIN edges e ON r2.node = e.src
+       |  WHERE r2.dist < $DS_ROUNDS),
+       |d2 AS (SELECT node, min(dist) AS dist FROM r2 GROUP BY 1)
+       |SELECT (SELECT node FROM seed) AS seed,
+       |  (SELECT max(dist) FROM d1) AS ecc_seed,
+       |  (SELECT count(*) FROM d1) AS n_reached_seed,
+       |  (SELECT node FROM far) AS far_node,
+       |  (SELECT max(dist) FROM d2) AS diameter_lb,
+       |  (SELECT count(*) FROM d2) AS n_reached_far""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g18_diameter" -> (g18 _),
     "g17_clustering" -> (g17 _),
     "g16_ppr" -> (g16 _),
     "g15_neighbor_sample" -> (g15 _),
@@ -1309,6 +1377,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g18_diameter" -> g18Sql,
     "g17_clustering" -> g17Sql,
     "g16_ppr" -> g16Sql,
     "g15_neighbor_sample" -> g15Sql,

@@ -3003,7 +3003,79 @@ object Recommend {
        |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // r45: COMPLEMENT vs SUBSTITUTE classification (the econometric
+  // signal behind "frequently bought together" vs "people also
+  // considered" — r03/r04 score ASSOCIATION strength but cannot tell
+  // a phone+case (bought together, same basket) from Coke+Pepsi
+  // (bought by the same people, never together); serving must not
+  // recommend a substitute in the cart page): for every item pair
+  // bought by ≥5 common customers, same_ratio_ppm = 10⁶ ·
+  // (customers with both in ONE basket) div (customers with both
+  // ever) — exact integers, one IEEE-free division; labels:
+  // substitute (never co-basketed, ppm = 0), complement
+  // (ppm ≥ 200000), mixed. Top-30 under (n_both DESC, i, j).
+  // Scale: customer-item and basket-pair sets are r03's one-shuffle
+  // shapes; both aggs key on the pair; the cross-basket self-join is
+  // customer-keyed and bounded by per-customer catalog touch, not
+  // order count.
+  def r45(s: SparkSession, d: String): DataFrame = {
+    val oi = Ratings.orderItems(s, d)
+    val oc = oi.join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("cust")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ord"), col("cust"),
+        col("l_partkey").as("item"))
+    val cb = oc.select("cust", "item").distinct()
+    val bothP = cb.as("a").join(cb.as("b"),
+        col("a.cust") === col("b.cust") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).as("n_both"))
+    val sameP = oc.as("a").join(oc.as("b"),
+        col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+      .select(col("a.cust").as("cust"), col("a.item").as("i"),
+        col("b.item").as("j")).distinct()
+      .groupBy("i", "j").agg(count(lit(1)).as("n_same"))
+    bothP.join(sameP, Seq("i", "j"), "left")
+      .withColumn("n_same", coalesce(col("n_same"), lit(0L)))
+      .filter(col("n_both") >= 5)
+      .withColumn("same_ppm", expr("(1000000 * n_same) div n_both"))
+      .withColumn("label",
+        when(col("same_ppm") === 0, "substitute")
+          .when(col("same_ppm") >= 200000, "complement")
+          .otherwise("mixed"))
+      .select("i", "j", "n_both", "n_same", "same_ppm", "label")
+      .orderBy(col("n_both").desc, col("i"), col("j"))
+      .limit(30)
+  }
+
+  val r45Sql: String =
+    s"""WITH oi AS (${Ratings.sqlOrderItems}),
+       |oc AS (
+       |  SELECT oi.l_orderkey AS ord, o_custkey AS cust, l_partkey AS item
+       |  FROM oi JOIN orders ON l_orderkey = o_orderkey),
+       |cb AS (SELECT DISTINCT cust, item FROM oc),
+       |both_p AS (
+       |  SELECT a.item AS i, b.item AS j, count(*) AS n_both
+       |  FROM cb a JOIN cb b ON a.cust = b.cust AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |same_p AS (
+       |  SELECT i, j, count(*) AS n_same FROM (
+       |    SELECT DISTINCT a.cust, a.item AS i, b.item AS j
+       |    FROM oc a JOIN oc b ON a.ord = b.ord AND a.item < b.item)
+       |  GROUP BY 1, 2)
+       |SELECT i, j, n_both, coalesce(n_same, 0) AS n_same,
+       |  (1000000 * coalesce(n_same, 0)) // n_both AS same_ppm,
+       |  CASE WHEN coalesce(n_same, 0) = 0 THEN 'substitute'
+       |       WHEN (1000000 * coalesce(n_same, 0)) // n_both >= 200000
+       |         THEN 'complement'
+       |       ELSE 'mixed' END AS label
+       |FROM both_p LEFT JOIN same_p USING (i, j)
+       |WHERE n_both >= 5
+       |ORDER BY n_both DESC, i, j LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r45_complements" -> (r45 _),
     "r44_rfm_features" -> (r44 _),
     "r43_seq_eval" -> (r43 _),
     "r42_neg_sampling" -> (r42 _),
@@ -3050,6 +3122,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r45_complements" -> r45Sql,
     "r44_rfm_features" -> r44Sql,
     "r43_seq_eval" -> r43Sql,
     "r42_neg_sampling" -> r42Sql,

@@ -2110,6 +2110,15 @@ class OpsSpec extends SparkSpec {
       "replay: the prepend damaged more than the first chunk")
   }
 
+  test("g18: the second sweep certifies at least the first sweep's eccentricity") {
+    val r = ops.Graph.g18(spark, sf).collect().head
+    assert(r.getAs[Int]("diameter_lb") >= r.getAs[Int]("ecc_seed"),
+      "sweeping from the farthest node cannot shrink the eccentricity")
+    assert(r.getAs[Long]("n_reached_seed") == r.getAs[Long]("n_reached_far"),
+      "the two sweeps disagree on the component size")
+    assert(r.getAs[Int]("ecc_seed") >= 1 && r.getAs[Long]("n_reached_seed") > 1)
+  }
+
   test("s19: RRF fusion arithmetic replays and genuinely blends both rankers") {
     val rows = ops.Similarity.s19(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -607,4 +607,21 @@ class RecommendSpec extends SparkSpec {
     assert(champMean > globalMean,
       s"champions per-head spend $champMean not above corpus mean $globalMean")
   }
+
+  test("r45: ratio arithmetic replays and both behavioral classes appear") {
+    val rows = ops.Recommend.r45(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, ns) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_same"))
+      assert(ns <= nb, "same-basket customers exceed both-ever customers")
+      assert(r.getAs[Long]("same_ppm") == 1000000L * ns / nb)
+      val lbl = r.getAs[String]("label")
+      assert(if (ns == 0) lbl == "substitute"
+        else if (1000000L * ns / nb >= 200000L) lbl == "complement"
+        else lbl == "mixed")
+    }
+    val labels = rows.map(_.getAs[String]("label")).toSet
+    assert(labels.contains("substitute") && (labels - "substitute").nonEmpty,
+      s"only $labels present — the classification is vacuous on this corpus")
+  }
 }
