@@ -2080,7 +2080,105 @@ object EventOps {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  // e39: CHAINED STREAMING WINDOW AGGREGATIONS (multiple stateful
+  // operators in ONE query — the Spark-4 capability that collapses
+  // the classic two-job rollup cascade): hourly per-type counts feed
+  // a SECOND stateful aggregation re-windowing `window` to 1 day —
+  // hourly closes under the 2 h watermark, its emissions flow
+  // straight into the daily state, daily closes when the watermark
+  // passes the day. Before multi-stateful support this was two
+  // queries glued by a sink+re-source (a full persistence round-trip
+  // per tier at 100 TB); here the intermediate tier never touches
+  // storage — the cube cascade (day←hour) as one standing query.
+  // Append mode is mandatory for chaining, so the e21 sentinel
+  // pattern closes the tail: two far-future batches push the
+  // watermark past every real day, then filter the sentinel's own
+  // cells out. Gate: per (day,type) totals, contributing-hour counts
+  // and the peak hour's count vs the batch cascade in DuckDB — if
+  // the inner tier dropped/duplicated any hourly cell, n_hours and
+  // peak_hour hash-fail. Scale: state is O(open windows), both tiers
+  // keyed by (window,type); the 2nd tier's input is pre-aggregated
+  // hourly cells — tiny regardless of event volume.
+  def e39(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val ev = Tables.events(s, d).select(col("ts"), col("event_type"))
+    val dirP = Files.createTempDirectory("graft_e39_")
+    val streamDir = dirP.resolve("stream")
+    Files.createDirectories(streamDir)
+    val sink = "graft_e39_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      def sentinel(plusDays: Long): DataFrame = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(plusDays * 86400)),
+          "zzz_sentinel")),
+        schema)
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = dirP.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        val dest = streamDir.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(ev.filter(hour(col("ts")) % 2 === 0), "b0", t0 - 80000)
+      land(ev.filter(hour(col("ts")) % 2 === 1), "b1", t0 - 60000)
+      land(sentinel(10), "b2", t0 - 40000)
+      land(sentinel(11), "b3", t0 - 20000)
+      val hourly = s.readStream
+        .schema("ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_h"))
+      val daily = hourly
+        .groupBy(window(col("window"), "1 day").as("day_w"), col("event_type"))
+        .agg(sum(col("n_h")).as("n_events"),
+          count(lit(1)).as("n_hours"), max(col("n_h")).as("peak_hour"))
+      withStreamPartitions(s, 8) {
+        val q = daily.writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .filter(col("event_type") =!= "zzz_sentinel")
+        .select(unix_micros(col("day_w.start")).as("day_us"), col("event_type"),
+          col("n_events"), col("n_hours"), col("peak_hour"))
+        .orderBy("day_us", "event_type")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  val e39Sql: String =
+    """WITH hourly AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS hr, event_type,
+      |    count(*) AS n_h
+      |  FROM events GROUP BY 1, 2)
+      |SELECT epoch_us(time_bucket(INTERVAL '1 day', hr)) AS day_us, event_type,
+      |  CAST(sum(n_h) AS BIGINT) AS n_events, count(*) AS n_hours,
+      |  CAST(max(n_h) AS BIGINT) AS peak_hour
+      |FROM hourly GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e39_chained_windows" -> (e39 _),
     "e38_session_timers" -> (e38 _),
     "e37_multisource_watermark" -> (e37 _),
     "e36_available_now" -> (e36 _),
@@ -2120,6 +2218,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e39_chained_windows" -> e39Sql,
     "e38_session_timers" -> e38Sql,
     "e37_multisource_watermark" -> e37Sql,
     "e36_available_now" -> e36Sql,

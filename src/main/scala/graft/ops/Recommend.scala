@@ -3074,7 +3074,58 @@ object Recommend {
        |WHERE n_both >= 5
        |ORDER BY n_both DESC, i, j LIMIT 30""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r46: WILSON LOWER-BOUND popularity ranking — the small-sample
+  // correction every "best rated" list needs (Agresti–Coull/Wilson;
+  // the classic "how not to sort by average rating"): a 3/3-positive
+  // item must NOT outrank a 48/50 one, so items are ordered by the
+  // 95% Wilson score interval's LOWER bound on the positive-
+  // interaction proportion, not by p̂. Positive = rating ≥ 26 (the
+  // quantity scale is uniform 1..50, so ≈ the upper half). Engine
+  // parity: n/pos are exact integer aggregates; p̂ and the bound are
+  // ONE fixed-shape IEEE chain per item (z and z² appear as the same
+  // decimal literals 1.96/3.8416 in both engines — computing z·z
+  // would round differently than the literal), rounded 6dp; ties
+  // break on item_id. The p̂-vs-bound rank inversion (the op's whole
+  // point) is pinned non-vacuously in RecommendSpec. Scale: one
+  // map-side-partial groupBy on the ratings matrix, top-20 heap —
+  // nothing global but the bounded final sort.
+  def r46(s: SparkSession, d: String): DataFrame = {
+    val nD = col("n_users").cast("double")
+    val ph = col("n_pos").cast("double") / nD
+    val num = ph + lit(3.8416) / (lit(2.0) * nD) -
+      lit(1.96) * sqrt((ph * (lit(1.0) - ph) + lit(3.8416) / (lit(4.0) * nD)) / nD)
+    val den = lit(1.0) + lit(3.8416) / nD
+    Ratings.implicitRatings(s, d)
+      .groupBy("item_id")
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("rating") >= 26.0, lit(1))).as("n_pos"))
+      .filter(col("n_users") >= 5)
+      .withColumn("phat", round(ph, 6))
+      .withColumn("wilson_lb", round(num / den, 6))
+      .orderBy(col("wilson_lb").desc, col("item_id"))
+      .limit(20)
+  }
+
+  val r46Sql: String = {
+    val nD = "CAST(n_users AS DOUBLE)"
+    val ph = s"(CAST(n_pos AS DOUBLE) / $nD)"
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |stats AS (
+       |  SELECT item_id, count(*) AS n_users,
+       |    count(CASE WHEN rating >= 26.0 THEN 1 END) AS n_pos
+       |  FROM ratings GROUP BY 1 HAVING count(*) >= 5)
+       |SELECT item_id, n_users, n_pos,
+       |  round($ph, 6) AS phat,
+       |  round(($ph + 3.8416 / (2.0 * $nD) -
+       |     1.96 * sqrt(($ph * (1.0 - $ph) + 3.8416 / (4.0 * $nD)) / $nD)) /
+       |    (1.0 + 3.8416 / $nD), 6) AS wilson_lb
+       |FROM stats
+       |ORDER BY wilson_lb DESC, item_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r46_wilson_ci" -> (r46 _),
     "r45_complements" -> (r45 _),
     "r44_rfm_features" -> (r44 _),
     "r43_seq_eval" -> (r43 _),
@@ -3122,6 +3173,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r46_wilson_ci" -> r46Sql,
     "r45_complements" -> r45Sql,
     "r44_rfm_features" -> r44Sql,
     "r43_seq_eval" -> r43Sql,

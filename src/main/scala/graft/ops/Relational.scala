@@ -1864,7 +1864,96 @@ object Relational {
       |  SELECT -1, count(DISTINCT cust) FROM facts)
       |ORDER BY region""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q59: CHI-SQUARE TEST OF INDEPENDENCE over a contingency table —
+  // the categorical-association test every analytics engine ships
+  // ("is order priority independent of order status?"): cells =
+  // priority × status counts, expected E = row·col/N, χ² =
+  // Σ (O−E)²/E = Σ (O·N − row·col)²/(N·row·col). Engine parity: all
+  // marginals are EXACT integer aggregates; each cell's contribution
+  // is ONE fixed-order IEEE chain over doubles that are exact images
+  // of those integers (|O·N| < 2^53 up to SF well beyond the sweep),
+  // rounded 6dp and summed as DECIMAL — order-independent, bit-equal
+  // cross-engine (the q40/q53 discipline). The grid is rows×cols
+  // COMPLETE (a zero cell still owes its E), dof and Cramér's V are
+  // data-derived, and the verdict compares χ² to the α=0.05 critical
+  // value for the observed dof=8 (15.507, Pearson table; dof==8
+  // pinned in RelationalSpec so a data change can't silently misuse
+  // the constant). Scale: one map-side-partial groupBy on the fact
+  // scan; everything after is 15-row × 1-row-broadcast algebra — the
+  // fact table is touched exactly once.
+  def q59(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .groupBy("pri", "st").agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy("pri").agg(sum("obs").as("row_tot"))
+    val colTot = cells.groupBy("st").agg(sum("obs").as("col_tot"))
+    val tot = cells.agg(sum("obs").as("n"),
+      count_distinct(col("pri")).as("r"), count_distinct(col("st")).as("c"))
+    val grid = rowTot.crossJoin(colTot)
+      .join(cells, Seq("pri", "st"), "left").na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(tot))
+    val diff = (col("obs") * col("n") - col("row_tot") * col("col_tot"))
+      .cast("double")
+    val den = (col("n") * col("row_tot") * col("col_tot")).cast("double")
+    val contrib = grid.withColumn("contrib",
+      round(diff * diff / den, 6).cast("decimal(18,6)"))
+    val wTop = Window.orderBy(col("contrib").desc, col("pri"), col("st"))
+    contrib.withColumn("rn", row_number().over(wTop))
+      .agg(max(col("n")).as("n"),
+        max((col("r") - 1) * (col("c") - 1)).as("dof"),
+        max(least(col("r"), col("c")) - 1).as("mindim"),
+        sum(col("contrib")).cast("double").as("chi2"),
+        max(when(col("rn") === 1, col("pri"))).as("top_pri"),
+        max(when(col("rn") === 1, col("st"))).as("top_st"))
+      .withColumn("cramers_v",
+        round(sqrt(col("chi2") /
+          (col("n") * col("mindim")).cast("double")), 4))
+      .withColumn("signif", col("chi2") > lit(15.507))
+      .select("n", "dof", "chi2", "cramers_v", "signif", "top_pri", "top_st")
+  }
+
+  val q59Sql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT pri, sum(obs) AS row_tot FROM cells GROUP BY 1),
+      |ct AS (SELECT st, sum(obs) AS col_tot FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(obs) AS n, count(DISTINCT pri) AS r,
+      |          count(DISTINCT st) AS c FROM cells),
+      |grid AS (
+      |  SELECT rt.pri, ct.st, coalesce(cells.obs, 0) AS obs,
+      |    rt.row_tot, ct.col_tot, tot.n, tot.r, tot.c
+      |  FROM rt CROSS JOIN ct
+      |  LEFT JOIN cells ON cells.pri = rt.pri AND cells.st = ct.st
+      |  CROSS JOIN tot),
+      |contribs AS (
+      |  SELECT *,
+      |    CAST(round(
+      |      CAST(obs * n - row_tot * col_tot AS DOUBLE) *
+      |      CAST(obs * n - row_tot * col_tot AS DOUBLE) /
+      |      CAST(n * row_tot * col_tot AS DOUBLE), 6) AS DECIMAL(18,6))
+      |      AS contrib,
+      |    row_number() OVER (ORDER BY
+      |      CAST(round(
+      |        CAST(obs * n - row_tot * col_tot AS DOUBLE) *
+      |        CAST(obs * n - row_tot * col_tot AS DOUBLE) /
+      |        CAST(n * row_tot * col_tot AS DOUBLE), 6) AS DECIMAL(18,6)) DESC,
+      |      pri, st) AS rn
+      |  FROM grid)
+      |SELECT CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max((r - 1) * (c - 1)) AS BIGINT) AS dof,
+      |  CAST(sum(contrib) AS DOUBLE) AS chi2,
+      |  round(sqrt(CAST(sum(contrib) AS DOUBLE) /
+      |    CAST(max(n) * (least(max(r), max(c)) - 1) AS DOUBLE)), 4)
+      |    AS cramers_v,
+      |  CAST(sum(contrib) AS DOUBLE) > 15.507 AS signif,
+      |  max(CASE WHEN rn = 1 THEN pri END) AS top_pri,
+      |  max(CASE WHEN rn = 1 THEN st END) AS top_st
+      |FROM contribs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_chi_square" -> (q59 _),
     "q58_sketch_rollup" -> (q58 _),
     "q57_interval_overlap" -> (q57 _),
     "q56_hierarchy_rollup" -> (q56 _),
@@ -1925,6 +2014,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q59_chi_square" -> q59Sql,
     "q58_sketch_rollup" -> q58Sql,
     "q57_interval_overlap" -> q57Sql,
     "q56_hierarchy_rollup" -> q56Sql,

@@ -624,4 +624,38 @@ class RecommendSpec extends SparkSpec {
     assert(labels.contains("substitute") && (labels - "substitute").nonEmpty,
       s"only $labels present — the classification is vacuous on this corpus")
   }
+
+  test("r46: Wilson bound shrinks toward zero and actually reorders p-hat") {
+    val rows = ops.Recommend.r46(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lb = r.getAs[Double]("wilson_lb")
+      val ph = r.getAs[Double]("phat")
+      val n = r.getAs[Long]("n_users")
+      assert(n >= 5, "support floor violated")
+      assert(lb >= 0.0 && lb < ph,
+        s"lower bound $lb not strictly below p-hat $ph (z>0, finite n)")
+    }
+    // the op's whole point, non-vacuously: somewhere in the full item
+    // set, a higher-p-hat item ranks BELOW a lower-p-hat item because
+    // its support is smaller (sort-by-average would order them wrongly)
+    val full = graft.etl.Ratings.implicitRatings(spark, sf)
+      .groupBy("item_id")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("rating") >= 26.0, lit(1))).as("pos"))
+      .filter(col("n") >= 5)
+      .collect().map { x =>
+        val (n, pos) = (x.getAs[Long]("n").toDouble, x.getAs[Long]("pos").toDouble)
+        val ph = pos / n
+        val lb = (ph + 3.8416 / (2 * n) -
+          1.96 * math.sqrt((ph * (1 - ph) + 3.8416 / (4 * n)) / n)) /
+          (1 + 3.8416 / n)
+        (ph, lb)
+      }
+    val inverted = full.exists { case (ph1, lb1) =>
+      full.exists { case (ph2, lb2) => ph1 > ph2 && lb1 < lb2 }
+    }
+    assert(inverted,
+      "no p-hat/Wilson rank inversion anywhere — the correction is vacuous here")
+  }
 }

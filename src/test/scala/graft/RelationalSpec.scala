@@ -333,4 +333,33 @@ class RelationalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_exact") < global)
     }
   }
+
+  test("q59: chi-square statistic replays from the raw contingency table") {
+    val r = ops.Relational.q59(spark, sf).collect().head
+    // the 15.507 significance constant is chi2(0.05, dof=8) — the dof
+    // the data must actually have for the verdict column to mean
+    // anything; a schema/data change that alters the card must fail here
+    assert(r.getAs[Long]("dof") == 8L, "dof drifted; signif constant invalid")
+    val chi2 = r.getAs[Double]("chi2")
+    val v = r.getAs[Double]("cramers_v")
+    assert(chi2 >= 0.0 && v >= 0.0 && v <= 1.0)
+    // driver-side replay from the raw cells (independent arithmetic
+    // path: no grid completion, no decimal staging)
+    val cells = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority", "o_orderstatus").count()
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val pris = cells.keys.map(_._1).toSeq.distinct
+    val sts = cells.keys.map(_._2).toSeq.distinct
+    val n = cells.values.sum.toDouble
+    val replay = (for { p <- pris; s0 <- sts } yield {
+      val o = cells.getOrElse((p, s0), 0L).toDouble
+      val rt = cells.collect { case ((pp, _), c) if pp == p => c }.sum.toDouble
+      val ct = cells.collect { case ((_, ss), c) if ss == s0 => c }.sum.toDouble
+      val e = rt * ct / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(chi2 - replay) < 1e-3,
+      s"chi2 $chi2 diverges from raw replay $replay")
+    assert(r.getAs[Long]("n") == n.toLong)
+  }
 }

@@ -257,4 +257,29 @@ class StreamingSpec extends SparkSpec {
     val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us")))
     assert(keys.distinct.length == keys.length, "a session emitted twice")
   }
+
+  test("e39: chained window tiers conserve events and bound hour fan-in") {
+    val rows = ops.EventOps.e39(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // tier conservation: the day tier's totals must re-add to the raw
+    // event count — any hourly cell dropped or double-emitted between
+    // the two stateful operators breaks this exactly
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sf).count(),
+      "daily rollup lost or duplicated events across the chained tiers")
+    rows.foreach { r =>
+      val (nEv, nH, peak) = (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_hours"), r.getAs[Long]("peak_hour"))
+      assert(nH >= 1 && nH <= 24, s"impossible contributing-hour count $nH")
+      assert(peak <= nEv && peak * nH >= nEv,
+        "peak hour inconsistent with total/hours")
+    }
+    // non-vacuity: chaining actually compressed — fewer day cells than
+    // hourly cells (the 2nd tier did real aggregation)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 hour"), col("event_type"))
+      .count().count()
+    assert(rows.length < hourly, "day tier did not aggregate hour cells")
+  }
 }
