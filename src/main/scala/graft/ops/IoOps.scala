@@ -1585,7 +1585,78 @@ object IoOps {
       |  TRUE AS zero_copy, TRUE AS src_advanced
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i27: DYNAMIC PARTITION OVERWRITE (INSERT OVERWRITE that replaces
+  // ONLY the partitions the incoming batch touches — the restatement
+  // primitive behind every "re-run yesterday" backfill): a
+  // status-partitioned orders table takes a restated batch covering
+  // just partition P (every price doubled — the audit trail that
+  // proves replacement happened); with partitionOverwriteMode=dynamic
+  // the writer swaps P's files and MUST NOT touch F or O. Static
+  // overwrite mode would truncate the whole table first — the classic
+  // footgun this mode exists to fix. Gate: the full READ-BACK rolled
+  // up per partition — F/O must equal the original data exactly (a
+  // static-mode truncation zeroes them; a blind append doubles P's
+  // rows) while P carries restated values only. File-level evidence
+  // (untouched partitions' file lists byte-identical, P's replaced)
+  // pinned in IoSpec via i27WithFiles. Scale: write cost is O(restated
+  // partition), never O(table) — the property that makes daily
+  // restatement affordable on a 100 TB lake.
+  def i27(s: SparkSession, d: String): DataFrame = i27WithFiles(s, d)._1
+
+  /** (gated rollup, per-partition (path,size) lists before/after) —
+    * the file lists pin untouched-partition identity in IoSpec. */
+  def i27WithFiles(s: SparkSession, d: String)
+      : (DataFrame, Map[String, Seq[(String, Long)]], Map[String, Seq[(String, Long)]]) = {
+    val dir = tmpDir("graft_i27_")
+    try {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      orders.write.partitionBy("o_orderstatus").parquet(s"$dir/t")
+      def files(): Map[String, Seq[(String, Long)]] = {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t"))
+          .filter(_.isDirectory).map { p =>
+            p.getPath.getName ->
+              fs.listStatus(p.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+                .map(f => (f.getPath.toString, f.getLen)).sortBy(_._1).toSeq
+          }.toMap
+      }
+      val before = files()
+      // the restated batch: partition P only, doubled prices (×2 is an
+      // exponent bump — exact on doubles, so the oracle can replay it)
+      orders.filter(col("o_orderstatus") === "P")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(s"$dir/t")
+      val after = files()
+      val out = s.read.parquet(s"$dir/t")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").cast("long").as("sum_keys"),
+          round(sum(col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderstatus").localCheckpoint()
+      (out, before, after)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i27Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'P'
+      |      THEN o_totalprice * 2 ELSE o_totalprice END
+      |    AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i27_dynamic_overwrite" -> (i27 _),
     "i26_shallow_clone" -> (i26 _),
     "i25_pos_deletes" -> (i25 _),
     "i24_bloom_skip" -> (i24 _),
@@ -1614,6 +1685,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i27_dynamic_overwrite" -> i27Sql,
     "i26_shallow_clone" -> i26Sql,
     "i25_pos_deletes" -> i25Sql,
     "i24_bloom_skip" -> i24Sql,

@@ -1921,7 +1921,81 @@ object TextOps {
        |ORDER BY lang""".stripMargin
   }
 
+  // t38: WINDOWED SKIP-GRAM PMI — the word-word co-occurrence matrix
+  // word2vec/GloVe factorize (r41 built it for ITEMS from baskets;
+  // this is the text-side twin): ordered token pairs within a ±3
+  // window, cell counts n_ab, marginals and PMI = ln(n_ab·T / n_a·n_b)
+  // over PAIR-derived probabilities (one consistent sample space —
+  // mixing token and pair denominators is the classic PMI bug), plus
+  // a GloVe-style 1/distance proximity mass kept integer (Σ 1000 div
+  // k) so the window mechanics themselves are hash-pinned. t13 scored
+  // ADJACENT bigrams by lift; the window generalization is what
+  // distinguishes syntax collocations from topical association.
+  // Engine parity: counts/marginals exact integers; the one log runs
+  // on an exact-double ratio (all products < 2^53) and rounds 6dp
+  // (t14's ln discipline). Scale: pair generation is MAP-SIDE from
+  // each doc's token array (nested transform+flatten — never a
+  // positions self-join, which would shuffle the exploded corpus);
+  // ONE keyed shuffle to the (a,b) cell table, localCheckpoint-pinned
+  // so marginals/total don't re-scan the corpus (the r5-verdict
+  // shared-artifact rule); marginals are vocab-sized dims, broadcast.
+  def t38(s: SparkSession, d: String): DataFrame = {
+    val n = size(col("toks"))
+    val pairsCol = flatten(transform(sequence(lit(0), n - 2),
+      i => transform(sequence(lit(1), least(lit(3), n - 1 - i)),
+        k => struct(element_at(col("toks"), i + 1).as("a"),
+          element_at(col("toks"), i + k + 1).as("b"), k.as("k")))))
+    val cells = Tables.documents(s, d)
+      .select(tokens.as("toks")).filter(n >= 2)
+      .select(explode(pairsCol).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"), col("pr.k").as("k"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_ab"), sum(expr("1000 div k")).as("prox_milli"))
+      .localCheckpoint()
+    val tot = cells.agg(sum("n_ab").as("t"))
+    val ma = cells.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val mb = cells.groupBy("b").agg(sum("n_ab").as("n_b"))
+    cells.join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(tot))
+      .filter(col("n_ab") >= 10)
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") * col("t").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+        .cast("decimal(18,6)"))
+      .select("a", "b", "n_ab", "prox_milli", "pmi")
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(30)
+  }
+
+  val t38Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+') AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS w
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.w AS a, b.w AS b, b.p - a.p AS k
+      |  FROM pos a JOIN pos b
+      |    ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 3),
+      |cells AS (
+      |  SELECT a, b, count(*) AS n_ab,
+      |    CAST(sum(1000 // k) AS BIGINT) AS prox_milli
+      |  FROM pairs GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t FROM cells),
+      |ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+      |mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1)
+      |SELECT a, b, n_ab, prox_milli,
+      |  CAST(round(ln((CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE)) /
+      |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS DECIMAL(18,6))
+      |    AS pmi
+      |FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+      |WHERE n_ab >= 10
+      |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t38_word_pmi" -> (t38 _),
     "t37_heaps_fit" -> (t37 _),
     "t36_bm25" -> (t36 _),
     "t35_zipf_fit" -> (t35 _),
@@ -1961,6 +2035,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t38_word_pmi" -> t38Sql,
     "t37_heaps_fit" -> t37Sql,
     "t36_bm25" -> t36Sql,
     "t35_zipf_fit" -> t35Sql,

@@ -363,4 +363,23 @@ class IoSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
   }
+
+  test("i27: dynamic overwrite replaces only the touched partition's files") {
+    val (out, before, after) = ops.IoOps.i27WithFiles(spark, sf)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("o_orderstatus")).toSet == Set("F", "O", "P"))
+    // untouched partitions: identical file lists AND byte sizes — a
+    // static-mode truncation or any rewrite of F/O fails here
+    Seq("o_orderstatus=F", "o_orderstatus=O").foreach { p =>
+      assert(before(p) == after(p), s"untouched partition $p was rewritten")
+    }
+    // the touched partition really was replaced, not appended to
+    assert(before("o_orderstatus=P").map(_._1).toSet
+      .intersect(after("o_orderstatus=P").map(_._1).toSet).isEmpty,
+      "partition P kept original files — it was appended to, not replaced")
+    // row conservation: restatement changes values, never cardinality
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == nOrders,
+      "dynamic overwrite changed the table's row count")
+  }
 }

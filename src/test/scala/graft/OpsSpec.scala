@@ -2193,4 +2193,29 @@ class OpsSpec extends SparkSpec {
         s"node $n: triangle count ${r.getAs[Long]("n_tri")} vs replay $t")
     }
   }
+
+  test("t38: window mechanics replay and proximity mass is distance-bounded") {
+    val rows = ops.TextOps.t38(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, prox) = (r.getAs[Long]("n_ab"), r.getAs[Long]("prox_milli"))
+      // every pair contributes 1000/k for k in 1..3
+      assert(prox >= 333L * nab && prox <= 1000L * nab,
+        s"proximity mass $prox outside [333n,1000n] for n_ab=$nab")
+    }
+    // driver replay of the top cell's count straight from the corpus
+    // (independent of the array-transform pair generation)
+    val top = rows.head
+    val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
+    val docs = Tables.documents(spark, sf)
+      .select(graft.functions.TextNorm.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val replay = docs.map { t =>
+      t.indices.map { i =>
+        (1 to 3).count(k => i + k < t.length && t(i) == a && t(i + k) == b)
+      }.sum
+    }.sum
+    assert(top.getAs[Long]("n_ab") == replay.toLong,
+      s"top cell ($a,$b) count ${top.getAs[Long]("n_ab")} vs corpus replay $replay")
+  }
 }
