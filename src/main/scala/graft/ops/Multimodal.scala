@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -918,7 +918,99 @@ object Multimodal {
        |FROM nd, tot, stored, cs, fs""".stripMargin
   }
 
+  // m17: SHOT-BOUNDARY DETECTION — temporal segmentation of a media
+  // stream by frame-difference (the scene-cut pass every video
+  // curation pipeline runs before captioning/sampling: m02 samples
+  // frames blindly, this finds WHERE the content changes so sampling
+  // can be per-shot). The decode stub stands in as usual: 8
+  // fixed-stride 64-byte "frames" per blob, per-frame signature = a
+  // 4-bin content histogram (vowel/digit/space/consonant counts — the
+  // color-histogram stand-in), cut where consecutive frames' L1
+  // histogram distance exceeds 8 (calibrated: corpus median distance
+  // 4, p90 6, max 16 — cuts are the real tail, not noise-everywhere).
+  // Per blob: cut count, shot count, longest shot, and the exact cut
+  // POSITIONS as a bitmask so the gate pins where every boundary
+  // fell. Scale: the entire op is MAP-SIDE — all 8 signatures and the
+  // 7 pairwise distances fold inside each row (aggregate over the
+  // transition array; no explode, no window, zero shuffles) — the
+  // shape that lets a 100 TB video lake run shot detection as a pure
+  // scan.
+  def m17(s: SparkSession, d: String): DataFrame = {
+    def cnt(w: Column, cls: String): Column =
+      length(regexp_replace(w, s"[^$cls]", ""))
+    val stride = greatest(lit(1), expr("(n_chars - 64) div 7"))
+    val sigs = transform(sequence(lit(0), lit(7)), k => {
+      val w = substr(lower(col("text")),
+        (k * stride + 1).cast("int"), lit(64))
+      struct(cnt(w, "aeiou").as("v"), cnt(w, "0-9").as("dg"),
+        cnt(w, " ").as("sp"), cnt(w, "b-df-hj-np-tv-z").as("cs"))
+    })
+    val dist = (a: Column, b: Column) =>
+      abs(a("v") - b("v")) + abs(a("dg") - b("dg")) +
+        abs(a("sp") - b("sp")) + abs(a("cs") - b("cs"))
+    Tables.documents(s, d).filter(col("n_chars") >= 128)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("sg", sigs)
+      .withColumn("cuts", transform(sequence(lit(0), lit(6)),
+        i => (dist(element_at(col("sg"), i + 1),
+          element_at(col("sg"), i + 2)) > 8).cast("int")))
+      .select(col("doc_id"),
+        aggregate(col("cuts"), lit(0), (acc, x) => acc + x).as("n_cuts"),
+        (aggregate(col("cuts"), lit(0), (acc, x) => acc + x) + 1).as("n_shots"),
+        // longest run of cut-free transitions + 1 = longest shot, as a
+        // single in-row fold: acc = (current run, best run) over frames
+        (aggregate(col("cuts"),
+          struct(lit(1).as("cur"), lit(1).as("best")),
+          (acc, x) => {
+            val cur2 = when(x === 1, lit(1)).otherwise(acc("cur") + 1)
+            struct(cur2.as("cur"), greatest(acc("best"), cur2).as("best"))
+          })("best")).as("longest_shot"),
+        expr("aggregate(zip_with(cuts, sequence(0, 6), " +
+          "(c, i) -> CAST(c AS BIGINT) * CAST(shiftleft(1, i) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("cut_mask"))
+      .orderBy("doc_id")
+  }
+
+  val m17Sql: String = {
+    def cnt(cls: String) = s"length(regexp_replace(w, '[^$cls]', '', 'g'))"
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t, n_chars
+       |  FROM documents WHERE n_chars >= 128),
+       |fr AS (
+       |  SELECT doc_id, k,
+       |    substr(t, CAST(k * greatest(1, (n_chars - 64) // 7) + 1 AS INT),
+       |      64) AS w
+       |  FROM d CROSS JOIN range(8) r(k)),
+       |sig AS (
+       |  SELECT doc_id, k, ${cnt("aeiou")} AS v, ${cnt("0-9")} AS dg,
+       |    ${cnt(" ")} AS sp, ${cnt("b-df-hj-np-tv-z")} AS cs
+       |  FROM fr),
+       |tr AS (
+       |  SELECT a.doc_id, a.k AS i,
+       |    CASE WHEN abs(a.v - b.v) + abs(a.dg - b.dg) + abs(a.sp - b.sp) +
+       |      abs(a.cs - b.cs) > 8 THEN 1 ELSE 0 END AS cut
+       |  FROM sig a JOIN sig b ON a.doc_id = b.doc_id AND b.k = a.k + 1),
+       |shots AS (
+       |  SELECT doc_id, i, cut,
+       |    sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM tr),
+       |-- a shot's length in frames = its INTERIOR (cut-free)
+       |-- transitions + 1; boundary transitions belong to no shot
+       |runs AS (
+       |  SELECT doc_id, sid, count(*) AS n_tr
+       |  FROM shots WHERE cut = 0 GROUP BY 1, 2),
+       |longest AS (SELECT doc_id, max(n_tr) + 1 AS ls FROM runs GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(sum(t.cut) AS INT) AS n_cuts,
+       |  CAST(sum(t.cut) + 1 AS INT) AS n_shots,
+       |  CAST(coalesce(max(l.ls), 1) AS INT) AS longest_shot,
+       |  CAST(sum(t.cut * (1 << t.i)) AS BIGINT) AS cut_mask
+       |FROM tr t LEFT JOIN longest l ON l.doc_id = t.doc_id
+       |GROUP BY 1 ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_shot_detect" -> (m17 _),
     "m16_cdc_chunking" -> (m16 _),
     "m15_crossmodal_eval" -> (m15 _),
     "m14_aspect_buckets" -> (m14 _),
@@ -937,6 +1029,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m17_shot_detect" -> m17Sql,
     "m16_cdc_chunking" -> m16Sql,
     "m15_crossmodal_eval" -> m15Sql,
     "m14_aspect_buckets" -> m14Sql,

@@ -1785,7 +1785,135 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // s20: GRAPH-TRAVERSAL ANN (the NSW/DiskANN family, batch-shaped):
+  // the OFFLINE artifact is a bounded-degree (R=8) exact kNN graph
+  // over the corpus — at 100 TB that build is itself approximate
+  // (NN-descent), but serving never touches the build path, so the
+  // gate builds it exactly; the ONLINE path per query is pure graph
+  // work: nearest ENTRY POINT (a 10-vector dim, broadcast) → its
+  // 1-hop and 2-hop graph neighborhood (≤ 1+8+64 candidates) → exact
+  // re-rank of that bounded set. IVF (s05/s08) prunes by geometry
+  // cells; the graph prunes by NEIGHBORHOOD TRANSITIVITY (a
+  // neighbor's neighbor is likely close) — the property that makes
+  // graph indexes the recall/latency frontier at high dimension.
+  // Everything is deterministic (4dp cosine + id tie-breaks, the s01
+  // discipline), so the gate hashes the SERVED QUALITY itself:
+  // per-query candidate count, hits against the exact top-5, and
+  // whether the true top-1 was found — a traversal bug (wrong seed,
+  // asymmetric hop join, candidate leak) shifts the hash. A beam of 3
+  // entry seeds bounds candidates at 3·(1+8+64); on this corpus's
+  // near-random geometry (the worst case for navigability) the
+  // traversal still finds ~1.6× the hits of a size-matched random
+  // candidate set — the lift, not absolute recall, is the honest
+  // quality number here, and OpsSpec pins it. Scale: the graph is a
+  // (node → 8 nbrs) table keyed by node; each hop is a broadcast-able
+  // keyed join on candidate ids; re-rank cost is O(|candidates|),
+  // independent of corpus size.
+  def s20(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val wN = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))
+    val nbrs = e.select(col("vec_id").as("node"), col("v").as("va"))
+      .join(broadcast(e.select(col("vec_id").as("nbr"), col("v").as("vb"))))
+      .filter(col("node") =!= col("nbr"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rn", row_number().over(wN))
+      .filter(col("rn") <= 8)
+      .select("node", "nbr")
+      .localCheckpoint()
+    val probes = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val entries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("ep"), col("v").as("vb"))
+    val wS = Window.partitionBy("query_id").orderBy(col("cos").desc, col("ep"))
+    val seed = probes.join(broadcast(entries))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 3)
+      .select(col("query_id"), col("ep").as("cand"))
+    val hop1 = seed.join(nbrs, seed("cand") === nbrs("node"))
+      .select(col("query_id"), col("nbr").as("cand"))
+    val hop2 = hop1.join(nbrs, hop1("cand") === nbrs("node"))
+      .select(col("query_id"), col("nbr").as("cand"))
+    val cands = seed.union(hop1).union(hop2)
+      .filter(col("query_id") =!= col("cand")).distinct()
+      .localCheckpoint()
+    val wR = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
+    val served = cands
+      .join(e.select(col("vec_id").as("cand"), col("v").as("vb")), "cand")
+      .join(probes, "query_id")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("cand").as("nn_id"), lit(1).as("served"))
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id"))
+    val exact = probes
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("vb")))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select("query_id", "nn_id", "rank")
+    val candN = cands.groupBy("query_id").agg(count(lit(1)).as("cand_n"))
+    exact.join(served.select("query_id", "nn_id", "served"),
+        Seq("query_id", "nn_id"), "left")
+      .groupBy("query_id")
+      .agg(count(when(col("served") === 1, lit(1))).as("n_hits"),
+        (count(when(col("rank") === 1 && col("served") === 1, lit(1))) > 0)
+          .as("top1_hit"))
+      .join(candN, "query_id")
+      .select("query_id", "cand_n", "n_hits", "top1_hit")
+      .orderBy("query_id")
+  }
+
+  val s20Sql: String = {
+    val cos4 = s"round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |nb AS (SELECT node, nbr FROM (
+       |  SELECT a.vec_id AS node, b.vec_id AS nbr,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $cos4 DESC, b.vec_id) AS rn
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= 8),
+       |seed AS (SELECT query_id, cand FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $cos4 DESC, b.vec_id) AS rn
+       |  FROM e a JOIN e b ON a.vec_id < 100 AND b.vec_id % 50 = 0)
+       |  WHERE rn <= 3),
+       |h1 AS (SELECT s.query_id, nb.nbr AS cand
+       |       FROM seed s JOIN nb ON nb.node = s.cand),
+       |h2 AS (SELECT h1.query_id, nb.nbr AS cand
+       |       FROM h1 JOIN nb ON nb.node = h1.cand),
+       |cands AS (SELECT DISTINCT query_id, cand FROM (
+       |  SELECT * FROM seed UNION ALL SELECT * FROM h1
+       |  UNION ALL SELECT * FROM h2) WHERE query_id <> cand),
+       |served AS (SELECT query_id, nn_id FROM (
+       |  SELECT c.query_id, c.cand AS nn_id,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY $cos4 DESC, c.cand) AS rn
+       |  FROM cands c JOIN e a ON a.vec_id = c.query_id
+       |  JOIN e b ON b.vec_id = c.cand) WHERE rn <= 5),
+       |ex AS (SELECT query_id, nn_id, rank FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $cos4 DESC, b.vec_id) AS rank
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.vec_id < 100)
+       |  WHERE rank <= 5),
+       |cn AS (SELECT query_id, count(*) AS cand_n FROM cands GROUP BY 1)
+       |SELECT ex.query_id, cn.cand_n,
+       |  count(CASE WHEN sv.nn_id IS NOT NULL THEN 1 END) AS n_hits,
+       |  count(CASE WHEN ex.rank = 1 AND sv.nn_id IS NOT NULL THEN 1 END) > 0
+       |    AS top1_hit
+       |FROM ex LEFT JOIN served sv
+       |  ON sv.query_id = ex.query_id AND sv.nn_id = ex.nn_id
+       |JOIN cn ON cn.query_id = ex.query_id
+       |GROUP BY 1, 2 ORDER BY ex.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_graph_ann" -> (s20 _),
     "s19_hybrid_search" -> (s19 _),
     "s18_mrl_prefix" -> (s18 _),
     "s17_tombstone_serve" -> (s17 _),
@@ -1807,6 +1935,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s20_graph_ann" -> s20Sql,
     "s19_hybrid_search" -> s19Sql,
     "s18_mrl_prefix" -> s18Sql,
     "s17_tombstone_serve" -> s17Sql,

@@ -2218,4 +2218,47 @@ class OpsSpec extends SparkSpec {
     assert(top.getAs[Long]("n_ab") == replay.toLong,
       s"top cell ($a,$b) count ${top.getAs[Long]("n_ab")} vs corpus replay $replay")
   }
+
+  test("s20: traversal candidates are bounded and beat a random set of the same size") {
+    val rows = ops.Similarity.s20(spark, sf).collect()
+    assert(rows.length == 100)
+    val corpusN = Tables.embeddings(spark, sf).count().toDouble
+    rows.foreach { r =>
+      val (cn, nh) = (r.getAs[Long]("cand_n"), r.getAs[Long]("n_hits"))
+      assert(cn >= 1 && cn <= 3 * 73, s"candidate set $cn outside the beam bound")
+      assert(nh >= 0 && nh <= 5)
+    }
+    // navigability lift: recall fraction over candidate fraction — a
+    // candidate set drawn at random scores ~1.0 here; the 2-hop
+    // neighborhood must do strictly better even on random-ish geometry
+    val recall = rows.map(_.getAs[Long]("n_hits")).sum.toDouble / (5.0 * rows.length)
+    val candFrac = rows.map(_.getAs[Long]("cand_n")).sum.toDouble /
+      (corpusN * rows.length)
+    assert(recall / candFrac > 1.2,
+      f"graph lift ${recall / candFrac}%.2f <= 1.2 — traversal no better than random")
+  }
+
+  test("m17: cut mask, counts and longest shot are mutually consistent") {
+    val rows = ops.Multimodal.m17(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, ns, ls, mask) = (r.getAs[Int]("n_cuts"), r.getAs[Int]("n_shots"),
+        r.getAs[Int]("longest_shot"), r.getAs[Long]("cut_mask"))
+      assert(ns == nc + 1)
+      assert(java.lang.Long.bitCount(mask) == nc,
+        s"mask $mask popcount != n_cuts $nc")
+      assert(mask < 128, "cut bit outside the 7 transitions")
+      // longest shot from the mask directly (independent replay)
+      val cuts = (0 until 7).map(i => (mask >> i & 1L) == 1L)
+      var cur = 1; var best = 1
+      cuts.foreach { c => cur = if (c) 1 else cur + 1; best = math.max(best, cur) }
+      assert(ls == best, s"longest_shot $ls vs mask replay $best")
+    }
+    // calibration honesty: cuts are the tail, not noise-everywhere —
+    // some exist, but under a quarter of all transitions
+    val totalCuts = rows.map(_.getAs[Int]("n_cuts").toLong).sum
+    assert(totalCuts >= 1, "no shot boundary anywhere — threshold vacuous")
+    assert(totalCuts * 4 < rows.length * 7L,
+      s"$totalCuts cuts over ${rows.length * 7} transitions — threshold too low")
+  }
 }
