@@ -1356,7 +1356,134 @@ object Graph {
        |  (SELECT max(dist) FROM d2) AS diameter_lb,
        |  (SELECT count(*) FROM d2) AS n_reached_far""".stripMargin
 
+  // ------------------------------------------------------------------
+  // g19: SAMPLED STRESS CENTRALITY (Shimbel) — the Brandes
+  // forward/backward machinery that powers betweenness, run from the
+  // 4 highest-degree sources (the standard sampling that makes
+  // centrality affordable on a 100 TB graph: exact Brandes is
+  // O(V·E)). Stress counts the NUMBER of source-rooted shortest
+  // paths through each node: forward pass σ(v) (#shortest s→v paths,
+  // by BFS layer), backward pass P(v) = Σ_succ (P(w)+1) (#shortest-
+  // DAG continuations below v), contribution σ(v)·P(v). Betweenness
+  // proper divides by σ(t) — an order-dependent float accumulation no
+  // cross-engine hash survives; stress is its INTEGER-EXACT sibling
+  // on the identical DAG (same forward sigma, same backward sweep),
+  // so the whole gate is exact arithmetic in DECIMAL(38,0) (path
+  // counts multiply combinatorially — bigint headroom is not enough
+  // at 10× SF). Scale: 6+6+6 rounds of node-keyed shuffles with
+  // Iterate-pinned state (the g01/g03 discipline), state O(K·V),
+  // never an all-pairs or per-pair materialization.
+  private val STRESS_ROUNDS = 6
+  private val STRESS_SOURCES = 4
+
+  def g19(s: SparkSession, d: String): DataFrame = {
+    val e = Iterate.pin(edges(s, d))
+    val wDeg = org.apache.spark.sql.expressions.Window
+      .orderBy(col("deg").desc, col("src"))
+    val srcs = Iterate.pin(e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumn("rn", row_number().over(wDeg))
+      .filter(col("rn") <= STRESS_SOURCES)
+      .select(col("src").as("s")))
+    // forward BFS: per-source distances
+    var dist = Iterate.pin(srcs.select(col("s"), col("s").as("node"),
+      lit(0).as("dist")))
+    for (_ <- 1 to STRESS_ROUNDS) {
+      dist = Iterate.pin(dist
+        .union(dist.join(e, dist("node") === e("src"))
+          .select(dist("s"), col("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("s", "node").agg(min("dist").as("dist")))
+    }
+    // forward sigma: shortest-path counts, layer by layer
+    var frontier = Iterate.pin(srcs.select(col("s"), col("s").as("node"),
+      lit(1L).cast("decimal(38,0)").as("sigma")))
+    var sigma = frontier
+    for (l <- 1 to STRESS_ROUNDS) {
+      frontier = Iterate.pin(frontier.join(e, frontier("node") === e("src"))
+        .select(frontier("s"), col("dst").as("node"), col("sigma"))
+        .join(dist.filter(col("dist") === l).select("s", "node"), Seq("s", "node"))
+        .groupBy("s", "node").agg(sum("sigma").cast("decimal(38,0)").as("sigma")))
+      sigma = sigma.union(frontier)
+    }
+    // backward P: shortest-DAG continuation counts, deepest layer first
+    var pAcc = Iterate.pin(dist.filter(col("dist") === STRESS_ROUNDS)
+      .select(col("s"), col("node"), lit(0L).cast("decimal(38,0)").as("p")))
+    var pAll = pAcc
+    for (l <- (0 until STRESS_ROUNDS).reverse) {
+      val lv = dist.filter(col("dist") === l).select(col("s"), col("node"))
+      val succ = pAcc.select(col("s").as("ps"), col("node").as("w"), col("p"))
+      pAcc = Iterate.pin(lv
+        .join(e, lv("node") === e("src"), "left")
+        .join(succ, col("ps") === lv("s") && col("w") === col("dst"), "left")
+        .groupBy(lv("s"), lv("node"))
+        .agg(coalesce(sum(when(col("w").isNotNull, col("p") + 1)), lit(0))
+          .cast("decimal(38,0)").as("p"))
+        .select(col("s"), col("node"), col("p")))
+      pAll = pAll.union(pAcc)
+    }
+    sigma.join(pAll, Seq("s", "node"))
+      .filter(col("node") =!= col("s"))
+      .withColumn("contrib", col("sigma") * col("p"))
+      .groupBy("node")
+      .agg(sum("contrib").cast("decimal(38,0)").as("stress"))
+      .orderBy(col("stress").desc, col("node"))
+      .limit(20)
+  }
+
+  val g19Sql: String = {
+    // unrolled sigma layers 1..6 (aggregates are not allowed inside a
+    // recursive CTE) and backward P layers 5..0
+    val sgs = (1 to STRESS_ROUNDS).map { l =>
+      s"""sg$l AS (
+         |  SELECT f.s, e.dst AS node, sum(f.sigma) AS sigma
+         |  FROM sg${l - 1} f JOIN edges e ON e.src = f.node
+         |  JOIN mind m ON m.s = f.s AND m.node = e.dst AND m.dist = $l
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val ps = (0 until STRESS_ROUNDS).reverse.map { l =>
+      s"""p$l AS (
+         |  SELECT m.s, m.node,
+         |    coalesce(sum(CASE WHEN pw.node IS NOT NULL THEN pw.p + 1 END), 0)
+         |      AS p
+         |  FROM mind m
+         |  LEFT JOIN edges e ON e.src = m.node
+         |  LEFT JOIN p${l + 1} pw ON pw.s = m.s AND pw.node = e.dst
+         |  WHERE m.dist = $l GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $sqlEdges,
+       |srcs AS (
+       |  SELECT src AS s FROM (
+       |    SELECT src, count(*) AS deg FROM edges GROUP BY 1)
+       |  ORDER BY deg DESC, src LIMIT $STRESS_SOURCES),
+       |r(s, node, dist) AS (
+       |  SELECT s, s, 0 FROM srcs
+       |  UNION
+       |  SELECT r.s, e.dst, r.dist + 1 FROM r JOIN edges e ON r.node = e.src
+       |  WHERE r.dist < $STRESS_ROUNDS),
+       |mind AS (SELECT s, node, min(dist) AS dist FROM r GROUP BY 1, 2),
+       |sg0 AS (SELECT s, s AS node, CAST(1 AS HUGEINT) AS sigma FROM srcs),
+       |$sgs,
+       |sigma AS (
+       |  SELECT * FROM sg0 UNION ALL SELECT * FROM sg1 UNION ALL
+       |  SELECT * FROM sg2 UNION ALL SELECT * FROM sg3 UNION ALL
+       |  SELECT * FROM sg4 UNION ALL SELECT * FROM sg5 UNION ALL
+       |  SELECT * FROM sg6),
+       |p$STRESS_ROUNDS AS (
+       |  SELECT s, node, CAST(0 AS HUGEINT) AS p FROM mind
+       |  WHERE dist = $STRESS_ROUNDS),
+       |$ps,
+       |pall AS (
+       |  SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL
+       |  SELECT * FROM p2 UNION ALL SELECT * FROM p3 UNION ALL
+       |  SELECT * FROM p4 UNION ALL SELECT * FROM p5 UNION ALL
+       |  SELECT * FROM p6)
+       |SELECT sg.node, sum(sg.sigma * pa.p) AS stress
+       |FROM sigma sg JOIN pall pa ON pa.s = sg.s AND pa.node = sg.node
+       |WHERE sg.node <> sg.s
+       |GROUP BY 1 ORDER BY stress DESC, sg.node LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g19_stress_centrality" -> (g19 _),
     "g18_diameter" -> (g18 _),
     "g17_clustering" -> (g17 _),
     "g16_ppr" -> (g16 _),
@@ -1377,6 +1504,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g19_stress_centrality" -> g19Sql,
     "g18_diameter" -> g18Sql,
     "g17_clustering" -> g17Sql,
     "g16_ppr" -> g16Sql,

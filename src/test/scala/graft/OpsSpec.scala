@@ -2261,4 +2261,52 @@ class OpsSpec extends SparkSpec {
     assert(totalCuts * 4 < rows.length * 7L,
       s"$totalCuts cuts over ${rows.length * 7} transitions — threshold too low")
   }
+
+  test("g19: stress replays exactly from a driver-side Brandes pass") {
+    val rows = ops.Graph.g19(spark, sf).collect()
+    assert(rows.length == 20)
+    val got = rows.map(r => r.getAs[Long]("node") ->
+      BigInt(r.getAs[java.math.BigDecimal]("stress").toBigInteger)).toMap
+    // independent replay: BFS + sigma + continuation counts in plain
+    // Scala from the same top-degree seeds
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val und = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sn"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (und.map(e => (e._1, e._2)) ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val seeds = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, dg) => (-dg, n) }.take(4).map(_._1)
+    val stress = scala.collection.mutable.Map.empty[Long, BigInt]
+      .withDefaultValue(BigInt(0))
+    seeds.foreach { s0 =>
+      val dist = scala.collection.mutable.Map(s0 -> 0)
+      var layer = Seq(s0)
+      for (dd <- 1 to 6) {
+        layer = layer.flatMap(adj(_)).distinct.filterNot(dist.contains)
+        layer.foreach(dist(_) = dd)
+      }
+      val sigma = scala.collection.mutable.Map(s0 -> BigInt(1))
+      for (dd <- 1 to 6; v <- dist.collect { case (n, x) if x == dd => n }) {
+        sigma(v) = adj(v).filter(u => dist.get(u).contains(dd - 1))
+          .map(sigma(_)).sum
+      }
+      val pC = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      for (dd <- (0 to 5).reverse;
+           v <- dist.collect { case (n, x) if x == dd => n }) {
+        pC(v) = adj(v).filter(w => dist.get(w).contains(dd + 1))
+          .map(w => pC(w) + 1).sum
+      }
+      dist.keys.filter(_ != s0).foreach { v =>
+        stress(v) = stress(v) + sigma(v) * pC(v)
+      }
+    }
+    val expTop = stress.toSeq.sortBy { case (n, st) => (-st, n) }.take(20)
+    expTop.foreach { case (n, st) =>
+      assert(got.get(n).contains(st),
+        s"node $n: stress ${got.get(n)} vs replay $st")
+    }
+  }
 }
