@@ -1005,7 +1005,108 @@ object Pipeline {
       |    WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS effective
       |FROM fin ORDER BY domain""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p13: LOSS-DRIVEN DOMAIN REWEIGHTING (the DoReMi shape, Xie et al.
+  // 2023 — p09 derives weights from SIZE alone; DoReMi's insight is to
+  // derive them from LEARNABILITY: domains where the reference model's
+  // loss is high carry more signal per token and get multiplicatively
+  // upweighted): the reference-loss proxy here is each domain's
+  // cross-entropy under the CORPUS unigram LM (the t14 discipline —
+  // a domain whose words are atypical of the corpus scores high),
+  // excess = xent − min-domain xent, multiplier = exp(excess) (η=1),
+  // new weight ∝ token-share · multiplier, normalized to ppm.
+  // Engine parity: per-(domain,word) terms are 6dp-rounded decimals
+  // summed order-independently; min/excess are exact decimal algebra;
+  // the two irrational ops (ln per cell, one exp per domain) each run
+  // once on exact-double inputs and round 6dp. Scale: ONE corpus
+  // scan → the (domain,word) cell table (localCheckpoint-pinned;
+  // corpus totals and domain totals re-derive from IT, the r5-verdict
+  // shared-artifact rule) → 4-row broadcast algebra.
+  def p13(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      concat(lit("dom"),
+        (substring(col("source"), 4, 10).cast("int") % 4).cast("string"))
+        .as("domain"),
+      explode(graft.functions.TextNorm.tokens(col("text"))).as("w"))
+    val cells = docs.groupBy("domain", "w").agg(count(lit(1)).as("c_dw"))
+      .localCheckpoint()
+    val corpus = cells.groupBy("w").agg(sum("c_dw").as("c_w"))
+    val tots = cells.groupBy("domain").agg(sum("c_dw").as("t_d"))
+      .localCheckpoint()
+    val tot = tots.agg(sum("t_d").as("t"))
+    val xs = cells.join(corpus, "w").crossJoin(broadcast(tot))
+      .withColumn("term", round(col("c_dw").cast("double") *
+        log(col("t").cast("double") / col("c_w").cast("double")), 6)
+        .cast("decimal(18,6)"))
+      .groupBy("domain").agg(sum("term").as("xsum"))
+    val xent = xs.join(tots, "domain")
+      .withColumn("xent6",
+        round(col("xsum").cast("double") / col("t_d").cast("double"), 6)
+          .cast("decimal(18,6)"))
+    val minx = xent.agg(min("xent6").as("minx"))
+    val w = xent.crossJoin(broadcast(minx)).crossJoin(broadcast(tot))
+      .withColumn("excess6", col("xent6") - col("minx"))
+      .withColumn("mult6", round(exp(col("excess6").cast("double")), 6))
+      .withColumn("share_ppm", expr("(1000000 * t_d) div t"))
+      .withColumn("w6raw",
+        round((col("t_d").cast("double") / col("t").cast("double")) *
+          col("mult6"), 6).cast("decimal(18,6)"))
+    val ws = w.agg(sum("w6raw").as("wsum"))
+    w.crossJoin(broadcast(ws))
+      .withColumn("w_ppm",
+        round(lit(1000000.0) * col("w6raw").cast("double") /
+          col("wsum").cast("double"), 0).cast("long"))
+      .withColumn("target_tok", expr("(t * w_ppm) div 1000000"))
+      .select(col("domain"), col("t_d").as("n_tok"), col("share_ppm"),
+        col("xent6"), col("excess6"), col("mult6"), col("w_ppm"),
+        col("target_tok"))
+      .orderBy("domain")
+  }
+
+  val p13Sql: String =
+    """WITH docs AS (
+      |  SELECT 'dom' || (substr(source, 4)::INT % 4) AS domain,
+      |    unnest(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+'))
+      |      AS w
+      |  FROM documents),
+      |cells AS (SELECT domain, w, count(*) AS c_dw FROM docs GROUP BY 1, 2),
+      |corpus AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c_w
+      |           FROM cells GROUP BY 1),
+      |tots AS (SELECT domain, CAST(sum(c_dw) AS BIGINT) AS t_d
+      |         FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(t_d) AS BIGINT) AS t FROM tots),
+      |xs AS (
+      |  SELECT c.domain,
+      |    sum(CAST(round(c.c_dw::DOUBLE *
+      |      ln(tot.t::DOUBLE / co.c_w::DOUBLE), 6) AS DECIMAL(18,6)))
+      |      AS xsum
+      |  FROM cells c JOIN corpus co USING (w) CROSS JOIN tot GROUP BY 1),
+      |xent AS (
+      |  SELECT x.domain, tt.t_d,
+      |    CAST(round(CAST(x.xsum AS DOUBLE) / tt.t_d::DOUBLE, 6)
+      |      AS DECIMAL(18,6)) AS xent6
+      |  FROM xs x JOIN tots tt USING (domain)),
+      |mn AS (SELECT min(xent6) AS minx FROM xent),
+      |w AS (
+      |  SELECT xent.domain, xent.t_d, xent.xent6,
+      |    xent.xent6 - mn.minx AS excess6,
+      |    round(exp(CAST(xent.xent6 - mn.minx AS DOUBLE)), 6) AS mult6,
+      |    (1000000 * xent.t_d) // tot.t AS share_ppm,
+      |    CAST(round((xent.t_d::DOUBLE / tot.t::DOUBLE) *
+      |      round(exp(CAST(xent.xent6 - mn.minx AS DOUBLE)), 6), 6)
+      |      AS DECIMAL(18,6)) AS w6raw,
+      |    tot.t
+      |  FROM xent CROSS JOIN mn CROSS JOIN tot),
+      |ws AS (SELECT sum(w6raw) AS wsum FROM w)
+      |SELECT domain, t_d AS n_tok, share_ppm, xent6, excess6, mult6,
+      |  round(1000000.0 * w6raw::DOUBLE / ws.wsum::DOUBLE, 0)::BIGINT
+      |    AS w_ppm,
+      |  (t * round(1000000.0 * w6raw::DOUBLE / ws.wsum::DOUBLE, 0)::BIGINT)
+      |    // 1000000 AS target_tok
+      |FROM w, ws ORDER BY domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_doremi_reweight" -> (p13 _),
     "p12_epoch_allocation" -> (p12 _),
     "p11_quality_calibration" -> (p11 _),
     "p10_water_filling" -> (p10 _),
@@ -1020,6 +1121,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p13_doremi_reweight" -> p13Sql,
     "p12_epoch_allocation" -> p12Sql,
     "p11_quality_calibration" -> p11Sql,
     "p10_water_filling" -> p10Sql,

@@ -2309,4 +2309,31 @@ class OpsSpec extends SparkSpec {
         s"node $n: stress ${got.get(n)} vs replay $st")
     }
   }
+
+  test("p13: excess-loss reweighting moves weight toward the hard domains") {
+    val rows = ops.Pipeline.p13(spark, sf).collect()
+    assert(rows.length == 4)
+    def dec(r: org.apache.spark.sql.Row, c: String): BigDecimal =
+      BigDecimal(r.getAs[java.math.BigDecimal](c))
+    // reference domain: zero excess, multiplier exactly 1; everyone
+    // else multiplied strictly up
+    val byExcess = rows.sortBy(dec(_, "excess6"))
+    assert(dec(byExcess.head, "excess6") == BigDecimal(0))
+    assert(byExcess.head.getAs[Double]("mult6") == 1.0)
+    byExcess.tail.foreach(r => assert(r.getAs[Double]("mult6") > 1.0))
+    // non-vacuity: the domains genuinely differ in corpus-LM loss
+    assert(dec(byExcess.last, "excess6") > BigDecimal(0),
+      "all domains equally hard — reweighting is vacuous here")
+    // direction: the reference domain loses relative share, the
+    // hardest domain gains (DoReMi's whole point)
+    assert(byExcess.head.getAs[Long]("w_ppm") <
+      byExcess.head.getAs[Long]("share_ppm"))
+    assert(byExcess.last.getAs[Long]("w_ppm") >
+      byExcess.last.getAs[Long]("share_ppm"))
+    // normalization + conservation
+    val wsum = rows.map(_.getAs[Long]("w_ppm")).sum
+    assert(math.abs(wsum - 1000000L) <= 3, s"weights sum to $wsum ppm")
+    val tot = rows.map(_.getAs[Long]("n_tok")).sum
+    assert(rows.map(_.getAs[Long]("target_tok")).sum <= tot)
+  }
 }
