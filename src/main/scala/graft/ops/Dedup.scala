@@ -1482,7 +1482,85 @@ object Dedup {
        |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // d23: RECORD LINKAGE (blocked entity resolution — the STRUCTURED-
+  // record face of dedup: the doc ops fingerprint free text, a
+  // catalog/CRM dedups typed records where no field is reliable
+  // alone): the dirty catalog is part ∪ planted re-listings (every
+  // 83rd part re-keyed +10⁶ with a character-swap typo in its name —
+  // the fat-finger duplicate exact d01-style matching can never
+  // catch). BLOCKING on (brand, size) bounds comparisons to within-
+  // block pairs — the Σ|block|² cost model that replaces O(n²) at
+  // 100 TB (the gate carries n_cand per block as the evidence);
+  // VERIFY = levenshtein(name) ≤ 2 ∧ same type. Matches split into
+  // exact-name catalog dups and typo'd links; the planted pairs are
+  // identifiable ((k, k+10⁶)) so precision/recall is measurable, and
+  // a pair checksum pins the exact matched SET. One blocked self-join
+  // keyed by the block, one brand rollup — no all-pairs anywhere.
+  def d23(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.part(s, d)
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    val typo = concat(substring(col("p_name"), 1, 1),
+      substring(col("p_name"), 3, 1), substring(col("p_name"), 2, 1),
+      expr("substring(p_name, 4)"))
+    val dups = base.filter(col("p_partkey") % 83 === 0)
+      .select((col("p_partkey") + 1000000L).as("p_partkey"),
+        typo.as("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+    val all = base.unionByName(dups).localCheckpoint()
+    val a = all.select(col("p_partkey").as("ka"), col("p_name").as("na"),
+      col("p_brand").as("brand"), col("p_type").as("ta"),
+      col("p_size").as("size"))
+    val b = all.select(col("p_partkey").as("kb"), col("p_name").as("nb"),
+      col("p_brand").as("brand"), col("p_type").as("tb"),
+      col("p_size").as("size"))
+    a.join(b, Seq("brand", "size")).filter(col("ka") < col("kb"))
+      .withColumn("matched",
+        levenshtein(col("na"), col("nb")) <= 2 && col("ta") === col("tb"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_cand"),
+        count(when(col("matched"), lit(1))).as("n_matches"),
+        count(when(col("matched") && col("na") === col("nb"), lit(1)))
+          .as("n_exact"),
+        count(when(col("matched") && col("kb") - col("ka") === 1000000L,
+          lit(1))).as("n_planted"),
+        sum(when(col("matched"), graft.functions.Hashing.hash56(
+          concat(col("ka").cast("string"), lit("|"), col("kb").cast("string"))))
+          .otherwise(lit(0L)).cast("decimal(38,0)"))
+          .cast("string").as("pair_checksum"))
+      .orderBy("brand")
+  }
+
+  val d23Sql: String = {
+    val typo = "substr(p_name, 1, 1) || substr(p_name, 3, 1) || " +
+      "substr(p_name, 2, 1) || substr(p_name, 4)"
+    s"""WITH base AS (
+       |  SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part),
+       |dirty AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT p_partkey + 1000000, $typo, p_brand, p_type, p_size
+       |  FROM base WHERE p_partkey % 83 = 0),
+       |pairs AS (
+       |  SELECT a.p_brand AS brand, a.p_partkey AS ka, b.p_partkey AS kb,
+       |    (levenshtein(a.p_name, b.p_name) <= 2
+       |      AND a.p_type = b.p_type) AS matched,
+       |    a.p_name AS na, b.p_name AS nb
+       |  FROM dirty a JOIN dirty b
+       |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       |    AND a.p_partkey < b.p_partkey)
+       |SELECT brand, count(*) AS n_cand,
+       |  count(CASE WHEN matched THEN 1 END) AS n_matches,
+       |  count(CASE WHEN matched AND na = nb THEN 1 END) AS n_exact,
+       |  count(CASE WHEN matched AND kb - ka = 1000000 THEN 1 END)
+       |    AS n_planted,
+       |  sum(CASE WHEN matched THEN
+       |    ${graft.functions.Hashing.sqlHash56("ka || '|' || kb")}
+       |    ELSE 0 END)::DECIMAL(38,0)::VARCHAR AS pair_checksum
+       |FROM pairs GROUP BY 1 ORDER BY brand""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_record_linkage" -> (d23 _),
     "d22_prefix_filter" -> (d22 _),
     "d21_gdpr_delete" -> (d21 _),
     "d20_dedup_onion" -> (d20 _),
@@ -1508,6 +1586,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d23_record_linkage" -> d23Sql,
     "d22_prefix_filter" -> d22Sql,
     "d21_gdpr_delete" -> d21Sql,
     "d20_dedup_onion" -> d20Sql,

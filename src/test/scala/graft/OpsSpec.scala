@@ -2336,4 +2336,29 @@ class OpsSpec extends SparkSpec {
     val tot = rows.map(_.getAs[Long]("n_tok")).sum
     assert(rows.map(_.getAs[Long]("target_tok")).sum <= tot)
   }
+
+  test("d23: every planted re-listing is recovered and blocking stays sub-quadratic") {
+    val rows = ops.Dedup.d23(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nParts = Tables.part(spark, sf).count()
+    val nPlantedTrue = Tables.part(spark, sf)
+      .filter(col("p_partkey") % 83 === 0).count()
+    // perfect recall on the planted typos: the character swap is
+    // levenshtein 2 and blocking preserves (brand, size), so a miss
+    // means the blocked join or the verifier is broken
+    val found = rows.map(_.getAs[Long]("n_planted")).sum
+    assert(found == nPlantedTrue,
+      s"recovered $found of $nPlantedTrue planted re-listings")
+    // blocking did its job: candidates well under the all-pairs count
+    val nDirty = nParts + nPlantedTrue
+    val cand = rows.map(_.getAs[Long]("n_cand")).sum
+    assert(cand * 10 < nDirty * (nDirty - 1) / 2,
+      s"$cand candidates vs ${nDirty * (nDirty - 1) / 2} all-pairs — blocking vacuous")
+    // match classes are consistent subsets of the verified matches
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") <= r.getAs[Long]("n_matches"))
+      assert(r.getAs[Long]("n_planted") <= r.getAs[Long]("n_matches"))
+      assert(r.getAs[Long]("n_matches") <= r.getAs[Long]("n_cand"))
+    }
+  }
 }
