@@ -1994,7 +1994,131 @@ object TextOps {
       |WHERE n_ab >= 10
       |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin
 
+  // t39: JELINEK-MERCER SMOOTHING with HELD-OUT λ SELECTION — the LM
+  // hyperparameter loop t16 stops short of (its add-1 model scores
+  // the data it trained on; real LM eval interpolates p(w|v) =
+  // λ·p_ML(w|v) + (1−λ)·p_uni(w) and picks λ on text the model never
+  // saw — deleted interpolation, Jelinek & Mercer 1980): docs split
+  // 90/10 by content hash (the p07 leakage-safe rule — a doc's
+  // bigrams never straddle the split), bigram/unigram tables from
+  // TRAIN only, cross-entropy of the 10% held-out stream under λ ∈
+  // {0.25, 0.50, 0.75}, best = argmin (tie → smaller λ). The add-1
+  // unigram backoff keeps every held-out bigram scoreable (unseen
+  // continuations are the POINT of held-out eval — their count is
+  // carried as n_unseen evidence). Engine parity: one fixed-shape
+  // IEEE chain per (bigram, λ) rounded 6dp, summed as DECIMAL (t14
+  // discipline). Scale: bigrams map-side per doc; ONE keyed shuffle
+  // each for train cells / train unigrams / held-out cells
+  // (localCheckpoint-pinned, reused across all three λ); the λ sweep
+  // multiplies a CELL table, never the corpus.
+  def t39(s: SparkSession, d: String): DataFrame = {
+    val toksAll = Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("t")).filter(size(col("t")) >= 2)
+      .withColumn("held",
+        graft.functions.Hashing.hash56(col("doc_id").cast("string")) % 10 === 0)
+    val bigrams = toksAll.select(col("held"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("v"),
+            element_at(col("t"), i + 2).as("w")))).as("bg"))
+      .select(col("held"), col("bg.v").as("v"), col("bg.w").as("w"))
+    val trainBg = bigrams.filter(!col("held"))
+      .groupBy("v", "w").agg(count(lit(1)).as("c_vw")).localCheckpoint()
+    val trainV = trainBg.groupBy("v").agg(sum("c_vw").as("c_v"))
+    // unigram table over ALL train tokens (not just bigram lefts)
+    val trainUni = toksAll.filter(!col("held"))
+      .select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w")).localCheckpoint()
+    val stats = trainUni.agg(sum("c_w").as("tt"),
+      count(lit(1)).as("vv"))
+    val heldBg = bigrams.filter(col("held"))
+      .groupBy("v", "w").agg(count(lit(1)).as("n")).localCheckpoint()
+    val lams = Seq(25, 50, 75).map(lit(_)).toArray
+    val cells = heldBg
+      .join(trainBg, Seq("v", "w"), "left")
+      .join(trainV, Seq("v"), "left")
+      .join(trainUni, Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("n"), coalesce(col("c_vw"), lit(0L)).as("c_vw"),
+        coalesce(col("c_v"), lit(0L)).as("c_v"),
+        coalesce(col("c_w"), lit(0L)).as("c_w"), col("tt"), col("vv"),
+        explode(array(lams: _*)).as("lambda_pct"))
+    val lam = col("lambda_pct").cast("double") / lit(100.0)
+    val pml = when(col("c_v") > 0,
+      col("c_vw").cast("double") / col("c_v").cast("double")).otherwise(lit(0.0))
+    val puni = (col("c_w") + 1).cast("double") / (col("tt") + col("vv")).cast("double")
+    val wT = Window.orderBy(col("xent6"), col("lambda_pct"))
+    cells
+      .withColumn("term", round(col("n").cast("double") *
+        log(lam * pml + (lit(1.0) - lam) * puni), 6).cast("decimal(18,6)"))
+      .groupBy("lambda_pct")
+      .agg(sum("n").as("n_held"),
+        count(when(col("c_vw") === 0, lit(1))).as("n_unseen"),
+        (-sum(col("term"))).as("nll"))
+      .withColumn("xent6",
+        round(col("nll").cast("double") / col("n_held").cast("double"), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("is_best", row_number().over(wT) === 1)
+      .select("lambda_pct", "n_held", "n_unseen", "xent6", "is_best")
+      .orderBy("lambda_pct")
+  }
+
+  val t39Sql: String = {
+    val toksE = "regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')"
+    s"""WITH docs AS (
+       |  SELECT doc_id, $toksE AS t,
+       |    ${graft.functions.Hashing.sqlHash56("doc_id::VARCHAR")} % 10 = 0
+       |      AS held
+       |  FROM documents WHERE len($toksE) >= 2),
+       |bg AS (
+       |  SELECT held, t[i + 1] AS v, t[i + 2] AS w
+       |  FROM docs, LATERAL unnest(range(0, len(t) - 1)) u(i)),
+       |train_bg AS (SELECT v, w, count(*) AS c_vw FROM bg
+       |             WHERE NOT held GROUP BY 1, 2),
+       |train_v AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v
+       |            FROM train_bg GROUP BY 1),
+       |train_uni AS (
+       |  SELECT w, count(*) AS c_w FROM (
+       |    SELECT unnest(t) AS w FROM docs WHERE NOT held) GROUP BY 1),
+       |stats AS (SELECT CAST(sum(c_w) AS BIGINT) AS tt,
+       |                 count(*) AS vv FROM train_uni),
+       |held_bg AS (SELECT v, w, count(*) AS n FROM bg
+       |            WHERE held GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT h.n, coalesce(tb.c_vw, 0) AS c_vw, coalesce(tv.c_v, 0) AS c_v,
+       |    coalesce(tu.c_w, 0) AS c_w, st.tt, st.vv, lam.lambda_pct
+       |  FROM held_bg h
+       |  LEFT JOIN train_bg tb USING (v, w)
+       |  LEFT JOIN train_v tv USING (v)
+       |  LEFT JOIN train_uni tu USING (w)
+       |  CROSS JOIN stats st
+       |  CROSS JOIN (VALUES (25), (50), (75)) lam(lambda_pct)),
+       |scored AS (
+       |  SELECT lambda_pct, n, c_vw,
+       |    CAST(round(n::DOUBLE * ln(
+       |      (lambda_pct::DOUBLE / 100.0) *
+       |        (CASE WHEN c_v > 0 THEN c_vw::DOUBLE / c_v::DOUBLE
+       |              ELSE 0.0 END) +
+       |      (1.0 - lambda_pct::DOUBLE / 100.0) *
+       |        ((c_w + 1)::DOUBLE / (tt + vv)::DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS term
+       |  FROM cells),
+       |agged AS (
+       |  SELECT lambda_pct, CAST(sum(n) AS BIGINT) AS n_held,
+       |    count(CASE WHEN c_vw = 0 THEN 1 END) AS n_unseen,
+       |    -sum(term) AS nll
+       |  FROM scored GROUP BY 1),
+       |fin AS (
+       |  SELECT lambda_pct, n_held, n_unseen,
+       |    CAST(round(CAST(nll AS DOUBLE) / n_held::DOUBLE, 6)
+       |      AS DECIMAL(18,6)) AS xent6
+       |  FROM agged)
+       |SELECT lambda_pct, n_held, n_unseen, xent6,
+       |  row_number() OVER (ORDER BY xent6, lambda_pct) = 1 AS is_best
+       |FROM fin ORDER BY lambda_pct""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t39_jm_lambda_sweep" -> (t39 _),
     "t38_word_pmi" -> (t38 _),
     "t37_heaps_fit" -> (t37 _),
     "t36_bm25" -> (t36 _),
@@ -2035,6 +2159,7 @@ object TextOps {
     "t06_regex_tokens" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
+    "t39_jm_lambda_sweep" -> t39Sql,
     "t38_word_pmi" -> t38Sql,
     "t37_heaps_fit" -> t37Sql,
     "t36_bm25" -> t36Sql,

@@ -2361,4 +2361,21 @@ class OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_matches") <= r.getAs[Long]("n_cand"))
     }
   }
+
+  test("t39: held-out eval is honest — unseen transitions exist and the sweep discriminates") {
+    val rows = ops.TextOps.t39(spark, sf).collect()
+    assert(rows.length == 3)
+    assert(rows.count(_.getAs[Boolean]("is_best")) == 1, "argmin not unique-flagged")
+    // every lambda scored the same held-out stream
+    assert(rows.map(_.getAs[Long]("n_held")).distinct.length == 1)
+    // the held-out split genuinely exercises the backoff: if every
+    // held-out bigram were seen in training, interpolation is moot
+    assert(rows.head.getAs[Long]("n_unseen") > 0,
+      "no unseen held-out transition — the eval leaks or the split is broken")
+    // and the sweep discriminates: not all lambdas tie
+    val xs = rows.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("xent6")))
+    assert(xs.distinct.length > 1, "all lambda values score identically")
+    // n_unseen is a property of the data, not of lambda
+    assert(rows.map(_.getAs[Long]("n_unseen")).distinct.length == 1)
+  }
 }
