@@ -1482,7 +1482,93 @@ object Graph {
        |GROUP BY 1 ORDER BY stress DESC, sg.node LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // g20: MAXIMAL INDEPENDENT SET by LUBY'S ALGORITHM — the parallel
+  // symmetry-breaking primitive under distributed coloring,
+  // scheduling and clustering (pick a maximal set of mutually
+  // non-adjacent nodes in O(log n) ROUNDS, where any greedy sweep is
+  // inherently sequential). True randomness is ungateable, so
+  // priorities are HASH-DERIVED (hash56('mis#'‖node) — the g10/t19
+  // determinism rule): each round every still-undecided node joins
+  // the MIS iff its priority strictly beats every undecided
+  // neighbor's (strict — equal-priority neighbors both stand down,
+  // so independence never depends on tie luck); winners and their
+  // neighbors leave the arena. The gate carries the per-round
+  // selection counts, a checksum pinning each round's exact winner
+  // SET, and the shrinking arena — 8 rounds is comfortably past this
+  // graph's completion (trailing all-zero rounds keep the schema
+  // SF-stable). Scale: each round is one edge-keyed join + one
+  // node-keyed max-agg + two anti-joins, state O(V), Iterate-pinned —
+  // the Pregel round shape; no node ever sees beyond its neighbors.
+  private val MIS_ROUNDS = 8
+
+  def g20(s: SparkSession, d: String): DataFrame = {
+    def prio(n: Column): Column =
+      Hashing.hash56(concat(lit("mis#"), n.cast("string")))
+    val e = Iterate.pin(edges(s, d))
+    var und = Iterate.pin(e.select(col("src").as("node")).distinct())
+    var out: DataFrame = null
+    for (r <- 1 to MIS_ROUNDS) {
+      val nbr = und.select(col("node").as("nb"))
+      val winners = Iterate.pin(
+        und.join(e, und("node") === e("src"), "left")
+          .join(nbr, col("nb") === col("dst"), "left")
+          .groupBy("node")
+          .agg(max(when(col("nb").isNotNull, prio(col("nb")))).as("maxn"))
+          .filter(col("maxn").isNull || col("maxn") < prio(col("node")))
+          .select("node"))
+      val removed = winners.join(e, winners("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+      und = Iterate.pin(und.join(winners, Seq("node"), "left_anti")
+        .join(removed, Seq("node"), "left_anti"))
+      val row = winners.agg(count(lit(1)).as("n_selected"),
+          coalesce(sum(Hashing.hash56(col("node").cast("string"))
+              .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").cast("string").as("sel_checksum"))
+        .crossJoin(und.agg(count(lit(1)).as("n_remaining")))
+        .select(lit(r).as("round"), col("n_selected"), col("sel_checksum"),
+          col("n_remaining"))
+      out = if (out == null) row else out.union(row)
+    }
+    out.orderBy("round")
+  }
+
+  val g20Sql: String = {
+    def p(x: String) = Hashing.sqlHash56(s"'mis#' || $x::VARCHAR")
+    val rounds = (1 to MIS_ROUNDS).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT u.node FROM und${r - 1} u
+         |  LEFT JOIN edges e ON e.src = u.node
+         |  LEFT JOIN und${r - 1} v ON v.node = e.dst
+         |  GROUP BY u.node
+         |  HAVING max(CASE WHEN v.node IS NOT NULL THEN ${p("v.node")} END)
+         |      IS NULL
+         |    OR max(CASE WHEN v.node IS NOT NULL THEN ${p("v.node")} END)
+         |      < ${p("u.node")}),
+         |und$r AS MATERIALIZED (
+         |  SELECT u.node FROM und${r - 1} u
+         |  WHERE NOT EXISTS (SELECT 1 FROM w$r w WHERE w.node = u.node)
+         |    AND NOT EXISTS (SELECT 1 FROM edges e JOIN w$r w
+         |                    ON w.node = e.src WHERE e.dst = u.node))"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to MIS_ROUNDS).map { r =>
+      s"""SELECT $r AS round, w.cnt AS n_selected, w.chk AS sel_checksum,
+         |  u.cnt AS n_remaining
+         |FROM (SELECT count(*) AS cnt,
+         |        coalesce(sum(${Hashing.sqlHash56("node::VARCHAR")}), 0)
+         |          ::DECIMAL(38,0)::VARCHAR AS chk FROM w$r) w,
+         |     (SELECT count(*) AS cnt FROM und$r) u""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $sqlEdges,
+       |und0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |$rounds
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g20_luby_mis" -> (g20 _),
     "g19_stress_centrality" -> (g19 _),
     "g18_diameter" -> (g18 _),
     "g17_clustering" -> (g17 _),
@@ -1504,6 +1590,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g20_luby_mis" -> g20Sql,
     "g19_stress_centrality" -> g19Sql,
     "g18_diameter" -> g18Sql,
     "g17_clustering" -> g17Sql,

@@ -2378,4 +2378,48 @@ class OpsSpec extends SparkSpec {
     // n_unseen is a property of the data, not of lambda
     assert(rows.map(_.getAs[Long]("n_unseen")).distinct.length == 1)
   }
+
+  test("g20: Luby rounds replay exactly and the final set is a true MIS") {
+    val rows = ops.Graph.g20(spark, sf).collect().sortBy(_.getAs[Int]("round"))
+    assert(rows.length == 8)
+    def h56(str: String): Long =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+        .take(7).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val und0 = scala.collection.mutable.Set.empty[Long]
+    val adj = {
+      val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sn"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      val both = e ++ e.map(_.swap)
+      both.foreach { case (a, b) => und0 += a; und0 += b }
+      both.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    }
+    val prio = und0.map(n => n -> h56(s"mis#$n")).toMap
+    var und = und0.toSet
+    val mis = scala.collection.mutable.Set.empty[Long]
+    rows.foreach { r =>
+      val winners = und.filter { u =>
+        val nb = adj(u).intersect(und)
+        nb.isEmpty || nb.map(prio).max < prio(u)
+      }
+      mis ++= winners
+      und = und -- winners -- winners.flatMap(adj)
+      assert(r.getAs[Long]("n_selected") == winners.size.toLong,
+        s"round ${r.getAs[Int]("round")}: ${r.getAs[Long]("n_selected")} vs replay ${winners.size}")
+      val chk = winners.toSeq.map(n => BigInt(h56(n.toString))).sum
+      assert(BigInt(r.getAs[String]("sel_checksum")) == chk,
+        s"round ${r.getAs[Int]("round")}: winner set diverges from replay")
+      assert(r.getAs[Long]("n_remaining") == und.size.toLong)
+    }
+    assert(und.isEmpty, "arena not empty after 8 rounds — MIS incomplete")
+    // independence: no edge inside the set; maximality: every outsider
+    // has a MIS neighbor
+    mis.foreach(v => assert(adj(v).intersect(mis).isEmpty,
+      s"$v and a neighbor both in the MIS"))
+    (und0 -- mis).foreach(v => assert(adj(v).exists(mis.contains),
+      s"non-member $v has no MIS neighbor — set not maximal"))
+  }
 }
