@@ -2177,7 +2177,58 @@ object EventOps {
       |  CAST(max(n_h) AS BIGINT) AS peak_hour
       |FROM hourly GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // e40: STREAM ENRICHMENT AGAINST A VERSIONED (SCD2) DIMENSION —
+  // e11 joins a FLAT dim; production dims have history, and joining a
+  // stream to "the current version" silently rewrites the past every
+  // time the dim changes (the classic streaming-SCD bug: yesterday's
+  // events re-attributed to today's segment). The temporal-correct
+  // join picks the version valid AT EVENT TIME; streams cannot run an
+  // as-of (no per-key argmax without state), so the scalable rewrite
+  // is the INTERVAL-BOUNDED stream-static join: versions carry
+  // explicit [valid_from, valid_to) and the join predicate ts ∈
+  // interval matches EXACTLY ONE version per event — no post-join
+  // dedup, fan-out bounded by versions-per-key, broadcast-able dim.
+  // Dim: seg = user%5 from epoch; every 3rd user migrates to seg+5 on
+  // 2024-01-16 (mid-corpus, so both versions genuinely serve). Gate:
+  // (seg, event_type) rollup vs the oracle's CASE form; the
+  // migrated-user both-sides evidence is pinned in StreamingSpec.
+  def e40(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).select("user_id").distinct()
+    val cut = lit("2024-01-16").cast("timestamp")
+    val lo = lit("1970-01-01").cast("timestamp")
+    val hi = lit("9999-01-01").cast("timestamp")
+    val v1 = users.select(col("user_id").as("u"), (col("user_id") % 5).as("seg"),
+      lo.as("valid_from"),
+      when(col("user_id") % 3 === 0, cut).otherwise(hi).as("valid_to"))
+    val v2 = users.filter(col("user_id") % 3 === 0)
+      .select(col("user_id").as("u"), (col("user_id") % 5 + 5).as("seg"),
+        cut.as("valid_from"), hi.as("valid_to"))
+    val dim = v1.unionByName(v2)
+    val sink = "graft_e40_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streams.eventStream(s, d)
+      .join(broadcast(dim),
+        col("user_id") === col("u") &&
+          col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    try s.table(sink)
+      .groupBy("seg", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("seg", "event_type")
+      .localCheckpoint()
+    finally s.catalog.dropTempView(sink)
+  }
+
+  val e40Sql: String =
+    """SELECT CASE WHEN user_id % 3 = 0 AND ts >= TIMESTAMP '2024-01-16'
+      |  THEN user_id % 5 + 5 ELSE user_id % 5 END AS seg,
+      |  event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e40_stream_scd_enrich" -> (e40 _),
     "e39_chained_windows" -> (e39 _),
     "e38_session_timers" -> (e38 _),
     "e37_multisource_watermark" -> (e37 _),
@@ -2218,6 +2269,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e40_stream_scd_enrich" -> e40Sql,
     "e39_chained_windows" -> e39Sql,
     "e38_session_timers" -> e38Sql,
     "e37_multisource_watermark" -> e37Sql,

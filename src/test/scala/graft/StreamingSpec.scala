@@ -282,4 +282,30 @@ class StreamingSpec extends SparkSpec {
       .count().count()
     assert(rows.length < hourly, "day tier did not aggregate hour cells")
   }
+
+  test("e40: versioned enrichment serves both sides of the migration boundary") {
+    val rows = ops.EventOps.e40(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val segs = rows.map(_.getAs[Long]("seg")).distinct
+    // the pre-migration identities (0..4) and the migrated identities
+    // (5..9) must BOTH appear — a current-version-only join collapses
+    // everything into 5..9 for user%3==0 and a from-version-only join
+    // never emits 5..9 at all
+    assert(segs.exists(_ <= 4) && segs.exists(_ >= 5),
+      s"segments $segs one-sided — the dim versioning is not serving")
+    // every event enriched exactly once: intervals partition time
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, sf).count(),
+      "interval join dropped or duplicated events")
+    // and a migrated user genuinely straddles the boundary
+    val straddler = Tables.events(spark, sf)
+      .filter(col("user_id") % 3 === 0)
+      .groupBy("user_id")
+      .agg(count(when(col("ts") < lit("2024-01-16").cast("timestamp"), 1))
+        .as("before"),
+        count(when(col("ts") >= lit("2024-01-16").cast("timestamp"), 1))
+          .as("after"))
+      .filter(col("before") > 0 && col("after") > 0).count()
+    assert(straddler > 0, "no migrated user has events on both sides")
+  }
 }
