@@ -1009,7 +1009,62 @@ object Multimodal {
        |GROUP BY 1 ORDER BY t.doc_id""".stripMargin
   }
 
+  // m18: ADAPTIVE-BITRATE RENDITION LADDER planning (the transcode
+  // budgeting pass every video platform runs before ingest: which
+  // downscaled renditions to produce and what they will cost in
+  // bytes): source dimensions derive deterministically from blob
+  // metadata (the m04 stub discipline, scaled to real video ranges),
+  // ladder rungs = {1080, 720, 480, 360} capped at source height
+  // (never upscale) plus the source's own rung; scaled width
+  // preserves aspect and snaps to EVEN (codec macroblock rule) via
+  // integer math; byte cost under a 0.07-bpp 30-fps 60-s model — all
+  // integer division, no float anywhere. Per (source, rung): video
+  // count and total bytes — the capacity-planning rollup. Scale:
+  // pure map-side rung explosion (≤5/blob) into one keyed agg.
+  def m18(s: SparkSession, d: String): DataFrame = {
+    val vids = Tables.documents(s, d).filter(col("n_chars") % 3 === 2)
+      .select(col("doc_id"), col("source"),
+        (lit(320) + (col("n_chars") * 13) % 1600).cast("long").as("src_w"),
+        (lit(240) + (col("n_chars") * 7) % 1200).cast("long").as("src_h"))
+    val rungs = vids
+      .withColumn("rung_h", explode(array_distinct(filter(
+        array(col("src_h"), lit(1080L), lit(720L), lit(480L), lit(360L)),
+        h => h <= col("src_h")))))
+      .withColumn("rung_w",
+        expr("((src_w * rung_h) div src_h) - ((src_w * rung_h) div src_h) % 2"))
+      .withColumn("bytes",
+        expr("(((rung_w * rung_h * 30 * 7) div 100) * 60) div 8"))
+    rungs.groupBy("source", "rung_h")
+      .agg(count(lit(1)).as("n_videos"), sum("bytes").as("total_bytes"),
+        sum("rung_w").as("sum_w"))
+      .orderBy("source", "rung_h")
+  }
+
+  val m18Sql: String =
+    """WITH vids AS (
+      |  SELECT doc_id, source,
+      |    CAST(320 + (n_chars * 13) % 1600 AS BIGINT) AS src_w,
+      |    CAST(240 + (n_chars * 7) % 1200 AS BIGINT) AS src_h
+      |  FROM documents WHERE n_chars % 3 = 2),
+      |rungs AS (
+      |  SELECT source,
+      |    unnest(list_distinct(list_filter([src_h, 1080, 720, 480, 360],
+      |      h -> h <= src_h))) AS rung_h,
+      |    src_w, src_h
+      |  FROM vids),
+      |sized AS (
+      |  SELECT source, rung_h,
+      |    ((src_w * rung_h) // src_h) - ((src_w * rung_h) // src_h) % 2
+      |      AS rung_w
+      |  FROM rungs)
+      |SELECT source, rung_h, count(*) AS n_videos,
+      |  CAST(sum((((rung_w * rung_h * 30 * 7) // 100) * 60) // 8) AS BIGINT)
+      |    AS total_bytes,
+      |  CAST(sum(rung_w) AS BIGINT) AS sum_w
+      |FROM sized GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m18_abr_ladder" -> (m18 _),
     "m17_shot_detect" -> (m17 _),
     "m16_cdc_chunking" -> (m16 _),
     "m15_crossmodal_eval" -> (m15 _),
@@ -1029,6 +1084,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m18_abr_ladder" -> m18Sql,
     "m17_shot_detect" -> m17Sql,
     "m16_cdc_chunking" -> m16Sql,
     "m15_crossmodal_eval" -> m15Sql,

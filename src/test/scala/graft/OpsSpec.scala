@@ -2422,4 +2422,34 @@ class OpsSpec extends SparkSpec {
     (und0 -- mis).foreach(v => assert(adj(v).exists(mis.contains),
       s"non-member $v has no MIS neighbor — set not maximal"))
   }
+
+  test("m18: ladder rungs nest downward and one blob's ladder replays exactly") {
+    val rows = ops.Multimodal.m18(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // never-upscale: standard rung counts nest — every video tall
+    // enough for 720 is tall enough for 480 and 360
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val std = Map(360L -> 0L, 480L -> 0L, 720L -> 0L, 1080L -> 0L) ++
+        rs.filter(r => Set(360L, 480L, 720L, 1080L)
+          .contains(r.getAs[Long]("rung_h")))
+          .map(r => r.getAs[Long]("rung_h") -> r.getAs[Long]("n_videos"))
+      assert(std(360L) >= std(480L) && std(480L) >= std(720L) &&
+        std(720L) >= std(1080L), s"$src: rung counts do not nest: $std")
+    }
+    // driver replay of one blob's full ladder (widths even, byte model)
+    val doc = Tables.documents(spark, sf).filter(col("n_chars") % 3 === 2)
+      .select("n_chars", "source").head()
+    val (nc, src) = (doc.getAs[Long]("n_chars"), doc.getAs[String]("source"))
+    val (sw, sh) = (320 + (nc * 13) % 1600, 240 + (nc * 7) % 1200)
+    (Seq(sh, 1080L, 720L, 480L, 360L).distinct.filter(_ <= sh)).foreach { rh =>
+      val rw = (sw * rh / sh) - (sw * rh / sh) % 2
+      assert(rw % 2 == 0 && rw <= sw)
+      val bytes = (((rw * rh * 30 * 7) / 100) * 60) / 8
+      val row = rows.find(r => r.getAs[String]("source") == src &&
+        r.getAs[Long]("rung_h") == rh)
+      assert(row.nonEmpty, s"rung $rh missing for a $sh-tall video's source")
+      assert(row.get.getAs[Long]("total_bytes") >= bytes,
+        "source rollup smaller than one member's cost")
+    }
+  }
 }
