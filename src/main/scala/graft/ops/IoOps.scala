@@ -1655,7 +1655,65 @@ object IoOps {
       |    AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i28: NESTED-SCHEMA COLUMN PRUNING (the storage feature that makes
+  // deeply-structured lakes affordable: a query touching two leaves
+  // of a wide struct/array-of-struct document must read TWO leaf
+  // column chunks, not the whole tree — at 100 TB the difference is
+  // the whole I/O bill): events materialize as a nested document
+  // (meta.user.{id,seg}, meta.kind, items: array<struct<k,v>>), the
+  // read-back selects ONLY meta.user.seg and the items[].k fold, and
+  // the GATE is the rollup while PlanSpec pins the scan's ReadSchema
+  // to exactly those leaves (id/kind/v absent — the evidence
+  // Catalyst's nestedSchemaPruning actually reached the parquet
+  // reader). Oracle: the same rollup straight from the flat source —
+  // nesting must be a LOSSLESS reshaping, not a semantic change.
+  def i28(s: SparkSession, d: String): DataFrame = i28WithPlan(s, d)._1
+
+  /** (gated rollup, formatted plan of the nested read-back) — the
+    * plan string pins leaf-level ReadSchema pruning in PlanSpec. */
+  def i28WithPlan(s: SparkSession, d: String): (DataFrame, String) = {
+    val dir = tmpDir("graft_i28_")
+    try {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          struct(
+            struct(col("user_id").as("id"), (col("user_id") % 7).as("seg"))
+              .as("user"),
+            col("event_type").as("kind")).as("meta"),
+          array(
+            struct(col("value").cast("long").as("k"), col("value").as("v")),
+            struct((col("event_id") % 100).as("k"), (col("value") / 2).as("v")))
+            .as("items"))
+        .write.parquet(s"$dir/nested")
+      // extract items.k FIRST (GetArrayStructFields — a prunable
+      // ExtractValue chain) and fold the bare longs: folding the raw
+      // structs with `x.k` inside the lambda would defeat pruning —
+      // higher-order-function bodies are opaque to nestedSchemaPruning,
+      // so the scan would read v too
+      val rb = s.read.parquet(s"$dir/nested")
+        .select(col("meta.user.seg").as("seg"),
+          expr("aggregate(items.k, 0L, (acc, x) -> acc + x)").as("ksum"))
+      val out = rb.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("ksum").as("sum_k"))
+        .orderBy("seg").localCheckpoint()
+      (out, rb.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i28Sql: String =
+    """SELECT user_id % 7 AS seg, count(*) AS n,
+      |  CAST(sum(CAST(trunc(value) AS BIGINT) + event_id % 100) AS BIGINT)
+      |    AS sum_k
+      |FROM events GROUP BY 1 ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i28_nested_pruning" -> (i28 _),
     "i27_dynamic_overwrite" -> (i27 _),
     "i26_shallow_clone" -> (i26 _),
     "i25_pos_deletes" -> (i25 _),
@@ -1685,6 +1743,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i28_nested_pruning" -> i28Sql,
     "i27_dynamic_overwrite" -> i27Sql,
     "i26_shallow_clone" -> i26Sql,
     "i25_pos_deletes" -> i25Sql,

@@ -1952,7 +1952,133 @@ object Relational {
       |  max(CASE WHEN rn = 1 THEN st END) AS top_st
       |FROM contribs""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q60: EXPONENTIALLY WEIGHTED MOVING AVERAGE (the time-series
+  // smoother behind every metrics dashboard and anomaly baseline):
+  // EWMA's textbook form is RECURSIVE (s_t = αx_t + (1−α)s_{t−1}) —
+  // inexpressible as a window function and inherently sequential; the
+  // distributed rewrite expands it to the weighted sum
+  // Σ_k 2^-(k+1)·x_{t−k} truncated at 32 lags (α = 1/2; the tail
+  // beyond 32 is < 2^-32 of the signal), normalized over the weights
+  // actually PRESENT so series heads aren't biased low. Engine
+  // parity: the 32 weights are exact powers of two; the sums are
+  // FIXED-ORDER left-folded expression trees written identically in
+  // both engines (and ·2^-k is an exponent shift — exact), one
+  // closing division, 6dp. Scale: all 64 lag terms share ONE
+  // nation-keyed window exchange (Catalyst dedups the lag frames);
+  // monthly grain per nation, map-side partial agg under it.
+  private val EWMA_LAGS = 32
+
+  def q60(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double").as("rev"))
+    val w = Window.partitionBy("nation").orderBy("month")
+    val num = (0 until EWMA_LAGS).map { k =>
+      coalesce(lag(col("rev"), k).over(w), lit(0.0)) *
+        lit(math.pow(2.0, -(k + 1)))
+    }.reduce(_ + _)
+    val den = (0 until EWMA_LAGS).map { k =>
+      when(lag(col("rev"), k).over(w).isNotNull,
+        lit(math.pow(2.0, -(k + 1)))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    monthly.withColumn("ewma", round(num / den, 6))
+      .select("nation", "month", "rev", "ewma")
+      .orderBy("nation", "month")
+  }
+
+  val q60Sql: String = {
+    def wgt(k: Int): String = math.pow(2.0, -(k + 1)).toString
+    val num = (0 until EWMA_LAGS).map(k =>
+      s"coalesce(lag(rev, $k) OVER w, 0.0) * ${wgt(k)}").mkString(" + ")
+    val den = (0 until EWMA_LAGS).map(k =>
+      s"(CASE WHEN lag(rev, $k) OVER w IS NOT NULL THEN ${wgt(k)} " +
+        "ELSE 0.0 END)").mkString(" + ")
+    s"""WITH monthly AS (
+       |  SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+       |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+       |      AS rev
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2)
+       |SELECT nation, month, rev,
+       |  round(($num) / ($den), 6) AS ewma
+       |FROM monthly
+       |WINDOW w AS (PARTITION BY nation ORDER BY month)
+       |ORDER BY nation, month""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q61: RUNTIME BLOOM-FILTER SEMI-JOIN REDUCTION (the other join-side
+  // pruning lever beside broadcast: when a selective dim filter can't
+  // broadcast, Spark can still build a bloom filter of the surviving
+  // join keys and apply it to the fact side BEFORE its shuffle — at
+  // 100 TB that turns "shuffle every lineitem row, discard 97% at the
+  // join" into "discard 97% at the scan"). The urgent+expensive orders
+  // filter survives ~3% of orders; with broadcast disabled (the
+  // too-big-dim scenario this optimization exists for) Catalyst
+  // injects BloomFilterAggregate on the orders side and
+  // might_contain(l_orderkey) under the lineitem shuffle. The
+  // injection is pinned INSIDE the hash gate: bloom_injected is
+  // derived from the optimized plan and the oracle pins TRUE — a conf
+  // regression or a plan shape that stops qualifying flips the row
+  // red. Execution is forced by localCheckpoint while the confs are
+  // still in place, so the EXECUTED plan carries the filter too.
+  // Bloom passes are a superset of true matches (false positives only
+  // cost shuffle bytes, never rows), so the gated rollup is exactly
+  // the plain join's.
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val confs = Seq(
+      // force the non-broadcast path the bloom filter exists for
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // local testdata is far below the 10GB default meant to spare
+      // small scans; at cluster scale the defaults fire on their own
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_orderdate")
+      val l = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val agg = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)"))), 2)
+            .cast("double").as("revenue"))
+      val bloomed = agg.queryExecution.optimizedPlan.toString
+        .contains("might_contain")
+      agg.localCheckpoint()
+        .withColumn("bloom_injected", lit(bloomed))
+        .orderBy("o_year")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  val q61Sql: String =
+    """SELECT year(o_orderdate) AS o_year, count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2)
+      |    AS DOUBLE) AS revenue,
+      |  true AS bloom_injected
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_runtime_filter" -> (q61 _),
+    "q60_ewma" -> (q60 _),
     "q59_chi_square" -> (q59 _),
     "q58_sketch_rollup" -> (q58 _),
     "q57_interval_overlap" -> (q57 _),
@@ -2014,6 +2140,8 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q61_runtime_filter" -> q61Sql,
+    "q60_ewma" -> q60Sql,
     "q59_chi_square" -> q59Sql,
     "q58_sketch_rollup" -> q58Sql,
     "q57_interval_overlap" -> q57Sql,

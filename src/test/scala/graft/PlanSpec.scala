@@ -310,4 +310,18 @@ class PlanSpec extends SparkSpec {
       (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
       p.take(1500))
   }
+
+  test("i28 nested read prunes to the two touched leaves") {
+    val (_, p) = ops.IoOps.i28WithPlan(spark, sf)
+    val rs = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no ReadSchema in the nested read-back plan"))
+    // the touched leaves must be read ...
+    assert(rs.contains("seg:") && rs.contains("k:"), rs)
+    // ... and the untouched siblings must NOT be: meta.user.id,
+    // meta.kind and items[].v share structs with the touched leaves,
+    // so their absence is exactly nested-schema pruning at work
+    assert(!rs.contains("id") && !rs.contains("kind"),
+      s"struct siblings not pruned: $rs")
+    assert(!rs.contains("v:"), s"array-struct sibling v not pruned: $rs")
+  }
 }
