@@ -3124,7 +3124,69 @@ object Recommend {
        |ORDER BY wilson_lb DESC, item_id LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // r47: WEIGHTED SLOPE ONE (Lemire & Maclachlan 2005 — the classic
+  // model-free rating predictor: "item i runs diff/c higher than item
+  // j among their co-raters; shift each of u's known ratings by that
+  // deviation and average, weighted by co-rater support"). The whole
+  // predictor is RATIONAL: with integer ratings, the prediction is
+  //   P(u,i) = Σ_j (sdiff_ij + r_uj·c_ij) / Σ_j c_ij
+  // — exact bigint numerator/denominator, which is what the gate
+  // hashes (the 6dp float is one division for UX). Targets are the
+  // top-5 most-rated items (data-derived, ties to smallest item), so
+  // the deviation table is target-filtered at the source: devs are
+  // (5 targets × co-rated j), never the full O(catalog²) matrix —
+  // the bounded-panel discipline that survives warehouse scale. Plan:
+  // one user-keyed self-join (fan-out ≤5 per rated row) → one (i,j)
+  // agg → one j-keyed scoring join + (u,i) agg; already-rated (u,i)
+  // pairs leave via an anti-join BEFORE the agg.
+  def r47(s: SparkSession, d: String): DataFrame = {
+    val r = Ratings.implicitRatings(s, d)
+      .select(col("user_id"), col("item_id"), col("rating").cast("long").as("r"))
+    val top5 = r.groupBy("item_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item_id")).limit(5)
+      .select(col("item_id").as("i"))
+    val a = r.join(broadcast(top5), col("item_id") === col("i"))
+      .select(col("user_id").as("ua"), col("i"), col("r").as("ri"))
+    val devs = a.join(r.select(col("user_id").as("ua"),
+        col("item_id").as("j"), col("r").as("rj")), Seq("ua"))
+      .filter(col("i") =!= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("ri") - col("rj")).as("sdiff"), count(lit(1)).as("c"))
+    val hist = r.select(col("user_id"), col("item_id").as("j"), col("r").as("ruj"))
+    val unrated = hist.join(devs, Seq("j"))
+      .join(r.select(col("user_id"), col("item_id").as("i")),
+        Seq("user_id", "i"), "left_anti")
+    unrated.groupBy(col("user_id"), col("i").as("item_id"))
+      .agg(sum(col("sdiff") + col("ruj") * col("c")).as("num"),
+        sum(col("c")).as("den"))
+      .withColumn("pred", round(col("num").cast("double") / col("den"), 6))
+      .orderBy("user_id", "item_id")
+  }
+
+  val r47Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |r AS (SELECT user_id, item_id, CAST(rating AS BIGINT) AS r FROM ratings),
+       |top5 AS (SELECT item_id AS i FROM (
+       |  SELECT item_id, count(*) AS n FROM r GROUP BY 1
+       |  ORDER BY n DESC, item_id LIMIT 5)),
+       |devs AS (
+       |  SELECT a.item_id AS i, b.item_id AS j,
+       |    sum(a.r - b.r) AS sdiff, count(*) AS c
+       |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id <> b.item_id
+       |  WHERE a.item_id IN (SELECT i FROM top5)
+       |  GROUP BY 1, 2)
+       |SELECT u.user_id, d.i AS item_id,
+       |  CAST(sum(d.sdiff + u.r * d.c) AS BIGINT) AS num,
+       |  CAST(sum(d.c) AS BIGINT) AS den,
+       |  round(CAST(sum(d.sdiff + u.r * d.c) AS DOUBLE) / sum(d.c), 6) AS pred
+       |FROM r u JOIN devs d ON u.item_id = d.j
+       |WHERE NOT EXISTS (SELECT 1 FROM r x
+       |  WHERE x.user_id = u.user_id AND x.item_id = d.i)
+       |GROUP BY 1, 2 ORDER BY user_id, item_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r47_slope_one" -> (r47 _),
     "r46_wilson_ci" -> (r46 _),
     "r45_complements" -> (r45 _),
     "r44_rfm_features" -> (r44 _),
@@ -3173,6 +3235,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r47_slope_one" -> r47Sql,
     "r46_wilson_ci" -> r46Sql,
     "r45_complements" -> r45Sql,
     "r44_rfm_features" -> r44Sql,

@@ -658,4 +658,41 @@ class RecommendSpec extends SparkSpec {
     assert(inverted,
       "no p-hat/Wilson rank inversion anywhere — the correction is vacuous here")
   }
+
+  test("r47: Slope One rational replays driver-side from raw ratings") {
+    val preds = ops.Recommend.r47(spark, sf).limit(2000).collect()
+    assert(preds.nonEmpty)
+    // every prediction is a well-formed rational with pred = num/den @6dp
+    preds.foreach { p =>
+      val (num, den) = (p.getAs[Long]("num"), p.getAs[Long]("den"))
+      assert(den > 0, "zero-support prediction emitted")
+      val expect = BigDecimal(num.toDouble / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p.getAs[Double]("pred") == expect, s"pred != num/den for $p")
+    }
+    // full protocol replay for one served user: rebuild deviations and
+    // the weighted sum from the raw rating matrix in plain Scala
+    val u = preds.head.getAs[Long]("user_id")
+    val all = etl.Ratings.implicitRatings(spark, sf)
+      .select(col("user_id"), col("item_id"), col("rating").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = all.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(t => t._2 -> t._3).toMap }
+    val mine = byUser(u)
+    preds.filter(_.getAs[Long]("user_id") == u).foreach { p =>
+      val i = p.getAs[Long]("item_id")
+      assert(!mine.contains(i), "predicted an already-rated item")
+      var (num, den) = (0L, 0L)
+      for ((j, ruj) <- mine) {
+        // deviation of target i vs j over all co-raters
+        var (sdiff, c) = (0L, 0L)
+        for ((_, ri) <- byUser if ri.contains(i) && ri.contains(j)) {
+          sdiff += ri(i) - ri(j); c += 1
+        }
+        if (c > 0) { num += sdiff + ruj * c; den += c }
+      }
+      assert(num == p.getAs[Long]("num") && den == p.getAs[Long]("den"),
+        s"rational mismatch for (u=$u, i=$i): scala ($num,$den) vs $p")
+    }
+  }
 }
