@@ -2227,7 +2227,94 @@ object EventOps {
       |  event_type, count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // e41: KAPLAN–MEIER SURVIVAL life table over session durations (the
+  // right-censoring estimator behind every churn/engagement-duration
+  // analysis — naive mean duration is biased low because sessions cut
+  // off by the observation window aren't over yet). Episodes are e02's
+  // 30-min-gap sessions; duration t in whole minutes (integer div);
+  // a session whose last event lies within one gap of the corpus end
+  // is CENSORED (it may still be running — treating it as ended is the
+  // classic bias KM exists to fix). The gate is the exact integer life
+  // table: per distinct t, n_risk (episodes with duration ≥ t, via one
+  // ordered cumulative window over the ≤duration-cap-sized table),
+  // observed ends d, censored c, and hazard_ppm = 10⁶·d div n_risk —
+  // all bigint, no float anywhere. The KM curve S(t) = Π(1 − dᵢ/nᵢ) is
+  // a cumulative PRODUCT (no SQL window does it exactly), so it is
+  // replayed in OpsSpec with exact BigInt rationals from this table —
+  // the table determines the curve uniquely. Scale: one user-keyed
+  // session window + one (user,sid) agg + one duration-grain agg; the
+  // only unpartitioned window runs on the duration-grain table, bounded
+  // by the session-length cap in minutes, never by corpus size.
+  def e41(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("new_s", when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("fu"), max(col("us")).as("lu"))
+    val endUs = Tables.events(s, d)
+      .agg(max(unix_micros(col("ts"))).as("end_us"))
+    val labeled = sess.crossJoin(broadcast(endUs))
+      .select(expr("(lu - fu) div 60000000").as("t"),
+        when(col("end_us") - col("lu") < 1800000000L, 1L).otherwise(0L).as("cen"))
+    val byT = labeled.groupBy("t")
+      .agg(count(lit(1)).as("n_end"), sum(lit(1L) - col("cen")).as("d"),
+        sum(col("cen")).as("c"))
+    val cum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT.crossJoin(broadcast(labeled.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_end")).over(cum), lit(0L)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        expr("d * 1000000 div n_risk").as("hazard_ppm"))
+      .orderBy("t")
+  }
+
+  val e41Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+      |fin AS (SELECT max(us) AS end_us FROM ev),
+      |tagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        > 1800000000
+      |      OR lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_s,
+      |    ts, event_id
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+      |    us
+      |  FROM tagged),
+      |spans AS (SELECT user_id, sid, min(us) AS fu, max(us) AS lu
+      |  FROM sess GROUP BY 1, 2),
+      |labeled AS (
+      |  SELECT (lu - fu) // 60000000 AS t,
+      |    CASE WHEN (SELECT end_us FROM fin) - lu < 1800000000
+      |      THEN 1 ELSE 0 END AS cen
+      |  FROM spans),
+      |byt AS (
+      |  SELECT t, count(*) AS n_end,
+      |    CAST(sum(1 - cen) AS BIGINT) AS d, CAST(sum(cen) AS BIGINT) AS c
+      |  FROM labeled GROUP BY 1),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    CAST((SELECT count(*) FROM labeled) -
+      |      coalesce(sum(n_end) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS n_risk
+      |  FROM byt)
+      |SELECT t, n_risk, d, c,
+      |  CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+      |FROM risk ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e41_survival" -> (e41 _),
     "e40_stream_scd_enrich" -> (e40 _),
     "e39_chained_windows" -> (e39 _),
     "e38_session_timers" -> (e38 _),
@@ -2269,6 +2356,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e41_survival" -> e41Sql,
     "e40_stream_scd_enrich" -> e40Sql,
     "e39_chained_windows" -> e39Sql,
     "e38_session_timers" -> e38Sql,

@@ -2479,4 +2479,43 @@ class OpsSpec extends SparkSpec {
     assert(rows("d_no_exact")._2 <= rows("e_no_near")._2 ||
       rows("d_no_exact")._2 > 0L)
   }
+
+  test("e41: the life table is conservation-exact and the KM curve replays " +
+    "as a monotone BigInt rational") {
+    val lt = ops.EventOps.e41(spark, sf).collect()
+    assert(lt.nonEmpty)
+    // censoring branch non-vacuous at this sf (measured: ≥1 session
+    // abuts the corpus end) — without it the op degenerates to a
+    // plain duration histogram
+    assert(lt.map(_.getAs[Long]("c")).sum >= 1L, "no censored episode")
+    assert(lt.map(_.getAs[Long]("d")).sum >= 1L, "no observed end")
+    // n_risk telescopes: each row's risk set drops exactly the
+    // episodes that ended (observed or censored) at the previous t
+    lt.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_risk") ==
+        a.getAs[Long]("n_risk") - a.getAs[Long]("d") - a.getAs[Long]("c"),
+        s"risk-set telescope broken between t=${a.getAs[Long]("t")} and ${b.getAs[Long]("t")}")
+      case _ => ()
+    }
+    // first risk set is the full episode count; last row exhausts it
+    assert(lt.head.getAs[Long]("n_risk") ==
+      lt.map(r => r.getAs[Long]("d") + r.getAs[Long]("c")).sum)
+    // KM replay in exact rationals: S(t) = Π (n_i - d_i) / n_i as a
+    // BigInt fraction — monotone non-increasing, in (0, 1], and equal
+    // to the product of the per-row factors by construction (the life
+    // table determines the curve uniquely; hazards already gate d/n)
+    var (num, den) = (BigInt(1), BigInt(1))
+    var prev = BigDecimal(1)
+    lt.foreach { r =>
+      val (n, dd) = (r.getAs[Long]("n_risk"), r.getAs[Long]("d"))
+      num *= BigInt(n - dd); den *= BigInt(n)
+      val s = BigDecimal(num) / BigDecimal(den)
+      assert(s >= 0 && s <= 1 && s <= prev, s"KM not monotone at t=${r.getAs[Long]("t")}")
+      prev = s
+      // the gated hazard is exactly the integer floor of d/n in ppm
+      assert(r.getAs[Long]("hazard_ppm") == dd * 1000000L / n)
+    }
+    // something actually ends before the horizon, so S drops below 1
+    assert(prev < 1, "survival never dropped — no observed event ends?")
+  }
 }
