@@ -2076,7 +2076,87 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q62: CLASSICAL SEASONAL DECOMPOSITION (additive X-11 ancestor —
+  // the first thing a forecaster does to a monthly series; q60 smooths,
+  // this SPLITS rev = trend + seasonal + remainder): trend is the
+  // textbook 2×12 centered moving average — at month t,
+  // (x_{t−6}/2 + Σ_{−5..+5} x + x_{t+6}/2)/12, defined only on
+  // complete 13-month frames; seasonal index = per month-of-year mean
+  // of the detrended series; remainder is what's left. Engine parity:
+  // the series is EXACT integer CENTS, the 2×12 numerator is the
+  // all-integer 2·Σ₁₁ + lag₆ + lead₆ (no fractional weights), each
+  // float step is one fixed-order division chain rounded 6dp, and the
+  // seasonal mean sums the 6dp detrended values as DECIMAL (exact,
+  // order-independent) before its one closing division. Scale: grain
+  // drops to nation×month in the first agg (map-side partial under
+  // the fact scan); ALL window frames share the one nation-keyed
+  // exchange; the seasonal join is a 25×12-row broadcast. Decomposes
+  // the OBSERVED month sequence (gap-fill is q46's job).
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+        .cast("long").as("rev_cents"))
+    val w = Window.partitionBy("nation").orderBy("month")
+    val sum11 = sum(col("rev_cents")).over(w.rowsBetween(-5, 5))
+    val cnt13 = count(col("rev_cents")).over(w.rowsBetween(-6, 6))
+    val trend = when(cnt13 === 13,
+      round((lit(2) * sum11 + lag(col("rev_cents"), 6).over(w) +
+        lead(col("rev_cents"), 6).over(w)) / 24.0 / 100.0, 6))
+    val detrended = monthly
+      .withColumn("trend", trend)
+      .withColumn("detr",
+        round(col("rev_cents").cast("double") / 100.0 - col("trend"), 6))
+      .withColumn("moy", substring(col("month"), 6, 2))
+    val seasonal = detrended.filter(col("detr").isNotNull)
+      .groupBy("nation", "moy")
+      .agg(round(sum(col("detr").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("seasonal"))
+    detrended.join(broadcast(seasonal), Seq("nation", "moy"), "left")
+      .select(col("nation"), col("month"), col("rev_cents"), col("trend"),
+        when(col("detr").isNotNull, col("seasonal")).as("seasonal"),
+        round(col("detr") - col("seasonal"), 6).as("remainder"))
+      .orderBy("nation", "month")
+  }
+
+  val q62Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |trended AS (
+      |  SELECT nation, month, rev_cents,
+      |    CASE WHEN count(rev_cents) OVER (w ROWS BETWEEN 6 PRECEDING
+      |        AND 6 FOLLOWING) = 13
+      |      THEN round((2 * sum(rev_cents) OVER (w ROWS BETWEEN 5 PRECEDING
+      |          AND 5 FOLLOWING) + lag(rev_cents, 6) OVER w +
+      |          lead(rev_cents, 6) OVER w) / 24.0 / 100.0, 6)
+      |    END AS trend
+      |  FROM monthly
+      |  WINDOW w AS (PARTITION BY nation ORDER BY month)),
+      |detr AS (
+      |  SELECT *, round(CAST(rev_cents AS DOUBLE) / 100.0 - trend, 6) AS dv,
+      |    substr(month, 6, 2) AS moy
+      |  FROM trended),
+      |seas AS (
+      |  SELECT nation, moy,
+      |    round(CAST(sum(CAST(dv AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+      |      AS seasonal
+      |  FROM detr WHERE dv IS NOT NULL GROUP BY 1, 2)
+      |SELECT d.nation, d.month, d.rev_cents, d.trend,
+      |  CASE WHEN d.dv IS NOT NULL THEN s.seasonal END AS seasonal,
+      |  round(d.dv - s.seasonal, 6) AS remainder
+      |FROM detr d LEFT JOIN seas s ON d.nation = s.nation AND d.moy = s.moy
+      |ORDER BY d.nation, d.month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_seasonal" -> (q62 _),
     "q61_runtime_filter" -> (q61 _),
     "q60_ewma" -> (q60 _),
     "q59_chi_square" -> (q59 _),
@@ -2140,6 +2220,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q62_seasonal" -> q62Sql,
     "q61_runtime_filter" -> q61Sql,
     "q60_ewma" -> q60Sql,
     "q59_chi_square" -> q59Sql,

@@ -362,4 +362,39 @@ class RelationalSpec extends SparkSpec {
       s"chi2 $chi2 diverges from raw replay $replay")
     assert(r.getAs[Long]("n") == n.toLong)
   }
+
+  test("q62: decomposition is additive, frame-aligned, and seasonal is " +
+    "constant per (nation, month-of-year)") {
+    val rows = ops.Relational.q62(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(r => r.get(r.fieldIndex("nation")))
+    byNation.values.foreach { series =>
+      val s = series.sortBy(_.getAs[String]("month"))
+      // trend exists exactly on complete 13-month centered frames:
+      // the first 6 and last 6 observations of each series are null,
+      // everything between is defined
+      s.zipWithIndex.foreach { case (r, i) =>
+        val defined = i >= 6 && i < s.length - 6
+        assert(!r.isNullAt(r.fieldIndex("trend")) == defined,
+          s"trend defined-ness wrong at index $i of ${s.length}")
+      }
+    }
+    // additive identity on every decomposed row: rev = T + S + R up to
+    // the three independent 6dp roundings
+    rows.filter(r => !r.isNullAt(r.fieldIndex("remainder"))).foreach { r =>
+      val rev = r.getAs[Long]("rev_cents").toDouble / 100.0
+      val recomposed = r.getAs[Double]("trend") +
+        r.getAs[Double]("seasonal") + r.getAs[Double]("remainder")
+      assert(math.abs(rev - recomposed) < 2e-6,
+        s"additivity broken: $rev vs $recomposed at $r")
+    }
+    // one seasonal index per (nation, month-of-year), not per month
+    rows.filter(r => !r.isNullAt(r.fieldIndex("seasonal")))
+      .groupBy(r => (r.get(r.fieldIndex("nation")),
+        r.getAs[String]("month").substring(5)))
+      .foreach { case (k, g) =>
+        assert(g.map(_.getAs[Double]("seasonal")).distinct.size == 1,
+          s"seasonal index not constant within $k")
+      }
+  }
 }
