@@ -2313,7 +2313,99 @@ object EventOps {
       |  CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm
       |FROM risk ORDER BY t""".stripMargin
 
+  // ------------------------------------------------------------------
+  // e42: SHAPLEY-VALUE MULTI-TOUCH ATTRIBUTION (the game-theoretic
+  // credit split — e24's linear model gives every touch equal credit;
+  // Shapley pays each channel its average marginal contribution over
+  // all join orders, the only split that is efficient, symmetric and
+  // dummy-free). Journeys: per purchase, the SET of touch channels
+  // {view=1, click=2, signup=4} the user emitted in the prior 24h —
+  // one user-keyed interval join (e24's bounded shape), masks via
+  // per-bit max (no bit_or dialect dependence). Coalition value
+  // v(S) = #journeys whose mask ⊆ S (monotone, v(∅) = untouched
+  // conversions — cancels in every marginal). With n=3 the Shapley
+  // sum unrolls exactly: φᵢ·3! = Σ_{S∌i} |S|!(2−|S|)!·(v(S∪i)−v(S)),
+  // weights {2,1,2} — the gate carries φ·6 as exact BIGINT plus a
+  // floor-div ppm share; all set algebra runs on ≤8-row broadcast
+  // frames (the fact scan is the only corpus-sized stage at 100 TB).
+  // Efficiency (Σφ·6 = 6·(v(N)−v(∅))) pinned in OpsSpec.
+  def e42(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts")).as("pus"))
+    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id").as("t_user"), col("event_type").as("ch"),
+        unix_micros(col("ts")).as("tus"))
+    val j = p.join(t, col("user_id") === col("t_user") &&
+        col("tus") >= col("pus") - 86400000000L && col("tus") < col("pus"),
+        "left")
+      .groupBy(col("user_id"), col("pid"))
+      .agg((coalesce(max(when(col("ch") === "view", 1)), lit(0)) +
+        coalesce(max(when(col("ch") === "click", 2)), lit(0)) +
+        coalesce(max(when(col("ch") === "signup", 4)), lit(0))).as("mask"))
+    val mc = j.groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val subsets = s.range(0, 8).select(col("id").cast("int").as("s"))
+    val v = subsets.join(broadcast(mc),
+        col("mask").bitwiseAND(col("s")) === col("mask"), "left")
+      .groupBy("s").agg(coalesce(sum("cnt"), lit(0L)).as("v"))
+    val ch = subsets.filter(col("s").isin(1, 2, 4))
+      .select(col("s").as("bit"),
+        when(col("s") === 1, "view").when(col("s") === 2, "click")
+          .otherwise("signup").as("channel"))
+    val v0 = v.select(col("s").as("s0"), col("v").as("vs0"))
+    val v1 = v.select(col("s").as("s1"), col("v").as("vs1"))
+    val contrib = ch
+      .join(broadcast(v0), col("s0").bitwiseAND(col("bit")) === 0)
+      .join(broadcast(v1), col("s1") === col("s0").bitwiseOR(col("bit")))
+      .withColumn("pc", expr("(s0 % 2) + ((s0 div 2) % 2) + ((s0 div 4) % 2)"))
+      .groupBy("channel")
+      .agg(sum((when(col("pc").isin(0, 2), 2L).otherwise(1L)) *
+        (col("vs1") - col("vs0"))).as("shapley_x6"))
+    contrib
+      .crossJoin(broadcast(contrib.agg(sum("shapley_x6").as("tot"))))
+      .select(col("channel"), col("shapley_x6"),
+        expr("shapley_x6 * 1000000 div tot").as("share_ppm"))
+      .orderBy("channel")
+  }
+
+  val e42Sql: String =
+    """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |j AS (SELECT p.user_id, p.pid,
+      |    coalesce(max(CASE WHEN t.event_type = 'view' THEN 1 END), 0) +
+      |    coalesce(max(CASE WHEN t.event_type = 'click' THEN 2 END), 0) +
+      |    coalesce(max(CASE WHEN t.event_type = 'signup' THEN 4 END), 0)
+      |      AS mask
+      |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |    AND t.tus >= p.pus - 86400000000 AND t.tus < p.pus
+      |  GROUP BY 1, 2),
+      |mc AS (SELECT mask, count(*) AS cnt FROM j GROUP BY 1),
+      |subsets AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7))
+      |  AS subs(s)),
+      |v AS (SELECT s,
+      |    CAST(coalesce(sum(CASE WHEN (mask & s) = mask THEN cnt END), 0)
+      |      AS BIGINT) AS v
+      |  FROM subsets LEFT JOIN mc ON (mask & s) = mask GROUP BY s),
+      |ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4))
+      |  AS c(channel, bit)),
+      |contrib AS (
+      |  SELECT ch.channel,
+      |    CAST(sum((CASE WHEN ((v0.s % 2) + ((v0.s // 2) % 2) +
+      |        ((v0.s // 4) % 2)) IN (0, 2) THEN 2 ELSE 1 END) *
+      |      (v1.v - v0.v)) AS BIGINT) AS shapley_x6
+      |  FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+      |  JOIN v v1 ON v1.s = (v0.s | ch.bit)
+      |  GROUP BY 1)
+      |SELECT channel, shapley_x6,
+      |  CAST(shapley_x6 * 1000000 //
+      |    (SELECT sum(shapley_x6) FROM contrib) AS BIGINT) AS share_ppm
+      |FROM contrib ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e42_shapley_attribution" -> (e42 _),
     "e41_survival" -> (e41 _),
     "e40_stream_scd_enrich" -> (e40 _),
     "e39_chained_windows" -> (e39 _),
@@ -2356,6 +2448,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e42_shapley_attribution" -> e42Sql,
     "e41_survival" -> e41Sql,
     "e40_stream_scd_enrich" -> e40Sql,
     "e39_chained_windows" -> e39Sql,

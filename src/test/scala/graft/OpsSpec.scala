@@ -2480,6 +2480,49 @@ class OpsSpec extends SparkSpec {
       rows("d_no_exact")._2 > 0L)
   }
 
+  test("e42: Shapley credit satisfies the efficiency axiom against a raw " +
+    "driver-side coalition replay") {
+    val rows = ops.EventOps.e42(spark, sf).collect()
+    assert(rows.length == 3, "one row per channel")
+    val tot = rows.map(_.getAs[Long]("shapley_x6")).sum
+    assert(tot > 0)
+    // ppm shares: each in [0, 1e6], floor-division undershoot ≤ 3 units
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - 3)
+    // raw replay: rebuild journey masks from events, then the full
+    // 3-channel Shapley unroll in plain Scala — exact equality
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+    val touches = ev.filter(r => Set("view", "click", "signup")
+      .contains(r.getAs[String]("event_type")))
+    val byUser = touches.groupBy(_.getAs[Long]("user_id"))
+    val masks = ev.filter(_.getAs[String]("event_type") == "purchase").map { pr =>
+      val (u, pus) = (pr.getAs[Long]("user_id"), pr.getAs[Long]("us"))
+      byUser.getOrElse(u, Array.empty).foldLeft(0) { (m, t) =>
+        val tus = t.getAs[Long]("us")
+        if (tus >= pus - 86400000000L && tus < pus)
+          m | (t.getAs[String]("event_type") match {
+            case "view" => 1; case "click" => 2; case _ => 4 })
+        else m
+      }
+    }
+    def v(set: Int): Long = masks.count(m => (m & set) == m).toLong
+    val expect = Map("view" -> 1, "click" -> 2, "signup" -> 4).map {
+      case (name, bit) =>
+        name -> (0 until 8).filter(s => (s & bit) == 0).map { s =>
+          val w = if (Integer.bitCount(s) % 2 == 0) 2L else 1L
+          w * (v(s | bit) - v(s))
+        }.sum
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shapley_x6") == expect(r.getAs[String]("channel")),
+        s"Shapley mismatch for ${r.getAs[String]("channel")}")
+    }
+    // efficiency: Σ φ·6 = 6·(v(N) − v(∅))
+    assert(tot == 6L * (v(7) - v(0)), "efficiency axiom broken")
+  }
+
   test("e41: the life table is conservation-exact and the KM curve replays " +
     "as a monotone BigInt rational") {
     val lt = ops.EventOps.e41(spark, sf).collect()
