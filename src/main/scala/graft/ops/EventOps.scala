@@ -2256,8 +2256,12 @@ object EventOps {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "sid")
       .agg(min(col("us")).as("fu"), max(col("us")).as("lu"))
-    val endUs = Tables.events(s, d)
-      .agg(max(unix_micros(col("ts"))).as("end_us"))
+      // session-grain (corpus-bounded by the gap rule) — materialize
+      // once: it feeds the corpus-end agg, the life table AND the
+      // risk-set total, which would otherwise each re-scan events
+      .localCheckpoint()
+    // the corpus end is the max session end — no second events scan
+    val endUs = sess.agg(max(col("lu")).as("end_us"))
     val labeled = sess.crossJoin(broadcast(endUs))
       .select(expr("(lu - fu) div 60000000").as("t"),
         when(col("end_us") - col("lu") < 1800000000L, 1L).otherwise(0L).as("cen"))
@@ -2344,7 +2348,9 @@ object EventOps {
       .agg((coalesce(max(when(col("ch") === "view", 1)), lit(0)) +
         coalesce(max(when(col("ch") === "click", 2)), lit(0)) +
         coalesce(max(when(col("ch") === "signup", 4)), lit(0))).as("mask"))
-    val mc = j.groupBy("mask").agg(count(lit(1)).as("cnt"))
+    // ≤8 rows; everything downstream (v twice, contrib twice) re-runs
+    // its inputs — pin the corpus-sized stage to exactly one execution
+    val mc = j.groupBy("mask").agg(count(lit(1)).as("cnt")).localCheckpoint()
     val subsets = s.range(0, 8).select(col("id").cast("int").as("s"))
     val v = subsets.join(broadcast(mc),
         col("mask").bitwiseAND(col("s")) === col("mask"), "left")
@@ -2362,6 +2368,7 @@ object EventOps {
       .groupBy("channel")
       .agg(sum((when(col("pc").isin(0, 2), 2L).otherwise(1L)) *
         (col("vs1") - col("vs0"))).as("shapley_x6"))
+      .localCheckpoint() // 3 rows, consumed by itself + its total
     contrib
       .crossJoin(broadcast(contrib.agg(sum("shapley_x6").as("tot"))))
       .select(col("channel"), col("shapley_x6"),

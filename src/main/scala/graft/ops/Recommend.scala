@@ -3141,8 +3141,12 @@ object Recommend {
   // agg → one j-keyed scoring join + (u,i) agg; already-rated (u,i)
   // pairs leave via an anti-join BEFORE the agg.
   def r47(s: SparkSession, d: String): DataFrame = {
+    // the rating matrix feeds FIVE subplans (targets, deviation left +
+    // right, scoring history, anti-join) — materialize it once instead
+    // of five fact scans (the round-5 redundant-recompute rule)
     val r = Ratings.implicitRatings(s, d)
       .select(col("user_id"), col("item_id"), col("rating").cast("long").as("r"))
+      .localCheckpoint()
     val top5 = r.groupBy("item_id").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("item_id")).limit(5)
       .select(col("item_id").as("i"))

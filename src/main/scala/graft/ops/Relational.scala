@@ -2112,6 +2112,9 @@ object Relational {
       .withColumn("detr",
         round(col("rev_cents").cast("double") / 100.0 - col("trend"), 6))
       .withColumn("moy", substring(col("month"), 6, 2))
+      // nation×month grain; feeds both the seasonal-index agg and the
+      // final join — one fact scan, not two
+      .localCheckpoint()
     val seasonal = detrended.filter(col("detr").isNotNull)
       .groupBy("nation", "moy")
       .agg(round(sum(col("detr").cast("decimal(18,6)")).cast("double") /
