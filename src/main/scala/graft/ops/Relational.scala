@@ -2158,7 +2158,110 @@ object Relational {
       |FROM detr d LEFT JOIN seas s ON d.nation = s.nation AND d.moy = s.moy
       |ORDER BY d.nation, d.month""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q63: ROW-PATTERN MATCHING (MATCH_RECOGNIZE-lite — the SQL:2016
+  // feature Trino/Flink/Oracle ship and Spark lacks; the asked-for
+  // pattern is the V-SHAPE `DOWN+ UP+` over each nation's monthly
+  // revenue: drawdown and recovery detection). The regex-over-rows is
+  // compiled to gaps-and-islands run algebra: per-month delta sign →
+  // run ids via the change-flag cumulative sum → per-run aggregates →
+  // a V match is a (-1 run, +1 run) ADJACENT pair, paired by lag over
+  // runs. MAXIMAL-match semantics (SQL's default greedy quantifiers)
+  // fall out for free: runs are maximal by construction, and a flat
+  // month (delta = 0) breaks adjacency exactly as `DOWN+ UP+` demands.
+  // All integer CENTS; emits peak/bottom/recovery months, depth and
+  // recovery moves, run lengths. Scale: the month grain collapses
+  // map-side under the fact scan; the three windows and the run agg
+  // all share ONE nation-keyed exchange; runs-per-nation is bounded
+  // by months, never corpus size.
+  def q63(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+        .cast("long").as("rev_cents"))
+    val w = Window.partitionBy("nation").orderBy("month")
+    val sgn = monthly
+      .withColumn("prev_month", lag(col("month"), 1).over(w))
+      .withColumn("delta", col("rev_cents") - lag(col("rev_cents"), 1).over(w))
+      .filter(col("delta").isNotNull)
+      .withColumn("sig", when(col("delta") > 0, 1)
+        .when(col("delta") < 0, -1).otherwise(0))
+    val rid = sgn
+      .withColumn("chg",
+        when(col("sig") === lag(col("sig"), 1).over(w), 0).otherwise(1))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // months sort lexicographically = chronologically, so min/max give
+    // the run's endpoints; sig is constant within a run
+    val runs = rid.groupBy("nation", "run_id")
+      .agg(max(col("sig")).as("sig"), min(col("prev_month")).as("start_month"),
+        max(col("month")).as("end_month"), sum(col("delta")).as("move"),
+        count(lit(1)).as("len"))
+    val rw = Window.partitionBy("nation").orderBy("run_id")
+    runs
+      .withColumn("prev_sig", lag(col("sig"), 1).over(rw))
+      .withColumn("peak_month", lag(col("start_month"), 1).over(rw))
+      .withColumn("bottom_month", lag(col("end_month"), 1).over(rw))
+      .withColumn("depth_cents", -lag(col("move"), 1).over(rw))
+      .withColumn("down_len", lag(col("len"), 1).over(rw))
+      .filter(col("sig") === 1 && col("prev_sig") === -1)
+      .select(col("nation"), col("peak_month"), col("bottom_month"),
+        col("end_month"), col("depth_cents"),
+        col("move").as("recovery_cents"), col("down_len"),
+        col("len").as("up_len"))
+      .orderBy("nation", "peak_month")
+  }
+
+  val q63Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT nation, month, rev_cents,
+      |    lag(month) OVER w AS prev_month,
+      |    rev_cents - lag(rev_cents) OVER w AS delta
+      |  FROM monthly WINDOW w AS (PARTITION BY nation ORDER BY month)),
+      |sgn AS (
+      |  SELECT *, CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1
+      |    ELSE 0 END AS sig
+      |  FROM d WHERE delta IS NOT NULL),
+      |chg AS (
+      |  SELECT *, CASE WHEN sig = lag(sig)
+      |      OVER (PARTITION BY nation ORDER BY month) THEN 0 ELSE 1 END AS c
+      |  FROM sgn),
+      |rid AS (
+      |  SELECT *, sum(c) OVER (PARTITION BY nation ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM chg),
+      |runs AS (
+      |  SELECT nation, run_id, max(sig) AS sig,
+      |    min(prev_month) AS start_month, max(month) AS end_month,
+      |    CAST(sum(delta) AS BIGINT) AS move, count(*) AS len
+      |  FROM rid GROUP BY 1, 2),
+      |paired AS (
+      |  SELECT nation,
+      |    lag(start_month) OVER rw AS peak_month,
+      |    lag(end_month) OVER rw AS bottom_month,
+      |    end_month,
+      |    -lag(move) OVER rw AS depth_cents,
+      |    move AS recovery_cents,
+      |    lag(len) OVER rw AS down_len,
+      |    len AS up_len,
+      |    sig, lag(sig) OVER rw AS prev_sig
+      |  FROM runs WINDOW rw AS (PARTITION BY nation ORDER BY run_id))
+      |SELECT nation, peak_month, bottom_month, end_month, depth_cents,
+      |  recovery_cents, down_len, up_len
+      |FROM paired WHERE sig = 1 AND prev_sig = -1
+      |ORDER BY nation, peak_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_match_recognize" -> (q63 _),
     "q62_seasonal" -> (q62 _),
     "q61_runtime_filter" -> (q61 _),
     "q60_ewma" -> (q60 _),
@@ -2223,6 +2326,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q63_match_recognize" -> q63Sql,
     "q62_seasonal" -> q62Sql,
     "q61_runtime_filter" -> q61Sql,
     "q60_ewma" -> q60Sql,

@@ -363,6 +363,62 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == n.toLong)
   }
 
+  test("q63: V-matches are well-formed, non-overlapping, and replay from " +
+    "one nation's raw series") {
+    val vs = ops.Relational.q63(spark, sf).collect()
+    assert(vs.nonEmpty, "no V patterns found — the series never dips?")
+    vs.foreach { v =>
+      assert(v.getAs[String]("peak_month") < v.getAs[String]("bottom_month") &&
+        v.getAs[String]("bottom_month") < v.getAs[String]("end_month"),
+        s"months out of order: $v")
+      assert(v.getAs[Long]("depth_cents") > 0 &&
+        v.getAs[Long]("recovery_cents") > 0, s"non-strict V: $v")
+      assert(v.getAs[Long]("down_len") >= 1 && v.getAs[Long]("up_len") >= 1)
+    }
+    // matches within a nation never overlap (greedy/maximal runs)
+    vs.groupBy(r => r.get(r.fieldIndex("nation"))).values.foreach { g =>
+      g.map(v => (v.getAs[String]("peak_month"), v.getAs[String]("end_month")))
+        .sortBy(_._1).sliding(2).foreach {
+          case Array((_, e1), (p2, _)) =>
+            assert(e1 <= p2, "overlapping matches")
+          case _ => ()
+        }
+    }
+    // full replay for the nation with the most matches: scan its raw
+    // monthly series and enumerate maximal DOWN+ UP+ spans by hand
+    val nation = vs.groupBy(r => r.get(r.fieldIndex("nation")))
+      .maxBy(_._2.length)._1
+    val series = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === nation)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+        .cast("long").as("cents"))
+      .orderBy("month").collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[Long]("cents")))
+    val sigs = series.sliding(2).map {
+      case Array((_, a), (m, b)) => (m, java.lang.Long.signum(b - a)) }.toArray
+    // enumerate maximal (-1)+ (+1)+ adjacencies
+    var replayed = List.empty[(String, String)]
+    var i = 0
+    while (i < sigs.length) {
+      var j = i
+      while (j < sigs.length && sigs(j)._2 == -1) j += 1
+      if (j > i && j < sigs.length && sigs(j)._2 == 1) {
+        var k = j
+        while (k < sigs.length && sigs(k)._2 == 1) k += 1
+        replayed ::= (sigs(j - 1)._1, sigs(k - 1)._1) // (bottom, end)
+        i = k
+      } else i = math.max(j, i + 1)
+    }
+    val mine = vs.filter(r => r.get(r.fieldIndex("nation")) == nation)
+      .map(v => (v.getAs[String]("bottom_month"), v.getAs[String]("end_month")))
+      .toSet
+    assert(mine == replayed.toSet,
+      s"replayed matches $replayed != gated $mine for nation $nation")
+  }
+
   test("q62: decomposition is additive, frame-aligned, and seasonal is " +
     "constant per (nation, month-of-year)") {
     val rows = ops.Relational.q62(spark, sf).collect()
