@@ -1712,7 +1712,51 @@ object IoOps {
       |    AS sum_k
       |FROM events GROUP BY 1 ORDER BY seg""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i29: COLUMN-LEVEL LINEAGE extraction (the OpenLineage / Unity
+  // Catalog governance primitive: which (table, column) leaves does
+  // every output column transitively read? — impact analysis, PII
+  // propagation audits, and downstream-breakage checks all hang off
+  // this map). Derived from the Catalyst ANALYZED plan by plans/
+  // Lineage: ExprId-keyed walk (names are ambiguous under self-joins),
+  // SubqueryAlias nodes as the table bases, Project/Aggregate mapping
+  // each named output to the union of its references' sources. The
+  // audited query exercises the interesting cases: a pass-through
+  // grouping key, an aggregate over one table, a COUNT DISTINCT over
+  // the other, and a CASE expression whose lineage spans BOTH tables.
+  // The oracle states the expected lineage literally — the contract
+  // the extractor must reproduce from the plan alone. Driver-side
+  // metadata op: touches zero data rows at any scale.
+  def i29(s: SparkSession, d: String): DataFrame = {
+    val audited = Tables.orders(s, d).alias("orders")
+      .join(Tables.customer(s, d).alias("customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(14,2)")), 2)
+          .cast("double").as("revenue"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        round(sum(when(col("c_mktsegment") === "BUILDING",
+          col("o_totalprice")).otherwise(0.0).cast("decimal(14,2)")), 2)
+          .cast("double").as("building_rev"))
+    import s.implicits._
+    graft.plans.Lineage.trace(audited)
+      .toDF("out_col", "src_table", "src_col")
+      .orderBy("out_col", "src_table", "src_col")
+  }
+
+  val i29Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('building_rev', 'customer', 'c_mktsegment'),
+      |  ('building_rev', 'orders', 'o_totalprice'),
+      |  ('n_nations', 'customer', 'c_nationkey'),
+      |  ('o_orderpriority', 'orders', 'o_orderpriority'),
+      |  ('revenue', 'orders', 'o_totalprice'))
+      |  AS lineage(out_col, src_table, src_col)
+      |ORDER BY out_col, src_table, src_col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i29_column_lineage" -> (i29 _),
     "i28_nested_pruning" -> (i28 _),
     "i27_dynamic_overwrite" -> (i27 _),
     "i26_shallow_clone" -> (i26 _),
@@ -1743,6 +1787,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i29_column_lineage" -> i29Sql,
     "i28_nested_pruning" -> i28Sql,
     "i27_dynamic_overwrite" -> i27Sql,
     "i26_shallow_clone" -> i26Sql,

@@ -382,4 +382,23 @@ class IoSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_rows")).sum == nOrders,
       "dynamic overwrite changed the table's row count")
   }
+
+  test("i29: lineage disambiguates a self-join — the ExprId-keyed walk " +
+    "never crosses the two sides") {
+    // same base table twice under different aliases: a name-keyed
+    // tracker would attribute both outputs to both sides
+    val o1 = Tables.orders(spark, sf).alias("cur")
+    val o2 = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k2"), col("o_totalprice").as("p2"))
+      .alias("prev")
+    val q = o1.join(o2, col("o_orderkey") === col("k2"))
+      .select(col("o_totalprice").as("cur_price"),
+        (col("o_totalprice") - col("p2")).as("price_delta"))
+    val got = plans.Lineage.trace(q).toSet
+    assert(got == Set(
+      ("cur_price", "cur", "o_totalprice"),
+      ("price_delta", "cur", "o_totalprice"),
+      ("price_delta", "prev", "p2")),
+      s"self-join lineage wrong: $got")
+  }
 }
