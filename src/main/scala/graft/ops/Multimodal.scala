@@ -1063,7 +1063,92 @@ object Multimodal {
       |  CAST(sum(rung_w) AS BIGINT) AS sum_w
       |FROM sized GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // m19: VOICE-ACTIVITY SEGMENTATION (the audio twin of m17's shot
+  // detection — energy-threshold VAD is the first pass of every
+  // speech pipeline: transcription is billed per speech second, so
+  // silence must be cut BEFORE the expensive model runs). AUDIO blobs
+  // only (m01's n_chars%3 routing); 16 fixed-stride stub-decoded
+  // "chunks" per blob, per-chunk energy = [a-m]-density of the
+  // 32-byte window (threshold ≤10 calibrated: corpus p10, so real
+  // silence exists without dominating); per blob: silent-chunk count,
+  // speech ratio in exact ppm, number of SPEECH SEGMENTS (maximal
+  // voiced runs — what gets shipped to the transcriber), longest
+  // silence run, and the exact 16-bit silence mask (m17's positional
+  // discipline — a misplaced silence flips the hash). ENTIRELY
+  // map-side in-row folds: signatures, runs and mask never leave the
+  // row — zero shuffles beside the output sort, free inside any
+  // corpus scan at 100 TB.
+  def m19(s: SparkSession, d: String): DataFrame = {
+    val stride = greatest(lit(1), expr("(n_chars - 32) div 15"))
+    val sil = transform(sequence(lit(0), lit(15)), k =>
+      (length(regexp_replace(
+        substr(lower(col("text")), (k * stride + 1).cast("int"), lit(32)),
+        "[^a-m]", "")) <= 10).cast("int"))
+    Tables.documents(s, d)
+      .filter(col("n_chars") % 3 === 1 && col("n_chars") >= 128)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("sil", sil)
+      .select(col("doc_id"),
+        aggregate(col("sil"), lit(0), (a, x) => a + x).as("n_silent"),
+        expr("(16 - aggregate(sil, 0, (a, x) -> a + x)) * 1000000 div 16")
+          .as("speech_ratio_ppm"),
+        // speech segments: count voiced-run starts (prev defaults to
+        // silent so a voiced first chunk opens a segment)
+        (aggregate(col("sil"),
+          struct(lit(1).as("prev"), lit(0).as("cnt")),
+          (acc, x) => struct(x.as("prev"),
+            (acc("cnt") + when(x === 0 && acc("prev") === 1, 1)
+              .otherwise(0)).as("cnt")))("cnt")).as("n_segments"),
+        (aggregate(col("sil"),
+          struct(lit(0).as("cur"), lit(0).as("best")),
+          (acc, x) => {
+            val cur2 = when(x === 1, acc("cur") + 1).otherwise(lit(0))
+            struct(cur2.as("cur"), greatest(acc("best"), cur2).as("best"))
+          })("best")).as("longest_silence"),
+        expr("aggregate(zip_with(sil, sequence(0, 15), " +
+          "(c, i) -> CAST(c AS BIGINT) * CAST(shiftleft(1, i) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("silence_mask"))
+      .orderBy("doc_id")
+  }
+
+  val m19Sql: String =
+    """WITH d AS (SELECT doc_id, lower(text) AS t, n_chars FROM documents
+      |  WHERE n_chars % 3 = 1 AND n_chars >= 128),
+      |fr AS (
+      |  SELECT doc_id, k,
+      |    CASE WHEN length(regexp_replace(
+      |        substr(t, CAST(k * greatest(1, (n_chars - 32) // 15) + 1 AS INT),
+      |          32), '[^a-m]', '', 'g')) <= 10 THEN 1 ELSE 0 END AS sil
+      |  FROM d CROSS JOIN range(16) r(k)),
+      |mark AS (
+      |  SELECT doc_id, k, sil,
+      |    coalesce(lag(sil) OVER (PARTITION BY doc_id ORDER BY k), 1) AS prev
+      |  FROM fr),
+      |runs AS (
+      |  SELECT doc_id, k - CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY k) AS BIGINT) AS grp
+      |  FROM fr WHERE sil = 1),
+      |longest AS (
+      |  SELECT doc_id, CAST(max(c) AS INT) AS longest_silence FROM (
+      |    SELECT doc_id, grp, count(*) AS c FROM runs GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(sil) AS INT) AS n_silent,
+      |    CAST((16 - sum(sil)) * 1000000 // 16 AS BIGINT)
+      |      AS speech_ratio_ppm,
+      |    CAST(sum(CASE WHEN sil = 0 AND prev = 1 THEN 1 ELSE 0 END) AS INT)
+      |      AS n_segments,
+      |    CAST(sum(sil * (1 << k)) AS BIGINT) AS silence_mask
+      |  FROM mark GROUP BY 1)
+      |SELECT a.doc_id, a.n_silent, a.speech_ratio_ppm, a.n_segments,
+      |  coalesce(l.longest_silence, 0) AS longest_silence, a.silence_mask
+      |FROM agg a LEFT JOIN longest l ON a.doc_id = l.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m19_vad_segments" -> (m19 _),
     "m18_abr_ladder" -> (m18 _),
     "m17_shot_detect" -> (m17 _),
     "m16_cdc_chunking" -> (m16 _),
@@ -1084,6 +1169,7 @@ object Multimodal {
     "m05_header_parse" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
+    "m19_vad_segments" -> m19Sql,
     "m18_abr_ladder" -> m18Sql,
     "m17_shot_detect" -> m17Sql,
     "m16_cdc_chunking" -> m16Sql,

@@ -2480,6 +2480,32 @@ class OpsSpec extends SparkSpec {
       rows("d_no_exact")._2 > 0L)
   }
 
+  test("m19: silence mask, counts, segments and runs are one consistent story") {
+    val rows = ops.Multimodal.m19(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var anySilence = false; var anyAllSpeech = false
+    rows.foreach { r =>
+      val mask = r.getAs[Long]("silence_mask")
+      val bits = (0 until 16).map(i => (mask >> i) & 1L)
+      assert(bits.sum == r.getAs[Int]("n_silent"), s"mask/count drift: $r")
+      assert(r.getAs[Long]("speech_ratio_ppm") ==
+        (16 - bits.sum) * 1000000L / 16)
+      // voiced-run count decoded from the mask = n_segments
+      val segs = (0 until 16).count(i =>
+        bits(i) == 0 && (i == 0 || bits(i - 1) == 1))
+      assert(segs == r.getAs[Int]("n_segments"), s"segment drift: $r")
+      // longest silent run decoded from the mask
+      var (cur, best) = (0, 0)
+      bits.foreach { b =>
+        cur = if (b == 1) cur + 1 else 0; best = math.max(best, cur) }
+      assert(best == r.getAs[Int]("longest_silence"), s"run drift: $r")
+      if (bits.sum > 0) anySilence = true
+      if (bits.sum == 0) anyAllSpeech = true
+    }
+    assert(anySilence, "threshold never fired — VAD is vacuous here")
+    assert(anyAllSpeech, "every blob has silence — threshold too hot")
+  }
+
   test("e42: Shapley credit satisfies the efficiency axiom against a raw " +
     "driver-side coalition replay") {
     val rows = ops.EventOps.e42(spark, sf).collect()
