@@ -2260,7 +2260,70 @@ object Relational {
       |FROM paired WHERE sig = 1 AND prev_sig = -1
       |ORDER BY nation, peak_month""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q64: EXACT mergeable DISTINCT-COUNT BITMAPS (ClickHouse/Druid
+  // groupBitmap — q58's HLL answers rollups approximately in fixed
+  // space; when the id space is bounded and dense (surrogate keys),
+  // the BITMAP is its exact twin): per-nation bitmaps of buying
+  // custkeys built in ONE fact pass by the native BitsetAgg
+  // TypedImperativeAggregate (map-side partial merge = word-wise OR),
+  // then nation / region / global answers all come from RE-MERGING
+  // the 25 bitmaps (BitsetMergeCountAgg) — metadata-sized, the fact
+  // table is never re-scanned. Exactness is the gate: the oracle
+  // computes plain COUNT(DISTINCT) at every level and the hash must
+  // match bit-for-bit — any bitmap corruption, missed OR, or
+  // double-count flips it. The id bound is data-derived from the
+  // customer DIM (a metadata-sized 1-row agg, never the fact table);
+  // out-of-range ids fail loudly rather than silently dropping.
+  def q64(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BitsetAgg.{bitset, bitsetMergeCount}
+    val nBits = Tables.customer(s, d)
+      .agg(max(col("c_custkey")).as("m")).collect()(0).getLong(0).toInt + 1
+    val facts = Tables.orders(s, d).select("o_custkey")
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val nationBm = facts.groupBy(col("c_nationkey").as("nation"))
+      .agg(bitset(col("o_custkey"), nBits).as("bm"))
+      .localCheckpoint() // 25 rows; every level below re-merges these
+    val dim = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_regionkey")))
+    val nationRows = nationBm
+      .groupBy(col("nation"))
+      .agg(bitsetMergeCount(col("bm")).as("n_buyers"))
+      .select(lit("nation").as("level"), col("nation").cast("long").as("key"),
+        col("n_buyers"))
+    val regionRows = nationBm
+      .join(dim, col("nation") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(bitsetMergeCount(col("bm")).as("n_buyers"))
+      .select(lit("region").as("level"),
+        col("n_regionkey").cast("long").as("key"), col("n_buyers"))
+    val globalRow = nationBm
+      .agg(bitsetMergeCount(col("bm")).as("n_buyers"))
+      .select(lit("global").as("level"), lit(-1L).as("key"), col("n_buyers"))
+    nationRows.unionAll(regionRows).unionAll(globalRow)
+      .orderBy("level", "key")
+  }
+
+  val q64Sql: String =
+    """WITH f AS (
+      |  SELECT o_custkey, c_nationkey, n_regionkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT level, key, n_buyers FROM (
+      |  SELECT 'nation' AS level, CAST(c_nationkey AS BIGINT) AS key,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+      |  FROM f GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'region', CAST(n_regionkey AS BIGINT),
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) FROM f GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'global', -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM f)
+      |ORDER BY level, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_bitmap_distinct" -> (q64 _),
     "q63_match_recognize" -> (q63 _),
     "q62_seasonal" -> (q62 _),
     "q61_runtime_filter" -> (q61 _),
@@ -2326,6 +2389,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q64_bitmap_distinct" -> q64Sql,
     "q63_match_recognize" -> q63Sql,
     "q62_seasonal" -> q62Sql,
     "q61_runtime_filter" -> q61Sql,

@@ -363,6 +363,34 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == n.toLong)
   }
 
+  test("q64: bitmap codec round-trips and the OR-merge equals set union") {
+    import graft.functions.BitsetCodec
+    // deterministic id sets with overlap
+    val a = (0 until 500).map(i => (i * 7L) % 1000L).toSet
+    val b = (0 until 500).map(i => (i * 13L + 3L) % 1000L).toSet
+    def bm(ids: Set[Long]): Array[Long] = {
+      val w = new Array[Long](16)
+      ids.foreach(id => w((id >> 6).toInt) |= 1L << (id & 63))
+      w
+    }
+    // codec roundtrip is identity
+    assert(BitsetCodec.words(BitsetCodec.bytes(bm(a))).sameElements(bm(a)))
+    // popcount = cardinality; OR = union (on fresh copies — or mutates)
+    assert(BitsetCodec.popcount(bm(a)) == a.size)
+    assert(BitsetCodec.popcount(BitsetCodec.or(bm(a), bm(b))) ==
+      (a ++ b).size)
+    // end-to-end through the aggregates: per-group bitmaps, then the
+    // merge-count over them equals the plain distinct count
+    import graft.functions.BitsetAgg.{bitset, bitsetMergeCount}
+    import spark.implicits._
+    val df = (a.toSeq.map(("g1", _)) ++ b.toSeq.map(("g2", _)))
+      .toDF("g", "id")
+    val merged = df.groupBy("g").agg(bitset(col("id"), 1024).as("bm"))
+      .agg(bitsetMergeCount(col("bm"))).collect()(0).getLong(0)
+    assert(merged == (a ++ b).size,
+      s"aggregate union $merged != ${(a ++ b).size}")
+  }
+
   test("q63: V-matches are well-formed, non-overlapping, and replay from " +
     "one nation's raw series") {
     val vs = ops.Relational.q63(spark, sf).collect()
