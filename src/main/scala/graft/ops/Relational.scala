@@ -2322,7 +2322,88 @@ object Relational {
       |  SELECT 'global', -1, CAST(count(DISTINCT o_custkey) AS BIGINT) FROM f)
       |ORDER BY level, key""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q65: AUDIENCE OVERLAP via bitmap set algebra (the theta-sketch /
+  // Audience-Insights query: "how many buyers do regions A and B
+  // SHARE?" — COUNT(DISTINCT) can't intersect across groups without a
+  // re-scan; q64's bitmaps can): per-region buyer bitmaps built once
+  // (one fact pass), every pairwise intersection answered by
+  // INCLUSION–EXCLUSION over bitmap merges — |A∩B| = |A|+|B|−|A∪B|,
+  // with |A∪B| from BitsetMergeCountAgg over the pair's two bitmaps
+  // (10 pairs × 2 rows — metadata-sized; no new operator needed, the
+  // OR-merge IS the set algebra). Exact integers throughout; overlap
+  // ratio as floor-div ppm of the union (exact Jaccard). Oracle
+  // recomputes every pair with a distinct-set self-join — any bitmap
+  // bit wrong flips the hash.
+  def q65(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BitsetAgg.{bitset, bitsetMergeCount}
+    val nBits = Tables.customer(s, d)
+      .agg(max(col("c_custkey")).as("m")).collect()(0).getLong(0).toInt + 1
+    val facts = Tables.orders(s, d).select("o_custkey")
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+    val regionBm = facts.groupBy(col("n_regionkey").as("region"))
+      .agg(bitset(col("o_custkey"), nBits).as("bm"))
+      .localCheckpoint() // 5 rows feed 10 pairs twice each
+    val sizes = regionBm.groupBy("region")
+      .agg(bitsetMergeCount(col("bm")).as("n"))
+    val withN = regionBm.join(sizes, Seq("region"))
+    val a = withN.select(col("region").as("ra"), col("bm").as("bma"),
+      col("n").as("na"))
+    val b = withN.select(col("region").as("rb"), col("bm").as("bmb"),
+      col("n").as("nb"))
+    val pairs = a.join(b, col("ra") < col("rb"))
+    // reshape each pair to two (pair, bitmap) rows so the union count
+    // is one more OR-merge aggregation
+    val stacked = pairs.select(col("ra"), col("rb"), col("bma").as("bm"))
+      .unionAll(pairs.select(col("ra"), col("rb"), col("bmb").as("bm")))
+    val unions = stacked.groupBy("ra", "rb")
+      .agg(bitsetMergeCount(col("bm")).as("n_union"))
+    pairs.select(col("ra"), col("rb"), col("na"), col("nb"))
+      .join(unions, Seq("ra", "rb"))
+      .select(col("ra").cast("long").as("region_a"),
+        col("rb").cast("long").as("region_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("n_union"),
+        (col("na") + col("nb") - col("n_union")).as("n_shared"),
+        expr("(na + nb - n_union) * 1000000 div n_union")
+          .as("jaccard_ppm"))
+      .orderBy("region_a", "region_b")
+  }
+
+  val q65Sql: String =
+    """WITH f AS (
+      |  SELECT DISTINCT o_custkey, n_regionkey AS region
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |sizes AS (SELECT region, CAST(count(*) AS BIGINT) AS n
+      |  FROM f GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.region AS region_a, b.region AS region_b,
+      |    a.n AS n_a, b.n AS n_b
+      |  FROM sizes a JOIN sizes b ON a.region < b.region),
+      |shared AS (
+      |  SELECT x.region AS region_a, y.region AS region_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM f x JOIN f y ON x.o_custkey = y.o_custkey
+      |    AND x.region < y.region
+      |  GROUP BY 1, 2)
+      |SELECT CAST(p.region_a AS BIGINT) AS region_a,
+      |  CAST(p.region_b AS BIGINT) AS region_b, p.n_a, p.n_b,
+      |  p.n_a + p.n_b - coalesce(s.n_shared, 0) AS n_union,
+      |  coalesce(s.n_shared, 0) AS n_shared,
+      |  CAST(coalesce(s.n_shared, 0) * 1000000 //
+      |    (p.n_a + p.n_b - coalesce(s.n_shared, 0)) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM pairs p LEFT JOIN shared s
+      |  ON p.region_a = s.region_a AND p.region_b = s.region_b
+      |ORDER BY region_a, region_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_audience_overlap" -> (q65 _),
     "q64_bitmap_distinct" -> (q64 _),
     "q63_match_recognize" -> (q63 _),
     "q62_seasonal" -> (q62 _),
@@ -2389,6 +2470,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q65_audience_overlap" -> q65Sql,
     "q64_bitmap_distinct" -> q64Sql,
     "q63_match_recognize" -> q63Sql,
     "q62_seasonal" -> q62Sql,
