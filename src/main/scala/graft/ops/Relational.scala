@@ -2083,16 +2083,19 @@ object Relational {
   // textbook 2×12 centered moving average — at month t,
   // (x_{t−6}/2 + Σ_{−5..+5} x + x_{t+6}/2)/12, defined only on
   // complete 13-month frames; seasonal index = per month-of-year mean
-  // of the detrended series; remainder is what's left. Engine parity:
-  // the series is EXACT integer CENTS, the 2×12 numerator is the
-  // all-integer 2·Σ₁₁ + lag₆ + lead₆ (no fractional weights), each
-  // float step is one fixed-order division chain rounded 6dp, and the
-  // seasonal mean sums the 6dp detrended values as DECIMAL (exact,
-  // order-independent) before its one closing division. Scale: grain
-  // drops to nation×month in the first agg (map-side partial under
-  // the fact scan); ALL window frames share the one nation-keyed
-  // exchange; the seasonal join is a 25×12-row broadcast. Decomposes
-  // the OBSERVED month sequence (gap-fill is q46's job).
+  // of the detrended series; the remainder closes the identity.
+  // Engine parity: the decomposition is gated as EXACT RATIONALS in
+  // cents×24 units — trend24 = 2·Σ₁₁ + lag₆ + lead₆ (all-integer, no
+  // fractional weights), detr24 = 24·rev − trend24, seasonal as the
+  // (Σ detr24, count) pair. A rounded-double gate fails here: the
+  // seasonal mean divides a 6dp decimal by a small count, which lands
+  // EXACT 7dp ties where Spark (BigDecimal half-up on the true binary
+  // value) and DuckDB (scaled-multiply rounding) legitimately part
+  // ways — measured at sf0.1. Rationals have no closing division to
+  // tie. Scale: grain drops to nation×month map-side under the fact
+  // scan; all frames share ONE nation-keyed exchange; the seasonal
+  // join is a 25×12 broadcast. Decomposes the OBSERVED month sequence
+  // (gap-fill is q46's job).
   def q62(s: SparkSession, d: String): DataFrame = {
     val monthly = Tables.orders(s, d)
       .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
@@ -2104,25 +2107,25 @@ object Relational {
     val w = Window.partitionBy("nation").orderBy("month")
     val sum11 = sum(col("rev_cents")).over(w.rowsBetween(-5, 5))
     val cnt13 = count(col("rev_cents")).over(w.rowsBetween(-6, 6))
-    val trend = when(cnt13 === 13,
-      round((lit(2) * sum11 + lag(col("rev_cents"), 6).over(w) +
-        lead(col("rev_cents"), 6).over(w)) / 24.0 / 100.0, 6))
+    val trend24 = when(cnt13 === 13,
+      lit(2) * sum11 + lag(col("rev_cents"), 6).over(w) +
+        lead(col("rev_cents"), 6).over(w))
     val detrended = monthly
-      .withColumn("trend", trend)
-      .withColumn("detr",
-        round(col("rev_cents").cast("double") / 100.0 - col("trend"), 6))
+      .withColumn("trend24", trend24)
+      .withColumn("detr24", col("rev_cents") * 24 - col("trend24"))
       .withColumn("moy", substring(col("month"), 6, 2))
       // nation×month grain; feeds both the seasonal-index agg and the
       // final join — one fact scan, not two
       .localCheckpoint()
-    val seasonal = detrended.filter(col("detr").isNotNull)
+    val seasonal = detrended.filter(col("detr24").isNotNull)
       .groupBy("nation", "moy")
-      .agg(round(sum(col("detr").cast("decimal(18,6)")).cast("double") /
-        count(lit(1)), 6).as("seasonal"))
+      .agg(sum(col("detr24")).as("seas_num"),
+        count(lit(1)).as("seas_cnt"))
     detrended.join(broadcast(seasonal), Seq("nation", "moy"), "left")
-      .select(col("nation"), col("month"), col("rev_cents"), col("trend"),
-        when(col("detr").isNotNull, col("seasonal")).as("seasonal"),
-        round(col("detr") - col("seasonal"), 6).as("remainder"))
+      .select(col("nation"), col("month"), col("rev_cents"), col("trend24"),
+        col("detr24"),
+        when(col("detr24").isNotNull, col("seas_num")).as("seas_num"),
+        when(col("detr24").isNotNull, col("seas_cnt")).as("seas_cnt"))
       .orderBy("nation", "month")
   }
 
@@ -2137,24 +2140,23 @@ object Relational {
       |  SELECT nation, month, rev_cents,
       |    CASE WHEN count(rev_cents) OVER (w ROWS BETWEEN 6 PRECEDING
       |        AND 6 FOLLOWING) = 13
-      |      THEN round((2 * sum(rev_cents) OVER (w ROWS BETWEEN 5 PRECEDING
+      |      THEN CAST(2 * sum(rev_cents) OVER (w ROWS BETWEEN 5 PRECEDING
       |          AND 5 FOLLOWING) + lag(rev_cents, 6) OVER w +
-      |          lead(rev_cents, 6) OVER w) / 24.0 / 100.0, 6)
-      |    END AS trend
+      |          lead(rev_cents, 6) OVER w AS BIGINT)
+      |    END AS trend24
       |  FROM monthly
       |  WINDOW w AS (PARTITION BY nation ORDER BY month)),
       |detr AS (
-      |  SELECT *, round(CAST(rev_cents AS DOUBLE) / 100.0 - trend, 6) AS dv,
+      |  SELECT *, rev_cents * 24 - trend24 AS detr24,
       |    substr(month, 6, 2) AS moy
       |  FROM trended),
       |seas AS (
-      |  SELECT nation, moy,
-      |    round(CAST(sum(CAST(dv AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-      |      AS seasonal
-      |  FROM detr WHERE dv IS NOT NULL GROUP BY 1, 2)
-      |SELECT d.nation, d.month, d.rev_cents, d.trend,
-      |  CASE WHEN d.dv IS NOT NULL THEN s.seasonal END AS seasonal,
-      |  round(d.dv - s.seasonal, 6) AS remainder
+      |  SELECT nation, moy, CAST(sum(detr24) AS BIGINT) AS seas_num,
+      |    count(*) AS seas_cnt
+      |  FROM detr WHERE detr24 IS NOT NULL GROUP BY 1, 2)
+      |SELECT d.nation, d.month, d.rev_cents, d.trend24, d.detr24,
+      |  CASE WHEN d.detr24 IS NOT NULL THEN s.seas_num END AS seas_num,
+      |  CASE WHEN d.detr24 IS NOT NULL THEN s.seas_cnt END AS seas_cnt
       |FROM detr d LEFT JOIN seas s ON d.nation = s.nation AND d.moy = s.moy
       |ORDER BY d.nation, d.month""".stripMargin
 

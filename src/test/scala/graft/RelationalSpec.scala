@@ -447,8 +447,8 @@ class RelationalSpec extends SparkSpec {
       s"replayed matches $replayed != gated $mine for nation $nation")
   }
 
-  test("q62: decomposition is additive, frame-aligned, and seasonal is " +
-    "constant per (nation, month-of-year)") {
+  test("q62: decomposition is exactly additive in rationals, frame-aligned, " +
+    "and seasonal is one index per (nation, month-of-year)") {
     val rows = ops.Relational.q62(spark, sf).collect()
     assert(rows.nonEmpty)
     val byNation = rows.groupBy(r => r.get(r.fieldIndex("nation")))
@@ -459,26 +459,32 @@ class RelationalSpec extends SparkSpec {
       // everything between is defined
       s.zipWithIndex.foreach { case (r, i) =>
         val defined = i >= 6 && i < s.length - 6
-        assert(!r.isNullAt(r.fieldIndex("trend")) == defined,
+        assert(!r.isNullAt(r.fieldIndex("trend24")) == defined,
           s"trend defined-ness wrong at index $i of ${s.length}")
       }
     }
-    // additive identity on every decomposed row: rev = T + S + R up to
-    // the three independent 6dp roundings
-    rows.filter(r => !r.isNullAt(r.fieldIndex("remainder"))).foreach { r =>
-      val rev = r.getAs[Long]("rev_cents").toDouble / 100.0
-      val recomposed = r.getAs[Double]("trend") +
-        r.getAs[Double]("seasonal") + r.getAs[Double]("remainder")
-      assert(math.abs(rev - recomposed) < 2e-6,
-        s"additivity broken: $rev vs $recomposed at $r")
+    val decomposed = rows.filter(r => !r.isNullAt(r.fieldIndex("detr24")))
+    assert(decomposed.nonEmpty)
+    decomposed.foreach { r =>
+      // detrending identity is EXACT in cents×24: detr = 24·rev − trend
+      assert(r.getAs[Long]("detr24") ==
+        24L * r.getAs[Long]("rev_cents") - r.getAs[Long]("trend24"),
+        s"detrending identity broken at $r")
+      assert(r.getAs[Long]("seas_cnt") > 0)
     }
-    // one seasonal index per (nation, month-of-year), not per month
-    rows.filter(r => !r.isNullAt(r.fieldIndex("seasonal")))
+    // one seasonal rational per (nation, month-of-year), not per month,
+    // and it really is the group mean: Σ detr24 over the group = num
+    decomposed
       .groupBy(r => (r.get(r.fieldIndex("nation")),
         r.getAs[String]("month").substring(5)))
       .foreach { case (k, g) =>
-        assert(g.map(_.getAs[Double]("seasonal")).distinct.size == 1,
-          s"seasonal index not constant within $k")
+        val nums = g.map(_.getAs[Long]("seas_num")).distinct
+        val cnts = g.map(_.getAs[Long]("seas_cnt")).distinct
+        assert(nums.size == 1 && cnts.size == 1,
+          s"seasonal rational not constant within $k")
+        assert(g.map(_.getAs[Long]("detr24")).sum == nums.head &&
+          g.length.toLong == cnts.head,
+          s"seasonal mean does not replay from the group at $k")
       }
   }
 }
