@@ -2404,7 +2404,112 @@ object Relational {
       |  ON p.region_a = s.region_a AND p.region_b = s.region_b
       |ORDER BY region_a, region_b""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q66: TWO-SAMPLE KOLMOGOROV–SMIRNOV drift test (the nonparametric
+  // "did this feed's distribution change" monitor — t20's KL needs
+  // binned categories; KS compares whole CDFs with zero binning): the
+  // entire statistic is INTEGER-EXACT — at value v, |F₁−F₂| ∝
+  // |c₁·n₂ − c₂·n₁|, so D_num = max of that bigint and the α=0.05
+  // verdict is the squared Smirnov criterion with 1.358² stated as
+  // the exact literal 1.844164: reject ⟺ 10⁶·D_num² >
+  // 1844164·(n₁+n₂)·n₁·n₂, compared in DECIMAL(38,0) — no float
+  // anywhere. Two gated cases over the orderkey-parity split (the
+  // testdata's columns are mutually independent — measured: every
+  // natural cohort pair is null; a basket-size cohort landed D=0.0280
+  // vs a 0.0300 critical): 'planted_shift' scales the odd cohort's
+  // cents by exactly ×110 div 100 — the "vendor silently repriced
+  // 10%" drift, reject TRUE; 'parity_null' is the raw split, reject
+  // FALSE — both monitor branches non-vacuous (q49's planted-anomaly
+  // discipline). Scale: the CDF prefix sums are TWO-LEVEL — a
+  // bucket-keyed within-bucket cumsum plus a bucket-grain offset
+  // cumsum (tiny) — the distributed prefix-sum shape; no
+  // corpus-length unpartitioned window.
+  private def ksRow(name: String, vals: DataFrame): DataFrame = {
+    // vals: (v BIGINT cents, grp 1|2) at row grain
+    val grain = vals.groupBy("v")
+      .agg(sum(when(col("grp") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("b"))
+      .withColumn("bucket", expr("v div 1000000"))
+    val within = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = grain.groupBy("bucket")
+      .agg(sum("a").as("ba"), sum("b").as("bb"))
+    val offs = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = buckets
+      .withColumn("oa", coalesce(sum(col("ba")).over(offs), lit(0L)))
+      .withColumn("ob", coalesce(sum(col("bb")).over(offs), lit(0L)))
+      .select("bucket", "oa", "ob")
+    val cdf = grain
+      .withColumn("ca_in", sum(col("a")).over(within))
+      .withColumn("cb_in", sum(col("b")).over(within))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select((col("oa") + col("ca_in")).as("c1"),
+        (col("ob") + col("cb_in")).as("c2"))
+    cdf.crossJoin(broadcast(vals.agg(
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))))
+      .groupBy("n1", "n2")
+      .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .as("d_num"))
+      .select(lit(name).as("test_name"), col("n1"), col("n2"), col("d_num"),
+        expr("d_num * 1000000 div (n1 * n2)").as("d_ppm"),
+        (col("d_num").cast("decimal(38,0)") * col("d_num") * 1000000 >
+          col("n1").cast("decimal(38,0)") * col("n2") *
+            (col("n1") + col("n2")) * 1844164).as("reject_h0"))
+  }
+
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(14,2)") * 100)
+      .cast("long").as("v")
+    val grp = (col("o_orderkey") % 2 + 1).cast("int").as("grp")
+    val parity = Tables.orders(s, d).select(cents, grp)
+    val shifted = parity.select(
+      when(col("grp") === 2, expr("(v * 110) div 100")).otherwise(col("v"))
+        .as("v"), col("grp"))
+    ksRow("planted_shift", shifted)
+      .unionAll(ksRow("parity_null", parity))
+      .orderBy("test_name")
+  }
+
+  val q66Sql: String = {
+    def ks(name: String, cohort: String) =
+      s"""SELECT '$name' AS test_name, n1, n2,
+         |  CAST(d_num AS BIGINT) AS d_num,
+         |  CAST(d_num * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
+         |  CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000 >
+         |    CAST(n1 AS DECIMAL(38,0)) * n2 * (n1 + n2) * 1844164
+         |    AS reject_h0
+         |FROM (
+         |  SELECT max(abs(c1 * n2 - c2 * n1)) AS d_num,
+         |    max(n1) AS n1, max(n2) AS n2
+         |  FROM (
+         |    SELECT
+         |      CAST(sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |        PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+         |      CAST(sum(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |        PRECEDING AND CURRENT ROW) AS BIGINT) AS c2,
+         |      CAST(sum(a) OVER () AS BIGINT) AS n1,
+         |      CAST(sum(b) OVER () AS BIGINT) AS n2
+         |    FROM (
+         |      SELECT v, sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a,
+         |        sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS b
+         |      FROM ($cohort) GROUP BY v)))""".stripMargin
+    val parity =
+      """SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |    AS v,
+        |  CAST(o_orderkey % 2 + 1 AS INT) AS grp FROM orders""".stripMargin
+    val shifted =
+      s"""SELECT CASE WHEN grp = 2 THEN (v * 110) // 100 ELSE v END AS v, grp
+         |FROM ($parity)""".stripMargin
+    s"""SELECT * FROM (${ks("planted_shift", shifted)}
+       |UNION ALL
+       |${ks("parity_null", parity)})
+       |ORDER BY test_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_ks_test" -> (q66 _),
     "q65_audience_overlap" -> (q65 _),
     "q64_bitmap_distinct" -> (q64 _),
     "q63_match_recognize" -> (q63 _),
@@ -2472,6 +2577,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q66_ks_test" -> q66Sql,
     "q65_audience_overlap" -> q65Sql,
     "q64_bitmap_distinct" -> q64Sql,
     "q63_match_recognize" -> q63Sql,

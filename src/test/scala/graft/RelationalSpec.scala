@@ -363,6 +363,34 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == n.toLong)
   }
 
+  test("q66: KS statistic replays driver-side and both verdict branches fire") {
+    val rows = ops.Relational.q66(spark, sf).collect()
+      .map(r => r.getAs[String]("test_name") -> r).toMap
+    assert(rows("planted_shift").getAs[Boolean]("reject_h0"),
+      "planted 10% reprice not detected")
+    assert(!rows("parity_null").getAs[Boolean]("reject_h0"),
+      "false positive on the identical-distribution split")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("d_ppm") == r.getAs[Long]("d_num") * 1000000L /
+        (r.getAs[Long]("n1") * r.getAs[Long]("n2")))
+    }
+    // exact replay of the null case from raw prices
+    val vals = Tables.orders(spark, sf)
+      .select((col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long").as("v"), (col("o_orderkey") % 2).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n1 = vals.count(_._2 == 1L).toLong // grp1 = odd%2==1? grp=(k%2)+1
+    val n2 = vals.length - n1
+    var (c1, c2, best) = (0L, 0L, 0L)
+    // value grain, not row grain: the CDF step lands AFTER all ties
+    vals.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      c1 += g.count(_._2 == 1L); c2 += g.count(_._2 != 1L)
+      best = math.max(best, math.abs(c1 * n2 - c2 * n1))
+    }
+    assert(best == rows("parity_null").getAs[Long]("d_num"),
+      s"driver replay $best != gated ${rows("parity_null").getAs[Long]("d_num")}")
+  }
+
   test("q64: bitmap codec round-trips and the OR-merge equals set union") {
     import graft.functions.BitsetCodec
     // deterministic id sets with overlap
