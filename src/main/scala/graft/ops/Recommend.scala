@@ -3189,7 +3189,126 @@ object Recommend {
        |  WHERE x.user_id = u.user_id AND x.item_id = d.i)
        |GROUP BY 1, 2 ORDER BY user_id, item_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r48: ALS USER FOLD-IN (the serving path every production ALS needs
+  // and retraining can't give: a user shows up with fresh history and
+  // wants recs NOW — solve their factor against the FROZEN item
+  // factors instead of refitting the model). Implicit-feedback normal
+  // equations (Hu/Koren/Volinsky): x_u = (YᵀY + Σᵢ α·rᵢ·fᵢfᵢᵀ + λI)⁻¹
+  // Σᵢ (1+α·rᵢ)·fᵢ — YᵀY is ONE distributed 64-sum pass over the item
+  // factors (computed once, not per user), the per-user Gram/rhs sums
+  // are one panel-filtered join + agg, and only the 8×8 solves run on
+  // the driver (panel-bounded, partial-pivot Gaussian elimination).
+  // Because ALS's own final user half-step IS this exact solve, the
+  // fold-in factor must land on the trained factor — the gate carries
+  // per-user cos_ok (≥0.999 against the model's userFactors) plus a
+  // full top-5 serve from the folded factor (bounded panel × one
+  // catalog scan, seen items anti-joined). Oracle pins the panel
+  // membership (SQL-derivable) and both contracts TRUE.
+  def r48(s: SparkSession, d: String): DataFrame = {
+    val model = alsModel(s, d)
+    val items = model.itemFactors // (id int, features array<float>)
+    val rank = 8
+    val gram = (0 until rank).flatMap(i => (0 until rank).map(j => (i, j)))
+    def f(c: Column, i: Int) = element_at(c, i + 1).cast("double")
+    // YtY: one 64-sum aggregate over all item factors
+    val ytyCols = gram.map { case (i, j) =>
+      sum(f(col("features"), i) * f(col("features"), j)).as(s"yy_${i}_$j") }
+    val yty = items.agg(ytyCols.head, ytyCols.tail: _*).collect()(0)
+    val ratings = Ratings.implicitRatings(s, d)
+      .select(col("user_id").cast("int").as("uid"),
+        col("item_id").cast("int").as("iid"),
+        col("rating").cast("double").as("r"))
+    val panel = ratings.filter(col("uid") % 97 === 0)
+    // per-user Gram contributions and rhs, one join + one agg
+    val userCols = gram.map { case (i, j) =>
+      sum(col("r") * f(col("features"), i) * f(col("features"), j))
+        .as(s"g_${i}_$j") } ++
+      (0 until rank).map(i =>
+        sum((lit(1.0) + col("r")) * f(col("features"), i)).as(s"b_$i"))
+    val perUser = panel.join(items, col("iid") === col("id"))
+      .groupBy("uid")
+      .agg(userCols.head, userCols.tail: _*)
+      .collect()
+    val lambda = 0.1
+    val folded = perUser.map { row =>
+      val a = Array.tabulate(rank * rank) { k =>
+        val (i, j) = (k / rank, k % rank)
+        yty.getAs[Double](s"yy_${i}_$j") + row.getAs[Double](s"g_${i}_$j") +
+          (if (i == j) lambda else 0.0)
+      }
+      val b = Array.tabulate(rank)(i => row.getAs[Double](s"b_$i"))
+      row.getAs[Int]("uid") -> solve8(a, b)
+    }
+    // fold-in must reproduce the trained factor (ALS's own last
+    // user half-step is this exact solve)
+    val trained = model.userFactors
+      .join(panel.select("uid").distinct(), col("id") === col("uid"))
+      .collect().map(r => r.getAs[Int]("id") ->
+        r.getAs[Seq[Float]]("features").map(_.toDouble).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val (dp, nx, ny) = (x.zip(y).map(p => p._1 * p._2).sum,
+        math.sqrt(x.map(v => v * v).sum), math.sqrt(y.map(v => v * v).sum))
+      dp / (nx * ny)
+    }
+    val cosOk = folded.map { case (u, x) => u -> (cos(x, trained(u)) >= 0.999) }
+    import s.implicits._
+    val foldedDf = broadcast(
+      folded.toSeq.map { case (u, x) => (u, x) }.toDF("uid", "xf"))
+    // serve top-5 from the folded factor: bounded panel × one catalog
+    // scan, seen items anti-joined BEFORE ranking (s17 discipline)
+    val scored = foldedDf.crossJoin(items)
+      .select(col("uid"), col("id").as("item"),
+        graft.functions.VectorOps.dotProduct(col("xf"),
+          expr("transform(features, v -> CAST(v AS DOUBLE))")).as("score"))
+      .join(ratings.select(col("uid"), col("iid").as("item")),
+        Seq("uid", "item"), "left_anti")
+    val topk = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("uid").orderBy(col("score").desc, col("item"))))
+      .filter(col("rn") <= 5)
+      .groupBy("uid").agg(count(lit(1)).as("n_recs"))
+    val cosDf = broadcast(cosOk.toSeq.toDF("uid", "cos_ok"))
+    topk.join(cosDf, Seq("uid"))
+      .select(col("uid").cast("long").as("user_id"),
+        (col("n_recs") === 5).as("full_slate"), col("cos_ok"))
+      .orderBy("user_id")
+  }
+
+  /** Test hook for the dense solver (RecommendSpec pins it). */
+  private[graft] def solve8ForTest(a: Array[Double], b: Array[Double]): Array[Double] =
+    solve8(a, b)
+
+  /** 8×8 dense solve, partial-pivot Gaussian elimination. */
+  private def solve8(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val n = 8
+    val m = Array.tabulate(n, n + 1)((i, j) => if (j < n) a(i * n + j) else b(i))
+    for (c0 <- 0 until n) {
+      val piv = (c0 until n).maxBy(r => math.abs(m(r)(c0)))
+      val t = m(piv); m(piv) = m(c0); m(c0) = t
+      for (r <- c0 + 1 until n) {
+        val fac = m(r)(c0) / m(c0)(c0)
+        for (c <- c0 to n) m(r)(c) -= fac * m(c0)(c)
+      }
+    }
+    val x = new Array[Double](n)
+    for (i <- n - 1 to 0 by -1) {
+      var acc = m(i)(n)
+      for (j <- i + 1 until n) acc -= m(i)(j) * x(j)
+      x(i) = acc / m(i)(i)
+    }
+    x
+  }
+
+  val r48Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings})
+       |SELECT CAST(user_id AS BIGINT) AS user_id,
+       |  true AS full_slate, true AS cos_ok
+       |FROM (SELECT DISTINCT user_id FROM ratings WHERE user_id % 97 = 0)
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r48_als_foldin" -> (r48 _),
     "r47_slope_one" -> (r47 _),
     "r46_wilson_ci" -> (r46 _),
     "r45_complements" -> (r45 _),
@@ -3239,6 +3358,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r48_als_foldin" -> r48Sql,
     "r47_slope_one" -> r47Sql,
     "r46_wilson_ci" -> r46Sql,
     "r45_complements" -> r45Sql,

@@ -659,6 +659,28 @@ class RecommendSpec extends SparkSpec {
       "no p-hat/Wilson rank inversion anywhere — the correction is vacuous here")
   }
 
+  test("r48: fold-in lands on the trained factor for every panel user and " +
+    "the dense solve inverts a known system") {
+    // the op's own contract, asserted directly (the oracle pins TRUE)
+    val rows = ops.Recommend.r48(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("cos_ok")),
+      "a fold-in factor diverged from the trained factor")
+    assert(rows.forall(_.getAs[Boolean]("full_slate")))
+    // solver sanity on a deterministic SPD system: A = MᵀM + I, b = A·x
+    val m = Array.tabulate(8, 8)((i, j) => ((i * 13 + j * 7) % 11 - 5).toDouble)
+    val a = Array.tabulate(8 * 8) { k =>
+      val (i, j) = (k / 8, k % 8)
+      (0 until 8).map(t => m(t)(i) * m(t)(j)).sum + (if (i == j) 1.0 else 0.0)
+    }
+    val x = Array.tabulate(8)(i => (i - 3.5) / 2.0)
+    val b = Array.tabulate(8)(i =>
+      (0 until 8).map(j => a(i * 8 + j) * x(j)).sum)
+    val got = ops.Recommend.solve8ForTest(a, b)
+    assert(x.zip(got).forall { case (e, g) => math.abs(e - g) < 1e-9 },
+      s"solver drift: ${got.mkString(",")}")
+  }
+
   test("r47: Slope One rational replays driver-side from raw ratings") {
     val preds = ops.Recommend.r47(spark, sf).limit(2000).collect()
     assert(preds.nonEmpty)
