@@ -2480,6 +2480,32 @@ class OpsSpec extends SparkSpec {
       rows("d_no_exact")._2 > 0L)
   }
 
+  test("s21: PQ explains variance in both spaces; the raw-vs-residual error " +
+    "ordering matches this corpus's geometry") {
+    val (rawErr, resErr) = ops.Similarity.s21Errors(spark, sf)
+    info(f"raw-PQ avg sq error = $rawErr%.4f, residual-PQ = $resErr%.4f")
+    // codebooks must explain variance relative to the zero-vector
+    // baseline of their own space: E|v|² for raws (unit-norm ⇒ 1),
+    // E|v − c|² for residuals (≈2 on a uniform sphere — centroids are
+    // as far as anything else)
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rawVar = e.agg(avg(expr(
+      "aggregate(v, 0D, (a, x) -> a + x * x)"))).collect()(0).getDouble(0)
+    assert(rawErr < rawVar, "raw codebook explains no variance")
+    assert(resErr < 2.2 * rawVar, "residual codebook explains no variance")
+    // measured inversion (0.59 vs 0.91 at sf0.001): residual PQ only
+    // wins when cells are TIGHT — on this sphere-uniform corpus the
+    // centroid is as far as a random point, so residual variance
+    // (≈2·E|v|²) exceeds raw variance and the error ordering flips.
+    // The pin documents the geometry rather than asserting a gain the
+    // data cannot express (same caveat as the trained-IVF recall note
+    // in Similarity's Scaladoc).
+    assert(resErr > rawErr,
+      "residual PQ beat raw PQ on sphere-uniform data — geometry changed?")
+  }
+
   test("m19: silence mask, counts, segments and runs are one consistent story") {
     val rows = ops.Multimodal.m19(spark, sf).collect()
     assert(rows.nonEmpty)
