@@ -40,7 +40,8 @@ object GraftExtensions {
   /** All native kernels, SQL-callable:
     * cosine_sim(a, b), md5_prefix56(s), md5_prefix48(s),
     * minhash_sig(hashes, k), simhash_sig(hashes),
-    * misra_gries(key, k) (aggregate), nfc_normalize(s). */
+    * misra_gries(key, k) (aggregate), nfc_normalize(s),
+    * bitset_agg(id, nBits) / bitset_merge_count(bm) (aggregates). */
   val functionDescriptors: Seq[Descriptor] = Seq(
     cosineSimDescriptor,
     descriptor("nfc_normalize", classOf[functions.NfcNormalize],
@@ -61,5 +62,12 @@ object GraftExtensions {
       exprs => functions.MinHashSig(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())),
     descriptor("simhash_sig", classOf[functions.SimHashSig],
-      exprs => functions.SimHashSig(exprs(0))))
+      exprs => functions.SimHashSig(exprs(0))),
+    descriptor("bitset_agg", classOf[functions.BitsetAgg],
+      exprs => functions.BitsetAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
+    descriptor("bitset_merge_count", classOf[functions.BitsetMergeCountAgg],
+      exprs => functions.BitsetMergeCountAgg(exprs(0))
+        .toAggregateExpression()))
 }

@@ -117,6 +117,13 @@ class SkewSpec extends SparkSpec {
       val n = s2.sql("SELECT nfc_normalize('cafe\u0301') AS s")
         .collect()(0).getString(0)
       assert(n == "caf\u00e9", n)
+      // bitmap aggregates: distinct of {1,2,3} via per-group bitmaps
+      val bc = s2.sql(
+        """SELECT bitset_merge_count(bm) AS n FROM (
+          |  SELECT g, bitset_agg(id, 64) AS bm FROM VALUES
+          |    (0, 1L), (0, 2L), (1, 3L), (1, 2L) AS t(g, id)
+          |  GROUP BY g)""".stripMargin).collect()(0).getLong(0)
+      assert(bc == 3L, s"bitmap distinct: $bc")
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(s0)
       org.apache.spark.sql.SparkSession.setDefaultSession(s0)
