@@ -2480,6 +2480,41 @@ class OpsSpec extends SparkSpec {
       rows("d_no_exact")._2 > 0L)
   }
 
+  test("g21: SCC labels verify against driver-side BFS mutual reachability") {
+    val labels = ops.Graph.g21(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc_id")).toMap
+    assert(labels.nonEmpty)
+    // rebuild the same bounded subgraph and BFS it in plain Scala
+    val edges = ops.Graph.g21SubgraphForTest(spark, sf)
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def reach(from: Long): Set[Long] = {
+      var seen = Set(from); var frontier = Set(from)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    // every SCC id is its own minimum member
+    labels.groupBy(_._2).foreach { case (id, members) =>
+      assert(members.keys.min == id, s"SCC $id not labeled by its min member")
+    }
+    // same label ⟺ mutually reachable, checked exhaustively through
+    // each member's reachability set (graph is bounded — 300 nodes)
+    val reachOf = labels.keys.map(n => n -> reach(n)).toMap
+    for ((u, cu) <- labels; (v, cv) <- labels if u < v) {
+      val mutual = reachOf(u).contains(v) && reachOf(v).contains(u)
+      assert(mutual == (cu == cv),
+        s"label/reachability disagree for ($u, $v): mutual=$mutual ids=($cu,$cv)")
+    }
+    // non-vacuity: a real multi-node SCC exists (at sf0.001 the dense
+    // transition graph collapses into one giant SCC — no dust; the
+    // sf0.01 GATE exercises the trim path with 274 singleton SCCs
+    // around a 24-node giant, so both regimes are covered)
+    val sizes = labels.groupBy(_._2).map(_._2.size).toSeq.sorted.reverse
+    assert(sizes.head >= 2, s"no cycle found at all: $sizes")
+  }
+
   test("s21: PQ explains variance in both spaces; the raw-vs-residual error " +
     "ordering matches this corpus's geometry") {
     val (rawErr, resErr) = ops.Similarity.s21Errors(spark, sf)
