@@ -1225,7 +1225,108 @@ object Pipeline {
        |UNION ALL SELECT 'e_no_near', no_near, no_near - full_n FROM counts
        |ORDER BY ablation""".stripMargin
 
+  // ------------------------------------------------------------------
+  // p15: QUALITY–QUANTITY TRADEOFF CURVE (the chart a data team reads
+  // before picking t19's sampling threshold or p01's quality bar:
+  // "if the bar is the d-th quality decile, how many docs and tokens
+  // survive, carrying how much quality mass?"). Thresholds are EXACT
+  // VALUE SELECTIONS (q52's discipline — τ_d = the quality of the
+  // ⌈N·d/10⌉-th doc ascending, an integer-compared rank pick, never
+  // interpolated) and every surviving mass is a suffix aggregate:
+  // total − prefix at the boundary row, with quality mass as
+  // DECIMAL(28,6) sums of the 6dp per-doc values (exact, order-free —
+  // q62's no-closing-division rule: consumers divide). Scale: the
+  // doc-grain features ride one corpus scan; everything after lives
+  // on the QUALITY-VALUE grain, whose domain is bounded by the 6dp
+  // value space (≤10⁶+1 rows in [0,1] at ANY corpus size), so the
+  // one unpartitioned cumulative window is domain-bounded, not
+  // corpus-bounded.
+  def p15(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextNorm.tokens(col("text"))
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val docs = Tables.documents(s, d)
+      .select(size(toks).as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      .select(col("n_tokens"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.5, 6)
+          .as("quality"))
+    val grain = docs.groupBy("quality")
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"),
+        sum(col("quality").cast("decimal(10,6)")).cast("decimal(28,6)")
+          .as("qs"))
+    val before = Window.orderBy("quality")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grain
+      .withColumn("cd_b", coalesce(sum(col("nd")).over(before), lit(0L)))
+      .withColumn("ct_b", coalesce(sum(col("nt")).over(before), lit(0L)))
+      .withColumn("cq_b", coalesce(sum(col("qs")).over(before),
+        lit(0).cast("decimal(28,6)")))
+      .localCheckpoint() // value-grain; joined against all 10 deciles
+    val totals = broadcast(grain.agg(sum("nd").as("n_total"),
+      sum("nt").as("t_total"),
+      sum("qs").cast("decimal(28,6)").as("q_total")))
+    val deciles = broadcast(s.range(0, 10).select(col("id").as("decile")))
+    // τ_d = smallest quality whose ≤-cumulative reaches N·d/10
+    cum.crossJoin(totals).crossJoin(deciles)
+      .filter((col("cd_b") + col("nd")) * 10 >= col("n_total") * col("decile"))
+      .groupBy("decile")
+      .agg(min(struct(col("quality"), col("cd_b"), col("ct_b"), col("cq_b"),
+        col("n_total"), col("t_total"), col("q_total"))).as("m"))
+      .select(col("decile"),
+        col("m.quality").as("tau"),
+        (col("m.n_total") - col("m.cd_b")).as("n_kept"),
+        (col("m.t_total") - col("m.ct_b")).as("tokens_kept"),
+        (col("m.q_total") - col("m.cq_b")).cast("decimal(28,6)")
+          .as("quality_mass_kept"))
+      .orderBy("decile")
+  }
+
+  val p15Sql: String = {
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH feats AS (
+       |  SELECT len(regexp_extract_all(nfc_normalize(text),
+       |      '[\\p{L}\\p{N}]+')) AS n_tokens,
+       |    len(list_filter(regexp_extract_all(nfc_normalize(text),
+       |      '[\\p{L}\\p{N}]+'), t -> list_contains($stopList, t))) AS n_stop
+       |  FROM documents),
+       |docs AS (
+       |  SELECT n_tokens,
+       |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
+       |      (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6) AS quality
+       |  FROM feats),
+       |grain AS (
+       |  SELECT quality, count(*) AS nd,
+       |    CAST(sum(n_tokens) AS BIGINT) AS nt,
+       |    CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DECIMAL(28,6)) AS qs
+       |  FROM docs GROUP BY 1),
+       |cum AS (
+       |  SELECT *,
+       |    CAST(coalesce(sum(nd) OVER w, 0) AS BIGINT) AS cd_b,
+       |    CAST(coalesce(sum(nt) OVER w, 0) AS BIGINT) AS ct_b,
+       |    CAST(coalesce(sum(qs) OVER w, 0) AS DECIMAL(28,6)) AS cq_b
+       |  FROM grain
+       |  WINDOW w AS (ORDER BY quality
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n_total,
+       |  CAST(sum(nt) AS BIGINT) AS t_total,
+       |  CAST(sum(qs) AS DECIMAL(28,6)) AS q_total FROM grain),
+       |picked AS (
+       |  SELECT d.decile, c.quality, c.cd_b, c.ct_b, c.cq_b,
+       |    t.n_total, t.t_total, t.q_total,
+       |    row_number() OVER (PARTITION BY d.decile ORDER BY c.quality)
+       |      AS rn
+       |  FROM cum c CROSS JOIN tot t
+       |  CROSS JOIN (SELECT unnest(range(10)) AS decile) d
+       |  WHERE (c.cd_b + c.nd) * 10 >= t.n_total * d.decile)
+       |SELECT CAST(decile AS BIGINT) AS decile, quality AS tau,
+       |  n_total - cd_b AS n_kept, t_total - ct_b AS tokens_kept,
+       |  CAST(q_total - cq_b AS DECIMAL(28,6)) AS quality_mass_kept
+       |FROM picked WHERE rn = 1 ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_quality_tradeoff" -> (p15 _),
     "p14_filter_ablation" -> (p14 _),
     "p13_doremi_reweight" -> (p13 _),
     "p12_epoch_allocation" -> (p12 _),
@@ -1242,6 +1343,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p15_quality_tradeoff" -> p15Sql,
     "p14_filter_ablation" -> p14Sql,
     "p13_doremi_reweight" -> p13Sql,
     "p12_epoch_allocation" -> p12Sql,

@@ -2480,6 +2480,29 @@ class OpsSpec extends SparkSpec {
       rows("d_no_exact")._2 > 0L)
   }
 
+  test("p15: the tradeoff curve is monotone and a tighter bar buys higher " +
+    "mean quality") {
+    val rows = ops.Pipeline.p15(spark, sf).collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    // decile 0 keeps the whole corpus
+    assert(rows.head.getAs[Long]("n_kept") ==
+      Tables.documents(spark, sf).count())
+    // retention is non-increasing in the bar; mean kept-quality is
+    // non-decreasing (the whole reason to raise the bar)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_kept") <= a.getAs[Long]("n_kept"))
+      assert(b.getAs[Long]("tokens_kept") <= a.getAs[Long]("tokens_kept"))
+      assert(b.getAs[Double]("tau") >= a.getAs[Double]("tau"))
+      val meanA = a.getAs[java.math.BigDecimal]("quality_mass_kept")
+        .doubleValue() / a.getAs[Long]("n_kept")
+      val meanB = b.getAs[java.math.BigDecimal]("quality_mass_kept")
+        .doubleValue() / b.getAs[Long]("n_kept")
+      assert(meanB >= meanA - 1e-12,
+        s"mean quality fell when the bar rose: $meanA -> $meanB")
+      case _ => ()
+    }
+  }
+
   test("g21: SCC labels verify against driver-side BFS mutual reachability") {
     val labels = ops.Graph.g21(spark, sf).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc_id")).toMap
