@@ -2411,7 +2411,109 @@ object EventOps {
       |    (SELECT sum(shapley_x6) FROM contrib) AS BIGINT) AS share_ppm
       |FROM contrib ORDER BY channel""".stripMargin
 
+  // ------------------------------------------------------------------
+  // e43: MULTIWINDOW BURN-RATE SLO MONITOR (the Google SRE workbook
+  // alerting rule — a single-window error-rate alarm either pages on
+  // noise (short window) or pages an hour late (long window); the
+  // production rule pages only when a SHORT (30 m) and a LONG (6 h)
+  // window are BOTH burning the error budget). Everything is exact
+  // integer algebra: 5-minute grid buckets (gap-filled DENSE via one
+  // bounded sequence-explode so a k-bucket lag is exactly k·5 min),
+  // rolling window sums as cumsum − lag(cumsum, k), and the burn
+  // conditions as cross-multiplications against the 25% budget —
+  // page ⟺ 2·err ≥ tot in both windows (burn ≥ 2), ticket ⟺
+  // 5·err ≥ 2·tot (burn ≥ 1.6); empty windows can't alert. A
+  // SIX-HOUR total outage is PLANTED at a deterministic offset
+  // (q49's discipline — the natural 20% error floor never moves,
+  // and a 45-min plant measured invisible to the 6 h window):
+  // alerts fire exactly around the incident, pinned in OpsSpec —
+  // the both-windows rule is WHY the bars are noise-proof (the 6 h
+  // window sits +7σ/+4.5σ from the floor at 50%/40%, while the 30 m
+  // window alone would trip ~3% of the time). Scale: the grid is
+  // time-domain-bounded (8.6k rows/month at any corpus size), so the
+  // one unpartitioned cumsum is domain-bounded; the corpus-sized
+  // stage is the per-bucket count rollup under the event scan.
+  def e43(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 300000000").as("b"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+    val perB = ev.groupBy("b")
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("e"))
+    val mm = ev.agg(min(col("b")).as("minb"), max(col("b")).as("maxb"))
+    val grid = mm.select(explode(sequence(col("minb"), col("maxb"))).as("b"),
+      col("minb"))
+    val dense = grid.join(perB, Seq("b"), "left")
+      .select(col("b"), col("minb"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("e"), lit(0L)).as("e"))
+      .withColumn("err_eff",
+        when(col("b") >= col("minb") + 2880 && col("b") < col("minb") + 2952,
+          col("n")).otherwise(col("e")))
+    val w = Window.orderBy("b")
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense
+      .withColumn("ce", sum(col("err_eff")).over(cumW))
+      .withColumn("cn", sum(col("n")).over(cumW))
+    val roll = cum
+      .withColumn("s_err", col("ce") - coalesce(lag(col("ce"), 6).over(w), lit(0L)))
+      .withColumn("s_tot", col("cn") - coalesce(lag(col("cn"), 6).over(w), lit(0L)))
+      .withColumn("l_err", col("ce") - coalesce(lag(col("ce"), 72).over(w), lit(0L)))
+      .withColumn("l_tot", col("cn") - coalesce(lag(col("cn"), 72).over(w), lit(0L)))
+    // alerts only on COMPLETE windows with MINIMUM VOLUME (the SRE
+    // rule's fine print): a 2-event head-of-series denominator or a
+    // sparse corpus would page on one unlucky error — measured at
+    // 0.1× density, where 8-event long windows noise-fire the 50%
+    // bar ~1% of the time; below 40 events the monitor stays quiet
+    val ready = col("b") >= col("minb") + 72 && col("l_tot") >= 40
+    roll.select(col("b"), col("s_err"), col("s_tot"), col("l_err"), col("l_tot"),
+        (ready && col("s_tot") > 0 && col("l_tot") > 0 &&
+          col("s_err") * 5 >= col("s_tot") * 2 &&
+          col("l_err") * 5 >= col("l_tot") * 2).as("ticket"),
+        (ready && col("s_tot") > 0 && col("l_tot") > 0 &&
+          col("s_err") * 2 >= col("s_tot") &&
+          col("l_err") * 2 >= col("l_tot")).as("page"))
+      .orderBy("b")
+  }
+
+  val e43Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 300000000 AS b,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      |  FROM events),
+      |perb AS (SELECT b, count(*) AS n, CAST(sum(is_err) AS BIGINT) AS e
+      |  FROM ev GROUP BY 1),
+      |mm AS (SELECT min(b) AS minb, max(b) AS maxb FROM ev),
+      |grid AS (SELECT unnest(range((SELECT minb FROM mm),
+      |  (SELECT maxb FROM mm) + 1)) AS b),
+      |dense AS (
+      |  SELECT g.b, coalesce(p.n, 0) AS n, coalesce(p.e, 0) AS e,
+      |    CASE WHEN g.b >= (SELECT minb FROM mm) + 2880
+      |          AND g.b < (SELECT minb FROM mm) + 2952
+      |      THEN coalesce(p.n, 0) ELSE coalesce(p.e, 0) END AS err_eff
+      |  FROM grid g LEFT JOIN perb p ON g.b = p.b),
+      |cum AS (
+      |  SELECT b,
+      |    CAST(sum(err_eff) OVER cw AS BIGINT) AS ce,
+      |    CAST(sum(n) OVER cw AS BIGINT) AS cn
+      |  FROM dense
+      |  WINDOW cw AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |roll AS (
+      |  SELECT b,
+      |    ce - coalesce(lag(ce, 6) OVER w, 0) AS s_err,
+      |    cn - coalesce(lag(cn, 6) OVER w, 0) AS s_tot,
+      |    ce - coalesce(lag(ce, 72) OVER w, 0) AS l_err,
+      |    cn - coalesce(lag(cn, 72) OVER w, 0) AS l_tot
+      |  FROM cum WINDOW w AS (ORDER BY b))
+      |SELECT b, s_err, s_tot, l_err, l_tot,
+      |  b >= (SELECT minb FROM mm) + 72 AND s_tot > 0 AND l_tot >= 40
+      |    AND s_err * 5 >= s_tot * 2 AND l_err * 5 >= l_tot * 2 AS ticket,
+      |  b >= (SELECT minb FROM mm) + 72 AND s_tot > 0 AND l_tot >= 40
+      |    AND s_err * 2 >= s_tot AND l_err * 2 >= l_tot AS page
+      |FROM roll ORDER BY b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e43_burn_rate" -> (e43 _),
     "e42_shapley_attribution" -> (e42 _),
     "e41_survival" -> (e41 _),
     "e40_stream_scd_enrich" -> (e40 _),
@@ -2455,6 +2557,7 @@ object EventOps {
     "e04_retention" -> (e04 _))
 
   val oracles: Map[String, String] = Map(
+    "e43_burn_rate" -> e43Sql,
     "e42_shapley_attribution" -> e42Sql,
     "e41_survival" -> e41Sql,
     "e40_stream_scd_enrich" -> e40Sql,

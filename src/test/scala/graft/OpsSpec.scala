@@ -2480,6 +2480,64 @@ class OpsSpec extends SparkSpec {
       rows("d_no_exact")._2 > 0L)
   }
 
+  test("e43: burn-rate alerts localize to the planted outage and replay " +
+    "from raw bucket counts") {
+    val rows = ops.EventOps.e43(spark, sf).collect().sortBy(_.getAs[Long]("b"))
+    val minb = rows.head.getAs[Long]("b")
+    val (incidentStart, incidentEnd) = (minb + 2880, minb + 2952)
+    val pages = rows.filter(_.getAs[Boolean]("page"))
+    val tickets = rows.filter(_.getAs[Boolean]("ticket"))
+    // minimum-volume regime split: this sf's long windows carry ~8
+    // events — below the 40-event floor the monitor MUST stay silent
+    // (sparse denominators noise-fire ~1% of buckets otherwise); the
+    // sf0.01 gate exercises the firing path (63 pages around the
+    // planted outage, verified by the DuckDB oracle)
+    val maxLongVol = rows.map(_.getAs[Long]("l_tot")).max
+    if (maxLongVol < 40) {
+      assert(pages.isEmpty && tickets.isEmpty,
+        "low-volume monitor alerted despite the volume floor")
+    } else {
+    assert(pages.nonEmpty, "the planted outage never paged")
+    // every alert lies inside [incident start, incident end + one
+    // long window] — the both-windows rule keeps the 20% noise floor
+    // silent everywhere else
+    (pages ++ tickets).foreach { r =>
+      val b = r.getAs[Long]("b")
+      assert(b >= incidentStart && b <= incidentEnd + 72,
+        s"alert outside the incident envelope at offset ${b - minb}")
+    }
+    // paging is the stricter bar: page ⇒ ticket, bucket for bucket
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("page")) assert(r.getAs[Boolean]("ticket"))
+    }
+    // a sustained outage pages for most of its duration
+    assert(pages.length >= 30, s"only ${pages.length} page buckets")
+    // full window replay for the first page bucket straight from the
+    // raw event stream, incident override included
+    val raw = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 300000000").as("b"),
+        (col("event_type") === "error").as("err")).collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Boolean]("err")))
+    def win(upTo: Long, len: Long): (Long, Long) = {
+      val in = raw.filter { case (b, _) => b > upTo - len && b <= upTo }
+      val errEff = in.count { case (b, e) =>
+        e || (b >= incidentStart && b < incidentEnd) }
+      (errEff.toLong, in.length.toLong)
+    }
+    val pb = pages.head
+    val (se, st) = win(pb.getAs[Long]("b"), 6)
+    val (le, lt) = win(pb.getAs[Long]("b"), 72)
+    assert(se == pb.getAs[Long]("s_err") && st == pb.getAs[Long]("s_tot") &&
+      le == pb.getAs[Long]("l_err") && lt == pb.getAs[Long]("l_tot"),
+      s"raw replay ($se/$st, $le/$lt) != gated $pb")
+    // the page condition recomputes from the gated columns
+    pages.foreach { r =>
+      assert(r.getAs[Long]("s_err") * 2 >= r.getAs[Long]("s_tot") &&
+        r.getAs[Long]("l_err") * 2 >= r.getAs[Long]("l_tot"))
+    }
+    }
+  }
+
   test("p15: the tradeoff curve is monotone and a tighter bar buys higher " +
     "mean quality") {
     val rows = ops.Pipeline.p15(spark, sf).collect().sortBy(_.getAs[Long]("decile"))
