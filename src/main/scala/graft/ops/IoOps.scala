@@ -1755,7 +1755,91 @@ object IoOps {
       |  AS lineage(out_col, src_table, src_col)
       |ORDER BY out_col, src_table, src_col""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i30: CUSTOM DATASOURCE V2 with manifest pruning (the one Catalyst
+  // extension point the engine hadn't exercised — custom Expression /
+  // aggregate / LogicalPlan / Strategy / columnar SparkPlan /
+  // optimizer Rule / SessionExtensions all exist; this adds the
+  // CONNECTOR tier where Iceberg/Delta live): sources/ManifestSource
+  // implements TableProvider → ScanBuilder with filter AND column
+  // pushdown → Batch planning that consults a file-stats manifest, so
+  // files whose id range can't match the pushed bounds never become
+  // input partitions (i16's skipping, moved where production formats
+  // do it — invisible to the query). The lake: orders re-keyed to
+  // (id, cat, cents), range-split into 8 sorted files written
+  // EXECUTOR-SIDE (mapPartitions + local FS; i08's sink discipline)
+  // with the manifest built from the 8 returned (file, min, max)
+  // rows — metadata-sized driver work. Gate: a mid-range id slice
+  // (data-derived bounds) aggregated per cat, vs the oracle
+  // recomputing straight from the SOURCE table — write → manifest →
+  // pruned connector read must round-trip losslessly — plus
+  // files_pruned pinned TRUE in-gate via the connector's own planner;
+  // exact planned-file arithmetic pinned in IoSpec.
+  def i30(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_i30_")
+    try {
+      val rows = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("cat"),
+        (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+          .as("cents"))
+      import s.implicits._
+      val metas = rows.repartitionByRange(8, col("id"))
+        .sortWithinPartitions("id")
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.File(s"$dir/part-$pid")
+          val w = new java.io.PrintWriter(f)
+          var (mn, mx, n) = (Long.MaxValue, Long.MinValue, 0L)
+          it.foreach { r =>
+            val id = r.getAs[Long]("id")
+            mn = math.min(mn, id); mx = math.max(mx, id); n += 1
+            w.println(s"$id,${r.getAs[String]("cat")},${r.getAs[Long]("cents")}")
+          }
+          w.close()
+          if (n == 0) { f.delete(); Iterator.empty }
+          else Iterator.single((s"part-$pid", mn, mx))
+        }.collect()
+      val mw = new java.io.PrintWriter(s"$dir/manifest")
+      metas.sortBy(_._1).foreach { case (f, mn, mx) => mw.println(s"$f,$mn,$mx") }
+      mw.close()
+      // data-derived mid-range slice: [min + 3·span, min + 5·span)
+      val Array(idMin, idMax) = rows.agg(min("id"), max("id"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = (idMax - idMin + 1) / 8
+      val (lo, hi) = (idMin + 3 * span, idMin + 5 * span)
+      val planned = graft.sources.ManifestSource.surviving(dir, Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", lo),
+        org.apache.spark.sql.sources.LessThan("id", hi))).size
+      val out = s.read.format("graft.sources.ManifestSource")
+        .option("path", dir).load()
+        .filter(col("id") >= lo && col("id") < hi)
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("files_pruned", lit(planned < metas.length))
+        .orderBy("cat")
+      out.localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  val i30Sql: String =
+    """WITH bounds AS (
+      |  SELECT min(o_orderkey) AS mn,
+      |    (max(o_orderkey) - min(o_orderkey) + 1) // 8 AS span
+      |  FROM orders)
+      |SELECT o_orderpriority AS cat, count(*) AS n,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  true AS files_pruned
+      |FROM orders, bounds
+      |WHERE o_orderkey >= mn + 3 * span AND o_orderkey < mn + 5 * span
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i30_dsv2_manifest" -> (i30 _),
     "i29_column_lineage" -> (i29 _),
     "i28_nested_pruning" -> (i28 _),
     "i27_dynamic_overwrite" -> (i27 _),
@@ -1787,6 +1871,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i30_dsv2_manifest" -> i30Sql,
     "i29_column_lineage" -> i29Sql,
     "i28_nested_pruning" -> i28Sql,
     "i27_dynamic_overwrite" -> i27Sql,
