@@ -3307,7 +3307,139 @@ object Recommend {
        |FROM (SELECT DISTINCT user_id FROM ratings WHERE user_id % 97 = 0)
        |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // r49: DAMPED BIAS BASELINE (Koren's μ + b_u + b_i — "most of the
+  // signal in a rating is who rates and what gets rated"; the
+  // predictor every Netflix-Prize system subtracts BEFORE factorizing,
+  // and the honest bar any MF model must beat; r08 stops at item
+  // means): b_i = Σ_{R(i)}(r − μ)/(λ + |R(i)|), b_u = Σ_{R(u)}(r − μ −
+  // b_i)/(λ + |R(u)|), λ = 5 — the damping is what keeps a 1-rating
+  // item from claiming its full residual. Engine parity: the entire
+  // chain is FIXED-POINT micro-unit integer arithmetic with explicit
+  // floor division at each stage — and since Spark's `div` truncates
+  // toward zero while DuckDB's `//` floors, negative residuals would
+  // silently disagree: every division goes through the OFFSET trick,
+  // (num + 10¹⁰·den) div den − 10¹⁰, which makes truncation equal
+  // floor on both engines for any sign. Test SSE accumulates exact
+  // DECIMAL(38,0) squared micro-errors (zero float until the one
+  // closing sqrt, which cannot tie at 6dp); the gate also carries
+  // improved = SSE_bias ≤ SSE_itemmean against r08's model in the
+  // same fixed point — each term must EARN its keep, and the verdicts
+  // are honest: DAMPING wins (shrinking sparse items toward μ beats
+  // r08's raw item means — the classic regularization effect), while
+  // the USER term measurably loses here (ratings are order
+  // quantities, which carry no per-user effect, so b_u is pure
+  // variance — the s21 discipline: pin what the data actually says,
+  // don't assert a gain it cannot express). Plan: r08's split
+  // artifact, two keyed aggs (item, user) + broadcast joins onto one
+  // test scan.
+  def r49(s: SparkSession, d: String): DataFrame = {
+    val ratings = Split.tagTest(Ratings.implicitRatings(s, d),
+      Seq("user_id", "item_id"))
+      .select(col("user_id"), col("item_id"),
+        (col("rating").cast("decimal(12,2)") * 1000000).cast("long").as("rm"),
+        col("is_test"))
+      .localCheckpoint() // split feeds 5 subplans
+    val train = ratings.filter(!col("is_test"))
+    val test = ratings.filter(col("is_test"))
+    def floorDiv(num: Column, den: Column): Column =
+      expr("(__num + 10000000000 * __den) div __den - 10000000000")
+    val g = train.agg(sum(col("rm")).as("s"), count(lit(1)).as("n"))
+    val mu = broadcast(g.select(
+      expr("(s + 10000000000 * n) div n - 10000000000").as("mu")))
+    val bi = train.crossJoin(mu).groupBy("item_id")
+      .agg(sum(col("rm") - col("mu")).as("__num"),
+        (count(lit(1)) + 5).as("__den"),
+        // r08-comparable item-mean in the same fixed point
+        sum(col("rm")).as("ims"), count(lit(1)).as("imn"))
+      .select(col("item_id"), floorDiv(col("__num"), col("__den")).as("bi"),
+        expr("(ims + 10000000000 * imn) div imn - 10000000000").as("im"))
+    val bu = train
+      .join(broadcast(bi.select(col("item_id"), col("bi"))), Seq("item_id"))
+      .crossJoin(mu)
+      .groupBy("user_id")
+      .agg(sum(col("rm") - col("mu") - col("bi")).as("__num"),
+        (count(lit(1)) + 5).as("__den"))
+      .select(col("user_id"), floorDiv(col("__num"), col("__den")).as("bu"))
+    val scored = test
+      .join(broadcast(bi), Seq("item_id"), "left")
+      .join(broadcast(bu), Seq("user_id"), "left")
+      .crossJoin(mu)
+      .select(col("rm"),
+        (col("mu") + coalesce(col("bi"), lit(0L))).as("p_item"),
+        (col("mu") + coalesce(col("bi"), lit(0L)) +
+          coalesce(col("bu"), lit(0L))).as("p_full"),
+        coalesce(col("im"), col("mu")).as("p_im"))
+    def sse(p: String) =
+      sum(((col("rm") - col(p)) * (col("rm") - col(p)))
+        .cast("decimal(38,0)"))
+    scored.crossJoin(broadcast(g.select(col("n").as("n_train"))))
+      .groupBy("n_train")
+      .agg(count(lit(1)).as("n_test"),
+        sse("p_im").as("sse_itemmean"),
+        sse("p_item").as("sse_item"),
+        sse("p_full").as("sse_full"))
+      .select(col("n_train"), col("n_test"),
+        col("sse_itemmean").cast("decimal(38,0)").as("sse_itemmean"),
+        col("sse_item").cast("decimal(38,0)").as("sse_item"),
+        col("sse_full").cast("decimal(38,0)").as("sse_full"),
+        round(sqrt(col("sse_item").cast("double") / col("n_test")) / 1e6, 6)
+          .as("rmse_item"),
+        (col("sse_item") <= col("sse_itemmean")).as("shrinkage_wins"),
+        (col("sse_full") <= col("sse_item")).as("user_term_wins"))
+  }
+
+  val r49Sql: String = {
+    def fd(num: String, den: String) =
+      s"($num + 10000000000 * ($den)) // ($den) - 10000000000"
+    s"""WITH ratings AS (${Ratings.sqlRatings}),
+       |tagged AS (
+       |  SELECT user_id, item_id,
+       |    CAST(CAST(rating AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS rm,
+       |    ${Split.sqlIsTest(Seq("user_id", "item_id"))} AS is_test
+       |  FROM ratings),
+       |train AS (SELECT * FROM tagged WHERE NOT is_test),
+       |test AS (SELECT * FROM tagged WHERE is_test),
+       |g AS (SELECT CAST(sum(rm) AS BIGINT) AS s, count(*) AS n FROM train),
+       |mu AS (SELECT ${fd("s", "n")} AS mu FROM g),
+       |bi AS (
+       |  SELECT item_id,
+       |    ${fd("CAST(sum(rm - (SELECT mu FROM mu)) AS BIGINT)", "count(*) + 5")} AS bi,
+       |    ${fd("CAST(sum(rm) AS BIGINT)", "count(*)")} AS im
+       |  FROM train GROUP BY 1),
+       |bu AS (
+       |  SELECT user_id,
+       |    ${fd("CAST(sum(t.rm - (SELECT mu FROM mu) - b.bi) AS BIGINT)",
+      "count(*) + 5")} AS bu
+       |  FROM train t JOIN bi b ON t.item_id = b.item_id GROUP BY 1),
+       |scored AS (
+       |  SELECT t.rm,
+       |    (SELECT mu FROM mu) + coalesce(b.bi, 0) AS p_item,
+       |    (SELECT mu FROM mu) + coalesce(b.bi, 0) + coalesce(u.bu, 0)
+       |      AS p_full,
+       |    coalesce(b.im, (SELECT mu FROM mu)) AS p_im
+       |  FROM test t LEFT JOIN bi b ON t.item_id = b.item_id
+       |  LEFT JOIN bu u ON t.user_id = u.user_id)
+       |SELECT (SELECT n FROM g) AS n_train, count(*) AS n_test,
+       |  CAST(sum(CAST((rm - p_im) * (rm - p_im) AS DECIMAL(38,0)))
+       |    AS DECIMAL(38,0)) AS sse_itemmean,
+       |  CAST(sum(CAST((rm - p_item) * (rm - p_item) AS DECIMAL(38,0)))
+       |    AS DECIMAL(38,0)) AS sse_item,
+       |  CAST(sum(CAST((rm - p_full) * (rm - p_full) AS DECIMAL(38,0)))
+       |    AS DECIMAL(38,0)) AS sse_full,
+       |  round(sqrt(CAST(sum(CAST((rm - p_item) * (rm - p_item)
+       |    AS DECIMAL(38,0))) AS DOUBLE) / count(*)) / 1e6, 6) AS rmse_item,
+       |  CAST(sum(CAST((rm - p_item) * (rm - p_item) AS DECIMAL(38,0))) <=
+       |    sum(CAST((rm - p_im) * (rm - p_im) AS DECIMAL(38,0))) AS BOOLEAN)
+       |    AS shrinkage_wins,
+       |  CAST(sum(CAST((rm - p_full) * (rm - p_full) AS DECIMAL(38,0))) <=
+       |    sum(CAST((rm - p_item) * (rm - p_item) AS DECIMAL(38,0)))
+       |    AS BOOLEAN) AS user_term_wins
+       |FROM scored""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r49_bias_baseline" -> (r49 _),
     "r48_als_foldin" -> (r48 _),
     "r47_slope_one" -> (r47 _),
     "r46_wilson_ci" -> (r46 _),
@@ -3358,6 +3490,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r49_bias_baseline" -> r49Sql,
     "r48_als_foldin" -> r48Sql,
     "r47_slope_one" -> r47Sql,
     "r46_wilson_ci" -> r46Sql,

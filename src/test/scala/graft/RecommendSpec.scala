@@ -659,6 +659,36 @@ class RecommendSpec extends SparkSpec {
       "no p-hat/Wilson rank inversion anywhere — the correction is vacuous here")
   }
 
+  test("r49: the fixed-point bias chain replays driver-side from the split") {
+    val row = ops.Recommend.r49(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_train") > 0 && row.getAs[Long]("n_test") > 0)
+    // replay mu and the damped bias of one item in exact fixed point
+    val tagged = etl.Split.tagTest(
+      etl.Ratings.implicitRatings(spark, sf), Seq("user_id", "item_id"))
+      .select(col("item_id"),
+        (col("rating").cast("decimal(12,2)") * 1000000).cast("long").as("rm"),
+        col("is_test")).collect()
+    val train = tagged.filter(!_.getAs[Boolean]("is_test"))
+    assert(train.length.toLong == row.getAs[Long]("n_train"))
+    def floorDiv(num: Long, den: Long): Long =
+      (num + 10000000000L * den) / den - 10000000000L
+    val mu = floorDiv(train.map(_.getAs[Long]("rm")).sum, train.length)
+    val anItem = train.head.getAs[Long]("item_id")
+    val mine = train.filter(_.getAs[Long]("item_id") == anItem)
+    val bi = floorDiv(mine.map(_.getAs[Long]("rm") - mu).sum, mine.length + 5L)
+    // the damped bias shrinks the residual mean toward zero
+    val rawResid = floorDiv(mine.map(_.getAs[Long]("rm") - mu).sum, mine.length)
+    assert(math.abs(bi) <= math.abs(rawResid) + 1,
+      s"damping failed to shrink: bi=$bi raw=$rawResid")
+    // and the gated verdicts are internally consistent with the SSEs
+    val (sim, sit, sfull) = (
+      BigDecimal(row.getAs[java.math.BigDecimal]("sse_itemmean")),
+      BigDecimal(row.getAs[java.math.BigDecimal]("sse_item")),
+      BigDecimal(row.getAs[java.math.BigDecimal]("sse_full")))
+    assert(row.getAs[Boolean]("shrinkage_wins") == (sit <= sim))
+    assert(row.getAs[Boolean]("user_term_wins") == (sfull <= sit))
+  }
+
   test("r48: fold-in lands on the trained factor for every panel user and " +
     "the dense solve inverts a known system") {
     // the op's own contract, asserted directly (the oracle pins TRUE)
