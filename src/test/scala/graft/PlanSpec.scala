@@ -68,10 +68,12 @@ class PlanSpec extends SparkSpec {
   test("no accidental cartesian products anywhere") {
     // sanctioned exceptions: q20/r08/r14/r15 broadcast a single-row
     // aggregate; r06/r13 are MLlib recommendForAll*, whose blocked
-    // user×item cross product IS the scoring algorithm.
+    // user×item cross product IS the scoring algorithm; q65 pairs the
+    // FIVE region bitmaps with an inequality self-join (ra < rb) —
+    // a 5×5 frame bounded by the region dim, never by data.
     val sanctioned = Set("q20_scalar_subq", "r08_baseline_rmse",
       "r06_als_recommend", "r13_item_users", "r14_als_rmse",
-      "r15_model_persist")
+      "r15_model_persist", "q65_audience_overlap")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!sanctioned(name)) {
         val p = plan(fn(spark, sf))
