@@ -1559,7 +1559,86 @@ object Dedup {
        |FROM pairs GROUP BY 1 ORDER BY brand""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // d24: DEDUP THRESHOLD YIELD CURVE (the calibration a team runs
+  // before fixing d04's 0.6 bar: "at Jaccard ≥ τ, how many pairs do
+  // we merge and how much of the corpus is touched?" — too low
+  // over-merges distinct docs, too high leaves near-copies in; d18
+  // tunes the LSH BANDS for a given τ, this chooses τ itself): one
+  // LSH candidate generation + ONE shingle-verify pass (the corpus-
+  // scale work, shared across all bars), then the curve is pure
+  // integer algebra — a pair clears τ% iff 100·inter ≥ τ·uni (exact
+  // cross-multiplication, the 6dp float never gates), pairs × the
+  // ten bars {50..95} are a bounded broadcast fan-out, and per-bar
+  // affected-doc counts come from an explode→distinct on the
+  // candidate-pair frame (candidate-sized, never corpus-sized).
+  // Yield reported as exact ppm of the eligible corpus. Monotone
+  // non-increase + endpoint supersets pinned in OpsSpec.
+  def d24(s: SparkSession, d: String): DataFrame = {
+    val sh = corpus(s, d)
+      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
+      .localCheckpoint() // feeds the verify join twice + the total
+    val verified = candidates(s, d)
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        size(array_union(col("sha"), col("shb"))).as("uni"))
+      .localCheckpoint() // candidate-sized; consumed by 10 bars twice
+    val bars = broadcast(s.range(10, 20).select((col("id") * 5).as("t")))
+    val passing = verified.crossJoin(bars)
+      .filter(col("inter") * 100 >= col("t") * col("uni"))
+    val pairCounts = passing.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val docCounts = passing
+      .select(col("t"), explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct()
+      .groupBy("t").agg(count(lit(1)).as("n_docs"))
+    val total = broadcast(sh.agg(count(lit(1)).as("n_eligible")))
+    bars.join(pairCounts, Seq("t"), "left")
+      .join(docCounts, Seq("t"), "left")
+      .crossJoin(total)
+      .select(col("t").as("threshold_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        expr("coalesce(n_docs, 0) * 1000000 div n_eligible")
+          .as("touched_ppm"))
+      .orderBy("threshold_pct")
+  }
+
+  val d24Sql: String =
+    s"""$sqlDedupPrefix,
+       |sh AS (
+       |  SELECT doc_id, list_distinct($sqlShingles) AS sh
+       |  FROM corpus WHERE len(regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+')) >= 3),
+       |verified AS (
+       |  SELECT a, b,
+       |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
+       |  FROM cands JOIN sh sa ON cands.a = sa.doc_id
+       |             JOIN sh sb ON cands.b = sb.doc_id),
+       |bars AS (SELECT unnest(range(10, 20)) * 5 AS t),
+       |passing AS (
+       |  SELECT t, a, b FROM verified CROSS JOIN bars
+       |  WHERE inter * 100 >= t * uni),
+       |pc AS (SELECT t, count(*) AS n_pairs FROM passing GROUP BY 1),
+       |dc AS (SELECT t, count(*) AS n_docs FROM (
+       |  SELECT DISTINCT t, doc_id FROM (
+       |    SELECT t, a AS doc_id FROM passing
+       |    UNION ALL SELECT t, b FROM passing)) GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_eligible FROM sh)
+       |SELECT CAST(bars.t AS BIGINT) AS threshold_pct,
+       |  coalesce(pc.n_pairs, 0) AS n_pairs,
+       |  coalesce(dc.n_docs, 0) AS n_docs,
+       |  CAST(coalesce(dc.n_docs, 0) * 1000000 //
+       |    (SELECT n_eligible FROM tot) AS BIGINT) AS touched_ppm
+       |FROM bars LEFT JOIN pc ON bars.t = pc.t
+       |LEFT JOIN dc ON bars.t = dc.t
+       |ORDER BY threshold_pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_threshold_curve" -> (d24 _),
     "d23_record_linkage" -> (d23 _),
     "d22_prefix_filter" -> (d22 _),
     "d21_gdpr_delete" -> (d21 _),
@@ -1586,6 +1665,7 @@ object Dedup {
     "d08_dup_clusters" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
+    "d24_threshold_curve" -> d24Sql,
     "d23_record_linkage" -> d23Sql,
     "d22_prefix_filter" -> d22Sql,
     "d21_gdpr_delete" -> d21Sql,

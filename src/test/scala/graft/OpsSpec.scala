@@ -2480,6 +2480,25 @@ class OpsSpec extends SparkSpec {
       rows("d_no_exact")._2 > 0L)
   }
 
+  test("d24: the threshold yield curve is monotone and the tight bar " +
+    "genuinely prunes") {
+    val rows = ops.Dedup.d24(spark, sf).collect()
+      .sortBy(_.getAs[Long]("threshold_pct"))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Long]("n_pairs") <= lo.getAs[Long]("n_pairs"))
+      assert(hi.getAs[Long]("n_docs") <= lo.getAs[Long]("n_docs"))
+      assert(hi.getAs[Long]("touched_ppm") <= lo.getAs[Long]("touched_ppm"))
+      case _ => ()
+    }
+    // non-vacuity at both ends: the loose bar merges something, and
+    // the strict bar prunes relative to it (planted near-dups carry
+    // a real Jaccard spread)
+    assert(rows.head.getAs[Long]("n_pairs") > 0)
+    assert(rows.last.getAs[Long]("n_pairs") <
+      rows.head.getAs[Long]("n_pairs"))
+  }
+
   test("e43: burn-rate alerts localize to the planted outage and replay " +
     "from raw bucket counts") {
     val rows = ops.EventOps.e43(spark, sf).collect().sortBy(_.getAs[Long]("b"))
