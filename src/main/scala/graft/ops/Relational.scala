@@ -2508,7 +2508,48 @@ object Relational {
        |ORDER BY test_name""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q67: NATIVE RECURSIVE CTE (Spark 4's UnionLoop operator — the
+  // long-missing SQL:1999 recursion; q56 flattened the part-hierarchy
+  // walk by hand into bounded ancestor explodes because Spark
+  // couldn't recurse; this runs the IDENTICAL `WITH RECURSIVE`
+  // statement on BOTH engines): the ancestor closure of the decimal-
+  // trie part hierarchy (parent = node div 10), iterated to the root.
+  // The gate hashes the closure's exact per-depth fingerprint — path
+  // count, Σnode, Σancestor — so a wrong recursion depth, a dropped
+  // generation, or a duplicated anchor row all flip it. Recursion
+  // semantics at scale: each UnionLoop step is one distributed
+  // map+union over the previous frontier (7 steps here — bounded by
+  // the trie depth, same reason q56's closed form stayed bounded);
+  // the anchor is the one corpus-scale scan.
+  def q67(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("graft_q67_part")
+    try s.sql(
+      """WITH RECURSIVE anc(node, a, depth) AS (
+        |  SELECT p_partkey, p_partkey div 10, 1 FROM graft_q67_part
+        |  WHERE p_partkey div 10 > 0
+        |  UNION ALL
+        |  SELECT node, a div 10, depth + 1 FROM anc WHERE a div 10 > 0)
+        |SELECT depth, count(*) AS n_paths,
+        |  sum(node) AS sum_node, sum(a) AS sum_anc
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+      .localCheckpoint()
+    finally s.catalog.dropTempView("graft_q67_part")
+  }
+
+  val q67Sql: String =
+    """WITH RECURSIVE anc(node, a, depth) AS (
+      |  SELECT p_partkey, p_partkey // 10, 1 FROM part
+      |  WHERE p_partkey // 10 > 0
+      |  UNION ALL
+      |  SELECT node, a // 10, depth + 1 FROM anc WHERE a // 10 > 0)
+      |SELECT depth, count(*) AS n_paths,
+      |  CAST(sum(node) AS BIGINT) AS sum_node,
+      |  CAST(sum(a) AS BIGINT) AS sum_anc
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_recursive_cte" -> (q67 _),
     "q66_ks_test" -> (q66 _),
     "q65_audience_overlap" -> (q65 _),
     "q64_bitmap_distinct" -> (q64 _),
@@ -2577,6 +2618,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q67_recursive_cte" -> q67Sql,
     "q66_ks_test" -> q66Sql,
     "q65_audience_overlap" -> q65Sql,
     "q64_bitmap_distinct" -> q64Sql,

