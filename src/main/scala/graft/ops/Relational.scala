@@ -2548,7 +2548,84 @@ object Relational {
       |  CAST(sum(a) AS BIGINT) AS sum_anc
       |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q68: EQUI-DEPTH HISTOGRAM (the statistic `ANALYZE TABLE ... FOR
+  // COLUMNS` actually builds and the cost-based optimizer consumes —
+  // q34's fixed-width buckets starve on skew; equi-depth puts the
+  // same ROW MASS in every bucket, so selectivity estimates stay
+  // honest everywhere): 16 buckets over order-price cents, boundary
+  // b_k = the exact value whose ≤-cumulative first reaches N·k/16
+  // (order-statistic SELECTION, 16·cle ≥ N·k integer compare — q52's
+  // never-interpolate discipline), bucket k = (b_{k−1}, b_k] with
+  // count cle_k − cle_{k−1} read off the selected boundary rows
+  // themselves. Exactness: integer cents, integer rank algebra, zero
+  // float. Scale: the CDF prefix sums reuse q66's TWO-LEVEL bucketed
+  // cumsum (no corpus-length unpartitioned window); boundary
+  // selection is a 16-way broadcast fan-out over the value grain;
+  // the 16-row assembly window is constant-sized.
+  def q68(s: SparkSession, d: String): DataFrame = {
+    val grain = Tables.orders(s, d)
+      .select((col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr("v div 1000000"))
+    val within = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = grain.groupBy("bucket").agg(sum("cnt").as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(offs), lit(0L)))
+      .select("bucket", "off")
+    val cdf = grain
+      .withColumn("cin", sum(col("cnt")).over(within))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("v"), (col("off") + col("cin")).as("cle"))
+      .localCheckpoint() // value grain; 16 boundary picks + the total
+    val totals = broadcast(cdf.agg(max(col("cle")).as("n_total"),
+      min(col("v")).as("v_min")))
+    val ks = broadcast(s.range(1, 17).select(col("id").as("k")))
+    val bounds = cdf.crossJoin(totals).crossJoin(ks)
+      .filter(col("cle") * 16 >= col("n_total") * col("k"))
+      .groupBy("k")
+      .agg(min(struct(col("v"), col("cle"), col("v_min"))).as("m"))
+      .select(col("k"), col("m.v").as("hi"), col("m.cle").as("cle"),
+        col("m.v_min").as("v_min"))
+    val wk = Window.orderBy("k")
+    bounds
+      .withColumn("lo", coalesce(lag(col("hi"), 1).over(wk), col("v_min")))
+      .withColumn("n", col("cle") - coalesce(lag(col("cle"), 1).over(wk),
+        lit(0L)))
+      .select(col("k").as("bucket"), col("lo").as("lo_cents"),
+        col("hi").as("hi_cents"), col("n"))
+      .orderBy("bucket")
+  }
+
+  val q68Sql: String =
+    """WITH grain AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |    AS v, count(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cle
+      |  FROM grain),
+      |tot AS (SELECT max(cle) AS n_total, min(v) AS v_min FROM cdf),
+      |bounds AS (
+      |  SELECT k, v AS hi, cle, v_min FROM (
+      |    SELECT ks.k, c.v, c.cle, t.v_min,
+      |      row_number() OVER (PARTITION BY ks.k ORDER BY c.v) AS rn
+      |    FROM cdf c CROSS JOIN tot t
+      |    CROSS JOIN (SELECT unnest(range(1, 17)) AS k) ks
+      |    WHERE c.cle * 16 >= t.n_total * ks.k)
+      |  WHERE rn = 1)
+      |SELECT k AS bucket,
+      |  coalesce(lag(hi) OVER (ORDER BY k), v_min) AS lo_cents,
+      |  hi AS hi_cents,
+      |  cle - coalesce(lag(cle) OVER (ORDER BY k), 0) AS n
+      |FROM bounds ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_equidepth" -> (q68 _),
     "q67_recursive_cte" -> (q67 _),
     "q66_ks_test" -> (q66 _),
     "q65_audience_overlap" -> (q65 _),
@@ -2618,6 +2695,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q68_equidepth" -> q68Sql,
     "q67_recursive_cte" -> q67Sql,
     "q66_ks_test" -> q66Sql,
     "q65_audience_overlap" -> q65Sql,

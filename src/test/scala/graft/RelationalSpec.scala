@@ -363,6 +363,38 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == n.toLong)
   }
 
+  test("q68: equi-depth buckets conserve mass, nest, and balance within ties") {
+    val rows = ops.Relational.q68(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.length == 16)
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n, "mass not conserved")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents"))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_cents") == b.getAs[Long]("lo_cents"),
+        "buckets not contiguous")
+      case _ => ()
+    }
+    // near-distinct values ⇒ depths within 1 of each other (the
+    // whole point of equi-depth; ties would loosen this, prices are
+    // 2dp-distinct enough here)
+    val depths = rows.map(_.getAs[Long]("n"))
+    assert(depths.max - depths.min <= 2,
+      s"buckets unbalanced: ${depths.mkString(",")}")
+    // boundary replay: rank selection over the sorted raw values
+    val sorted = Tables.orders(spark, sf)
+      .select((col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")).collect().map(_.getLong(0)).sorted
+    (1 to 16).foreach { k =>
+      val rank = math.ceil(sorted.length.toDouble * k / 16).toInt
+      assert(rows(k - 1).getAs[Long]("hi_cents") == sorted(rank - 1),
+        s"boundary $k is not the rank-$rank order statistic")
+    }
+  }
+
   test("q67: the recursion really runs through UnionLoop and replays " +
     "driver-side") {
     val df = ops.Relational.q67(spark, sf)
