@@ -3438,7 +3438,74 @@ object Recommend {
        |FROM scored""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // r50: COHORT LTV CURVES (the growth-analytics table behind every
+  // "payback period" decision — e29's retention matrix counts WHO
+  // comes back; LTV accumulates what they're WORTH: cumulative
+  // revenue per acquisition cohort as a function of account age):
+  // cohort = a customer's first-order month, age = whole months since
+  // (exact y·12+m integer difference, no date arithmetic drift),
+  // revenue in exact CENTS, the cumulative curve via one cohort-keyed
+  // ordered window, and ltv_cents_per_cust as a floor division over
+  // the cohort's size. Scale: one fact scan → customer-keyed min
+  // (first order) → (cohort, age) grain map-side under a second scan
+  // pass; the cumulative window is keyed by cohort and bounded by the
+  // calendar, never by customers.
+  def r50(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .as("mi"),
+      (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+        .as("cents"))
+      .localCheckpoint() // feeds the cohort min AND the revenue grain
+    val cohorts = o.groupBy("o_custkey").agg(min(col("mi")).as("cohort_mi"))
+    val sizes = cohorts.groupBy("cohort_mi")
+      .agg(count(lit(1)).as("n_customers"))
+    val grain = o.join(cohorts, Seq("o_custkey"))
+      .groupBy(col("cohort_mi"), (col("mi") - col("cohort_mi")).as("age"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy("cohort_mi").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grain
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_mi"))
+      .select(
+        concat(format_string("%04d", expr("cohort_mi div 12")),
+          lit("-"), format_string("%02d", col("cohort_mi") % 12 + 1))
+          .as("cohort"),
+        col("age"), col("n_customers"), col("rev_cents"), col("cum_cents"),
+        expr("cum_cents div n_customers").as("ltv_cents_per_cust"))
+      .orderBy("cohort", "age")
+  }
+
+  val r50Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |cohorts AS (SELECT o_custkey, min(mi) AS cohort_mi FROM o GROUP BY 1),
+      |sizes AS (SELECT cohort_mi, count(*) AS n_customers
+      |  FROM cohorts GROUP BY 1),
+      |grain AS (
+      |  SELECT c.cohort_mi, o.mi - c.cohort_mi AS age,
+      |    CAST(sum(o.cents) AS BIGINT) AS rev_cents
+      |  FROM o JOIN cohorts c ON o.o_custkey = c.o_custkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, CAST(sum(rev_cents) OVER (PARTITION BY cohort_mi
+      |    ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_cents
+      |  FROM grain)
+      |SELECT printf('%04d-%02d', cohort_mi // 12, cohort_mi % 12 + 1)
+      |    AS cohort,
+      |  age, s.n_customers, rev_cents, cum_cents,
+      |  CAST(cum_cents // s.n_customers AS BIGINT) AS ltv_cents_per_cust
+      |FROM cum JOIN sizes s USING (cohort_mi)
+      |ORDER BY cohort, age""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r50_cohort_ltv" -> (r50 _),
     "r49_bias_baseline" -> (r49 _),
     "r48_als_foldin" -> (r48 _),
     "r47_slope_one" -> (r47 _),
@@ -3490,6 +3557,7 @@ object Recommend {
     "r11_als_item_neighbors" -> (r11 _))
 
   val oracles: Map[String, String] = Map(
+    "r50_cohort_ltv" -> r50Sql,
     "r49_bias_baseline" -> r49Sql,
     "r48_als_foldin" -> r48Sql,
     "r47_slope_one" -> r47Sql,

@@ -659,6 +659,38 @@ class RecommendSpec extends SparkSpec {
       "no p-hat/Wilson rank inversion anywhere — the correction is vacuous here")
   }
 
+  test("r50: LTV curves are monotone, conserve revenue, and cohorts " +
+    "partition the customer base") {
+    val rows = ops.Recommend.r50(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cumulative curves never decrease within a cohort
+    rows.groupBy(_.getAs[String]("cohort")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("age"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getAs[Long]("cum_cents") >= a.getAs[Long]("cum_cents"))
+        assert(b.getAs[Int]("age") > a.getAs[Int]("age"))
+        case _ => ()
+      }
+      // the curve ends at the cohort's total revenue
+      assert(sorted.last.getAs[Long]("cum_cents") ==
+        g.map(_.getAs[Long]("rev_cents")).sum)
+      // age zero exists: a cohort's first month is by construction an
+      // active month
+      assert(sorted.head.getAs[Int]("age") == 0)
+    }
+    // cohort sizes partition the customer base exactly
+    val sizes = rows.groupBy(_.getAs[String]("cohort"))
+      .map(_._2.head.getAs[Long]("n_customers"))
+    assert(sizes.sum == Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"), "left_semi").count())
+    // total revenue conserves across the whole matrix
+    val totalCents = Tables.orders(spark, sf)
+      .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("rev_cents")).sum == totalCents)
+  }
+
   test("r49: the fixed-point bias chain replays driver-side from the split") {
     val row = ops.Recommend.r49(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_train") > 0 && row.getAs[Long]("n_test") > 0)
