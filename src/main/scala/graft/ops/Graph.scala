@@ -1710,7 +1710,110 @@ object Graph {
       |FROM nodes n LEFT JOIN mutual m ON m.a = n.n
       |GROUP BY n.n ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------------------
+  // g22: DIRECTED-GRAPH PROFILE of the transition graph (the summary
+  // read before ANY directed algorithm is trusted — g09 profiles the
+  // undirected trade graph; direction adds the two numbers that
+  // decide whether g21's SCCs or r27's Markov chain even make sense):
+  // RECIPROCITY (fraction of edges whose reverse also exists — the
+  // "do purchase sequences loop back?" number; computed by ONE
+  // self-join of the edge list on the swapped key, exact ppm) and the
+  // IN↔OUT DEGREE CORRELATION (are heavy sources also heavy sinks? —
+  // q40's exact-DECIMAL sufficient-statistic discipline: integer
+  // degrees summed as DECIMAL(28,6), one fixed-order IEEE closing
+  // chain @6dp). One transition build (shared shape with g21), one
+  // swapped-key self-join, two keyed degree aggs, a 1-row closer.
+  private[graft] def g22EdgesForTest(s: SparkSession, d: String): Array[(Long, Long)] =
+    g22Edges(s, d).collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")))
+
+  private def g22Edges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+    val wSeq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val seq = o.withColumn("nxt", lead(col("o_orderkey"), 1).over(wSeq))
+      .filter(col("nxt").isNotNull).select("o_orderkey", "nxt")
+    val li = graft.etl.Ratings.orderItems(s, d)
+    seq
+      .join(li.as("a"), col("o_orderkey") === col("a.l_orderkey"))
+      .join(li.as("b"), col("nxt") === col("b.l_orderkey"))
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+      .distinct()
+      .localCheckpoint() // feeds the reverse join + both degree aggs
+  }
+
+  def g22(s: SparkSession, d: String): DataFrame = {
+    val edges = g22Edges(s, d)
+    val recip = edges
+      .join(edges.select(col("j").as("i"), col("i").as("j")), Seq("i", "j"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    val outDeg = edges.groupBy(col("i").as("node"))
+      .agg(count(lit(1)).as("od"))
+    val inDeg = edges.groupBy(col("j").as("node"))
+      .agg(count(lit(1)).as("idg"))
+    val deg = outDeg.join(inDeg, Seq("node"), "full")
+      .select(coalesce(col("od"), lit(0L)).as("x"),
+        coalesce(col("idg"), lit(0L)).as("y"))
+    val dec = (c: Column) => sum(c.cast("decimal(28,6)"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      dec(col("x")).as("sx"), dec(col("y")).as("sy"),
+      dec(col("x") * col("x")).as("sxx"), dec(col("y") * col("y")).as("syy"),
+      dec(col("x") * col("y")).as("sxy"))
+    val nd = (c: String) => col(c).cast("double")
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip))
+      .crossJoin(broadcast(stats))
+      .select(col("n_nodes"), col("n_edges"),
+        expr("n_recip * 1000000 div n_edges").as("reciprocity_ppm"),
+        round((nd("n_nodes") * nd("sxy") - nd("sx") * nd("sy")) /
+          sqrt(nd("n_nodes") * nd("sxx") - nd("sx") * nd("sx")) /
+          sqrt(nd("n_nodes") * nd("syy") - nd("sy") * nd("sy")), 6)
+          .as("inout_corr"))
+  }
+
+  val g22Sql: String =
+    """WITH seq AS (
+      |  SELECT o_orderkey, lead(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS nxt
+      |  FROM orders),
+      |oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
+      |  FROM seq JOIN oi a ON seq.o_orderkey = a.l_orderkey
+      |           JOIN oi b ON seq.nxt = b.l_orderkey
+      |  WHERE a.l_partkey <> b.l_partkey),
+      |recip AS (
+      |  SELECT count(*) AS n_recip FROM edges e
+      |  WHERE EXISTS (SELECT 1 FROM edges r
+      |    WHERE r.i = e.j AND r.j = e.i)),
+      |deg AS (
+      |  SELECT coalesce(o.od, 0) AS x, coalesce(i.idg, 0) AS y FROM
+      |    (SELECT i AS node, count(*) AS od FROM edges GROUP BY 1) o
+      |  FULL JOIN
+      |    (SELECT j AS node, count(*) AS idg FROM edges GROUP BY 1) i
+      |  USING (node)),
+      |stats AS (
+      |  SELECT count(*) AS n_nodes,
+      |    sum(CAST(x AS DECIMAL(28,6))) AS sx,
+      |    sum(CAST(y AS DECIMAL(28,6))) AS sy,
+      |    sum(CAST(x * x AS DECIMAL(28,6))) AS sxx,
+      |    sum(CAST(y * y AS DECIMAL(28,6))) AS syy,
+      |    sum(CAST(x * y AS DECIMAL(28,6))) AS sxy
+      |  FROM deg)
+      |SELECT s.n_nodes, (SELECT count(*) FROM edges) AS n_edges,
+      |  CAST((SELECT n_recip FROM recip) * 1000000 //
+      |    (SELECT count(*) FROM edges) AS BIGINT) AS reciprocity_ppm,
+      |  round((CAST(n_nodes AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt(CAST(n_nodes AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |    sqrt(CAST(n_nodes AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6) AS inout_corr
+      |FROM stats s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g22_directed_profile" -> (g22 _),
     "g21_scc" -> (g21 _),
     "g20_luby_mis" -> (g20 _),
     "g19_stress_centrality" -> (g19 _),
@@ -1734,6 +1837,7 @@ object Graph {
     "g04_weighted_sssp" -> (g04 _))
 
   val oracles: Map[String, String] = Map(
+    "g22_directed_profile" -> g22Sql,
     "g21_scc" -> g21Sql,
     "g20_luby_mis" -> g20Sql,
     "g19_stress_centrality" -> g19Sql,

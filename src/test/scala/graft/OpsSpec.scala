@@ -2580,6 +2580,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("g22: the directed profile replays exactly from the raw edge list") {
+    val row = ops.Graph.g22(spark, sf).collect()(0)
+    val edges = ops.Graph.g22EdgesForTest(spark, sf)
+    val eset = edges.toSet
+    assert(row.getAs[Long]("n_edges") == eset.size.toLong)
+    val nRecip = eset.count { case (i, j) => eset.contains((j, i)) }
+    assert(nRecip % 2 == 0, "reciprocal edges must pair up")
+    assert(row.getAs[Long]("reciprocity_ppm") ==
+      nRecip.toLong * 1000000L / eset.size)
+    val nodes = (eset.map(_._1) ++ eset.map(_._2))
+    assert(row.getAs[Long]("n_nodes") == nodes.size.toLong)
+    val corr = row.getAs[Double]("inout_corr")
+    assert(corr >= -1.0 && corr <= 1.0)
+    // exact correlation replay from integer degrees
+    val out = eset.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val in = eset.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val xy = nodes.toSeq.map(n =>
+      (out.getOrElse(n, 0L).toDouble, in.getOrElse(n, 0L).toDouble))
+    val n = xy.size.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val expect = (n * sxy - sx * sy) /
+      math.sqrt(n * sxx - sx * sx) / math.sqrt(n * syy - sy * sy)
+    assert(math.abs(corr - expect) < 1e-6, s"corr $corr vs replay $expect")
+  }
+
   test("g21: SCC labels verify against driver-side BFS mutual reachability") {
     val labels = ops.Graph.g21(spark, sf).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc_id")).toMap
