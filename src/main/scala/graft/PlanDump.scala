@@ -79,7 +79,7 @@ object PlanDump {
     "q66_ks_test", "r48_als_foldin", "s21_pq_residual",
     "g21_scc", "p15_quality_tradeoff", "e43_burn_rate",
     "i30_dsv2_manifest", "d24_threshold_curve", "q67_recursive_cte",
-    "q68_equidepth", "r50_cohort_ltv")
+    "q68_equidepth", "r50_cohort_ltv", "g22_directed_profile")
 
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
