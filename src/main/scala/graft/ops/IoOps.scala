@@ -1838,7 +1838,66 @@ object IoOps {
       |WHERE o_orderkey >= mn + 3 * span AND o_orderkey < mn + 5 * span
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // i31: INCREMENTAL VIEW MAINTENANCE (the algebraic IVM rule behind
+  // every materialized dashboard — i20 reads increments, this
+  // COMPUTES them: when a batch lands, merge its PARTIAL AGGREGATES
+  // into the view instead of recomputing from the base table; for
+  // distributive aggregates (count/sum) the merge is exact algebra,
+  // and at 100 TB it is the difference between touching the delta
+  // and re-scanning history every refresh). The view: revenue cents
+  // + order counts by (priority, year). Delta = the newest order
+  // year (data-derived cutoff); base = everything before. The
+  // refreshed view = base view FULL OUTER delta rollup with
+  // coalesced sums — and the gate hashes it against the oracle's
+  // FROM-SCRATCH recompute over base+delta, so any merge bug
+  // (dropped group, double count, missed new group) flips it. The
+  // in-gate `incremental` boolean pins the efficiency claim: the
+  // delta rollup touches strictly fewer groups than the full view.
+  def i31(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+      year(col("o_orderdate")).as("yr"),
+      (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+        .as("cents"))
+      .localCheckpoint() // cutoff agg + base + delta share one scan
+    val cutoff = o.agg(max(col("yr")).as("cut"))
+    val withCut = o.crossJoin(broadcast(cutoff))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy("prio", "yr")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_cents"))
+    val baseView = rollup(withCut.filter(col("yr") < col("cut")))
+    val deltaAgg = rollup(withCut.filter(col("yr") >= col("cut")))
+      .localCheckpoint() // consumed by the merge AND the group count
+    val merged = baseView.as("b")
+      .join(deltaAgg.as("dl"),
+        col("b.prio") === col("dl.prio") && col("b.yr") === col("dl.yr"),
+        "full")
+      .select(
+        coalesce(col("b.prio"), col("dl.prio")).as("prio"),
+        coalesce(col("b.yr"), col("dl.yr")).as("yr"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("dl.n"), lit(0L)))
+          .as("n"),
+        (coalesce(col("b.rev_cents"), lit(0L)) +
+          coalesce(col("dl.rev_cents"), lit(0L))).as("rev_cents"))
+    val nDelta = deltaAgg.count()
+    val nTotal = merged.count()
+    merged
+      .withColumn("incremental", lit(nDelta < nTotal))
+      .orderBy("prio", "yr")
+  }
+
+  val i31Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS prio, year(o_orderdate) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT prio, yr, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS rev_cents,
+      |  true AS incremental
+      |FROM o GROUP BY 1, 2 ORDER BY prio, yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i31_ivm" -> (i31 _),
     "i30_dsv2_manifest" -> (i30 _),
     "i29_column_lineage" -> (i29 _),
     "i28_nested_pruning" -> (i28 _),
@@ -1871,6 +1930,7 @@ object IoOps {
     "i05_ann_index_persist" -> (i05 _))
 
   val oracles: Map[String, String] = Map(
+    "i31_ivm" -> i31Sql,
     "i30_dsv2_manifest" -> i30Sql,
     "i29_column_lineage" -> i29Sql,
     "i28_nested_pruning" -> i28Sql,

@@ -383,6 +383,30 @@ class IoSpec extends SparkSpec {
       "dynamic overwrite changed the table's row count")
   }
 
+  test("i31: the IVM merge equals a from-scratch recompute row for row " +
+    "and the delta is genuinely smaller") {
+    val ivm = ops.IoOps.i31(spark, sf).collect()
+      .map(r => (r.getAs[String]("prio"), r.getAs[Int]("yr")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("rev_cents"))).toMap
+    val scratch = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("prio"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(14,2)") * 100).cast("long"))
+          .as("rev"))
+      .collect()
+      .map(r => (r.getAs[String]("prio"), r.getAs[Int]("yr")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("rev"))).toMap
+    assert(ivm == scratch, "incremental refresh diverged from recompute")
+    // the delta rollup is a strict subset of the view's groups: the
+    // newest year contributes ≤ 5 priorities of the ~35 groups
+    val cut = Tables.orders(spark, sf)
+      .agg(max(year(col("o_orderdate")))).collect()(0).getInt(0)
+    val deltaGroups = scratch.keys.count(_._2 == cut)
+    assert(deltaGroups < scratch.size,
+      "delta touched every group — nothing incremental about that")
+  }
+
   test("i30: the DSv2 manifest planner prunes exactly the non-intersecting " +
     "files and column pruning reaches the reader") {
     import org.apache.spark.sql.sources._
