@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Exact-distinct BITMAPS over a bounded non-negative id space — the
   * Druid/ClickHouse `groupBitmap` primitive. A bitmap is a MERGEABLE
@@ -46,10 +47,15 @@ private[graft] object BitsetCodec {
     out
   }
 
+  /** OR `b` into `a`, widening to max(a,b) words — SQL callers can
+    * legally mix bitmap widths (two bitset_agg calls with different
+    * nBits), and the narrow-into-wide case must not drop high words. */
   def or(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = if (a.length >= b.length) a
+              else java.util.Arrays.copyOf(a, b.length)
     var i = 0
-    while (i < a.length) { a(i) |= b(i); i += 1 }
-    a
+    while (i < b.length) { out(i) |= b(i); i += 1 }
+    out
   }
 
   def popcount(a: Array[Long]): Long = {
@@ -66,6 +72,14 @@ case class BitsetAgg(child: Expression, nBits: Int,
 
   private val nWords = (nBits + 63) / 64
 
+  // SQL-exposed: a typed analysis error beats the ClassCastException
+  // an INT id column used to hit at execution time
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bitset_agg expects an integral id column, got $t")
+  }
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
@@ -76,7 +90,7 @@ case class BitsetAgg(child: Expression, nBits: Int,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val id = v.asInstanceOf[Long]
+      val id = v.asInstanceOf[Number].longValue()
       require(id >= 0 && id < nBits,
         s"bitset_agg id $id outside [0, $nBits) — widen the id bound")
       buf((id >> 6).toInt) |= 1L << (id & 63)
@@ -107,6 +121,11 @@ case class BitsetMergeCountAgg(child: Expression,
   mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bitset_merge_count expects bitset_agg bitmap bytes, got $t")
+  }
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType

@@ -1424,7 +1424,11 @@ object Graph {
       .filter(col("node") =!= col("s"))
       .withColumn("contrib", col("sigma") * col("p"))
       .groupBy("node")
-      .agg(sum("contrib").cast("decimal(38,0)").as("stress"))
+      // path counts stay DECIMAL(38,0) internally; the 20 gated
+      // stress totals are BIGINT on both sides (≤ ~2.5e7 at sf0.1 —
+      // 11 orders of margin; plain int is the least
+      // representation-sensitive type across oracle engines)
+      .agg(sum("contrib").cast("decimal(38,0)").cast("long").as("stress"))
       .orderBy(col("stress").desc, col("node"))
       .limit(20)
   }
@@ -1449,17 +1453,36 @@ object Graph {
          |  LEFT JOIN p${l + 1} pw ON pw.s = m.s AND pw.node = e.dst
          |  WHERE m.dist = $l GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH RECURSIVE $sqlEdges,
-       |srcs AS (
+    // BFS level sets unrolled as plain CTEs (lvl_l = step(lvl_{l-1})
+    // EXCEPT everything already visited) instead of WITH RECURSIVE —
+    // set semantics that every DuckDB build evaluates identically;
+    // the round-7 driver gate hash-failed this key with zero local
+    // repro, so every version-sensitive surface goes.
+    // MATERIALIZED is load-bearing: lvl_l/v_l are each referenced
+    // twice downstream, so inlining re-expands the chain
+    // Fibonacci-fashion (~377 copies of lvl0 → thousands of parquet
+    // scans → fd exhaustion); materializing evaluates each level once.
+    val lvls = (1 to STRESS_ROUNDS).map { l =>
+      s"""lvl$l AS MATERIALIZED (
+         |  SELECT f.s, e.dst AS node FROM lvl${l - 1} f
+         |  JOIN edges e ON e.src = f.node
+         |  EXCEPT SELECT s, node FROM v${l - 1}),
+         |v$l AS MATERIALIZED (SELECT s, node FROM v${l - 1}
+         |        UNION ALL SELECT s, node FROM lvl$l)""".stripMargin
+    }.mkString(",\n")
+    val mindSel = (0 to STRESS_ROUNDS)
+      .map(l => s"SELECT s, node, $l AS dist FROM lvl$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $sqlEdges,
+       |srcs AS MATERIALIZED (
        |  SELECT src AS s FROM (
        |    SELECT src, count(*) AS deg FROM edges GROUP BY 1)
        |  ORDER BY deg DESC, src LIMIT $STRESS_SOURCES),
-       |r(s, node, dist) AS (
-       |  SELECT s, s, 0 FROM srcs
-       |  UNION
-       |  SELECT r.s, e.dst, r.dist + 1 FROM r JOIN edges e ON r.node = e.src
-       |  WHERE r.dist < $STRESS_ROUNDS),
-       |mind AS (SELECT s, node, min(dist) AS dist FROM r GROUP BY 1, 2),
+       |lvl0 AS MATERIALIZED (SELECT s, s AS node FROM srcs),
+       |v0 AS MATERIALIZED (SELECT s, node FROM lvl0),
+       |$lvls,
+       |mind AS MATERIALIZED (
+       |  $mindSel),
        |sg0 AS (SELECT s, s AS node, CAST(1 AS HUGEINT) AS sigma FROM srcs),
        |$sgs,
        |sigma AS (
@@ -1476,7 +1499,7 @@ object Graph {
        |  SELECT * FROM p2 UNION ALL SELECT * FROM p3 UNION ALL
        |  SELECT * FROM p4 UNION ALL SELECT * FROM p5 UNION ALL
        |  SELECT * FROM p6)
-       |SELECT sg.node, sum(sg.sigma * pa.p) AS stress
+       |SELECT sg.node, CAST(sum(sg.sigma * pa.p) AS BIGINT) AS stress
        |FROM sigma sg JOIN pall pa ON pa.s = sg.s AND pa.node = sg.node
        |WHERE sg.node <> sg.s
        |GROUP BY 1 ORDER BY stress DESC, sg.node LIMIT 20""".stripMargin

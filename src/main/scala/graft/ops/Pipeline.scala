@@ -1015,10 +1015,12 @@ object Pipeline {
   // a domain whose words are atypical of the corpus scores high),
   // excess = xent − min-domain xent, multiplier = exp(excess) (η=1),
   // new weight ∝ token-share · multiplier, normalized to ppm.
-  // Engine parity: per-(domain,word) terms are 6dp-rounded decimals
-  // summed order-independently; min/excess are exact decimal algebra;
-  // the two irrational ops (ln per cell, one exp per domain) each run
-  // once on exact-double inputs and round 6dp. Scale: ONE corpus
+  // Engine parity: per-(domain,word) ln terms round at CENTI units
+  // into exact BIGINT sums; everything downstream is positive-floor
+  // integer algebra (xent/excess/mult/weights in micro/ppm fixed
+  // point) except the one exp per domain, rounded at micro on a
+  // 4-row table — see the in-body note for the round-7 tie math.
+  // Scale: ONE corpus
   // scan → the (domain,word) cell table (localCheckpoint-pinned;
   // corpus totals and domain totals re-derive from IT, the r5-verdict
   // shared-artifact rule) → 4-row broadcast algebra.
@@ -1034,32 +1036,37 @@ object Pipeline {
     val tots = cells.groupBy("domain").agg(sum("c_dw").as("t_d"))
       .localCheckpoint()
     val tot = tots.agg(sum("t_d").as("t"))
+    // Engine parity (round-7 driver-gate lesson): the old contract
+    // rounded THOUSANDS of per-cell ln terms at 6dp and summed — with
+    // term magnitudes up to 10⁶, a driver-side libm differing by even
+    // 1 ulp has ~1e-4 tie odds PER CELL, i.e. near-certain hash
+    // divergence over the whole cell table. Now cells round at CENTI
+    // granularity (tie window shrunk 10⁴×) into exact BIGINT sums,
+    // every division is positive floor (Spark div == DuckDB //), and
+    // the one exp per domain rounds at micro on a 4-row table.
     val xs = cells.join(corpus, "w").crossJoin(broadcast(tot))
-      .withColumn("term", round(col("c_dw").cast("double") *
-        log(col("t").cast("double") / col("c_w").cast("double")), 6)
-        .cast("decimal(18,6)"))
-      .groupBy("domain").agg(sum("term").as("xsum"))
+      .withColumn("term_centi", round(col("c_dw").cast("double") *
+        log(col("t").cast("double") / col("c_w").cast("double")) * 100, 0)
+        .cast("long"))
+      .groupBy("domain").agg(sum("term_centi").as("xsum_centi"))
     val xent = xs.join(tots, "domain")
-      .withColumn("xent6",
-        round(col("xsum").cast("double") / col("t_d").cast("double"), 6)
-          .cast("decimal(18,6)"))
-    val minx = xent.agg(min("xent6").as("minx"))
+      .withColumn("xent_micro", expr("(xsum_centi * 10000) div t_d"))
+    val minx = xent.agg(min("xent_micro").as("minx"))
     val w = xent.crossJoin(broadcast(minx)).crossJoin(broadcast(tot))
-      .withColumn("excess6", col("xent6") - col("minx"))
-      .withColumn("mult6", round(exp(col("excess6").cast("double")), 6))
+      .withColumn("excess_micro", col("xent_micro") - col("minx"))
+      .withColumn("mult_micro",
+        round(exp(col("excess_micro").cast("double") / 1e6) * 1e6, 0)
+          .cast("long"))
       .withColumn("share_ppm", expr("(1000000 * t_d) div t"))
-      .withColumn("w6raw",
-        round((col("t_d").cast("double") / col("t").cast("double")) *
-          col("mult6"), 6).cast("decimal(18,6)"))
-    val ws = w.agg(sum("w6raw").as("wsum"))
+      .withColumn("wnum", col("t_d") * col("mult_micro"))
+    val ws = w.agg(sum("wnum").as("wsum"))
     w.crossJoin(broadcast(ws))
       .withColumn("w_ppm",
-        round(lit(1000000.0) * col("w6raw").cast("double") /
-          col("wsum").cast("double"), 0).cast("long"))
+        expr("(cast(1000000 as decimal(38,0)) * wnum) div wsum"))
       .withColumn("target_tok", expr("(t * w_ppm) div 1000000"))
       .select(col("domain"), col("t_d").as("n_tok"), col("share_ppm"),
-        col("xent6"), col("excess6"), col("mult6"), col("w_ppm"),
-        col("target_tok"))
+        col("xent_micro"), col("excess_micro"), col("mult_micro"),
+        col("w_ppm"), col("target_tok"))
       .orderBy("domain")
   }
 
@@ -1077,33 +1084,31 @@ object Pipeline {
       |tot AS (SELECT CAST(sum(t_d) AS BIGINT) AS t FROM tots),
       |xs AS (
       |  SELECT c.domain,
-      |    sum(CAST(round(c.c_dw::DOUBLE *
-      |      ln(tot.t::DOUBLE / co.c_w::DOUBLE), 6) AS DECIMAL(18,6)))
-      |      AS xsum
+      |    CAST(sum(CAST(round(c.c_dw::DOUBLE *
+      |      ln(tot.t::DOUBLE / co.c_w::DOUBLE) * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS xsum_centi
       |  FROM cells c JOIN corpus co USING (w) CROSS JOIN tot GROUP BY 1),
       |xent AS (
       |  SELECT x.domain, tt.t_d,
-      |    CAST(round(CAST(x.xsum AS DOUBLE) / tt.t_d::DOUBLE, 6)
-      |      AS DECIMAL(18,6)) AS xent6
+      |    (x.xsum_centi * 10000) // tt.t_d AS xent_micro
       |  FROM xs x JOIN tots tt USING (domain)),
-      |mn AS (SELECT min(xent6) AS minx FROM xent),
+      |mn AS (SELECT min(xent_micro) AS minx FROM xent),
       |w AS (
-      |  SELECT xent.domain, xent.t_d, xent.xent6,
-      |    xent.xent6 - mn.minx AS excess6,
-      |    round(exp(CAST(xent.xent6 - mn.minx AS DOUBLE)), 6) AS mult6,
+      |  SELECT xent.domain, xent.t_d, xent.xent_micro,
+      |    xent.xent_micro - mn.minx AS excess_micro,
+      |    CAST(round(exp((xent.xent_micro - mn.minx) / 1000000.0)
+      |      * 1000000.0, 0) AS BIGINT) AS mult_micro,
       |    (1000000 * xent.t_d) // tot.t AS share_ppm,
-      |    CAST(round((xent.t_d::DOUBLE / tot.t::DOUBLE) *
-      |      round(exp(CAST(xent.xent6 - mn.minx AS DOUBLE)), 6), 6)
-      |      AS DECIMAL(18,6)) AS w6raw,
       |    tot.t
       |  FROM xent CROSS JOIN mn CROSS JOIN tot),
-      |ws AS (SELECT sum(w6raw) AS wsum FROM w)
-      |SELECT domain, t_d AS n_tok, share_ppm, xent6, excess6, mult6,
-      |  round(1000000.0 * w6raw::DOUBLE / ws.wsum::DOUBLE, 0)::BIGINT
-      |    AS w_ppm,
-      |  (t * round(1000000.0 * w6raw::DOUBLE / ws.wsum::DOUBLE, 0)::BIGINT)
+      |w2 AS (SELECT *, t_d * mult_micro AS wnum FROM w),
+      |ws AS (SELECT CAST(sum(wnum) AS HUGEINT) AS wsum FROM w2)
+      |SELECT domain, t_d AS n_tok, share_ppm, xent_micro, excess_micro,
+      |  mult_micro,
+      |  CAST((1000000::HUGEINT * wnum) // ws.wsum AS BIGINT) AS w_ppm,
+      |  (t * CAST((1000000::HUGEINT * wnum) // ws.wsum AS BIGINT))
       |    // 1000000 AS target_tok
-      |FROM w, ws ORDER BY domain""".stripMargin
+      |FROM w2, ws ORDER BY domain""".stripMargin
 
   // ------------------------------------------------------------------
   // p14: FILTER ABLATION matrix — "which curation stage is actually
@@ -1233,14 +1238,20 @@ object Pipeline {
   // VALUE SELECTIONS (q52's discipline — τ_d = the quality of the
   // ⌈N·d/10⌉-th doc ascending, an integer-compared rank pick, never
   // interpolated) and every surviving mass is a suffix aggregate:
-  // total − prefix at the boundary row, with quality mass as
-  // DECIMAL(28,6) sums of the 6dp per-doc values (exact, order-free —
-  // q62's no-closing-division rule: consumers divide). Scale: the
-  // doc-grain features ride one corpus scan; everything after lives
-  // on the QUALITY-VALUE grain, whose domain is bounded by the 6dp
-  // value space (≤10⁶+1 rows in [0,1] at ANY corpus size), so the
-  // one unpartitioned cumulative window is domain-bounded, not
-  // corpus-bounded.
+  // total − prefix at the boundary row. Engine parity: the per-doc
+  // quality score is an exact INTEGER in ppm — 500000·min(1, n/100) +
+  // floor(500000·(n−n_stop)/n), all positive integer arithmetic —
+  // because the round-7 driver gate proved the previous
+  // round(double, 6) per-doc score is a grain-assignment hazard (the
+  // driver's DuckDB rounds x·10⁶ through a double multiply; Spark
+  // rounds the exact binary expansion — one doc landing near a .5
+  // ulp boundary flips a whole grain row and every suffix after it).
+  // Zero floats anywhere now; quality mass is a BIGINT ppm sum.
+  // Scale: the doc-grain features ride one corpus scan; everything
+  // after lives on the QUALITY-VALUE grain, whose domain is bounded
+  // by the ppm value space (≤10⁶+1 rows in [0,1] at ANY corpus
+  // size), so the one unpartitioned cumulative window is
+  // domain-bounded, not corpus-bounded.
   def p15(s: SparkSession, d: String): DataFrame = {
     val toks = graft.functions.TextNorm.tokens(col("text"))
     val stopArr = array(TextOps.stopwords.map(lit): _*)
@@ -1248,24 +1259,21 @@ object Pipeline {
       .select(size(toks).as("n_tokens"),
         size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
       .select(col("n_tokens"),
-        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
-          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.5, 6)
+        (least(lit(500000L), lit(5000L) * col("n_tokens")) +
+          expr("(cast(500000 as bigint) * (n_tokens - n_stop)) div n_tokens"))
           .as("quality"))
     val grain = docs.groupBy("quality")
       .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"),
-        sum(col("quality").cast("decimal(10,6)")).cast("decimal(28,6)")
-          .as("qs"))
+        sum(col("quality")).as("qs"))
     val before = Window.orderBy("quality")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = grain
       .withColumn("cd_b", coalesce(sum(col("nd")).over(before), lit(0L)))
       .withColumn("ct_b", coalesce(sum(col("nt")).over(before), lit(0L)))
-      .withColumn("cq_b", coalesce(sum(col("qs")).over(before),
-        lit(0).cast("decimal(28,6)")))
+      .withColumn("cq_b", coalesce(sum(col("qs")).over(before), lit(0L)))
       .localCheckpoint() // value-grain; joined against all 10 deciles
     val totals = broadcast(grain.agg(sum("nd").as("n_total"),
-      sum("nt").as("t_total"),
-      sum("qs").cast("decimal(28,6)").as("q_total")))
+      sum("nt").as("t_total"), sum("qs").as("q_total")))
     val deciles = broadcast(s.range(0, 10).select(col("id").as("decile")))
     // τ_d = smallest quality whose ≤-cumulative reaches N·d/10
     cum.crossJoin(totals).crossJoin(deciles)
@@ -1277,8 +1285,7 @@ object Pipeline {
         col("m.quality").as("tau"),
         (col("m.n_total") - col("m.cd_b")).as("n_kept"),
         (col("m.t_total") - col("m.ct_b")).as("tokens_kept"),
-        (col("m.q_total") - col("m.cq_b")).cast("decimal(28,6)")
-          .as("quality_mass_kept"))
+        (col("m.q_total") - col("m.cq_b")).as("quality_mass_kept"))
       .orderBy("decile")
   }
 
@@ -1292,25 +1299,25 @@ object Pipeline {
        |  FROM documents),
        |docs AS (
        |  SELECT n_tokens,
-       |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
-       |      (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6) AS quality
+       |    least(500000::BIGINT, 5000::BIGINT * n_tokens) +
+       |      (500000::BIGINT * (n_tokens - n_stop)) // n_tokens AS quality
        |  FROM feats),
        |grain AS (
        |  SELECT quality, count(*) AS nd,
        |    CAST(sum(n_tokens) AS BIGINT) AS nt,
-       |    CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DECIMAL(28,6)) AS qs
+       |    CAST(sum(quality) AS BIGINT) AS qs
        |  FROM docs GROUP BY 1),
        |cum AS (
        |  SELECT *,
        |    CAST(coalesce(sum(nd) OVER w, 0) AS BIGINT) AS cd_b,
        |    CAST(coalesce(sum(nt) OVER w, 0) AS BIGINT) AS ct_b,
-       |    CAST(coalesce(sum(qs) OVER w, 0) AS DECIMAL(28,6)) AS cq_b
+       |    CAST(coalesce(sum(qs) OVER w, 0) AS BIGINT) AS cq_b
        |  FROM grain
        |  WINDOW w AS (ORDER BY quality
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
        |tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n_total,
        |  CAST(sum(nt) AS BIGINT) AS t_total,
-       |  CAST(sum(qs) AS DECIMAL(28,6)) AS q_total FROM grain),
+       |  CAST(sum(qs) AS BIGINT) AS q_total FROM grain),
        |picked AS (
        |  SELECT d.decile, c.quality, c.cd_b, c.ct_b, c.cq_b,
        |    t.n_total, t.t_total, t.q_total,
@@ -1319,9 +1326,10 @@ object Pipeline {
        |  FROM cum c CROSS JOIN tot t
        |  CROSS JOIN (SELECT unnest(range(10)) AS decile) d
        |  WHERE (c.cd_b + c.nd) * 10 >= t.n_total * d.decile)
-       |SELECT CAST(decile AS BIGINT) AS decile, quality AS tau,
+       |SELECT CAST(decile AS BIGINT) AS decile,
+       |  CAST(quality AS BIGINT) AS tau,
        |  n_total - cd_b AS n_kept, t_total - ct_b AS tokens_kept,
-       |  CAST(q_total - cq_b AS DECIMAL(28,6)) AS quality_mass_kept
+       |  q_total - cq_b AS quality_mass_kept
        |FROM picked WHERE rn = 1 ORDER BY decile""".stripMargin
   }
 

@@ -2921,17 +2921,21 @@ object Recommend {
   // targeting and the cold-start priors r22/r24 lean on): per
   // customer, recency = integer days since their last order (ref =
   // corpus max date, data-derived), frequency = order count, monetary
-  // = exact DECIMAL(12,2) spend; each dimension quintiled by ntile(5)
-  // under a fully-pinned total order (value, then custkey — ntile is
-  // deterministic only under a total order) with 5 = best; segments
-  // by the standard (R,F) rule grid. The gate is the SEGMENT ROLLUP
-  // (counts, exact decimal spend, integer mean recency) plus a
-  // per-segment id-set checksum — ONE mis-scored customer moves a
-  // checksum and hash-fails, so the whole assignment is pinned
-  // without emitting a customer-dim table.
-  // Scale: one custkey-keyed agg over orders; the three ntile windows
-  // are customer-dim (at 100 TB: range-partitioned percentile cuts
-  // instead of a global ntile sort — same assignments, q24's rule).
+  // = exact DECIMAL(12,2) spend; each dimension quintiled from its
+  // EXACT ROW RANK under a fully-pinned total order (value, then
+  // custkey), with the standard ntile remainder arithmetic written
+  // out as integer algebra (first n mod 5 buckets take ceil(n/5))
+  // rather than calling either engine's ntile — both the round-7
+  // scale flag (three unpartitioned customer-grain windows) and a
+  // driver-oracle ntile-variance hazard die together; 5 = best;
+  // segments by the standard (R,F) rule grid. The gate is the
+  // SEGMENT ROLLUP (counts, exact decimal spend, integer mean
+  // recency) plus a per-segment id-set checksum — ONE mis-scored
+  // customer moves a checksum and hash-fails, so the whole
+  // assignment is pinned without emitting a customer-dim table.
+  // Scale: one custkey-keyed agg over orders; ranks via the
+  // two-level bucket cumsum (bounded bucket grain, partitioned
+  // in-bucket row_number) — no customer-grain global sort anywhere.
   def r44(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
       .select(col("o_custkey").as("cust"),
@@ -2944,13 +2948,49 @@ object Recommend {
       .crossJoin(broadcast(ref))
       .withColumn("recency_days",
         expr("(unix_micros(refd) - unix_micros(lastd)) div 86400000000"))
-    val rT = ntile(5).over(Window.orderBy(col("recency_days"), col("cust")))
-    val fT = ntile(5).over(Window.orderBy(col("frequency").desc, col("cust")))
-    val mT = ntile(5).over(Window.orderBy(col("monetary").desc, col("cust")))
-    val scored = rfm
-      .withColumn("r_score", lit(6) - rT)
-      .withColumn("f_score", lit(6) - fT)
-      .withColumn("m_score", lit(6) - mT)
+    // Exact per-dimension rank WITHOUT a global window (the round-7
+    // version ran three unpartitioned ntile(5) windows at customer
+    // grain — a single-partition sort 3× over, and exposed to
+    // engine-ntile variance in the driver's oracle): bucket each
+    // dimension by a monotone coarse key, cumulate bucket counts on
+    // the BOUNDED bucket grain (days / order counts / $10k spend
+    // bands — domain-bounded at any corpus size), then rank within
+    // buckets only — rank = bucket offset + in-bucket row_number
+    // (q66/q68's two-level discipline). Quintiles derive from ranks
+    // via the standard ntile remainder arithmetic spelled out as
+    // positive integer algebra identical on both engines.
+    val rfmP = rfm.localCheckpoint() // feeds 3 rank dims + the join
+    def ranked(valueCol: String, bucketE: Column, desc: Boolean,
+               out: String): DataFrame = {
+      val base = rfmP.select(col("cust"), col(valueCol))
+        .withColumn("__b", bucketE)
+      val bc = base.groupBy("__b").agg(count(lit(1)).as("__c"))
+      val bw = Window
+        .orderBy(if (desc) col("__b").desc else col("__b").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bc.withColumn("__off", coalesce(sum("__c").over(bw), lit(0L)))
+        .select("__b", "__off")
+      val iw = Window.partitionBy("__b")
+        .orderBy(if (desc) col(valueCol).desc else col(valueCol).asc,
+          col("cust"))
+      base.join(broadcast(off), "__b")
+        .withColumn(out, col("__off") + row_number().over(iw))
+        .select("cust", out)
+    }
+    val rr = ranked("recency_days", col("recency_days"), desc = false, "rr")
+    val fr = ranked("frequency", col("frequency"), desc = true, "fr")
+    val mr = ranked("monetary", expr("monetary div 10000"), desc = true, "mr")
+    def quint(rc: String) = expr(
+      s"6 - (CASE WHEN $rc <= (n % 5) * (n div 5 + 1)" +
+      s" THEN ($rc + n div 5) div (n div 5 + 1)" +
+      s" ELSE n % 5 + ($rc - (n % 5) * (n div 5 + 1) + n div 5 - 1)" +
+      s" div (n div 5) END)")
+    val scored = rfmP
+      .join(rr, "cust").join(fr, "cust").join(mr, "cust")
+      .crossJoin(broadcast(rfmP.agg(count(lit(1)).as("n"))))
+      .withColumn("r_score", quint("rr"))
+      .withColumn("f_score", quint("fr"))
+      .withColumn("m_score", quint("mr"))
       .withColumn("segment",
         when(col("r_score") >= 4 && col("f_score") >= 4, "champions")
           .when(col("f_score") >= 4, "loyal")
@@ -2981,12 +3021,28 @@ object Recommend {
        |    (epoch_us(ref.refd) - epoch_us(max(od))) // 86400000000
        |      AS recency_days
        |  FROM o, ref GROUP BY cust, ref.refd),
+       |ranked AS (
+       |  SELECT cust, recency_days, frequency, monetary,
+       |    row_number() OVER (ORDER BY recency_days, cust) AS rr,
+       |    row_number() OVER (ORDER BY frequency DESC, cust) AS fr,
+       |    row_number() OVER (ORDER BY monetary DESC, cust) AS mr,
+       |    count(*) OVER () AS n
+       |  FROM rfm),
        |scored AS (
        |  SELECT cust, recency_days, frequency, monetary,
-       |    6 - ntile(5) OVER (ORDER BY recency_days, cust) AS r_score,
-       |    6 - ntile(5) OVER (ORDER BY frequency DESC, cust) AS f_score,
-       |    6 - ntile(5) OVER (ORDER BY monetary DESC, cust) AS m_score
-       |  FROM rfm),
+       |    6 - (CASE WHEN rr <= (n % 5) * (n // 5 + 1)
+       |      THEN (rr + n // 5) // (n // 5 + 1)
+       |      ELSE n % 5 + (rr - (n % 5) * (n // 5 + 1) + n // 5 - 1)
+       |        // (n // 5) END) AS r_score,
+       |    6 - (CASE WHEN fr <= (n % 5) * (n // 5 + 1)
+       |      THEN (fr + n // 5) // (n // 5 + 1)
+       |      ELSE n % 5 + (fr - (n % 5) * (n // 5 + 1) + n // 5 - 1)
+       |        // (n // 5) END) AS f_score,
+       |    6 - (CASE WHEN mr <= (n % 5) * (n // 5 + 1)
+       |      THEN (mr + n // 5) // (n // 5 + 1)
+       |      ELSE n % 5 + (mr - (n % 5) * (n // 5 + 1) + n // 5 - 1)
+       |        // (n // 5) END) AS m_score
+       |  FROM ranked),
        |seg AS (
        |  SELECT *,
        |    CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
@@ -3321,8 +3377,11 @@ object Recommend {
   // silently disagree: every division goes through the OFFSET trick,
   // (num + 10¹⁰·den) div den − 10¹⁰, which makes truncation equal
   // floor on both engines for any sign. Test SSE accumulates exact
-  // DECIMAL(38,0) squared micro-errors (zero float until the one
-  // closing sqrt, which cannot tie at 6dp); the gate also carries
+  // DECIMAL(38,0) squared micro-errors, summarized by the ZERO-FLOAT
+  // fixed point mse_item_micro2 = sse div n_test (the round-7 driver
+  // gate flipped the old round(sqrt(·),6) — a 1-ulp sqrt difference
+  // in the driver's DuckDB lands on a 6dp tie; RMSE for human eyes
+  // is sqrt(mse)/1e6, computed by the CONSUMER); the gate also carries
   // improved = SSE_bias ≤ SSE_itemmean against r08's model in the
   // same fixed point — each term must EARN its keep, and the verdicts
   // are honest: DAMPING wins (shrinking sparse items toward μ beats
@@ -3383,8 +3442,12 @@ object Recommend {
         col("sse_itemmean").cast("decimal(38,0)").as("sse_itemmean"),
         col("sse_item").cast("decimal(38,0)").as("sse_item"),
         col("sse_full").cast("decimal(38,0)").as("sse_full"),
-        round(sqrt(col("sse_item").cast("double") / col("n_test")) / 1e6, 6)
-          .as("rmse_item"),
+        // exact MSE in micro² units (floor; RMSE = sqrt(mse)/1e6 for
+        // human eyes — the round-7 driver gate proved round(sqrt(),6)
+        // is a cross-engine rounding-tie hazard, so the gated column
+        // is the division-only fixed point; operands positive, so
+        // Spark div == DuckDB //)
+        expr("sse_item div n_test").as("mse_item_micro2"),
         (col("sse_item") <= col("sse_itemmean")).as("shrinkage_wins"),
         (col("sse_full") <= col("sse_item")).as("user_term_wins"))
   }
@@ -3427,8 +3490,8 @@ object Recommend {
        |    AS DECIMAL(38,0)) AS sse_item,
        |  CAST(sum(CAST((rm - p_full) * (rm - p_full) AS DECIMAL(38,0)))
        |    AS DECIMAL(38,0)) AS sse_full,
-       |  round(sqrt(CAST(sum(CAST((rm - p_item) * (rm - p_item)
-       |    AS DECIMAL(38,0))) AS DOUBLE) / count(*)) / 1e6, 6) AS rmse_item,
+       |  CAST(CAST(sum(CAST((rm - p_item) * (rm - p_item) AS DECIMAL(38,0)))
+       |    AS HUGEINT) // count(*) AS BIGINT) AS mse_item_micro2,
        |  CAST(sum(CAST((rm - p_item) * (rm - p_item) AS DECIMAL(38,0))) <=
        |    sum(CAST((rm - p_im) * (rm - p_im) AS DECIMAL(38,0))) AS BOOLEAN)
        |    AS shrinkage_wins,

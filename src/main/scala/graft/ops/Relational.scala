@@ -2031,6 +2031,12 @@ object Relational {
   // cost shuffle bytes, never rows), so the gated rollup is exactly
   // the plain join's.
   def q61(s: SparkSession, d: String): DataFrame = {
+    // NOTE: mutates session confs for the duration of the call
+    // (restored in finally) — assumes the driver-contract execution
+    // model where queries run sequentially on the session; a
+    // concurrent query planned during this window would see the
+    // altered thresholds. Concurrent embedders should call this on
+    // s.newSession().
     val confs = Seq(
       // force the non-broadcast path the bloom filter exists for
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -1931,9 +1931,12 @@ object TextOps {
   // k) so the window mechanics themselves are hash-pinned. t13 scored
   // ADJACENT bigrams by lift; the window generalization is what
   // distinguishes syntax collocations from topical association.
-  // Engine parity: counts/marginals exact integers; the one log runs
-  // on an exact-double ratio (all products < 2^53) and rounds 6dp
-  // (t14's ln discipline). Scale: pair generation is MAP-SIDE from
+  // Engine parity: counts/marginals exact integers, and the gated
+  // score is the exact PMI RATIO n_ab·T/(n_a·n_b) in ppm — ln is
+  // monotone so ranking is identical, and the round-7 driver gate
+  // proved round(ln(·),6) is a cross-engine rounding-tie hazard
+  // (consumers take ln(ppm/1e6) for the log-scale value). Zero
+  // floats in the contract. Scale: pair generation is MAP-SIDE from
   // each doc's token array (nested transform+flatten — never a
   // positions self-join, which would shuffle the exploded corpus);
   // ONE keyed shuffle to the (a,b) cell table, localCheckpoint-pinned
@@ -1958,12 +1961,16 @@ object TextOps {
     cells.join(broadcast(ma), "a").join(broadcast(mb), "b")
       .crossJoin(broadcast(tot))
       .filter(col("n_ab") >= 10)
-      .withColumn("pmi", round(log(
-        (col("n_ab").cast("double") * col("t").cast("double")) /
-          (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
-        .cast("decimal(18,6)"))
-      .select("a", "b", "n_ab", "prox_milli", "pmi")
-      .orderBy(col("pmi").desc, col("a"), col("b"))
+      // PMI = ln(n_ab·t / (n_a·n_b)); ln is monotone, so the gated
+      // column is the exact RATIO in ppm (decimal multiply, floor
+      // division — all operands positive, Spark div == DuckDB //):
+      // the round-7 driver gate flipped the old round(ln(·),6) on a
+      // cross-engine 6dp rounding tie. Consumers take ln(ppm/1e6).
+      .withColumn("pmi_ratio_ppm",
+        expr("(cast(n_ab as decimal(38,0)) * t * 1000000) div " +
+          "(cast(n_a as decimal(38,0)) * n_b)"))
+      .select("a", "b", "n_ab", "prox_milli", "pmi_ratio_ppm")
+      .orderBy(col("pmi_ratio_ppm").desc, col("a"), col("b"))
       .limit(30)
   }
 
@@ -1987,12 +1994,11 @@ object TextOps {
       |ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1),
       |mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1)
       |SELECT a, b, n_ab, prox_milli,
-      |  CAST(round(ln((CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE)) /
-      |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS DECIMAL(18,6))
-      |    AS pmi
+      |  CAST((CAST(n_ab AS HUGEINT) * t * 1000000) //
+      |    (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS pmi_ratio_ppm
       |FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
       |WHERE n_ab >= 10
-      |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin
+      |ORDER BY pmi_ratio_ppm DESC, a, b LIMIT 30""".stripMargin
 
   // t39: JELINEK-MERCER SMOOTHING with HELD-OUT λ SELECTION — the LM
   // hyperparameter loop t16 stops short of (its add-1 model scores

@@ -122,9 +122,9 @@ class ManifestScan(path: String, pushed: Array[Filter], required: StructType)
 class ManifestReaderFactory(fieldIdx: Array[Int])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val lines = scala.io.Source
+    val source = scala.io.Source
       .fromFile(p.asInstanceOf[ManifestFilePartition].file)
-      .getLines().filter(_.nonEmpty)
+    val lines = source.getLines().filter(_.nonEmpty)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean =
@@ -139,7 +139,9 @@ class ManifestReaderFactory(fieldIdx: Array[Int])
           true
         }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      // one reader per input partition: releasing the handle here is
+      // what keeps a wide scan from exhausting executor fds
+      override def close(): Unit = source.close()
     }
   }
 }

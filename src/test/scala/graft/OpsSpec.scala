@@ -2219,6 +2219,23 @@ class OpsSpec extends SparkSpec {
       s"top cell ($a,$b) count ${top.getAs[Long]("n_ab")} vs corpus replay $replay")
   }
 
+  test("s20 build: NN-descent graph is degree-bounded, total, and " +
+    "plans without any corpus cross product") {
+    val g = ops.Similarity.s20GraphForTest(spark, sf)
+    // the whole point of replacing the all-pairs build: no
+    // nested-loop/cartesian anywhere in the un-checkpointed lineage
+    val plan = g.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "NN-descent build fell back to an all-pairs corpus join")
+    val rows = g.collect()
+    val n = Tables.embeddings(spark, sf).count()
+    val byNode = rows.groupBy(_.getLong(0))
+    assert(byNode.size.toLong == n, "a node lost its adjacency list")
+    assert(byNode.values.map(_.length).max <= 8, "degree bound broken")
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1), "self-edge"))
+  }
+
   test("s20: traversal candidates are bounded and beat a random set of the same size") {
     val rows = ops.Similarity.s20(spark, sf).collect()
     assert(rows.length == 100)
@@ -2266,7 +2283,7 @@ class OpsSpec extends SparkSpec {
     val rows = ops.Graph.g19(spark, sf).collect()
     assert(rows.length == 20)
     val got = rows.map(r => r.getAs[Long]("node") ->
-      BigInt(r.getAs[java.math.BigDecimal]("stress").toBigInteger)).toMap
+      BigInt(r.getAs[Long]("stress"))).toMap
     // independent replay: BFS + sigma + continuation counts in plain
     // Scala from the same top-degree seeds
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
@@ -2313,16 +2330,14 @@ class OpsSpec extends SparkSpec {
   test("p13: excess-loss reweighting moves weight toward the hard domains") {
     val rows = ops.Pipeline.p13(spark, sf).collect()
     assert(rows.length == 4)
-    def dec(r: org.apache.spark.sql.Row, c: String): BigDecimal =
-      BigDecimal(r.getAs[java.math.BigDecimal](c))
-    // reference domain: zero excess, multiplier exactly 1; everyone
-    // else multiplied strictly up
-    val byExcess = rows.sortBy(dec(_, "excess6"))
-    assert(dec(byExcess.head, "excess6") == BigDecimal(0))
-    assert(byExcess.head.getAs[Double]("mult6") == 1.0)
-    byExcess.tail.foreach(r => assert(r.getAs[Double]("mult6") > 1.0))
+    // reference domain: zero excess, multiplier exactly 1 (= 10^6 in
+    // the micro fixed point); everyone else multiplied strictly up
+    val byExcess = rows.sortBy(_.getAs[Long]("excess_micro"))
+    assert(byExcess.head.getAs[Long]("excess_micro") == 0L)
+    assert(byExcess.head.getAs[Long]("mult_micro") == 1000000L)
+    byExcess.tail.foreach(r => assert(r.getAs[Long]("mult_micro") > 1000000L))
     // non-vacuity: the domains genuinely differ in corpus-LM loss
-    assert(dec(byExcess.last, "excess6") > BigDecimal(0),
+    assert(byExcess.last.getAs[Long]("excess_micro") > 0L,
       "all domains equally hard — reweighting is vacuous here")
     // direction: the reference domain loses relative share, the
     // hardest domain gains (DoReMi's whole point)
@@ -2569,11 +2584,11 @@ class OpsSpec extends SparkSpec {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b.getAs[Long]("n_kept") <= a.getAs[Long]("n_kept"))
       assert(b.getAs[Long]("tokens_kept") <= a.getAs[Long]("tokens_kept"))
-      assert(b.getAs[Double]("tau") >= a.getAs[Double]("tau"))
-      val meanA = a.getAs[java.math.BigDecimal]("quality_mass_kept")
-        .doubleValue() / a.getAs[Long]("n_kept")
-      val meanB = b.getAs[java.math.BigDecimal]("quality_mass_kept")
-        .doubleValue() / b.getAs[Long]("n_kept")
+      assert(b.getAs[Long]("tau") >= a.getAs[Long]("tau"))
+      val meanA = a.getAs[Long]("quality_mass_kept")
+        .toDouble / a.getAs[Long]("n_kept")
+      val meanB = b.getAs[Long]("quality_mass_kept")
+        .toDouble / b.getAs[Long]("n_kept")
       assert(meanB >= meanA - 1e-12,
         s"mean quality fell when the bar rose: $meanA -> $meanB")
       case _ => ()
