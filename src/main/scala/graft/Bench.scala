@@ -57,7 +57,21 @@ object Bench {
       .map(_.getTotalCompilationTime / 1e3).getOrElse(0.0)
     val (gc0, jit0) = (gcSec, jitSec)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    // Memory hygiene between query FAMILIES (first-letter prefix):
+    // memoized training artifacts are shared within a family (the ALS
+    // evals) but almost never across one, and 330 queries of retained
+    // checkpoints under a memory-pressured host cascade into
+    // TorrentBroadcast store failures on unrelated queries (the r7
+    // driver bench's 50x phantom q40). Dropping artifacts + cached
+    // frames at each boundary costs at most one rebuild per family.
+    var family = ' '
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (name.head != family) {
+        family = name.head
+        graft.ops.Memo.clearAll()
+        spark.catalog.clearCache()
+        System.gc()
+      }
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -41,7 +41,9 @@ object GraftExtensions {
     * cosine_sim(a, b), md5_prefix56(s), md5_prefix48(s),
     * minhash_sig(hashes, k), simhash_sig(hashes),
     * misra_gries(key, k) (aggregate), nfc_normalize(s),
-    * bitset_agg(id, nBits) / bitset_merge_count(bm) (aggregates). */
+    * bitset_agg(id, nBits) / bitset_merge_count(bm) (aggregates),
+    * sparse_bitmap_agg(id) / sparse_bitmap_merge_count(bm)
+    * (compressed Roaring-layout twins for sparse/huge id spaces). */
   val functionDescriptors: Seq[Descriptor] = Seq(
     cosineSimDescriptor,
     descriptor("nfc_normalize", classOf[functions.NfcNormalize],
@@ -69,5 +71,12 @@ object GraftExtensions {
         .toAggregateExpression()),
     descriptor("bitset_merge_count", classOf[functions.BitsetMergeCountAgg],
       exprs => functions.BitsetMergeCountAgg(exprs(0))
+        .toAggregateExpression()),
+    descriptor("sparse_bitmap_agg", classOf[functions.SparseBitmapAgg],
+      exprs => functions.SparseBitmapAgg(exprs(0))
+        .toAggregateExpression()),
+    descriptor("sparse_bitmap_merge_count",
+      classOf[functions.SparseBitmapMergeCountAgg],
+      exprs => functions.SparseBitmapMergeCountAgg(exprs(0))
         .toAggregateExpression()))
 }

@@ -1,0 +1,263 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextNorm, VectorOps}
+
+/** The schema-parameterized public surface of the engine.
+  *
+  * Every operator in `graft.ops` is gated against a DuckDB oracle on
+  * the test corpus, which pins its column names and constants; these
+  * kernels are the same computations lifted to `(DataFrame, column
+  * names, parameters)` so a user can run them on their OWN frames
+  * without touching the test schema. The gated dNN/sNN keys call
+  * straight into this package, so the oracle gate doubles as the
+  * kernel's correctness proof.
+  *
+  * As-of joins are already schema-parameterized at
+  * [[graft.plans.AsOf.join]] (custom sort-merge SparkPlan; backward /
+  * forward / nearest, inner or left_outer).
+  *
+  * Scale notes are per-method; the common contract: every shuffle is
+  * keyed (band/bucket, id, group), nothing here materializes an
+  * all-pairs product, and caps bound worst-case skew fan-out.
+  */
+object Dedup {
+
+  /** Word n-gram shingles over a materialized token-array column
+    * (materialized: inlining the tokenizer would re-expand it into
+    * every element access). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*))
+
+  /** Exact-duplicate groups: normalized-text fingerprint → group rows
+    * (fp, n_docs, keep, drop_max). `keep` is the lowest id — the
+    * deterministic survivor rule. One keyed shuffle on the
+    * fingerprint. Output: fp, n_docs, keep, drop_max (groups with
+    * n_docs > 1 are the duplicates). */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+        md5(regexp_replace(lower(col(text)), "[^a-z0-9 ]", "")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col(id)).as("keep"),
+        max(col(id)).as("drop_max"))
+
+  /** MinHash signatures: k permutation-mins over hash56'd word-trigram
+    * shingles (docs under 3 tokens have no trigram and are dropped).
+    * Map-side only — no shuffle. Output: (id, sig: array<bigint>). */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+      k: Int = 16): DataFrame =
+    df.select(col(id), col(text).as("__text"))
+      .withColumn("__toks", TextNorm.tokens(col("__text")))
+      .filter(size(col("__toks")) >= 3)
+      .withColumn("__sh", shingles(col("__toks")))
+      .withColumn("__hs", transform(col("__sh"), t => Hashing.hash56(t)))
+      .select(col(id), Hashing.minhash(col("__hs"), k).as("sig"))
+
+  /** (id, band, bucket) rows from a signature frame — the LSH shuffle
+    * key. bands must divide k. */
+  def bandBuckets(sigs: DataFrame, id: String, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val rows = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val sliceStr = concat_ws("_",
+        transform(slice(col("sig"), b * rows + 1, rows), x => x.cast("string")))
+      struct(lit(b).as("band"), Hashing.hash56(sliceStr).as("bucket"))
+    }
+    sigs.select(col(id), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Keep the `cap` lowest ids per (band, bucket): a degenerate bucket
+    * (mass-produced boilerplate) would otherwise make the bucket
+    * self-join quadratic in bucket size; capping bounds it at cap²
+    * while every duplicate class keeps a representative cluster. */
+  def capBuckets(bb: DataFrame, id: String, cap: Int): DataFrame =
+    bb.withColumn("__rn", row_number().over(
+        Window.partitionBy("band", "bucket").orderBy(id)))
+      .filter(col("__rn") <= cap).drop("__rn")
+
+  /** LSH candidate pairs (a < b, distinct): same (band, bucket) after
+    * the hot-bucket cap. The shuffle key is (band, bucket) — never
+    * all-pairs; at 100 TB tune (k, bands) for candidate volume and
+    * `cap` for skew. */
+  def lshCandidates(df: DataFrame, id: String, text: String,
+      k: Int = 16, bands: Int = 4, bucketCap: Int = 64): DataFrame = {
+    val bb = capBuckets(
+      bandBuckets(minhashSignatures(df, id, text, k), id, k, bands), id,
+      bucketCap)
+    val a = bb.select(col("band"), col("bucket"), col(id).as("a"))
+    val b = bb.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col(id).as("b"))
+    a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2")
+        && col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
+    * The expensive exact comparison touches ONLY candidate pairs.
+    * Output: (a, b, inter, uni, jaccard). */
+  def nearDuplicates(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.6, k: Int = 16, bands: Int = 4,
+      bucketCap: Int = 64): DataFrame = {
+    val sh = df
+      .withColumn("__toks", TextNorm.tokens(col(text)))
+      .filter(size(col("__toks")) >= 3)
+      .select(col(id), array_distinct(shingles(col("__toks"))).as("sh"))
+    lshCandidates(df, id, text, k, bands, bucketCap)
+      .join(sh.select(col(id).as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col(id).as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "uni", "jaccard")
+  }
+}
+
+/** Similarity search over an embedding array column. */
+object Ann {
+
+  /** Exact top-k cosine neighbors of each query against the corpus:
+    * queries broadcast, corpus streamed — one scan regardless of
+    * corpus size (the honest baseline every approximate index is
+    * measured against). Self-pairs (same id value) are excluded; ties
+    * break by neighbor id. Output: (query_id, rank, neighbor_id,
+    * cosine). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, qId: String, qVec: String,
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorOps.cosineSim(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Bounded-degree kNN graph by NN-descent: hash-seeded random
+    * regular graph, then `rounds` of neighbor-of-neighbor refinement
+    * — each round one keyed join + one per-node top-`degree` window,
+    * candidate pool ≤ (2·degree)² per node, corpus-size-independent.
+    * No all-pairs stage anywhere: O(N·degree²·rounds) total.
+    * CONTRACT: `id` must be a dense LONG column in [0, N) (densify
+    * arbitrary keys with a rank or zipWithIndex pass first) — the
+    * seeding derives neighbor offsets arithmetically from the id.
+    * Output: (node, nbr), ≤ degree rows per node. */
+  def knnGraph(df: DataFrame, id: String, vec: String,
+      degree: Int = 8, rounds: Int = 2,
+      checkpointRounds: Boolean = true): DataFrame = {
+    val e = df.select(col(id).as("__nid"), col(vec).as("__v"))
+    val n = e.count()
+    val seed = e.select(col("__nid").as("node"))
+      .withColumn("j", explode(sequence(lit(1L), lit(degree.toLong))))
+      .withColumn("off",
+        pmod(Hashing.hash56(
+          concat(lit("s20seed#"), col("j").cast("string"))), lit(n - 1)) + 1)
+      .withColumn("nbr", (col("node") + col("off")) % n)
+      .select("node", "nbr").distinct()
+    def pin(g: DataFrame): DataFrame =
+      if (checkpointRounds) g.localCheckpoint() else g
+    def refine(g: DataFrame): DataFrame = {
+      val b = pin(g.select("node", "nbr")
+        .union(g.select(col("nbr").as("node"), col("node").as("nbr")))
+        .distinct())
+      val nn = b.as("x").join(b.as("y"), col("x.nbr") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.nbr").as("cand"))
+      val pool = g.select(col("node"), col("nbr").as("cand"))
+        .union(nn).filter(col("node") =!= col("cand")).distinct()
+      pin(pool
+        .join(e.select(col("__nid").as("node"), col("__v").as("va")), "node")
+        .join(e.select(col("__nid").as("cand"), col("__v").as("vb")), "cand")
+        .withColumn("cos", round(VectorOps.cosineSim(col("va"), col("vb")), 4))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("cos").desc, col("cand"))))
+        .filter(col("rn") <= degree)
+        .select(col("node"), col("cand").as("nbr")))
+    }
+    (1 to rounds).foldLeft(seed)((g, _) => refine(g))
+  }
+}
+
+/** Generic per-group top-k. */
+object TopK {
+  /** k best rows per group under `order` (add explicit tie-break
+    * columns for determinism). Spark 4 plans this as
+    * WindowGroupLimit — a partial per-partition heap before the
+    * shuffle, so the exchange carries ≤ k rows per (partition, group),
+    * not the whole table. */
+  def perGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .withColumnRenamed("__rank", "rank")
+  }
+}
+
+/** Corpus-curation funnel on any (id, text) frame. */
+object Curation {
+
+  /** The p01-shaped pipeline: quality bar → exact dedup (keep-lowest
+    * per fingerprint) → near-dup drop (LSH + Jaccard, keep the lower
+    * id of each verified pair), all computed as FLAGS over one corpus
+    * scan plus the candidate-bounded verify join. Returns the
+    * surviving (id, text) rows; use [[funnelCounts]] for the
+    * per-stage report. */
+  def funnelSurvivors(df: DataFrame, id: String, text: String,
+      minTokens: Int = 10, maxStopRatio: Double = 0.5,
+      stopwords: Seq[String] = Nil,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val q = df
+      .withColumn("__toks", TextNorm.tokens(col(text)))
+      .withColumn("__nt", size(col("__toks")))
+      .withColumn("__ns",
+        if (stopwords.isEmpty) lit(0)
+        else size(filter(col("__toks"), t => array_contains(stopArr, t))))
+      .filter(col("__nt") >= minTokens &&
+        col("__ns").cast("double") <= col("__nt") * maxStopRatio)
+      .select(col(id), col(text))
+    val keep = Dedup.exactGroups(q, id, text).select(col("keep").as(id))
+    val exact = q.join(keep, id)
+    val drops = Dedup.nearDuplicates(exact, id, text, jaccardThreshold)
+      .select(col("b").as(id)).distinct()
+    exact.join(drops, Seq(id), "left_anti")
+  }
+
+  /** Stage-by-stage survivor counts for the same funnel: one row per
+    * stage (raw, quality, exact_dedup, near_dedup). */
+  def funnelCounts(df: DataFrame, id: String, text: String,
+      minTokens: Int = 10, maxStopRatio: Double = 0.5,
+      stopwords: Seq[String] = Nil,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stopArr = array(stopwords.map(lit): _*)
+    val q = df
+      .withColumn("__toks", TextNorm.tokens(col(text)))
+      .withColumn("__nt", size(col("__toks")))
+      .withColumn("__ns",
+        if (stopwords.isEmpty) lit(0)
+        else size(filter(col("__toks"), t => array_contains(stopArr, t))))
+      .filter(col("__nt") >= minTokens &&
+        col("__ns").cast("double") <= col("__nt") * maxStopRatio)
+      .select(col(id), col(text)).localCheckpoint()
+    val keep = Dedup.exactGroups(q, id, text).select(col("keep").as(id))
+    val exact = q.join(keep, id).localCheckpoint()
+    val drops = Dedup.nearDuplicates(exact, id, text, jaccardThreshold)
+      .select(col("b").as(id)).distinct()
+    val fin = exact.join(drops, Seq(id), "left_anti")
+    Seq(("a_raw", df.count()), ("b_quality", q.count()),
+      ("c_exact_dedup", exact.count()), ("d_near_dedup", fin.count()))
+      .toDF("stage", "n_docs")
+  }
+}

@@ -25,6 +25,15 @@ object Dedup {
   private val K = 16           // minhash permutations
   private val BANDS = 4        // 4 bands × 4 rows
   private val ROWS = K / BANDS
+  // Hot-bucket guard: a degenerate bucket (millions of identical
+  // boilerplate docs landing in one (band, bucket)) would make the
+  // bucket self-join quadratic in bucket size. Production LSH caps:
+  // keep the CAP lowest doc_ids per bucket, bounding worst-case
+  // fan-out at CAP² pairs per bucket. The kept docs still pair with
+  // each other, so every duplicate CLASS keeps a representative
+  // cluster; observed bucket max on this corpus is 5 (sf0.1), so the
+  // cap is provably non-effective here — OpsSpec pins that.
+  private[graft] val HOT_BUCKET_CAP = 64
 
   // ---- shared corpus + shingle machinery ----
 
@@ -44,13 +53,12 @@ object Dedup {
       |  UNION ALL SELECT doc_id + 1000000, text || ' graft dedup probe tail'
       |    FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
-  /** Word-trigram shingles over a MATERIALIZED token-array column.
-    * Taking the tokens as an attribute (not an inline split()) keeps the
-    * expression tree linear — inlining would re-expand the split into
-    * every get() and multiply the tree at each downstream stage. */
+  /** Word-trigram shingles — the schema-parameterized kernel lives at
+    * [[graft.api.Dedup.shingles]]; every Spark-side stage below
+    * delegates there, so the dNN oracle gates double as the public
+    * API's correctness proof. */
   private def shingles(toks: Column): Column =
-    transform(sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))
+    graft.api.Dedup.shingles(toks)
 
   private val sqlShingles: String =
     """list_transform(range(len(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')) - 2),
@@ -58,19 +66,12 @@ object Dedup {
       |         regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')[i + 2] || ' ' ||
       |         regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+')[i + 3])""".stripMargin
 
-  /** doc_id + minhash signature array over shingle hash56 values.
-    * Staged through materialized columns (toks → sh → hs → sig): each
-    * stage is computed once per row and referenced as an attribute,
-    * which also keeps the Catalyst plan tree small (the 16 permutation
-    * mins share the single `hs` attribute instead of 16 copies of the
-    * md5/shingle subtree). */
+  /** doc_id + minhash signature array over shingle hash56 values
+    * (api.Dedup.minhashSignatures stages toks → sh → hs → sig through
+    * materialized columns, so the K permutation mins share one `hs`
+    * attribute instead of K copies of the md5/shingle subtree). */
   private def sigsFor(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", shingles(col("toks")))
-      .withColumn("hs", transform(col("sh"), t => Hashing.hash56(t)))
-      .select(col("doc_id"), Hashing.minhash(col("hs"), K).as("sig"))
+    graft.api.Dedup.minhashSignatures(docs, "doc_id", "text", K)
 
   private def signatures(s: SparkSession, d: String): DataFrame =
     sigsFor(corpus(s, d))
@@ -91,15 +92,8 @@ object Dedup {
   private def sqlSignatures: String = sqlSignaturesFrom("corpus")
 
   /** doc_id, band, bucket (hash of the band's signature slice). */
-  private def bands(sigs: DataFrame): DataFrame = {
-    val bandStructs = (0 until BANDS).map { b =>
-      val sliceStr = concat_ws("_",
-        transform(slice(col("sig"), b * ROWS + 1, ROWS), x => x.cast("string")))
-      struct(lit(b).as("band"), Hashing.hash56(sliceStr).as("bucket"))
-    }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+  private def bands(sigs: DataFrame): DataFrame =
+    graft.api.Dedup.bandBuckets(sigs, "doc_id", K, BANDS)
 
   private def sqlBandsFrom(rel: String): String =
     (0 until BANDS).map { b =>
@@ -112,9 +106,10 @@ object Dedup {
 
   private def sqlBands: String = sqlBandsFrom("sigs")
 
-  /** Candidate pairs: same (band, bucket), a < b, distinct. */
+  /** Candidate pairs: same (band, bucket), a < b, distinct, with the
+    * hot-bucket cap applied before the self-join. */
   private[ops] def candidates(s: SparkSession, d: String): DataFrame = {
-    val bb = bands(signatures(s, d))
+    val bb = cappedBands(bands(signatures(s, d)))
     val a = bb.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val b = bb.select(col("band").as("band2"), col("bucket").as("bucket2"),
       col("doc_id").as("b"))
@@ -123,28 +118,40 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** test-only: the raw (doc_id, band, bucket) table pre-cap. */
+  private[graft] def bandsForTest(s: SparkSession, d: String): DataFrame =
+    bands(signatures(s, d))
+
+  /** keep-lowest CAP doc_ids per (band, bucket) — bounded fan-out. */
+  private[graft] def cappedBands(bb: DataFrame): DataFrame =
+    graft.api.Dedup.capBuckets(bb, "doc_id", HOT_BUCKET_CAP)
+
   private def sqlCandidates: String =
     s"""SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |FROM bands x JOIN bands y
+       |FROM capped x JOIN capped y
        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
+
+  private def sqlCapped: String =
+    s"""SELECT doc_id, band, bucket FROM (
+       |  SELECT doc_id, band, bucket, row_number() OVER (
+       |    PARTITION BY band, bucket ORDER BY doc_id) AS rn
+       |  FROM bands) WHERE rn <= $HOT_BUCKET_CAP""".stripMargin
 
   private def sqlDedupPrefix: String =
     s"""WITH corpus AS ($sqlCorpus),
        |sigs AS ($sqlSignatures),
        |bands AS ($sqlBands),
+       |capped AS ($sqlCapped),
        |cands AS ($sqlCandidates)""".stripMargin
 
   // ---- the queries ----
 
   // d01: exact dedup — group by normalized-text md5, keep-first, report
-  // duplicate groups only.
+  // duplicate groups only (api.Dedup.exactGroups is the generic form).
   def d01(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
-      .select(col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
-      .groupBy("fp")
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"),
-        max(col("doc_id")).as("dup_doc"))
+    graft.api.Dedup.exactGroups(corpus(s, d), "doc_id", "text")
+      .select(col("fp"), col("n_docs"), col("keep").as("keep_doc"),
+        col("drop_max").as("dup_doc"))
       .filter(col("n_docs") > 1)
       .orderBy("fp")
 
@@ -175,23 +182,13 @@ object Dedup {
     s"""$sqlDedupPrefix
        |SELECT a, b FROM cands ORDER BY a, b""".stripMargin
 
-  // d04: verify candidates with exact shingle-set Jaccard ≥ 0.6.
-  def d04(s: SparkSession, d: String): DataFrame = {
-    val sh = corpus(s, d)
-      .withColumn("toks", graft.functions.TextNorm.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
-    val cands = candidates(s, d)
-    cands
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("uni", size(array_union(col("sha"), col("shb"))))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-      .filter(col("jaccard") >= 0.6)
-      .select("a", "b", "inter", "uni", "jaccard")
+  // d04: verify candidates with exact shingle-set Jaccard ≥ 0.6
+  // (api.Dedup.nearDuplicates is the generic form — this key is its
+  // oracle gate).
+  def d04(s: SparkSession, d: String): DataFrame =
+    graft.api.Dedup.nearDuplicates(corpus(s, d), "doc_id", "text",
+        threshold = 0.6, k = K, bands = BANDS, bucketCap = HOT_BUCKET_CAP)
       .orderBy("a", "b")
-  }
 
   val d04Sql: String =
     s"""$sqlDedupPrefix,
@@ -372,7 +369,7 @@ object Dedup {
     * INDEPENDENT on purpose — its hash-equality to this labeling is
     * the two-algorithms-one-semantics gate, which sharing would
     * vacate. Dead-context entries evicted the same way as memoKey. */
-  private val ccCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val ccCache = Memo.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private def ccLabels(s: SparkSession, d: String): DataFrame = {
     val prefix = s.sparkContext.applicationId + "#"

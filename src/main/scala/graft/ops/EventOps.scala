@@ -1091,19 +1091,33 @@ object EventOps {
   // log arrives perfectly event-time-ordered, so the replay adds a
   // deterministic per-event delivery delay (hash-derived, ≤ 2 h — the
   // out-of-orderness a real broker shows) and orders by the jittered
-  // arrival time; running max is ONE ordered window over the log —
-  // the only global sort in the family, acceptable for a diagnostic
-  // run, and at 100 TB it shards by (source, day) first. Buckets in
-  // integer micros — exact cross-engine, plus the max per bucket.
+  // arrival time. The running max SHARDS EXACTLY by arrival day:
+  // within each day a day-partitioned ordered window, plus a
+  // carry-in = max event-time of all PRIOR days (a cumulative max on
+  // the day grain — calendar-bounded at any corpus size); their
+  // greatest equals the global running max value-for-value, so the
+  // oracle keeps the one-window global formulation while the Spark
+  // plan has no unpartitioned event-grain sort. Buckets in integer
+  // micros — exact cross-engine, plus the max per bucket.
   def e25(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy("arrival_us", "event_id")
+    val dayUs = 86400L * 1000000L
+    val wIn = Window.partitionBy("aday").orderBy("arrival_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    val wDay = Window.orderBy("aday")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val arr = Tables.events(s, d)
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("arrival_us", col("us") +
         graft.functions.Hashing.hash56(
           concat_ws("#", lit("lat"), col("event_id"))) % (7200L * 1000000))
-      .withColumn("late_us", max(col("us")).over(w) - col("us"))
+      .withColumn("aday", expr(s"arrival_us div $dayUs"))
+    val carry = arr.groupBy("aday").agg(max(col("us")).as("dmax"))
+      .withColumn("carry", max(col("dmax")).over(wDay))
+      .select("aday", "carry")
+    arr.join(broadcast(carry), "aday")
+      .withColumn("late_us",
+        greatest(max(col("us")).over(wIn),
+          coalesce(col("carry"), lit(Long.MinValue))) - col("us"))
       .withColumn("bucket",
         when(col("late_us") === 0, "a_on_time")
           .when(col("late_us") <= 60L * 1000000, "b_1min")

@@ -504,7 +504,7 @@ object Graph {
     * SHARED ARTIFACT (g07's rollup and g08's modularity both consume
     * it), memoized per (session, dataset) under the round-6 rule: one
     * propagation run serves every community query. */
-  private val lpaCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val lpaCache = Memo.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
     lpaCache.getOrElseUpdate(Recommend.memoKey(s, d), {

@@ -570,7 +570,7 @@ object IoOps {
     * the first invocation per (application, dataset) pays the two
     * bucketed table writes (the round's shared-artifact rule). */
   private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    Memo.register(scala.collection.concurrent.TrieMap.empty[String, (String, String)])
 
   def i12(s: SparkSession, d: String): DataFrame = {
     val prefix = s.sparkContext.applicationId + "#"

@@ -2630,7 +2630,67 @@ object Relational {
       |  cle - coalesce(lag(cle) OVER (ORDER BY k), 0) AS n
       |FROM bounds ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q69: SPARSE-ID EXACT-DISTINCT ROLLUP (the Roaring-layout twin of
+  // q64 — BitsetAgg's scaladoc names the compressed swap-in for
+  // 15B-id surrogate spaces; this key exercises it): buyer ids are
+  // SPREAD over a ~2^44 surrogate domain (custkey · 1000003 — the
+  // dense bitset would need 2 TiB of buffer; the compressed bitmap
+  // holds one 16-bit low per mostly-singleton chunk), per-nation
+  // bitmaps built in ONE fact pass, region and global answered by
+  // re-merging the 25 serialized nation bitmaps — the identical
+  // OR-merge algebra, zero fact re-scans. Exactness is the gate: the
+  // oracle computes plain COUNT(DISTINCT) on the same spread ids at
+  // every level; one lost or phantom chunk low flips the hash.
+  // Scale: the fact shuffle keys on nation; rollups touch 25 rows.
+  def q69(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SparseBitmapAgg.{sparseBitmap, sparseBitmapMergeCount}
+    val facts = Tables.orders(s, d)
+      .select((col("o_custkey") * 1000003L).as("sid"), col("o_custkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val nationBm = facts.groupBy(col("c_nationkey").as("nation"))
+      .agg(sparseBitmap(col("sid")).as("bm"))
+      .localCheckpoint() // 25 rows; every level below re-merges these
+    val dim = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_regionkey")))
+    val nationRows = nationBm
+      .groupBy(col("nation"))
+      .agg(sparseBitmapMergeCount(col("bm")).as("n_buyers"))
+      .select(lit("nation").as("level"), col("nation").cast("long").as("key"),
+        col("n_buyers"))
+    val regionRows = nationBm
+      .join(dim, col("nation") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(sparseBitmapMergeCount(col("bm")).as("n_buyers"))
+      .select(lit("region").as("level"),
+        col("n_regionkey").cast("long").as("key"), col("n_buyers"))
+    val globalRow = nationBm
+      .agg(sparseBitmapMergeCount(col("bm")).as("n_buyers"))
+      .select(lit("global").as("level"), lit(-1L).as("key"), col("n_buyers"))
+    nationRows.unionAll(regionRows).unionAll(globalRow)
+      .orderBy("level", "key")
+  }
+
+  val q69Sql: String =
+    """WITH f AS (
+      |  SELECT o_custkey * 1000003 AS sid, c_nationkey, n_regionkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT level, key, n_buyers FROM (
+      |  SELECT 'nation' AS level, CAST(c_nationkey AS BIGINT) AS key,
+      |    CAST(count(DISTINCT sid) AS BIGINT) AS n_buyers
+      |  FROM f GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'region', CAST(n_regionkey AS BIGINT),
+      |    CAST(count(DISTINCT sid) AS BIGINT) FROM f GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'global', -1, CAST(count(DISTINCT sid) AS BIGINT) FROM f)
+      |ORDER BY level, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_sparse_distinct" -> (q69 _),
     "q68_equidepth" -> (q68 _),
     "q67_recursive_cte" -> (q67 _),
     "q66_ks_test" -> (q66 _),
@@ -2701,6 +2761,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q69_sparse_distinct" -> q69Sql,
     "q68_equidepth" -> q68Sql,
     "q67_recursive_cte" -> q67Sql,
     "q66_ks_test" -> q66Sql,

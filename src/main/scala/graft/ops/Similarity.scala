@@ -949,7 +949,7 @@ object Similarity {
     * centsCache; centroids are a driver-side k×dim array, so the memo
     * holds plain data, never a DataFrame from a dead session. */
   private val s08CentsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Double])]]
+    Memo.register(scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Double])]])
 
   private def s08Centroids(s: SparkSession, d: String, e: DataFrame): DataFrame = {
     val prefix = s.sparkContext.applicationId + "#"
@@ -1026,7 +1026,7 @@ object Similarity {
     * re-invocations serve the artifact instead of retraining — the
     * round-5 bench's single largest line was exactly this retrain. */
   private val s09Cache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    Memo.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   def s09(s: SparkSession, d: String): DataFrame = {
     val prefix = s.sparkContext.applicationId + "#"
@@ -1816,36 +1816,9 @@ object Similarity {
     * un-checkpointed plan). `checkpointRounds = false` keeps the full
     * lineage visible for plan assertions. */
   private[graft] def s20KnnGraph(s: SparkSession, e: DataFrame,
-      checkpointRounds: Boolean = true): DataFrame = {
-    val n = e.count()
-    val seedNbrs = e.select(col("vec_id").as("node"))
-      .withColumn("j", explode(sequence(lit(1L), lit(8L))))
-      .withColumn("off",
-        pmod(graft.functions.Hashing.hash56(
-          concat(lit("s20seed#"), col("j").cast("string"))), lit(n - 1)) + 1)
-      .withColumn("nbr", (col("node") + col("off")) % n)
-      .select("node", "nbr").distinct()
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointRounds) df.localCheckpoint() else df
-    def refine(g: DataFrame): DataFrame = {
-      val b = pin(g.select("node", "nbr")
-        .union(g.select(col("nbr").as("node"), col("node").as("nbr")))
-        .distinct())
-      val nn = b.as("x").join(b.as("y"), col("x.nbr") === col("y.node"))
-        .select(col("x.node").as("node"), col("y.nbr").as("cand"))
-      val pool = g.select(col("node"), col("nbr").as("cand"))
-        .union(nn).filter(col("node") =!= col("cand")).distinct()
-      pin(pool
-        .join(e.select(col("vec_id").as("node"), col("v").as("va")), "node")
-        .join(e.select(col("vec_id").as("cand"), col("v").as("vb")), "cand")
-        .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(col("cos").desc, col("cand"))))
-        .filter(col("rn") <= 8)
-        .select(col("node"), col("cand").as("nbr")))
-    }
-    refine(refine(seedNbrs))
-  }
+      checkpointRounds: Boolean = true): DataFrame =
+    graft.api.Ann.knnGraph(e, "vec_id", "v", degree = 8, rounds = 2,
+      checkpointRounds = checkpointRounds)
 
   /** test-only: the built graph with full lineage (no checkpoints). */
   private[graft] def s20GraphForTest(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The generic-API contract: every kernel in graft.api runs on a
+  * USER-SCHEMA DataFrame built inline here — different column names,
+  * no testdata directory anywhere — and its semantics replay
+  * driver-side. (Oracle parity for the same kernels is covered by the
+  * gated dNN/sNN keys, which delegate to graft.api.) */
+class ApiSpec extends SparkSpec {
+
+  // a tiny user corpus with its OWN schema: planted exact duplicate
+  // (101/104) and near-duplicate (102/105: one token appended)
+  private lazy val userDocs = {
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the cat watches from the warm windowsill nearby"
+    val other = "completely different content about distributed query " +
+      "engines shuffling partitioned columnar data across executors"
+    spark.createDataFrame(Seq(
+      (101L, base),
+      (102L, base + " tonight"),
+      (103L, other),
+      (104L, base),
+      (105L, base + " tonight extra"),
+      (106L, other + " with a long appended tail of unrelated words " +
+        "that drops jaccard below any sensible duplicate threshold " +
+        "because the overlap fraction shrinks fast")
+    )).toDF("item_key", "body")
+  }
+
+  test("api.Dedup.exactGroups keeps the lowest id of the planted pair") {
+    val groups = api.Dedup.exactGroups(userDocs, "item_key", "body")
+      .filter(col("n_docs") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep") == 101L)
+    assert(groups.head.getAs[Long]("drop_max") == 104L)
+  }
+
+  test("api.Dedup.lshCandidates surfaces the exact pair and stays reflexive-free") {
+    val cands = api.Dedup.lshCandidates(userDocs, "item_key", "body")
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(cands.contains((101L, 104L)), "exact copy not a candidate")
+    cands.foreach { case (a, b) => assert(a < b, s"unordered pair ($a,$b)") }
+  }
+
+  test("api.Dedup.nearDuplicates verifies with exact jaccard and respects the threshold") {
+    val nd = api.Dedup.nearDuplicates(userDocs, "item_key", "body",
+      threshold = 0.6).collect()
+    val pairs = nd.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((101L, 104L)))
+    nd.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.6 && j <= 1.0)
+      if (r.getAs[Long]("a") == 101L && r.getAs[Long]("b") == 104L)
+        assert(j == 1.0, "identical docs must score jaccard 1")
+    }
+    // the long-tail doc must NOT pair with its base at 0.6
+    assert(!pairs.contains((103L, 106L)),
+      "tail-extended doc wrongly verified as near-dup")
+  }
+
+  test("api.TopK.perGroup matches a driver-side sort") {
+    val df = spark.createDataFrame(Seq(
+      ("g1", 1L, 10.0), ("g1", 2L, 30.0), ("g1", 3L, 20.0),
+      ("g2", 4L, 5.0), ("g2", 5L, 5.0), ("g2", 6L, 1.0)
+    )).toDF("grp", "row_id", "score")
+    val got = api.TopK.perGroup(df, Seq("grp"),
+        Seq(col("score").desc, col("row_id").asc), k = 2)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Int]("rank"),
+        r.getAs[Long]("row_id"))).toSet
+    assert(got == Set(("g1", 1, 2L), ("g1", 2, 3L),
+      ("g2", 1, 4L), ("g2", 2, 5L)))
+  }
+
+  test("api.Ann.bruteForceTopK returns exact ranked neighbors on a user frame") {
+    // 4 points on the plane, padded to length-4 vectors
+    def v(x: Double, y: Double) = Seq(x, y, 0.0, 0.0)
+    val df = spark.createDataFrame(Seq(
+      (1L, v(1, 0)), (2L, v(0.9, 0.1)), (3L, v(0, 1)), (4L, v(-1, 0.05))
+    )).toDF("pid", "emb")
+    val res = api.Ann.bruteForceTopK(df, df.filter(col("pid") === 1L),
+        "pid", "emb", "pid", "emb", k = 3)
+      .orderBy("rank").collect()
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L),
+      "cosine ranking disagrees with geometry")
+    assert(res.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("api.Ann.knnGraph builds a degree-bounded graph from dense ids") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("point"),
+        col("embedding").cast("array<double>").as("feat"))
+    val g = api.Ann.knnGraph(emb, "point", "feat", degree = 4, rounds = 2)
+    val rows = g.collect()
+    val deg = rows.groupBy(_.getLong(0)).map(_._2.length)
+    assert(deg.max <= 4)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(deg.size.toLong == emb.count(), "a node lost its adjacency")
+  }
+
+  test("api.Curation funnel shrinks monotonically and survivors exclude planted dups") {
+    val counts = api.Curation.funnelCounts(userDocs, "item_key", "body",
+        minTokens = 5)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(counts("a_raw") == 6L)
+    assert(counts("b_quality") <= counts("a_raw"))
+    assert(counts("c_exact_dedup") < counts("b_quality"),
+      "exact stage failed to drop the planted copy")
+    assert(counts("d_near_dedup") < counts("c_exact_dedup"),
+      "near-dup stage failed to drop the planted near-copy")
+    val surv = api.Curation.funnelSurvivors(userDocs, "item_key", "body",
+      minTokens = 5).collect().map(_.getAs[Long]("item_key")).toSet
+    assert(surv.size.toLong == counts("d_near_dedup"))
+    assert(!surv.contains(104L) && surv.contains(101L))
+  }
+}

@@ -25,6 +25,22 @@ class OpsSpec extends SparkSpec {
       r.getAs[Long]("dup_doc") - r.getAs[Long]("keep_doc") == 2000000L))
   }
 
+  test("d03: hot-bucket cap bounds fan-out and is non-effective on this corpus") {
+    val bb = ops.Dedup.bandsForTest(spark, sf)
+    val sizes = bb.groupBy("band", "bucket").count().collect()
+      .map(_.getAs[Long]("count"))
+    // the cap genuinely bounds the self-join (CAP² pairs worst case)...
+    val capped = ops.Dedup.cappedBands(bb)
+    val cappedMax = capped.groupBy("band", "bucket").count().collect()
+      .map(_.getAs[Long]("count")).max
+    assert(cappedMax <= ops.Dedup.HOT_BUCKET_CAP)
+    // ...and on this corpus no bucket comes near it, so the gated
+    // candidate set is provably unchanged by the guard
+    assert(sizes.max < ops.Dedup.HOT_BUCKET_CAP,
+      s"bucket of ${sizes.max} ≥ cap — the cap now ALTERS d03's output")
+    assert(capped.count() == bb.count(), "cap dropped rows it should not")
+  }
+
   test("d03/d04: LSH recovers injected near-dups, verified by Jaccard") {
     val verified = ops.Dedup.d04(spark, sf).collect()
     assert(verified.nonEmpty)

@@ -466,6 +466,44 @@ class RelationalSpec extends SparkSpec {
       s"driver replay $best != gated ${rows("parity_null").getAs[Long]("d_num")}")
   }
 
+  test("q69: sparse bitmap codec round-trips, converts at the threshold, " +
+    "and OR equals set union") {
+    import graft.functions.SparseBitmapCodec
+    def bm(ids: Seq[Long]): SparseBitmapCodec.Chunks = {
+      val c = SparseBitmapCodec.empty
+      ids.foreach(SparseBitmapCodec.add(c, _))
+      c
+    }
+    // sparse ids scattered over a huge domain — mostly-singleton chunks
+    val a = (0 until 3000).map(i => i.toLong * 1000003L)
+    val b = (0 until 3000).map(i => (i.toLong + 1500L) * 1000003L)
+    assert(SparseBitmapCodec.cardinality(bm(a)) == a.distinct.size)
+    // serialize → deserialize is identity on both cardinality and bytes
+    val rt = SparseBitmapCodec.chunks(SparseBitmapCodec.bytes(bm(a)))
+    assert(SparseBitmapCodec.bytes(rt).sameElements(
+      SparseBitmapCodec.bytes(bm(a))))
+    // OR = set union (fresh copies — or mutates its left argument)
+    assert(SparseBitmapCodec.cardinality(
+      SparseBitmapCodec.or(bm(a), bm(b))) == (a ++ b).distinct.size)
+    // dense cluster inside ONE chunk crosses the array→bitmap
+    // threshold and stays exact through the conversion + a merge
+    val dense = (0L until 5000L)                      // one chunk, converts
+    val densePlus = (2500L until 7000L)
+    assert(SparseBitmapCodec.cardinality(bm(dense)) == 5000)
+    assert(SparseBitmapCodec.cardinality(
+      SparseBitmapCodec.or(bm(dense), bm(densePlus))) == 7000)
+    val rtd = SparseBitmapCodec.chunks(SparseBitmapCodec.bytes(bm(dense)))
+    assert(SparseBitmapCodec.cardinality(rtd) == 5000)
+    // end-to-end through the aggregates on a user frame
+    import graft.functions.SparseBitmapAgg.{sparseBitmap, sparseBitmapMergeCount}
+    import spark.implicits._
+    val df = (a.map(("g1", _)) ++ b.map(("g2", _))).toDF("g", "id")
+    val merged = df.groupBy("g").agg(sparseBitmap(col("id")).as("bm"))
+      .agg(sparseBitmapMergeCount(col("bm"))).collect()(0).getLong(0)
+    assert(merged == (a ++ b).distinct.size,
+      s"aggregate union $merged != ${(a ++ b).distinct.size}")
+  }
+
   test("q64: bitmap codec round-trips and the OR-merge equals set union") {
     import graft.functions.BitsetCodec
     // deterministic id sets with overlap
