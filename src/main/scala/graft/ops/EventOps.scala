@@ -646,7 +646,38 @@ object EventOps {
         val got = delivered()
         if (got < n) throw new IllegalStateException(
           s"e18 ingest timed out: $got of $n rows delivered within 60s")
-        s.table(sink).orderBy("part_key").localCheckpoint()
+        // OFFSET ACCOUNTING, gated (the contract a Kafka swap-in must
+        // keep — format("kafka") changes only the source line): every
+        // micro-batch's [start, end) offset range must tile the
+        // consumed prefix with no gap and no overlap (contiguous:
+        // batch k's start == batch k-1's end, first start == 0), and
+        // the input-row ledger must equal the offset span — one row
+        // per offset, delivered exactly once. Both booleans ride
+        // every output row; the oracle pins them TRUE.
+        val ranges = q.recentProgress.toSeq
+          .filter(_.sources.nonEmpty).map(_.sources.head)
+          .map { src =>
+            // rate-micro-batch offsets serialize as JSON — either a
+            // bare number or {"offset":N,...} depending on version;
+            // take the first integer either way
+            def off(x: String): Long =
+              Option(x).flatMap("""-?\d+""".r.findFirstIn(_))
+                .map(_.toLong).getOrElse(0L)
+            (off(src.startOffset), off(src.endOffset), src.numInputRows)
+          }
+          .filter { case (a, b, _) => b > a } // drop idle no-data ticks
+          .sortBy(_._1)
+        val contiguous = ranges.nonEmpty && ranges.head._1 == 0L &&
+          ranges.sliding(2).forall {
+            case Seq((_, e1, _), (s2, _, _)) => e1 == s2
+            case _ => true
+          }
+        val exactlyOnce = ranges.map(_._3).sum ==
+          ranges.lastOption.map(_._2).getOrElse(0L)
+        s.table(sink)
+          .withColumn("offsets_contiguous", lit(contiguous))
+          .withColumn("exactly_once_ledger", lit(exactlyOnce))
+          .orderBy("part_key").localCheckpoint()
       } finally {
         if (q.isActive) q.stop()
         s.catalog.dropTempView(sink)
@@ -656,7 +687,8 @@ object EventOps {
 
   val e18Sql: String =
     """SELECT range % 10 AS part_key, count(*) AS n_rows,
-      |  CAST(sum(range) AS BIGINT) AS sum_v
+      |  CAST(sum(range) AS BIGINT) AS sum_v,
+      |  true AS offsets_contiguous, true AS exactly_once_ledger
       |FROM range(5000) GROUP BY 1 ORDER BY 1""".stripMargin
 
   // e20: stream-stream LEFT OUTER interval join — the null-emission

@@ -2089,7 +2089,107 @@ object Similarity {
        |  WHERE a.vec_id < 100)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // s22: ANN SEGMENT COMPACTION — the maintenance operator between
+  // i05's persisted index and s17's tombstones that neither covers:
+  // a live deployment APPENDS new vectors as small segments (each
+  // cell-assigned at ingest) and accumulates a delete list; serving
+  // fans out over {all segments} − tombstones, and read amplification
+  // grows with every append until COMPACTION folds the segments into
+  // one and physically drops the tombstoned rows. The correctness
+  // contract is serve-equivalence: the compacted index must answer
+  // every probe IDENTICALLY to the multi-segment + tombstone view —
+  // gated as a full two-sided except() emptiness riding every row,
+  // next to the physical accounting (3 segments → 1 file, N rows
+  // dropped). Segments here: base (%5≠4) + two appends (%10∈{4,9});
+  // tombstones vec_id %13=0 (s17's rule — includes live top hits, so
+  // the drop provably changes served lists). Scale: compaction is one
+  // segment-union scan + broadcast anti-join + cell-partitioned
+  // rewrite; serving stays s05's cell-restricted bounded-probe shape.
+  def s22(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_s22_").toString
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val assigned = nearestCell(e, cents).localCheckpoint()
+    // ingest: one base + two appended segments, cell-assigned at write
+    Seq(col("vec_id") % 5 =!= 4, col("vec_id") % 10 === 4,
+        col("vec_id") % 10 === 9).zipWithIndex.foreach { case (rule, i) =>
+      assigned.filter(rule).write.mode("overwrite").parquet(s"$dir/seg-$i")
+    }
+    assigned.filter(col("vec_id") % 13 === 0).select("vec_id")
+      .write.mode("overwrite").parquet(s"$dir/tombstones")
+    // the multi-segment serving view: union − tombstones
+    val segs = (0 to 2).map(i => s.read.parquet(s"$dir/seg-$i"))
+      .reduce(_ unionAll _)
+    val ts = s.read.parquet(s"$dir/tombstones")
+    val multiView = segs.join(broadcast(ts), Seq("vec_id"), "left_anti")
+    // compaction: fold to ONE segment, physically dropping tombstones
+    multiView.coalesce(1).write.mode("overwrite").parquet(s"$dir/compacted")
+    val compacted = s.read.parquet(s"$dir/compacted")
+    def serve(idx: DataFrame): DataFrame = {
+      val probe = idx.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("cell"), col("v").as("va"))
+      val cand = idx.select(col("vec_id").as("nn_id"), col("cell"),
+        col("v").as("vb"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("nn_id"))
+      probe.join(cand, Seq("cell"))
+        .filter(col("query_id") =!= col("nn_id"))
+        .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "cell", "rank", "nn_id", "cos")
+    }
+    val before = serve(multiView).localCheckpoint()
+    val after = serve(compacted).localCheckpoint()
+    val equal = after.exceptAll(before).isEmpty &&
+      before.exceptAll(after).isEmpty
+    val nDropped = assigned.filter(col("vec_id") % 13 === 0).count()
+    val nFilesAfter = new java.io.File(s"$dir/compacted")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    after
+      .withColumn("compaction_preserves_serve", lit(equal))
+      .withColumn("n_segments_before", lit(3))
+      .withColumn("n_segments_after", lit(nFilesAfter))
+      .withColumn("n_tombstoned_dropped", lit(nDropped))
+      .orderBy("query_id", "rank")
+  }
+
+  val s22Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_sum(list_transform(range(64),
+       |          i -> (e.v[i + 1] - c.cv[i + 1]) * (e.v[i + 1] - c.cv[i + 1]))),
+       |          c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |live AS (SELECT * FROM assigned WHERE vec_id % 13 <> 0),
+       |ts AS (SELECT count(*) AS n_ts FROM assigned WHERE vec_id % 13 = 0)
+       |SELECT query_id, cell, rank, nn_id, cos,
+       |  true AS compaction_preserves_serve,
+       |  3 AS n_segments_before, 1 AS n_segments_after,
+       |  (SELECT n_ts FROM ts) AS n_tombstoned_dropped
+       |FROM (
+       |  SELECT a.vec_id AS query_id, a.cell, b.vec_id AS nn_id,
+       |    round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) AS cos,
+       |    row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4) DESC,
+       |               b.vec_id) AS rank
+       |  FROM live a JOIN live b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 100)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_segment_compact" -> (s22 _),
     "s21_pq_residual" -> (s21 _),
     "s20_graph_ann" -> (s20 _),
     "s19_hybrid_search" -> (s19 _),
@@ -2113,6 +2213,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s22_segment_compact" -> s22Sql,
     "s21_pq_residual" -> s21Sql,
     "s20_graph_ann" -> s20Sql,
     "s19_hybrid_search" -> s19Sql,

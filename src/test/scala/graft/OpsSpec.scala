@@ -2252,6 +2252,22 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) != r.getLong(1), "self-edge"))
   }
 
+  test("s22: compaction preserves serving, drops every tombstone, and lands one file") {
+    val rows = ops.Similarity.s22(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("compaction_preserves_serve")),
+      "compacted index served differently from the multi-segment view")
+    assert(rows.forall(_.getAs[Int]("n_segments_after") == 1))
+    // physically dropped rows: the s17 tombstone rule, none served
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nn_id") % 13 != 0, "tombstoned id served")
+      assert(r.getAs[Long]("query_id") % 13 != 0, "tombstoned probe served")
+    }
+    val expectedDropped = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 13 === 0).count()
+    assert(rows.head.getAs[Long]("n_tombstoned_dropped") == expectedDropped)
+  }
+
   test("s20: traversal candidates are bounded and beat a random set of the same size") {
     val rows = ops.Similarity.s20(spark, sf).collect()
     assert(rows.length == 100)
