@@ -1889,41 +1889,50 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  val s20Sql: String = {
+  /** The unrolled NN-descent CTE block the Spark-side
+    * api.Ann.knnGraph runs, as oracle SQL: seeds g0 from hash-derived
+    * offsets over `eRel` (vectors (vec_id, v)), then `nRounds`
+    * refinement rounds b_r/p_r/g_r (MATERIALIZED — each round feeds
+    * the next twice; see g19's Fibonacci-inlining note). Emits CTEs
+    * `${p}nc, ${p}g0 .. ${p}g$nRounds`; the final graph is
+    * `${p}g$nRounds`. */
+  private def sqlNnDescent(eRel: String, p: String, nRounds: Int): String = {
     val cos4 = s"round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4)"
-    // the same 2 NN-descent rounds the Spark build runs, unrolled
-    // (MATERIALIZED — each round feeds the next twice; see g19's
-    // Fibonacci-inlining note)
-    val rounds = (1 to 2).map { r =>
-      s"""b$r AS MATERIALIZED (
+    val rounds = (1 to nRounds).map { r =>
+      s"""${p}b$r AS MATERIALIZED (
          |  SELECT DISTINCT node, nbr FROM (
-         |    SELECT node, nbr FROM g${r - 1}
-         |    UNION ALL SELECT nbr, node FROM g${r - 1})),
-         |p$r AS MATERIALIZED (
+         |    SELECT node, nbr FROM ${p}g${r - 1}
+         |    UNION ALL SELECT nbr, node FROM ${p}g${r - 1})),
+         |${p}p$r AS MATERIALIZED (
          |  SELECT DISTINCT node, cand FROM (
-         |    SELECT node, nbr AS cand FROM g${r - 1}
+         |    SELECT node, nbr AS cand FROM ${p}g${r - 1}
          |    UNION ALL
          |    SELECT x.node, y.nbr AS cand
-         |    FROM b$r x JOIN b$r y ON x.nbr = y.node)
+         |    FROM ${p}b$r x JOIN ${p}b$r y ON x.nbr = y.node)
          |  WHERE node <> cand),
-         |g$r AS MATERIALIZED (
+         |${p}g$r AS MATERIALIZED (
          |  SELECT node, cand AS nbr FROM (
-         |    SELECT p.node, p.cand,
-         |      row_number() OVER (PARTITION BY p.node
-         |        ORDER BY $cos4 DESC, p.cand) AS rn
-         |    FROM p$r p JOIN e a ON a.vec_id = p.node
-         |    JOIN e b ON b.vec_id = p.cand) WHERE rn <= 8)""".stripMargin
+         |    SELECT pp.node, pp.cand,
+         |      row_number() OVER (PARTITION BY pp.node
+         |        ORDER BY $cos4 DESC, pp.cand) AS rn
+         |    FROM ${p}p$r pp JOIN $eRel a ON a.vec_id = pp.node
+         |    JOIN $eRel b ON b.vec_id = pp.cand) WHERE rn <= 8)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-       |           FROM embeddings),
-       |nc AS (SELECT count(*) AS n FROM e),
-       |g0 AS MATERIALIZED (
+    s"""${p}nc AS (SELECT count(*) AS n FROM $eRel),
+       |${p}g0 AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS node,
        |    (a.vec_id + (${graft.functions.Hashing.sqlHash56("'s20seed#' || j")}
-       |      % (nc.n - 1)) + 1) % nc.n AS nbr
-       |  FROM e a CROSS JOIN (SELECT unnest(range(1, 9)) AS j)
-       |  CROSS JOIN nc),
-       |$rounds,
+       |      % (${p}nc.n - 1)) + 1) % ${p}nc.n AS nbr
+       |  FROM $eRel a CROSS JOIN (SELECT unnest(range(1, 9)) AS j)
+       |  CROSS JOIN ${p}nc),
+       |$rounds""".stripMargin
+  }
+
+  val s20Sql: String = {
+    val cos4 = s"round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |${sqlNnDescent("e", "", 2)},
        |nb AS MATERIALIZED (SELECT node, nbr FROM g2),
        |seed AS (SELECT query_id, cand FROM (
        |  SELECT a.vec_id AS query_id, b.vec_id AS cand,
@@ -2188,7 +2197,121 @@ object Similarity {
        |  WHERE a.vec_id < 100)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // s23: INCREMENTAL kNN-GRAPH APPEND (the missing quarter of the
+  // graph-index lifecycle — s20 builds, s22 compacts, s17 deletes;
+  // real deployments also INSERT without the O(N·R²·rounds) rebuild):
+  // new vectors connect by the SERVING path itself (nearest entry
+  // points → 1-hop + 2-hop graph neighborhood → exact top-R among
+  // that bounded pool — the NSW insert rule), then LOCAL REPAIR: only
+  // base nodes that gained a reverse edge re-rank their top-R over
+  // {old list ∪ pointing arrivals} — the untouched 99% of the graph
+  // is never read. The gate carries BOTH adjacency sets (every
+  // arrival's list and every affected node's post-repair list) — a
+  // wrong candidate pool, a missed reverse edge, or an unstable
+  // re-rank flips the hash. Fully deterministic (hash-seeded base
+  // build, 4dp cosine + id ties), so the DuckDB oracle replays base
+  // rounds, insertion and repair identically. Scale: insertion cost
+  // per arrival is O(beam) independent of corpus size; repair
+  // touches ≤ R·|arrivals| base nodes; every join keyed on node/cand.
+  def s23(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val n = e.count()
+    val cut = n * 9 / 10
+    val base = e.filter(col("vec_id") < cut)
+    val arr = e.filter(col("vec_id") >= cut)
+    val g = graft.api.Ann.knnGraph(base, "vec_id", "v", degree = 8,
+      rounds = 2).localCheckpoint()
+    val eps = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("ep"), col("v").as("vb"))
+    val probes = arr.select(col("vec_id").as("qid"), col("v").as("va"))
+    val wS = Window.partitionBy("qid").orderBy(col("cos").desc, col("ep"))
+    val seed = probes.join(broadcast(eps))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 3)
+      .select(col("qid"), col("ep").as("cand"))
+    val g1 = g.select(col("node").as("n1"), col("nbr").as("b1"))
+    val hop1 = seed.join(g1, seed("cand") === col("n1"))
+      .select(col("qid"), col("b1").as("cand"))
+    val g2 = g.select(col("node").as("n2"), col("nbr").as("b2"))
+    val hop2 = hop1.join(g2, hop1("cand") === col("n2"))
+      .select(col("qid"), col("b2").as("cand"))
+    val cands = seed.union(hop1).union(hop2).distinct()
+    val wA = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val arrEdges = cands
+      .join(e.select(col("vec_id").as("cand"), col("v").as("vb")), "cand")
+      .join(probes, "qid")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(wA)).filter(col("rank") <= 8)
+      .select(col("qid").as("node"), col("rank"), col("cand").as("nbr"),
+        col("cos"))
+      .localCheckpoint()
+    val rev = arrEdges.select(col("nbr").as("node"), col("node").as("cand"))
+    val affected = rev.select("node").distinct()
+    val pool = g.join(affected, "node")
+      .select(col("node"), col("nbr").as("cand"))
+      .union(rev).distinct()
+    val wR = Window.partitionBy("node").orderBy(col("cos").desc, col("cand"))
+    val repaired = pool
+      .join(e.select(col("vec_id").as("node"), col("v").as("va")), "node")
+      .join(e.select(col("vec_id").as("cand"), col("v").as("vb")), "cand")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("rank", row_number().over(wR)).filter(col("rank") <= 8)
+      .select(col("node"), col("rank"), col("cand").as("nbr"), col("cos"))
+    arrEdges.withColumn("kind", lit("arrival"))
+      .unionByName(repaired.withColumn("kind", lit("repaired")))
+      .select("kind", "node", "rank", "nbr", "cos")
+      .orderBy("kind", "node", "rank")
+  }
+
+  val s23Sql: String = {
+    val cos4 = s"round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |tn AS (SELECT count(*) * 9 // 10 AS cut FROM e),
+       |base AS MATERIALIZED (
+       |  SELECT * FROM e WHERE vec_id < (SELECT cut FROM tn)),
+       |arr AS MATERIALIZED (
+       |  SELECT * FROM e WHERE vec_id >= (SELECT cut FROM tn)),
+       |${sqlNnDescent("base", "k", 2)},
+       |g AS MATERIALIZED (SELECT node, nbr FROM kg2),
+       |seed AS (SELECT qid, cand FROM (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cand,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $cos4 DESC, b.vec_id) AS rn
+       |  FROM arr a JOIN base b ON b.vec_id % 50 = 0) WHERE rn <= 3),
+       |h1 AS (SELECT s.qid, g.nbr AS cand FROM seed s JOIN g ON g.node = s.cand),
+       |h2 AS (SELECT h1.qid, g.nbr AS cand FROM h1 JOIN g ON g.node = h1.cand),
+       |cands AS MATERIALIZED (SELECT DISTINCT qid, cand FROM (
+       |  SELECT * FROM seed UNION ALL SELECT * FROM h1
+       |  UNION ALL SELECT * FROM h2)),
+       |arre AS MATERIALIZED (
+       |  SELECT qid AS node, rank, cand AS nbr, cos FROM (
+       |    SELECT c.qid, c.cand, $cos4 AS cos,
+       |      row_number() OVER (PARTITION BY c.qid
+       |        ORDER BY $cos4 DESC, c.cand) AS rank
+       |    FROM cands c JOIN e a ON a.vec_id = c.qid
+       |    JOIN e b ON b.vec_id = c.cand) WHERE rank <= 8),
+       |rev AS MATERIALIZED (SELECT nbr AS node, node AS cand FROM arre),
+       |pool AS (SELECT DISTINCT node, cand FROM (
+       |  SELECT g.node, g.nbr AS cand FROM g
+       |  JOIN (SELECT DISTINCT node FROM rev) af ON af.node = g.node
+       |  UNION ALL SELECT node, cand FROM rev)),
+       |rep AS (SELECT node, rank, cand AS nbr, cos FROM (
+       |  SELECT p.node, p.cand, $cos4 AS cos,
+       |    row_number() OVER (PARTITION BY p.node
+       |      ORDER BY $cos4 DESC, p.cand) AS rank
+       |  FROM pool p JOIN e a ON a.vec_id = p.node
+       |  JOIN e b ON b.vec_id = p.cand) WHERE rank <= 8)
+       |SELECT 'arrival' AS kind, node, rank, nbr, cos FROM arre
+       |UNION ALL SELECT 'repaired', node, rank, nbr, cos FROM rep
+       |ORDER BY kind, node, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_graph_append" -> (s23 _),
     "s22_segment_compact" -> (s22 _),
     "s21_pq_residual" -> (s21 _),
     "s20_graph_ann" -> (s20 _),
@@ -2213,6 +2336,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s23_graph_append" -> s23Sql,
     "s22_segment_compact" -> s22Sql,
     "s21_pq_residual" -> s21Sql,
     "s20_graph_ann" -> s20Sql,

@@ -2268,6 +2268,33 @@ class OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_tombstoned_dropped") == expectedDropped)
   }
 
+  test("s23: arrivals are fully wired, repair touches only reverse-edge " +
+    "targets, and repaired lists still honor the degree bound") {
+    val rows = ops.Similarity.s23(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    val cut = n * 9 / 10
+    val (arrival, repaired) = rows.partition(_.getAs[String]("kind") == "arrival")
+    // every arrival node got a list; every arrival neighbor may be base
+    // OR a fellow arrival reached through the hop expansion
+    val arrNodes = arrival.map(_.getAs[Long]("node")).distinct
+    assert(arrNodes.length.toLong == n - cut, "an arrival got no edges")
+    arrival.foreach { r =>
+      assert(r.getAs[Long]("node") >= cut)
+      assert(r.getAs[Long]("nbr") != r.getAs[Long]("node"))
+    }
+    // repair scope: exactly the base nodes some arrival points at
+    val pointed = arrival.map(_.getAs[Long]("nbr")).filter(_ < cut).toSet
+    val repairedNodes = repaired.map(_.getAs[Long]("node")).toSet
+    assert(repairedNodes == pointed,
+      s"repair touched ${repairedNodes.size} nodes, expected ${pointed.size}")
+    // degree bound everywhere, and repair is non-vacuous: at least one
+    // arrival actually displaced into some base node's top-8
+    assert(repaired.groupBy(_.getAs[Long]("node")).values
+      .forall(_.length <= 8))
+    assert(repaired.exists(_.getAs[Long]("nbr") >= cut),
+      "no arrival entered any repaired list — repair vacuous")
+  }
+
   test("s20: traversal candidates are bounded and beat a random set of the same size") {
     val rows = ops.Similarity.s20(spark, sf).collect()
     assert(rows.length == 100)
