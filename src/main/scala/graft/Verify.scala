@@ -50,8 +50,16 @@ object Verify {
       def m5(s: String) = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val cols = df.schema.fieldNames
+      // binary columns must render as hex — String.valueOf on a byte
+      // array is the JVM identity string, different every run, which
+      // would read as a phantom divergence in exactly the forensics
+      // this echo exists for
+      def render(v: Any): String = v match {
+        case b: Array[Byte] => b.map("%02x".format(_)).mkString
+        case x => String.valueOf(x)
+      }
       val parts = cols.zipWithIndex.map { case (c, i) =>
-        val vs = rows.map(r => String.valueOf(r.get(i))).sorted
+        val vs = rows.map(r => render(r.get(i))).sorted
         val h = m5(vs.mkString("\n")).take(12)
         val sample = vs.take(3).map(v =>
           if (v.length > 24) v.take(24) + ".." else v)

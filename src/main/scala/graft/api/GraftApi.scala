@@ -27,10 +27,15 @@ object Dedup {
 
   /** Word n-gram shingles over a materialized token-array column
     * (materialized: inlining the tokenizer would re-expand it into
-    * every element access). */
+    * every element access). Arrays shorter than n yield an EMPTY
+    * list — without the guard, sequence(0, negative) counts DOWN and
+    * null-padded concat_ws would emit phantom shingles that read as
+    * false duplicate matches downstream. */
   def shingles(toks: Column, n: Int = 3): Column =
-    transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Exact-duplicate groups: normalized-text fingerprint → group rows
     * (fp, n_docs, keep, drop_max). `keep` is the lowest id — the
@@ -157,6 +162,9 @@ object Ann {
       checkpointRounds: Boolean = true): DataFrame = {
     val e = df.select(col(id).as("__nid"), col(vec).as("__v"))
     val n = e.count()
+    // pmod(·, n-1) with n == 1 is pmod-by-zero → null neighbors and
+    // silently empty adjacency; fail loudly instead
+    require(n > 1, s"knnGraph needs at least 2 vectors, got $n")
     val seed = e.select(col("__nid").as("node"))
       .withColumn("j", explode(sequence(lit(1L), lit(degree.toLong))))
       .withColumn("off",
@@ -212,12 +220,17 @@ object Curation {
     * scan plus the candidate-bounded verify join. Returns the
     * surviving (id, text) rows; use [[funnelCounts]] for the
     * per-stage report. */
-  def funnelSurvivors(df: DataFrame, id: String, text: String,
-      minTokens: Int = 10, maxStopRatio: Double = 0.5,
-      stopwords: Seq[String] = Nil,
-      jaccardThreshold: Double = 0.6): DataFrame = {
+  /** The shared funnel stages — one body so [[funnelSurvivors]] and
+    * [[funnelCounts]] can never desynchronize (ApiSpec cross-asserts
+    * their numbers). Returns (quality survivors, exact-dedup
+    * survivors, final survivors); `pin` localCheckpoints the stages
+    * that get counted AND consumed downstream. */
+  private def funnelStages(df: DataFrame, id: String, text: String,
+      minTokens: Int, maxStopRatio: Double, stopwords: Seq[String],
+      jaccardThreshold: Double,
+      pin: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val stopArr = array(stopwords.map(lit): _*)
-    val q = df
+    val q0 = df
       .withColumn("__toks", TextNorm.tokens(col(text)))
       .withColumn("__nt", size(col("__toks")))
       .withColumn("__ns",
@@ -226,12 +239,21 @@ object Curation {
       .filter(col("__nt") >= minTokens &&
         col("__ns").cast("double") <= col("__nt") * maxStopRatio)
       .select(col(id), col(text))
+    val q = if (pin) q0.localCheckpoint() else q0
     val keep = Dedup.exactGroups(q, id, text).select(col("keep").as(id))
-    val exact = q.join(keep, id)
+    val exact0 = q.join(keep, id)
+    val exact = if (pin) exact0.localCheckpoint() else exact0
     val drops = Dedup.nearDuplicates(exact, id, text, jaccardThreshold)
       .select(col("b").as(id)).distinct()
-    exact.join(drops, Seq(id), "left_anti")
+    (q, exact, exact.join(drops, Seq(id), "left_anti"))
   }
+
+  def funnelSurvivors(df: DataFrame, id: String, text: String,
+      minTokens: Int = 10, maxStopRatio: Double = 0.5,
+      stopwords: Seq[String] = Nil,
+      jaccardThreshold: Double = 0.6): DataFrame =
+    funnelStages(df, id, text, minTokens, maxStopRatio, stopwords,
+      jaccardThreshold, pin = false)._3
 
   /** Stage-by-stage survivor counts for the same funnel: one row per
     * stage (raw, quality, exact_dedup, near_dedup). */
@@ -241,21 +263,8 @@ object Curation {
       jaccardThreshold: Double = 0.6): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val stopArr = array(stopwords.map(lit): _*)
-    val q = df
-      .withColumn("__toks", TextNorm.tokens(col(text)))
-      .withColumn("__nt", size(col("__toks")))
-      .withColumn("__ns",
-        if (stopwords.isEmpty) lit(0)
-        else size(filter(col("__toks"), t => array_contains(stopArr, t))))
-      .filter(col("__nt") >= minTokens &&
-        col("__ns").cast("double") <= col("__nt") * maxStopRatio)
-      .select(col(id), col(text)).localCheckpoint()
-    val keep = Dedup.exactGroups(q, id, text).select(col("keep").as(id))
-    val exact = q.join(keep, id).localCheckpoint()
-    val drops = Dedup.nearDuplicates(exact, id, text, jaccardThreshold)
-      .select(col("b").as(id)).distinct()
-    val fin = exact.join(drops, Seq(id), "left_anti")
+    val (q, exact, fin) = funnelStages(df, id, text, minTokens,
+      maxStopRatio, stopwords, jaccardThreshold, pin = true)
     Seq(("a_raw", df.count()), ("b_quality", q.count()),
       ("c_exact_dedup", exact.count()), ("d_near_dedup", fin.count()))
       .toDF("stage", "n_docs")

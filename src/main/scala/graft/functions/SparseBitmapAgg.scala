@@ -44,11 +44,7 @@ private[graft] object SparseBitmapCodec {
         val pos = java.util.Arrays.binarySearch(arr, low.toChar)
         if (pos < 0) {
           if (arr.length + 1 >= ArrayToBitmapThreshold) {
-            val words = new Array[Long](BitmapWords)
-            var i = 0
-            while (i < arr.length) {
-              val v = arr(i).toInt; words(v >> 6) |= 1L << (v & 63); i += 1
-            }
+            val words = toBitmap(arr)
             words(low >> 6) |= 1L << (low & 63)
             c.put(key, words)
           } else {
@@ -106,14 +102,19 @@ private[graft] object SparseBitmapCodec {
     case _ => throw new IllegalStateException("unknown chunk type")
   }
 
-  /** OR `b` into `a` (mutates a's map; chunk payloads are replaced,
-    * never mutated in place across maps). */
+  /** OR `b` into `a` (mutates a's map; chunk payloads are COPIED on
+    * adoption — add() mutates dense chunks in place, so sharing an
+    * adopted array between two maps would let a later add(a, id)
+    * silently flip bits inside b too). */
   def or(a: Chunks, b: Chunks): Chunks = {
     val it = b.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val mine = a.get(e.getKey)
-      if (mine == null) a.put(e.getKey, e.getValue)
+      if (mine == null) a.put(e.getKey, e.getValue match {
+        case arr: Array[Char]  => java.util.Arrays.copyOf(arr, arr.length)
+        case words: Array[Long] => java.util.Arrays.copyOf(words, words.length)
+      })
       else a.put(e.getKey, orChunk(mine, e.getValue))
     }
     a

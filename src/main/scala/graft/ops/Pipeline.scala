@@ -1258,6 +1258,9 @@ object Pipeline {
     val docs = Tables.documents(s, d)
       .select(size(toks).as("n_tokens"),
         size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      // zero-token docs would divide by zero — Spark nulls, DuckDB
+      // ERRORS, so the guard keeps both engines on the same rows
+      .filter(col("n_tokens") > 0)
       .select(col("n_tokens"),
         (least(lit(500000L), lit(5000L) * col("n_tokens")) +
           expr("(cast(500000 as bigint) * (n_tokens - n_stop)) div n_tokens"))
@@ -1301,7 +1304,7 @@ object Pipeline {
        |  SELECT n_tokens,
        |    least(500000::BIGINT, 5000::BIGINT * n_tokens) +
        |      (500000::BIGINT * (n_tokens - n_stop)) // n_tokens AS quality
-       |  FROM feats),
+       |  FROM feats WHERE n_tokens > 0),
        |grain AS (
        |  SELECT quality, count(*) AS nd,
        |    CAST(sum(n_tokens) AS BIGINT) AS nt,

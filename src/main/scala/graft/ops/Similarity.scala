@@ -2159,6 +2159,15 @@ object Similarity {
     val nDropped = assigned.filter(col("vec_id") % 13 === 0).count()
     val nFilesAfter = new java.io.File(s"$dir/compacted")
       .listFiles().count(_.getName.endsWith(".parquet"))
+    // both served lists are checkpoint-pinned above — the segment
+    // files are dead now; a bench round calls this op 4+ times and
+    // leaking ~5 corpus copies per call is exactly the disk-pressure
+    // class Memo.clearAll fights
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
     after
       .withColumn("compaction_preserves_serve", lit(equal))
       .withColumn("n_segments_before", lit(3))

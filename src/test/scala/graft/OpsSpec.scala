@@ -36,8 +36,8 @@ class OpsSpec extends SparkSpec {
     assert(cappedMax <= ops.Dedup.HOT_BUCKET_CAP)
     // ...and on this corpus no bucket comes near it, so the gated
     // candidate set is provably unchanged by the guard
-    assert(sizes.max < ops.Dedup.HOT_BUCKET_CAP,
-      s"bucket of ${sizes.max} ≥ cap — the cap now ALTERS d03's output")
+    assert(sizes.max <= ops.Dedup.HOT_BUCKET_CAP,
+      s"bucket of ${sizes.max} > cap — the cap now ALTERS d03's output")
     assert(capped.count() == bb.count(), "cap dropped rows it should not")
   }
 
