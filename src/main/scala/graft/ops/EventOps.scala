@@ -794,6 +794,115 @@ object EventOps {
       |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // e44: stream-stream FULL OUTER interval join — the last cell of
+  // the streaming join matrix (e09 inner, e20 left-outer): full outer
+  // must emit BOTH null-padded tails, and each side's unmatched rows
+  // can only flush once the watermark clears that side's state — the
+  // two eviction clocks run independently, so the new hazard class is
+  // one side's lonely rows flushing while the other's stay pending
+  // forever. Same e20 harness (one real batch + two far-future
+  // sentinel batches riding BOTH sides so each watermark advances);
+  // the c side keeps its event_type so sentinel rows filter out of
+  // the unmatched-right tail instead of masquerading as lonely
+  // clicks. Gate = per-user (matched, lonely-purchase, lonely-click)
+  // counts against the plain batch FULL JOIN — a stuck right tail, a
+  // dropped left null, or a double emission all flip the hash. State
+  // bounded exactly as e09/e20: both sides evict past
+  // watermark+interval, O(window), not O(stream).
+  def e44(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val dirP = Files.createTempDirectory("graft_e44_")
+    val streamDir = dirP.resolve("stream")
+    Files.createDirectories(streamDir)
+    val sink = "graft_e44_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      def sentinel(plusDays: Long): DataFrame = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          0L, java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(plusDays * 86400)),
+          0L, "sentinel")),
+        sentinelSchema)
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = dirP.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        val dest = streamDir.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(ev, "batch0", t0 - 60000)
+      land(sentinel(10), "batch1", t0 - 40000)
+      land(sentinel(20), "batch2", t0 - 20000)
+      val stream = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val p = stream.filter(col("event_type").isin("purchase", "sentinel"))
+        .select(col("event_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("event_type").as("p_type"))
+        .withWatermark("p_ts", "2 hours")
+      val c = stream.filter(col("event_type").isin("click", "sentinel"))
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_type").as("c_type"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "full_outer")
+      withStreamPartitions(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .filter(col("p_type") === "purchase" ||
+          (col("p_type").isNull && col("c_type") === "click"))
+        .groupBy(coalesce(col("p_user"), col("c_user")).as("user_id"))
+        .agg(count(when(col("p_ts").isNotNull && col("c_ts").isNotNull,
+            lit(1))).as("n_matched"),
+          count(when(col("p_ts").isNotNull && col("c_ts").isNull,
+            lit(1))).as("n_lonely_purchases"),
+          count(when(col("p_ts").isNull, lit(1))).as("n_lonely_clicks"))
+        .orderBy("user_id")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+    }
+  }
+
+  val e44Sql: String =
+    """SELECT coalesce(p.user_id, c.user_id) AS user_id,
+      |  count(CASE WHEN p.ts IS NOT NULL AND c.ts IS NOT NULL THEN 1 END)
+      |    AS n_matched,
+      |  count(CASE WHEN p.ts IS NOT NULL AND c.ts IS NULL THEN 1 END)
+      |    AS n_lonely_purchases,
+      |  count(CASE WHEN p.ts IS NULL THEN 1 END) AS n_lonely_clicks
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |    AND c.ts < p.ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // e21: STREAMING session windows — the fourth formulation of gap
   // sessionization (e02 lag/cumsum, e07 flatMapGroupsWithState, e15
   // batch session_window) and the one production ingest runs:
@@ -2582,6 +2691,7 @@ object EventOps {
     "e23_stream_cdc" -> (e23 _),
     "e22_peak_concurrency" -> (e22 _),
     "e21_stream_sessions" -> (e21 _),
+    "e44_stream_full_outer" -> (e44 _),
     "e20_stream_outer_join" -> (e20 _),
     "e18_rate_ingest" -> (e18 _),
     "e19_dedup_bounded_state" -> (e19 _),
@@ -2626,6 +2736,7 @@ object EventOps {
     "e23_stream_cdc" -> e23Sql,
     "e22_peak_concurrency" -> e22Sql,
     "e21_stream_sessions" -> e15Sql, // 4th formulation, same oracle
+    "e44_stream_full_outer" -> e44Sql,
     "e20_stream_outer_join" -> e20Sql,
     "e18_rate_ingest" -> e18Sql,
     "e19_dedup_bounded_state" -> e10Sql,

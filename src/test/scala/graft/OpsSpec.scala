@@ -2268,6 +2268,18 @@ class OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_tombstoned_dropped") == expectedDropped)
   }
 
+  test("e44: full outer join is non-vacuous on all three row classes") {
+    val rows = ops.EventOps.e44(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    // all three emission classes must actually occur, or the full
+    // outer adds nothing over e20's left outer on this corpus
+    assert(tot("n_matched") > 0, "no matched pair anywhere")
+    assert(tot("n_lonely_purchases") > 0, "no unmatched purchase")
+    assert(tot("n_lonely_clicks") > 0,
+      "no unmatched click — the right-null tail is untested")
+  }
+
   test("s23: arrivals are fully wired, repair touches only reverse-edge " +
     "targets, and repaired lists still honor the degree bound") {
     val rows = ops.Similarity.s23(spark, sf).collect()
