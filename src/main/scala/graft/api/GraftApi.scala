@@ -124,6 +124,66 @@ object Dedup {
   }
 }
 
+/** Text-analysis kernels over a free-text column. */
+object Text {
+
+  /** The engine-wide tokenizer: NFC-normalize, then letter/digit runs
+    * (identical semantics in Java regex and DuckDB RE2 — the property
+    * every oracle gate leans on). */
+  def tokens(text: Column): Column = TextNorm.tokens(text)
+
+  /** Append `n_tokens` and `quality_ppm` — an exact INTEGER quality
+    * score in parts-per-million (the p15-gated formula): half the
+    * score from length saturation (full marks at `fullLengthTokens`),
+    * half from the non-stopword fraction, all positive integer
+    * arithmetic so the score is bit-identical on any engine and safe
+    * to use as a grouping key (a float score flips grain rows on
+    * cross-engine rounding ties). Zero-token rows score 0. */
+  def withQualityPpm(df: DataFrame, text: String,
+      stopwords: Seq[String] = Nil,
+      fullLengthTokens: Int = 100): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    df.withColumn("__toks", TextNorm.tokens(col(text)))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("__ns",
+        if (stopwords.isEmpty) lit(0)
+        else size(filter(col("__toks"), t => array_contains(stopArr, t))))
+      .withColumn("quality_ppm",
+        when(col("n_tokens") > 0,
+          least(lit(500000L),
+            expr(s"(cast(500000 as bigint) * n_tokens) div $fullLengthTokens")) +
+          expr("(cast(500000 as bigint) * (n_tokens - __ns)) div n_tokens"))
+        .otherwise(lit(0L)))
+      .drop("__toks", "__ns")
+  }
+
+  /** Marker-word language ID (the n-gram-free heuristic the t03 gate
+    * pins): count caller-supplied marker words per language, predict
+    * the argmax with ties broken by marker order. Output:
+    * (id, c_<lang>..., predicted). */
+  def languageId(df: DataFrame, id: String, text: String,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    require(markers.nonEmpty, "languageId needs at least one language")
+    val withToks = df.select(col(id), TextNorm.tokens(col(text)).as("__toks"))
+    val counted = markers.foldLeft(withToks) { case (acc, (lang, words)) =>
+      val arr = array(words.map(lit): _*)
+      acc.withColumn(s"c_$lang",
+        size(filter(col("__toks"), t => array_contains(arr, t))))
+    }
+    val langs = markers.map(_._1)
+    val pred =
+      if (langs.size == 1) lit(langs.head)
+      else langs.init.zipWithIndex.foldLeft(None: Option[Column]) {
+        case (acc, (lang, i)) =>
+          val rest = langs.drop(i + 1).map(l => col(s"c_$l"))
+          val cond = col(s"c_$lang") >= rest.reduce((a, b) => greatest(a, b))
+          Some(acc.fold(when(cond, lang))(_.when(cond, lang)))
+      }.get.otherwise(langs.last)
+    counted.select((col(id) +: langs.map(l => col(s"c_$l")) :+
+      pred.as("predicted")): _*)
+  }
+}
+
 /** Similarity search over an embedding array column. */
 object Ann {
 

@@ -1253,18 +1253,14 @@ object Pipeline {
   // size), so the one unpartitioned cumulative window is
   // domain-bounded, not corpus-bounded.
   def p15(s: SparkSession, d: String): DataFrame = {
-    val toks = graft.functions.TextNorm.tokens(col("text"))
-    val stopArr = array(TextOps.stopwords.map(lit): _*)
-    val docs = Tables.documents(s, d)
-      .select(size(toks).as("n_tokens"),
-        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
-      // zero-token docs would divide by zero — Spark nulls, DuckDB
-      // ERRORS, so the guard keeps both engines on the same rows
+    // api.Text.withQualityPpm is the generic form of the score — this
+    // key is its gate (zero-token docs score 0 there; the filter
+    // keeps both engines on the same rows, since the DuckDB oracle's
+    // division would error where Spark's div nulls)
+    val docs = graft.api.Text
+      .withQualityPpm(Tables.documents(s, d), "text", TextOps.stopwords)
       .filter(col("n_tokens") > 0)
-      .select(col("n_tokens"),
-        (least(lit(500000L), lit(5000L) * col("n_tokens")) +
-          expr("(cast(500000 as bigint) * (n_tokens - n_stop)) div n_tokens"))
-          .as("quality"))
+      .select(col("n_tokens"), col("quality_ppm").as("quality"))
     val grain = docs.groupBy("quality")
       .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"),
         sum(col("quality")).as("qs"))

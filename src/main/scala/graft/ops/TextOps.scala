@@ -116,14 +116,10 @@ object TextOps {
     }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
   }
 
-  def t03(s: SparkSession, d: String): DataFrame = {
-    val counted = withLangCounts(
-      Tables.documents(s, d).select(col("doc_id"), tokens.as("toks")))
-    val langs = markers.map(_._1)
-    counted.select((col("doc_id") +: langs.map(l => col(s"c_$l")) :+
-      predictedCol.as("predicted")): _*)
-      .orderBy("doc_id")
-  }
+  // (api.Text.languageId is the generic form — this key is its gate)
+  def t03(s: SparkSession, d: String): DataFrame =
+    graft.api.Text.languageId(Tables.documents(s, d), "doc_id", "text",
+      markers).orderBy("doc_id")
 
   val t03Sql: String = {
     val langs = markers.map(_._1)

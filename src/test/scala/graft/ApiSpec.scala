@@ -59,6 +59,37 @@ class ApiSpec extends SparkSpec {
       "tail-extended doc wrongly verified as near-dup")
   }
 
+  test("api.Text.withQualityPpm is exact integer ppm and handles empty text") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq.fill(200)("word").mkString(" ")),     // saturated length
+      (2L, "the a of and"),                          // all stopwords
+      (3L, ""),                                      // zero tokens
+      (4L, Seq.fill(50)("term").mkString(" "))       // half length, no stops
+    )).toDF("k", "txt")
+    val got = api.Text.withQualityPpm(df, "txt",
+        stopwords = Seq("the", "a", "of", "and"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Long]("quality_ppm"))).toMap
+    assert(got(1L) == ((200, 1000000L)), "full-length no-stop must max out")
+    assert(got(2L) == ((4, 20000L)), "all-stopword doc: length term only")
+    assert(got(3L) == ((0, 0L)), "empty text must score 0, not error")
+    assert(got(4L) == ((50, 750000L)), "half length + clean = 250k + 500k")
+  }
+
+  test("api.Text.languageId predicts by marker counts with order ties") {
+    val markers = Seq(
+      "en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat and the hat"),
+      (2L, "der hund und der ball"),
+      (3L, "no marker words here at all")  // 0-0 tie → first language
+    )).toDF("k", "txt")
+    val got = api.Text.languageId(df, "k", "txt", markers)
+      .collect().map(r => r.getAs[Long]("k") ->
+        r.getAs[String]("predicted")).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "en"))
+  }
+
   test("api.TopK.perGroup matches a driver-side sort") {
     val df = spark.createDataFrame(Seq(
       ("g1", 1L, 10.0), ("g1", 2L, 30.0), ("g1", 3L, 20.0),
