@@ -255,6 +255,30 @@ object Ann {
   }
 }
 
+/** Event-stream kernels over (key, timestamp) frames. */
+object Events {
+  /** Gap sessionization: append a per-key `session_id` (1-based,
+    * ordered by time) that increments whenever the gap since the
+    * key's previous event exceeds `gapSeconds`. `tieBreak` pins a
+    * total order under equal timestamps — REQUIRED for deterministic
+    * ids. One key-partitioned window, no self-joins; at 100 TB the
+    * shuffle keys on `key` exactly once (the e02-gated formulation;
+    * e07/e15/e21 gate the stateful and streaming twins of the same
+    * semantics). */
+  def sessionize(df: DataFrame, key: String, ts: String,
+      tieBreak: String, gapSeconds: Long = 1800): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    df.withColumn("__us", unix_micros(col(ts).cast("timestamp")))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__us", "__gap", "__new")
+  }
+}
+
 /** Generic per-group top-k. */
 object TopK {
   /** k best rows per group under `order` (add explicit tie-break

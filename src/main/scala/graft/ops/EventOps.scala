@@ -33,14 +33,10 @@ object EventOps {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // e02: gap-based sessionization (30-min inactivity closes a session).
+  // (api.Events.sessionize is the generic form — this key is its gate)
   def e02(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val sess = Tables.events(s, d)
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
-      .withColumn("new_s", when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
-      .withColumn("session_id", sum(col("new_s")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = graft.api.Events.sessionize(Tables.events(s, d),
+      "user_id", "ts", tieBreak = "event_id", gapSeconds = 1800)
     sess.groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"),

@@ -90,6 +90,24 @@ class ApiSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "en"))
   }
 
+  test("api.Events.sessionize assigns gap sessions deterministically") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val df = spark.createDataFrame(Seq(
+      ("u1", 1L, at(0)), ("u1", 2L, at(10)),   // session 1
+      ("u1", 3L, at(70)),                      // gap 60m > 30m → session 2
+      ("u1", 4L, at(75)),
+      ("u2", 5L, at(0)), ("u2", 6L, at(31))    // 31m gap → two sessions
+    )).toDF("acct", "seq", "when_ts")
+    val got = api.Events.sessionize(df, "acct", "when_ts", "seq",
+        gapSeconds = 1800)
+      .collect().map(r => (r.getAs[String]("acct"), r.getAs[Long]("seq")) ->
+        r.getAs[Long]("session_id")).toMap
+    assert(got == Map(("u1", 1L) -> 1L, ("u1", 2L) -> 1L,
+      ("u1", 3L) -> 2L, ("u1", 4L) -> 2L,
+      ("u2", 5L) -> 1L, ("u2", 6L) -> 2L))
+  }
+
   test("api.TopK.perGroup matches a driver-side sort") {
     val df = spark.createDataFrame(Seq(
       ("g1", 1L, 10.0), ("g1", 2L, 30.0), ("g1", 3L, 20.0),
