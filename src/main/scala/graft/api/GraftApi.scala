@@ -255,6 +255,39 @@ object Ann {
   }
 }
 
+/** Chunking kernels for storage dedup / training-sequence prep. */
+object Chunks {
+  /** Content-defined chunking over a text column (the FastCDC-style
+    * boundary rule on token hashes, the m16-gated formulation):
+    * a token opens a new chunk when hash56("cdc#"+token) ≡ 0 mod
+    * `avgTokens` — boundaries depend only on CONTENT, so an insertion
+    * shifts at most its own chunk while fixed-width chunking reshifts
+    * everything after it (m16 measures 88% vs 0% sharing on a
+    * prepended copy). One explode + one key-partitioned prefix-sum
+    * window + one reassembly agg — a single shuffle on the id.
+    * `avgTokens` must be a power of two. Output: (id, chunk_no,
+    * chunk_text, chunk_hash). */
+  def contentDefined(df: DataFrame, id: String, text: String,
+      avgTokens: Int = 8): DataFrame = {
+    require(avgTokens >= 2 && (avgTokens & (avgTokens - 1)) == 0,
+      s"avgTokens must be a power of two, got $avgTokens")
+    val tokd = df.select(col(id),
+      posexplode(TextNorm.tokens(col(text))).as(Seq("pos", "term")))
+    val wPre = Window.partitionBy(id).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tokd
+      .withColumn("__b",
+        (Hashing.hash56(concat_ws("#", lit("cdc"), col("term")))
+          % avgTokens === 0).cast("long"))
+      .withColumn("chunk_no", coalesce(sum(col("__b")).over(wPre), lit(0L)))
+      .groupBy(col(id), col("chunk_no"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("term")))),
+        x => x("term"))).as("chunk_text"))
+      .withColumn("chunk_hash", Hashing.hash56(col("chunk_text")))
+  }
+}
+
 /** Event-stream kernels over (key, timestamp) frames. */
 object Events {
   /** Gap sessionization: append a per-key `session_id` (1-based,

@@ -90,6 +90,29 @@ class ApiSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "en"))
   }
 
+  test("api.Chunks.contentDefined is shift-immune where fixed-width is not") {
+    val body = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      (1L, body),
+      (2L, "inserted head words " + body)  // prefix shift
+    )).toDF("k", "txt")
+    val chunks = api.Chunks.contentDefined(df, "k", "txt", avgTokens = 8)
+      .collect()
+    val h1 = chunks.filter(_.getAs[Long]("k") == 1L)
+      .map(_.getAs[Long]("chunk_hash")).toSet
+    val h2 = chunks.filter(_.getAs[Long]("k") == 2L)
+      .map(_.getAs[Long]("chunk_hash")).toSet
+    // content-defined boundaries realign after the insertion: all but
+    // the head chunk(s) of the original reappear verbatim in the copy
+    val shared = (h1 & h2).size
+    assert(shared >= h1.size - 2,
+      s"only $shared of ${h1.size} chunks survived a prefix insertion")
+    // chunk_no is a contiguous 0-based sequence per doc
+    val nos = chunks.filter(_.getAs[Long]("k") == 1L)
+      .map(_.getAs[Long]("chunk_no")).sorted
+    assert(nos.head == 0L && nos.toSeq == (0L until nos.length).toSeq)
+  }
+
   test("api.Events.sessionize assigns gap sessions deterministically") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
