@@ -144,6 +144,36 @@ class ApiSpec extends SparkSpec {
       ("g2", 1, 4L), ("g2", 2, 5L)))
   }
 
+  test("api.Recommend.alsTopK serves ranked unseen items on a user frame") {
+    // 6 users × 8 items, block preference structure: evens like
+    // low items, odds like high items
+    val rows = for (u <- 0 until 6; i <- 0 until 8
+                    if (u % 2 == 0) == (i < 4)) yield (u.toLong, i.toLong, 1.0)
+    val df = spark.createDataFrame(rows).toDF("member", "product", "w")
+    val recs = api.Recommend.alsTopK(df, "member", "product", "w", k = 3)
+      .collect()
+    val byUser = recs.groupBy(_.getAs[Int]("member"))
+    assert(byUser.size == 6, "a user got no recommendations")
+    byUser.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rs.length).toSeq)
+      // scores non-increasing in rank
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(
+          a.getAs[Float]("score") >= b.getAs[Float]("score"))
+        case _ => ()
+      }
+    }
+    // no served item was in the user's history
+    val seen = rows.map(r => (r._1.toInt, r._2.toInt)).toSet
+    recs.foreach { r =>
+      assert(!seen.contains((r.getAs[Int]("member"), r.getAs[Int]("product"))),
+        "served an already-seen item")
+    }
+  }
+
   test("api.Ann.bruteForceTopK returns exact ranked neighbors on a user frame") {
     // 4 points on the plane, padded to length-4 vectors
     def v(x: Double, y: Double) = Seq(x, y, 0.0, 0.0)
