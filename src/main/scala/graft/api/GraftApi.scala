@@ -204,6 +204,24 @@ object Recommend {
       maxIter: Int = 5, regParam: Double = 0.1,
       implicitPrefs: Boolean = true, seed: Long = 42L): DataFrame = {
     val s = ratings.sparkSession
+    // The INT contract must fail LOUDLY: under default non-ANSI
+    // semantics cast("int") on an out-of-range id wraps (long) or
+    // clamps (double), silently merging distinct users/items and
+    // serving wrong recommendations. One cheap agg over the frame:
+    // an id is bad when it is non-null but its int cast is null
+    // (unparseable) or round-trips to a different long (wrap/clamp).
+    def badCount(c: String) = sum(when(col(c).isNotNull &&
+      (col(c).cast("int").isNull ||
+        col(c).cast("long") =!= col(c).cast("int").cast("long")), 1L)
+      .otherwise(0L))
+    val bad = ratings.agg(badCount(user).as("__bu"),
+      badCount(item).as("__bi")).head()
+    require(bad.isNullAt(0) || bad.getLong(0) == 0L,
+      s"alsTopK: ${bad.getLong(0)} `$user` ids do not fit INT " +
+        "(MLlib ALS key type) — densify ids to [0, N) first")
+    require(bad.isNullAt(1) || bad.getLong(1) == 0L,
+      s"alsTopK: ${bad.getLong(1)} `$item` ids do not fit INT " +
+        "(MLlib ALS key type) — densify ids to [0, N) first")
     val r = ratings.select(col(user).cast("int").as("__u"),
       col(item).cast("int").as("__i"), col(rating).cast("float").as("__r"))
     val blocks = math.max(4, s.sparkContext.defaultParallelism / 4)
@@ -270,11 +288,17 @@ object Ann {
     // pmod(·, n-1) with n == 1 is pmod-by-zero → null neighbors and
     // silently empty adjacency; fail loudly instead
     require(n > 1, s"knnGraph needs at least 2 vectors, got $n")
+    // Seed offsets hash (node, j) — hashing j alone would hand every
+    // node the identical circulant offset set (and colliding offsets
+    // would shrink the effective seed degree globally); with the node
+    // id mixed in, collisions are per-node noise and the seed graph is
+    // genuinely pseudo-random-regular.
     val seed = e.select(col("__nid").as("node"))
       .withColumn("j", explode(sequence(lit(1L), lit(degree.toLong))))
       .withColumn("off",
         pmod(Hashing.hash56(
-          concat(lit("s20seed#"), col("j").cast("string"))), lit(n - 1)) + 1)
+          concat(lit("s20seed#"), col("node").cast("string"), lit("#"),
+            col("j").cast("string"))), lit(n - 1)) + 1)
       .withColumn("nbr", (col("node") + col("off")) % n)
       .select("node", "nbr").distinct()
     def pin(g: DataFrame): DataFrame =

@@ -620,7 +620,32 @@ object EventOps {
       .select(col("value"), (col("value") % 10).as("part_key"))
       .groupBy("part_key")
       .agg(count(lit(1)).as("n_rows"), sum("value").as("sum_v"))
-    withStreamPartitions(s, 8) {
+    // Offset ledger via a listener, NOT q.recentProgress: recentProgress
+    // is a ring buffer (spark.sql.streaming.numRecentProgressUpdates,
+    // default 100) and a slow host can tick past 100 micro-batches
+    // inside the 60 s poll loop — the earliest ranges would silently
+    // drop and offsets_contiguous would hash-fail for a harness reason.
+    // The listener sees EVERY progress event; keyed by batchId so a
+    // re-delivered event can't double-count. Registered BEFORE start
+    // (matched by query name) so batch 0 can't be missed.
+    val progressLog =
+      new java.util.concurrent.ConcurrentHashMap[Long, (String, String, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        ev: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = ev.progress
+        if (p.name == sink && p.sources.nonEmpty)
+          progressLog.put(p.batchId,
+            (p.sources.head.startOffset, p.sources.head.endOffset,
+              p.sources.head.numInputRows)): Unit
+      }
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    try withStreamPartitions(s, 8) {
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(sink)
         .start()
@@ -650,16 +675,26 @@ object EventOps {
         // the input-row ledger must equal the offset span — one row
         // per offset, delivered exactly once. Both booleans ride
         // every output row; the oracle pins them TRUE.
-        val ranges = q.recentProgress.toSeq
-          .filter(_.sources.nonEmpty).map(_.sources.head)
-          .map { src =>
+        // Listener events are delivered async on the listener bus —
+        // wait (bounded) until the ledger accounts for every consumed
+        // row before reading it.
+        val lDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        def ledgerRows(): Long = {
+          import scala.jdk.CollectionConverters._
+          progressLog.values.asScala.map(_._3).sum
+        }
+        while (ledgerRows() < n && System.nanoTime() < lDeadline)
+          Thread.sleep(20)
+        import scala.jdk.CollectionConverters._
+        val ranges = progressLog.values.asScala.toSeq
+          .map { case (so, eo, rows) =>
             // rate-micro-batch offsets serialize as JSON — either a
             // bare number or {"offset":N,...} depending on version;
             // take the first integer either way
             def off(x: String): Long =
               Option(x).flatMap("""-?\d+""".r.findFirstIn(_))
                 .map(_.toLong).getOrElse(0L)
-            (off(src.startOffset), off(src.endOffset), src.numInputRows)
+            (off(so), off(eo), rows)
           }
           .filter { case (a, b, _) => b > a } // drop idle no-data ticks
           .sortBy(_._1)
@@ -678,7 +713,7 @@ object EventOps {
         if (q.isActive) q.stop()
         s.catalog.dropTempView(sink)
       }
-    }
+    } finally s.streams.removeListener(listener)
   }
 
   val e18Sql: String =

@@ -222,7 +222,16 @@ object Recommend {
   }
 
   def alsModel(s: SparkSession, d: String): ALSModel =
-    modelCache.getOrElseUpdate(memoKey(s, d), {
+    alsModelIters(s, d, 5)
+
+  /** Same fit at a chosen iteration count (memoized per count). The
+    * seed-pinned trajectory is deterministic, so the maxIter=6 model
+    * reproduces iterations 1..5 of the default model EXACTLY and its
+    * itemFactors are the one-more-half-step target r51's item fold-in
+    * must land on. */
+  private[ops] def alsModelIters(s: SparkSession, d: String,
+      iters: Int): ALSModel =
+    modelCache.getOrElseUpdate(memoKey(s, d) + "#it" + iters, {
       val ratings = Ratings.implicitRatings(s, d)
         .select(col("user_id").cast("int"), col("item_id").cast("int"),
           col("rating").cast("float"))
@@ -234,7 +243,7 @@ object Recommend {
       val blocks = math.max(4, s.sparkContext.defaultParallelism / 4)
       new ALS()
         .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
-        .setImplicitPrefs(true).setRank(8).setMaxIter(5).setRegParam(0.1)
+        .setImplicitPrefs(true).setRank(8).setMaxIter(iters).setRegParam(0.1)
         .setAlpha(1.0).setSeed(42L)
         .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
         .setIntermediateStorageLevel("MEMORY_ONLY")
@@ -2937,9 +2946,15 @@ object Recommend {
   // two-level bucket cumsum (bounded bucket grain, partitioned
   // in-bucket row_number) — no customer-grain global sort anywhere.
   def r44(s: SparkSession, d: String): DataFrame = {
+    // recency stays in pure DATE arithmetic end-to-end: datediff on two
+    // DATEs is an exact integer day count in Spark AND DuckDB, with no
+    // epoch-micros detour (epoch_us(DATE) goes through a DATE→TIMESTAMP
+    // cast whose semantics are an oracle-version hazard — the round-8
+    // driver gate hash-failed exactly this query while the same SQL
+    // passed bit-for-bit on local DuckDB).
     val o = Tables.orders(s, d)
       .select(col("o_custkey").as("cust"),
-        col("o_orderdate").cast("timestamp").as("od"),
+        col("o_orderdate").as("od"),
         col("o_totalprice").cast("decimal(12,2)").as("price"))
     val ref = o.agg(max(col("od")).as("refd"))
     val rfm = o.groupBy("cust")
@@ -2947,7 +2962,7 @@ object Recommend {
         sum(col("price")).cast("decimal(18,2)").as("monetary"))
       .crossJoin(broadcast(ref))
       .withColumn("recency_days",
-        expr("(unix_micros(refd) - unix_micros(lastd)) div 86400000000"))
+        datediff(col("refd"), col("lastd")).cast("long"))
     // Exact per-dimension rank WITHOUT a global window (the round-7
     // version ran three unpartitioned ntile(5) windows at customer
     // grain — a single-partition sort 3× over, and exposed to
@@ -3018,7 +3033,7 @@ object Recommend {
        |rfm AS (
        |  SELECT cust, max(od) AS lastd, count(*) AS frequency,
        |    CAST(sum(price) AS DECIMAL(18,2)) AS monetary,
-       |    (epoch_us(ref.refd) - epoch_us(max(od))) // 86400000000
+       |    CAST(date_diff('day', max(od), ref.refd) AS BIGINT)
        |      AS recency_days
        |  FROM o, ref GROUP BY cust, ref.refd),
        |ranked AS (
@@ -3054,7 +3069,8 @@ object Recommend {
        |  FROM scored)
        |SELECT segment, count(*) AS n_users,
        |  CAST(sum(monetary) AS DECIMAL(18,2)) AS monetary_sum,
-       |  (sum(recency_days) // count(*))::BIGINT AS avg_recency_days,
+       |  CAST(CAST(sum(recency_days) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS BIGINT) AS avg_recency_days,
        |  sum(($h)::DECIMAL(38,0))::DECIMAL(38,0)::VARCHAR AS ids_checksum
        |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin
   }
@@ -3364,6 +3380,110 @@ object Recommend {
        |ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // r51: ALS ITEM FOLD-IN (the symmetric half of r48's
+  // serving-without-retrain story — a NEW ITEM arrives with its first
+  // interactions and the catalog must surface it NOW: solve the
+  // item's factor against the FROZEN user factors instead of
+  // refitting). Implicit normal equations, item side (Hu/Koren/
+  // Volinsky): y_i = (XᵀX + Σ_u α·r_u·x_u x_uᵀ + λI)⁻¹ Σ_u
+  // (1+α·r_u)·x_u — XᵀX is ONE distributed 64-sum pass over the user
+  // factors, per-item Gram/rhs one panel-filtered join + agg, 8×8
+  // solves driver-side (panel-bounded). One honest asymmetry vs r48:
+  // MLlib updates itemFactors from the PREVIOUS user half-step and
+  // userFactors LAST, so the 5-iter model's item factor lags the
+  // fold-in by one half-step (measured: most panel cosines land
+  // BELOW 0.999 — not a valid gate). The exact target exists anyway:
+  // the seed-pinned ALS trajectory is deterministic, so a maxIter=6
+  // fit replays iterations 1..5 bit-identically and its itemFactors
+  // ARE the item half-step against the 5-iter model's final
+  // userFactors — i.e. MLlib's own blocked solver computing the same
+  // normal equations this fold-in assembles. cos_ok ≥ 0.999 against
+  // THAT is the gate (non-circular: their solver vs ours; float32
+  // factor storage is the only slack). The served slate is
+  // "users-to-notify": top-5 users per folded item by x_uᵀy_i with
+  // already-interacting users anti-joined BEFORE ranking (s17
+  // discipline). Oracle pins panel membership + both contracts.
+  // Scale: XtX one treeless agg over |users|×64 doubles; scoring is
+  // panel × one user-factor scan; nothing is O(catalog).
+  def r51(s: SparkSession, d: String): DataFrame = {
+    val model = alsModel(s, d)
+    val users = model.userFactors // (id int, features array<float>)
+    val rank = 8
+    val gram = (0 until rank).flatMap(i => (0 until rank).map(j => (i, j)))
+    def f(c: Column, i: Int) = element_at(c, i + 1).cast("double")
+    // XtX: one 64-sum aggregate over all user factors
+    val xtxCols = gram.map { case (i, j) =>
+      sum(f(col("features"), i) * f(col("features"), j)).as(s"xx_${i}_$j") }
+    val xtx = users.agg(xtxCols.head, xtxCols.tail: _*).collect()(0)
+    val ratings = Ratings.implicitRatings(s, d)
+      .select(col("user_id").cast("int").as("uid"),
+        col("item_id").cast("int").as("iid"),
+        col("rating").cast("double").as("r"))
+    val panel = ratings.filter(col("iid") % 89 === 0)
+    // per-item Gram contributions and rhs, one join + one agg
+    val itemCols = gram.map { case (i, j) =>
+      sum(col("r") * f(col("features"), i) * f(col("features"), j))
+        .as(s"g_${i}_$j") } ++
+      (0 until rank).map(i =>
+        sum((lit(1.0) + col("r")) * f(col("features"), i)).as(s"b_$i"))
+    val perItem = panel.join(users, col("uid") === col("id"))
+      .groupBy("iid")
+      .agg(itemCols.head, itemCols.tail: _*)
+      .collect()
+    val lambda = 0.1
+    val folded = perItem.map { row =>
+      val a = Array.tabulate(rank * rank) { k =>
+        val (i, j) = (k / rank, k % rank)
+        xtx.getAs[Double](s"xx_${i}_$j") + row.getAs[Double](s"g_${i}_$j") +
+          (if (i == j) lambda else 0.0)
+      }
+      val b = Array.tabulate(rank)(i => row.getAs[Double](s"b_$i"))
+      row.getAs[Int]("iid") -> solve8(a, b)
+    }
+    // the exact fold-in target: itemFactors of the 6-iter replay (the
+    // item half-step MLlib itself computes from the 5-iter model's
+    // final user factors)
+    val target = alsModelIters(s, d, 6).itemFactors
+      .join(panel.select("iid").distinct(), col("id") === col("iid"))
+      .collect().map(r => r.getAs[Int]("id") ->
+        r.getAs[Seq[Float]]("features").map(_.toDouble).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val (dp, nx, ny) = (x.zip(y).map(p => p._1 * p._2).sum,
+        math.sqrt(x.map(v => v * v).sum), math.sqrt(y.map(v => v * v).sum))
+      dp / (nx * ny)
+    }
+    val cosOk = folded.map { case (i, y) => i -> (cos(y, target(i)) >= 0.999) }
+    import s.implicits._
+    val foldedDf = broadcast(
+      folded.toSeq.map { case (i, y) => (i, y) }.toDF("iid", "yf"))
+    // users-to-notify: bounded item panel × one user-factor scan,
+    // already-interacting users anti-joined BEFORE ranking
+    val scored = foldedDf.crossJoin(users)
+      .select(col("iid"), col("id").as("cand_user"),
+        graft.functions.VectorOps.dotProduct(col("yf"),
+          expr("transform(features, v -> CAST(v AS DOUBLE))")).as("score"))
+      .join(ratings.select(col("iid"), col("uid").as("cand_user")),
+        Seq("iid", "cand_user"), "left_anti")
+    val topk = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("iid").orderBy(col("score").desc, col("cand_user"))))
+      .filter(col("rn") <= 5)
+      .groupBy("iid").agg(count(lit(1)).as("n_notify"))
+    val cosDf = broadcast(cosOk.toSeq.toDF("iid", "cos_ok"))
+    topk.join(cosDf, Seq("iid"))
+      .select(col("iid").cast("long").as("item_id"),
+        (col("n_notify") === 5).as("full_slate"), col("cos_ok"))
+      .orderBy("item_id")
+  }
+
+  val r51Sql: String =
+    s"""WITH ratings AS (${Ratings.sqlRatings})
+       |SELECT CAST(item_id AS BIGINT) AS item_id,
+       |  true AS full_slate, true AS cos_ok
+       |FROM (SELECT DISTINCT item_id FROM ratings WHERE item_id % 89 = 0)
+       |ORDER BY item_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // r49: DAMPED BIAS BASELINE (Koren's μ + b_u + b_i — "most of the
   // signal in a rating is who rates and what gets rated"; the
   // predictor every Netflix-Prize system subtracts BEFORE factorizing,
@@ -3455,6 +3575,16 @@ object Recommend {
   val r49Sql: String = {
     def fd(num: String, den: String) =
       s"($num + 10000000000 * ($den)) // ($den) - 10000000000"
+    // Every aggregate's type chain is SPELLED OUT (count(*)→BIGINT,
+    // sum(BIGINT)→BIGINT, squared error → HUGEINT product → DECIMAL(38,0)
+    // sum): DuckDB's implicit widenings (sum(BIGINT)→HUGEINT, BIGINT
+    // multiply overflow behavior) are version-dependent surface, and the
+    // round-8 driver gate hash-failed this query while the identical SQL
+    // passed bit-for-bit on local DuckDB 1.0.0 — so nothing here is left
+    // to the engine's default typing.
+    def sq(p: String) =
+      s"CAST(CAST(rm - $p AS HUGEINT) * CAST(rm - $p AS HUGEINT)" +
+        " AS DECIMAL(38,0))"
     s"""WITH ratings AS (${Ratings.sqlRatings}),
        |tagged AS (
        |  SELECT user_id, item_id,
@@ -3463,17 +3593,19 @@ object Recommend {
        |  FROM ratings),
        |train AS (SELECT * FROM tagged WHERE NOT is_test),
        |test AS (SELECT * FROM tagged WHERE is_test),
-       |g AS (SELECT CAST(sum(rm) AS BIGINT) AS s, count(*) AS n FROM train),
+       |g AS (SELECT CAST(sum(rm) AS BIGINT) AS s,
+       |  CAST(count(*) AS BIGINT) AS n FROM train),
        |mu AS (SELECT ${fd("s", "n")} AS mu FROM g),
        |bi AS (
        |  SELECT item_id,
-       |    ${fd("CAST(sum(rm - (SELECT mu FROM mu)) AS BIGINT)", "count(*) + 5")} AS bi,
-       |    ${fd("CAST(sum(rm) AS BIGINT)", "count(*)")} AS im
+       |    ${fd("CAST(sum(rm - (SELECT mu FROM mu)) AS BIGINT)",
+      "CAST(count(*) AS BIGINT) + 5")} AS bi,
+       |    ${fd("CAST(sum(rm) AS BIGINT)", "CAST(count(*) AS BIGINT)")} AS im
        |  FROM train GROUP BY 1),
        |bu AS (
        |  SELECT user_id,
        |    ${fd("CAST(sum(t.rm - (SELECT mu FROM mu) - b.bi) AS BIGINT)",
-      "count(*) + 5")} AS bu
+      "CAST(count(*) AS BIGINT) + 5")} AS bu
        |  FROM train t JOIN bi b ON t.item_id = b.item_id GROUP BY 1),
        |scored AS (
        |  SELECT t.rm,
@@ -3483,21 +3615,19 @@ object Recommend {
        |    coalesce(b.im, (SELECT mu FROM mu)) AS p_im
        |  FROM test t LEFT JOIN bi b ON t.item_id = b.item_id
        |  LEFT JOIN bu u ON t.user_id = u.user_id)
-       |SELECT (SELECT n FROM g) AS n_train, count(*) AS n_test,
-       |  CAST(sum(CAST((rm - p_im) * (rm - p_im) AS DECIMAL(38,0)))
-       |    AS DECIMAL(38,0)) AS sse_itemmean,
-       |  CAST(sum(CAST((rm - p_item) * (rm - p_item) AS DECIMAL(38,0)))
-       |    AS DECIMAL(38,0)) AS sse_item,
-       |  CAST(sum(CAST((rm - p_full) * (rm - p_full) AS DECIMAL(38,0)))
-       |    AS DECIMAL(38,0)) AS sse_full,
-       |  CAST(CAST(sum(CAST((rm - p_item) * (rm - p_item) AS DECIMAL(38,0)))
-       |    AS HUGEINT) // count(*) AS BIGINT) AS mse_item_micro2,
-       |  CAST(sum(CAST((rm - p_item) * (rm - p_item) AS DECIMAL(38,0))) <=
-       |    sum(CAST((rm - p_im) * (rm - p_im) AS DECIMAL(38,0))) AS BOOLEAN)
+       |SELECT CAST((SELECT n FROM g) AS BIGINT) AS n_train,
+       |  CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(sum(${sq("p_im")}) AS DECIMAL(38,0)) AS sse_itemmean,
+       |  CAST(sum(${sq("p_item")}) AS DECIMAL(38,0)) AS sse_item,
+       |  CAST(sum(${sq("p_full")}) AS DECIMAL(38,0)) AS sse_full,
+       |  CAST(CAST(sum(${sq("p_item")}) AS HUGEINT)
+       |    // CAST(count(*) AS HUGEINT) AS BIGINT) AS mse_item_micro2,
+       |  CAST(CAST(sum(${sq("p_item")}) AS DECIMAL(38,0)) <=
+       |    CAST(sum(${sq("p_im")}) AS DECIMAL(38,0)) AS BOOLEAN)
        |    AS shrinkage_wins,
-       |  CAST(sum(CAST((rm - p_full) * (rm - p_full) AS DECIMAL(38,0))) <=
-       |    sum(CAST((rm - p_item) * (rm - p_item) AS DECIMAL(38,0)))
-       |    AS BOOLEAN) AS user_term_wins
+       |  CAST(CAST(sum(${sq("p_full")}) AS DECIMAL(38,0)) <=
+       |    CAST(sum(${sq("p_item")}) AS DECIMAL(38,0)) AS BOOLEAN)
+       |    AS user_term_wins
        |FROM scored""".stripMargin
   }
 
@@ -3570,6 +3700,7 @@ object Recommend {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r50_cohort_ltv" -> (r50 _),
     "r49_bias_baseline" -> (r49 _),
+    "r51_item_foldin" -> (r51 _),
     "r48_als_foldin" -> (r48 _),
     "r47_slope_one" -> (r47 _),
     "r46_wilson_ci" -> (r46 _),
@@ -3622,6 +3753,7 @@ object Recommend {
   val oracles: Map[String, String] = Map(
     "r50_cohort_ltv" -> r50Sql,
     "r49_bias_baseline" -> r49Sql,
+    "r51_item_foldin" -> r51Sql,
     "r48_als_foldin" -> r48Sql,
     "r47_slope_one" -> r47Sql,
     "r46_wilson_ci" -> r46Sql,

@@ -1918,10 +1918,15 @@ object Similarity {
          |    FROM ${p}p$r pp JOIN $eRel a ON a.vec_id = pp.node
          |    JOIN $eRel b ON b.vec_id = pp.cand) WHERE rn <= 8)""".stripMargin
     }.mkString(",\n")
+    // seed hash mixes the NODE id with j (api.Ann.knnGraph parity):
+    // j alone would seed every node with one shared circulant offset
+    // set; explicit VARCHAR casts keep the concat version-stable
+    val seedH = graft.functions.Hashing.sqlHash56(
+      "'s20seed#' || CAST(a.vec_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)")
     s"""${p}nc AS (SELECT count(*) AS n FROM $eRel),
        |${p}g0 AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS node,
-       |    (a.vec_id + (${graft.functions.Hashing.sqlHash56("'s20seed#' || j")}
+       |    (a.vec_id + ($seedH
        |      % (${p}nc.n - 1)) + 1) % ${p}nc.n AS nbr
        |  FROM $eRel a CROSS JOIN (SELECT unnest(range(1, 9)) AS j)
        |  CROSS JOIN ${p}nc),
@@ -2118,6 +2123,15 @@ object Similarity {
   def s22(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_s22_").toString
+    // temp dir holds ~5 corpus-sized copies; the delete lives in
+    // finally (e44's discipline) so a mid-query failure can't leak it
+    // — a bench round calls this op 4+ times and leaked copies are
+    // exactly the disk-pressure class Memo.clearAll fights
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    try {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = e.filter(col("vec_id") < 10)
@@ -2160,20 +2174,14 @@ object Similarity {
     val nFilesAfter = new java.io.File(s"$dir/compacted")
       .listFiles().count(_.getName.endsWith(".parquet"))
     // both served lists are checkpoint-pinned above — the segment
-    // files are dead now; a bench round calls this op 4+ times and
-    // leaking ~5 corpus copies per call is exactly the disk-pressure
-    // class Memo.clearAll fights
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(dir))
+    // files are dead once the finally fires
     after
       .withColumn("compaction_preserves_serve", lit(equal))
       .withColumn("n_segments_before", lit(3))
       .withColumn("n_segments_after", lit(nFilesAfter))
       .withColumn("n_tombstoned_dropped", lit(nDropped))
       .orderBy("query_id", "rank")
+    } finally rm(new java.io.File(dir))
   }
 
   val s22Sql: String =

@@ -743,6 +743,20 @@ class RecommendSpec extends SparkSpec {
       s"solver drift: ${got.mkString(",")}")
   }
 
+  test("r51: item fold-in lands on MLlib's own next item half-step " +
+    "(6-iter replay) for every panel item, with a full notify slate") {
+    val rows = ops.Recommend.r51(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("cos_ok")),
+      "an item fold-in factor diverged from the 6-iter replay target")
+    assert(rows.forall(_.getAs[Boolean]("full_slate")))
+    // panel membership is exactly the % 89 rule over rated items
+    val expect = etl.Ratings.implicitRatings(spark, sf)
+      .select("item_id").distinct().collect()
+      .map(_.getLong(0)).filter(_ % 89 == 0).sorted
+    assert(rows.map(_.getAs[Long]("item_id")).sorted.sameElements(expect))
+  }
+
   test("r47: Slope One rational replays driver-side from raw ratings") {
     val preds = ops.Recommend.r47(spark, sf).limit(2000).collect()
     assert(preds.nonEmpty)
