@@ -65,6 +65,16 @@ object Bench {
     // driver bench's 50x phantom q40). Dropping artifacts + cached
     // frames at each boundary costs at most one rebuild per family.
     var family = ' '
+    // Memo forensics (round-8 driver host: mean≈min on exactly the
+    // memoized-artifact consumers, implying run 2 paid the build both
+    // times): count artifact builds per timed run — on a healthy host
+    // builds_r2 is ZERO (family boundaries clear BEFORE run 1) — and
+    // name the queries whose run 2 rebuilt, plus any swallowed query
+    // failures (a failed run's timing is garbage and must be visible).
+    var buildsR1 = 0
+    var buildsR2 = 0
+    val rebuiltR2 = scala.collection.mutable.ListBuffer.empty[String]
+    val errs = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (name.head != family) {
         family = name.head
@@ -72,11 +82,21 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
       }
-      val times = (1 to 2).map { _ =>
+      graft.ops.Memo.drainBuilds(): Unit // attribute builds per run below
+      val times = (1 to 2).map { run =>
         val t0 = System.nanoTime()
+        var failed = false
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        catch { case _: Throwable => failed = true }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val built = graft.ops.Memo.drainBuilds()
+        if (run == 1) buildsR1 += built.size
+        else {
+          buildsR2 += built.size
+          if (built.nonEmpty) rebuiltR2 += name.takeWhile(_ != '_')
+        }
+        if (failed) errs += s"${name.takeWhile(_ != '_')}/r$run"
+        dt
       }
       // Keys shortened to the unique query prefix ("q01_pricing_summary"
       // → "q01") and 3 decimals: r2/r3's full-name 4-decimal line
@@ -98,6 +118,11 @@ object Bench {
     val total = r3(results.map(_._2._1).sum)
     val totalMean = r3(results.map(_._2._2).sum)
     val gcJit = s""""gc_sec":${r3(gcSec - gc0)},"jit_sec":${r3(jitSec - jit0)}"""
+    def jarr(xs: Seq[String]): String =
+      xs.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val memoDiag = s""""builds_r1":$buildsR1,"builds_r2":$buildsR2,""" +
+      s""""rebuilt_r2":${jarr(rebuiltR2.distinct.toSeq)},""" +
+      s""""errs":${jarr(errs.toSeq)}"""
     // FULL per-query detail (min + mean, all queries) goes to a file the
     // round commits — the driver only captures the last 2000 bytes of
     // the run log, and the full map outgrew that window at 173 queries
@@ -105,7 +130,7 @@ object Bench {
     // plus the slowest-N lines, hard-capped under the tail window.
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""runs":2,"n_queries":${results.size},"total_mean":$totalMean,""" +
-      s"""$gcJit,"queries":${jmap(short, _._1)},""" +
+      s"""$gcJit,$memoDiag,"queries":${jmap(short, _._1)},""" +
       s""""queries_mean":${jmap(short, _._2)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
@@ -115,7 +140,7 @@ object Bench {
       val others = r3(bySlowest.drop(n).map(_._2._1).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
         s""""n_queries":${results.size},"total_mean":$totalMean,$gcJit,""" +
-        s""""queries":${jmap(kept.sortBy(_._1), _._1)},""" +
+        s"""$memoDiag,"queries":${jmap(kept.sortBy(_._1), _._1)},""" +
         s""""others_sec":$others,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }
     // 1800-byte budget: the driver's tail is 2000 bytes and sbt appends

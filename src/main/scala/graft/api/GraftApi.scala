@@ -230,8 +230,8 @@ object Recommend {
       .setImplicitPrefs(implicitPrefs).setRank(rank).setMaxIter(maxIter)
       .setRegParam(regParam).setSeed(seed)
       .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
-      .setIntermediateStorageLevel("MEMORY_ONLY")
-      .setFinalStorageLevel("MEMORY_ONLY")
+      .setIntermediateStorageLevel("MEMORY_AND_DISK")
+      .setFinalStorageLevel("MEMORY_AND_DISK")
       .fit(r)
     val recs = model.recommendForAllUsers(k + headroom)
       .select(col("__u"), explode(col("recommendations")).as("rec"))

@@ -238,16 +238,22 @@ object Recommend {
       // Block count scales with the cluster: ~1 block per 4 cores
       // (floor 4). MLlib's default 10 is tuned for mid-size clusters;
       // on small data the per-block scheduling overhead dominates
-      // (13s → 2s at sf0.1 on local[16]). In-memory intermediate
-      // storage: factor RDDs are small (users+items × rank floats).
+      // (13s → 2s at sf0.1 on local[16]). Storage MEMORY_AND_DISK,
+      // deliberately (was MEMORY_ONLY): the factor RDDs back every
+      // memoized serving query, and MEMORY_ONLY evicts-to-RECOMPUTE
+      // under host memory pressure — the memo then hits but every
+      // access silently re-runs the whole fit (the round-8
+      // driver-host mean≈min anomaly on r16/r21/r22/r13). Disk spill
+      // costs nothing while memory is fine and a re-read, not a
+      // refit, when it isn't.
       val blocks = math.max(4, s.sparkContext.defaultParallelism / 4)
       new ALS()
         .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
         .setImplicitPrefs(true).setRank(8).setMaxIter(iters).setRegParam(0.1)
         .setAlpha(1.0).setSeed(42L)
         .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
-        .setIntermediateStorageLevel("MEMORY_ONLY")
-        .setFinalStorageLevel("MEMORY_ONLY")
+        .setIntermediateStorageLevel("MEMORY_AND_DISK")
+        .setFinalStorageLevel("MEMORY_AND_DISK")
         .fit(ratings)
     })
 
@@ -664,8 +670,8 @@ object Recommend {
       .setImplicitPrefs(false).setRank(8).setMaxIter(10).setRegParam(0.05)
       .setSeed(42L)
       .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
-      .setIntermediateStorageLevel("MEMORY_ONLY")
-      .setFinalStorageLevel("MEMORY_ONLY")
+      .setIntermediateStorageLevel("MEMORY_AND_DISK")
+      .setFinalStorageLevel("MEMORY_AND_DISK")
       .setColdStartStrategy("drop")
       .fit(train)
     val nTrain = train.count() // also materializes the split cache
@@ -827,8 +833,8 @@ object Recommend {
           .setImplicitPrefs(false).setRank(rank).setMaxIter(5).setRegParam(reg)
           .setSeed(42L)
           .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
-          .setIntermediateStorageLevel("MEMORY_ONLY")
-          .setFinalStorageLevel("MEMORY_ONLY")
+          .setIntermediateStorageLevel("MEMORY_AND_DISK")
+          .setFinalStorageLevel("MEMORY_AND_DISK")
           .setColdStartStrategy("drop")
           .fit(train)
         val rmse = model.transform(test)
