@@ -456,3 +456,184 @@ object Curation {
       .toDF("stage", "n_docs")
   }
 }
+
+/** Training-data mixture kernels on any (id, domain[, tokens]) frame —
+  * the schema-parameterized forms of the gated p03/p04/p09 mixers.
+  * All selection math is exact integer arithmetic: targets are floor
+  * divisions of corpus totals, pick order is the deterministic hash
+  * of (seed, id), and a run is reproducible on any cluster layout. */
+object Mix {
+
+  private def pctCol(domain: String, pctByDomain: Map[String, Int],
+      defaultPct: Int): Column =
+    pctByDomain.foldLeft(when(lit(false), 0)) { case (acc, (dom, p)) =>
+      acc.when(col(domain) === dom, p)
+    }.otherwise(defaultPct)
+
+  /** Document-count mixture (the p03 kernel): per domain, take the
+    * first `tot·pct div 100` rows under hash-of-id pick order. Returns
+    * the input rows + (pct, n_target, taken) so callers filter or
+    * audit; one domain-keyed shuffle plus a broadcast total.
+    * Percentages need not sum to 100 — each domain's target is
+    * independent (over-asked domains saturate at their size). */
+  def byDocCount(df: DataFrame, id: String, domain: String,
+      pctByDomain: Map[String, Int], defaultPct: Int = 0,
+      seed: String = "mix"): DataFrame = {
+    val tot = df.agg(count(lit(1)).as("__tot"))
+    val w = Window.partitionBy(domain)
+      .orderBy(col("__hkey"), col(id))
+    df.crossJoin(broadcast(tot))
+      .withColumn("pct", pctCol(domain, pctByDomain, defaultPct))
+      .withColumn("n_target", expr("(__tot * pct) div 100"))
+      .withColumn("__hkey",
+        Hashing.hash56(concat_ws("#", lit(seed), col(id).cast("string"))))
+      .withColumn("taken", row_number().over(w) <= col("n_target"))
+      .drop("__tot", "__hkey")
+  }
+
+  /** Token-budget mixture (the p04 kernel): a training mix is
+    * specified in TOKENS, so each domain's budget is
+    * `tot_tokens·pct div 100` and a row is taken iff its whole-prefix
+    * cumulative token count fits the budget under hash pick order —
+    * the deterministic prefix rule, no fractional documents. Returns
+    * input rows + (pct, budget, cum_tokens, taken). */
+  def byTokenBudget(df: DataFrame, id: String, domain: String,
+      tokens: String, pctByDomain: Map[String, Int], defaultPct: Int = 0,
+      seed: String = "tokmix"): DataFrame = {
+    val tot = df.agg(sum(col(tokens).cast("long")).as("__tot_tok"))
+    val w = Window.partitionBy(domain)
+      .orderBy(col("__hkey"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.crossJoin(broadcast(tot))
+      .withColumn("pct", pctCol(domain, pctByDomain, defaultPct))
+      .withColumn("budget", expr("(__tot_tok * pct) div 100"))
+      .withColumn("__hkey",
+        Hashing.hash56(concat_ws("#", lit(seed), col(id).cast("string"))))
+      .withColumn("cum_tokens", sum(col(tokens).cast("long")).over(w))
+      .withColumn("taken", col("cum_tokens") <= col("budget"))
+      .drop("__tot_tok", "__hkey")
+  }
+
+  /** Temperature-scaled domain weights (the p09 kernel, the
+    * multilingual-sampling rule): w_d ∝ share_d^tau with tau < 1
+    * flattening head domains. Domain-grain rollup: (domain, n_rows,
+    * n_tokens, share_ppm, w6, w_ppm, target_tokens); the only
+    * floats are the tau power rounded at 6dp and its normalization —
+    * shares, weights and targets re-enter integer ppm space
+    * immediately. One domain-keyed agg; everything after runs on the
+    * domain-grain rollup (bounded by the domain count, not data). */
+  def temperature(df: DataFrame, domain: String, tokens: String,
+      tau: Double = 0.3): DataFrame = {
+    val dom = df.groupBy(domain)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(tokens).cast("long")).as("n_tokens"))
+      .localCheckpoint()
+    val tot = dom.agg(sum(col("n_tokens")).as("__tot_tok"))
+    val w = dom.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(1000000 * n_tokens) div __tot_tok"))
+      .withColumn("w6",
+        round(pow(col("n_tokens").cast("double") / col("__tot_tok"),
+          lit(tau)), 6))
+    val ws = w.agg(sum(col("w6").cast("decimal(20,6)")).as("__wsum"))
+    w.crossJoin(broadcast(ws))
+      .withColumn("w_ppm",
+        round(lit(1000000.0) * col("w6") / col("__wsum").cast("double"), 0)
+          .cast("long"))
+      .select(col(domain), col("n_rows"), col("n_tokens"), col("share_ppm"),
+        col("w6"), col("w_ppm"),
+        expr("(__tot_tok * w_ppm) div 1000000").as("target_tokens"))
+      .orderBy(domain)
+  }
+}
+
+/** Ranking-quality evaluation on any (recs, truth) frame pair — the
+  * schema-parameterized forms of the gated r12/r17/r20 metrics. recs
+  * carries (user, item, rank) with rank 1-based and ≤ k per user;
+  * truth carries the held-out (user, item) relevance set. All three
+  * accumulate in exact fixed point (the DCG table and the AP lcm
+  * scaling) so a metric is bit-identical on any engine; only the
+  * final human-facing ratio divides. */
+object Eval {
+
+  /** Corpus-level precision@k (the r12 kernel): one row —
+    * (n_users, n_recs, n_hits, precision_at_k). Hits via one
+    * left-semi join on (user, item). */
+  def precisionAtK(recs: DataFrame, truth: DataFrame, user: String,
+      item: String): DataFrame = {
+    val t = truth.select(col(user), col(item)).distinct()
+    val hits = recs.join(t, Seq(user, item), "left_semi")
+    recs.agg(countDistinct(col(user)).as("n_users"),
+        count(lit(1)).as("n_recs"))
+      .join(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_users"), col("n_recs"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_recs"))
+          .as("precision_at_k"))
+  }
+
+  /** 1e10-fixed-point DCG gain table: gain(rank i) = 1e10/log2(i+1),
+    * rounded once driver-side — the same long for every engine. */
+  private def gainTable(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e10 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Per-user NDCG@k (the r17 kernel): binary relevance, fixed-point
+    * DCG (driver-computed gain table — no per-row transcendentals to
+    * tie cross-engine), ideal DCG from min(n_rel, k). Output:
+    * (user, n_rel, dcg_fp, ndcg_at_k). */
+  def ndcgAtK(recs: DataFrame, truth: DataFrame, user: String,
+      item: String, rank: String = "rank", k: Int = 5): DataFrame = {
+    val gains = gainTable(k)
+    val cum = gains.scanLeft(0L)(_ + _).tail
+    val rel = truth.select(col(user), col(item)).distinct()
+    val gainExpr = gains.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (g, i)) => when(col(rank) === i + 1, lit(g)).otherwise(acc)
+    }
+    val idcgExpr = cum.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (c, i)) =>
+        when(least(col("n_rel"), lit(k)) === i + 1, lit(c)).otherwise(acc)
+    }
+    val dcg = recs.join(rel, Seq(user, item), "left_semi")
+      .groupBy(user).agg(sum(gainExpr).as("dcg_fp"))
+    rel.groupBy(user).agg(count(lit(1)).as("n_rel"))
+      .join(dcg, Seq(user), "left")
+      .select(col(user), col("n_rel"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+        round(coalesce(col("dcg_fp"), lit(0L)).cast("double") / idcgExpr, 6)
+          .as("ndcg_at_k"))
+      .orderBy(user)
+  }
+
+  /** Per-user MAP@k and recall@k (the r20 kernel): AP accumulates
+    * lcm(1..k)·cum_hits/rank — exact integers for every hit rank, no
+    * float sum order to diverge. Output: (user, n_rel, n_hits, ap_fp,
+    * ap_at_k, recall_at_k); ap_fp is the lcm-scaled fixed point. */
+  def mapRecallAtK(recs: DataFrame, truth: DataFrame, user: String,
+      item: String, rank: String = "rank", k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 40,
+      s"k=$k out of range (lcm(1..k)·k must fit a long)")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val rel = truth.select(col(user), col(item)).distinct()
+    val wCum = Window.partitionBy(user).orderBy(rank)
+    val flagged = recs.join(rel.withColumn("__hit", lit(1L)),
+        Seq(user, item), "left")
+      .withColumn("__hit", coalesce(col("__hit"), lit(0L)))
+      .withColumn("__cum", sum(col("__hit")).over(wCum))
+    // rank ≤ k always divides lcm(1..k), so (lcm div rank)·cum is the
+    // exact integer lcm·(cum/rank) — no float division to lose bits
+    // once lcm outgrows double precision
+    val ap = flagged.filter(col("__hit") === 1)
+      .groupBy(user)
+      .agg(sum(expr(s"($lcm div `$rank`) * __cum")).as("ap_fp"),
+        count(lit(1)).as("n_hits"))
+    rel.groupBy(user).agg(count(lit(1)).as("n_rel"))
+      .join(ap, Seq(user), "left")
+      .select(col(user), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("ap_fp"), lit(0L)).as("ap_fp"),
+        round(coalesce(col("ap_fp"), lit(0L)).cast("double") /
+          (lit(lcm) * least(col("n_rel"), lit(k))), 6).as("ap_at_k"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_rel"), 6).as("recall_at_k"))
+      .orderBy(user)
+  }
+}

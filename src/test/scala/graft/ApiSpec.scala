@@ -216,4 +216,101 @@ class ApiSpec extends SparkSpec {
     assert(surv.size.toLong == counts("d_near_dedup"))
     assert(!surv.contains(104L) && surv.contains(101L))
   }
+  test("api.Mix.byDocCount takes exactly the hash-prefix per domain") {
+    // 12 rows over 3 domains with a user schema
+    val rows = (1L to 12L).map(i =>
+      (i, if (i <= 6) "web" else if (i <= 10) "code" else "law"))
+    val df = spark.createDataFrame(rows).toDF("rec_id", "corpus")
+    val out = api.Mix.byDocCount(df, "rec_id", "corpus",
+      Map("web" -> 50, "code" -> 25), defaultPct = 100).collect()
+    assert(out.length == 12)
+    val byDom = out.groupBy(_.getAs[String]("corpus"))
+    // n_target = floor(12 * pct / 100): web 6, code 3, law(default) 12
+    assert(byDom("web").count(_.getAs[Boolean]("taken")) == 6)
+    assert(byDom("code").count(_.getAs[Boolean]("taken")) == 3)
+    // over-asked domain saturates at its own size
+    assert(byDom("law").count(_.getAs[Boolean]("taken")) == 2)
+    // replay the pick order driver-side: taken = lowest hash-of-id ranks
+    // (hash56 = first 14 md5 hex chars as a long — Hashing.scala contract)
+    def h56(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14),
+      16)
+    val codeTaken = byDom("code").filter(_.getAs[Boolean]("taken"))
+      .map(_.getAs[Long]("rec_id")).toSet
+    val expect = byDom("code").map(_.getAs[Long]("rec_id"))
+      .sortBy(i => (h56(s"mix#$i"), i)).take(3).toSet
+    assert(codeTaken == expect, s"pick order diverged: $codeTaken vs $expect")
+  }
+
+  test("api.Mix.byTokenBudget applies the whole-prefix rule exactly") {
+    val rows = Seq((1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L),
+      (4L, "b", 50L), (5L, "b", 50L))
+    val df = spark.createDataFrame(rows).toDF("rec_id", "corpus", "tok")
+    val out = api.Mix.byTokenBudget(df, "rec_id", "corpus", "tok",
+      Map("a" -> 50, "b" -> 100)).collect()
+    // total 400 tokens: a's budget 200 → exactly 2 of 3 docs fit;
+    // b's budget 400 → both fit
+    assert(out.filter(_.getAs[String]("corpus") == "a")
+      .count(_.getAs[Boolean]("taken")) == 2)
+    assert(out.filter(_.getAs[String]("corpus") == "b")
+      .count(_.getAs[Boolean]("taken")) == 2)
+    // cum_tokens of every taken row is <= budget; first dropped row is
+    // the first prefix overflow, never a later smaller doc (prefix rule)
+    out.filter(_.getAs[Boolean]("taken")).foreach(r =>
+      assert(r.getAs[Long]("cum_tokens") <= r.getAs[Long]("budget")))
+  }
+
+  test("api.Mix.temperature flattens head domains and conserves ppm") {
+    val rows = (1L to 90L).map(i => (i, "head", 100L)) ++
+      (1L to 10L).map(i => (i + 1000L, "tail", 100L))
+    val df = spark.createDataFrame(rows).toDF("rec_id", "corpus", "tok")
+    val out = api.Mix.temperature(df, "corpus", "tok", tau = 0.3)
+      .collect().map(r => r.getAs[String]("corpus") -> r).toMap
+    assert(out("head").getAs[Long]("share_ppm") == 900000L)
+    assert(out("tail").getAs[Long]("share_ppm") == 100000L)
+    val (wh, wt) = (out("head").getAs[Long]("w_ppm"),
+      out("tail").getAs[Long]("w_ppm"))
+    // tau < 1 flattens: head keeps the majority but far below its share
+    assert(wh > wt && wh < 700000L && wt > 300000L,
+      s"tau=0.3 weights off: head=$wh tail=$wt")
+    assert(math.abs(wh + wt - 1000000L) <= 1, "weights must sum to ~1e6")
+  }
+
+  test("api.Eval metrics replay driver-side on a planted slate") {
+    // two users, k=5 slates with known hits at known ranks
+    val recs = spark.createDataFrame(Seq(
+      (7L, 301L, 1), (7L, 302L, 2), (7L, 303L, 3), (7L, 304L, 4), (7L, 305L, 5),
+      (8L, 311L, 1), (8L, 312L, 2), (8L, 313L, 3), (8L, 314L, 4), (8L, 315L, 5)
+    )).toDF("member", "product", "pos")
+    // user 7: hits at ranks 1 and 3 (2 relevant total); user 8: no hits,
+    // 4 relevant
+    val truth = spark.createDataFrame(Seq(
+      (7L, 301L), (7L, 303L),
+      (8L, 401L), (8L, 402L), (8L, 403L), (8L, 404L)
+    )).toDF("member", "product")
+    val p = api.Eval.precisionAtK(recs, truth, "member", "product").head()
+    assert(p.getAs[Long]("n_users") == 2 && p.getAs[Long]("n_recs") == 10)
+    assert(p.getAs[Long]("n_hits") == 2)
+    assert(p.getAs[Double]("precision_at_k") == 0.2)
+    val nd = api.Eval.ndcgAtK(recs, truth, "member", "product", "pos")
+      .collect().map(r => r.getAs[Long]("member") -> r).toMap
+    // user 7: dcg = g1 + g3, idcg = g1 + g2 (n_rel = 2)
+    val g = (1 to 5).map(i =>
+      math.round(1e10 / (math.log(i + 1.0) / math.log(2.0))))
+    assert(nd(7L).getAs[Long]("dcg_fp") == g(0) + g(2))
+    val expect7 = BigDecimal((g(0) + g(2)).toDouble / (g(0) + g(1)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(nd(7L).getAs[Double]("ndcg_at_k") == expect7)
+    assert(nd(8L).getAs[Double]("ndcg_at_k") == 0.0)
+    val mr = api.Eval.mapRecallAtK(recs, truth, "member", "product", "pos")
+      .collect().map(r => r.getAs[Long]("member") -> r).toMap
+    // user 7: AP hits: rank1 cum1 -> 60*1/1=60; rank3 cum2 -> 60*2/3=40
+    assert(mr(7L).getAs[Long]("ap_fp") == 100L)
+    // ap_at_k = 100 / (60 * min(2,5)) = 0.833333
+    assert(mr(7L).getAs[Double]("ap_at_k") == 0.833333)
+    assert(mr(7L).getAs[Double]("recall_at_k") == 1.0)
+    assert(mr(8L).getAs[Long]("n_hits") == 0L)
+    assert(mr(8L).getAs[Double]("recall_at_k") == 0.0)
+  }
 }
