@@ -2327,7 +2327,212 @@ object Similarity {
        |ORDER BY kind, node, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // s24: HNSW LAYER HIERARCHY over the s20 graph (the missing
+  // navigability story — s20/s23's single-layer NSW serves correctly
+  // but finds its ENTRY points by scanning a fixed 1-in-50 stratum of
+  // the corpus: O(N/50) per query, still linear at 10⁹ vectors. HNSW's
+  // answer is a skip list of graphs: geometrically sparser upper
+  // layers, entry at the top, greedy-beam DESCENT to the serving
+  // layer — hop counts logarithmic in N). Layers here are
+  // deterministic geometric strata (L1 = id%50, L2 = id%250 — L1
+  // deliberately IS s20's entry stratum, which is what lets the gate
+  // demand EXACT serve equality rather than recall-overlap: if the
+  // descent's top-3 of L1 equals the flat serve's full-stratum-scan
+  // top-3, every downstream step — 2-hop expansion over the SAME
+  // layer-0 graph, 4dp-cosine top-5 — is the identical deterministic
+  // computation). Each layer's graph is the same NN-descent build
+  // (api.Ann.knnGraph on the densified stratum — the s23 insert rule
+  // applies per layer unchanged). The oracle REPLAYS the whole
+  // pipeline in SQL — layer strata, both NN-descent builds, the
+  // unrolled beam descent, both serves — so every output is a
+  // MEASURED value hash-compared across engines, never a pinned
+  // boolean: the served top-5 rows themselves, the per-query visited
+  // count (the descent's honest cost ledger), and matches_flat
+  // (hier == flat serve, rank-exact; TRUE 100/100 at the gated sf —
+  // at 4x corpus on these unstructured synthetic vectors the greedy
+  // descent lands 61/100, the classic ef-tunable recall tradeoff,
+  // reported rather than asserted). OpsSpec pins the strict
+  // fewer-visits inequality where the stratum outgrows the beam.
+  // Scale: descent cost is |L2| + beam·degree·rounds, INDEPENDENT of
+  // N; every join keys on the candidate/node id.
+  private[graft] def hnswServe(e0: DataFrame, probeMax: Int, l1Mod: Int,
+      l2Mod: Int, beam: Int, rounds: Int): DataFrame = {
+    val e = e0.select(col("vec_id"), col("v")).localCheckpoint()
+    val flat = graft.api.Ann.knnGraph(e, "vec_id", "v", degree = 8,
+      rounds = 2).localCheckpoint()
+    val l1 = e.filter(col("vec_id") % l1Mod === 0).localCheckpoint()
+    val nL1 = l1.count()
+    val nL2 = e.filter(col("vec_id") % l2Mod === 0).count()
+    // densify the stratum for knnGraph's [0, N) id contract; the
+    // Window.orderBy is global but runs on the STRATUM (N/l1Mod rows)
+    val dmap = l1.select(col("vec_id"))
+      .withColumn("did",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+      .localCheckpoint()
+    val g1 = graft.api.Ann.knnGraph(
+        l1.join(dmap, "vec_id").select(col("did").as("vec_id"), col("v")),
+        "vec_id", "v", degree = 8, rounds = 2)
+      .join(dmap.select(col("did").as("node"), col("vec_id").as("n1")), "node")
+      .join(dmap.select(col("did").as("nbr"), col("vec_id").as("n2")), "nbr")
+      .select(col("n1").as("node"), col("n2").as("nbr"))
+      .localCheckpoint()
+    val probes = e.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+      .localCheckpoint()
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(e.select(col("vec_id").as("cand"), col("v").as("vb")), "cand")
+      .join(probes, "query_id")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .select("query_id", "cand", "cos")
+    def topN(sc: DataFrame, n: Int): DataFrame = sc
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("cand"))))
+      .filter(col("rn") <= n).select("query_id", "cand")
+    // DESCENT: score the whole top layer (|L2| rows), then `rounds`
+    // greedy-beam expansions over the L1 graph; `visited` is every
+    // node the descent ever scored — the honest cost ledger.
+    val top = e.filter(col("vec_id") % l2Mod === 0)
+      .select(col("vec_id").as("cand"))
+      .crossJoin(probes.select("query_id"))
+    var visited = scored(top).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // distinct BEFORE except, and set-semantics except: a candidate
+      // reached over 3 edges minus 1 visited copy would survive
+      // exceptAll with multiplicity 2 and duplicate the visited ledger
+      // (which then hands the beam a top-3 containing a repeat — only
+      // 2 real entry points, desyncing the flat-serve comparison)
+      val exp = topN(visited, beam)
+        .join(g1, col("cand") === col("node"))
+        .select(col("query_id"), col("nbr").as("cand"))
+        .distinct()
+        .except(visited.select("query_id", "cand"))
+      visited = visited.unionByName(scored(exp)).localCheckpoint()
+    }
+    val visitedN = visited.groupBy("query_id")
+      .agg(count(lit(1)).as("n_visited"))
+    // both serves share the layer-0 graph and the s20 downstream:
+    // seed top-3 → 2 hops → 4dp-cosine top-5
+    def serve(seed: DataFrame): DataFrame = {
+      val hop1 = seed.join(flat, seed("cand") === flat("node"))
+        .select(col("query_id"), col("nbr").as("cand"))
+      val hop2 = hop1.join(flat, hop1("cand") === flat("node"))
+        .select(col("query_id"), col("nbr").as("cand"))
+      val cands = seed.union(hop1).union(hop2)
+        .filter(col("query_id") =!= col("cand")).distinct()
+      scored(cands)
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("cand"))))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "cand", "cos")
+    }
+    val hier = serve(topN(visited, 3)).localCheckpoint()
+    val flatSeed = topN(
+      scored(l1.select(col("vec_id").as("cand"))
+        .crossJoin(probes.select("query_id"))), 3)
+    val flatServe = serve(flatSeed).localCheckpoint()
+    // both serves always emit exactly 5 ranks per query, so the
+    // (query_id, rank) join is total; any nn disagreement counts
+    val mism = hier.select(col("query_id"), col("rank"), col("cand").as("h"))
+      .join(flatServe.select(col("query_id"), col("rank"),
+        col("cand").as("f")), Seq("query_id", "rank"))
+      .groupBy("query_id")
+      .agg(count(when(col("h") =!= col("f"), lit(1))).as("n_mism"))
+    hier.join(visitedN, "query_id").join(mism, "query_id")
+      .select(col("query_id"), col("rank"), col("cand").as("nn_id"),
+        col("cos"), col("n_visited"),
+        (col("n_mism") === 0).as("matches_flat"),
+        lit(nL1).as("n_l1"), lit(nL2).as("n_l2"))
+      .orderBy("query_id", "rank")
+  }
+
+  def s24(s: SparkSession, d: String): DataFrame =
+    hnswServe(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      probeMax = 100, l1Mod = 50, l2Mod = 250, beam = 3, rounds = 2)
+
+  val s24Sql: String = {
+    val cos4 = s"round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4)"
+    // the unrolled beam descent: v0 scores the whole top layer, each
+    // round expands the running top-`beam` of visited through the L1
+    // graph (distinct, minus already-visited) and scores the arrivals
+    val descent = (1 to 2).map { r =>
+      s"""f$r AS (SELECT query_id, cand FROM (
+         |  SELECT query_id, cand, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand) AS rn FROM v${r - 1}) WHERE rn <= 3),
+         |x$r AS (SELECT DISTINCT f.query_id, g.nbr AS cand
+         |  FROM f$r f JOIN l1g g ON g.node = f.cand
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
+         |    WHERE v.query_id = f.query_id AND v.cand = g.nbr)),
+         |v$r AS MATERIALIZED (
+         |  SELECT * FROM v${r - 1}
+         |  UNION ALL
+         |  SELECT x.query_id, x.cand, $cos4 AS cos
+         |  FROM x$r x JOIN e a ON a.vec_id = x.query_id
+         |  JOIN e b ON b.vec_id = x.cand)""".stripMargin
+    }.mkString(",\n")
+    // hop1 → hop2 → top-5, shared by both serves
+    def sqlServe(seed: String, p: String): String =
+      s"""${p}h1 AS (SELECT s.query_id, g.nbr AS cand
+         |  FROM $seed s JOIN g2 g ON g.node = s.cand),
+         |${p}h2 AS (SELECT h.query_id, g.nbr AS cand
+         |  FROM ${p}h1 h JOIN g2 g ON g.node = h.cand),
+         |${p}cand AS (SELECT DISTINCT query_id, cand FROM (
+         |    SELECT * FROM $seed UNION ALL SELECT * FROM ${p}h1
+         |    UNION ALL SELECT * FROM ${p}h2)
+         |  WHERE query_id <> cand),
+         |${p}serve AS MATERIALIZED (
+         |  SELECT query_id, rank, cand AS nn_id, cos FROM (
+         |    SELECT c.query_id, c.cand, $cos4 AS cos,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY $cos4 DESC, c.cand) AS rank
+         |    FROM ${p}cand c JOIN e a ON a.vec_id = c.query_id
+         |    JOIN e b ON b.vec_id = c.cand) WHERE rank <= 5)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |${sqlNnDescent("e", "", 2)},
+       |l1map AS MATERIALIZED (
+       |  SELECT vec_id AS orig, row_number() OVER (ORDER BY vec_id) - 1 AS did
+       |  FROM e WHERE vec_id % 50 = 0),
+       |l1e AS MATERIALIZED (
+       |  SELECT m.did AS vec_id, e.v FROM e JOIN l1map m ON m.orig = e.vec_id),
+       |${sqlNnDescent("l1e", "l1", 2)},
+       |l1g AS MATERIALIZED (
+       |  SELECT ma.orig AS node, mb.orig AS nbr FROM l1g2 g
+       |  JOIN l1map ma ON ma.did = g.node
+       |  JOIN l1map mb ON mb.did = g.nbr),
+       |probes AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 100),
+       |v0 AS MATERIALIZED (
+       |  SELECT p.query_id, b.vec_id AS cand, $cos4 AS cos
+       |  FROM probes p JOIN e a ON a.vec_id = p.query_id
+       |  JOIN e b ON b.vec_id % 250 = 0),
+       |$descent,
+       |hseed AS (SELECT query_id, cand FROM (
+       |  SELECT query_id, cand, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, cand) AS rn FROM v2) WHERE rn <= 3),
+       |fseed AS (SELECT query_id, cand FROM (
+       |  SELECT p.query_id, b.vec_id AS cand,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY $cos4 DESC, b.vec_id) AS rn
+       |  FROM probes p JOIN e a ON a.vec_id = p.query_id
+       |  JOIN e b ON b.vec_id % 50 = 0) WHERE rn <= 3),
+       |${sqlServe("hseed", "h")},
+       |${sqlServe("fseed", "f")},
+       |vis AS (SELECT query_id, count(*) AS n_visited FROM v2 GROUP BY 1),
+       |mism AS (
+       |  SELECT h.query_id,
+       |    count(CASE WHEN h.nn_id <> f.nn_id THEN 1 END) AS n_mism
+       |  FROM hserve h JOIN fserve f USING (query_id, rank) GROUP BY 1)
+       |SELECT h.query_id, h.rank, h.nn_id, h.cos, vis.n_visited,
+       |  (mism.n_mism = 0) AS matches_flat,
+       |  (SELECT count(*) FROM e WHERE vec_id % 50 = 0) AS n_l1,
+       |  (SELECT count(*) FROM e WHERE vec_id % 250 = 0) AS n_l2
+       |FROM hserve h JOIN vis USING (query_id) JOIN mism USING (query_id)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_hnsw_layers" -> (s24 _),
     "s23_graph_append" -> (s23 _),
     "s22_segment_compact" -> (s22 _),
     "s21_pq_residual" -> (s21 _),
@@ -2353,6 +2558,7 @@ object Similarity {
     "s10_knn_rerank" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
+    "s24_hnsw_layers" -> s24Sql,
     "s23_graph_append" -> s23Sql,
     "s22_segment_compact" -> s22Sql,
     "s21_pq_residual" -> s21Sql,

@@ -2326,6 +2326,39 @@ class OpsSpec extends SparkSpec {
       f"graph lift ${recall / candFrac}%.2f <= 1.2 — traversal no better than random")
   }
 
+  test("s24: the layered descent matches the flat serve on the test " +
+    "corpus and visits strictly fewer nodes once the stratum outgrows the beam") {
+    import org.apache.spark.sql.functions._
+    // gated corpus: L1 = 10 nodes, descent trivially covers it — the
+    // serve must be rank-exact vs the flat stratum scan everywhere
+    val rows = ops.Similarity.s24(spark, sf).collect()
+    assert(rows.length == 500, "100 probes x 5 ranks expected")
+    assert(rows.forall(_.getAs[Boolean]("matches_flat")),
+      "layered serve diverged from the flat serve on the gated corpus")
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+    }
+    // scale story: 1200 deterministic synthetic vectors, stratum 120 —
+    // the descent's cost ledger must beat the flat scan for EVERY query
+    // (structural bound: |L2| + rounds·beam·degree = 12+48 = 60 < 120)
+    val syn = spark.range(0, 1200)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), j -> sin(id * 0.7 + j * 1.3))")
+          .as("v"))
+    val srows = ops.Similarity.hnswServe(syn, probeMax = 20,
+      l1Mod = 10, l2Mod = 100, beam = 3, rounds = 2).collect()
+    assert(srows.nonEmpty)
+    srows.foreach { r =>
+      assert(r.getAs[Long]("n_l1") == 120 && r.getAs[Long]("n_l2") == 12)
+      assert(r.getAs[Long]("n_visited") >= 12,
+        "descent skipped part of the top layer")
+      assert(r.getAs[Long]("n_visited") < 120,
+        s"descent visited ${r.getAs[Long]("n_visited")} of a 120-node " +
+          "stratum — no cheaper than the flat scan")
+      assert(r.getAs[Long]("n_visited") <= 60, "beam bound exceeded")
+    }
+  }
+
   test("m17: cut mask, counts and longest shot are mutually consistent") {
     val rows = ops.Multimodal.m17(spark, sf).collect()
     assert(rows.nonEmpty)
