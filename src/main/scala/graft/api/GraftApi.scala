@@ -544,6 +544,42 @@ object Mix {
         expr("(__tot_tok * w_ppm) div 1000000").as("target_tokens"))
       .orderBy(domain)
   }
+
+  /** Water-filling token allocation (the p10 kernel): a total budget
+    * of `budgetPct`% of corpus tokens is split by the pct map, but a
+    * domain can never be allocated more than it HAS — saturated
+    * domains return their leftover, which is redistributed once,
+    * proportionally to the unsaturated pcts (one redistribution pass,
+    * the p10 contract; fully-iterative filling converges in ≤|domains|
+    * passes and this first pass covers the common one-scarce-domain
+    * case). All integer floor arithmetic. Output at domain grain:
+    * (domain, supply, pct, budget, alloc1, final_alloc, saturated). */
+  def waterFill(df: DataFrame, domain: String, tokens: String,
+      pctByDomain: Map[String, Int], defaultPct: Int = 0,
+      budgetPct: Int = 60): DataFrame = {
+    val dom = df.groupBy(domain)
+      .agg(sum(col(tokens).cast("long")).as("supply"))
+      .localCheckpoint()
+    val tot = dom.agg(sum(col("supply")).as("__tot"))
+    val base = dom.crossJoin(broadcast(tot))
+      .withColumn("pct", pctCol(domain, pctByDomain, defaultPct).cast("long"))
+      .withColumn("budget", expr(s"(__tot * $budgetPct) div 100"))
+      .withColumn("alloc1",
+        least(col("supply"), expr("(budget * pct) div 100")))
+    val l1 = base.agg(sum(col("alloc1")).as("__given1"),
+      sum(when(col("alloc1") < col("supply"), col("pct")).otherwise(lit(0L)))
+        .as("__pct_unsat"))
+    base.crossJoin(broadcast(l1))
+      .withColumn("__leftover", col("budget") - col("__given1"))
+      .withColumn("final_alloc", least(col("supply"),
+        col("alloc1") + when(col("alloc1") < col("supply") &&
+            col("__pct_unsat") > 0,
+          expr("(__leftover * pct) div __pct_unsat")).otherwise(lit(0L))))
+      .select(col(domain), col("supply"), col("pct"), col("budget"),
+        col("alloc1"), col("final_alloc"),
+        (col("final_alloc") === col("supply")).as("saturated"))
+      .orderBy(domain)
+  }
 }
 
 /** Ranking-quality evaluation on any (recs, truth) frame pair — the
@@ -635,5 +671,60 @@ object Eval {
         round(coalesce(col("n_hits"), lit(0L)).cast("double") /
           col("n_rel"), 6).as("recall_at_k"))
       .orderBy(user)
+  }
+}
+
+/** BM25 ranking on any (id, text) frame for a caller-supplied query —
+  * the schema-parameterized form of the gated t36 kernel. */
+object Search {
+
+  /** Okapi BM25 over the engine tokenizer: idf = ln((N−df+0.5)/
+    * (df+0.5)+1), contribution = idf·tf·(k1+1)/(tf + k1·(1−b +
+    * b·dl/avgdl)). Both idf and per-term contributions round at 6dp
+    * into DECIMAL(18,6) before summing (the t36 engine-parity
+    * discipline: sums of rounded decimals are exact; a raw double sum
+    * is order-dependent). Returns (id, n_hit, score6) for documents
+    * matching ≥1 query term, best first. Scale: one corpus scan for
+    * (df, dl), the tf join is broadcast on the query terms, every agg
+    * keys on (doc, term) — nothing is O(vocabulary) per document. */
+  def bm25(df: DataFrame, id: String, text: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = TextNorm.tokens(col(text))
+    val docs = df.select(col(id), toks.as("__toks"),
+      size(toks).cast("long").as("__dl")).localCheckpoint()
+    val corpus = docs.agg(count(lit(1)).as("__n_docs"),
+      sum(col("__dl")).as("__sum_dl"))
+    val q = array(queryTerms.map(lit): _*)
+    val dfreq = docs
+      .select(col(id),
+        explode(array_intersect(array_distinct(col("__toks")), q))
+          .as("__term"))
+      .groupBy("__term").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf6",
+        round(log((col("__n_docs") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)), 6).cast("decimal(18,6)"))
+    val tf = docs
+      .select(col(id), col("__dl"),
+        explode(filter(col("__toks"), t => array_contains(q, t)))
+          .as("__term"))
+      .groupBy(col(id), col("__term"))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+      .join(broadcast(dfreq), "__term")
+    tf
+      .withColumn("__avgdl",
+        col("__sum_dl").cast("double") / col("__n_docs").cast("double"))
+      .withColumn("__contrib6",
+        round(col("__idf6").cast("double") *
+          (col("__tf").cast("double") * lit(k1 + 1.0)) /
+          (col("__tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * (col("__dl").cast("double") / col("__avgdl")))),
+          6).cast("decimal(18,6)"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_hit"), sum(col("__contrib6")).as("score6"))
+      .orderBy(col("score6").desc, col(id))
   }
 }

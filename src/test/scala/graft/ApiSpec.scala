@@ -313,4 +313,62 @@ class ApiSpec extends SparkSpec {
     assert(mr(8L).getAs[Long]("n_hits") == 0L)
     assert(mr(8L).getAs[Double]("recall_at_k") == 0.0)
   }
+  test("api.Mix.waterFill saturates scarce domains and redistributes once") {
+    // supplies: a=1000, b=1000, c=100; budget 60% of 2100 = 1260
+    // pcts a=50 b=30 c=20: alloc1 a=630 b=378 c=min(100, 252)=100 sat
+    // leftover = 1260-1108 = 152 redistributed over pct_unsat=80:
+    // a += 152*50//80 = 95 -> 725; b += 152*30//80 = 57 -> 435
+    val rows = (1 to 10).map(i => ("a", 100L)) ++
+      (1 to 10).map(i => ("b", 100L)) ++ Seq(("c", 100L))
+    val df = spark.createDataFrame(rows).toDF("corpus", "tok")
+    val out = api.Mix.waterFill(df, "corpus", "tok",
+      Map("a" -> 50, "b" -> 30, "c" -> 20)).collect()
+      .map(r => r.getAs[String]("corpus") -> r).toMap
+    assert(out("c").getAs[Boolean]("saturated"))
+    assert(out("c").getAs[Long]("final_alloc") == 100L)
+    assert(out("a").getAs[Long]("alloc1") == 630L)
+    assert(out("a").getAs[Long]("final_alloc") == 725L)
+    assert(out("b").getAs[Long]("final_alloc") == 435L)
+    assert(!out("a").getAs[Boolean]("saturated"))
+  }
+
+  test("api.Search.bm25 ranks by exact 6dp fixed-point contributions") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark spark spark and more spark tuning notes"),
+      (3L, "a very long document about gardening with many words " +
+        "and not a single relevant term anywhere in this text at all"),
+      (4L, "cluster tuning")
+    )).toDF("doc", "body")
+    val out = api.Search.bm25(df, "doc", "body", Seq("spark", "cluster"))
+      .collect()
+    // doc 3 matches nothing and must be absent
+    assert(!out.map(_.getAs[Long]("doc")).contains(3L))
+    // replay doc 4 driver-side: df(cluster)=2, N=4, dl=2, avgdl=... and
+    // the score is the sum of 6dp-rounded per-term contributions
+    val n = 4.0
+    val sumDl = Seq(6, 8, 21, 2).sum.toDouble
+    val avgdl = sumDl / n
+    def idf6(dfreq: Double) =
+      BigDecimal(math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def contrib6(tf: Double, dl: Double, dfreq: Double) =
+      BigDecimal(idf6(dfreq) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d4 = out.find(_.getAs[Long]("doc") == 4L).get
+    assert(d4.getAs[Long]("n_hit") == 1)
+    assert(d4.getAs[java.math.BigDecimal]("score6") ==
+      contrib6(1.0, 2.0, 2.0).underlying.setScale(6))
+    // doc 1 hits both terms (each with df=2: spark in 1,2; cluster in
+    // 1,4); its score is the two-term sum
+    val d1 = out.find(_.getAs[Long]("doc") == 1L).get
+    assert(d1.getAs[Long]("n_hit") == 2)
+    assert(d1.getAs[java.math.BigDecimal]("score6") ==
+      (contrib6(1.0, 6.0, 2.0) + contrib6(1.0, 6.0, 2.0))
+        .underlying.setScale(6))
+    // ordering: best score first, ties by id
+    val scores = out.map(_.getAs[java.math.BigDecimal]("score6").doubleValue)
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
 }
