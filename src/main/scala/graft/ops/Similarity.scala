@@ -1820,6 +1820,23 @@ object Similarity {
     graft.api.Ann.knnGraph(e, "vec_id", "v", degree = 8, rounds = 2,
       checkpointRounds = checkpointRounds)
 
+  /** The FULL-CORPUS NN-descent graph memoized per (session, dataset):
+    * s20's serve and s24's layer-0 both need the identical graph (the
+    * build is deterministic — hash seeds, 4dp + id ties — so memo vs
+    * rebuild is bit-identical), and the build is the expensive half of
+    * each query. Same discipline as s08CentsCache; the held DataFrame
+    * is localCheckpoint-pinned and evicted with its session. */
+  private val knnGraphCache =
+    Memo.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+  private def fullKnnGraph(s: SparkSession, d: String,
+      e: => DataFrame): DataFrame = {
+    val prefix = s.sparkContext.applicationId + "#"
+    knnGraphCache.keys.filterNot(_.startsWith(prefix))
+      .foreach(knnGraphCache.remove)
+    knnGraphCache.getOrElseUpdate(prefix + d,
+      s20KnnGraph(s, e).localCheckpoint())
+  }
+
   /** test-only: the built graph with full lineage (no checkpoints). */
   private[graft] def s20GraphForTest(s: SparkSession, d: String): DataFrame =
     s20KnnGraph(s, Tables.embeddings(s, d)
@@ -1844,7 +1861,7 @@ object Similarity {
     // suffice here; everything is hash-seeded and tie-pinned, so the
     // built graph is deterministic and the DuckDB oracle replays the
     // identical rounds.
-    val nbrs = s20KnnGraph(s, e)
+    val nbrs = fullKnnGraph(s, d, e)
     val probes = e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("v").as("va"))
     val entries = e.filter(col("vec_id") % 50 === 0)
@@ -2357,10 +2374,12 @@ object Similarity {
   // Scale: descent cost is |L2| + beam·degree·rounds, INDEPENDENT of
   // N; every join keys on the candidate/node id.
   private[graft] def hnswServe(e0: DataFrame, probeMax: Int, l1Mod: Int,
-      l2Mod: Int, beam: Int, rounds: Int): DataFrame = {
+      l2Mod: Int, beam: Int, rounds: Int,
+      flatGraph: Option[DataFrame] = None): DataFrame = {
     val e = e0.select(col("vec_id"), col("v")).localCheckpoint()
-    val flat = graft.api.Ann.knnGraph(e, "vec_id", "v", degree = 8,
-      rounds = 2).localCheckpoint()
+    val flat = flatGraph.getOrElse(
+      graft.api.Ann.knnGraph(e, "vec_id", "v", degree = 8,
+        rounds = 2).localCheckpoint())
     val l1 = e.filter(col("vec_id") % l1Mod === 0).localCheckpoint()
     val nL1 = l1.count()
     val nL2 = e.filter(col("vec_id") % l2Mod === 0).count()
@@ -2446,10 +2465,12 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def s24(s: SparkSession, d: String): DataFrame =
-    hnswServe(Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-      probeMax = 100, l1Mod = 50, l2Mod = 250, beam = 3, rounds = 2)
+  def s24(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    hnswServe(e, probeMax = 100, l1Mod = 50, l2Mod = 250, beam = 3,
+      rounds = 2, flatGraph = Some(fullKnnGraph(s, d, e)))
+  }
 
   val s24Sql: String = {
     val cos4 = s"round($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}), 4)"
