@@ -322,6 +322,91 @@ object Ann {
     }
     (1 to rounds).foldLeft(seed)((g, _) => refine(g))
   }
+
+  /** Hierarchical (HNSW-style) approximate top-k for ARBITRARY query
+    * vectors — the serving path whose per-query cost is independent of
+    * corpus size (the gated s24 key pins the same machinery against a
+    * full SQL replay on the test corpus). Build: the layer-0 graph is
+    * [[knnGraph]]; upper layers are geometric id strata (`l1Mod`,
+    * `l2Mod`) with their own knnGraph over the densified stratum.
+    * Serve per query: score the whole top stratum (|N/l2Mod| rows),
+    * `rounds` greedy-beam expansions over the L1 graph, then a 2-hop
+    * expansion of the best `beam` entries over the layer-0 graph, and
+    * an exact re-rank of everything visited. Ids must be dense [0, N)
+    * (the knnGraph contract); ties break by (cosine desc, id).
+    * Output: (query_id, rank, neighbor_id, cosine), ≤ k per query.
+    * Self-pairs (neighbor id == query id value) are excluded — the
+    * [[bruteForceTopK]] convention, so corpus-as-queries round-trips.
+    * Scale: descent cost = N/l2Mod + rounds·beam·degree + beam·degree²
+    * per query — choose strata so N/l2Mod stays panel-sized; every
+    * join keys on the candidate/node id. */
+  def layeredTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, qId: String, qVec: String, k: Int = 5,
+      l1Mod: Int = 50, l2Mod: Int = 250, degree: Int = 8,
+      beam: Int = 3, rounds: Int = 2): DataFrame = {
+    val c = corpus.select(col(id).as("__nid"), col(vec).as("__cv"))
+      .localCheckpoint()
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .localCheckpoint()
+    val flat = knnGraph(c.select(col("__nid").as("vec_id"),
+        col("__cv").as("v")), "vec_id", "v", degree, 2)
+      .select(col("node"), col("nbr")).localCheckpoint()
+    val l1 = c.filter(col("__nid") % l1Mod === 0).localCheckpoint()
+    val dmap = l1.select(col("__nid"))
+      .withColumn("__did",
+        row_number().over(Window.orderBy("__nid")).cast("long") - 1)
+      .localCheckpoint() // stratum-sized global window, bounded
+    val g1 = knnGraph(
+        l1.join(dmap, "__nid")
+          .select(col("__did").as("vec_id"), col("__cv").as("v")),
+        "vec_id", "v", degree, 2)
+      .join(dmap.select(col("__did").as("node"), col("__nid").as("n1")), "node")
+      .join(dmap.select(col("__did").as("nbr"), col("__nid").as("n2")), "nbr")
+      .select(col("n1").as("node"), col("n2").as("nbr")).localCheckpoint()
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(c.select(col("__nid").as("cand"), col("__cv")), "cand")
+      .join(q, "query_id")
+      .withColumn("cos", round(VectorOps.cosineSim(col("__qv"), col("__cv")), 4))
+      .select("query_id", "cand", "cos")
+    def topN(sc: DataFrame, n: Int): DataFrame = sc
+      .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("cand"))))
+      .filter(col("__rn") <= n).select("query_id", "cand")
+    val top = c.filter(col("__nid") % l2Mod === 0)
+      .select(col("__nid").as("cand"))
+      .crossJoin(q.select("query_id"))
+    var visited = scored(top).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val exp = topN(visited, beam)
+        .join(g1, col("cand") === col("node"))
+        .select(col("query_id"), col("nbr").as("cand"))
+        .distinct()
+        .except(visited.select("query_id", "cand"))
+      visited = visited.unionByName(scored(exp)).localCheckpoint()
+    }
+    val entry = topN(visited, beam)
+    val hop1 = entry.join(flat, entry("cand") === flat("node"))
+      .select(col("query_id"), col("nbr").as("cand"))
+    val hop2 = hop1.join(flat, hop1("cand") === flat("node"))
+      .select(col("query_id"), col("nbr").as("cand"))
+    val pool = visited.select("query_id", "cand")
+      .union(hop1).union(hop2).distinct()
+    // final re-rank at FULL precision (the bruteForceTopK convention):
+    // the descent's 4dp rounding is a navigation heuristic, but handing
+    // users a top-k ordered by 4dp collapses near-ties into id order —
+    // on smooth geometries every close neighbor rounds to the same
+    // 4 digits and rank 1 stops meaning "nearest found"
+    pool
+      .join(c.select(col("__nid").as("cand"), col("__cv")), "cand")
+      .join(q, "query_id")
+      .withColumn("cosine", VectorOps.cosineSim(col("__qv"), col("__cv")))
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cand"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand").as("neighbor_id"),
+        col("cosine"))
+  }
 }
 
 /** Chunking kernels for storage dedup / training-sequence prep. */
