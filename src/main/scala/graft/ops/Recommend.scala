@@ -2856,6 +2856,10 @@ object Recommend {
     val src = seq.filter(col("rnd") === 2)
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("user"), col("l_partkey").as("i"))
+    // NOT pinned, measured deliberately: the closers branch from src/
+    // scores, but AQE's ReusedExchange already shares the transition
+    // double-join's shuffle across branches — localCheckpoint here
+    // costs an extra eager materialization and times 5% SLOWER
     val scores = src.join(trans, Seq("i"))
       .groupBy("user", "j").agg(sum(col("cnt")).as("score"))
     val wTop = Window.partitionBy("user").orderBy(col("score").desc, col("j"))
