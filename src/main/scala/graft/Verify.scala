@@ -75,8 +75,14 @@ object Verify {
             org.apache.spark.sql.catalyst.expressions.RowOrdering
               .isOrderable(f.dataType)
           }.map(f => col(f.name))
+          // pinned ONLY when every column is orderable: sorting a
+          // subset is not a total order — rows tied on the sortable
+          // columns can cross the 20k cut differently per environment
+          // and the unordered column's hash would read as a phantom
+          // divergence without the '~' marker
+          val total = sortable.length == df.schema.fields.length
           if (sortable.isEmpty) (df.limit(20000).collect(), false)
-          else (df.orderBy(sortable.toSeq: _*).limit(20000).collect(), true)
+          else (df.orderBy(sortable.toSeq: _*).limit(20000).collect(), total)
         } catch { case _: Throwable => (df.limit(20000).collect(), false) }
       val cols = df.schema.fieldNames
       val parts = cols.zipWithIndex.map { case (c, i) =>
@@ -108,14 +114,25 @@ object Verify {
       val df = spark.read.parquet(dir)
       val rows = df.orderBy(df.columns.map(col).toSeq: _*).limit(64).collect()
       val cols = df.schema.fieldNames
-      val parts = cols.zipWithIndex.map { case (c, i) =>
-        val vs = rows.map(r => render(r.get(i)))
-        val full = s"[${vs.map(q).mkString(",")}]"
-        val body = if (full.length <= 700) full
-          else s"{${q("h")}:${q(m5(vs.mkString("\n")).take(12))},${q("n")}:${vs.length}}"
-        s"${q(c)}:$body"
+      def render1(maxCol: Int): String = {
+        val parts = cols.zipWithIndex.map { case (c, i) =>
+          val vs = rows.map(r => render(r.get(i)))
+          val full = s"[${vs.map(q).mkString(",")}]"
+          val body = if (full.length <= maxCol) full
+            else s"{${q("h")}:${q(m5(vs.mkString("\n")).take(12))},${q("n")}:${vs.length}}"
+          s"${q(c)}:$body"
+        }
+        s"${q(name)}:{${parts.mkString(",")}}"
       }
-      tailEcho(name) = s"${q(name)}:{${parts.mkString(",")}}"
+      // the WHOLE printed line must fit the driver's ~2000-byte tail —
+      // a per-column cap alone lets many medium columns overflow it
+      // and truncate the first key's values (the forensics this line
+      // exists to ship); shrink per-column budget until the per-key
+      // share fits
+      val budget = 1700 / math.max(1, tailKeys.length)
+      tailEcho(name) = Seq(700, 300, 120, 0).view.map(render1)
+        .find(_.length <= budget)
+        .getOrElse(render1(0).take(budget))
     } catch { case e: Throwable =>
       System.err.println(s"[verify] tail echo $name failed: ${e.getMessage}")
     }

@@ -209,10 +209,12 @@ object Recommend {
     // clamps (double), silently merging distinct users/items and
     // serving wrong recommendations. One cheap agg over the frame:
     // an id is bad when it is non-null but its int cast is null
-    // (unparseable) or round-trips to a different long (wrap/clamp).
+    // (unparseable) or compares unequal to the cast value — the
+    // direct comparison (not a long round-trip) also catches
+    // FRACTIONAL ids (3.2 and 3.9 both truncate to 3 and would merge)
+    // while exact integer-valued doubles still pass.
     def badCount(c: String) = sum(when(col(c).isNotNull &&
-      (col(c).cast("int").isNull ||
-        col(c).cast("long") =!= col(c).cast("int").cast("long")), 1L)
+      (col(c).cast("int").isNull || col(c) =!= col(c).cast("int")), 1L)
       .otherwise(0L))
     val bad = ratings.agg(badCount(user).as("__bu"),
       badCount(item).as("__bi")).head()
@@ -335,23 +337,34 @@ object Ann {
     * an exact re-rank of everything visited. Ids must be dense [0, N)
     * (the knnGraph contract); ties break by (cosine desc, id).
     * Output: (query_id, rank, neighbor_id, cosine), ≤ k per query.
-    * Self-pairs (neighbor id == query id value) are excluded — the
-    * [[bruteForceTopK]] convention, so corpus-as-queries round-trips.
+    * Self-pairs (neighbor id == query id value) are excluded WHEN the
+    * two id columns share a type — the [[bruteForceTopK]] convention,
+    * so corpus-as-queries round-trips; differently-typed id spaces
+    * (e.g. UUID query ids) skip the exclusion rather than null-filter
+    * every row.
     * Scale: descent cost = N/l2Mod + rounds·beam·degree + beam·degree²
     * per query — choose strata so N/l2Mod stays panel-sized; every
     * join keys on the candidate/node id. */
-  def layeredTopK(corpus: DataFrame, queries: DataFrame, id: String,
-      vec: String, qId: String, qVec: String, k: Int = 5,
-      l1Mod: Int = 50, l2Mod: Int = 250, degree: Int = 8,
-      beam: Int = 3, rounds: Int = 2): DataFrame = {
-    val c = corpus.select(col(id).as("__nid"), col(vec).as("__cv"))
-      .localCheckpoint()
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
-      .localCheckpoint()
-    val flat = knnGraph(c.select(col("__nid").as("vec_id"),
-        col("__cv").as("v")), "vec_id", "v", degree, 2)
-      .select(col("node"), col("nbr")).localCheckpoint()
+  /** The shared layered-descent kernel (layeredTopK AND the gated
+    * s24 key both run THIS — the oracle replay of s24 therefore
+    * proves the one copy): builds the densified-L1 stratum graph,
+    * scores the whole top (l2Mod) stratum per query, then `rounds`
+    * greedy-beam expansions with 4dp-cosine navigation and (cos desc,
+    * id) ties. The dedup MUST be distinct-before-set-except: a
+    * candidate reached over several edges minus one visited copy
+    * would survive a multiset exceptAll and duplicate the visited
+    * ledger (handing the beam a top-N containing a repeat — fewer
+    * real entry points than asked). Returns (visited(query_id, cand,
+    * cos), n_l1, n_l2). c = (__nid, __cv), q = (query_id, __qv),
+    * both expected pinned by the caller. */
+  private[graft] def layeredDescent(c: DataFrame, q: DataFrame,
+      l1Mod: Int, l2Mod: Int, degree: Int, beam: Int,
+      rounds: Int): (DataFrame, Long, Long) = {
+    require(l2Mod % l1Mod == 0,
+      s"l2Mod=$l2Mod must be a multiple of l1Mod=$l1Mod")
     val l1 = c.filter(col("__nid") % l1Mod === 0).localCheckpoint()
+    val nL1 = l1.count()
+    val nL2 = c.filter(col("__nid") % l2Mod === 0).count()
     val dmap = l1.select(col("__nid"))
       .withColumn("__did",
         row_number().over(Window.orderBy("__nid")).cast("long") - 1)
@@ -368,23 +381,42 @@ object Ann {
       .join(q, "query_id")
       .withColumn("cos", round(VectorOps.cosineSim(col("__qv"), col("__cv")), 4))
       .select("query_id", "cand", "cos")
-    def topN(sc: DataFrame, n: Int): DataFrame = sc
-      .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("cand"))))
-      .filter(col("__rn") <= n).select("query_id", "cand")
     val top = c.filter(col("__nid") % l2Mod === 0)
       .select(col("__nid").as("cand"))
       .crossJoin(q.select("query_id"))
     var visited = scored(top).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val exp = topN(visited, beam)
+      val exp = descentTopN(visited, beam)
         .join(g1, col("cand") === col("node"))
         .select(col("query_id"), col("nbr").as("cand"))
         .distinct()
         .except(visited.select("query_id", "cand"))
       visited = visited.unionByName(scored(exp)).localCheckpoint()
     }
-    val entry = topN(visited, beam)
+    (visited, nL1, nL2)
+  }
+
+  /** Top-n of a (query_id, cand, cos) frame under the descent's tie
+    * order (cos desc, cand) — shared by the descent and its callers. */
+  private[graft] def descentTopN(sc: DataFrame, n: Int): DataFrame = sc
+    .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand"))))
+    .filter(col("__rn") <= n).select("query_id", "cand")
+
+  def layeredTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, qId: String, qVec: String, k: Int = 5,
+      l1Mod: Int = 50, l2Mod: Int = 250, degree: Int = 8,
+      beam: Int = 3, rounds: Int = 2): DataFrame = {
+    val c = corpus.select(col(id).as("__nid"), col(vec).as("__cv"))
+      .localCheckpoint()
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .localCheckpoint()
+    val flat = knnGraph(c.select(col("__nid").as("vec_id"),
+        col("__cv").as("v")), "vec_id", "v", degree, 2)
+      .select(col("node"), col("nbr")).localCheckpoint()
+    val (visited, _, _) =
+      layeredDescent(c, q, l1Mod, l2Mod, degree, beam, rounds)
+    val entry = descentTopN(visited, beam)
     val hop1 = entry.join(flat, entry("cand") === flat("node"))
       .select(col("query_id"), col("nbr").as("cand"))
     val hop2 = hop1.join(flat, hop1("cand") === flat("node"))
@@ -396,11 +428,20 @@ object Ann {
     // users a top-k ordered by 4dp collapses near-ties into id order —
     // on smooth geometries every close neighbor rounds to the same
     // 4 digits and rank 1 stops meaning "nearest found"
+    //
+    // self-pair exclusion applies only when the two id columns share a
+    // type: comparing a bigint corpus id to, say, a UUID query id
+    // coerces to null and would silently filter EVERY row of that
+    // query — disjoint id spaces can't collide, so skip the filter
+    val sameIdType =
+      corpus.schema(id).dataType == queries.schema(qId).dataType
+    val selfPair: Column =
+      if (sameIdType) col("cand") =!= col("query_id") else lit(true)
     pool
       .join(c.select(col("__nid").as("cand"), col("__cv")), "cand")
       .join(q, "query_id")
       .withColumn("cosine", VectorOps.cosineSim(col("__qv"), col("__cv")))
-      .filter(col("cand") =!= col("query_id"))
+      .filter(selfPair)
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("cand"))))
       .filter(col("rank") <= k)
@@ -569,7 +610,7 @@ object Mix {
       .orderBy(col("__hkey"), col(id))
     df.crossJoin(broadcast(tot))
       .withColumn("pct", pctCol(domain, pctByDomain, defaultPct))
-      .withColumn("n_target", expr("(__tot * pct) div 100"))
+      .withColumn("n_target", expr("cast((cast(__tot as decimal(38,0)) * pct) div 100 as bigint)"))
       .withColumn("__hkey",
         Hashing.hash56(concat_ws("#", lit(seed), col(id).cast("string"))))
       .withColumn("taken", row_number().over(w) <= col("n_target"))
@@ -591,7 +632,7 @@ object Mix {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.crossJoin(broadcast(tot))
       .withColumn("pct", pctCol(domain, pctByDomain, defaultPct))
-      .withColumn("budget", expr("(__tot_tok * pct) div 100"))
+      .withColumn("budget", expr("cast((cast(__tot_tok as decimal(38,0)) * pct) div 100 as bigint)"))
       .withColumn("__hkey",
         Hashing.hash56(concat_ws("#", lit(seed), col(id).cast("string"))))
       .withColumn("cum_tokens", sum(col(tokens).cast("long")).over(w))
@@ -615,7 +656,7 @@ object Mix {
       .localCheckpoint()
     val tot = dom.agg(sum(col("n_tokens")).as("__tot_tok"))
     val w = dom.crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("(1000000 * n_tokens) div __tot_tok"))
+      .withColumn("share_ppm", expr("cast((cast(n_tokens as decimal(38,0)) * 1000000) div __tot_tok as bigint)"))
       .withColumn("w6",
         round(pow(col("n_tokens").cast("double") / col("__tot_tok"),
           lit(tau)), 6))
@@ -626,7 +667,8 @@ object Mix {
           .cast("long"))
       .select(col(domain), col("n_rows"), col("n_tokens"), col("share_ppm"),
         col("w6"), col("w_ppm"),
-        expr("(__tot_tok * w_ppm) div 1000000").as("target_tokens"))
+        expr("cast((cast(__tot_tok as decimal(38,0)) * w_ppm) div 1000000 as bigint)")
+          .as("target_tokens"))
       .orderBy(domain)
   }
 
@@ -648,9 +690,9 @@ object Mix {
     val tot = dom.agg(sum(col("supply")).as("__tot"))
     val base = dom.crossJoin(broadcast(tot))
       .withColumn("pct", pctCol(domain, pctByDomain, defaultPct).cast("long"))
-      .withColumn("budget", expr(s"(__tot * $budgetPct) div 100"))
+      .withColumn("budget", expr(s"cast((cast(__tot as decimal(38,0)) * $budgetPct) div 100 as bigint)"))
       .withColumn("alloc1",
-        least(col("supply"), expr("(budget * pct) div 100")))
+        least(col("supply"), expr("cast((cast(budget as decimal(38,0)) * pct) div 100 as bigint)")))
     val l1 = base.agg(sum(col("alloc1")).as("__given1"),
       sum(when(col("alloc1") < col("supply"), col("pct")).otherwise(lit(0L)))
         .as("__pct_unsat"))

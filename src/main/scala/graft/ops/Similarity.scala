@@ -1849,8 +1849,10 @@ object Similarity {
       .localCheckpoint()
     // OFFLINE BUILD = NN-DESCENT (Dong et al. 2011), not all-pairs:
     // seed each node with 8 hash-derived pseudo-random neighbors
-    // (vec_ids are 0..N-1 contiguous; offset j = hash56('s20seed#'+j)
-    // mod (N-1) + 1 — never self), then refine in ROUNDS on the
+    // (vec_ids are 0..N-1 contiguous; offset j for a node =
+    // hash56('s20seed#'+node+'#'+j) mod (N-1) + 1 — never self, and
+    // per-node so no circulant offset set is shared), then refine in
+    // ROUNDS on the
     // principle the serving path itself exploits: my neighbor's
     // neighbor is likely my neighbor. Each round unions the graph
     // with its reverse, joins it to itself for neighbor-of-neighbor
@@ -2380,22 +2382,6 @@ object Similarity {
     val flat = flatGraph.getOrElse(
       graft.api.Ann.knnGraph(e, "vec_id", "v", degree = 8,
         rounds = 2).localCheckpoint())
-    val l1 = e.filter(col("vec_id") % l1Mod === 0).localCheckpoint()
-    val nL1 = l1.count()
-    val nL2 = e.filter(col("vec_id") % l2Mod === 0).count()
-    // densify the stratum for knnGraph's [0, N) id contract; the
-    // Window.orderBy is global but runs on the STRATUM (N/l1Mod rows)
-    val dmap = l1.select(col("vec_id"))
-      .withColumn("did",
-        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
-      .localCheckpoint()
-    val g1 = graft.api.Ann.knnGraph(
-        l1.join(dmap, "vec_id").select(col("did").as("vec_id"), col("v")),
-        "vec_id", "v", degree = 8, rounds = 2)
-      .join(dmap.select(col("did").as("node"), col("vec_id").as("n1")), "node")
-      .join(dmap.select(col("did").as("nbr"), col("vec_id").as("n2")), "nbr")
-      .select(col("n1").as("node"), col("n2").as("nbr"))
-      .localCheckpoint()
     val probes = e.filter(col("vec_id") < probeMax)
       .select(col("vec_id").as("query_id"), col("v").as("va"))
       .localCheckpoint()
@@ -2404,30 +2390,17 @@ object Similarity {
       .join(probes, "query_id")
       .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
       .select("query_id", "cand", "cos")
-    def topN(sc: DataFrame, n: Int): DataFrame = sc
-      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("cand"))))
-      .filter(col("rn") <= n).select("query_id", "cand")
-    // DESCENT: score the whole top layer (|L2| rows), then `rounds`
-    // greedy-beam expansions over the L1 graph; `visited` is every
-    // node the descent ever scored — the honest cost ledger.
-    val top = e.filter(col("vec_id") % l2Mod === 0)
-      .select(col("vec_id").as("cand"))
-      .crossJoin(probes.select("query_id"))
-    var visited = scored(top).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      // distinct BEFORE except, and set-semantics except: a candidate
-      // reached over 3 edges minus 1 visited copy would survive
-      // exceptAll with multiplicity 2 and duplicate the visited ledger
-      // (which then hands the beam a top-3 containing a repeat — only
-      // 2 real entry points, desyncing the flat-serve comparison)
-      val exp = topN(visited, beam)
-        .join(g1, col("cand") === col("node"))
-        .select(col("query_id"), col("nbr").as("cand"))
-        .distinct()
-        .except(visited.select("query_id", "cand"))
-      visited = visited.unionByName(scored(exp)).localCheckpoint()
-    }
+    def topN(sc: DataFrame, n: Int): DataFrame =
+      graft.api.Ann.descentTopN(sc, n)
+    // DESCENT: the ONE shared kernel (api.Ann.layeredDescent — also
+    // what layeredTopK serves users with, so this gated key's full SQL
+    // replay proves that copy too). `visited` is every node the
+    // descent ever scored — the honest cost ledger.
+    val (visited, nL1, nL2) = graft.api.Ann.layeredDescent(
+      e.select(col("vec_id").as("__nid"), col("v").as("__cv")),
+      probes.select(col("query_id"), col("va").as("__qv")),
+      l1Mod, l2Mod, degree = 8, beam = beam, rounds = rounds)
+    val l1 = e.filter(col("vec_id") % l1Mod === 0)
     val visitedN = visited.groupBy("query_id")
       .agg(count(lit(1)).as("n_visited"))
     // both serves share the layer-0 graph and the s20 downstream:
