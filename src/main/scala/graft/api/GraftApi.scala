@@ -450,6 +450,111 @@ object Ann {
   }
 }
 
+/** Graph kernels on any edge frame — the schema-parameterized forms
+  * the gated d13 (connected components) and g01 (PageRank) keys run,
+  * so their DuckDB oracles prove these copies. */
+object Graph {
+
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al.) — O(log² n) rounds regardless of graph diameter,
+    * the 100 TB answer to min-label propagation's diameter-bound
+    * rounds. Every round is two keyed aggs + two keyed joins on node
+    * ids; per-round state is lineage-pinned (exponential-plan trap).
+    * Output: (node, component) with component = the component's
+    * minimum node id; isolated nodes (no edges) don't appear — union
+    * your node frame in if you need them. Node ids must be orderable
+    * (the min-label convention). */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 16): DataFrame = {
+    var e = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct()
+    e = graft.ops.Iterate.pin(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star: every strictly-larger neighbor connects to the
+      // group's min (including the center itself in the min)
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val minsL = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val ls = sym.filter(col("b") > col("a"))
+        .join(minsL, Seq("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: every ≤-neighbor and the center connect to the min
+      val minsS = ls.groupBy("a").agg(min("b").as("m"))
+      val withM = ls.join(minsS, Seq("a"))
+      val ss = withM.select(col("b").as("n"), col("m"))
+        .union(withM.select(col("a").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("a"),
+          least(col("n"), col("m")).as("b"))
+        .distinct()
+      val next = graft.ops.Iterate.pin(ss)
+      converged = next.count() == e.count() &&
+        next.exceptAll(e).count() == 0
+      e = next
+      rounds += 1
+    }
+    e.select(col("a").as("node"), col("b").as("component"))
+      .union(e.select(col("b").as("node"), col("b").as("component"))
+        .distinct())
+      .distinct()
+  }
+
+  private val SCALE = 1000000000000L // 10^12 fixed-point rank units
+
+  /** PageRank in EXACT bigint fixed point (10^12 units — every
+    * per-iteration sum and division is integer arithmetic, so ranks
+    * are bit-identical on any engine and any partitioning): damping
+    * `dampingPct`/100, dangling mass redistributed uniformly, node
+    * set = distinct edge endpoints unless `nodes` supplies isolated
+    * nodes too. Edges are treated as DIRECTED — pre-symmetrize for an
+    * undirected graph. Per-round state is lineage-pinned; one edge
+    * shuffle per iteration is the honest Pregel cost. Output: (node,
+    * rank_fp, rank) for every node, unsorted — top-k or normalize
+    * downstream. */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+      nodes: Option[DataFrame] = None, nodeCol: String = "node",
+      iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct=$dampingPct out of [0, 100]")
+    val e = graft.ops.Iterate.pin(
+      edges.select(col(src).as("src"), col(dst).as("dst")))
+    val nd = nodes.map(_.select(col(nodeCol).as("node")))
+      .getOrElse(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val n1 = nd.crossJoin(broadcast(nd.agg(count(lit(1)).as("n"))))
+    val base = 100 - dampingPct
+    var cur = n1.join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"), col("n"),
+        expr(s"${SCALE}L div n").as("r"))
+    cur = graft.ops.Iterate.pin(cur)
+    for (_ <- 1 to iterations) {
+      val inc = cur.filter(col("deg") > 0)
+        .join(e, cur("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r div deg")).as("inc"))
+      val dang = cur.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      cur = cur.select("node", "deg", "n")
+        .join(inc, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("deg"), col("n"),
+          expr(s"($base * (${SCALE}L div n)) div 100 + " +
+            s"($dampingPct * (coalesce(inc, 0L) + dang div n)) div 100")
+            .as("r"))
+      cur = graft.ops.Iterate.pin(cur)
+    }
+    cur.select(col("node"), col("r").as("rank_fp"),
+      round(col("r").cast("double") / SCALE.toDouble, 6).as("rank"))
+  }
+}
+
 /** Chunking kernels for storage dedup / training-sequence prep. */
 object Chunks {
   /** Content-defined chunking over a text column (the FastCDC-style

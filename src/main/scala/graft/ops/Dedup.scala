@@ -313,43 +313,13 @@ object Dedup {
     * the convergence counter. Output (node, label), label = the
     * component minimum — identical contract to
     * [[connectedComponents]] (equality pinned in OpsSpec). */
-  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
-    var e = edges.filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b"))
-      .distinct()
-    e = Iterate.pin(e)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      // large-star: every strictly-larger neighbor connects to the
-      // group's min (including the center itself in the min)
-      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      val minsL = sym.groupBy("a").agg(min("b").as("mb"))
-        .select(col("a"), least(col("a"), col("mb")).as("m"))
-      val ls = sym.filter(col("b") > col("a"))
-        .join(minsL, Seq("a"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-      // small-star: every ≤-neighbor and the center connect to the min
-      val minsS = ls.groupBy("a").agg(min("b").as("m"))
-      val withM = ls.join(minsS, Seq("a"))
-      val ss = withM.select(col("b").as("n"), col("m"))
-        .union(withM.select(col("a").as("n"), col("m")))
-        .filter(col("n") =!= col("m"))
-        .select(greatest(col("n"), col("m")).as("a"),
-          least(col("n"), col("m")).as("b"))
-        .distinct()
-      val next = Iterate.pin(ss)
-      converged = next.count() == e.count() &&
-        next.exceptAll(e).count() == 0
-      e = next
-      rounds += 1
-    }
-    e.select(col("a").as("node"), col("b").as("label"))
-      .union(e.select(col("b").as("node"), col("b").as("label")).distinct())
-      .distinct()
-  }
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 16): DataFrame =
+    // the star kernel lives in the public API (api.Graph) so a user
+    // runs THE gated copy on their own edge frames; this gated caller
+    // (d13, against the shared recursive-reachability oracle) is its
+    // correctness proof
+    graft.api.Graph.connectedComponents(edges, "a", "b", maxRounds)
+      .select(col("node"), col("component").as("label"))
 
   /** Shared duplicate-cluster rollup over a (node, label) labeling —
     * d08 and d13 must emit the identical shape for the shared oracle. */

@@ -68,43 +68,20 @@ object Graph {
   // nodes). Output: top-20 nodes by rank (bigint fixed-point ties
   // broken by node id — fully deterministic).
   def g01(s: SparkSession, d: String): DataFrame = {
-    // materialize the edge list once — every iteration reads it, and
-    // without this the orders⋈lineitem distinct re-runs per round
-    val e = Iterate.pin(edges(s, d))
+    // The fixed-point PageRank loop lives in the public API
+    // (api.Graph.pageRank) so users run THE gated copy on their own
+    // edge frames; this key — against the statically-unrolled DuckDB
+    // oracle — is its correctness proof. The kernel keeps the
+    // bounded-lineage discipline: each iteration reads the previous
+    // state three times, so an unrolled plan grows 3^ITERS subtrees;
+    // Iterate.pin per round truncates it and one edge shuffle per
+    // iteration remains the honest Pregel cost.
     val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
       .union(Tables.supplier(s, d)
         .select((col("s_suppkey") + SUPPLIER_OFFSET).as("node")))
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val n1 = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
-    // Each iteration reads the previous state THREE times (edge
-    // contributions, dangling mass, the carry-forward join), so a
-    // fully unrolled single plan grows 3^ITERS subtrees — the
-    // exponential-lineage trap iterative graph algorithms hit on any
-    // DAG engine. Bounded-lineage materialization per round instead
-    // (the d08 connected-components discipline): localCheckpoint
-    // truncates the plan, one edge-shuffle per iteration remains the
-    // honest Pregel cost.
-    var cur = n1.join(deg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"), col("n"),
-        expr(s"${SCALE}L div n").as("r"))
-    cur = Iterate.pin(cur)
-    for (_ <- 1 to ITERS) {
-      val inc = cur.filter(col("deg") > 0)
-        .join(e, cur("node") === e("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("r div deg")).as("inc"))
-      val dang = cur.filter(col("deg") === 0)
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-      cur = cur.select("node", "deg", "n")
-        .join(inc, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"), col("deg"), col("n"),
-          expr(s"(15 * (${SCALE}L div n)) div 100 + " +
-            s"($DAMP_NUM * (coalesce(inc, 0L) + dang div n)) div 100").as("r"))
-      cur = Iterate.pin(cur)
-    }
-    cur.select(col("node"), col("r").as("rank_fp"),
-        round(col("r").cast("double") / SCALE.toDouble, 6).as("rank"))
+    graft.api.Graph.pageRank(edges(s, d), "src", "dst",
+        nodes = Some(nodes), iterations = ITERS,
+        dampingPct = DAMP_NUM.toInt)
       .orderBy(col("rank_fp").desc, col("node"))
       .limit(20)
   }

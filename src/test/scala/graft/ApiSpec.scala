@@ -410,4 +410,46 @@ class ApiSpec extends SparkSpec {
     // self-pairs excluded (queries are corpus members here)
     assert(ap.forall { case (q, n) => q != n })
   }
+  test("api.Graph.connectedComponents labels a user edge frame by min id") {
+    // components: chain 1-2-3-4, triangle 10-11-12 (+ duplicate and
+    // self edges that must be ignored), pair 20-21
+    val edges = spark.createDataFrame(Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (10L, 11L), (10L, 10L),
+      (21L, 20L)
+    )).toDF("from_id", "to_id")
+    val got = api.Graph.connectedComponents(edges, "from_id", "to_id")
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("component")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("api.Graph.pageRank replays driver-side in exact fixed point") {
+    // tiny directed graph with one dangling node (4): 1->2, 1->3,
+    // 2->3, 3->1, plus isolated node 5 via the nodes frame
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L)
+    )).toDF("s", "t")
+    val nodes = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L),
+      Tuple1(3L), Tuple1(4L), Tuple1(5L))).toDF("vertex")
+    val got = api.Graph.pageRank(edges, "s", "t",
+        nodes = Some(nodes), nodeCol = "vertex", iterations = 3,
+        dampingPct = 85)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("rank_fp")).toMap
+    // replay: the identical integer arithmetic in plain Scala
+    val scale = 1000000000000L
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L, 4L))
+    var r = Seq(1L, 2L, 3L, 4L, 5L).map(_ -> scale / 5).toMap
+    val n = 5L
+    for (_ <- 1 to 3) {
+      val inc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, vs) <- out; v <- vs) inc(v) += r(u) / vs.length
+      val dang = r.filter(p => !out.contains(p._1)).values.sum
+      r = r.keys.map(k => k ->
+        ((15L * (scale / n)) / 100 + (85L * (inc(k) + dang / n)) / 100)).toMap
+    }
+    assert(got == r, s"engine $got != replay $r")
+  }
 }
