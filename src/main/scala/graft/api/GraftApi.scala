@@ -610,6 +610,75 @@ object Events {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__us", "__gap", "__new")
   }
+
+  /** Ordered-funnel completions (the e03-gated rule lifted to any
+    * step sequence): per key, the FIRST occurrence of each step must
+    * be strictly ordered — a user who clicked before ever viewing did
+    * not traverse the funnel. Returns one row per completing key with
+    * a `<step>_ts` timestamp column per step (step names sanitized to
+    * [A-Za-z0-9_]). One keyed agg over one scan, no self-joins. */
+  def funnel(df: DataFrame, key: String, ts: String, event: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be unique")
+    def colName(s: String) = s.replaceAll("[^A-Za-z0-9_]", "_") + "_ts"
+    val firsts = steps.map(st =>
+      min(when(col(event) === st, col(ts).cast("timestamp")))
+        .as(colName(st)))
+    val agg = df.groupBy(col(key)).agg(firsts.head, firsts.tail: _*)
+    val ordered = steps.sliding(2).map { case Seq(a, b) =>
+      col(colName(a)) < col(colName(b))
+    }.reduce(_ && _)
+    agg.filter(ordered)
+  }
+
+  /** Per-step funnel survivor counts: row k = keys whose first
+    * occurrences of steps 1..k are strictly ordered (step 1 = every
+    * key that did step 1). The classic funnel report, derived from
+    * ONE keyed agg — no per-step scans. Output: (step_no, step,
+    * n_keys), monotone non-increasing in step_no. */
+  def funnelCounts(df: DataFrame, key: String, ts: String, event: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be unique")
+    def colName(s: String) = s.replaceAll("[^A-Za-z0-9_]", "_") + "_ts"
+    val firsts = steps.map(st =>
+      min(when(col(event) === st, col(ts).cast("timestamp")))
+        .as(colName(st)))
+    val agg = df.groupBy(col(key)).agg(firsts.head, firsts.tail: _*)
+      .localCheckpoint() // one agg feeds |steps| prefix counts
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = steps.indices.map { k =>
+      val prefixOk = (0 to k).map(i => col(colName(steps(i))).isNotNull)
+        .reduce(_ && _) && (if (k == 0) lit(true)
+        else (1 to k).map(i =>
+          col(colName(steps(i - 1))) < col(colName(steps(i))))
+          .reduce(_ && _))
+      (k + 1, steps(k), agg.filter(prefixOk).count())
+    }
+    counts.toDF("step_no", "step", "n_keys")
+  }
+
+  /** N-day retention per activity date (the e04-gated rule with the
+    * offset parameterized): for each day, `active` = distinct keys
+    * seen that day, `retained` = those also seen exactly `dayOffset`
+    * days later. One distinct-projection self-join keyed on (key,
+    * day) — never event-grain. */
+  def retention(df: DataFrame, key: String, ts: String,
+      dayOffset: Int = 1): DataFrame = {
+    val days = df.select(col(key).as("__k"),
+      to_date(col(ts).cast("timestamp")).as("__day")).distinct()
+      .localCheckpoint() // both sides of the self-join
+    val next = days.select(col("__k").as("__k2"), col("__day").as("__day2"))
+    days.join(next, col("__k2") === col("__k") &&
+        col("__day2") === date_add(col("__day"), dayOffset), "left")
+      .groupBy(date_format(col("__day"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("__k")).as("active"),
+        countDistinct(when(col("__k2").isNotNull, col("__k")))
+          .as("retained"))
+      .orderBy("day")
+  }
 }
 
 /** Generic per-group top-k. */

@@ -452,4 +452,49 @@ class ApiSpec extends SparkSpec {
     }
     assert(got == r, s"engine $got != replay $r")
   }
+  test("api.Events.funnel keeps only strictly-ordered completions") {
+    val t0 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    def at(m: Long) = new java.sql.Timestamp(t0.getTime + m * 60000)
+    val df = spark.createDataFrame(Seq(
+      ("a", at(0), "land"), ("a", at(5), "signup"), ("a", at(9), "pay"),
+      ("b", at(0), "signup"), ("b", at(5), "land"), ("b", at(9), "pay"),
+      ("c", at(0), "land"), ("c", at(3), "signup"),
+      ("d", at(0), "land"), ("d", at(0), "signup"), ("d", at(2), "pay")
+    )).toDF("acct", "when_ts", "what")
+    val steps = Seq("land", "signup", "pay")
+    val done = api.Events.funnel(df, "acct", "when_ts", "what", steps)
+      .collect()
+    // a completes; b is out of order; c never pays; d ties land/signup
+    // (strict order rejects ties)
+    assert(done.map(_.getAs[String]("acct")).toSeq == Seq("a"))
+    assert(done.head.getAs[java.sql.Timestamp]("land_ts") == at(0))
+    assert(done.head.getAs[java.sql.Timestamp]("pay_ts") == at(9))
+    val counts = api.Events.funnelCounts(df, "acct", "when_ts", "what", steps)
+      .collect().map(r => r.getAs[Int]("step_no") -> r.getAs[Long]("n_keys"))
+      .toMap
+    // step1: a,b,c,d all landed; step2 strictly ordered: a,c (b
+    // reversed, d tied); step3: a
+    assert(counts == Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("api.Events.retention counts day-offset comebacks") {
+    val df = spark.createDataFrame(Seq(
+      ("u1", "2026-03-01 10:00:00"), ("u1", "2026-03-02 09:00:00"),
+      ("u2", "2026-03-01 11:00:00"),
+      ("u3", "2026-03-01 12:00:00"), ("u3", "2026-03-03 12:00:00"),
+      ("u2", "2026-03-02 08:00:00"), ("u2", "2026-03-04 08:00:00")
+    )).toDF("acct", "seen")
+    val d1 = api.Events.retention(df, "acct", "seen", dayOffset = 1)
+      .collect().map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("active"), r.getAs[Long]("retained"))).toMap
+    // Mar 1: u1,u2,u3 active; u1,u2 back Mar 2 -> (3,2)
+    // Mar 2: u1,u2 active; nobody Mar 3 -> (2,0)
+    assert(d1("2026-03-01") == ((3L, 2L)))
+    assert(d1("2026-03-02") == ((2L, 0L)))
+    val d2 = api.Events.retention(df, "acct", "seen", dayOffset = 2)
+      .collect().map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("active"), r.getAs[Long]("retained"))).toMap
+    // Mar 1 + 2 days: u3 back Mar 3, u2 not (Mar 4) -> (3,1)
+    assert(d2("2026-03-01") == ((3L, 1L)))
+  }
 }
