@@ -122,6 +122,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "inter", "uni", "jaccard")
   }
+
+  /** One-call duplicate CLUSTERING (the d08/d13-gated rollup shape on
+    * any frame): exact-duplicate edges (doc → its fingerprint group's
+    * min id) unioned with verified near-duplicate pairs, connected
+    * components over the union ([[Graph.connectedComponents]] — the
+    * alternating-star kernel), then the cluster rollup. Output:
+    * (cluster, n_docs, keep, drop_max) for clusters with n_docs > 1;
+    * `keep` is the deterministic lowest-id survivor — for a
+    * quality-aware canonical pick, join the members back and argmax
+    * your own score per cluster. Cost: the LSH candidate pass + two
+    * keyed CC rounds per log-diameter level; nothing all-pairs. */
+  def duplicateClusters(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.6, k: Int = 16, bands: Int = 4,
+      bucketCap: Int = 64): DataFrame = {
+    val fp = df.select(col(id),
+      md5(regexp_replace(lower(col(text)), "[^a-z0-9 ]", "")).as("__fp"))
+    val exactEdges = fp
+      .join(fp.groupBy("__fp").agg(min(col(id)).as("__keep")), "__fp")
+      .filter(col(id) =!= col("__keep"))
+      .select(col(id).as("a"), col("__keep").as("b"))
+    val nearEdges = nearDuplicates(df, id, text, threshold, k, bands,
+      bucketCap).select("a", "b")
+    Graph.connectedComponents(exactEdges.union(nearEdges), "a", "b")
+      .groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("node")).as("keep"), max(col("node")).as("drop_max"))
+      .filter(col("n_docs") > 1)
+  }
 }
 
 /** Text-analysis kernels over a free-text column. */

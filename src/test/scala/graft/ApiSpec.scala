@@ -497,4 +497,26 @@ class ApiSpec extends SparkSpec {
     // Mar 1 + 2 days: u3 back Mar 3, u2 not (Mar 4) -> (3,1)
     assert(d2("2026-03-01") == ((3L, 1L)))
   }
+  test("api.Dedup.duplicateClusters merges exact and near edges into one rollup") {
+    // userDocs plants exact pair (101,104) and near pair (102,105);
+    // 102 is also a near-dup of 101's text (+1 token) so the LSH
+    // verify may or may not link them at 0.6 — assert structurally:
+    // every cluster is a known duplicate class, keep = min member
+    val rollup = api.Dedup.duplicateClusters(userDocs, "item_key", "body")
+      .collect()
+    assert(rollup.nonEmpty, "planted duplicates produced no cluster")
+    rollup.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("cluster") == r.getAs[Long]("keep"),
+        "cluster label must be the min member (keep)")
+      assert(r.getAs[Long]("keep") < r.getAs[Long]("drop_max"))
+    }
+    // the exact pair is definitely clustered, with 101 surviving
+    val holding101 = rollup.find(_.getAs[Long]("keep") == 101L)
+    assert(holding101.isDefined, "exact pair 101/104 not clustered")
+    assert(holding101.get.getAs[Long]("drop_max") >= 104L)
+    // docs 103/106 (below threshold) must not appear in any cluster
+    assert(!rollup.exists(r => r.getAs[Long]("keep") == 103L ||
+      r.getAs[Long]("drop_max") == 106L && r.getAs[Long]("keep") == 103L))
+  }
 }
