@@ -391,8 +391,21 @@ object Graph {
        |               JOIN surv s1 ON e.src = s1.node
        |               JOIN surv s2 ON e.dst = s2.node GROUP BY e.src) d2
        |           ON s3.node = d2.node WHERE d2.deg >= $CORE_K)),
+       |core0 AS (
+       |  SELECT node FROM surv WHERE iter = (SELECT max(iter) FROM surv)),
        |core AS (
-       |  SELECT node FROM surv WHERE iter = (SELECT max(iter) FROM surv))
+       |  -- ONE extra peel of the last recorded state: a recursive CTE
+       |  -- cannot emit an EMPTY round and continue, so when the peel
+       |  -- goes extinct the recursion stops at the pre-extinction
+       |  -- state and max(iter) is NOT the k-core (sf0.1: max degree 2,
+       |  -- true 3-core empty, the raw rule returned all 274 nodes).
+       |  -- The recursion only ever halts when the next peel is the
+       |  -- identity (fixpoint) or empty (extinction) - this closer is
+       |  -- exact in both cases.
+       |  SELECT e.src AS node FROM sym e
+       |  JOIN core0 c1 ON e.src = c1.node
+       |  JOIN core0 c2 ON e.dst = c2.node
+       |  GROUP BY 1 HAVING count(*) >= $CORE_K)
        |SELECT e.src AS node, count(*) AS deg
        |FROM sym e
        |JOIN core c1 ON e.src = c1.node
