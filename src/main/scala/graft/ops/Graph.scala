@@ -1793,16 +1793,25 @@ object Graph {
       |  SELECT o_orderkey, lead(o_orderkey) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey) AS nxt
       |  FROM orders),
-      |oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |edges AS (
+      |oi AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |edges AS MATERIALIZED (
+      |  -- MATERIALIZED is load-bearing: edges is referenced six times
+      |  -- (recip twice, deg twice, two scalar counts) and inlining
+      |  -- re-expands the triple-join subtree per reference — the
+      |  -- sf0.1 oracle sweep ground to a halt here while each piece
+      |  -- runs sub-second materialized (g19's Fibonacci-inlining note)
       |  SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
       |  FROM seq JOIN oi a ON seq.o_orderkey = a.l_orderkey
       |           JOIN oi b ON seq.nxt = b.l_orderkey
       |  WHERE a.l_partkey <> b.l_partkey),
       |recip AS (
-      |  SELECT count(*) AS n_recip FROM edges e
-      |  WHERE EXISTS (SELECT 1 FROM edges r
-      |    WHERE r.i = e.j AND r.j = e.i)),
+      |  -- explicit equi-join, NOT a correlated EXISTS: edges are
+      |  -- distinct so each reciprocal edge matches exactly once, and
+      |  -- the join hash-plans on any engine version — the EXISTS form
+      |  -- ground to O(E^2) when the planner failed to decorrelate it
+      |  -- (observed: the sf0.1 oracle sweep hung here)
+      |  SELECT count(*) AS n_recip
+      |  FROM edges e JOIN edges r ON r.i = e.j AND r.j = e.i),
       |deg AS (
       |  SELECT coalesce(o.od, 0) AS x, coalesce(i.idg, 0) AS y FROM
       |    (SELECT i AS node, count(*) AS od FROM edges GROUP BY 1) o
