@@ -459,6 +459,17 @@ object TextOps {
   // sufficient-statistics trick) — then one IEEE division + round.
   // Two shuffles (vocab counts, per-doc sum); the vocabulary join
   // broadcasts at corpus scale.
+  // Engine-parity discipline (the p13 rule, applied after the sf0.1
+  // sweep caught its bigram twin t16): per-token log-probabilities
+  // round ONCE at CENTI-nats into BIGINT and the gate carries the
+  // exact integer SUM — round(ln·100) flips only when 100·ln sits
+  // within one libm ulp (~2e-14) of a half, so a corpus of any size
+  // cannot tie, while round(ln, 6)-then-sum has ~1e-4 tie odds PER
+  // DISTINCT CELL against an oracle libm one ulp away (t16 hash-failed
+  // exactly this way at sf0.1: 5000 matching rows, one flipped cell).
+  // Human-facing cross-entropy = nll_centi_sum / 100 / n_tokens,
+  // computed by the CONSUMER (gate rationals: sums never tie,
+  // divisions do).
   def t14(s: SparkSession, d: String): DataFrame = {
     val toksDocs = Tables.documents(s, d)
       .select(col("doc_id"), tokens.as("toks"))
@@ -466,14 +477,12 @@ object TextOps {
     val words = toksDocs.select(col("doc_id"), explode(col("toks")).as("w"))
     val uni = words.groupBy("w").agg(count(lit(1)).as("n_w"))
     val total = words.agg(count(lit(1)).as("t"))
-    val term = round(log(col("n_w").cast("double") / col("t")), 6)
-      .cast("decimal(18,6)")
+    val term = expr(
+      "CAST(round(ln(CAST(n_w AS DOUBLE) / t) * 100, 0) AS BIGINT)")
     words.join(broadcast(uni), Seq("w"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(term).as("s"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(-(col("s").cast("double") / col("n_tokens")), 6).as("xent"))
+      .agg(count(lit(1)).as("n_tokens"), (-sum(term)).as("nll_centi_sum"))
       .orderBy("doc_id")
   }
 
@@ -485,8 +494,8 @@ object TextOps {
       |uni AS (SELECT w, count(*) AS n_w FROM words GROUP BY 1),
       |total AS (SELECT count(*) AS t FROM words)
       |SELECT doc_id, count(*) AS n_tokens,
-      |  round(-(CAST(sum(CAST(round(ln(CAST(n_w AS DOUBLE) / t), 6)
-      |      AS DECIMAL(18,6))) AS DOUBLE) / count(*)), 6) AS xent
+      |  -CAST(sum(CAST(round(ln(CAST(n_w AS DOUBLE) / t) * 100, 0)
+      |      AS BIGINT)) AS BIGINT) AS nll_centi_sum
       |FROM words JOIN uni USING (w) CROSS JOIN total
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -533,15 +542,16 @@ object TextOps {
     val cnt1 = bigs.groupBy("w1").agg(count(lit(1)).as("n1"))
     val vocab = toksDocs.select(explode(col("toks")).as("w"))
       .agg(countDistinct("w").as("v"))
-    val term = round(log((col("n2") + 1).cast("double") / (col("n1") + col("v"))), 6)
-      .cast("decimal(18,6)")
+    // centi-nat BIGINT terms, exact sum — t14's tie discipline (this
+    // key is WHY it exists: the sf0.1 sweep hash-failed the old
+    // round(ln,6)-then-sum form on one flipped cell)
+    val term = expr("CAST(round(ln(CAST(n2 + 1 AS DOUBLE) / (n1 + v)) * 100," +
+      " 0) AS BIGINT)")
     bigs.join(broadcast(cnt2), Seq("w1", "w2"))
       .join(broadcast(cnt1), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(term).as("s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(-(col("s").cast("double") / col("n_bigrams")), 6).as("xent2"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(term)).as("nll2_centi_sum"))
       .orderBy("doc_id")
   }
 
@@ -562,8 +572,8 @@ object TextOps {
       |  SELECT count(DISTINCT w) AS v
       |  FROM (SELECT unnest(toks) AS w FROM eligible))
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  round(-(CAST(sum(CAST(round(ln(CAST(n2 + 1 AS DOUBLE) / (n1 + v)), 6)
-      |      AS DECIMAL(18,6))) AS DOUBLE) / count(*)), 6) AS xent2
+      |  -CAST(sum(CAST(round(ln(CAST(n2 + 1 AS DOUBLE) / (n1 + v)) * 100, 0)
+      |      AS BIGINT)) AS BIGINT) AS nll2_centi_sum
       |FROM b JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN vocab
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -1134,8 +1144,14 @@ object TextOps {
   // rollup; the doc→source join is doc-keyed (bucketable), nothing
   // global.
   def t26(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy(col("xent"), col("doc_id"))
-    t14(s, d).select(col("doc_id"), col("xent"))
+    // per-doc mean xent = nll_centi_sum / n_tokens: the ntile ORDER
+    // divides (both engines compute the identical IEEE quotient from
+    // the same two integers — deterministic), but nothing GATED
+    // divides: buckets carry exact integer nll/token masses and the
+    // id-set checksum; consumers derive bucket perplexity
+    val mean = col("nll_centi_sum").cast("double") / col("n_tokens")
+    val w = Window.partitionBy("source").orderBy(mean, col("doc_id"))
+    t14(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
         Seq("doc_id"))
       .withColumn("b", ntile(3).over(w))
@@ -1143,7 +1159,8 @@ object TextOps {
         .when(col("b") === 2, "b_middle").otherwise("c_tail"))
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("xent").cast("decimal(18,6)")).cast("double").as("xent_mass"),
+        sum(col("nll_centi_sum")).as("nll_centi_mass"),
+        sum(col("n_tokens")).as("tok_mass"),
         sum(Hashing.hash56(concat_ws("#", lit("ccb"), col("doc_id"))))
           .cast("decimal(38,0)").cast("string").as("ids_checksum"))
       .orderBy("source", "bucket")
@@ -1152,15 +1169,17 @@ object TextOps {
   val t26Sql: String =
     s"""WITH x AS ($t14Sql),
        |b AS (
-       |  SELECT d.source, x.doc_id, x.xent,
+       |  SELECT d.source, x.doc_id, x.nll_centi_sum, x.n_tokens,
        |    ntile(3) OVER (PARTITION BY d.source
-       |                   ORDER BY x.xent, x.doc_id) AS b
+       |                   ORDER BY CAST(x.nll_centi_sum AS DOUBLE) / x.n_tokens,
+       |                            x.doc_id) AS b
        |  FROM x JOIN documents d USING (doc_id))
        |SELECT source,
        |  CASE b WHEN 1 THEN 'a_head' WHEN 2 THEN 'b_middle'
        |    ELSE 'c_tail' END AS bucket,
        |  count(*) AS n_docs,
-       |  CAST(sum(CAST(xent AS DECIMAL(18,6))) AS DOUBLE) AS xent_mass,
+       |  CAST(sum(nll_centi_sum) AS BIGINT) AS nll_centi_mass,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tok_mass,
        |  sum(${Hashing.sqlHash56("'ccb#' || doc_id")})::DECIMAL(38,0)::VARCHAR
        |    AS ids_checksum
        |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin

@@ -1841,9 +1841,12 @@ class OpsSpec extends SparkSpec {
         s"$src: a bucket is missing")
       val sizes = rs.map(_.getAs[Long]("n_docs"))
       assert(sizes.max - sizes.min <= 1, s"$src: ntile split unbalanced: ${sizes.toList}")
-      // mean xent must be non-decreasing head -> middle -> tail
+      // per-token bucket perplexity must be non-decreasing head ->
+      // middle -> tail (docs are bucketed by their per-token mean, so
+      // the buckets' weighted means preserve the order)
       val means = rs.sortBy(_.getAs[String]("bucket"))
-        .map(r => r.getAs[Double]("xent_mass") / r.getAs[Long]("n_docs"))
+        .map(r => r.getAs[Long]("nll_centi_mass").toDouble /
+          r.getAs[Long]("tok_mass"))
       assert(means.zip(means.tail).forall { case (a, b) => a <= b },
         s"$src: bucket perplexity not monotone: ${means.toList}")
     }
