@@ -431,10 +431,20 @@ object Ann {
       .orderBy(col("cos").desc, col("cand"))))
     .filter(col("__rn") <= n).select("query_id", "cand")
 
+  /** `excludeSelf` controls self-pair suppression EXPLICITLY (default
+    * true — right for the corpus-as-queries round-trip). The hazard it
+    * exists to surface: when corpus and query ids merely SHARE A TYPE
+    * but are unrelated id spaces (both bigint, say), id equality is
+    * coincidence, and with excludeSelf=true a corpus neighbor whose id
+    * happens to equal a query id is silently dropped from that query's
+    * top-k — pass excludeSelf=false for unrelated id spaces. When the
+    * id types differ, equality cannot hold (a comparison would only
+    * coerce to null), so the filter is skipped regardless. */
   def layeredTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, qId: String, qVec: String, k: Int = 5,
       l1Mod: Int = 50, l2Mod: Int = 250, degree: Int = 8,
-      beam: Int = 3, rounds: Int = 2): DataFrame = {
+      beam: Int = 3, rounds: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(id).as("__nid"), col(vec).as("__cv"))
       .localCheckpoint()
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
@@ -457,14 +467,16 @@ object Ann {
     // on smooth geometries every close neighbor rounds to the same
     // 4 digits and rank 1 stops meaning "nearest found"
     //
-    // self-pair exclusion applies only when the two id columns share a
-    // type: comparing a bigint corpus id to, say, a UUID query id
-    // coerces to null and would silently filter EVERY row of that
-    // query — disjoint id spaces can't collide, so skip the filter
+    // self-pair exclusion is caller-controlled (excludeSelf, see the
+    // scaladoc hazard note); the type check stays as a hard floor —
+    // comparing a bigint corpus id to, say, a UUID query id coerces to
+    // null and would silently filter EVERY row of that query, and
+    // disjoint-typed id spaces can't collide anyway
     val sameIdType =
       corpus.schema(id).dataType == queries.schema(qId).dataType
     val selfPair: Column =
-      if (sameIdType) col("cand") =!= col("query_id") else lit(true)
+      if (excludeSelf && sameIdType) col("cand") =!= col("query_id")
+      else lit(true)
     pool
       .join(c.select(col("__nid").as("cand"), col("__cv")), "cand")
       .join(q, "query_id")
@@ -552,9 +564,17 @@ object Graph {
       s"dampingPct=$dampingPct out of [0, 100]")
     val e = graft.ops.Iterate.pin(
       edges.select(col(src).as("src"), col(dst).as("dst")))
-    val nd = nodes.map(_.select(col(nodeCol).as("node")))
-      .getOrElse(e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
+    // a caller-supplied node frame exists to ADD isolated nodes, never
+    // to subtract endpoints: a nodes frame missing an edge endpoint
+    // would silently drop rank mass (contributions grouped by dst
+    // vanish in the left join and per-iteration totals stop summing to
+    // SCALE) — so the endpoint set is unioned in unconditionally,
+    // making `nodes` a guaranteed superset at one distinct's cost
+    val endpoints = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+    val nd = nodes.map(_.select(col(nodeCol).as("node"))
+        .union(endpoints).distinct())
+      .getOrElse(endpoints.distinct())
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val n1 = nd.crossJoin(broadcast(nd.agg(count(lit(1)).as("n"))))
     val base = 100 - dampingPct
@@ -886,6 +906,22 @@ object Mix {
   def waterFill(df: DataFrame, domain: String, tokens: String,
       pctByDomain: Map[String, Int], defaultPct: Int = 0,
       budgetPct: Int = 60): DataFrame = {
+    // over-asked pct maps (sum > 100) make __given1 exceed the budget;
+    // without the guard + clamp below, the negative leftover would
+    // SUBTRACT from every unsaturated domain — a silently wrong answer
+    // from a public API. Per-entry bounds are checkable statically;
+    // the sum is only checkable per-run (defaultPct applies to however
+    // many domains the data contains), so the leftover clamp is the
+    // load-bearing fix and the requires catch the obvious misuse.
+    require(pctByDomain.values.forall(p => p >= 0 && p <= 100),
+      s"pctByDomain entries must be in [0, 100]: $pctByDomain")
+    require(defaultPct >= 0 && defaultPct <= 100,
+      s"defaultPct=$defaultPct out of [0, 100]")
+    require(budgetPct >= 0 && budgetPct <= 100,
+      s"budgetPct=$budgetPct out of [0, 100]")
+    require(defaultPct > 0 || pctByDomain.values.sum <= 100,
+      s"explicit pcts sum to ${pctByDomain.values.sum} > 100 with no " +
+        "defaultPct coverage — the mix is over-asked by construction")
     val dom = df.groupBy(domain)
       .agg(sum(col(tokens).cast("long")).as("supply"))
       .localCheckpoint()
@@ -899,7 +935,12 @@ object Mix {
       sum(when(col("alloc1") < col("supply"), col("pct")).otherwise(lit(0L)))
         .as("__pct_unsat"))
     base.crossJoin(broadcast(l1))
-      .withColumn("__leftover", col("budget") - col("__given1"))
+      // clamp at 0: when defaultPct makes the effective pct total
+      // exceed 100 (data-dependent, not statically checkable), the
+      // first pass over-gives and there is nothing left to
+      // redistribute — never a negative correction
+      .withColumn("__leftover",
+        greatest(lit(0L), col("budget") - col("__given1")))
       .withColumn("final_alloc", least(col("supply"),
         col("alloc1") + when(col("alloc1") < col("supply") &&
             col("__pct_unsat") > 0,
@@ -979,7 +1020,12 @@ object Eval {
     val lcm = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
     val rel = truth.select(col(user), col(item)).distinct()
     val wCum = Window.partitionBy(user).orderBy(rank)
-    val flagged = recs.join(rel.withColumn("__hit", lit(1L)),
+    // the exactness argument below requires rank ≤ k (lcm(1..k) is
+    // divisible by every rank it sees); out-of-contract rows with
+    // rank > k would contribute silently-floored terms and corrupt
+    // ap_fp — enforce the contract instead of trusting it
+    val recsK = recs.filter(col(rank) <= lit(k))
+    val flagged = recsK.join(rel.withColumn("__hit", lit(1L)),
         Seq(user, item), "left")
       .withColumn("__hit", coalesce(col("__hit"), lit(0L)))
       .withColumn("__cum", sum(col("__hit")).over(wCum))

@@ -332,6 +332,100 @@ class ApiSpec extends SparkSpec {
     assert(!out("a").getAs[Boolean]("saturated"))
   }
 
+  test("api.Mix.waterFill rejects over-asked explicit pcts and never " +
+    "subtracts when defaultPct over-covers") {
+    val rows = (1 to 10).map(_ => ("a", 100L)) ++
+      (1 to 10).map(_ => ("b", 100L)) ++ Seq(("c", 100L))
+    val df = spark.createDataFrame(rows).toDF("corpus", "tok")
+    // explicit pcts summing past 100 with no defaultPct: fail loudly
+    intercept[IllegalArgumentException] {
+      api.Mix.waterFill(df, "corpus", "tok",
+        Map("a" -> 70, "b" -> 50, "c" -> 20))
+    }
+    intercept[IllegalArgumentException] {
+      api.Mix.waterFill(df, "corpus", "tok", Map("a" -> 120))
+    }
+    // defaultPct-driven over-ask is data-dependent (can't require it
+    // away): the leftover clamps at 0, so no domain ever drops below
+    // its first-pass allocation — the old behavior here SUBTRACTED
+    val out = api.Mix.waterFill(df, "corpus", "tok",
+      Map("a" -> 60), defaultPct = 40).collect()
+      .map(r => r.getAs[String]("corpus") -> r).toMap
+    // effective pcts 60+40+40 = 140 > 100: first pass over-gives
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("final_alloc") >= r.getAs[Long]("alloc1"),
+        s"clamped redistribution must never subtract: $r")
+      assert(r.getAs[Long]("final_alloc") >= 0L)
+    }
+  }
+
+  test("api.Eval.mapRecallAtK ignores out-of-contract rows with rank > k") {
+    val truth = spark.createDataFrame(Seq((7L, 101L), (7L, 103L)))
+      .toDF("member", "product")
+    val recs = spark.createDataFrame(Seq(
+      (7L, 101L, 1), (7L, 102L, 2), (7L, 103L, 3),
+      (7L, 104L, 4), (7L, 105L, 5)
+    )).toDF("member", "product", "pos")
+    // identical frame plus junk rows past k — the metric must not move
+    val junk = recs.union(spark.createDataFrame(Seq(
+      (7L, 103L, 9), (7L, 999L, 12))).toDF("member", "product", "pos"))
+    val clean = api.Eval.mapRecallAtK(recs, truth, "member", "product",
+      "pos", k = 5).head()
+    val dirty = api.Eval.mapRecallAtK(junk, truth, "member", "product",
+      "pos", k = 5).head()
+    assert(clean.getAs[Long]("ap_fp") == dirty.getAs[Long]("ap_fp"))
+    assert(clean.getAs[Double]("ap_at_k") == dirty.getAs[Double]("ap_at_k"))
+    assert(clean.getAs[Long]("n_hits") == dirty.getAs[Long]("n_hits"))
+  }
+
+  test("api.Graph.pageRank unions edge endpoints into a caller node " +
+    "frame so rank mass is conserved") {
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L)
+    )).toDF("s", "t")
+    // nodes frame MISSING endpoint 3 (plus an isolated extra 9): the
+    // old code dropped node 3's row — its inbound mass vanished and
+    // totals stopped summing to SCALE
+    val nodes = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L),
+      Tuple1(9L))).toDF("vertex")
+    val got = api.Graph.pageRank(edges, "s", "t", nodes = Some(nodes),
+        nodeCol = "vertex", iterations = 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("rank_fp")).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 9L))
+    // mass conservation within integer-floor slack: 4 nodes × 3 iters
+    // of div-by-n floors lose < a few hundred fp units out of 10^12
+    val total = got.values.sum
+    assert(math.abs(total - 1000000000000L) < 1000L,
+      s"rank mass not conserved: $total")
+  }
+
+  test("api.Ann.layeredTopK excludeSelf=false keeps coincidental " +
+    "id-equal pairs") {
+    val corpus = spark.range(0, 300)
+      .select(col("id").as("cid"),
+        expr("transform(sequence(0, 15), j -> sin(id * 0.7 + j * 1.3))")
+          .as("cv"))
+      .localCheckpoint()
+    val queries = corpus.filter(col("cid") < 10)
+      .select(col("cid").as("qid"), col("cv").as("qv"))
+    val kept = api.Ann.layeredTopK(corpus, queries, "cid", "cv",
+      "qid", "qv", k = 3, l1Mod = 10, l2Mod = 100,
+      excludeSelf = false).collect()
+    // queries ARE corpus members: with the filter off, a query whose
+    // descent pool contains itself ranks itself first (cos = 1); the
+    // descent is approximate so a miss is possible, but MOST queries
+    // must self-match — and with the default excludeSelf=true, NONE may
+    val top1 = kept.filter(_.getAs[Int]("rank") == 1)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(top1.length == 10 && top1.count { case (q, n) => q == n } >= 8,
+      s"self pairs suppressed with excludeSelf=false: ${top1.toSeq}")
+    val excluded = api.Ann.layeredTopK(corpus, queries, "cid", "cv",
+      "qid", "qv", k = 3, l1Mod = 10, l2Mod = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(excluded.forall { case (q, n) => q != n })
+  }
+
   test("api.Search.bm25 ranks by exact 6dp fixed-point contributions") {
     val df = spark.createDataFrame(Seq(
       (1L, "spark shuffles data across the cluster"),
