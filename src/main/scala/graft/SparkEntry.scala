@@ -17,7 +17,8 @@ object SparkEntry {
       (ops.Multimodal.queries, ops.Multimodal.oracles),
       (ops.IoOps.queries, ops.IoOps.oracles),
       (ops.Graph.queries, ops.Graph.oracles),
-      (ops.Pipeline.queries, ops.Pipeline.oracles))
+      (ops.Pipeline.queries, ops.Pipeline.oracles),
+      (ops.Probes.queries, ops.Probes.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

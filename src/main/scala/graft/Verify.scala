@@ -157,7 +157,12 @@ object Verify {
     // Printed AFTER spark.stop() so nothing Spark logs can land between
     // this line and EOF; log level ERROR keeps shutdown hooks silent.
     if (tailEcho.nonEmpty) {
-      println(s"GRAFT_ECHO {${tailEcho.values.mkString(",")}}")
+      val line = s"GRAFT_ECHO {${tailEcho.values.mkString(",")}}"
+      // also persisted next to the parquet: the round-9 driver artifact
+      // never carried the printed line (log-tail channel failed), so any
+      // future artifact channel can pick the file up instead
+      Files.writeString(Paths.get(s"$outDir/echo_tail.txt"), line + "\n")
+      println(line)
       System.out.flush()
     }
   }

@@ -2961,7 +2961,15 @@ object Recommend {
     // epoch-micros detour (epoch_us(DATE) goes through a DATE→TIMESTAMP
     // cast whose semantics are an oracle-version hazard — the round-8
     // driver gate hash-failed exactly this query while the same SQL
-    // passed bit-for-bit on local DuckDB).
+    // passed bit-for-bit on local DuckDB). Round-10: the oracle's day
+    // count is plain DATE subtraction (ref − last), NOT date_diff('day',
+    // …) — this key was the ONLY oracle in the suite using date_diff,
+    // and DuckDB has changed that function's argument/sign convention
+    // across releases, which fits the three-rounds-running driver-only
+    // hash fail exactly (same 6 rows, different values ⇒ a sign-flipped
+    // recency reshuffles every quintile). DATE − DATE = integer days is
+    // core SQL surface on every DuckDB build. x-probe battery
+    // (ops/Probes.scala) pins both constructs independently.
     val o = Tables.orders(s, d)
       .select(col("o_custkey").as("cust"),
         col("o_orderdate").as("od"),
@@ -3036,15 +3044,18 @@ object Recommend {
   val r44Sql: String = {
     val h = Hashing.sqlHash56("'rfm#' || cust")
     s"""WITH o AS (
-       |  SELECT o_custkey AS cust, o_orderdate AS od,
+       |  SELECT o_custkey AS cust,
+       |    -- DATE, explicitly: the parquet column reads as TIMESTAMP in
+       |    -- DuckDB, and TIMESTAMP − TIMESTAMP is an INTERVAL; DATE −
+       |    -- DATE is an integer day count on every build
+       |    CAST(o_orderdate AS DATE) AS od,
        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
        |  FROM orders),
        |ref AS (SELECT max(od) AS refd FROM o),
        |rfm AS (
        |  SELECT cust, max(od) AS lastd, count(*) AS frequency,
        |    CAST(sum(price) AS DECIMAL(18,2)) AS monetary,
-       |    CAST(date_diff('day', max(od), ref.refd) AS BIGINT)
-       |      AS recency_days
+       |    CAST((ref.refd - max(od)) AS BIGINT) AS recency_days
        |  FROM o, ref GROUP BY cust, ref.refd),
        |ranked AS (
        |  SELECT cust, recency_days, frequency, monetary,
@@ -3307,17 +3318,22 @@ object Recommend {
       sum(col("r") * f(col("features"), i) * f(col("features"), j))
         .as(s"g_${i}_$j") } ++
       (0 until rank).map(i =>
-        sum((lit(1.0) + col("r")) * f(col("features"), i)).as(s"b_$i"))
+        sum((lit(1.0) + col("r")) * f(col("features"), i)).as(s"b_$i")) :+
+      // MLlib's solver scales the ridge by the user's positive-rating
+      // count (numExplicits · regParam), not a flat λ — match it
+      // exactly (same fix as r51's item side)
+      sum(when(col("r") > 0, lit(1L)).otherwise(lit(0L))).as("n_pos")
     val perUser = panel.join(items, col("iid") === col("id"))
       .groupBy("uid")
       .agg(userCols.head, userCols.tail: _*)
       .collect()
     val lambda = 0.1
     val folded = perUser.map { row =>
+      val ridge = lambda * row.getAs[Long]("n_pos")
       val a = Array.tabulate(rank * rank) { k =>
         val (i, j) = (k / rank, k % rank)
         yty.getAs[Double](s"yy_${i}_$j") + row.getAs[Double](s"g_${i}_$j") +
-          (if (i == j) lambda else 0.0)
+          (if (i == j) ridge else 0.0)
       }
       val b = Array.tabulate(rank)(i => row.getAs[Double](s"b_$i"))
       row.getAs[Int]("uid") -> solve8(a, b)
@@ -3395,8 +3411,10 @@ object Recommend {
   // interactions and the catalog must surface it NOW: solve the
   // item's factor against the FROZEN user factors instead of
   // refitting). Implicit normal equations, item side (Hu/Koren/
-  // Volinsky): y_i = (XᵀX + Σ_u α·r_u·x_u x_uᵀ + λI)⁻¹ Σ_u
-  // (1+α·r_u)·x_u — XᵀX is ONE distributed 64-sum pass over the user
+  // Volinsky): y_i = (XᵀX + Σ_u α·r_u·x_u x_uᵀ + λ·n⁺_i·I)⁻¹ Σ_u
+  // (1+α·r_u)·x_u, with the ridge scaled by the item's positive-rating
+  // count n⁺_i exactly as MLlib's solver scales it (numExplicits ·
+  // regParam) — XᵀX is ONE distributed 64-sum pass over the user
   // factors, per-item Gram/rhs one panel-filtered join + agg, 8×8
   // solves driver-side (panel-bounded). One honest asymmetry vs r48:
   // MLlib updates itemFactors from the PREVIOUS user half-step and
@@ -3435,17 +3453,24 @@ object Recommend {
       sum(col("r") * f(col("features"), i) * f(col("features"), j))
         .as(s"g_${i}_$j") } ++
       (0 until rank).map(i =>
-        sum((lit(1.0) + col("r")) * f(col("features"), i)).as(s"b_$i"))
+        sum((lit(1.0) + col("r")) * f(col("features"), i)).as(s"b_$i")) :+
+      // MLlib scales the ridge term by the item's positive-rating
+      // count (numExplicits · regParam in its solver), not a flat λ —
+      // a flat λ passed the 0.999 gate only because the all-users XtX
+      // term dominates; matching the count-scaled solve removes that
+      // data-dependent margin
+      sum(when(col("r") > 0, lit(1L)).otherwise(lit(0L))).as("n_pos")
     val perItem = panel.join(users, col("uid") === col("id"))
       .groupBy("iid")
       .agg(itemCols.head, itemCols.tail: _*)
       .collect()
     val lambda = 0.1
     val folded = perItem.map { row =>
+      val ridge = lambda * row.getAs[Long]("n_pos")
       val a = Array.tabulate(rank * rank) { k =>
         val (i, j) = (k / rank, k % rank)
         xtx.getAs[Double](s"xx_${i}_$j") + row.getAs[Double](s"g_${i}_$j") +
-          (if (i == j) lambda else 0.0)
+          (if (i == j) ridge else 0.0)
       }
       val b = Array.tabulate(rank)(i => row.getAs[Double](s"b_$i"))
       row.getAs[Int]("iid") -> solve8(a, b)
@@ -3506,12 +3531,16 @@ object Recommend {
   // toward zero while DuckDB's `//` floors, negative residuals would
   // silently disagree: every division goes through the OFFSET trick,
   // (num + 10¹⁰·den) div den − 10¹⁰, which makes truncation equal
-  // floor on both engines for any sign. Test SSE accumulates exact
-  // DECIMAL(38,0) squared micro-errors, summarized by the ZERO-FLOAT
-  // fixed point mse_item_micro2 = sse div n_test (the round-7 driver
-  // gate flipped the old round(sqrt(·),6) — a 1-ulp sqrt difference
-  // in the driver's DuckDB lands on a 6dp tie; RMSE for human eyes
-  // is sqrt(mse)/1e6, computed by the CONSUMER); the gate also carries
+  // floor on both engines for any sign. Test SSE accumulates squared
+  // CENTI-unit errors (each micro residual floored to centi via the
+  // offset trick) in plain BIGINT — keeping the whole gate inside the
+  // BIGINT core every DuckDB build shares (micro² needed HUGEINT, a
+  // construct no other oracle uses; see the round-10 note below) —
+  // summarized by the ZERO-FLOAT fixed point mse_item_centi2 =
+  // sse div n_test (the round-7 driver gate flipped the old
+  // round(sqrt(·),6) — a 1-ulp sqrt difference in the driver's DuckDB
+  // lands on a 6dp tie; RMSE for human eyes is sqrt(mse)/100,
+  // computed by the CONSUMER); the gate also carries
   // improved = SSE_bias ≤ SSE_itemmean against r08's model in the
   // same fixed point — each term must EARN its keep, and the verdicts
   // are honest: DAMPING wins (shrinking sparse items toward μ beats
@@ -3559,42 +3588,53 @@ object Recommend {
         (col("mu") + coalesce(col("bi"), lit(0L)) +
           coalesce(col("bu"), lit(0L))).as("p_full"),
         coalesce(col("im"), col("mu")).as("p_im"))
-    def sse(p: String) =
-      sum(((col("rm") - col(p)) * (col("rm") - col(p)))
-        .cast("decimal(38,0)"))
-    scored.crossJoin(broadcast(g.select(col("n").as("n_train"))))
+    // Round-10: the error chain floors each residual from micro to
+    // CENTI units (offset trick — residuals can be negative) and
+    // accumulates centi² squared errors in plain BIGINT. Micro² sums
+    // needed HUGEINT products + a HUGEINT // division in the oracle,
+    // and this key was the ONLY one in the suite exercising those —
+    // version-sensitive DuckDB surface, and the prime suspect for the
+    // three-rounds-running driver-only hash fail (the identical SQL
+    // passes bit-for-bit on local DuckDB 1.0.0). Centi² keeps the
+    // whole gate in the BIGINT core every DuckDB build shares:
+    // |e_centi| ≤ ~10⁶ here, so the sums hold exactly to ~10⁹ test
+    // rows; past that, lift the sums to DECIMAL(38,0). The x-probe
+    // battery (ops/Probes.scala) still pins the HUGEINT constructs
+    // independently so the driver run names them if they diverge.
+    def errC(p: String) =
+      expr(s"((rm - $p) + 1000000000000) div 100 - 10000000000")
+    val errs = scored
+      .withColumn("e_im", errC("p_im"))
+      .withColumn("e_item", errC("p_item"))
+      .withColumn("e_full", errC("p_full"))
+    def sse(e: String) = sum(col(e) * col(e))
+    errs.crossJoin(broadcast(g.select(col("n").as("n_train"))))
       .groupBy("n_train")
       .agg(count(lit(1)).as("n_test"),
-        sse("p_im").as("sse_itemmean"),
-        sse("p_item").as("sse_item"),
-        sse("p_full").as("sse_full"))
+        sse("e_im").as("sse_itemmean_c2"),
+        sse("e_item").as("sse_item_c2"),
+        sse("e_full").as("sse_full_c2"))
       .select(col("n_train"), col("n_test"),
-        col("sse_itemmean").cast("decimal(38,0)").as("sse_itemmean"),
-        col("sse_item").cast("decimal(38,0)").as("sse_item"),
-        col("sse_full").cast("decimal(38,0)").as("sse_full"),
-        // exact MSE in micro² units (floor; RMSE = sqrt(mse)/1e6 for
+        col("sse_itemmean_c2"), col("sse_item_c2"), col("sse_full_c2"),
+        // exact MSE in centi² units (floor; RMSE = sqrt(mse)/100 for
         // human eyes — the round-7 driver gate proved round(sqrt(),6)
         // is a cross-engine rounding-tie hazard, so the gated column
         // is the division-only fixed point; operands positive, so
         // Spark div == DuckDB //)
-        expr("sse_item div n_test").as("mse_item_micro2"),
-        (col("sse_item") <= col("sse_itemmean")).as("shrinkage_wins"),
-        (col("sse_full") <= col("sse_item")).as("user_term_wins"))
+        expr("sse_item_c2 div n_test").as("mse_item_centi2"),
+        (col("sse_item_c2") <= col("sse_itemmean_c2")).as("shrinkage_wins"),
+        (col("sse_full_c2") <= col("sse_item_c2")).as("user_term_wins"))
   }
 
   val r49Sql: String = {
     def fd(num: String, den: String) =
       s"($num + 10000000000 * ($den)) // ($den) - 10000000000"
     // Every aggregate's type chain is SPELLED OUT (count(*)→BIGINT,
-    // sum(BIGINT)→BIGINT, squared error → HUGEINT product → DECIMAL(38,0)
-    // sum): DuckDB's implicit widenings (sum(BIGINT)→HUGEINT, BIGINT
-    // multiply overflow behavior) are version-dependent surface, and the
-    // round-8 driver gate hash-failed this query while the identical SQL
-    // passed bit-for-bit on local DuckDB 1.0.0 — so nothing here is left
-    // to the engine's default typing.
-    def sq(p: String) =
-      s"CAST(CAST(rm - $p AS HUGEINT) * CAST(rm - $p AS HUGEINT)" +
-        " AS DECIMAL(38,0))"
+    // sum→BIGINT cast): nothing is left to the engine's default typing.
+    // Round-10: the squared-error chain runs in centi² BIGINT (see the
+    // r49 Scaladoc) — the previous micro² form needed HUGEINT products
+    // and a HUGEINT // division, constructs no other oracle in the
+    // suite uses and the prime suspects for the driver-only hash fail.
     s"""WITH ratings AS (${Ratings.sqlRatings}),
        |tagged AS (
        |  SELECT user_id, item_id,
@@ -3624,21 +3664,27 @@ object Recommend {
        |      AS p_full,
        |    coalesce(b.im, (SELECT mu FROM mu)) AS p_im
        |  FROM test t LEFT JOIN bi b ON t.item_id = b.item_id
-       |  LEFT JOIN bu u ON t.user_id = u.user_id)
+       |  LEFT JOIN bu u ON t.user_id = u.user_id),
+       |errs AS (
+       |  SELECT
+       |    ((rm - p_im) + 1000000000000) // 100 - 10000000000 AS e_im,
+       |    ((rm - p_item) + 1000000000000) // 100 - 10000000000 AS e_item,
+       |    ((rm - p_full) + 1000000000000) // 100 - 10000000000 AS e_full
+       |  FROM scored)
        |SELECT CAST((SELECT n FROM g) AS BIGINT) AS n_train,
        |  CAST(count(*) AS BIGINT) AS n_test,
-       |  CAST(sum(${sq("p_im")}) AS DECIMAL(38,0)) AS sse_itemmean,
-       |  CAST(sum(${sq("p_item")}) AS DECIMAL(38,0)) AS sse_item,
-       |  CAST(sum(${sq("p_full")}) AS DECIMAL(38,0)) AS sse_full,
-       |  CAST(CAST(sum(${sq("p_item")}) AS HUGEINT)
-       |    // CAST(count(*) AS HUGEINT) AS BIGINT) AS mse_item_micro2,
-       |  CAST(CAST(sum(${sq("p_item")}) AS DECIMAL(38,0)) <=
-       |    CAST(sum(${sq("p_im")}) AS DECIMAL(38,0)) AS BOOLEAN)
+       |  CAST(sum(e_im * e_im) AS BIGINT) AS sse_itemmean_c2,
+       |  CAST(sum(e_item * e_item) AS BIGINT) AS sse_item_c2,
+       |  CAST(sum(e_full * e_full) AS BIGINT) AS sse_full_c2,
+       |  CAST(CAST(sum(e_item * e_item) AS BIGINT)
+       |    // CAST(count(*) AS BIGINT) AS BIGINT) AS mse_item_centi2,
+       |  CAST(CAST(sum(e_item * e_item) AS BIGINT) <=
+       |    CAST(sum(e_im * e_im) AS BIGINT) AS BOOLEAN)
        |    AS shrinkage_wins,
-       |  CAST(CAST(sum(${sq("p_full")}) AS DECIMAL(38,0)) <=
-       |    CAST(sum(${sq("p_item")}) AS DECIMAL(38,0)) AS BOOLEAN)
+       |  CAST(CAST(sum(e_full * e_full) AS BIGINT) <=
+       |    CAST(sum(e_item * e_item) AS BIGINT) AS BOOLEAN)
        |    AS user_term_wins
-       |FROM scored""".stripMargin
+       |FROM errs""".stripMargin
   }
 
   // ------------------------------------------------------------------

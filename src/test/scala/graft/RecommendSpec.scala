@@ -713,12 +713,15 @@ class RecommendSpec extends SparkSpec {
     assert(math.abs(bi) <= math.abs(rawResid) + 1,
       s"damping failed to shrink: bi=$bi raw=$rawResid")
     // and the gated verdicts are internally consistent with the SSEs
+    // (centi²-unit BIGINT sums since round 10 — HUGEINT-free oracle)
     val (sim, sit, sfull) = (
-      BigDecimal(row.getAs[java.math.BigDecimal]("sse_itemmean")),
-      BigDecimal(row.getAs[java.math.BigDecimal]("sse_item")),
-      BigDecimal(row.getAs[java.math.BigDecimal]("sse_full")))
+      row.getAs[Long]("sse_itemmean_c2"),
+      row.getAs[Long]("sse_item_c2"),
+      row.getAs[Long]("sse_full_c2"))
+    assert(sim > 0 && sit > 0 && sfull > 0)
     assert(row.getAs[Boolean]("shrinkage_wins") == (sit <= sim))
     assert(row.getAs[Boolean]("user_term_wins") == (sfull <= sit))
+    assert(row.getAs[Long]("mse_item_centi2") == sit / row.getAs[Long]("n_test"))
   }
 
   test("r48: fold-in lands on the trained factor for every panel user and " +
