@@ -75,6 +75,16 @@ object Bench {
     var buildsR2 = 0
     val rebuiltR2 = scala.collection.mutable.ListBuffer.empty[String]
     val errs = scala.collection.mutable.ListBuffer.empty[String]
+    // Per-key run1/run2 + per-run build attribution (round-10, VERDICT
+    // r9 #2): the r9 driver host benched r09 at a 9.5 s MIN that no
+    // local run reproduces, with builds_r2=0 saying run 2 was warm —
+    // a min alone can't show WHICH run carried the cost or whether an
+    // artifact build landed on it. runsByKey feeds BENCH_FULL.json
+    // (every key) and the printed line's "watch" object (the known
+    // driver-host outliers), so the next driver bench attributes its
+    // own outliers without builder-side guessing.
+    val runsByKey =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int, Int)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (name.head != family) {
         family = name.head
@@ -83,7 +93,7 @@ object Bench {
         System.gc()
       }
       graft.ops.Memo.drainBuilds(): Unit // attribute builds per run below
-      val times = (1 to 2).map { run =>
+      val detail = (1 to 2).map { run =>
         val t0 = System.nanoTime()
         var failed = false
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -96,8 +106,11 @@ object Bench {
           if (built.nonEmpty) rebuiltR2 += name.takeWhile(_ != '_')
         }
         if (failed) errs += s"${name.takeWhile(_ != '_')}/r$run"
-        dt
+        (dt, built.size)
       }
+      val times = detail.map(_._1)
+      runsByKey(name.takeWhile(_ != '_')) =
+        (r3(times(0)), r3(times(1)), detail(0)._2, detail(1)._2)
       // Keys shortened to the unique query prefix ("q01_pricing_summary"
       // → "q01") and 3 decimals: r2/r3's full-name 4-decimal line
       // overflowed the driver's captured log tail and parsed as null.
@@ -128,19 +141,31 @@ object Bench {
     // the run log, and the full map outgrew that window at 173 queries
     // (r6 shipped parsed:null). The printed line carries the totals
     // plus the slowest-N lines, hard-capped under the tail window.
+    // [run1, run2, builds_r1, builds_r2] per key — the attribution row
+    def runsJ(keys: Iterable[String]): String = keys.flatMap { k =>
+      runsByKey.get(k).map { case (t1, t2, b1, b2) =>
+        "\"" + k + "\":[" + t1 + "," + t2 + "," + b1 + "," + b2 + "]" }
+    }.mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""runs":2,"n_queries":${results.size},"total_mean":$totalMean,""" +
       s"""$gcJit,$memoDiag,"queries":${jmap(short, _._1)},""" +
-      s""""queries_mean":${jmap(short, _._2)},"sf":"$sfDir"}"""
+      s""""queries_mean":${jmap(short, _._2)},""" +
+      s""""queries_runs":${runsJ(runsByKey.keys)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     val bySlowest = short.sortBy(-_._2._1)
+    // the printed line carries full run1/run2/build attribution for the
+    // driver-host watch keys (r9's unexplained outliers) PLUS whatever
+    // benched slowest THIS run — a new outlier attributes itself
+    val watch = (Seq("r09", "r51", "r06") ++ bySlowest.take(3).map(_._1))
+      .distinct.filter(runsByKey.contains)
     def line(n: Int): String = {
       val kept = bySlowest.take(n)
       val others = r3(bySlowest.drop(n).map(_._2._1).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
         s""""n_queries":${results.size},"total_mean":$totalMean,$gcJit,""" +
-        s"""$memoDiag,"queries":${jmap(kept.sortBy(_._1), _._1)},""" +
+        s"""$memoDiag,"watch":${runsJ(watch)},""" +
+        s""""queries":${jmap(kept.sortBy(_._1), _._1)},""" +
         s""""others_sec":$others,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }
     // 1800-byte budget: the driver's tail is 2000 bytes and sbt appends

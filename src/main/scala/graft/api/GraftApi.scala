@@ -1103,3 +1103,140 @@ object Search {
       .orderBy(col("score6").desc, col(id))
   }
 }
+
+/** Ordered-pattern kernels on any frame — the schema-parameterized
+  * forms of the gated q46 (gap fill), q51 (interval merge), q48
+  * (SCD2 as-of enrichment) and q63 (match_recognize-style sign-run
+  * grammar) operators. The gated keys call straight into this object
+  * (the api.Graph.pageRank delegation pattern), so the DuckDB oracle
+  * gate doubles as each kernel's correctness proof.
+  *
+  * Scale contract shared by all four: every window is PARTITIONED by
+  * the caller's keys (nothing here global-sorts), the only shuffles
+  * are keyed on those keys, and output grain is input grain or
+  * coarser.
+  */
+object Patterns {
+
+  /** Dense-spine GAP FILL with forward fill (the q46 kernel): for
+    * each key group, a complete time spine from its min to its max
+    * `time` stepped by `step` (an interval SQL literal, e.g.
+    * "interval 1 day"), left-joined back and forward-filled with the
+    * last seen `value`. Output: keys ++ (time, <filledName>,
+    * is_filled) where is_filled marks synthesized rows. `df` must be
+    * at (keys, time) grain. One keyed agg for the per-group bounds +
+    * one keyed window — the spine explode is bounded by the time
+    * range, never by row count. */
+  def gapFill(df: DataFrame, keys: Seq[String], time: String,
+      value: String, step: String = "interval 1 day",
+      filledName: String = ""): DataFrame = {
+    require(keys.nonEmpty, "gapFill needs at least one key column")
+    val out = if (filledName.nonEmpty) filledName else s"${value}_filled"
+    val kc = keys.map(col)
+    val spine = df.groupBy(kc: _*)
+      .agg(min(col(time)).as("__mind"), max(col(time)).as("__maxd"))
+      .select(kc :+ explode(sequence(col("__mind"), col("__maxd"),
+        expr(step))).as(time): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(time)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(df.select(kc :+ col(time) :+ col(value): _*),
+        keys :+ time, "left")
+      .select(kc ++ Seq(col(time),
+        last(col(value), ignoreNulls = true).over(w).as(out),
+        col(value).isNull.as("is_filled")): _*)
+  }
+
+  /** INTERVAL MERGE (the q51 island kernel): coalesce overlapping or
+    * touching [start, end] intervals per key group into maximal
+    * islands via the running-max island rule (a row opens a new
+    * island iff its start exceeds the max end seen so far). Output:
+    * keys ++ (island, start, end) at ISLAND grain, island numbered
+    * from 1 in time order. start/end must be a totally ordered
+    * numeric/temporal type; q51's rollup (count, coverage, longest)
+    * is one groupBy on this output. */
+  def intervalMerge(df: DataFrame, keys: Seq[String], start: String,
+      end: String): DataFrame = {
+    require(keys.nonEmpty, "intervalMerge needs at least one key column")
+    val kc = keys.map(col)
+    val wOrd = Window.partitionBy(kc: _*).orderBy(start, end)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__prev_max_en", max(col(end)).over(wPrev))
+      .withColumn("__new_island",
+        when(col("__prev_max_en").isNull ||
+          col(start) > col("__prev_max_en"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("__new_island")).over(wRun))
+      .groupBy(kc :+ col("island"): _*)
+      .agg(min(col(start)).as(start), max(col(end)).as(end))
+  }
+
+  /** SCD2 / as-of dimension enrichment (the q48 kernel): for every
+    * fact row, the dimension version whose `validFrom` is the latest
+    * at-or-before the fact's `factTime` — the point-in-time-correct
+    * join every slowly-changing dimension needs (a plain equi-join
+    * either duplicates facts across versions or pins them to the
+    * wrong one). Thin façade over the custom sort-merge
+    * [[graft.plans.AsOf.join]] exec (one shuffle per side on the key,
+    * no range fan-out); `joinType` inner or left_outer, left_outer
+    * keeping facts that predate every version. */
+  def scd2Join(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, factTime: String, validFrom: String,
+      joinType: String = "inner"): DataFrame =
+    graft.plans.AsOf.join(fact, dim, factKey, dimKey, factTime,
+      validFrom, joinType)
+
+  /** Maximal SIGN RUNS of consecutive deltas (the q63 substrate —
+    * SQL match_recognize's pattern alphabet): order each key group by
+    * `time`, sign the step-to-step delta of `measure` (+1/-1/0), and
+    * collapse maximal constant-sign runs. Output: keys ++ (run_id,
+    * sig, start_t, end_t, move, len) where start_t is the time BEFORE
+    * the run's first delta (the q63 peak/trough convention), move the
+    * summed delta, len the number of steps. `df` must be at (keys,
+    * time) grain; time's sort order must be chronological. */
+  def signRuns(df: DataFrame, keys: Seq[String], time: String,
+      measure: String): DataFrame = {
+    require(keys.nonEmpty, "signRuns needs at least one key column")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(time)
+    val sgn = df
+      .withColumn("__prev_t", lag(col(time), 1).over(w))
+      .withColumn("__delta", col(measure) - lag(col(measure), 1).over(w))
+      .filter(col("__delta").isNotNull)
+      .withColumn("sig", when(col("__delta") > 0, 1)
+        .when(col("__delta") < 0, -1).otherwise(0))
+    sgn
+      .withColumn("__chg",
+        when(col("sig") === lag(col("sig"), 1).over(w), 0).otherwise(1))
+      .withColumn("run_id", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(kc :+ col("run_id"): _*)
+      .agg(max(col("sig")).as("sig"), min(col("__prev_t")).as("start_t"),
+        max(col(time)).as("end_t"), sum(col("__delta")).as("move"),
+        count(lit(1)).as("len"))
+  }
+
+  /** TROUGH-RECOVERY matches (the full q63 contract — the
+    * match_recognize DOWN+ UP+ pattern): every maximal down-run
+    * immediately followed by an up-run, with the peak/bottom
+    * timestamps, drawdown depth and recovery magnitude. Output: keys
+    * ++ (peak, bottom, recovered, depth, recovery, down_len, up_len).
+    * Composes [[signRuns]] with one run-grain window — run count is
+    * bounded by the time-grain cardinality, never the corpus. */
+  def troughRecoveries(df: DataFrame, keys: Seq[String], time: String,
+      measure: String): DataFrame = {
+    val kc = keys.map(col)
+    val rw = Window.partitionBy(kc: _*).orderBy("run_id")
+    signRuns(df, keys, time, measure)
+      .withColumn("__prev_sig", lag(col("sig"), 1).over(rw))
+      .withColumn("peak", lag(col("start_t"), 1).over(rw))
+      .withColumn("bottom", lag(col("end_t"), 1).over(rw))
+      .withColumn("depth", -lag(col("move"), 1).over(rw))
+      .withColumn("down_len", lag(col("len"), 1).over(rw))
+      .filter(col("sig") === 1 && col("__prev_sig") === -1)
+      .select(kc ++ Seq(col("peak"), col("bottom"),
+        col("end_t").as("recovered"), col("depth"),
+        col("move").as("recovery"), col("down_len"),
+        col("len").as("up_len")): _*)
+  }
+}

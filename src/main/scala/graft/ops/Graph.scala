@@ -1169,8 +1169,14 @@ object Graph {
 
   val g16Sql: String = {
     val nS = 5
+    // Every pit CTE is multiply-referenced (rank join + contribution
+    // scan + dangling scan = 3 references each); DuckDB INLINES plain
+    // CTEs, so the 5-iteration chain re-expanded 3^k-fashion and the
+    // sf0.1 replay spilled >80 GB of temp (the g19 lesson, VERDICT r9
+    // next-round #5). MATERIALIZED pins each round to one evaluation —
+    // the local sf0.1 sweep now covers this key.
     def iter(k: Int): String =
-      s"""pit$k AS (
+      s"""pit$k AS MATERIALIZED (
          |  SELECT p.node, p.deg, p.is_seed,
          |    p.is_seed * ((15 * ($SCALE // $nS)) // 100)
          |      + ($DAMP_NUM * (coalesce(inc.s, 0)
@@ -1183,13 +1189,16 @@ object Graph {
          |  CROSS JOIN (
          |    SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
          |    FROM pit${k - 1} WHERE deg = 0) dg)""".stripMargin
-    s"""WITH $sqlEdges,
+    s"""WITH ${sqlEdges
+          .replace("ed AS (", "ed AS MATERIALIZED (")
+          .replace("edges AS (", "edges AS MATERIALIZED (")},
        |nodes AS (SELECT c_custkey AS node FROM customer
        |          UNION ALL SELECT s_suppkey + $SUPPLIER_OFFSET FROM supplier),
-       |dgr AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |dgr AS MATERIALIZED (
+       |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
        |seeds AS (SELECT node AS seed FROM dgr
        |          ORDER BY deg DESC, node LIMIT $nS),
-       |pit0 AS (
+       |pit0 AS MATERIALIZED (
        |  SELECT n.node, coalesce(dgr.deg, 0) AS deg,
        |    CASE WHEN sd.seed IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
        |    CASE WHEN sd.seed IS NOT NULL THEN ${SCALE / nS} ELSE 0 END AS r
@@ -1698,33 +1707,47 @@ object Graph {
     labels.orderBy("node")
   }
 
-  val g21Sql: String =
-    """WITH RECURSIVE seq AS (
-      |  SELECT o_orderkey, lead(o_orderkey) OVER (PARTITION BY o_custkey
-      |    ORDER BY o_orderdate, o_orderkey) AS nxt
-      |  FROM orders),
-      |oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |tr AS (
-      |  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS cnt
-      |  FROM seq JOIN oi a ON seq.o_orderkey = a.l_orderkey
-      |           JOIN oi b ON seq.nxt = b.l_orderkey
-      |  WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
-      |nodes AS (SELECT i AS n FROM (
-      |  SELECT i, sum(cnt) AS vol FROM tr GROUP BY 1
-      |  ORDER BY vol DESC, i LIMIT 300)),
-      |sub AS (SELECT DISTINCT i, j FROM tr WHERE cnt >= 2
-      |  AND i IN (SELECT n FROM nodes) AND j IN (SELECT n FROM nodes)),
-      |reach AS (
-      |  SELECT i AS a, j AS b FROM sub
-      |  UNION
-      |  SELECT r.a, s.j FROM reach r JOIN sub s ON r.b = s.i),
-      |mutual AS (
-      |  SELECT r1.a, r1.b FROM reach r1
-      |  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
-      |SELECT n.n AS node,
-      |  least(n.n, coalesce(min(m.b), n.n)) AS scc_id
-      |FROM nodes n LEFT JOIN mutual m ON m.a = n.n
-      |GROUP BY n.n ORDER BY node""".stripMargin
+  // Closure by MATERIALIZED DOUBLING, not WITH RECURSIVE (round-10,
+  // VERDICT r9 next-round #5): the recursive form re-evaluated the
+  // whole seq⋈oi⋈oi transition build inside every fixpoint round —
+  // DuckDB inlines plain CTEs — and ground past 4 minutes at sf0.1,
+  // leaving this key out of the builder's local sweep. The subgraph is
+  // pinned to 300 nodes, so 9 doubling steps (path length 2^9 = 512 ≥
+  // any simple path in 300 nodes) reach the exact same closure on
+  // ≤90k-pair intermediates, each evaluated ONCE. Same rows, same
+  // hash — only the oracle's execution shape changed.
+  val g21Sql: String = {
+    def dbl(k: Int): String =
+      s"""rch$k AS MATERIALIZED (
+         |  SELECT a, b FROM rch${k - 1}
+         |  UNION
+         |  SELECT x.a, y.b FROM rch${k - 1} x JOIN rch${k - 1} y
+         |  ON x.b = y.a)""".stripMargin
+    s"""WITH seq AS (
+       |  SELECT o_orderkey, lead(o_orderkey) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) AS nxt
+       |  FROM orders),
+       |oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |tr AS MATERIALIZED (
+       |  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS cnt
+       |  FROM seq JOIN oi a ON seq.o_orderkey = a.l_orderkey
+       |           JOIN oi b ON seq.nxt = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT i AS n FROM (
+       |  SELECT i, sum(cnt) AS vol FROM tr GROUP BY 1
+       |  ORDER BY vol DESC, i LIMIT 300)),
+       |sub AS MATERIALIZED (SELECT DISTINCT i, j FROM tr WHERE cnt >= 2
+       |  AND i IN (SELECT n FROM nodes) AND j IN (SELECT n FROM nodes)),
+       |rch0 AS MATERIALIZED (SELECT i AS a, j AS b FROM sub),
+       |${(1 to 9).map(dbl).mkString(",\n")},
+       |mutual AS (
+       |  SELECT r1.a, r1.b FROM rch9 r1
+       |  JOIN rch9 r2 ON r1.a = r2.b AND r1.b = r2.a)
+       |SELECT n.n AS node,
+       |  least(n.n, coalesce(min(m.b), n.n)) AS scc_id
+       |FROM nodes n LEFT JOIN mutual m ON m.a = n.n
+       |GROUP BY n.n ORDER BY node""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // g22: DIRECTED-GRAPH PROFILE of the transition graph (the summary

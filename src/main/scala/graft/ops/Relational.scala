@@ -1145,16 +1145,11 @@ object Relational {
       .groupBy(col("o_orderpriority").as("prio"),
         to_date(col("o_orderdate")).as("day"))
       .agg(dsum(col("o_totalprice")).as("day_rev"))
-    val spine = base.groupBy("prio")
-      .agg(min("day").as("mind"), max("day").as("maxd"))
-      .select(col("prio"),
-        explode(sequence(col("mind"), col("maxd"), expr("interval 1 day"))).as("day"))
-    val w = Window.partitionBy("prio").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(base, Seq("prio", "day"), "left")
-      .select(col("prio"), col("day"),
-        last(col("day_rev"), ignoreNulls = true).over(w).as("rev_filled"),
-        col("day_rev").isNull.as("is_filled"))
+    // the gap-fill kernel lives in api.Patterns.gapFill (round-10
+    // parameterization) so users run THE gated copy on their own
+    // frames; this key keeps the oracle on it
+    graft.api.Patterns.gapFill(base, Seq("prio"), "day", "day_rev",
+        filledName = "rev_filled")
       .orderBy("prio", "day")
   }
 
@@ -1230,7 +1225,10 @@ object Relational {
     // exec takes its typed keys as DATE (lossless here)
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
       col("o_orderdate").cast("date").as("o_orderdate"))
-    graft.plans.AsOf.join(o, dim, "o_custkey", "ck", "o_orderdate", "valid_from")
+    // through api.Patterns.scd2Join (round-10 parameterization) — the
+    // user-facing SCD2 façade over the custom as-of exec
+    graft.api.Patterns.scd2Join(o, dim, "o_custkey", "ck",
+        "o_orderdate", "valid_from")
       .groupBy(year(col("o_orderdate")).as("o_year"), col("segment"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_year", "segment")
@@ -1360,21 +1358,14 @@ object Relational {
     val iv = Tables.events(s, d)
       .select(col("user_id"), unix_micros(col("ts")).as("st"))
       .withColumn("en", col("st") + span)
-    val wOrd = Window.partitionBy("user_id").orderBy("st", "en")
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    iv
-      .withColumn("prev_max_en", max(col("en")).over(wPrev))
-      .withColumn("new_island",
-        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("new_island")).over(wRun))
-      .groupBy("user_id", "island")
-      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+    // the island kernel lives in api.Patterns.intervalMerge (round-10
+    // parameterization) so users merge THEIR interval frames through
+    // the gated copy; this key keeps the oracle on it
+    graft.api.Patterns.intervalMerge(iv, Seq("user_id"), "st", "en")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_islands"),
-        sum(col("ien") - col("ist")).as("covered_us"),
-        max(col("ien") - col("ist")).as("longest_us"))
+        sum(col("en") - col("st")).as("covered_us"),
+        max(col("en") - col("st")).as("longest_us"))
       .orderBy("user_id")
   }
 
@@ -2190,36 +2181,17 @@ object Relational {
         date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
         .cast("long").as("rev_cents"))
-    val w = Window.partitionBy("nation").orderBy("month")
-    val sgn = monthly
-      .withColumn("prev_month", lag(col("month"), 1).over(w))
-      .withColumn("delta", col("rev_cents") - lag(col("rev_cents"), 1).over(w))
-      .filter(col("delta").isNotNull)
-      .withColumn("sig", when(col("delta") > 0, 1)
-        .when(col("delta") < 0, -1).otherwise(0))
-    val rid = sgn
-      .withColumn("chg",
-        when(col("sig") === lag(col("sig"), 1).over(w), 0).otherwise(1))
-      .withColumn("run_id", sum(col("chg")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // months sort lexicographically = chronologically, so min/max give
-    // the run's endpoints; sig is constant within a run
-    val runs = rid.groupBy("nation", "run_id")
-      .agg(max(col("sig")).as("sig"), min(col("prev_month")).as("start_month"),
-        max(col("month")).as("end_month"), sum(col("delta")).as("move"),
-        count(lit(1)).as("len"))
-    val rw = Window.partitionBy("nation").orderBy("run_id")
-    runs
-      .withColumn("prev_sig", lag(col("sig"), 1).over(rw))
-      .withColumn("peak_month", lag(col("start_month"), 1).over(rw))
-      .withColumn("bottom_month", lag(col("end_month"), 1).over(rw))
-      .withColumn("depth_cents", -lag(col("move"), 1).over(rw))
-      .withColumn("down_len", lag(col("len"), 1).over(rw))
-      .filter(col("sig") === 1 && col("prev_sig") === -1)
-      .select(col("nation"), col("peak_month"), col("bottom_month"),
-        col("end_month"), col("depth_cents"),
-        col("move").as("recovery_cents"), col("down_len"),
-        col("len").as("up_len"))
+    // months sort lexicographically = chronologically, so the generic
+    // sign-run kernel's time order is the calendar order. The DOWN+ UP+
+    // grammar lives in api.Patterns.troughRecoveries (round-10
+    // parameterization) so users run THE gated match on their own
+    // series; this key keeps the oracle on it.
+    graft.api.Patterns
+      .troughRecoveries(monthly, Seq("nation"), "month", "rev_cents")
+      .select(col("nation"), col("peak").as("peak_month"),
+        col("bottom").as("bottom_month"), col("recovered").as("end_month"),
+        col("depth").as("depth_cents"), col("recovery").as("recovery_cents"),
+        col("down_len"), col("up_len"))
       .orderBy("nation", "peak_month")
   }
 

@@ -400,6 +400,80 @@ class ApiSpec extends SparkSpec {
       s"rank mass not conserved: $total")
   }
 
+  test("api.Patterns.gapFill synthesizes missing spine rows and " +
+    "forward-fills") {
+    val df = spark.createDataFrame(Seq(
+      ("sensorA", java.sql.Date.valueOf("2026-03-01"), 10.0),
+      ("sensorA", java.sql.Date.valueOf("2026-03-04"), 40.0),
+      ("sensorB", java.sql.Date.valueOf("2026-03-02"), 7.0)
+    )).toDF("device", "reading_day", "celsius")
+    val out = api.Patterns.gapFill(df, Seq("device"), "reading_day",
+        "celsius").collect()
+      .map(r => (r.getAs[String]("device"),
+        r.getAs[java.sql.Date]("reading_day").toString) ->
+        (r.getAs[Double]("celsius_filled"), r.getAs[Boolean]("is_filled")))
+      .toMap
+    // sensorA: 4-day dense spine, the 2 gap days forward-filled with 10
+    assert(out.count(_._1._1 == "sensorA") == 4)
+    assert(out(("sensorA", "2026-03-02")) == ((10.0, true)))
+    assert(out(("sensorA", "2026-03-03")) == ((10.0, true)))
+    assert(out(("sensorA", "2026-03-04")) == ((40.0, false)))
+    // sensorB: single-point spine, nothing synthesized
+    assert(out.count(_._1._1 == "sensorB") == 1)
+    assert(out(("sensorB", "2026-03-02")) == ((7.0, false)))
+  }
+
+  test("api.Patterns.intervalMerge coalesces overlapping spans into " +
+    "maximal islands") {
+    val df = spark.createDataFrame(Seq(
+      ("m1", 0L, 10L), ("m1", 5L, 12L), ("m1", 12L, 15L), ("m1", 40L, 45L),
+      ("m2", 3L, 4L)
+    )).toDF("machine", "up_from", "up_to")
+    val out = api.Patterns.intervalMerge(df, Seq("machine"),
+        "up_from", "up_to").collect()
+      .map(r => (r.getAs[String]("machine"), r.getAs[Long]("island")) ->
+        (r.getAs[Long]("up_from"), r.getAs[Long]("up_to"))).toMap
+    // [0,10]∪[5,12]∪[12,15] touch into one island; [40,45] stands alone
+    assert(out == Map(("m1", 1L) -> ((0L, 15L)), ("m1", 2L) -> ((40L, 45L)),
+      ("m2", 1L) -> ((3L, 4L))))
+  }
+
+  test("api.Patterns.scd2Join picks the point-in-time-correct dim version") {
+    val fact = spark.createDataFrame(Seq(
+      (1L, 100L, 5L), (2L, 100L, 25L), (3L, 200L, 8L)
+    )).toDF("txn", "acct", "at")
+    val dim = spark.createDataFrame(Seq(
+      (100L, 0L, "bronze"), (100L, 20L, "gold"), (200L, 0L, "silver")
+    )).toDF("acct_id", "since", "tier")
+    val got = api.Patterns.scd2Join(fact, dim, "acct", "acct_id",
+        "at", "since").collect()
+      .map(r => r.getAs[Long]("txn") -> r.getAs[String]("tier")).toMap
+    assert(got == Map(1L -> "bronze", 2L -> "gold", 3L -> "silver"))
+  }
+
+  test("api.Patterns sign runs and trough recoveries match a hand replay") {
+    // series: 10 →12 →11 →9 →14 →14 →13: runs +1(len1), -1(len2),
+    // +1(len1), 0(len1), -1(len1); one DOWN→UP trough at t3
+    val df = spark.createDataFrame(Seq(
+      ("s", 1L, 10L), ("s", 2L, 12L), ("s", 3L, 11L), ("s", 4L, 9L),
+      ("s", 5L, 14L), ("s", 6L, 14L), ("s", 7L, 13L)
+    )).toDF("series", "t", "v")
+    val runs = api.Patterns.signRuns(df, Seq("series"), "t", "v")
+      .orderBy("run_id").collect()
+      .map(r => (r.getAs[Int]("sig"), r.getAs[Long]("start_t"),
+        r.getAs[Long]("end_t"), r.getAs[Long]("move"), r.getAs[Long]("len")))
+    assert(runs.toSeq == Seq((1, 1L, 2L, 2L, 1L), (-1, 2L, 4L, -3L, 2L),
+      (1, 4L, 5L, 5L, 1L), (0, 5L, 6L, 0L, 1L), (-1, 6L, 7L, -1L, 1L)))
+    val tr = api.Patterns.troughRecoveries(df, Seq("series"), "t", "v")
+      .collect()
+    assert(tr.length == 1)
+    val m = tr(0)
+    assert(m.getAs[Long]("peak") == 2L && m.getAs[Long]("bottom") == 4L)
+    assert(m.getAs[Long]("recovered") == 5L)
+    assert(m.getAs[Long]("depth") == 3L && m.getAs[Long]("recovery") == 5L)
+    assert(m.getAs[Long]("down_len") == 2L && m.getAs[Long]("up_len") == 1L)
+  }
+
   test("api.Ann.layeredTopK excludeSelf=false keeps coincidental " +
     "id-equal pairs") {
     val corpus = spark.range(0, 300)
