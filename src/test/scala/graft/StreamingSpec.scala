@@ -308,4 +308,61 @@ class StreamingSpec extends SparkSpec {
       .filter(col("before") > 0 && col("after") > 0).count()
     assert(straddler > 0, "no migrated user has events on both sides")
   }
+
+  test("broker-shaped file source keeps the e18 ledger contract: " +
+    "per-partition offsets tile gap-free and exactly once") {
+    // The sandbox has no broker and no spark-sql-kafka jar (SURVEY §5),
+    // so the swap contract is exercised on its file-backed twin: a
+    // "topic" laid down as 4 landed segments of Kafka-record-shaped
+    // rows (partition, offset, key, value) — the exact schema
+    // format("kafka") would deliver — consumed as micro-batches
+    // (maxFilesPerTrigger=1). The invariants a real-broker swap must
+    // keep are asserted on the SINK: every (partition, offset) consumed
+    // exactly once, each partition's offsets a dense prefix, and the
+    // keyed rollup equal to the batch recompute over the same files.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_broker")
+    val topic = root.resolve("topic"); java.nio.file.Files.createDirectory(topic)
+    val nParts = 3
+    val perSeg = 10 // offsets per partition per landed segment
+    val nSegs = 4
+    def seg(si: Int) = (0 until nParts).flatMap { p =>
+      (0 until perSeg).map { i =>
+        val off = si * perSeg + i
+        (p, off.toLong, s"k${(p + off) % 5}", (p * 1000 + off).toLong)
+      }
+    }.toDF("partition", "offset", "key", "value")
+    (0 until nSegs).foreach(si => seg(si).coalesce(1).write.mode("append")
+      .parquet(topic.toString))
+    val schema = seg(0).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(topic.toString)
+    val sink = "graft_broker_sink"
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(sink).collect()
+    // exactly-once: every (partition, offset) pair exactly once
+    val pairs = got.map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset")))
+    assert(pairs.length == nParts * perSeg * nSegs,
+      s"consumed ${pairs.length} records, want ${nParts * perSeg * nSegs}")
+    assert(pairs.distinct.length == pairs.length, "duplicated (part, offset)")
+    // gap-free dense prefix per partition — the offsets_contiguous
+    // invariant e18 gates on the rate source
+    pairs.groupBy(_._1).foreach { case (p, ps) =>
+      val offs = ps.map(_._2).sorted
+      assert(offs.sameElements(0L until (perSeg * nSegs).toLong),
+        s"partition $p offsets not a dense prefix")
+    }
+    // keyed rollup identical to the batch recompute over the same files
+    val streamAgg = spark.table(sink).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    val batchAgg = spark.read.parquet(topic.toString).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    assert(streamAgg == batchAgg, "stream rollup diverged from batch")
+  }
 }
