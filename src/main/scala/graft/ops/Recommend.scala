@@ -961,13 +961,29 @@ object Recommend {
     // trained cells 2289–2768 items vs seeds' 843–4518). Centers are
     // memoized per dataset like the ALS model — the quantizer is a
     // training artifact, not per-query work.
+    //
+    // CELL COUNT SCALES WITH THE CATALOG (round-10, from the sf1
+    // soak): a constant k=8 means a 2-cell probe scans catalog/4 per
+    // user, so the all-users serve is users × catalog = O(SF²) — the
+    // soak measured 3.8 s → 161 s warm (42×) on 10× data, entirely
+    // this fan-out. k = max(8, items/2500) pins the CELL SIZE
+    // (~2.5k items) instead, the FAISS nlist∝N practice: a 2-cell
+    // probe is then a CONSTANT ~5k scored items per user and the
+    // all-users serve grows linearly (re-measured 19.7 s warm at sf1,
+    // 5.2× for 10× data). Both gate SFs (sf0.01: 2k items, sf0.1: 20k
+    // items) land exactly at k=8, so every gated result is
+    // bit-identical to the constant-k build; the recall/cost point at
+    // larger SF is the s16 sweep's knob, and the exact panel below
+    // probes ALL k cells, so the recall reference stays exact at any k.
     import s.implicits._
     val centRows = centsCache.getOrElseUpdate(memoKey(s, d), {
+      val nItems = itemsAug.count()
       Similarity.ivfKMeansCentroids(
         itemsAug.select(col("item_id").as("vec_id"), col("fa").as("v")),
-        k = 8, seed = 13)
+        k = math.max(8L, nItems / 2500L).toInt, seed = 13)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     })
+    val nCells = centRows.length
     val cents = centRows.toSeq.toDF("cent_id", "cv")
       .select(col("cent_id"), col("cv"), sq(col("cv")).as("c2"))
     // argmin ‖x−c‖² ≡ argmin (‖c‖² − 2·x·c): one codegen'd dot per
@@ -1022,7 +1038,9 @@ object Recommend {
         .filter(col("rank") <= 5)
         .select("user_id", "rank", "item_id")
     }
-    (topOf(2, panelOnly = false), topOf(8, panelOnly = true))
+    // serve probes 2 cells (constant per-user cost under the pinned
+    // cell size); the panel reference probes ALL cells — exact at any k
+    (topOf(2, panelOnly = false), topOf(nCells, panelOnly = true))
   }
 
   /** The 2-cell ANN-served top-5 list (RecommendSpec measures its
