@@ -109,7 +109,10 @@ object Bench {
         (dt, built.size)
       }
       val times = detail.map(_._1)
-      runsByKey(name.takeWhile(_ != '_')) =
+      // keyed by FULL name here; shortened below through the same
+      // dup-aware guard as the queries maps (a bare-prefix key would
+      // silently last-wins on a prefix collision)
+      runsByKey(name) =
         (r3(times(0)), r3(times(1)), detail(0)._2, detail(1)._2)
       // Keys shortened to the unique query prefix ("q01_pricing_summary"
       // → "q01") and 3 decimals: r2/r3's full-name 4-decimal line
@@ -141,16 +144,21 @@ object Bench {
     // the run log, and the full map outgrew that window at 173 queries
     // (r6 shipped parsed:null). The printed line carries the totals
     // plus the slowest-N lines, hard-capped under the tail window.
-    // [run1, run2, builds_r1, builds_r2] per key — the attribution row
+    // [run1, run2, builds_r1, builds_r2] per key, shortened under the
+    // same dup guard as the queries maps — the attribution row
+    val shortRuns = results.zip(prefixes).map { case ((full, _), p) =>
+      (if (dup(p)) full else p) -> runsByKey(full)
+    }
+    val shortRunsMap = shortRuns.toMap
     def runsJ(keys: Iterable[String]): String = keys.flatMap { k =>
-      runsByKey.get(k).map { case (t1, t2, b1, b2) =>
+      shortRunsMap.get(k).map { case (t1, t2, b1, b2) =>
         "\"" + k + "\":[" + t1 + "," + t2 + "," + b1 + "," + b2 + "]" }
     }.mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""runs":2,"n_queries":${results.size},"total_mean":$totalMean,""" +
       s"""$gcJit,$memoDiag,"queries":${jmap(short, _._1)},""" +
       s""""queries_mean":${jmap(short, _._2)},""" +
-      s""""queries_runs":${runsJ(runsByKey.keys)},"sf":"$sfDir"}"""
+      s""""queries_runs":${runsJ(shortRuns.map(_._1))},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     val bySlowest = short.sortBy(-_._2._1)
@@ -158,7 +166,7 @@ object Bench {
     // driver-host watch keys (r9's unexplained outliers) PLUS whatever
     // benched slowest THIS run — a new outlier attributes itself
     val watch = (Seq("r09", "r51", "r06") ++ bySlowest.take(3).map(_._1))
-      .distinct.filter(runsByKey.contains)
+      .distinct.filter(shortRunsMap.contains)
     def line(n: Int): String = {
       val kept = bySlowest.take(n)
       val others = r3(bySlowest.drop(n).map(_._2._1).sum)

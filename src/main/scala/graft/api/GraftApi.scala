@@ -906,22 +906,21 @@ object Mix {
   def waterFill(df: DataFrame, domain: String, tokens: String,
       pctByDomain: Map[String, Int], defaultPct: Int = 0,
       budgetPct: Int = 60): DataFrame = {
-    // over-asked pct maps (sum > 100) make __given1 exceed the budget;
-    // without the guard + clamp below, the negative leftover would
+    // over-asked pct maps (effective sum > 100) make __given1 exceed
+    // the budget; without the clamp below, the negative leftover would
     // SUBTRACT from every unsaturated domain — a silently wrong answer
-    // from a public API. Per-entry bounds are checkable statically;
-    // the sum is only checkable per-run (defaultPct applies to however
-    // many domains the data contains), so the leftover clamp is the
-    // load-bearing fix and the requires catch the obvious misuse.
+    // from a public API. The clamp is the load-bearing fix: whether
+    // the ask is over 100 is only knowable per-run (defaultPct covers
+    // however many domains the data contains, and a reusable config
+    // map may carry entries for domains absent from this frame — a
+    // static sum check would reject those valid calls). The requires
+    // catch the statically-checkable misuse: out-of-range entries.
     require(pctByDomain.values.forall(p => p >= 0 && p <= 100),
       s"pctByDomain entries must be in [0, 100]: $pctByDomain")
     require(defaultPct >= 0 && defaultPct <= 100,
       s"defaultPct=$defaultPct out of [0, 100]")
     require(budgetPct >= 0 && budgetPct <= 100,
       s"budgetPct=$budgetPct out of [0, 100]")
-    require(defaultPct > 0 || pctByDomain.values.sum <= 100,
-      s"explicit pcts sum to ${pctByDomain.values.sum} > 100 with no " +
-        "defaultPct coverage — the mix is over-asked by construction")
     val dom = df.groupBy(domain)
       .agg(sum(col(tokens).cast("long")).as("supply"))
       .localCheckpoint()
@@ -1020,11 +1019,14 @@ object Eval {
     val lcm = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
     val rel = truth.select(col(user), col(item)).distinct()
     val wCum = Window.partitionBy(user).orderBy(rank)
-    // the exactness argument below requires rank ≤ k (lcm(1..k) is
-    // divisible by every rank it sees); out-of-contract rows with
-    // rank > k would contribute silently-floored terms and corrupt
-    // ap_fp — enforce the contract instead of trusting it
-    val recsK = recs.filter(col(rank) <= lit(k))
+    // the exactness argument below requires rank ∈ [1, k] (lcm(1..k)
+    // is divisible by every rank it sees, and only positive ranks
+    // divide it): rank > k would contribute silently-floored terms,
+    // rank = 0 a NULL term (lcm div 0) that drops from the sum while
+    // still inflating the cumulative hit count, and a negative rank a
+    // negative floored term — enforce the whole contract instead of
+    // trusting it
+    val recsK = recs.filter(col(rank).between(1, k))
     val flagged = recsK.join(rel.withColumn("__hit", lit(1L)),
         Seq(user, item), "left")
       .withColumn("__hit", coalesce(col("__hit"), lit(0L)))
@@ -1124,19 +1126,26 @@ object Patterns {
     * "interval 1 day"), left-joined back and forward-filled with the
     * last seen `value`. Output: keys ++ (time, <filledName>,
     * is_filled) where is_filled marks synthesized rows. `df` must be
-    * at (keys, time) grain. One keyed agg for the per-group bounds +
-    * one keyed window — the spine explode is bounded by the time
-    * range, never by row count. */
+    * at (keys, time) grain — but NOT necessarily grid-aligned: the
+    * spine is the grid UNION the actual observation times, so a row
+    * off the min+n·step grid (a 14:00 reading under a daily step) is
+    * kept as its own output row instead of being silently replaced by
+    * the forward-fill of the nearest grid point. One keyed agg for
+    * the per-group bounds + one keyed window — the spine explode is
+    * bounded by the time range, never by row count. */
   def gapFill(df: DataFrame, keys: Seq[String], time: String,
       value: String, step: String = "interval 1 day",
       filledName: String = ""): DataFrame = {
     require(keys.nonEmpty, "gapFill needs at least one key column")
     val out = if (filledName.nonEmpty) filledName else s"${value}_filled"
     val kc = keys.map(col)
-    val spine = df.groupBy(kc: _*)
+    val grid = df.groupBy(kc: _*)
       .agg(min(col(time)).as("__mind"), max(col(time)).as("__maxd"))
       .select(kc :+ explode(sequence(col("__mind"), col("__maxd"),
         expr(step))).as(time): _*)
+    // grid ∪ actual times: aligned inputs collapse to the grid (the
+    // q46 case, distinct is a no-op); misaligned observations survive
+    val spine = grid.union(df.select(kc :+ col(time): _*)).distinct()
     val w = Window.partitionBy(kc: _*).orderBy(time)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(df.select(kc :+ col(time) :+ col(value): _*),

@@ -55,12 +55,21 @@ object Graph {
       .union(e.select(col("sn").as("src"), col("c").as("dst")))
   }
 
-  private val sqlEdges: String =
-    s"""ed AS (
+  /** The shared edge-list CTE prelude. `materialized = true` pins both
+    * CTEs to one evaluation each (DuckDB inlines plain CTEs — a
+    * consumer that references `edges` once per unrolled round would
+    * otherwise re-evaluate the whole lineitem⋈orders build every
+    * round); the flag is a parameter, not a post-hoc string rewrite,
+    * so a rewording of this prelude can't silently drop it. */
+  private def sqlEdgesM(materialized: Boolean): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
+    s"""ed AS $m(
        |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SUPPLIER_OFFSET AS sn
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (SELECT c AS src, sn AS dst FROM ed
+       |edges AS $m(SELECT c AS src, sn AS dst FROM ed
        |          UNION ALL SELECT sn, c FROM ed)""".stripMargin
+  }
+  private val sqlEdges: String = sqlEdgesM(materialized = false)
 
   // g01: 5 statically-unrolled PageRank iterations, damping 0.85,
   // dangling mass redistributed uniformly. Node set = every customer
@@ -1189,9 +1198,7 @@ object Graph {
          |  CROSS JOIN (
          |    SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
          |    FROM pit${k - 1} WHERE deg = 0) dg)""".stripMargin
-    s"""WITH ${sqlEdges
-          .replace("ed AS (", "ed AS MATERIALIZED (")
-          .replace("edges AS (", "edges AS MATERIALIZED (")},
+    s"""WITH ${sqlEdgesM(materialized = true)},
        |nodes AS (SELECT c_custkey AS node FROM customer
        |          UNION ALL SELECT s_suppkey + $SUPPLIER_OFFSET FROM supplier),
        |dgr AS MATERIALIZED (

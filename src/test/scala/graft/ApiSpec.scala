@@ -337,14 +337,29 @@ class ApiSpec extends SparkSpec {
     val rows = (1 to 10).map(_ => ("a", 100L)) ++
       (1 to 10).map(_ => ("b", 100L)) ++ Seq(("c", 100L))
     val df = spark.createDataFrame(rows).toDF("corpus", "tok")
-    // explicit pcts summing past 100 with no defaultPct: fail loudly
-    intercept[IllegalArgumentException] {
-      api.Mix.waterFill(df, "corpus", "tok",
-        Map("a" -> 70, "b" -> 50, "c" -> 20))
-    }
+    // out-of-range entries: fail loudly (statically checkable misuse)
     intercept[IllegalArgumentException] {
       api.Mix.waterFill(df, "corpus", "tok", Map("a" -> 120))
     }
+    intercept[IllegalArgumentException] {
+      api.Mix.waterFill(df, "corpus", "tok", Map("a" -> -5))
+    }
+    // an over-asked EXPLICIT map (70+50+20 = 140) is only over-asked
+    // per-run (a reusable config map may cover absent domains), so it
+    // must not throw — the clamp keeps the result safe instead
+    val over = api.Mix.waterFill(df, "corpus", "tok",
+      Map("a" -> 70, "b" -> 50, "c" -> 20)).collect()
+    over.foreach { r =>
+      assert(r.getAs[Long]("final_alloc") >= r.getAs[Long]("alloc1"))
+      assert(r.getAs[Long]("final_alloc") >= 0L)
+    }
+    // and a map carrying entries for ABSENT domains stays valid when
+    // the present-domain ask is inside the budget
+    val presentOnly = api.Mix.waterFill(
+      df.filter(col("corpus") === "a"), "corpus", "tok",
+      Map("a" -> 60, "zz_absent" -> 60)).collect()
+    assert(presentOnly.length == 1 &&
+      presentOnly(0).getAs[Long]("final_alloc") >= 0L)
     // defaultPct-driven over-ask is data-dependent (can't require it
     // away): the leftover clamps at 0, so no domain ever drops below
     // its first-pass allocation — the old behavior here SUBTRACTED
@@ -366,9 +381,13 @@ class ApiSpec extends SparkSpec {
       (7L, 101L, 1), (7L, 102L, 2), (7L, 103L, 3),
       (7L, 104L, 4), (7L, 105L, 5)
     )).toDF("member", "product", "pos")
-    // identical frame plus junk rows past k — the metric must not move
+    // identical frame plus junk rows outside [1, k] — rank past k,
+    // rank 0 (its lcm div 0 term is NULL and would silently drop from
+    // the AP sum while inflating the cumulative hit count), and a
+    // negative rank — the metric must not move
     val junk = recs.union(spark.createDataFrame(Seq(
-      (7L, 103L, 9), (7L, 999L, 12))).toDF("member", "product", "pos"))
+      (7L, 103L, 9), (7L, 999L, 12), (7L, 101L, 0), (7L, 103L, -2)))
+      .toDF("member", "product", "pos"))
     val clean = api.Eval.mapRecallAtK(recs, truth, "member", "product",
       "pos", k = 5).head()
     val dirty = api.Eval.mapRecallAtK(junk, truth, "member", "product",
@@ -421,6 +440,28 @@ class ApiSpec extends SparkSpec {
     // sensorB: single-point spine, nothing synthesized
     assert(out.count(_._1._1 == "sensorB") == 1)
     assert(out(("sensorB", "2026-03-02")) == ((7.0, false)))
+  }
+
+  test("api.Patterns.gapFill keeps observations that sit off the step grid") {
+    // a 14:00 reading under a daily step starting 09:00: the grid
+    // union must keep it as a real row, not replace it with a
+    // forward-fill of the nearest grid point
+    val df = spark.createDataFrame(Seq(
+      ("s", java.sql.Timestamp.valueOf("2026-03-01 09:00:00"), 1.0),
+      ("s", java.sql.Timestamp.valueOf("2026-03-03 14:00:00"), 9.0)
+    )).toDF("dev", "at", "v")
+    val out = api.Patterns.gapFill(df, Seq("dev"), "at", "v",
+        step = "interval 1 day").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("at").toString ->
+        (r.getAs[Double]("v_filled"), r.getAs[Boolean]("is_filled"))).toMap
+    // grid rows 09:00 on the 1st/2nd/3rd (the 14:00 max extends the
+    // spine through 03-03 09:00) plus the off-grid observation
+    assert(out("2026-03-01 09:00:00.0") == ((1.0, false)))
+    assert(out("2026-03-02 09:00:00.0") == ((1.0, true)))
+    assert(out("2026-03-03 09:00:00.0") == ((1.0, true)))
+    assert(out("2026-03-03 14:00:00.0") == ((9.0, false)),
+      "off-grid observation was dropped or overwritten")
+    assert(out.size == 4)
   }
 
   test("api.Patterns.intervalMerge coalesces overlapping spans into " +
