@@ -77,15 +77,41 @@ object ScaleGen {
     fan("events")   { case ("event_id", k) => off("event_id", k, 100000L)
                       case ("user_id", k) => off("user_id", k, 1500L)
                       case (c, _) => col(c) }
-    fan("documents") {
-      case ("doc_id", k) => off("doc_id", k, 5000L)
-      // copy 0 byte-identical; later copies carry a tag token so the
-      // scaled corpus keeps the original dup-pair density
-      case ("text", k) => when(k === 0, col("text"))
-        .otherwise(concat(col("text"), lit(" sfc"), k.cast("string")))
-      case ("n_chars", k) => when(k === 0, col("n_chars"))
-        .otherwise(col("n_chars") + lit(4) + length(k.cast("string")))
-      case (c, _) => col(c)
+    // Documents: copy 0 stays byte-identical; later copies salt every
+    // CONTENT token with a per-copy prefix while preserving function
+    // words (the t02 stopwords + t03 language markers). The first soak
+    // corpus appended one tag token per copy — at word-trigram shingle
+    // level that left cross-copy Jaccard ≈ 0.95, so every doc became a
+    // 10-way near-dup cluster and the LSH candidate set exploded 6000×
+    // (275,791 pairs at sf1 vs 44 at sf0.1): the "soak" was measuring
+    // a corpus artifact, not engine scaling. Content-salting keeps
+    // within-copy structure EXACTLY (token→token bijection: planted
+    // exact/near-dup pair density, token counts, stopword ratios and
+    // langid marker frequencies are all preserved per copy) while
+    // making cross-copy shingles, bags-of-words, simhashes and rolling
+    // hashes genuinely different — the way ten times more REAL
+    // documents would be. n_chars is recomputed from the salted text.
+    locally {
+      val preserved = Seq("the", "a", "of", "and", // t02 stopwords
+        "table", "row", "key", "query", "window",  // t03 markers
+        "scan", "group", "hash", "sort", "spark", "stream")
+      val salted = array_join(
+        transform(split(col("text"), " "), t =>
+          when(t.isin(preserved: _*) || t === "", t)
+            .otherwise(concat(lit("c"), col("__k").cast("string"), t))),
+        " ")
+      val df = read("documents")
+      val textCol = when(col("__k") === 0, col("text")).otherwise(salted)
+      val cols = df.columns.map {
+        case "doc_id" => off("doc_id", col("__k"), 5000L).as("doc_id")
+        case "text" => textCol.as("text")
+        case "n_chars" => length(textCol).cast("long").as("n_chars")
+        case c => col(c)
+      }
+      df.crossJoin(kDim).select(cols.toSeq: _*)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"[scalegen] documents x$copies (content-salted) -> " +
+        s"$out/documents.parquet")
     }
     fan("embeddings") { case ("vec_id", k) => off("vec_id", k, 2000L)
                         case (c, _) => col(c) }

@@ -1473,14 +1473,28 @@ object Dedup {
     val dups = base.filter(col("p_partkey") % 83 === 0)
       .select((col("p_partkey") + 1000000L).as("p_partkey"),
         typo.as("p_name"), col("p_brand"), col("p_type"), col("p_size"))
-    val all = base.unionByName(dups).localCheckpoint()
+    // Blocking key: (brand, size, sorted-character signature of the
+    // name). The first two alone are a FIXED domain (~25×50 blocks),
+    // so block population grows with the catalog and candidate pairs
+    // grow O(N²) — the round-10 sf1 soak measured 36× time for 10×
+    // parts, the same latent-SF² class as r16's constant IVF cell
+    // count. The char-multiset signature is the standard
+    // canonicalization block for transposition typos (the planted
+    // model: chars 2–3 swapped preserve the multiset, as do exact
+    // re-listings), and its domain scales with the distinct names, so
+    // per-block size — and the pair join — stays O(copies-per-name)
+    // at any catalog size. Substitution/indel typos land in different
+    // blocks by design; catching those takes a second phonetic/q-gram
+    // blocking pass, which this operator does not claim.
+    val sig = array_join(array_sort(split(col("p_name"), "")), "")
+    val all = base.unionByName(dups).withColumn("nsig", sig).localCheckpoint()
     val a = all.select(col("p_partkey").as("ka"), col("p_name").as("na"),
       col("p_brand").as("brand"), col("p_type").as("ta"),
-      col("p_size").as("size"))
+      col("p_size").as("size"), col("nsig"))
     val b = all.select(col("p_partkey").as("kb"), col("p_name").as("nb"),
       col("p_brand").as("brand"), col("p_type").as("tb"),
-      col("p_size").as("size"))
-    a.join(b, Seq("brand", "size")).filter(col("ka") < col("kb"))
+      col("p_size").as("size"), col("nsig"))
+    a.join(b, Seq("brand", "size", "nsig")).filter(col("ka") < col("kb"))
       .withColumn("matched",
         levenshtein(col("na"), col("nb")) <= 2 && col("ta") === col("tb"))
       .groupBy("brand")
@@ -1507,13 +1521,18 @@ object Dedup {
        |  UNION ALL
        |  SELECT p_partkey + 1000000, $typo, p_brand, p_type, p_size
        |  FROM base WHERE p_partkey % 83 = 0),
+       |sigd AS (
+       |  SELECT *, array_to_string(list_sort(string_split(p_name, '')), '')
+       |    AS nsig
+       |  FROM dirty),
        |pairs AS (
        |  SELECT a.p_brand AS brand, a.p_partkey AS ka, b.p_partkey AS kb,
        |    (levenshtein(a.p_name, b.p_name) <= 2
        |      AND a.p_type = b.p_type) AS matched,
        |    a.p_name AS na, b.p_name AS nb
-       |  FROM dirty a JOIN dirty b
+       |  FROM sigd a JOIN sigd b
        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       |    AND a.nsig = b.nsig
        |    AND a.p_partkey < b.p_partkey)
        |SELECT brand, count(*) AS n_cand,
        |  count(CASE WHEN matched THEN 1 END) AS n_matches,
