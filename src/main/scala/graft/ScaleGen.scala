@@ -65,7 +65,15 @@ object ScaleGen {
                       case (c, _) => col(c) }
     fan("supplier") { case ("s_suppkey", k) => off("s_suppkey", k, 1000L)
                       case (c, _) => col(c) }
+    // p_name salted per copy: a real 10× catalog does not contain 10
+    // identically-named copies of every part. Unsalted names made
+    // every multiset-signature block in d23 grow with the copy count
+    // (pairs ∝ copies² — 3.2× per corpus doubling in the 20× soak,
+    // a corpus shape, not an engine one). Copy 0 stays byte-identical.
     fan("part")     { case ("p_partkey", k) => off("p_partkey", k, 20000L)
+                      case ("p_name", k) => when(k === 0, col("p_name"))
+                        .otherwise(concat(lit("c"), k.cast("string"),
+                          lit(" "), col("p_name")))
                       case (c, _) => col(c) }
     fan("orders")   { case ("o_orderkey", k) => off("o_orderkey", k, 150000L)
                       case ("o_custkey", k) => off("o_custkey", k, 15000L)

@@ -978,8 +978,26 @@ object Recommend {
     import s.implicits._
     val centRows = centsCache.getOrElseUpdate(memoKey(s, d), {
       val nItems = itemsAug.count()
+      // TRAINING SAMPLE BOUND (round-10, from the 20× soak): Lloyd
+      // over the full catalog costs iters·N·k, and with k ∝ N that is
+      // an N² term — r16 re-bent 4.0× per corpus DOUBLING at 20× SF
+      // even after the cell-size fix. The FAISS practice is to train
+      // the quantizer on a bounded sample (~hundreds of points per
+      // centroid); a seeded hash-order sample of 64k items caps
+      // training at iters·64k·k (linear in k) while the one-pass
+      // assignment below stays the only N·k term. Every gate-SF
+      // catalog (2k / 20k items) is under the cap, so the branch is
+      // not taken there and gated centroids stay bit-identical —
+      // sampling must stay CONDITIONAL because even a no-op
+      // orderBy+limit reorders the FP partial sums inside Lloyd.
+      val trainCap = 65536L
+      val trainSet =
+        if (nItems > trainCap)
+          itemsAug.orderBy(xxhash64(col("item_id"), lit(13L)), col("item_id"))
+            .limit(trainCap.toInt)
+        else itemsAug
       Similarity.ivfKMeansCentroids(
-        itemsAug.select(col("item_id").as("vec_id"), col("fa").as("v")),
+        trainSet.select(col("item_id").as("vec_id"), col("fa").as("v")),
         k = math.max(8L, nItems / 2500L).toInt, seed = 13)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     })
