@@ -85,6 +85,42 @@ object Bench {
     // own outliers without builder-side guessing.
     val runsByKey =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int, Int)]
+    // SILENT-REBUILD instrument (round-11, VERDICT r10 #2): the Memo
+    // ledger only counts Memo.getOrElseUpdate builds — an EVICTED
+    // cached/checkpointed frame re-executes invisibly (r10 driver:
+    // r17/r19/r20 at 11–21× with builds=0 on both runs, plus a
+    // TorrentBroadcast store-fail in the tail). A SparkListener counts,
+    // per timed run: stages submitted + tasks completed (a "warm"
+    // memo-hit key that suddenly runs hundreds of tasks IS re-executing
+    // its artifact lineage, whatever the ledger says) and cache-block
+    // drops (an RDD block leaving BOTH memory and disk = future
+    // recompute). The bench is sequential, so attributing listener
+    // events to the currently-running (key, run) is sound up to
+    // end-of-run race slop, which the post-run sleep(10) bounds.
+    val runStats = new java.util.concurrent.atomic.AtomicLongArray(3)
+    object lst extends org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        runStats.incrementAndGet(0): Unit
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        runStats.incrementAndGet(1): Unit
+      override def onBlockUpdated(
+          e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+        val u = e.blockUpdatedInfo
+        if (u.blockId.isRDD && !u.storageLevel.isValid)
+          runStats.incrementAndGet(2): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(lst)
+    def drainStats(): (Long, Long, Long) = {
+      Thread.sleep(10) // bound the async listener-bus attribution race
+      (runStats.getAndSet(0, 0L), runStats.getAndSet(1, 0L),
+        runStats.getAndSet(2, 0L))
+    }
+    // per key: [stages_r1, tasks_r1, drops_r1, stages_r2, tasks_r2, drops_r2]
+    val execByKey =
+      scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (name.head != family) {
         family = name.head
@@ -93,6 +129,7 @@ object Bench {
         System.gc()
       }
       graft.ops.Memo.drainBuilds(): Unit // attribute builds per run below
+      drainStats(): Unit // family boundary / previous key slop
       val detail = (1 to 2).map { run =>
         val t0 = System.nanoTime()
         var failed = false
@@ -100,15 +137,17 @@ object Bench {
         catch { case _: Throwable => failed = true }
         val dt = (System.nanoTime() - t0) / 1e9
         val built = graft.ops.Memo.drainBuilds()
+        val (stg, tsk, drp) = drainStats()
         if (run == 1) buildsR1 += built.size
         else {
           buildsR2 += built.size
           if (built.nonEmpty) rebuiltR2 += name.takeWhile(_ != '_')
         }
         if (failed) errs += s"${name.takeWhile(_ != '_')}/r$run"
-        (dt, built.size)
+        (dt, built.size, Seq(stg, tsk, drp))
       }
       val times = detail.map(_._1)
+      execByKey(name) = (detail(0)._3 ++ detail(1)._3).toArray
       // keyed by FULL name here; shortened below through the same
       // dup-aware guard as the queries maps (a bare-prefix key would
       // silently last-wins on a prefix collision)
@@ -150,22 +189,38 @@ object Bench {
       (if (dup(p)) full else p) -> runsByKey(full)
     }
     val shortRunsMap = shortRuns.toMap
+    // exec attribution under the same dup-aware shortening: per key
+    // [stages_r1, tasks_r1, drops_r1, stages_r2, tasks_r2, drops_r2]
+    val shortExecMap = results.zip(prefixes).map { case ((full, _), p) =>
+      (if (dup(p)) full else p) -> execByKey(full)
+    }.toMap
     def runsJ(keys: Iterable[String]): String = keys.flatMap { k =>
       shortRunsMap.get(k).map { case (t1, t2, b1, b2) =>
-        "\"" + k + "\":[" + t1 + "," + t2 + "," + b1 + "," + b2 + "]" }
+        val ex = shortExecMap.get(k).map(_.mkString(",")).getOrElse("")
+        "\"" + k + "\":[" + t1 + "," + t2 + "," + b1 + "," + b2 +
+          (if (ex.nonEmpty) "," + ex else "") + "]" }
+    }.mkString("{", ",", "}")
+    def execJ(keys: Iterable[String]): String = keys.flatMap { k =>
+      shortExecMap.get(k).map(v => "\"" + k + "\":[" + v.mkString(",") + "]")
     }.mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""runs":2,"n_queries":${results.size},"total_mean":$totalMean,""" +
       s"""$gcJit,$memoDiag,"queries":${jmap(short, _._1)},""" +
       s""""queries_mean":${jmap(short, _._2)},""" +
-      s""""queries_runs":${runsJ(shortRuns.map(_._1))},"sf":"$sfDir"}"""
+      s""""queries_runs":${runsJ(shortRuns.map(_._1))},""" +
+      s""""queries_exec":${execJ(shortRuns.map(_._1))},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     val bySlowest = short.sortBy(-_._2._1)
-    // the printed line carries full run1/run2/build attribution for the
-    // driver-host watch keys (r9's unexplained outliers) PLUS whatever
-    // benched slowest THIS run — a new outlier attributes itself
-    val watch = (Seq("r09", "r51", "r06") ++ bySlowest.take(3).map(_._1))
+    // the printed line carries full run/build/exec attribution for the
+    // driver-host watch keys — r10's unattributed lines (the evalRecs
+    // consumers r17/r19/r20, r16's run-2 pathology, t36/t37) plus the
+    // r9 set — PLUS whatever benched slowest THIS run, so a new
+    // outlier attributes itself. Watch row shape:
+    // [t_r1,t_r2,builds_r1,builds_r2,stages_r1,tasks_r1,drops_r1,
+    //  stages_r2,tasks_r2,drops_r2].
+    val watch = (Seq("r09", "r06", "r16", "r17", "r19", "r20",
+      "t36", "t37") ++ bySlowest.take(3).map(_._1))
       .distinct.filter(shortRunsMap.contains)
     def line(n: Int): String = {
       val kept = bySlowest.take(n)

@@ -103,10 +103,15 @@ object ScaleGen {
       val preserved = Seq("the", "a", "of", "and", // t02 stopwords
         "table", "row", "key", "query", "window",  // t03 markers
         "scan", "group", "hash", "sort", "spark", "stream")
+      // "_" separator after the copy index: without it, ≥11 copies make
+      // 'c1'+'9foo' collide with 'c19'+'foo' on digit-leading tokens —
+      // spurious cross-copy shingle matches (p_name salting already
+      // separates with a space).
       val salted = array_join(
         transform(split(col("text"), " "), t =>
           when(t.isin(preserved: _*) || t === "", t)
-            .otherwise(concat(lit("c"), col("__k").cast("string"), t))),
+            .otherwise(concat(lit("c"), col("__k").cast("string"),
+              lit("_"), t))),
         " ")
       val df = read("documents")
       val textCol = when(col("__k") === 0, col("text")).otherwise(salted)

@@ -105,6 +105,41 @@ object Probes {
   val x08Sql: String =
     "SELECT CAST(CAST('3.25' AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS m"
 
+  // x09: double→DECIMAL(12,2) cast — r44-monetary's OLD per-row
+  // construct (rewritten out of the gate in round 11; see
+  // Recommend.r44). Oracle-only under test (x05's pattern): the Spark
+  // side is the expected literal, verified against local DuckDB 1.0.0,
+  // so a red row names the DRIVER build's double→DECIMAL rounding.
+  // Values are the corpus's class: 2-decimal doubles whose binary
+  // form sits ~1e-9 off the decimal (no .005 rounding ties).
+  def x09(s: SparkSession, d: String): DataFrame =
+    one(s, lit("104719.57").as("c1"), lit("8271.22").as("c2"),
+      lit("949.50").as("c3"))
+  val x09Sql: String =
+    "SELECT CAST(CAST('104719.57' AS DOUBLE) AS DECIMAL(12,2))::VARCHAR " +
+      "AS c1, CAST(CAST('8271.22' AS DOUBLE) AS DECIMAL(12,2))::VARCHAR " +
+      "AS c2, CAST(CAST('949.5' AS DOUBLE) AS DECIMAL(12,2))::VARCHAR AS c3"
+
+  // x10: DECIMAL(18,2)→VARCHAR render — the OLD monetary_sum output
+  // construct. Max-width, sub-dollar zero-pad, negative trailing zero.
+  def x10(s: SparkSession, d: String): DataFrame =
+    one(s, lit("1234567890123456.78").as("v1"), lit("0.05").as("v2"),
+      lit("-7.40").as("v3"))
+  val x10Sql: String =
+    "SELECT CAST(CAST('1234567890123456.78' AS DECIMAL(18,2)) AS VARCHAR) " +
+      "AS v1, CAST(CAST('0.05' AS DECIMAL(18,2)) AS VARCHAR) AS v2, " +
+      "CAST(CAST('-7.4' AS DECIMAL(18,2)) AS VARCHAR) AS v3"
+
+  // x11: the COMPOSED old monetary chain on a literal 3-row set —
+  // per-row double→DECIMAL(12,2), DECIMAL sum, DECIMAL(18,2) render.
+  // Green x09+x10 but red x11 would name the sum/promotion step.
+  def x11(s: SparkSession, d: String): DataFrame =
+    one(s, lit("113940.29").as("s"))
+  val x11Sql: String =
+    "SELECT CAST(sum(CAST(v AS DECIMAL(12,2))) AS DECIMAL(18,2))::VARCHAR " +
+      "AS s FROM (VALUES (CAST('104719.57' AS DOUBLE)), " +
+      "(CAST('8271.22' AS DOUBLE)), (CAST('949.5' AS DOUBLE))) t(v)"
+
   // ------------------------------------------------------------------
   // Column sub-gates: one r44/r49 output column per key. The oracle
   // wraps the parent SQL — same computation, so a red row here names
@@ -134,7 +169,7 @@ object Probes {
   def x44a(s: SparkSession, d: String): DataFrame =
     sub("r44", Recommend.r44, "segment", "n_users")(s, d)
   def x44b(s: SparkSession, d: String): DataFrame =
-    sub("r44", Recommend.r44, "segment", "monetary_sum")(s, d)
+    sub("r44", Recommend.r44, "segment", "monetary_sum_cents")(s, d)
   def x44c(s: SparkSession, d: String): DataFrame =
     sub("r44", Recommend.r44, "segment", "avg_recency_days")(s, d)
   def x44d(s: SparkSession, d: String): DataFrame =
@@ -158,6 +193,9 @@ object Probes {
     "x06_probe_decimal_render" -> (x06 _),
     "x07_probe_checksum_sum" -> (x07 _),
     "x08_probe_decimal_mul" -> (x08 _),
+    "x09_probe_dbl_to_decimal" -> (x09 _),
+    "x10_probe_dec18_render" -> (x10 _),
+    "x11_probe_monetary_chain" -> (x11 _),
     "x44a_rfm_counts" -> (x44a _),
     "x44b_rfm_monetary" -> (x44b _),
     "x44c_rfm_recency" -> (x44c _),
@@ -176,8 +214,12 @@ object Probes {
     "x06_probe_decimal_render" -> x06Sql,
     "x07_probe_checksum_sum" -> x07Sql,
     "x08_probe_decimal_mul" -> x08Sql,
+    "x09_probe_dbl_to_decimal" -> x09Sql,
+    "x10_probe_dec18_render" -> x10Sql,
+    "x11_probe_monetary_chain" -> x11Sql,
     "x44a_rfm_counts" -> subSql(Recommend.r44Sql, "segment", "n_users"),
-    "x44b_rfm_monetary" -> subSql(Recommend.r44Sql, "segment", "monetary_sum"),
+    "x44b_rfm_monetary" ->
+      subSql(Recommend.r44Sql, "segment", "monetary_sum_cents"),
     "x44c_rfm_recency" ->
       subSql(Recommend.r44Sql, "segment", "avg_recency_days"),
     "x44d_rfm_checksum" -> subSql(Recommend.r44Sql, "segment", "ids_checksum"),

@@ -4,6 +4,7 @@ import org.apache.spark.ml.recommendation.{ALS, ALSModel}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.etl.{Ratings, Split}
 import graft.functions.Hashing
@@ -163,9 +164,15 @@ object Recommend {
       val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("rec_item"))
       // top-10 cached: ranks 1-5 serve r05/r18/r19/r22, the 6-10 tail
       // is r23's MMR candidate pool — one build, five consumers
+      // EXPLICIT MEMORY_AND_DISK (round-11, VERDICT r10 #2): Dataset
+      // .cache() already means this level, but the memoized serving
+      // artifacts carry the r9 ALS-factor rationale spelled out — a
+      // memory-evicted block must SPILL, not silently re-execute the
+      // whole co-occurrence lineage on every consumer (the r10 driver
+      // benched the evalRecs consumers at 11–21× with a warm memo).
       val recs = unseen.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       recs.count() // materialize NOW — consumers must hit the cache
       recs
     })
@@ -481,7 +488,8 @@ object Recommend {
         .select(col("l_orderkey").as("ok"), col("o_custkey").as("user_id"),
           col("l_partkey").as("item_id"))
         .distinct()
-      val oi = Split.tagTest(oiRaw, Seq("user_id", "item_id")).cache()
+      val oi = Split.tagTest(oiRaw, Seq("user_id", "item_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // spill, never re-execute
       oi.count() // materialize NOW: the branches below read it (a lazy
       // cache + early unpersist would recompute the join per branch)
       oi
@@ -518,7 +526,7 @@ object Recommend {
       val unseen = scored.join(
         histTrain.withColumnRenamed("item_id", "rec_item"),
         Seq("user_id", "rec_item"), "left_anti")
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK) // spill, never re-execute
       unseen.count() // materialize NOW — consumers must hit the cache
       unseen
     })
@@ -529,7 +537,7 @@ object Recommend {
       val recs = evalScores(s, d).withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("user_id", "rec_item", "rank")
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK) // spill, never re-execute
       recs.count() // materialize NOW — consumers must hit the cache
       recs
     })
@@ -996,9 +1004,12 @@ object Recommend {
           itemsAug.orderBy(xxhash64(col("item_id"), lit(13L)), col("item_id"))
             .limit(trainCap.toInt)
         else itemsAug
+      // k clamps to the sample size: past nItems ≈ 164M, nItems/2500
+      // would exceed trainCap and seeded k-means would reuse seed
+      // points modulo the sample (duplicate centroids, empty cells).
       Similarity.ivfKMeansCentroids(
         trainSet.select(col("item_id").as("vec_id"), col("fa").as("v")),
-        k = math.max(8L, nItems / 2500L).toInt, seed = 13)
+        k = math.min(trainCap, math.max(8L, nItems / 2500L)).toInt, seed = 13)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     })
     val nCells = centRows.length
@@ -1017,10 +1028,11 @@ object Recommend {
     val users = model.userFactors
       .select(col("id").as("user_id"), col("features").cast("array<double>").as("fu"))
       .withColumn("fa", concat(col("fu"), array(lit(0.0))))
-    val wProbe = Window.partitionBy("user_id").orderBy(col("d2"), col("cent_id"))
-    val ranked = users.join(broadcast(cents))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(wProbe))
+    // users × k cell distances, NOT yet ranked: probe selection runs
+    // as a heap below (round-11, VERDICT r10 #3 / BASELINE §3d — the
+    // row_number window formulation sorted the users×k fan-out, and
+    // with k ∝ catalog that is the serve path's last O(SF²) term).
+    val cellDists = users.join(broadcast(cents)).withColumn("d2", d2)
     val seen = Ratings.implicitRatings(s, d).select("user_id", "item_id")
     // The fan-out (users × probed-cell items) must never hit a sort
     // or an exchange: the item index broadcasts (a catalog of 8-dim
@@ -1031,7 +1043,26 @@ object Recommend {
     // sf0.1; this shape ~5s. Then the r06 discipline: anti-join seen
     // on the survivors, re-rank to 5.
     def topOf(nProbe: Int, panelOnly: Boolean): DataFrame = {
-      val pool = if (panelOnly) ranked.filter(col("user_id") < R16_PANEL) else ranked
+      val pool =
+        if (panelOnly) cellDists.filter(col("user_id") < R16_PANEL)
+        else cellDists
+      // Probe selection WITHOUT the users×k window sort: the nearest
+      // nProbe cells per user via the same TopKAgg heap the candidate
+      // scoring uses — score −d2 under (score DESC, id ASC) is exactly
+      // the window's (d2 ASC, cent_id ASC) total order, so the probed
+      // set is bit-identical to the row_number formulation. O(log p)
+      // per cell map-side, only users×p rows cross the exchange; fu
+      // rides along as first() (constant within a user's group). The
+      // all-cells reference panel skips selection entirely — probing
+      // every cell needs no rank.
+      val probeSel =
+        if (nProbe >= nCells)
+          pool.select(col("user_id"), col("cent_id").as("cell"), col("fu"))
+        else pool.groupBy("user_id")
+          .agg(graft.functions.TopKAgg.topK(-col("d2"), col("cent_id"),
+            nProbe).as("tk"), first(col("fu")).as("fu"))
+          .select(col("user_id"), explode(col("tk")).as("t"), col("fu"))
+          .select(col("user_id"), col("t.id").as("cell"), col("fu"))
       // ROUND-ROBIN repartition with an explicit count: the probe
       // shuffle is ~1 MB, which AQE's map-size-based coalescing
       // collapses to 1-2 partitions — serializing the 75M-row scoring
@@ -1041,9 +1072,7 @@ object Recommend {
       // downstream hash requirement, so the optimizer can't elide it
       // the way it elides a same-key repartition over the window's
       // exchange. Cost: one extra shuffle of the small probe side.
-      val probes = pool.filter(col("rn") <= nProbe)
-        .select(col("user_id"), col("cent_id").as("cell"), col("fu"))
-        .repartition(s.sparkContext.defaultParallelism)
+      val probes = probeSel.repartition(s.sparkContext.defaultParallelism)
       val top20 = probes.join(broadcast(indexed), Seq("cell"))
         .withColumn("score", dot(col("fu"), col("fi")))
         .groupBy("user_id")
@@ -2984,7 +3013,7 @@ object Recommend {
   // scale flag (three unpartitioned customer-grain windows) and a
   // driver-oracle ntile-variance hazard die together; 5 = best;
   // segments by the standard (R,F) rule grid. The gate is the
-  // SEGMENT ROLLUP (counts, exact decimal spend, integer mean
+  // SEGMENT ROLLUP (counts, exact integer-cent spend, integer mean
   // recency) plus a per-segment id-set checksum — ONE mis-scored
   // customer moves a checksum and hash-fails, so the whole
   // assignment is pinned without emitting a customer-dim table.
@@ -3006,14 +3035,30 @@ object Recommend {
     // recency reshuffles every quintile). DATE − DATE = integer days is
     // core SQL surface on every DuckDB build. x-probe battery
     // (ops/Probes.scala) pins both constructs independently.
+    //
+    // Round-11: monetary is EXACT INTEGER CENTS end-to-end. The round-10
+    // probe battery cornered the remaining driver-only hash fail to the
+    // monetary column alone (x44a/c/d green, x44b red), whose old chain
+    // was per-row CAST(double AS DECIMAL(12,2)) → DECIMAL sum →
+    // DECIMAL(18,2) render — the one construct family no x0 probe
+    // covered, and a known cross-build variance surface in DuckDB
+    // (double→DECIMAL rounding + DECIMAL render). The rewrite takes the
+    // construct out of the contract: cents = CAST(round(price*100) AS
+    // BIGINT) on BOTH sides — the IEEE product is identical in both
+    // engines, every product in this corpus sits ~4e-9 from a whole
+    // cent (checked; no rounding ties), both engines round positives
+    // half-up, and BIGINT sums render exactly with no decimal
+    // formatting anywhere in the gate. x09/x10/x11 probes now pin the
+    // OLD construct chain independently, so if the driver red survives
+    // even this, its pass/fail vector names the construct.
     val o = Tables.orders(s, d)
       .select(col("o_custkey").as("cust"),
         col("o_orderdate").as("od"),
-        col("o_totalprice").cast("decimal(12,2)").as("price"))
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val ref = o.agg(max(col("od")).as("refd"))
     val rfm = o.groupBy("cust")
       .agg(max(col("od")).as("lastd"), count(lit(1)).as("frequency"),
-        sum(col("price")).cast("decimal(18,2)").as("monetary"))
+        sum(col("cents")).as("monetary"))
       .crossJoin(broadcast(ref))
       .withColumn("recency_days",
         datediff(col("refd"), col("lastd")).cast("long"))
@@ -3048,7 +3093,7 @@ object Recommend {
     }
     val rr = ranked("recency_days", col("recency_days"), desc = false, "rr")
     val fr = ranked("frequency", col("frequency"), desc = true, "fr")
-    val mr = ranked("monetary", expr("monetary div 10000"), desc = true, "mr")
+    val mr = ranked("monetary", expr("monetary div 1000000"), desc = true, "mr")
     def quint(rc: String) = expr(
       s"6 - (CASE WHEN $rc <= (n % 5) * (n div 5 + 1)" +
       s" THEN ($rc + n div 5) div (n div 5 + 1)" +
@@ -3069,7 +3114,7 @@ object Recommend {
           .otherwise("regular"))
     scored.groupBy("segment")
       .agg(count(lit(1)).as("n_users"),
-        sum(col("monetary")).cast("decimal(18,2)").as("monetary_sum"),
+        sum(col("monetary")).as("monetary_sum_cents"),
         expr("sum(recency_days) div count(1)").as("avg_recency_days"),
         sum(Hashing.hash56(concat_ws("#", lit("rfm"), col("cust")))
           .cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
@@ -3085,12 +3130,14 @@ object Recommend {
        |    -- DuckDB, and TIMESTAMP − TIMESTAMP is an INTERVAL; DATE −
        |    -- DATE is an integer day count on every build
        |    CAST(o_orderdate AS DATE) AS od,
-       |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+       |    -- exact integer cents: identical IEEE double product on both
+       |    -- engines, round half-up for positives, no DECIMAL anywhere
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
        |  FROM orders),
        |ref AS (SELECT max(od) AS refd FROM o),
        |rfm AS (
        |  SELECT cust, max(od) AS lastd, count(*) AS frequency,
-       |    CAST(sum(price) AS DECIMAL(18,2)) AS monetary,
+       |    CAST(sum(cents) AS BIGINT) AS monetary,
        |    CAST((ref.refd - max(od)) AS BIGINT) AS recency_days
        |  FROM o, ref GROUP BY cust, ref.refd),
        |ranked AS (
@@ -3125,7 +3172,7 @@ object Recommend {
        |         ELSE 'regular' END AS segment
        |  FROM scored)
        |SELECT segment, count(*) AS n_users,
-       |  CAST(sum(monetary) AS DECIMAL(18,2)) AS monetary_sum,
+       |  CAST(sum(monetary) AS BIGINT) AS monetary_sum_cents,
        |  CAST(CAST(sum(recency_days) AS BIGINT) // CAST(count(*) AS BIGINT)
        |    AS BIGINT) AS avg_recency_days,
        |  sum(($h)::DECIMAL(38,0))::DECIMAL(38,0)::VARCHAR AS ids_checksum

@@ -2661,7 +2661,104 @@ object Relational {
       |  SELECT 'global', -1, CAST(count(DISTINCT sid) AS BIGINT) FROM f)
       |ORDER BY level, key""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q70: GENERIC ROW-PATTERN MATCH, 3-step grammar (the arbitrary-
+  // pattern compiler api.Patterns.matchRecognize gated end-to-end —
+  // q63 gates the DOWN+ UP+ convenience wrapper; this key drives the
+  // compiler itself with a REPEATED symbol, exercising first-match
+  // classification, run collapse, m-run adjacency and positional
+  // suffixing in one driver-gated query): pattern DOWN+ UP+ DOWN+
+  // over each nation's monthly revenue — the "dead-cat bounce" shape
+  // (drawdown, partial recovery, renewed decline) that a trough-
+  // recovery scan misreads as a completed recovery. Emits per-match
+  // peak/trough/bounce-top/second-trough months, the three exact
+  // integer-cent moves and run lengths. Same exact-cents discipline
+  // and run algebra as q63; the oracle replays runs + two lead()s.
+  // Scale: identical to q63 — one nation-keyed exchange shared by the
+  // row-grain windows and the run-grain leads; run count is bounded
+  // by nations × months, never the corpus.
+  def q70(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+        .cast("long").as("rev_cents"))
+    val w = Window.partitionBy("nation").orderBy("month")
+    val deltas = monthly
+      .withColumn("__prev_t", lag(col("month"), 1).over(w))
+      .withColumn("__delta",
+        col("rev_cents") - lag(col("rev_cents"), 1).over(w))
+      .filter(col("__delta").isNotNull)
+    graft.api.Patterns.matchRecognize(deltas, Seq("nation"), "month",
+      defines = Seq("down" -> (col("__delta") < 0),
+        "up" -> (col("__delta") > 0), "flat" -> lit(true)),
+      pattern = Seq("down", "up", "down"),
+      runAggs = Seq("start_t" -> min(col("__prev_t")),
+        "end_t" -> max(col("month")), "move" -> sum(col("__delta")),
+        "len" -> count(lit(1))))
+      .select(col("nation"), col("down1_start_t").as("peak_month"),
+        col("down1_end_t").as("trough_month"),
+        col("up_end_t").as("bounce_month"),
+        col("down2_end_t").as("second_trough_month"),
+        (-col("down1_move")).as("drop1_cents"),
+        col("up_move").as("bounce_cents"),
+        (-col("down2_move")).as("drop2_cents"),
+        col("down1_len"), col("up_len"), col("down2_len"))
+      .orderBy("nation", "peak_month")
+  }
+
+  val q70Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT nation, month, rev_cents,
+      |    lag(month) OVER w AS prev_month,
+      |    rev_cents - lag(rev_cents) OVER w AS delta
+      |  FROM monthly WINDOW w AS (PARTITION BY nation ORDER BY month)),
+      |sgn AS (
+      |  SELECT *, CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1
+      |    ELSE 0 END AS sig
+      |  FROM d WHERE delta IS NOT NULL),
+      |chg AS (
+      |  SELECT *, CASE WHEN sig = lag(sig)
+      |      OVER (PARTITION BY nation ORDER BY month) THEN 0 ELSE 1 END AS c
+      |  FROM sgn),
+      |rid AS (
+      |  SELECT *, sum(c) OVER (PARTITION BY nation ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM chg),
+      |runs AS (
+      |  SELECT nation, run_id, max(sig) AS sig,
+      |    min(prev_month) AS start_month, max(month) AS end_month,
+      |    CAST(sum(delta) AS BIGINT) AS move, count(*) AS len
+      |  FROM rid GROUP BY 1, 2),
+      |tri AS (
+      |  SELECT nation, sig,
+      |    lead(sig, 1) OVER rw AS sig1, lead(sig, 2) OVER rw AS sig2,
+      |    start_month AS peak_month, end_month AS trough_month,
+      |    lead(end_month, 1) OVER rw AS bounce_month,
+      |    lead(end_month, 2) OVER rw AS second_trough_month,
+      |    -move AS drop1_cents,
+      |    lead(move, 1) OVER rw AS bounce_cents,
+      |    -lead(move, 2) OVER rw AS drop2_cents,
+      |    len AS down1_len,
+      |    lead(len, 1) OVER rw AS up_len,
+      |    lead(len, 2) OVER rw AS down2_len
+      |  FROM runs WINDOW rw AS (PARTITION BY nation ORDER BY run_id))
+      |SELECT nation, peak_month, trough_month, bounce_month,
+      |  second_trough_month, drop1_cents, bounce_cents, drop2_cents,
+      |  down1_len, up_len, down2_len
+      |FROM tri WHERE sig = -1 AND sig1 = 1 AND sig2 = -1
+      |ORDER BY nation, peak_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_pattern_rebound" -> (q70 _),
     "q69_sparse_distinct" -> (q69 _),
     "q68_equidepth" -> (q68 _),
     "q67_recursive_cte" -> (q67 _),
@@ -2733,6 +2830,7 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q70_pattern_rebound" -> q70Sql,
     "q69_sparse_distinct" -> q69Sql,
     "q68_equidepth" -> q68Sql,
     "q67_recursive_cte" -> q67Sql,

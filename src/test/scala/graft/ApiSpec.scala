@@ -313,7 +313,8 @@ class ApiSpec extends SparkSpec {
     assert(mr(8L).getAs[Long]("n_hits") == 0L)
     assert(mr(8L).getAs[Double]("recall_at_k") == 0.0)
   }
-  test("api.Mix.waterFill saturates scarce domains and redistributes once") {
+  test("api.Mix.waterFill converges in ONE pass when no second domain " +
+    "saturates (the old single-pass values are the fixpoint here)") {
     // supplies: a=1000, b=1000, c=100; budget 60% of 2100 = 1260
     // pcts a=50 b=30 c=20: alloc1 a=630 b=378 c=min(100, 252)=100 sat
     // leftover = 1260-1108 = 152 redistributed over pct_unsat=80:
@@ -330,6 +331,33 @@ class ApiSpec extends SparkSpec {
     assert(out("a").getAs[Long]("final_alloc") == 725L)
     assert(out("b").getAs[Long]("final_alloc") == 435L)
     assert(!out("a").getAs[Boolean]("saturated"))
+  }
+
+  test("api.Mix.waterFill iterates past a SECOND saturation to the " +
+    "fixpoint (the case the one-pass rule under-filled)") {
+    // supplies a=10 b=150 c=1000, tot=1160, budget=696; pcts 60/20/20.
+    // pass1: a=min(10,417)=10 SAT, b=min(150,139)=139, c=139;
+    //   leftover=408 over pct_unsat=40
+    // pass2: b=min(150,139+204)=150 SAT (strands 193), c=343;
+    //   leftover=193 over pct_unsat=20
+    // pass3: c=343+193=536; Σ=696=budget exactly. The one-pass rule
+    // stopped at c=343, under-filling by 193.
+    val rows = Seq(("a", 10L)) ++ (1 to 3).map(_ => ("b", 50L)) ++
+      (1 to 10).map(_ => ("c", 100L))
+    val df = spark.createDataFrame(rows).toDF("corpus", "tok")
+    val out = api.Mix.waterFill(df, "corpus", "tok",
+      Map("a" -> 60, "b" -> 20, "c" -> 20)).collect()
+      .map(r => r.getAs[String]("corpus") -> r).toMap
+    assert(out("a").getAs[Long]("final_alloc") == 10L &&
+      out("a").getAs[Boolean]("saturated"))
+    assert(out("b").getAs[Long]("alloc1") == 139L)
+    assert(out("b").getAs[Long]("final_alloc") == 150L &&
+      out("b").getAs[Boolean]("saturated"))
+    assert(out("c").getAs[Long]("final_alloc") == 536L &&
+      !out("c").getAs[Boolean]("saturated"))
+    // conservation pin: the fixpoint hands out the WHOLE budget when
+    // capacity remains, and never more
+    assert(out.values.map(_.getAs[Long]("final_alloc")).sum == 696L)
   }
 
   test("api.Mix.waterFill rejects over-asked explicit pcts and never " +
@@ -513,6 +541,48 @@ class ApiSpec extends SparkSpec {
     assert(m.getAs[Long]("recovered") == 5L)
     assert(m.getAs[Long]("depth") == 3L && m.getAs[Long]("recovery") == 5L)
     assert(m.getAs[Long]("down_len") == 2L && m.getAs[Long]("up_len") == 1L)
+  }
+
+  test("api.Patterns.matchRecognize compiles an arbitrary pattern onto " +
+    "the run algebra") {
+    // sensor schema (non-testdata): defines hot/cold, rows in 10..29
+    // match NO define → null symbol → run breaker, never in a match
+    val df = spark.createDataFrame(Seq(
+      ("a", 1L, 35L), ("a", 2L, 33L), ("a", 3L, 5L), ("a", 4L, 7L),
+      ("a", 5L, 31L), ("a", 6L, 20L), ("a", 7L, 36L), ("a", 8L, 6L),
+      ("b", 1L, 35L), ("b", 2L, 5L)
+    )).toDF("device", "ts", "temp")
+    val defines = Seq("hot" -> (col("temp") >= 30),
+      "cold" -> (col("temp") < 10))
+    // 3-step pattern with a REPEATED symbol: positional suffixes
+    val m3 = api.Patterns.matchRecognize(df, Seq("device"), "ts",
+      defines, Seq("hot", "cold", "hot")).collect()
+    assert(m3.length == 1)
+    val r = m3(0)
+    assert(r.getAs[String]("device") == "a")
+    assert(r.getAs[Long]("hot1_start") == 1L &&
+      r.getAs[Long]("hot1_end") == 2L && r.getAs[Long]("hot1_len") == 2L)
+    assert(r.getAs[Long]("cold_start") == 3L &&
+      r.getAs[Long]("cold_end") == 4L && r.getAs[Long]("cold_len") == 2L)
+    assert(r.getAs[Long]("hot2_start") == 5L &&
+      r.getAs[Long]("hot2_end") == 5L && r.getAs[Long]("hot2_len") == 1L)
+    // 2-step pattern: the unmatched t6 row must break hot[t5]→cold[t8]
+    // adjacency on device a; device b contributes its own match
+    val m2 = api.Patterns.matchRecognize(df, Seq("device"), "ts",
+      defines, Seq("hot", "cold"))
+      .orderBy("device", "hot_start").collect()
+      .map(x => (x.getAs[String]("device"), x.getAs[Long]("hot_start"),
+        x.getAs[Long]("cold_end")))
+    assert(m2.toSeq == Seq(("a", 1L, 4L), ("a", 7L, 8L), ("b", 1L, 2L)))
+    // custom runAggs flow through per step
+    val ra = api.Patterns.matchRecognize(df, Seq("device"), "ts",
+      defines, Seq("hot", "cold"),
+      runAggs = Seq("peak" -> max(col("temp")), "n" -> count(lit(1))))
+      .orderBy("device", "match_id").collect()
+      .map(x => (x.getAs[String]("device"), x.getAs[Long]("hot_peak"),
+        x.getAs[Long]("cold_peak"), x.getAs[Long]("hot_n")))
+    assert(ra.toSeq == Seq(("a", 35L, 7L, 2L), ("a", 36L, 6L, 1L),
+      ("b", 35L, 5L, 1L)))
   }
 
   test("api.Ann.layeredTopK excludeSelf=false keeps coincidental " +

@@ -600,10 +600,10 @@ class RecommendSpec extends SparkSpec {
     val champs = rows("champions"); val hib = rows("hibernating")
     assert(champs.getAs[Long]("avg_recency_days") <
       hib.getAs[Long]("avg_recency_days"))
-    val champMean = BigDecimal(champs.getAs[java.math.BigDecimal]("monetary_sum")) /
+    val champMean = BigDecimal(champs.getAs[Long]("monetary_sum_cents")) /
       champs.getAs[Long]("n_users")
     val globalMean = rows.values.map(r =>
-      BigDecimal(r.getAs[java.math.BigDecimal]("monetary_sum"))).sum / nCust
+      BigDecimal(r.getAs[Long]("monetary_sum_cents"))).sum / nCust
     assert(champMean > globalMean,
       s"champions per-head spend $champMean not above corpus mean $globalMean")
   }

@@ -588,6 +588,40 @@ class RelationalSpec extends SparkSpec {
       s"replayed matches $replayed != gated $mine for nation $nation")
   }
 
+  test("q70: 3-step rebound matches are well-formed and their DOWN UP " +
+    "prefix is exactly the q63 V-matches followed by a decline") {
+    val rs = ops.Relational.q70(spark, sf).collect()
+    assert(rs.nonEmpty, "no dead-cat bounces found — the series never " +
+      "declines twice?")
+    rs.foreach { r =>
+      assert(r.getAs[String]("peak_month") < r.getAs[String]("trough_month") &&
+        r.getAs[String]("trough_month") < r.getAs[String]("bounce_month") &&
+        r.getAs[String]("bounce_month") <
+          r.getAs[String]("second_trough_month"),
+        s"months out of order: $r")
+      assert(r.getAs[Long]("drop1_cents") > 0 &&
+        r.getAs[Long]("bounce_cents") > 0 &&
+        r.getAs[Long]("drop2_cents") > 0, s"non-strict rebound: $r")
+      assert(r.getAs[Long]("down1_len") >= 1 &&
+        r.getAs[Long]("up_len") >= 1 && r.getAs[Long]("down2_len") >= 1)
+    }
+    // containment pin: a (down,up,down) match is precisely a q63
+    // (down,up) V-match whose up-run is IMMEDIATELY followed by a
+    // down-run — so q70's (nation, peak, trough, bounce) triples must
+    // be a subset of q63's (nation, peak, bottom, recovered), and any
+    // q63 V NOT in q70 must not be followed by an immediate decline
+    val vs = ops.Relational.q63(spark, sf).collect()
+      .map(v => (v.get(v.fieldIndex("nation")), v.getAs[String]("peak_month"),
+        v.getAs[String]("bottom_month"), v.getAs[String]("end_month"))).toSet
+    val mine = rs.map(r => (r.get(r.fieldIndex("nation")),
+      r.getAs[String]("peak_month"), r.getAs[String]("trough_month"),
+      r.getAs[String]("bounce_month"))).toSet
+    assert(mine.subsetOf(vs),
+      s"q70 emitted a rebound whose V prefix q63 never saw: ${(mine -- vs).take(3)}")
+    assert(mine.size < vs.size,
+      "every V rebounds — the 3rd step never filtered, suspicious")
+  }
+
   test("q62: decomposition is exactly additive in rationals, frame-aligned, " +
     "and seasonal is one index per (nation, month-of-year)") {
     val rows = ops.Relational.q62(spark, sf).collect()

@@ -365,4 +365,101 @@ class StreamingSpec extends SparkSpec {
         (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
     assert(streamAgg == batchAgg, "stream rollup diverged from batch")
   }
+
+  test("broker twin: a partition ADDED mid-stream is consumed from " +
+    "offset 0 without disturbing the old partitions") {
+    // Kafka partition-add semantics: an admin grows the topic's
+    // partition count and the new partition starts at offset 0 while
+    // the old ones keep their sequence. The twin lands 2 segments of
+    // partitions {0,1}, then 2 more that ALSO carry the new partition
+    // 2 from offset 0 — segments appearing mid-stream with a
+    // late-born key range (round-11, VERDICT r10 #7).
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_padd")
+    val topic = root.resolve("topic"); java.nio.file.Files.createDirectory(topic)
+    val perSeg = 10
+    def seg(si: Int, parts: Seq[Int], firstSegOf: Map[Int, Int]) =
+      parts.flatMap { p =>
+        (0 until perSeg).map { i =>
+          val off = (si - firstSegOf(p)) * perSeg + i
+          (p, off.toLong, s"k${(p + off) % 5}", (p * 1000 + off).toLong)
+        }
+      }.toDF("partition", "offset", "key", "value")
+    val born = Map(0 -> 0, 1 -> 0, 2 -> 2) // partition 2 born at seg 2
+    val schema = seg(0, Seq(0, 1), born).schema
+    (0 until 2).foreach(si => seg(si, Seq(0, 1), born).coalesce(1)
+      .write.mode("append").parquet(topic.toString))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(topic.toString)
+    val sink = "graft_padd_sink"
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      q.processAllAvailable()
+      // partition 2 appears mid-stream, the consumer already running
+      (2 until 4).foreach(si => seg(si, Seq(0, 1, 2), born).coalesce(1)
+        .write.mode("append").parquet(topic.toString))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table(sink).collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset")))
+    assert(pairs.distinct.length == pairs.length, "duplicated (part, offset)")
+    val byPart = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // old partitions: full 4-segment dense prefix, untouched by the add
+    Seq(0, 1).foreach { p =>
+      assert(byPart(p).sameElements(0L until (4L * perSeg)),
+        s"pre-existing partition $p lost offsets across the add")
+    }
+    // the new partition starts at 0 and tiles its own 2 segments
+    assert(byPart(2).sameElements(0L until (2L * perSeg)),
+      "added partition did not start at offset 0 / tile densely")
+  }
+
+  test("broker twin: a REBALANCED consumer (new instance, same group) " +
+    "resumes from committed offsets — no gaps, no duplicates") {
+    // Kafka consumer-group rebalance contract: when a consumer dies
+    // and its partitions are reassigned, the successor resumes from
+    // the group's committed offsets. The twin's committed offsets are
+    // the checkpoint: consumer 1 drains 2 segments and STOPS; 2 more
+    // segments land while nobody is subscribed; consumer 2 starts as
+    // a NEW query on the SAME checkpoint + durable (file) sink and
+    // must pick up exactly after consumer 1 — the sink holding every
+    // (partition, offset) exactly once is the whole contract.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rebal")
+    val topic = root.resolve("topic"); java.nio.file.Files.createDirectory(topic)
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    val nParts = 3; val perSeg = 10
+    def seg(si: Int) = (0 until nParts).flatMap { p =>
+      (0 until perSeg).map { i =>
+        val off = si * perSeg + i
+        (p, off.toLong, s"k${(p + off) % 5}", (p * 1000 + off).toLong)
+      }
+    }.toDF("partition", "offset", "key", "value")
+    val schema = seg(0).schema
+    def consumer() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(topic.toString)
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .start()
+    (0 until 2).foreach(si => seg(si).coalesce(1).write.mode("append")
+      .parquet(topic.toString))
+    val c1 = consumer()
+    try c1.processAllAvailable() finally c1.stop() // consumer 1 dies
+    (2 until 4).foreach(si => seg(si).coalesce(1).write.mode("append")
+      .parquet(topic.toString)) // records land during the rebalance gap
+    val c2 = consumer() // successor joins the group
+    try c2.processAllAvailable() finally c2.stop()
+    val pairs = spark.read.schema(schema).parquet(outDir).collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset")))
+    assert(pairs.length == nParts * perSeg * 4,
+      s"handoff lost records: ${pairs.length} of ${nParts * perSeg * 4}")
+    assert(pairs.distinct.length == pairs.length,
+      "handoff replayed records already committed by consumer 1")
+    pairs.groupBy(_._1).foreach { case (p, ps) =>
+      assert(ps.map(_._2).sorted.sameElements(0L until (4L * perSeg)),
+        s"partition $p offsets not a dense prefix after the handoff")
+    }
+  }
 }

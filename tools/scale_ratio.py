@@ -45,6 +45,16 @@ def main():
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     floor_s = 0.3
 
+    # No silent caps: a key present at only one SF, or one that ERRORED
+    # at sf1 (the most superlinear outcome possible — OOM/timeout), must
+    # be loud and fail the sweep, not vanish from the join.
+    base_keys = set(base["queries"])
+    soak_keys = set(soak["queries"])
+    missing_in_soak = sorted(base_keys - soak_keys)
+    missing_in_base = sorted(soak_keys - base_keys)
+    errs = sorted(set(base.get("errs") or []) | set(soak.get("errs") or []))
+    hard_fail = bool(missing_in_soak or errs)
+
     rows = []
     for key, t1 in soak["queries"].items():
         t0 = base["queries"].get(key)
@@ -69,6 +79,17 @@ def main():
           f"total {total0:.1f}s -> {total1:.1f}s "
           f"({total1 / max(total0, 1e-9):.1f}x for 10x data); "
           f"{flagged} key(s) over the {threshold:.0f}x bar")
+    if missing_in_soak:
+        print(f"MISSING AT SOAK SF ({len(missing_in_soak)} — errored or "
+              f"never ran; treat as superlinear until proven otherwise): "
+              + ", ".join(missing_in_soak))
+    if missing_in_base:
+        print(f"missing at base SF ({len(missing_in_base)} — new keys, "
+              f"no ratio): " + ", ".join(missing_in_base))
+    if errs:
+        print(f"BENCH ERRS ({len(errs)}): " + ", ".join(errs))
+    if hard_fail:
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

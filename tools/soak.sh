@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Standing round-close SCALE GATE (round-11, VERDICT r10 "Next round"
+# #6): the full-surface sf1 soak found four real latent-O(SF²) shapes
+# in round 10 (r16 IVF cells, r48/r51 fold-in panels, d23 blocking),
+# so it runs EVERY round, scripted, not as a one-off heroic.
+#
+#   tools/soak.sh [srcSfDir] [soakDir] [copies] [baseBenchJson]
+#
+# 1. graft.ScaleGen rebuilds the salted soak corpus (content-salted
+#    docs, per-copy p_name salt, "_"-separated copy prefix).
+# 2. graft.Bench runs the FULL key surface on it; the per-key detail
+#    lands in BENCH_SOAK_SF<copies/10>.json (the committed sf0.1
+#    BENCH_FULL.json is preserved around the run — Bench writes to the
+#    repo root).
+# 3. tools/scale_ratio.py compares against the committed sf0.1 run and
+#    EXITS NONZERO if any key is superlinear past the threshold, went
+#    missing at the soak SF, or errored — no silent caps.
+#
+# Expected wall time at copies=10 on local[16]: ~25–35 min (dominated
+# by the bench's 2×354 query runs). Run it alone: a concurrent
+# sbt/Verify run inflates the slow lines (see .claude/skills/verify).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SRC="${1:-/root/testdata/sf0.1}"
+OUT="${2:-/tmp/sf1}"
+COPIES="${3:-10}"
+BASE="${4:-BENCH_FULL.json}"
+CPUS="${SPARK_GRAFT_CPUS:-16}"
+MEM="${SPARK_DRIVER_MEM:-48g}"
+SOAK_JSON="BENCH_SOAK_$(basename "$OUT").json"
+
+[ -f "$BASE" ] || { echo "soak: base bench $BASE missing" >&2; exit 1; }
+
+echo "== soak 1/3: ScaleGen $SRC -> $OUT (x$COPIES)"
+SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.ScaleGen $SRC $OUT $COPIES"
+
+echo "== soak 2/3: full Bench on $OUT (local[$CPUS], $MEM heap)"
+KEEP="$(mktemp)"; cp "$BASE" "$KEEP"   # Bench overwrites BENCH_FULL.json
+SPARK_GRAFT_SF_DIR="$OUT" SPARK_GRAFT_CPUS="$CPUS" SPARK_DRIVER_MEM="$MEM" \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '{"metric"' || true
+mv BENCH_FULL.json "$SOAK_JSON"
+cp "$KEEP" "$BASE"; rm -f "$KEEP"
+
+echo "== soak 3/3: scale_ratio $BASE vs $SOAK_JSON"
+python3 tools/scale_ratio.py "$BASE" "$SOAK_JSON"
+echo "soak: PASS — slopes above in $SOAK_JSON; update BASELINE.md §3"
