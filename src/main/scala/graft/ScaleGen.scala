@@ -103,15 +103,22 @@ object ScaleGen {
       val preserved = Seq("the", "a", "of", "and", // t02 stopwords
         "table", "row", "key", "query", "window",  // t03 markers
         "scan", "group", "hash", "sort", "spark", "stream")
-      // "_" separator after the copy index: without it, ≥11 copies make
+      // "x" separator after the copy index: without one, ≥11 copies make
       // 'c1'+'9foo' collide with 'c19'+'foo' on digit-leading tokens —
-      // spurious cross-copy shingle matches (p_name salting already
-      // separates with a space).
+      // spurious cross-copy shingle matches. The separator must stay
+      // INSIDE the [\p{L}\p{N}] token class: the round-11 first attempt
+      // used "_", which TextNorm's tokenizer does NOT match, so every
+      // salted token split back into 'cK' + the ORIGINAL token and the
+      // whole corpus became 10-way near-dup clusters again (d11 went
+      // 333× at the soak — the soak gate caught its own corpus bug).
+      // A letter separator is unambiguous because the copy index is
+      // all digits: parse c, digits, x, rest. (p_name salting separates
+      // with a space — fine there, names aren't re-tokenized.)
       val salted = array_join(
         transform(split(col("text"), " "), t =>
           when(t.isin(preserved: _*) || t === "", t)
             .otherwise(concat(lit("c"), col("__k").cast("string"),
-              lit("_"), t))),
+              lit("x"), t))),
         " ")
       val df = read("documents")
       val textCol = when(col("__k") === 0, col("text")).otherwise(salted)

@@ -1161,7 +1161,13 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nll_centi_sum")).as("nll_centi_mass"),
         sum(col("n_tokens")).as("tok_mass"),
-        sum(Hashing.hash56(concat_ws("#", lit("ccb"), col("doc_id"))))
+        // cast per ROW before the sum (the discipline every other
+        // checksum site follows): summing 56-bit hashes as LONG
+        // overflows past ~128 docs/group under ANSI mode — the sf1
+        // soak's errs gate caught exactly this (t26 was the suite's
+        // one sum-then-cast site)
+        sum(Hashing.hash56(concat_ws("#", lit("ccb"), col("doc_id")))
+          .cast("decimal(38,0)"))
           .cast("decimal(38,0)").cast("string").as("ids_checksum"))
       .orderBy("source", "bucket")
   }
