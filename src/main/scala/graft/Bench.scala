@@ -113,8 +113,21 @@ object Bench {
       }
     }
     spark.sparkContext.addSparkListener(lst)
+    // Drain AFTER the listener bus quiesces: a slow run can end with
+    // thousands of TaskEnd events still queued in the AsyncEventQueue,
+    // and a fixed sleep would attribute run 1's task storm to run 2 —
+    // the exact spurious signature this instrument exists to detect.
+    // Poll until two consecutive reads agree (50 ms apart, ≤2 s cap —
+    // the bench is sequential, so a stable counter means the queue for
+    // THIS key's events is empty).
     def drainStats(): (Long, Long, Long) = {
-      Thread.sleep(10) // bound the async listener-bus attribution race
+      def snap() = (runStats.get(0), runStats.get(1), runStats.get(2))
+      var prev = snap()
+      var tries = 0
+      var cur = { Thread.sleep(10); snap() }
+      while (cur != prev && tries < 40) {
+        prev = cur; Thread.sleep(50); cur = snap(); tries += 1
+      }
       (runStats.getAndSet(0, 0L), runStats.getAndSet(1, 0L),
         runStats.getAndSet(2, 0L))
     }
@@ -194,7 +207,14 @@ object Bench {
     val shortExecMap = results.zip(prefixes).map { case ((full, _), p) =>
       (if (dup(p)) full else p) -> execByKey(full)
     }.toMap
+    // queries_runs keeps its documented 4-element shape; the exec
+    // numbers live ONCE, in queries_exec (full file) and in the watch
+    // rows (printed line), via the 10-element watchJ below.
     def runsJ(keys: Iterable[String]): String = keys.flatMap { k =>
+      shortRunsMap.get(k).map { case (t1, t2, b1, b2) =>
+        "\"" + k + "\":[" + t1 + "," + t2 + "," + b1 + "," + b2 + "]" }
+    }.mkString("{", ",", "}")
+    def watchJ(keys: Iterable[String]): String = keys.flatMap { k =>
       shortRunsMap.get(k).map { case (t1, t2, b1, b2) =>
         val ex = shortExecMap.get(k).map(_.mkString(",")).getOrElse("")
         "\"" + k + "\":[" + t1 + "," + t2 + "," + b1 + "," + b2 +
@@ -227,7 +247,7 @@ object Bench {
       val others = r3(bySlowest.drop(n).map(_._2._1).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
         s""""n_queries":${results.size},"total_mean":$totalMean,$gcJit,""" +
-        s"""$memoDiag,"watch":${runsJ(watch)},""" +
+        s"""$memoDiag,"watch":${watchJ(watch)},""" +
         s""""queries":${jmap(kept.sortBy(_._1), _._1)},""" +
         s""""others_sec":$others,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }

@@ -1325,6 +1325,13 @@ object Patterns {
     val stepPrefix = pattern.zipWithIndex.map { case (p, i) =>
       if (dupSteps(p)) s"$p${pattern.take(i + 1).count(_ == p)}" else p
     }
+    // a positional suffix can collide with a LITERAL define name
+    // (defines "down" and "down1", pattern down down down1 → two
+    // steps both named down1): duplicate output columns would make
+    // every downstream col() ambiguous — fail loudly at call time
+    require(stepPrefix.distinct == stepPrefix,
+      s"pattern step output names collide after positional suffixing: " +
+        s"$stepPrefix — rename the conflicting define")
     val projected = runs.select(kc ++ Seq(col("__run").as("match_id")) ++
       (0 until m).flatMap { i =>
         stepCol(i, "__sym").as(s"__sym_$i") +:

@@ -574,6 +574,13 @@ class ApiSpec extends SparkSpec {
       .map(x => (x.getAs[String]("device"), x.getAs[Long]("hot_start"),
         x.getAs[Long]("cold_end")))
     assert(m2.toSeq == Seq(("a", 1L, 4L), ("a", 7L, 8L), ("b", 1L, 2L)))
+    // a positional suffix that collides with a literal define name
+    // must fail loudly at call time, not emit duplicate columns
+    intercept[IllegalArgumentException] {
+      api.Patterns.matchRecognize(df, Seq("device"), "ts",
+        Seq("hot" -> (col("temp") >= 30), "hot1" -> (col("temp") < 10)),
+        Seq("hot", "hot", "hot1"))
+    }
     // custom runAggs flow through per step
     val ra = api.Patterns.matchRecognize(df, Seq("device"), "ts",
       defines, Seq("hot", "cold"),

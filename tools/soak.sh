@@ -7,14 +7,18 @@
 #   tools/soak.sh [srcSfDir] [soakDir] [copies] [baseBenchJson]
 #
 # 1. graft.ScaleGen rebuilds the salted soak corpus (content-salted
-#    docs, per-copy p_name salt, "_"-separated copy prefix).
+#    docs, per-copy p_name salt, "cKx" copy prefix — the separator must
+#    stay inside TextNorm's [\p{L}\p{N}] token class; see ScaleGen).
 # 2. graft.Bench runs the FULL key surface on it; the per-key detail
 #    lands in BENCH_SOAK_SF<copies/10>.json (the committed sf0.1
 #    BENCH_FULL.json is preserved around the run — Bench writes to the
 #    repo root).
 # 3. tools/scale_ratio.py compares against the committed sf0.1 run and
-#    EXITS NONZERO if any key is superlinear past the threshold, went
-#    missing at the soak SF, or errored — no silent caps.
+#    EXITS NONZERO if any key went missing at the soak SF or errored —
+#    no silent caps. Superlinear keys PRINT for manual attribution but
+#    do not fail the gate (full-bench context inflates marginal lines;
+#    the procedure is to re-measure flagged keys isolated via BenchOne
+#    before calling them regressions — BASELINE.md §3c/§4).
 #
 # Expected wall time at copies=10 on local[16]: ~25–35 min (dominated
 # by the bench's 2×354 query runs). Run it alone: a concurrent
@@ -37,8 +41,17 @@ SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.ScaleGen $SRC $OUT $COPIES"
 
 echo "== soak 2/3: full Bench on $OUT (local[$CPUS], $MEM heap)"
 KEEP="$(mktemp)"; cp "$BASE" "$KEEP"   # Bench overwrites BENCH_FULL.json
+# No `|| true` here: under pipefail a Bench crash OR a missing metric
+# line fails the script. Otherwise the mv below would promote the
+# UNTOUCHED baseline into $SOAK_JSON and scale_ratio would compare the
+# base against a copy of itself — a silent false PASS.
 SPARK_GRAFT_SF_DIR="$OUT" SPARK_GRAFT_CPUS="$CPUS" SPARK_DRIVER_MEM="$MEM" \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep '{"metric"' || true
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '{"metric"'
+# belt-and-braces: the bench must have REWRITTEN the detail file
+if cmp -s BENCH_FULL.json "$KEEP"; then
+  echo "soak: BENCH_FULL.json unchanged after the run — bench never wrote" >&2
+  cp "$KEEP" "$BASE"; rm -f "$KEEP"; exit 1
+fi
 mv BENCH_FULL.json "$SOAK_JSON"
 cp "$KEEP" "$BASE"; rm -f "$KEEP"
 
