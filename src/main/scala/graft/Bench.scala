@@ -93,10 +93,14 @@ object Bench {
     // per timed run: stages submitted + tasks completed (a "warm"
     // memo-hit key that suddenly runs hundreds of tasks IS re-executing
     // its artifact lineage, whatever the ledger says) and cache-block
-    // drops (an RDD block leaving BOTH memory and disk = future
-    // recompute). The bench is sequential, so attributing listener
-    // events to the currently-running (key, run) is sound up to
-    // end-of-run race slop, which the post-run sleep(10) bounds.
+    // releases (an RDD block leaving BOTH memory and disk — NOTE this
+    // counts deliberate unpersist()/Memo-cleanup transitions as well as
+    // memory-pressure evictions, so drops_rN > 0 means "blocks
+    // released", not necessarily "future recompute"; eviction pressure
+    // shows as drops PAIRED with a run-2 stage/task surge). The bench
+    // is sequential, so attributing listener events to the
+    // currently-running (key, run) is sound up to end-of-run race
+    // slop, which the post-run sleep(10) bounds.
     val runStats = new java.util.concurrent.atomic.AtomicLongArray(3)
     object lst extends org.apache.spark.scheduler.SparkListener {
       override def onStageSubmitted(
@@ -239,8 +243,11 @@ object Bench {
     // outlier attributes itself. Watch row shape:
     // [t_r1,t_r2,builds_r1,builds_r2,stages_r1,tasks_r1,drops_r1,
     //  stages_r2,tasks_r2,drops_r2].
+    // s23/s24/d20/g01 joined round 12 (VERDICT r11 #3): the NN-descent
+    // memo consumers drifted +31–33% in r11 with no code change — the
+    // exec rows must cover them so eviction can be ruled in or out.
     val watch = (Seq("r09", "r06", "r16", "r17", "r19", "r20",
-      "t36", "t37") ++ bySlowest.take(3).map(_._1))
+      "t36", "t37", "s23", "s24", "d20", "g01") ++ bySlowest.take(3).map(_._1))
       .distinct.filter(shortRunsMap.contains)
     def line(n: Int): String = {
       val kept = bySlowest.take(n)
@@ -256,6 +263,7 @@ object Bench {
     val out = (60 to 10 by -10).view.map(line).find(_.length <= 1800)
       .getOrElse(line(5))
     println(out)
+    spark.sparkContext.removeSparkListener(lst)
     spark.stop()
   }
 }

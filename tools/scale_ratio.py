@@ -52,8 +52,14 @@ def main():
     soak_keys = set(soak["queries"])
     missing_in_soak = sorted(base_keys - soak_keys)
     missing_in_base = sorted(soak_keys - base_keys)
-    errs = sorted(set(base.get("errs") or []) | set(soak.get("errs") or []))
-    hard_fail = bool(missing_in_soak or errs)
+    # Gate on SOAK-side errs only (and report the two sides separately):
+    # an err baked into the committed base file is a pre-existing,
+    # adjudicated condition — failing every future soak on it would make
+    # the gate permanently red even when the sf1 run itself is clean.
+    # Base errs still print loudly so they can't silently persist.
+    base_errs = sorted(set(base.get("errs") or []))
+    soak_errs = sorted(set(soak.get("errs") or []))
+    hard_fail = bool(missing_in_soak or soak_errs)
 
     rows = []
     for key, t1 in soak["queries"].items():
@@ -86,8 +92,12 @@ def main():
     if missing_in_base:
         print(f"missing at base SF ({len(missing_in_base)} — new keys, "
               f"no ratio): " + ", ".join(missing_in_base))
-    if errs:
-        print(f"BENCH ERRS ({len(errs)}): " + ", ".join(errs))
+    if soak_errs:
+        print(f"BENCH ERRS @soak ({len(soak_errs)} — gate FAILS): "
+              + ", ".join(soak_errs))
+    if base_errs:
+        print(f"bench errs @base ({len(base_errs)} — pre-existing in the "
+              f"committed base file, not gated here): " + ", ".join(base_errs))
     if hard_fail:
         raise SystemExit(2)
 

@@ -21,8 +21,8 @@
 #    before calling them regressions — BASELINE.md §3c/§4).
 #
 # Expected wall time at copies=10 on local[16]: ~25–35 min (dominated
-# by the bench's 2×354 query runs). Run it alone: a concurrent
-# sbt/Verify run inflates the slow lines (see .claude/skills/verify).
+# by the bench's 2×354 query runs). Run it alone: any concurrent
+# Spark/sbt job on the host inflates the slow lines.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -40,7 +40,14 @@ echo "== soak 1/3: ScaleGen $SRC -> $OUT (x$COPIES)"
 SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.ScaleGen $SRC $OUT $COPIES"
 
 echo "== soak 2/3: full Bench on $OUT (local[$CPUS], $MEM heap)"
-KEEP="$(mktemp)"; cp "$BASE" "$KEEP"   # Bench overwrites BENCH_FULL.json
+# Snapshot the file Bench ACTUALLY writes (BENCH_FULL.json), not $BASE:
+# when the optional 4th arg names a different base file, comparing the
+# post-run BENCH_FULL.json against a $BASE snapshot would compare two
+# unrelated files — a bench that crashed before writing would silently
+# promote the stale pre-run BENCH_FULL.json into $SOAK_JSON, the exact
+# false comparison this guard exists to stop.
+KEEP="$(mktemp)"
+if [ -f BENCH_FULL.json ]; then cp BENCH_FULL.json "$KEEP"; else : > "$KEEP"; fi
 # No `|| true` here: under pipefail a Bench crash OR a missing metric
 # line fails the script. Otherwise the mv below would promote the
 # UNTOUCHED baseline into $SOAK_JSON and scale_ratio would compare the
@@ -50,10 +57,12 @@ SPARK_GRAFT_SF_DIR="$OUT" SPARK_GRAFT_CPUS="$CPUS" SPARK_DRIVER_MEM="$MEM" \
 # belt-and-braces: the bench must have REWRITTEN the detail file
 if cmp -s BENCH_FULL.json "$KEEP"; then
   echo "soak: BENCH_FULL.json unchanged after the run — bench never wrote" >&2
-  cp "$KEEP" "$BASE"; rm -f "$KEEP"; exit 1
+  rm -f "$KEEP"; exit 1
 fi
 mv BENCH_FULL.json "$SOAK_JSON"
-cp "$KEEP" "$BASE"; rm -f "$KEEP"
+# restore the committed per-key detail file the run clobbered (skip
+# the restore when there was nothing to clobber)
+[ -s "$KEEP" ] && cp "$KEEP" BENCH_FULL.json; rm -f "$KEEP"
 
 echo "== soak 3/3: scale_ratio $BASE vs $SOAK_JSON"
 python3 tools/scale_ratio.py "$BASE" "$SOAK_JSON"
