@@ -385,25 +385,37 @@ object Ann {
     * real entry points than asked). Returns (visited(query_id, cand,
     * cos), n_l1, n_l2). c = (__nid, __cv), q = (query_id, __qv),
     * both expected pinned by the caller. */
-  private[graft] def layeredDescent(c: DataFrame, q: DataFrame,
-      l1Mod: Int, l2Mod: Int, degree: Int, beam: Int,
-      rounds: Int): (DataFrame, Long, Long) = {
-    require(l2Mod % l1Mod == 0,
-      s"l2Mod=$l2Mod must be a multiple of l1Mod=$l1Mod")
+  /** The L1 stratum graph in ORIGINAL id space: densify the stratum
+    * (knnGraph's dense-id contract), NN-descend it, map back. Split
+    * out of [[layeredDescent]] round 12 so the persisted-index path
+    * (IoOps.graphIndexWrite / the gated i32 key) builds the IDENTICAL
+    * artifact the descent consumes. c = (__nid, __cv). */
+  private[graft] def l1StratumGraph(c: DataFrame, l1Mod: Int,
+      degree: Int): DataFrame = {
     val l1 = c.filter(col("__nid") % l1Mod === 0).localCheckpoint()
-    val nL1 = l1.count()
-    val nL2 = c.filter(col("__nid") % l2Mod === 0).count()
     val dmap = l1.select(col("__nid"))
       .withColumn("__did",
         row_number().over(Window.orderBy("__nid")).cast("long") - 1)
       .localCheckpoint() // stratum-sized global window, bounded
-    val g1 = knnGraph(
+    knnGraph(
         l1.join(dmap, "__nid")
           .select(col("__did").as("vec_id"), col("__cv").as("v")),
         "vec_id", "v", degree, 2)
       .join(dmap.select(col("__did").as("node"), col("__nid").as("n1")), "node")
       .join(dmap.select(col("__did").as("nbr"), col("__nid").as("n2")), "nbr")
-      .select(col("n1").as("node"), col("n2").as("nbr")).localCheckpoint()
+      .select(col("n1").as("node"), col("n2").as("nbr"))
+  }
+
+  private[graft] def layeredDescent(c: DataFrame, q: DataFrame,
+      l1Mod: Int, l2Mod: Int, degree: Int, beam: Int,
+      rounds: Int, l1GraphOpt: Option[DataFrame] = None)
+      : (DataFrame, Long, Long) = {
+    require(l2Mod % l1Mod == 0,
+      s"l2Mod=$l2Mod must be a multiple of l1Mod=$l1Mod")
+    val nL1 = c.filter(col("__nid") % l1Mod === 0).count()
+    val nL2 = c.filter(col("__nid") % l2Mod === 0).count()
+    val g1 = l1GraphOpt.getOrElse(
+      l1StratumGraph(c, l1Mod, degree).localCheckpoint())
     def scored(cands: DataFrame): DataFrame = cands
       .join(c.select(col("__nid").as("cand"), col("__cv")), "cand")
       .join(q, "query_id")
@@ -1260,29 +1272,93 @@ object Patterns {
         count(lit(1)).as("len"))
   }
 
+  /** One parsed step of the extended pattern grammar (round 12 —
+    * VERDICT r11 #2). Grammar per step string:
+    *   sym('|'sym)* quant? '?'?   with quant = '{m}' | '{m,}' | '{m,n}'
+    * `alts` is the alternation set; `minLen`/`maxLen` bound the
+    * MAXIMAL run's row count (the only faithful reading of SQL:2016
+    * quantifiers over a maximal-run alphabet: a run of symbol B with
+    * L rows matches B{m,n} iff m ≤ L ≤ n — a longer run can't donate
+    * a prefix, because the leftover B rows would then have to match
+    * the NEXT step, and maximal runs mean that step isn't B);
+    * `optional` marks the whole step absent-able ('?'). `label` names
+    * the step's output columns. */
+  private[graft] case class PatStep(label: String, alts: Seq[String],
+      minLen: Long, maxLen: Long, optional: Boolean)
+
+  private[graft] def parsePatStep(raw: String): PatStep = {
+    var s = raw.trim
+    require(s.nonEmpty, "empty pattern step")
+    val optional = s.endsWith("?")
+    if (optional) s = s.dropRight(1)
+    var minLen = 1L
+    var maxLen = Long.MaxValue
+    val b = s.indexOf('{')
+    if (b >= 0) {
+      require(s.endsWith("}"), s"malformed quantifier in pattern step '$raw'")
+      val q = s.substring(b + 1, s.length - 1)
+      s = s.substring(0, b)
+      q.split(",", -1) match {
+        case Array(m)     => minLen = m.trim.toLong; maxLen = minLen
+        case Array(m, "") => minLen = m.trim.toLong
+        case Array(m, n)  => minLen = m.trim.toLong; maxLen = n.trim.toLong
+        case _ => throw new IllegalArgumentException(
+          s"malformed quantifier in pattern step '$raw'")
+      }
+      require(minLen >= 1 && maxLen >= minLen,
+        s"quantifier bounds out of order in pattern step '$raw'")
+    }
+    val alts = s.split("\\|").map(_.trim).toSeq
+    require(alts.nonEmpty && alts.forall(_.nonEmpty),
+      s"empty alternation branch in pattern step '$raw'")
+    require(alts.distinct == alts,
+      s"duplicate alternation branch in pattern step '$raw'")
+    PatStep(alts.mkString("_or_"), alts, minLen, maxLen, optional)
+  }
+
   /** Generic MATCH_RECOGNIZE-lite (round-11 — the arbitrary-pattern
     * compiler VERDICT r9 #4 / r10 #4 asked for; q63's DOWN+ UP+ is
     * one instance): classify each row into a SYMBOL (first matching
     * predicate in `defines` wins; a row matching none gets a null
     * symbol and acts as a run breaker, never part of a match),
     * collapse maximal constant-symbol runs with the signRuns
-    * change-flag/cumsum algebra, then match `pattern` — a sequence of
-    * symbol names, each step implicitly `+`-greedy because runs are
-    * MAXIMAL — as m CONSECUTIVE runs whose symbols spell the pattern.
-    * Every such window is emitted (q63's all-matches convention, not
-    * AFTER MATCH SKIP PAST LAST ROW; for alternating patterns the two
-    * coincide).
+    * change-flag/cumsum algebra, then match `pattern` as CONSECUTIVE
+    * runs whose symbols spell the pattern. A bare symbol step is
+    * implicitly `+`-greedy because runs are MAXIMAL. Every match
+    * window is emitted (q63's all-matches convention, not AFTER MATCH
+    * SKIP PAST LAST ROW; for alternating patterns the two coincide).
+    *
+    * EXTENDED STEP GRAMMAR (round 12 — the SQL:2016 features Trino/
+    * Flink ship): each pattern step may be
+    *   - an ALTERNATION `"a|b"` — the run's symbol may be any branch
+    *     (the step's output columns are named `a_or_b_*`, plus an
+    *     `a_or_b_alt` column carrying WHICH branch matched);
+    *   - BOUNDED `"b{2,4}"` / `"b{2,}"` / `"b{3}"` — the maximal
+    *     run's row count must fall in the bounds (see [[PatStep]] for
+    *     why run-length bounds are the faithful reading over a
+    *     maximal-run alphabet);
+    *   - OPTIONAL `"b?"` — the run may be absent entirely, in which
+    *     case the step's output columns are null and the neighboring
+    *     steps must be directly adjacent runs. Suffixes compose:
+    *     `"(a|b){2,3}?"` is written `"a|b{2,3}?"` (quantifier then
+    *     `?`). k optional steps expand to 2^k adjacency variants,
+    *     each matched independently and unioned — at most one variant
+    *     can match per start run UNLESS an optional step's symbol
+    *     also appears in the following step's alternation (then both
+    *     readings are emitted; keep them disjoint for unambiguous
+    *     grammars).
     *
     * Per-run measures come from `runAggs` (aggregate expressions over
     * the run's rows; default start/end/len). Output: keys ++ match_id
     * (the first matched run's id) ++ per-step columns named
-    * `<step>_<agg>` — a repeated symbol in the pattern gets a
+    * `<label>_<agg>` — a repeated label in the pattern gets a
     * 1-based positional suffix (`down2_len`).
     *
     * Scale: one row-grain keyed window for classification + change
-    * flags, one keyed agg to run grain, then m−1 lead()s on the
-    * RUN-GRAIN frame — run count is bounded by the grain of the
-    * series, never the corpus, and nothing sorts globally. */
+    * flags, one keyed agg to run grain, then ≤(m−1) lead()s per
+    * variant on the RUN-GRAIN frame — run count is bounded by the
+    * grain of the series, never the corpus, and nothing sorts
+    * globally. */
   def matchRecognize(df: DataFrame, keys: Seq[String], time: String,
       defines: Seq[(String, Column)], pattern: Seq[String],
       runAggs: Seq[(String, Column)] = Nil): DataFrame = {
@@ -1290,20 +1366,28 @@ object Patterns {
     require(defines.nonEmpty && pattern.nonEmpty, "empty defines/pattern")
     val symNames = defines.map(_._1)
     require(symNames.distinct == symNames, "duplicate define names")
-    require(pattern.forall(symNames.contains),
-      s"pattern step not defined: ${pattern.filterNot(symNames.contains)}")
+    val steps = pattern.map(parsePatStep)
+    val badAlts = steps.flatMap(_.alts).filterNot(symNames.contains)
+    require(badAlts.isEmpty, s"pattern step not defined: $badAlts")
+    require(steps.exists(!_.optional),
+      "pattern needs at least one non-optional step")
     val kc = keys.map(col)
     val aggs =
       if (runAggs.nonEmpty) runAggs
       else Seq("start" -> min(col(time)), "end" -> max(col(time)),
         "len" -> count(lit(1)))
+    require(aggs.forall(_._1 != "alt") || steps.forall(_.alts.size == 1),
+      "runAgg named 'alt' collides with an alternation step's " +
+        "<label>_alt column — rename the agg")
     // 1. classify (first-match-wins; unmatched → null symbol)
     val sym = defines.foldRight(lit(null).cast("string")) {
       case ((n, p), acc) => when(p, lit(n)).otherwise(acc)
     }
     // 2. run algebra: a row opens a new run unless its symbol equals
     // the previous row's (null-safe: null symbols never chain, so an
-    // unmatched row is its own run and breaks adjacency either side)
+    // unmatched row is its own run and breaks adjacency either side).
+    // __a___cnt is the hidden run length the quantifier checks read —
+    // always computed, independent of the caller's runAggs.
     val w = Window.partitionBy(kc: _*).orderBy(time)
     val runs = df.withColumn("__sym", sym)
       .withColumn("__chg",
@@ -1313,17 +1397,18 @@ object Patterns {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(kc :+ col("__run"): _*)
       .agg(max(col("__sym")).as("__sym"),
-        aggs.map { case (n, c) => c.as(s"__a_$n") }: _*)
-    // 3. pattern = m consecutive runs: lead() the run-grain frame
+        count(lit(1)).as("__a___cnt") +:
+          aggs.map { case (n, c) => c.as(s"__a_$n") }: _*)
+    // 3. pattern = consecutive runs: lead() the run-grain frame
     val rw = Window.partitionBy(kc: _*).orderBy("__run")
-    val m = pattern.length
     def stepCol(i: Int, c: String): Column =
       if (i == 0) col(c) else lead(col(c), i).over(rw)
-    val dupSteps = pattern.groupBy(identity).collect {
+    val labels = steps.map(_.label)
+    val dupSteps = labels.groupBy(identity).collect {
       case (p, v) if v.size > 1 => p
     }.toSet
-    val stepPrefix = pattern.zipWithIndex.map { case (p, i) =>
-      if (dupSteps(p)) s"$p${pattern.take(i + 1).count(_ == p)}" else p
+    val stepPrefix = labels.zipWithIndex.map { case (p, i) =>
+      if (dupSteps(p)) s"$p${labels.take(i + 1).count(_ == p)}" else p
     }
     // a positional suffix can collide with a LITERAL define name
     // (defines "down" and "down1", pattern down down down1 → two
@@ -1332,16 +1417,64 @@ object Patterns {
     require(stepPrefix.distinct == stepPrefix,
       s"pattern step output names collide after positional suffixing: " +
         s"$stepPrefix — rename the conflicting define")
-    val projected = runs.select(kc ++ Seq(col("__run").as("match_id")) ++
-      (0 until m).flatMap { i =>
-        stepCol(i, "__sym").as(s"__sym_$i") +:
-          aggs.map { case (n, _) =>
-            stepCol(i, s"__a_$n").as(s"${stepPrefix(i)}_$n") }
-      }: _*)
-    projected
-      .filter((0 until m).map(i => col(s"__sym_$i") === lit(pattern(i)))
-        .reduce(_ && _))
-      .drop((0 until m).map(i => s"__sym_$i"): _*)
+    // 4. optional-step expansion: each variant is the ordered list of
+    // PRESENT step indexes; absent steps emit typed nulls. 2^k
+    // variants, k = optional step count — a grammar feature, bounded.
+    val optIdx = steps.zipWithIndex.collect {
+      case (st, i) if st.optional => i
+    }
+    require(optIdx.size <= 8,
+      s"${optIdx.size} optional steps would expand to 2^${optIdx.size} " +
+        "adjacency variants — restructure the pattern")
+    val variants: Seq[Seq[Int]] = (0 until (1 << optIdx.size)).map { mask =>
+      val absent = optIdx.zipWithIndex.collect {
+        case (idx, bit) if (mask & (1 << bit)) != 0 => idx
+      }.toSet
+      steps.indices.filterNot(absent)
+    }
+    def variantDf(present: Seq[Int]): DataFrame = {
+      val jOf = present.zipWithIndex.toMap // step index -> lead offset
+      val mv = present.size
+      // typed null for an absent step's column: never-true when() over
+      // the run-grain column keeps the agg's own type without knowing
+      // it statically
+      def absentNull(c: String): Column = when(lit(false), col(c))
+      val proj = runs.select(kc ++ Seq(col("__run").as("match_id")) ++
+        (0 until mv).map(j => stepCol(j, "__sym").as(s"__sym_$j")) ++
+        (0 until mv).map(j => stepCol(j, "__a___cnt").as(s"__cnt_$j")) ++
+        steps.indices.flatMap { si =>
+          val altCol =
+            if (steps(si).alts.size > 1)
+              Seq((jOf.get(si) match {
+                case Some(j) => stepCol(j, "__sym")
+                case None    => absentNull("__sym")
+              }).as(s"${stepPrefix(si)}_alt"))
+            else Nil
+          altCol ++ aggs.map { case (n, _) =>
+            (jOf.get(si) match {
+              case Some(j) => stepCol(j, s"__a_$n")
+              case None    => absentNull(s"__a_$n")
+            }).as(s"${stepPrefix(si)}_$n")
+          }
+        }: _*)
+      val cond = present.zipWithIndex.map { case (si, j) =>
+        val st = steps(si)
+        val symOk =
+          if (st.alts.size == 1) col(s"__sym_$j") === lit(st.alts.head)
+          else col(s"__sym_$j").isin(st.alts: _*)
+        val lenOk = Seq(
+          if (st.minLen > 1L) Some(col(s"__cnt_$j") >= lit(st.minLen))
+          else None,
+          if (st.maxLen != Long.MaxValue)
+            Some(col(s"__cnt_$j") <= lit(st.maxLen))
+          else None).flatten
+        (symOk +: lenOk).reduce(_ && _)
+      }.reduce(_ && _)
+      proj.filter(cond)
+        .drop((0 until mv).map(j => s"__sym_$j") ++
+          (0 until mv).map(j => s"__cnt_$j"): _*)
+    }
+    variants.map(variantDf).reduce(_ unionByName _)
   }
 
   /** TROUGH-RECOVERY matches (the full q63 contract — the

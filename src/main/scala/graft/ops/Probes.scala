@@ -140,6 +140,24 @@ object Probes {
       "AS s FROM (VALUES (CAST('104719.57' AS DOUBLE)), " +
       "(CAST('8271.22' AS DOUBLE)), (CAST('949.5' AS DOUBLE))) t(v)"
 
+  // x12: PER-ROW-CAST CHECKSUM over a LONG-overflowing sum (t26's
+  // class, round 12 — VERDICT r11 #8): 300 hash56 values (~3.6e16
+  // mean) sum to ~1.1e19, PAST the 9.2e18 BIGINT ceiling — exactly
+  // where t26's old sum-then-cast checksum silently wrapped at sf1
+  // (invisible at every gate SF; the soak caught it). The discipline
+  // under test: cast EACH ROW to DECIMAL(38,0) BEFORE the sum, render
+  // the DECIMAL sum as VARCHAR. A red row names the driver build's
+  // per-row-cast/DECIMAL-sum behavior before any gated key hits it.
+  def x12(s: SparkSession, d: String): DataFrame =
+    s.range(300)
+      .agg(sum(Hashing.hash56(concat(lit("x12#"), col("id").cast("string")))
+        .cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("string").as("chk"))
+  val x12Sql: String =
+    s"SELECT sum((${Hashing.sqlHash56("'x12#' || CAST(i AS VARCHAR)")})" +
+      "::DECIMAL(38,0))::DECIMAL(38,0)::VARCHAR AS chk " +
+      "FROM (SELECT unnest(range(300)) AS i)"
+
   // ------------------------------------------------------------------
   // Column sub-gates: one r44/r49 output column per key. The oracle
   // wraps the parent SQL — same computation, so a red row here names
@@ -196,6 +214,7 @@ object Probes {
     "x09_probe_dbl_to_decimal" -> (x09 _),
     "x10_probe_dec18_render" -> (x10 _),
     "x11_probe_monetary_chain" -> (x11 _),
+    "x12_probe_perrow_cast_sum" -> (x12 _),
     "x44a_rfm_counts" -> (x44a _),
     "x44b_rfm_monetary" -> (x44b _),
     "x44c_rfm_recency" -> (x44c _),
@@ -217,6 +236,7 @@ object Probes {
     "x09_probe_dbl_to_decimal" -> x09Sql,
     "x10_probe_dec18_render" -> x10Sql,
     "x11_probe_monetary_chain" -> x11Sql,
+    "x12_probe_perrow_cast_sum" -> x12Sql,
     "x44a_rfm_counts" -> subSql(Recommend.r44Sql, "segment", "n_users"),
     "x44b_rfm_monetary" ->
       subSql(Recommend.r44Sql, "segment", "monetary_sum_cents"),

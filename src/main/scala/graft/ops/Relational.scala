@@ -2757,7 +2757,258 @@ object Relational {
       |FROM tri WHERE sig = -1 AND sig1 = 1 AND sig2 = -1
       |ORDER BY nation, peak_month""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q71: EXTENDED ROW-PATTERN GRAMMAR (round 12 — VERDICT r11 #2: the
+  // three SQL:2016 pattern features Trino/Flink ship beyond bare
+  // symbol sequences, driven through api.Patterns.matchRecognize's
+  // run-algebra kernel in one gated query): pattern
+  // `down{1,2} flat? up|spike` over each nation's monthly ORDER-COUNT
+  // deltas — a SHORT drawdown (BOUNDED: 1–2 months; longer slides are
+  // excluded by the quantifier, measurably — they exist in the data),
+  // an OPTIONAL flat plateau (order counts are small integers, so
+  // exact zero deltas genuinely occur, exercising both adjacency
+  // variants), then ALTERNATION: any positive run, classified spike
+  // (delta ≥ 3, first-match-wins) or up, with the matched branch
+  // reported in rec_kind. Optional/bounded compile to relaxed
+  // run-adjacency arithmetic + run-length bounds on the SAME run-grain
+  // leads as q63/q70 — no new shuffle shape; the oracle replays runs +
+  // two leads + the two-variant union. Scale: identical to q63 — one
+  // nation-keyed exchange; run count bounded by nations × months.
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("nation").orderBy("month")
+    val deltas = monthly
+      .withColumn("__prev_t", lag(col("month"), 1).over(w))
+      .withColumn("__delta",
+        col("n_orders") - lag(col("n_orders"), 1).over(w))
+      .filter(col("__delta").isNotNull)
+    graft.api.Patterns.matchRecognize(deltas, Seq("nation"), "month",
+      defines = Seq(
+        "spike" -> (col("__delta") >= 3),
+        "up" -> (col("__delta") > 0),
+        "flat" -> (col("__delta") === 0),
+        "down" -> (col("__delta") < 0)),
+      pattern = Seq("down{1,2}", "flat?", "up|spike"),
+      runAggs = Seq("start_t" -> min(col("__prev_t")),
+        "end_t" -> max(col("month")), "move" -> sum(col("__delta")),
+        "len" -> count(lit(1))))
+      .select(col("nation"),
+        col("down_start_t").as("peak_month"),
+        col("down_end_t").as("trough_month"),
+        col("down_len"),
+        (-col("down_move")).as("drop_orders"),
+        col("flat_len"),
+        col("flat_end_t").as("plateau_month"),
+        col("up_or_spike_alt").as("rec_kind"),
+        col("up_or_spike_end_t").as("rec_month"),
+        col("up_or_spike_move").as("rec_orders"),
+        col("up_or_spike_len").as("rec_len"))
+      .orderBy("nation", "peak_month")
+  }
+
+  val q71Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT nation, month,
+      |    lag(month) OVER w AS prev_month,
+      |    n_orders - lag(n_orders) OVER w AS delta
+      |  FROM monthly WINDOW w AS (PARTITION BY nation ORDER BY month)),
+      |cls AS (
+      |  SELECT *, CASE WHEN delta >= 3 THEN 'spike' WHEN delta > 0 THEN 'up'
+      |    WHEN delta = 0 THEN 'flat' ELSE 'down' END AS sym
+      |  FROM d WHERE delta IS NOT NULL),
+      |chg AS (
+      |  SELECT *, CASE WHEN sym = lag(sym)
+      |      OVER (PARTITION BY nation ORDER BY month) THEN 0 ELSE 1 END AS c
+      |  FROM cls),
+      |rid AS (
+      |  SELECT *, sum(c) OVER (PARTITION BY nation ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM chg),
+      |runs AS (
+      |  SELECT nation, run_id, max(sym) AS sym,
+      |    min(prev_month) AS start_month, max(month) AS end_month,
+      |    CAST(sum(delta) AS BIGINT) AS move, count(*) AS len
+      |  FROM rid GROUP BY 1, 2),
+      |tri AS (
+      |  SELECT nation, sym, len, start_month, end_month, move,
+      |    lead(sym, 1) OVER rw AS sym1, lead(len, 1) OVER rw AS len1,
+      |    lead(end_month, 1) OVER rw AS end1, lead(move, 1) OVER rw AS move1,
+      |    lead(sym, 2) OVER rw AS sym2, lead(len, 2) OVER rw AS len2,
+      |    lead(end_month, 2) OVER rw AS end2, lead(move, 2) OVER rw AS move2
+      |  FROM runs WINDOW rw AS (PARTITION BY nation ORDER BY run_id))
+      |SELECT nation, peak_month, trough_month, down_len, drop_orders,
+      |  flat_len, plateau_month, rec_kind, rec_month, rec_orders, rec_len
+      |FROM (
+      |  SELECT nation, start_month AS peak_month, end_month AS trough_month,
+      |    len AS down_len, -move AS drop_orders,
+      |    CAST(NULL AS BIGINT) AS flat_len,
+      |    CAST(NULL AS VARCHAR) AS plateau_month,
+      |    sym1 AS rec_kind, end1 AS rec_month, move1 AS rec_orders,
+      |    len1 AS rec_len
+      |  FROM tri
+      |  WHERE sym = 'down' AND len BETWEEN 1 AND 2
+      |    AND sym1 IN ('up', 'spike')
+      |  UNION ALL
+      |  SELECT nation, start_month, end_month, len, -move,
+      |    len1, end1, sym2, end2, move2, len2
+      |  FROM tri
+      |  WHERE sym = 'down' AND len BETWEEN 1 AND 2 AND sym1 = 'flat'
+      |    AND sym2 IN ('up', 'spike'))
+      |ORDER BY nation, peak_month""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q72: SEASONAL-TREND FORECAST (round 12 — VERDICT r11 #5: the
+  // time-series family smooths (q60) and decomposes (q62) but never
+  // projects forward; this closes it with the deterministic
+  // Holt–Winters-additive analogue): per nation, fit LEVEL + TREND by
+  // exact OLS over the monthly revenue series (closed form — the
+  // α→0 limit of Holt's recursions; sums/cross-products are exact
+  // BIGINTs, slope/intercept carried as RATIONALS num/den, never
+  // divided), take the SEASONAL index from q62's exact cents×24
+  // components (seas_num24/seas_den24 per month-of-year), and project
+  // h = 1..6 months past each nation's last observation. The gate
+  // carries the exact rationals (the verify-skill tie rule: sums and
+  // products never tie, closing divisions do) plus ONE combined
+  // integer: fc_cents_floor = ⌊lin + seasonal⌋ via cross-multiplied
+  // DECIMAL(38,0)/HUGEINT arithmetic with the sign-safe offset trick
+  // (r49's discipline — seas_num24 can be negative). BIGINT headroom:
+  // |icpt_num| ≤ Σy·Σt² ≈ 1.5e17 at sf0.1 and grows linearly in SF —
+  // safe past sf10; the combined term is where 64 bits run out, hence
+  // the 38-digit lane. Scale: one fact scan shared by the fit agg and
+  // the q62 seasonal window, both on the nation-keyed exchange; the
+  // horizon explode is 6 rows per nation.
+  /** Shared kernel over any (nation, month 'yyyy-MM', rev_cents LONG)
+    * frame — RelationalSpec feeds a planted linear+seasonal series and
+    * pins the h-step values exactly. */
+  private[graft] def holtForecast(monthly0: DataFrame, hMax: Int): DataFrame = {
+    val monthly = monthly0.localCheckpoint() // grain frame feeds fit + seasonal
+    val w = Window.partitionBy("nation").orderBy("month")
+    val withT = monthly.withColumn("t",
+      (row_number().over(w) - 1).cast("long"))
+    val fit = withT.groupBy("nation").agg(
+      count(lit(1)).as("n"), max(col("t")).as("t_last"),
+      max(col("month")).as("last_month"),
+      sum(col("t")).as("st"), sum(col("rev_cents")).as("sy"),
+      sum(col("t") * col("rev_cents")).as("sty"),
+      sum(col("t") * col("t")).as("st2"))
+    val sum11 = sum(col("rev_cents")).over(w.rowsBetween(-5, 5))
+    val cnt13 = count(col("rev_cents")).over(w.rowsBetween(-6, 6))
+    val trend24 = when(cnt13 === 13,
+      lit(2) * sum11 + lag(col("rev_cents"), 6).over(w) +
+        lead(col("rev_cents"), 6).over(w))
+    val seasonal = monthly
+      .withColumn("detr24", col("rev_cents") * 24 - trend24)
+      .filter(col("detr24").isNotNull)
+      .withColumn("moy", substring(col("month"), 6, 2))
+      .groupBy("nation", "moy")
+      .agg(sum(col("detr24")).as("seas_num24"),
+        (count(lit(1)) * 24L).as("seas_den24"))
+    fit
+      .withColumn("h", explode(expr(s"sequence(1L, ${hMax}L)")))
+      .withColumn("fc_month", date_format(add_months(
+        to_date(concat(col("last_month"), lit("-01"))),
+        col("h").cast("int")), "yyyy-MM"))
+      .withColumn("moy", substring(col("fc_month"), 6, 2))
+      .withColumn("lin_den", col("n") * col("st2") - col("st") * col("st"))
+      .withColumn("lin_num",
+        (col("sy") * col("st2") - col("st") * col("sty")) +
+          (col("n") * col("sty") - col("st") * col("sy")) *
+            (col("t_last") + col("h")))
+      .join(broadcast(seasonal), Seq("nation", "moy"), "left")
+      .withColumn("num38",
+        col("lin_num").cast("decimal(38,0)") *
+          coalesce(col("seas_den24"), lit(24L)) +
+          coalesce(col("seas_num24"), lit(0L)).cast("decimal(38,0)") *
+            col("lin_den"))
+      .withColumn("den38",
+        col("lin_den").cast("decimal(38,0)") *
+          coalesce(col("seas_den24"), lit(24L)))
+      .withColumn("fc_cents_floor",
+        expr("CAST((num38 + 10000000000 * den38) div den38 " +
+          "- 10000000000 AS BIGINT)"))
+      .select("nation", "h", "fc_month", "lin_num", "lin_den",
+        "seas_num24", "seas_den24", "fc_cents_floor")
+      .orderBy("nation", "h")
+  }
+
+  def q72(s: SparkSession, d: String): DataFrame =
+    holtForecast(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+          .cast("long").as("rev_cents")),
+      hMax = 6)
+
+  val q72Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |wt AS (
+      |  SELECT nation, month, rev_cents,
+      |    CAST(row_number() OVER (PARTITION BY nation ORDER BY month) - 1
+      |      AS BIGINT) AS t
+      |  FROM monthly),
+      |fit AS (
+      |  SELECT nation, count(*) AS n, max(t) AS t_last,
+      |    max(month) AS last_month,
+      |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(rev_cents) AS BIGINT) AS sy,
+      |    CAST(sum(t * rev_cents) AS BIGINT) AS sty,
+      |    CAST(sum(t * t) AS BIGINT) AS st2
+      |  FROM wt GROUP BY 1),
+      |trended AS (
+      |  SELECT nation, month, rev_cents,
+      |    CASE WHEN count(rev_cents) OVER (w ROWS BETWEEN 6 PRECEDING
+      |        AND 6 FOLLOWING) = 13
+      |      THEN CAST(2 * sum(rev_cents) OVER (w ROWS BETWEEN 5 PRECEDING
+      |          AND 5 FOLLOWING) + lag(rev_cents, 6) OVER w +
+      |          lead(rev_cents, 6) OVER w AS BIGINT)
+      |    END AS trend24
+      |  FROM monthly
+      |  WINDOW w AS (PARTITION BY nation ORDER BY month)),
+      |seas AS (
+      |  SELECT nation, substr(month, 6, 2) AS moy,
+      |    CAST(sum(rev_cents * 24 - trend24) AS BIGINT) AS seas_num24,
+      |    24 * count(*) AS seas_den24
+      |  FROM trended WHERE trend24 IS NOT NULL GROUP BY 1, 2),
+      |fc AS (
+      |  SELECT f.nation, hs.h,
+      |    strftime((f.last_month || '-01')::DATE
+      |      + to_months(CAST(hs.h AS INT)), '%Y-%m') AS fc_month,
+      |    f.n * f.st2 - f.st * f.st AS lin_den,
+      |    (f.sy * f.st2 - f.st * f.sty) +
+      |      (f.n * f.sty - f.st * f.sy) * (f.t_last + hs.h) AS lin_num
+      |  FROM fit f CROSS JOIN (SELECT unnest(range(1, 7)) AS h) hs)
+      |SELECT fc.nation, fc.h, fc.fc_month, fc.lin_num, fc.lin_den,
+      |  s.seas_num24, s.seas_den24,
+      |  CAST((fc.lin_num::HUGEINT * coalesce(s.seas_den24, 24)
+      |      + coalesce(s.seas_num24, 0)::HUGEINT * fc.lin_den
+      |      + 10000000000::HUGEINT * fc.lin_den
+      |        * coalesce(s.seas_den24, 24))
+      |    // (fc.lin_den::HUGEINT * coalesce(s.seas_den24, 24))
+      |    - 10000000000 AS BIGINT) AS fc_cents_floor
+      |FROM fc LEFT JOIN seas s
+      |  ON fc.nation = s.nation AND substr(fc.fc_month, 6, 2) = s.moy
+      |ORDER BY fc.nation, fc.h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_pattern_grammar" -> (q71 _),
+    "q72_holt_forecast" -> (q72 _),
     "q70_pattern_rebound" -> (q70 _),
     "q69_sparse_distinct" -> (q69 _),
     "q68_equidepth" -> (q68 _),
@@ -2830,6 +3081,8 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q71_pattern_grammar" -> q71Sql,
+    "q72_holt_forecast" -> q72Sql,
     "q70_pattern_rebound" -> q70Sql,
     "q69_sparse_distinct" -> q69Sql,
     "q68_equidepth" -> q68Sql,

@@ -592,6 +592,73 @@ class ApiSpec extends SparkSpec {
       ("b", 35L, 5L, 1L)))
   }
 
+  test("api.Patterns.matchRecognize extended grammar: alternation, " +
+    "optional and bounded steps (round 12)") {
+    // hot ≥30, warm 20..29 (first-match-wins puts ≥30 in hot), cold <10;
+    // 10..19 matches nothing → run breaker
+    val df = spark.createDataFrame(Seq(
+      ("a", 1L, 35L), ("a", 2L, 34L), ("a", 3L, 33L), ("a", 4L, 5L),
+      ("a", 5L, 25L), // hot×3, cold, warm
+      ("b", 1L, 35L), ("b", 2L, 34L), ("b", 3L, 5L), ("b", 4L, 31L),
+      ("c", 1L, 35L), ("c", 2L, 25L) // hot, warm — no cold between
+    )).toDF("device", "ts", "temp")
+    val defines = Seq("hot" -> (col("temp") >= 30),
+      "warm" -> (col("temp") >= 20), "cold" -> (col("temp") < 10))
+    // BOUNDED: hot{1,2} excludes a's 3-row hot run, keeps b's 2 and
+    // the quantifier reads the MAXIMAL run length
+    val bounded = api.Patterns.matchRecognize(df, Seq("device"), "ts",
+      defines, Seq("hot{1,2}", "cold")).collect()
+      .map(r => (r.getAs[String]("device"), r.getAs[Long]("hot_len")))
+    assert(bounded.toSeq.sorted == Seq(("b", 2L)),
+      s"bounded: ${bounded.toSeq}")
+    // OPTIONAL: cold? present on a (len 1), absent on c (typed null);
+    // b's window (hot cold hot) has no warm → neither variant
+    val opt = api.Patterns.matchRecognize(df, Seq("device"), "ts",
+      defines, Seq("hot", "cold?", "warm"))
+      .orderBy("device").collect()
+    assert(opt.length == 2)
+    val oa = opt(0)
+    assert(oa.getAs[String]("device") == "a" &&
+      oa.getAs[Long]("cold_len") == 1L && oa.getAs[Long]("warm_start") == 5L)
+    val oc = opt(1)
+    assert(oc.getAs[String]("device") == "c" && oc.isNullAt(
+      oc.fieldIndex("cold_len")) && oc.getAs[Long]("warm_start") == 2L)
+    // ALTERNATION: hot|warm matches either branch; <label>_alt names it
+    val alt = api.Patterns.matchRecognize(df, Seq("device"), "ts",
+      defines, Seq("cold", "hot|warm"))
+      .orderBy("device").collect()
+      .map(r => (r.getAs[String]("device"),
+        r.getAs[String]("hot_or_warm_alt"), r.getAs[Long]("hot_or_warm_len")))
+    assert(alt.toSeq == Seq(("a", "warm", 1L), ("b", "hot", 1L)))
+    // all-matches union semantics: with the first step optional, a Y
+    // run preceded by X emits BOTH readings (X? present, and the bare
+    // Y window) — distinct match windows, both real
+    val both = api.Patterns.matchRecognize(df, Seq("device"), "ts",
+      defines, Seq("hot{1,2}?", "cold")).collect()
+    assert(both.count(_.getAs[String]("device") == "b") == 2 &&
+      both.count(_.getAs[String]("device") == "a") == 1, // hot run too long
+      s"union semantics: ${both.map(_.toSeq).toSeq}")
+    // breakers: bounds out of order, all-optional pattern, undefined
+    // alternation branch, runAgg named 'alt' vs an alternation step
+    intercept[IllegalArgumentException] {
+      api.Patterns.matchRecognize(df, Seq("device"), "ts", defines,
+        Seq("hot{2,1}", "cold"))
+    }
+    intercept[IllegalArgumentException] {
+      api.Patterns.matchRecognize(df, Seq("device"), "ts", defines,
+        Seq("hot?", "cold?"))
+    }
+    intercept[IllegalArgumentException] {
+      api.Patterns.matchRecognize(df, Seq("device"), "ts", defines,
+        Seq("hot|tepid", "cold"))
+    }
+    intercept[IllegalArgumentException] {
+      api.Patterns.matchRecognize(df, Seq("device"), "ts", defines,
+        Seq("hot|warm", "cold"),
+        runAggs = Seq("alt" -> count(lit(1))))
+    }
+  }
+
   test("api.Ann.layeredTopK excludeSelf=false keeps coincidental " +
     "id-equal pairs") {
     val corpus = spark.range(0, 300)

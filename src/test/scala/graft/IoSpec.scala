@@ -467,4 +467,54 @@ class IoSpec extends SparkSpec {
       ("price_delta", "prev", "p2")),
       s"self-join lineage wrong: $got")
   }
+
+  test("i32: the persisted graph-ANN artifact is id-only and serves " +
+    "bit-identically to the fresh build (round 12)") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val n = e.count()
+    val cut = n * 9 / 10
+    val base = e.filter(col("vec_id") < cut).localCheckpoint()
+    val arr = e.filter(col("vec_id") >= cut)
+    val dir = Files.createTempDirectory("graft_i32_spec_").toString
+    ops.IoOps.graphIndexWrite(base, dir)
+    // artifact is IDS ONLY — no raw-vector duplication
+    val g0 = graft.sources.Io.readParquet(spark, s"$dir/graph0")
+    val g1 = graft.sources.Io.readParquet(spark, s"$dir/graph1")
+    assert(g0.schema.fieldNames.sorted.toSeq == Seq("nbr", "node") &&
+      g1.schema.fieldNames.sorted.toSeq == Seq("nbr", "node"))
+    // loaded adjacency == fresh build, as a SET of edges
+    val fresh0 = graft.api.Ann.knnGraph(base, "vec_id", "v", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g0.collect().map(r =>
+      (r.getAs[Long]("node"), r.getAs[Long]("nbr"))).toSet == fresh0)
+    // the descent SERVE from the loaded artifact is bit-identical to
+    // the fresh-build serve (the i32 gate's serve half)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "nn_id", "cos").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn_id"), r.getAs[Double]("cos"))).toSet
+    val loaded = rows(ops.Similarity.hnswServe(base, probeMax = 20,
+      l1Mod = 50, l2Mod = 250, beam = 3, rounds = 2,
+      flatGraph = Some(g0.localCheckpoint()),
+      l1Graph = Some(g1.localCheckpoint())))
+    val fresh = rows(ops.Similarity.hnswServe(base, probeMax = 20,
+      l1Mod = 50, l2Mod = 250, beam = 3, rounds = 2))
+    assert(loaded == fresh,
+      "loaded-artifact serve diverged from the fresh build")
+    // the append half runs ON the loaded graph and matches s23's
+    // fresh-build insert+repair rows exactly
+    val appLoaded = ops.Similarity.nswInsert(e, base, arr,
+        g0.localCheckpoint()).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("node"),
+        r.getAs[Int]("rank"), r.getAs[Long]("nbr"))).toSet
+    val appFresh = ops.Similarity.nswInsert(e, base, arr,
+        graft.api.Ann.knnGraph(base, "vec_id", "v", 8, 2)
+          .localCheckpoint()).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("node"),
+        r.getAs[Int]("rank"), r.getAs[Long]("nbr"))).toSet
+    assert(appLoaded == appFresh,
+      "append on the loaded artifact diverged from the fresh build")
+  }
 }

@@ -2898,4 +2898,44 @@ class OpsSpec extends SparkSpec {
     // something actually ends before the horizon, so S drops below 1
     assert(prev < 1, "survival never dropped — no observed event ends?")
   }
+
+  test("t40 mineBpe: overlap counting, non-overlap apply, tie ladder " +
+    "and iterated merges (round 12)") {
+    // 'aaab'x10 + 'ab'x5: round-1 pairs — (a,a) counted OVERLAPPING
+    // (2 per 'aaab' = 20), (a,b) = 10+5 = 15, (b,?) none
+    val (m1, p1) = ops.TextOps.mineBpe(
+      Seq(("aaab", 10L), ("ab", 5L)), rounds = 1)
+    assert(m1 == Seq((1L, "a", "a", 20L)))
+    // apply is LEFT-TO-RIGHT NON-OVERLAPPING: aaab -> [aa, a, b] (3
+    // pieces — a run of 3 merges ONCE), ab untouched
+    assert(p1.toMap == Map("aaab" -> 3L, "ab" -> 2L))
+    // round 2 re-counts on the NEW segmentation: aaab = [aa,a,b] gives
+    // (aa,a)=10 and (a,b)=10+5=15 -> (a,b) wins; aaab -> [aa, ab]
+    val (m2, p2) = ops.TextOps.mineBpe(
+      Seq(("aaab", 10L), ("ab", 5L)), rounds = 2)
+    assert(m2 == Seq((1L, "a", "a", 20L), (2L, "a", "b", 15L)))
+    assert(p2.toMap == Map("aaab" -> 2L, "ab" -> 1L))
+    // tie ladder: equal counts break (left, right) ascending
+    val (mt, _) = ops.TextOps.mineBpe(
+      Seq(("ba", 3L), ("ab", 3L)), rounds = 1)
+    assert(mt == Seq((1L, "a", "b", 3L)))
+    // exhaustion: single-char vocab has no pairs — empty table, piece
+    // counts stay at the char segmentation
+    val (me, pe) = ops.TextOps.mineBpe(Seq(("a", 9L), ("b", 1L)), 5)
+    assert(me.isEmpty && pe.toMap == Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("t41: learned-unit fertility is consistent with t40's " +
+    "segmentation on the gate corpus") {
+    val rows = ops.TextOps.t41(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("total_words")
+      val p = r.getAs[Long]("total_pieces")
+      // merges only ever SHRINK the char segmentation, and a piece
+      // count can never drop below one per word
+      assert(p >= w, s"pieces below one per word for ${r.get(0)}")
+      assert(r.getAs[Long]("fertility_ppm") == 1000000L * p / w)
+    }
+  }
 }

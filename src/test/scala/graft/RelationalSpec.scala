@@ -662,4 +662,61 @@ class RelationalSpec extends SparkSpec {
           s"seasonal mean does not replay from the group at $k")
       }
   }
+
+  test("q72 holtForecast: a planted exact-linear series projects the " +
+    "line exactly, with zero seasonal indices (round 12)") {
+    // rev = 100000 + 5000·t cents over 26 months: OLS on an exact line
+    // recovers the line as a rational identity (num == den·value), the
+    // 2x12 centered MA of a line equals the line so every detr24 is 0,
+    // and the combined floor forecast IS the planted h-step value.
+    val rows = (0 until 26).map { t =>
+      val month = f"${2020 + t / 12}%04d-${t % 12 + 1}%02d"
+      (7L, month, 100000L + 5000L * t)
+    }
+    val monthly = spark.createDataFrame(rows)
+      .toDF("nation", "month", "rev_cents")
+    val fc = ops.Relational.holtForecast(monthly, hMax = 3)
+      .orderBy("h").collect()
+    assert(fc.length == 3)
+    assert(fc.map(_.getAs[String]("fc_month")).toSeq ==
+      Seq("2022-03", "2022-04", "2022-05"))
+    fc.foreach { r =>
+      val h = r.getAs[Long]("h")
+      val planted = 100000L + 5000L * (25 + h)
+      assert(r.getAs[Long]("lin_num") ==
+        r.getAs[Long]("lin_den") * planted,
+        s"OLS rational is not the planted line at h=$h")
+      assert(r.getAs[Long]("seas_num24") == 0L,
+        s"pure line detrended to a nonzero seasonal at h=$h")
+      assert(r.getAs[Long]("fc_cents_floor") == planted,
+        s"combined floor forecast off the planted value at h=$h")
+    }
+    // a planted SEASONAL bump on top of the line must surface in the
+    // index and shift the forecast by exactly num/den: +1200 cents
+    // every March (moy 03) → detr24 mean = +1200·24·(11/12) on March
+    // rows ... the exact value is engine-derived; pin the IDENTITY
+    // fc = floor(lin + seas) instead of re-deriving the MA here
+    val bumped = (0 until 26).map { t =>
+      val month = f"${2020 + t / 12}%04d-${t % 12 + 1}%02d"
+      val bump = if (t % 12 == 2) 1200L else 0L
+      (7L, month, 100000L + 5000L * t + bump)
+    }
+    val fc2 = ops.Relational.holtForecast(
+      spark.createDataFrame(bumped).toDF("nation", "month", "rev_cents"),
+      hMax = 3).orderBy("h").collect()
+    fc2.foreach { r =>
+      val num = BigInt(r.getAs[Long]("lin_num"))
+      val den = BigInt(r.getAs[Long]("lin_den"))
+      val sn = BigInt(r.getAs[Long]("seas_num24"))
+      val sd = BigInt(r.getAs[Long]("seas_den24"))
+      val expect = (num * sd + sn * den) / (den * sd) // floors: positive
+      assert(BigInt(r.getAs[Long]("fc_cents_floor")) == expect,
+        s"fc_cents_floor does not close the rational identity at " +
+          s"h=${r.getAs[Long]("h")}")
+    }
+    // March (h lands on 2022-03 at h=1) carries a strictly positive
+    // seasonal index under the planted bump
+    assert(fc2(0).getAs[String]("fc_month") == "2022-03" &&
+      fc2(0).getAs[Long]("seas_num24") > 0L)
+  }
 }
