@@ -138,6 +138,16 @@ object Bench {
     // per key: [stages_r1, tasks_r1, drops_r1, stages_r2, tasks_r2, drops_r2]
     val execByKey =
       scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
+    // MICRO-BATCH attribution (round-13, VERDICT r12 #1): the gated
+    // streaming keys note (batches, summed triggerExecution ms) into
+    // graft.streaming.MicroBatch per query run; the bench is
+    // sequential, so everything drained after a run belongs to that
+    // (key, run). Per key: [batches_r1, mean_batch_ms_r1, batches_r2,
+    // mean_batch_ms_r2] — a drifting e-key then decomposes into
+    // more-batches vs slower-batches without a re-run.
+    val streamByKey =
+      scala.collection.mutable.LinkedHashMap.empty[String, Array[Double]]
+    graft.streaming.MicroBatch.drain(): Unit // warmup slop
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (name.head != family) {
         family = name.head
@@ -155,6 +165,15 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         val built = graft.ops.Memo.drainBuilds()
         val (stg, tsk, drp) = drainStats()
+        val mb = graft.streaming.MicroBatch.drain()
+        if (mb.nonEmpty) {
+          val batches = mb.valuesIterator.map(_._1).sum
+          val meanMs =
+            if (batches > 0) mb.valuesIterator.map(_._2).sum / batches else 0.0
+          val arr = streamByKey.getOrElseUpdate(name, Array.fill(4)(0.0))
+          arr(2 * (run - 1)) = batches.toDouble
+          arr(2 * run - 1) = math.rint(meanMs * 10) / 10
+        }
         if (run == 1) buildsR1 += built.size
         else {
           buildsR2 += built.size
@@ -211,6 +230,14 @@ object Bench {
     val shortExecMap = results.zip(prefixes).map { case ((full, _), p) =>
       (if (dup(p)) full else p) -> execByKey(full)
     }.toMap
+    // micro-batch rows under the same dup-aware shortening; only keys
+    // that actually noted streaming progress appear
+    val streamJ: String = results.zip(prefixes).flatMap { case ((full, _), p) =>
+      streamByKey.get(full).map { v =>
+        "\"" + (if (dup(p)) full else p) + "\":[" + v(0).toLong + "," + v(1) +
+          "," + v(2).toLong + "," + v(3) + "]"
+      }
+    }.mkString("{", ",", "}")
     // queries_runs keeps its documented 4-element shape; the exec
     // numbers live ONCE, in queries_exec (full file) and in the watch
     // rows (printed line), via the 10-element watchJ below.
@@ -232,7 +259,8 @@ object Bench {
       s"""$gcJit,$memoDiag,"queries":${jmap(short, _._1)},""" +
       s""""queries_mean":${jmap(short, _._2)},""" +
       s""""queries_runs":${runsJ(shortRuns.map(_._1))},""" +
-      s""""queries_exec":${execJ(shortRuns.map(_._1))},"sf":"$sfDir"}"""
+      s""""queries_exec":${execJ(shortRuns.map(_._1))},""" +
+      s""""queries_stream":$streamJ,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     val bySlowest = short.sortBy(-_._2._1)
@@ -254,7 +282,7 @@ object Bench {
       val others = r3(bySlowest.drop(n).map(_._2._1).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
         s""""n_queries":${results.size},"total_mean":$totalMean,$gcJit,""" +
-        s"""$memoDiag,"watch":${watchJ(watch)},""" +
+        s"""$memoDiag,"watch":${watchJ(watch)},"stream":$streamJ,""" +
         s""""queries":${jmap(kept.sortBy(_._1), _._1)},""" +
         s""""others_sec":$others,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }

@@ -1324,9 +1324,14 @@ object Patterns {
     * collapse maximal constant-symbol runs with the signRuns
     * change-flag/cumsum algebra, then match `pattern` as CONSECUTIVE
     * runs whose symbols spell the pattern. A bare symbol step is
-    * implicitly `+`-greedy because runs are MAXIMAL. Every match
-    * window is emitted (q63's all-matches convention, not AFTER MATCH
-    * SKIP PAST LAST ROW; for alternating patterns the two coincide).
+    * implicitly `+`-greedy because runs are MAXIMAL. `afterMatch`
+    * picks the emission convention: `"all"` (default) emits every
+    * match window (q63's convention; for alternating patterns the two
+    * coincide), `"skip_past_last_row"` is the SQL:2016 default — the
+    * greedy non-overlapping subset (matches scanned in start order,
+    * each kept match resumes the search after its last run; ties at a
+    * start keep the longest extent, and ambiguous readings sharing an
+    * extent all survive, since they occupy identical rows).
     *
     * EXTENDED STEP GRAMMAR (round 12 — the SQL:2016 features Trino/
     * Flink ship): each pattern step may be
@@ -1361,9 +1366,12 @@ object Patterns {
     * globally. */
   def matchRecognize(df: DataFrame, keys: Seq[String], time: String,
       defines: Seq[(String, Column)], pattern: Seq[String],
-      runAggs: Seq[(String, Column)] = Nil): DataFrame = {
+      runAggs: Seq[(String, Column)] = Nil,
+      afterMatch: String = "all"): DataFrame = {
     require(keys.nonEmpty, "matchRecognize needs at least one key column")
     require(defines.nonEmpty && pattern.nonEmpty, "empty defines/pattern")
+    require(afterMatch == "all" || afterMatch == "skip_past_last_row",
+      s"afterMatch must be 'all' or 'skip_past_last_row', got '$afterMatch'")
     val symNames = defines.map(_._1)
     require(symNames.distinct == symNames, "duplicate define names")
     val steps = pattern.map(parsePatStep)
@@ -1432,6 +1440,14 @@ object Patterns {
       }.toSet
       steps.indices.filterNot(absent)
     }
+    // ADVICE r12: each variant re-derives the whole run-grain frame
+    // (classification window + change-flag cumsum + groupBy) from the
+    // raw input — with k optional steps that subtree would execute
+    // 2^k times. Pin it once when there is anything to share; the
+    // single-variant path (q63/q70) keeps its lazy plan untouched.
+    val runsShared =
+      if (variants.size > 1 || afterMatch != "all") runs.localCheckpoint()
+      else runs
     def variantDf(present: Seq[Int]): DataFrame = {
       val jOf = present.zipWithIndex.toMap // step index -> lead offset
       val mv = present.size
@@ -1439,7 +1455,12 @@ object Patterns {
       // the run-grain column keeps the agg's own type without knowing
       // it statically
       def absentNull(c: String): Column = when(lit(false), col(c))
-      val proj = runs.select(kc ++ Seq(col("__run").as("match_id")) ++
+      val proj = runsShared.select(kc ++
+        Seq(col("__run").as("match_id"),
+          // run ids are a per-key change-flag cumsum, so a variant of
+          // mv consecutive runs ends at match_id + mv − 1 — the
+          // "last row" the SKIP PAST LAST ROW dedup resumes after
+          (col("__run") + lit(mv - 1)).as("__last")) ++
         (0 until mv).map(j => stepCol(j, "__sym").as(s"__sym_$j")) ++
         (0 until mv).map(j => stepCol(j, "__a___cnt").as(s"__cnt_$j")) ++
         steps.indices.flatMap { si =>
@@ -1474,7 +1495,41 @@ object Patterns {
         .drop((0 until mv).map(j => s"__sym_$j") ++
           (0 until mv).map(j => s"__cnt_$j"): _*)
     }
-    variants.map(variantDf).reduce(_ unionByName _)
+    val all = variants.map(variantDf).reduce(_ unionByName _)
+    if (afterMatch == "all") all.drop("__last")
+    else {
+      // AFTER MATCH SKIP PAST LAST ROW (round 13 — VERDICT r12 #3, the
+      // SQL:2016 default Trino/Flink users expect): of the all-matches
+      // set, keep the greedy non-overlapping subset — scan matches in
+      // start order, keep one, resume the search after its LAST run.
+      // Ties at the same start keep the LONGEST extent (the greedy-
+      // quantifier reading); ambiguous readings with the SAME extent
+      // (the optional-in-next-alternation double emission) occupy
+      // identical rows, so all of them survive the extent semi-join.
+      // Scale: matches per key are run-grain bounded (the same bound
+      // the ≤(m−1) lead()s rely on), so the per-key collect + fold is
+      // the bounded-domain tier, never corpus-grain; the fold is one
+      // codegen'd higher-order aggregate, not a driver loop.
+      val allPinned = all.localCheckpoint()
+      val keptIv = allPinned
+        .groupBy(kc: _*)
+        .agg(collect_list(struct(col("match_id").as("f"),
+          (-col("__last")).as("nl"), col("__last").as("l"))).as("ms"))
+        .withColumn("ks", expr(
+          """aggregate(array_sort(ms),
+            |  named_struct('lk', CAST(-9223372036854775808 AS BIGINT),
+            |    'ks', CAST(array() AS ARRAY<STRUCT<f: BIGINT, l: BIGINT>>)),
+            |  (acc, m) -> IF(m.f > acc.lk,
+            |    named_struct('lk', m.l,
+            |      'ks', array_append(acc.ks, named_struct('f', m.f, 'l', m.l))),
+            |    acc),
+            |  acc -> acc.ks)""".stripMargin))
+        .select(kc :+ explode(col("ks")).as("kv"): _*)
+        .select(kc :+ col("kv.f").as("match_id") :+ col("kv.l").as("__last"): _*)
+      allPinned
+        .join(keptIv, keys :+ "match_id" :+ "__last", "left_semi")
+        .drop("__last")
+    }
   }
 
   /** TROUGH-RECOVERY matches (the full q63 contract — the

@@ -631,7 +631,11 @@ object Dedup {
   private val SH_BANDS = 4
   private val SH_BITS = 12 // 4 × 12 = 48 bits
 
-  def d11(s: SparkSession, d: String): DataFrame = {
+  /** d11's band-bucket candidate pairs with their hamming distance,
+    * BEFORE the distinct + threshold — split out so the d11 slope
+    * diagnostic ([[graft.D11Slope]], round 13 — VERDICT r12 #6) can
+    * count the exact frame whose growth the sf1 soak watches. */
+  private[graft] def d11Cand(s: SparkSession, d: String): DataFrame = {
     val sh = corpus(s, d)
       .withColumn("hs", transform(graft.functions.TextNorm.tokens(col("text")),
         t => Hashing.hash48(t)))
@@ -653,10 +657,13 @@ object Dedup {
         col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+  }
+
+  def d11(s: SparkSession, d: String): DataFrame =
+    d11Cand(s, d)
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("a", "b")
-  }
 
   val d11Sql: String = {
     val bandsRel = (0 until SH_BANDS).map { b =>

@@ -153,6 +153,36 @@ object EventOps {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run a BOUNDED streaming write under Trigger.AvailableNow (round
+    * 13 — VERDICT r12 #1): the e16/e17/e19/e20/e21/e44 gates all
+    * drain a finite landing dir, but under the default trigger +
+    * processAllAvailable the query keeps scheduling idle ticks while
+    * the poll handshake settles — the r12 bench measured those six
+    * keys 2.1–7.6× slower with BIT-IDENTICAL stage/task counts, pure
+    * micro-batch scheduling latency on a heavier session.
+    * AvailableNow plans exactly the already-landed files (micro-batch
+    * sequencing still honors maxFilesPerTrigger, so the
+    * two-batches-back watermark choreography is unchanged), runs the
+    * trailing no-data batch that flushes finalized state, and
+    * TERMINATES itself. Batch count + summed triggerExecution ms land
+    * in [[graft.streaming.MicroBatch]] under `key`, so the bench line
+    * decomposes any future drift into more-batches vs slower-batches.
+    */
+  private def runAvailableNow(key: String,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+      : Unit = {
+    val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(600000L))
+        throw new IllegalStateException(
+          s"$key: AvailableNow query did not terminate within 600s")
+    } finally {
+      if (q.isActive) q.stop()
+      graft.streaming.MicroBatch.note(key, q)
+    }
+  }
+
   // e06: the SAME hourly rollup as e01, computed through Structured
   // Streaming (file micro-batches → complete-mode memory sink) and
   // checked against e01's oracle — proving batch/stream symmetry.
@@ -277,14 +307,12 @@ object EventOps {
   def e19(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e19_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStreamPartitions(s, 8) {
-      val q = graft.streaming.Streams.eventStream(s, d)
+      runAvailableNow("e19", graft.streaming.Streams.eventStream(s, d)
         .withWatermark("ts", "60 days")
         .select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(sink))
     }
     s.table(sink)
       .groupBy("event_type")
@@ -499,10 +527,8 @@ object EventOps {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       withStreamPartitions(s, 8) {
-        val q = agg.writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        runAvailableNow("e16", agg.writeStream.outputMode("append")
+          .format("memory").queryName(sink))
       }
       s.table(sink)
         .filter(col("event_type") =!= "sentinel")
@@ -562,11 +588,17 @@ object EventOps {
           .format("parquet")
           .option("path", out)
           .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try {
-          q.processAllAvailable()
+          if (!q.awaitTermination(600000L))
+            throw new IllegalStateException(
+              "e17: AvailableNow query did not terminate within 600s")
           q.recentProgress.map(_.numInputRows).sum
-        } finally q.stop()
+        } finally {
+          if (q.isActive) q.stop()
+          graft.streaming.MicroBatch.note("e17", q)
+        }
       }
       runOnce() // first incarnation sees only the first 30 docs
       // the query is DOWN while more data lands — then restarts from
@@ -608,8 +640,17 @@ object EventOps {
   // interval relationally (DuckDB range(N)) — a lost or doubled
   // micro-batch hash-fails.
   def e18(s: SparkSession, d: String): DataFrame = {
-    val rowsPerBatch = 1000L
-    val batches = 5
+    // 2 batches of 2500, not 5 of 1000 (round 13 — VERDICT r12 #1):
+    // the r12 bench measured e18 at a 17.8 s floor both runs with the
+    // job count (47→89) showing the unbounded source spinning no-op
+    // scheduling ticks while the poll loop waited — the wall is
+    // per-micro-batch SCHEDULING latency, not data. n stays 5000 so
+    // the oracle (range(5000)) and the gate hash are unchanged; ≥2
+    // batches keeps the offset-contiguity claim real. The measured
+    // per-batch floor is pinned in BASELINE.md §6 from the ledger's
+    // durationMs below.
+    val rowsPerBatch = 2500L
+    val batches = 2
     val n = rowsPerBatch * batches
     val sink = "graft_e18_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val agg = s.readStream.format("rate-micro-batch")
@@ -629,7 +670,7 @@ object EventOps {
     // re-delivered event can't double-count. Registered BEFORE start
     // (matched by query name) so batch 0 can't be missed.
     val progressLog =
-      new java.util.concurrent.ConcurrentHashMap[Long, (String, String, Long)]()
+      new java.util.concurrent.ConcurrentHashMap[Long, (String, String, Long, Double)]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -639,7 +680,9 @@ object EventOps {
         if (p.name == sink && p.sources.nonEmpty)
           progressLog.put(p.batchId,
             (p.sources.head.startOffset, p.sources.head.endOffset,
-              p.sources.head.numInputRows)): Unit
+              p.sources.head.numInputRows,
+              Option(p.durationMs.get("triggerExecution"))
+                .map(_.toDouble).getOrElse(0.0))): Unit
       }
       override def onQueryTerminated(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -686,8 +729,14 @@ object EventOps {
         while (ledgerRows() < n && System.nanoTime() < lDeadline)
           Thread.sleep(20)
         import scala.jdk.CollectionConverters._
+        // per-batch scheduling-floor attribution for the bench line —
+        // every batch the listener saw, no-op ticks included, so the
+        // mean IS the session's micro-batch latency floor
+        graft.streaming.MicroBatch.noteRaw("e18",
+          progressLog.size.toLong,
+          progressLog.values.asScala.map(_._4).sum)
         val ranges = progressLog.values.asScala.toSeq
-          .map { case (so, eo, rows) =>
+          .map { case (so, eo, rows, _) =>
             // rate-micro-batch offsets serialize as JSON — either a
             // bare number or {"offset":N,...} depending on version;
             // take the first integer either way
@@ -797,10 +846,8 @@ object EventOps {
           col("c_ts") < col("p_ts"),
         "left_outer")
       withStreamPartitions(s, 8) {
-        val q = joined.writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        runAvailableNow("e20", joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink))
       }
       s.table(sink)
         .filter(col("p_type") === "purchase")
@@ -898,10 +945,8 @@ object EventOps {
           col("c_ts") < col("p_ts"),
         "full_outer")
       withStreamPartitions(s, 8) {
-        val q = joined.writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        runAvailableNow("e44", joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink))
       }
       s.table(sink)
         .filter(col("p_type") === "purchase" ||
@@ -996,10 +1041,8 @@ object EventOps {
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
       withStreamPartitions(s, 8) {
-        val q = agg.writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        runAvailableNow("e21", agg.writeStream.outputMode("append")
+          .format("memory").queryName(sink))
       }
       s.table(sink)
         .filter(col("user_id") >= 0)

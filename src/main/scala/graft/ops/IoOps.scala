@@ -252,9 +252,18 @@ object IoOps {
     val cut = n * 9 / 10
     val base = e.filter(col("vec_id") < cut).localCheckpoint()
     val arr = e.filter(col("vec_id") >= cut)
+    // DETERMINISTIC per-(app, dataset) artifact path (ADVICE r12: a
+    // fresh tmpDir per rebuild leaked the old artifact every time a
+    // Memo family boundary cleared the TrieMap — over a long
+    // bench/soak session that is one orphaned index per e→i→... lap).
+    // writeParquet overwrites, so a post-clear rebuild lands in place
+    // and the session holds at most ONE artifact per dataset.
     val dir = graphDirCache.getOrElseUpdate(
       s.sparkContext.applicationId + "#" + d + "#i32dir", {
-        val fresh = tmpDir("graft_i32_")
+        val fresh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_i32_" + s.sparkContext.applicationId + "_" +
+            d.replaceAll("[^A-Za-z0-9]", "_")).toString
         graphIndexWrite(base, fresh)
         fresh
       })

@@ -376,6 +376,95 @@ object Pipeline {
        |FROM ranked GROUP BY 1, 2, 3 ORDER BY domain""".stripMargin
 
   // ------------------------------------------------------------------
+  // p16: token-budget mixture in LEARNED UNITS (round 13 — VERDICT
+  // r12 #2, closing the brief's longest-standing gap: p04 prices its
+  // budgets in ⌈L/4⌉-free whitespace-token stand-ins, but a user
+  // specifying a 15T-token mix means the units the TOKENIZER emits).
+  // Same 4-domain rollup, same md5-hash pick order, same whole-prefix
+  // budget rule as p04 (which stays frozen as the stand-in twin) —
+  // but every document's cost is its t40-trained BPE piece count:
+  // tokens join the learned segmentation (vocab-dim broadcast, the
+  // t41 discipline; un-merged past-cap terms fall back to character
+  // segmentation, inert at the gate SFs where the cap covers the
+  // vocab), summed per document. The oracle replays the full 30-round
+  // merge training AND the per-document pricing — the budget
+  // arithmetic is integer-exact end to end. Scale: one corpus
+  // tokenize (map-side) + one vocab-dim broadcast join + the same
+  // single domain-keyed window shuffle as p04.
+  def p16(s: SparkSession, d: String): DataFrame = {
+    val pm = TextOps.bpePieceCounts(s, d)
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("dom"),
+          (substring(col("source"), 4, 10).cast("int") % 4).cast("string"))
+          .as("domain"),
+        explode_outer(graft.functions.TextNorm.tokens(col("text"))).as("term"))
+      .join(broadcast(pm), Seq("term"), "left")
+      .groupBy("doc_id", "domain")
+      .agg(sum(when(col("term").isNull, lit(0L))
+        .otherwise(coalesce(col("n_pieces"), length(col("term")).cast("long"))))
+        .as("n_tok"))
+    val tot = perDoc.agg(sum(col("n_tok")).as("tot_tok"))
+    val pct = when(col("domain") === "dom0", 50)
+      .when(col("domain") === "dom1", 25)
+      .when(col("domain") === "dom2", 20)
+      .otherwise(5)
+    val w = Window.partitionBy("domain").orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.crossJoin(broadcast(tot))
+      .withColumn("pct", pct)
+      .withColumn("budget", expr("(tot_tok * pct) div 100"))
+      .withColumn("hkey",
+        Hashing.hash56(concat_ws("#", lit("bpemix"), col("doc_id"))))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("taken", col("cum_tok") <= col("budget"))
+      .groupBy("domain", "pct", "budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        count(when(col("taken"), lit(1))).as("n_taken"),
+        sum(when(col("taken"), col("n_tok")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).cast("long").as("tok_taken"),
+        sum(when(col("taken"), col("hkey")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).cast("string").as("ids_checksum"))
+      .orderBy("domain")
+  }
+
+  val p16Sql: String =
+    s"""WITH ${TextOps.bpePiecesSqlCtes},
+       |doms AS (
+       |  SELECT doc_id, 'dom' || (substr(source, 4)::INT % 4) AS domain,
+       |    regexp_extract_all(nfc_normalize(text), '[\\p{L}\\p{N}]+') AS toks
+       |  FROM documents),
+       |tokl AS (SELECT doc_id, unnest(toks) AS term FROM doms),
+       |tokp AS (
+       |  SELECT t.doc_id,
+       |    CAST(sum(coalesce(p.np, length(t.term))) AS BIGINT) AS n_tok
+       |  FROM tokl t LEFT JOIN pieces p ON t.term = p.term
+       |  GROUP BY 1),
+       |perdoc AS (
+       |  SELECT d.doc_id, d.domain, coalesce(tp.n_tok, 0) AS n_tok
+       |  FROM doms d LEFT JOIN tokp tp ON d.doc_id = tp.doc_id),
+       |tot AS (SELECT sum(n_tok)::BIGINT AS tot_tok FROM perdoc),
+       |ranked AS (
+       |  SELECT domain, pct, (tot.tot_tok * pct) // 100 AS budget, n_tok, hkey,
+       |    sum(n_tok) OVER (PARTITION BY domain ORDER BY hkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |  FROM (
+       |    SELECT doc_id, domain, n_tok,
+       |      CASE domain WHEN 'dom0' THEN 50 WHEN 'dom1' THEN 25
+       |        WHEN 'dom2' THEN 20 ELSE 5 END AS pct,
+       |      ${Hashing.sqlHash56("'bpemix#' || doc_id")} AS hkey
+       |    FROM perdoc) t, tot)
+       |SELECT domain, pct, budget, count(*) AS n_docs,
+       |  sum(n_tok)::BIGINT AS tok_total,
+       |  count(CASE WHEN cum_tok <= budget THEN 1 END) AS n_taken,
+       |  CAST(sum(CASE WHEN cum_tok <= budget THEN n_tok ELSE 0 END)
+       |    ::DECIMAL(38,0) AS BIGINT) AS tok_taken,
+       |  sum(CASE WHEN cum_tok <= budget THEN hkey ELSE 0 END)
+       |    ::DECIMAL(38,0)::VARCHAR AS ids_checksum
+       |FROM ranked GROUP BY 1, 2, 3 ORDER BY domain""".stripMargin
+
+  // ------------------------------------------------------------------
   // p05: SHARDED TRAINING-DATA EXPORT — the terminal step of every
   // curation pipeline: the curated mix is written as N deterministic
   // shards (the unit a training job's data loader consumes), and the
@@ -1333,6 +1422,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_bpe_token_mix" -> (p16 _),
     "p15_quality_tradeoff" -> (p15 _),
     "p14_filter_ablation" -> (p14 _),
     "p13_doremi_reweight" -> (p13 _),
@@ -1350,6 +1440,7 @@ object Pipeline {
     "p05_shard_export" -> (p05 _))
 
   val oracles: Map[String, String] = Map(
+    "p16_bpe_token_mix" -> p16Sql,
     "p15_quality_tradeoff" -> p15Sql,
     "p14_filter_ablation" -> p14Sql,
     "p13_doremi_reweight" -> p13Sql,

@@ -949,6 +949,11 @@ object Recommend {
   private val centsCache =
     Memo.register(scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Double])]])
 
+  /** Super-cell centroids for the two-level probe routing (round 13 —
+    * VERDICT r12 #5): ~√k rows, memoized like the cells themselves. */
+  private val superCentsCache =
+    Memo.register(scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Double])]])
+
   /** Build the ANN index once, serve top-5 at two probe depths:
     * 2-cell approximate for ALL users, all-cell exact for the panel. */
   private def annPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -1028,11 +1033,6 @@ object Recommend {
     val users = model.userFactors
       .select(col("id").as("user_id"), col("features").cast("array<double>").as("fu"))
       .withColumn("fa", concat(col("fu"), array(lit(0.0))))
-    // users × k cell distances, NOT yet ranked: probe selection runs
-    // as a heap below (round-11, VERDICT r10 #3 / BASELINE §3d — the
-    // row_number window formulation sorted the users×k fan-out, and
-    // with k ∝ catalog that is the serve path's last O(SF²) term).
-    val cellDists = users.join(broadcast(cents)).withColumn("d2", d2)
     val seen = Ratings.implicitRatings(s, d).select("user_id", "item_id")
     // The fan-out (users × probed-cell items) must never hit a sort
     // or an exchange: the item index broadcasts (a catalog of 8-dim
@@ -1043,9 +1043,15 @@ object Recommend {
     // sf0.1; this shape ~5s. Then the r06 discipline: anti-join seen
     // on the survivors, re-rank to 5.
     def topOf(nProbe: Int, panelOnly: Boolean): DataFrame = {
-      val pool =
-        if (panelOnly) cellDists.filter(col("user_id") < R16_PANEL)
-        else cellDists
+      val pool0 =
+        if (panelOnly) users.filter(col("user_id") < R16_PANEL)
+        else users
+      // users × cell distances for the flat paths, NOT yet ranked:
+      // probe selection runs as a heap below (round-11, VERDICT r10
+      // #3 / BASELINE §3d — the row_number window formulation sorted
+      // the users×k fan-out, and with k ∝ catalog that is the serve
+      // path's last O(SF²) term).
+      def cellDists = pool0.join(broadcast(cents)).withColumn("d2", d2)
       // Probe selection WITHOUT the users×k window sort: the nearest
       // nProbe cells per user via the same TopKAgg heap the candidate
       // scoring uses — score −d2 under (score DESC, id ASC) is exactly
@@ -1055,14 +1061,70 @@ object Recommend {
       // rides along as first() (constant within a user's group). The
       // all-cells reference panel skips selection entirely — probing
       // every cell needs no rank.
+      //
+      // TWO-LEVEL ROUTING past 64 cells (round 13 — VERDICT r12 #5 /
+      // BASELINE §5: with k ∝ catalog, even the heap selection scores
+      // users × k cell distances — the serving family's last
+      // super-linear residual, 2.06×/doubling at 40×). The cells are
+      // clustered once into ~√k SUPER-cells (memoized, seeded k-means
+      // over the k cell centroids — metadata-scale training); a user
+      // scores √k supers, keeps the 2 nearest, then scores only the
+      // cells homed in those supers (~2√k on balanced cells) — users ×
+      // 3√k distances total, linear per doubling. The branch is
+      // CONDITIONAL exactly like the trainCap sample: both gate SFs
+      // land at k = 8 ≤ 64, so every gated result is bit-identical to
+      // the flat selection, and the exact panel (nProbe = k) never
+      // routes at all — the recall reference stays exact at any k.
       val probeSel =
         if (nProbe >= nCells)
-          pool.select(col("user_id"), col("cent_id").as("cell"), col("fu"))
-        else pool.groupBy("user_id")
-          .agg(graft.functions.TopKAgg.topK(-col("d2"), col("cent_id"),
-            nProbe).as("tk"), first(col("fu")).as("fu"))
-          .select(col("user_id"), explode(col("tk")).as("t"), col("fu"))
-          .select(col("user_id"), col("t.id").as("cell"), col("fu"))
+          cellDists.select(col("user_id"), col("cent_id").as("cell"), col("fu"))
+        else if (nCells <= 64)
+          cellDists.groupBy("user_id")
+            .agg(graft.functions.TopKAgg.topK(-col("d2"), col("cent_id"),
+              nProbe).as("tk"), first(col("fu")).as("fu"))
+            .select(col("user_id"), explode(col("tk")).as("t"), col("fu"))
+            .select(col("user_id"), col("t.id").as("cell"), col("fu"))
+        else {
+          val nSuper = math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+          val superRows = superCentsCache.getOrElseUpdate(
+            memoKey(s, d) + "#super", {
+              Similarity.ivfKMeansCentroids(
+                cents.select(col("cent_id").as("vec_id"), col("cv").as("v")),
+                k = nSuper, seed = 17)
+                .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+            })
+          val supers = superRows.toSeq.toDF("sup_id", "sv")
+            .select(col("sup_id"), col("sv"), sq(col("sv")).as("s2"))
+          // each cell homes to its nearest super (k rows, broadcast)
+          val cellSup = cents
+            .join(broadcast(supers))
+            .withColumn("ds", col("s2") - lit(2.0) * dot(col("cv"), col("sv")))
+            .groupBy("cent_id")
+            .agg(min(struct(col("ds"), col("sup_id"))).as("mn"))
+            .select(col("cent_id"), col("mn.sup_id").as("sup_id"))
+          val cellsWithSup = cents.join(broadcast(cellSup), Seq("cent_id"))
+          // only supers that own ≥1 cell are routable — an empty
+          // k-means cluster must not strand a user with no candidates
+          val liveSupers = supers
+            .join(broadcast(cellSup.select("sup_id").distinct()), Seq("sup_id"))
+          val topSup = pool0.join(broadcast(liveSupers))
+            .withColumn("ds", col("s2") - lit(2.0) * dot(col("fa"), col("sv")))
+            .groupBy("user_id")
+            .agg(graft.functions.TopKAgg.topK(-col("ds"), col("sup_id"), 2)
+              .as("ts"), first(col("fa")).as("fa"), first(col("fu")).as("fu"))
+            .select(col("user_id"), explode(col("ts")).as("t"),
+              col("fa"), col("fu"))
+            .select(col("user_id"), col("t.id").as("sup_id"),
+              col("fa"), col("fu"))
+          topSup.join(broadcast(cellsWithSup), Seq("sup_id"))
+            .withColumn("d2c",
+              col("c2") - lit(2.0) * dot(col("fa"), col("cv")))
+            .groupBy("user_id")
+            .agg(graft.functions.TopKAgg.topK(-col("d2c"), col("cent_id"),
+              nProbe).as("tk"), first(col("fu")).as("fu"))
+            .select(col("user_id"), explode(col("tk")).as("t"), col("fu"))
+            .select(col("user_id"), col("t.id").as("cell"), col("fu"))
+        }
       // ROUND-ROBIN repartition with an explicit count: the probe
       // shuffle is ~1 MB, which AQE's map-size-based coalescing
       // collapses to 1-2 partitions — serializing the 75M-row scoring

@@ -2887,11 +2887,11 @@ object Relational {
   // the 38-digit lane. Scale: one fact scan shared by the fit agg and
   // the q62 seasonal window, both on the nation-keyed exchange; the
   // horizon explode is 6 rows per nation.
-  /** Shared kernel over any (nation, month 'yyyy-MM', rev_cents LONG)
-    * frame — RelationalSpec feeds a planted linear+seasonal series and
-    * pins the h-step values exactly. */
-  private[graft] def holtForecast(monthly0: DataFrame, hMax: Int): DataFrame = {
-    val monthly = monthly0.localCheckpoint() // grain frame feeds fit + seasonal
+  /** Fit + seasonal components over a CHECKPOINTED (nation, month
+    * 'yyyy-MM', rev_cents LONG) grain frame: (withT, fit, seasonal) —
+    * shared by the q72 projection and q73's residual intervals. */
+  private def holtParts(monthly: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val w = Window.partitionBy("nation").orderBy("month")
     val withT = monthly.withColumn("t",
       (row_number().over(w) - 1).cast("long"))
@@ -2913,6 +2913,15 @@ object Relational {
       .groupBy("nation", "moy")
       .agg(sum(col("detr24")).as("seas_num24"),
         (count(lit(1)) * 24L).as("seas_den24"))
+    (withT, fit, seasonal)
+  }
+
+  /** Shared kernel over any (nation, month 'yyyy-MM', rev_cents LONG)
+    * frame — RelationalSpec feeds a planted linear+seasonal series and
+    * pins the h-step values exactly. */
+  private[graft] def holtForecast(monthly0: DataFrame, hMax: Int): DataFrame = {
+    val monthly = monthly0.localCheckpoint() // grain frame feeds fit + seasonal
+    val (_, fit, seasonal) = holtParts(monthly)
     fit
       .withColumn("h", explode(expr(s"sequence(1L, ${hMax}L)")))
       .withColumn("fc_month", date_format(add_months(
@@ -2933,9 +2942,22 @@ object Relational {
       .withColumn("den38",
         col("lin_den").cast("decimal(38,0)") *
           coalesce(col("seas_den24"), lit(24L)))
+      // Sign-safe floor: Spark's `div` truncates toward zero while the
+      // oracle's `//` floors, so the negative-capable num38 is shifted
+      // by K·den38 first. K = 1e10 cents is a BOUND, not a constant of
+      // nature (ADVICE r12): it is valid iff num38/den38 > −K, i.e.
+      // the fitted forecast stays above −$100M — if a series ever
+      // drives the fit below that, truncate-vs-floor would silently
+      // disagree by 1, so the violated bound RAISES instead (the gate
+      // turns an err, never a wrong hash). Headroom: gate-SF fits are
+      // ≤1e9 cents and grow linearly in SF, so the guard branch is
+      // never taken on real data.
       .withColumn("fc_cents_floor",
-        expr("CAST((num38 + 10000000000 * den38) div den38 " +
-          "- 10000000000 AS BIGINT)"))
+        expr("CAST((CASE WHEN num38 + 10000000000 * den38 > 0 " +
+          "THEN (num38 + 10000000000 * den38) div den38 " +
+          "ELSE CAST(raise_error('holtForecast: sign-safe floor offset " +
+          "exhausted (num38/den38 <= -1e10 cents) - widen the offset') " +
+          "AS DECIMAL(38,0)) END) - 10000000000 AS BIGINT)"))
       .select("nation", "h", "fc_month", "lin_num", "lin_den",
         "seas_num24", "seas_den24", "fc_cents_floor")
       .orderBy("nation", "h")
@@ -3006,7 +3028,291 @@ object Relational {
       |  ON fc.nation = s.nation AND substr(fc.fc_month, 6, 2) = s.moy
       |ORDER BY fc.nation, fc.h""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q73: FORECAST PREDICTION INTERVALS (round 13 — VERDICT r12 #4:
+  // q72 projects point forecasts only; a forecast consumer needs
+  // uncertainty). The interval is the SPLIT-CONFORMAL shape (Vovk et
+  // al. 2005; Lei et al. 2018 — distribution-free empirical-residual
+  // intervals): per nation, the EXACT integer residuals of the fitted
+  // series (observed cents − the same guarded-floor fit replayed at
+  // each observed t), the 10th/90th empirical residual by EXACT
+  // order-statistic selection (rank k_lo = ⌈n/10⌉, k_hi = n−k_lo+1,
+  // row_number over (resid, month) — q52's selection discipline, no
+  // interpolation, no floats), and h-step bounds widened by the exact
+  // rational factor (n+h)/n (the finite-sample inflation of split
+  // conformal's (1+1/n), growing with horizon): bound = ⌊(fc·n +
+  // r·(n+h))/n⌋ via the same sign-safe offset floor. Every column is
+  // an exact integer or the q72 rationals — RelationalSpec pins a
+  // planted linear+seasonal+noise series where the bounds are derived
+  // independently. Scale: residuals ride the SAME nation-keyed
+  // exchange as the fit; the rank selection is a window over the
+  // month-grain frame; everything downstream is nation×h rows.
+  private[graft] def holtForecastIntervals(monthly0: DataFrame,
+      hMax: Int): DataFrame = {
+    val monthly = monthly0.localCheckpoint()
+    val (withT, fit, seasonal) = holtParts(monthly)
+    val resid = withT
+      .withColumn("moy", substring(col("month"), 6, 2))
+      .join(fit.select("nation", "n", "st", "sy", "sty", "st2"),
+        Seq("nation"))
+      .join(broadcast(seasonal), Seq("nation", "moy"), "left")
+      .withColumn("lin_den", col("n") * col("st2") - col("st") * col("st"))
+      .withColumn("lin_num",
+        (col("sy") * col("st2") - col("st") * col("sty")) +
+          (col("n") * col("sty") - col("st") * col("sy")) * col("t"))
+      .withColumn("num38",
+        col("lin_num").cast("decimal(38,0)") *
+          coalesce(col("seas_den24"), lit(24L)) +
+          coalesce(col("seas_num24"), lit(0L)).cast("decimal(38,0)") *
+            col("lin_den"))
+      .withColumn("den38",
+        col("lin_den").cast("decimal(38,0)") *
+          coalesce(col("seas_den24"), lit(24L)))
+      .withColumn("fit_floor",
+        expr("CAST((CASE WHEN num38 + 10000000000 * den38 > 0 " +
+          "THEN (num38 + 10000000000 * den38) div den38 " +
+          "ELSE CAST(raise_error('holtForecastIntervals: sign-safe floor " +
+          "offset exhausted - widen the offset') AS DECIMAL(38,0)) END) " +
+          "- 10000000000 AS BIGINT)"))
+      .withColumn("resid", col("rev_cents") - col("fit_floor"))
+    val wr = Window.partitionBy("nation").orderBy(col("resid"), col("month"))
+    val ranked = resid.withColumn("rn", row_number().over(wr).cast("long"))
+    val rlo = ranked.filter(col("rn") === expr("(n + 9) div 10"))
+      .select(col("nation"), col("resid").as("r_lo"))
+    val rhi = ranked.filter(col("rn") === expr("n - (n + 9) div 10 + 1"))
+      .select(col("nation"), col("resid").as("r_hi"))
+    holtForecast(monthly, hMax)
+      .join(broadcast(fit.select(col("nation"), col("n").as("n_obs"))),
+        Seq("nation"))
+      .join(broadcast(rlo), Seq("nation"))
+      .join(broadcast(rhi), Seq("nation"))
+      .withColumn("lo_cents_floor",
+        expr("(fc_cents_floor * n_obs + r_lo * (n_obs + h) " +
+          "+ 10000000000 * n_obs) div n_obs - 10000000000"))
+      .withColumn("hi_cents_floor",
+        expr("(fc_cents_floor * n_obs + r_hi * (n_obs + h) " +
+          "+ 10000000000 * n_obs) div n_obs - 10000000000"))
+      .select("nation", "h", "fc_month", "fc_cents_floor", "n_obs",
+        "r_lo", "r_hi", "lo_cents_floor", "hi_cents_floor")
+      .orderBy("nation", "h")
+  }
+
+  def q73(s: SparkSession, d: String): DataFrame =
+    holtForecastIntervals(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+          .cast("long").as("rev_cents")),
+      hMax = 6)
+
+  val q73Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |wt AS (
+      |  SELECT nation, month, rev_cents,
+      |    CAST(row_number() OVER (PARTITION BY nation ORDER BY month) - 1
+      |      AS BIGINT) AS t
+      |  FROM monthly),
+      |fit AS (
+      |  SELECT nation, count(*) AS n, max(t) AS t_last,
+      |    max(month) AS last_month,
+      |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(rev_cents) AS BIGINT) AS sy,
+      |    CAST(sum(t * rev_cents) AS BIGINT) AS sty,
+      |    CAST(sum(t * t) AS BIGINT) AS st2
+      |  FROM wt GROUP BY 1),
+      |trended AS (
+      |  SELECT nation, month, rev_cents,
+      |    CASE WHEN count(rev_cents) OVER (w ROWS BETWEEN 6 PRECEDING
+      |        AND 6 FOLLOWING) = 13
+      |      THEN CAST(2 * sum(rev_cents) OVER (w ROWS BETWEEN 5 PRECEDING
+      |          AND 5 FOLLOWING) + lag(rev_cents, 6) OVER w +
+      |          lead(rev_cents, 6) OVER w AS BIGINT)
+      |    END AS trend24
+      |  FROM monthly
+      |  WINDOW w AS (PARTITION BY nation ORDER BY month)),
+      |seas AS (
+      |  SELECT nation, substr(month, 6, 2) AS moy,
+      |    CAST(sum(rev_cents * 24 - trend24) AS BIGINT) AS seas_num24,
+      |    24 * count(*) AS seas_den24
+      |  FROM trended WHERE trend24 IS NOT NULL GROUP BY 1, 2),
+      |resid AS (
+      |  SELECT w.nation, w.month, f.n,
+      |    w.rev_cents - CAST((
+      |        ((f.sy * f.st2 - f.st * f.sty)
+      |          + (f.n * f.sty - f.st * f.sy) * w.t)::HUGEINT
+      |          * coalesce(s.seas_den24, 24)
+      |        + coalesce(s.seas_num24, 0)::HUGEINT
+      |          * (f.n * f.st2 - f.st * f.st)
+      |        + 10000000000::HUGEINT * (f.n * f.st2 - f.st * f.st)
+      |          * coalesce(s.seas_den24, 24))
+      |      // ((f.n * f.st2 - f.st * f.st)::HUGEINT
+      |        * coalesce(s.seas_den24, 24))
+      |      - 10000000000 AS BIGINT) AS resid
+      |  FROM wt w JOIN fit f ON w.nation = f.nation
+      |  LEFT JOIN seas s
+      |    ON w.nation = s.nation AND substr(w.month, 6, 2) = s.moy),
+      |ranked AS (
+      |  SELECT nation, n, resid,
+      |    row_number() OVER (PARTITION BY nation ORDER BY resid, month)
+      |      AS rn
+      |  FROM resid),
+      |rlo AS (SELECT nation, resid AS r_lo FROM ranked
+      |        WHERE rn = (n + 9) // 10),
+      |rhi AS (SELECT nation, resid AS r_hi FROM ranked
+      |        WHERE rn = n - (n + 9) // 10 + 1),
+      |fcq AS (
+      |  SELECT f.nation, hs.h,
+      |    strftime((f.last_month || '-01')::DATE
+      |      + to_months(CAST(hs.h AS INT)), '%Y-%m') AS fc_month,
+      |    f.n AS n_obs,
+      |    f.n * f.st2 - f.st * f.st AS lin_den,
+      |    (f.sy * f.st2 - f.st * f.sty) +
+      |      (f.n * f.sty - f.st * f.sy) * (f.t_last + hs.h) AS lin_num
+      |  FROM fit f CROSS JOIN (SELECT unnest(range(1, 7)) AS h) hs),
+      |fc AS (
+      |  SELECT fcq.nation, fcq.h, fcq.fc_month, fcq.n_obs,
+      |    CAST((fcq.lin_num::HUGEINT * coalesce(s.seas_den24, 24)
+      |        + coalesce(s.seas_num24, 0)::HUGEINT * fcq.lin_den
+      |        + 10000000000::HUGEINT * fcq.lin_den
+      |          * coalesce(s.seas_den24, 24))
+      |      // (fcq.lin_den::HUGEINT * coalesce(s.seas_den24, 24))
+      |      - 10000000000 AS BIGINT) AS fc_cents_floor
+      |  FROM fcq LEFT JOIN seas s
+      |    ON fcq.nation = s.nation AND substr(fcq.fc_month, 6, 2) = s.moy)
+      |SELECT fc.nation, fc.h, fc.fc_month, fc.fc_cents_floor, fc.n_obs,
+      |  rlo.r_lo, rhi.r_hi,
+      |  (fc.fc_cents_floor * fc.n_obs + rlo.r_lo * (fc.n_obs + fc.h)
+      |    + 10000000000 * fc.n_obs) // fc.n_obs - 10000000000
+      |    AS lo_cents_floor,
+      |  (fc.fc_cents_floor * fc.n_obs + rhi.r_hi * (fc.n_obs + fc.h)
+      |    + 10000000000 * fc.n_obs) // fc.n_obs - 10000000000
+      |    AS hi_cents_floor
+      |FROM fc JOIN rlo ON fc.nation = rlo.nation
+      |JOIN rhi ON fc.nation = rhi.nation
+      |ORDER BY fc.nation, fc.h""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q74: AFTER MATCH SKIP PAST LAST ROW (round 13 — VERDICT r12 #3:
+  // the SQL:2016 default emission convention, taken one feature past
+  // q71's grammar work). Pattern `up down up` over each nation's
+  // monthly revenue deltas is the OVERLAPPING-match case the
+  // all-matches convention emits twice: the trailing up-run of one
+  // rally–dip–rebound is the leading up-run of the next. With
+  // afterMatch = skip_past_last_row the kernel keeps the greedy
+  // non-overlapping subset (earliest match wins, search resumes after
+  // its last run). The oracle replays greedy selection relationally:
+  // because each match spans exactly 3 runs and candidate starts in a
+  // chain differ by exactly 2 runs (the shared up-run — adjacent runs
+  // can't repeat a symbol, so no candidate starts 1 or 3 runs after
+  // another in the same chain), overlap is neighbor-only and greedy =
+  // the ODD-RANKED candidates within each maximal chain of
+  // 2-run-spaced candidates. Scale: identical to q63/q70 — one
+  // nation-keyed exchange plus the run-grain bounded kept-set fold.
+  def q74(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+        .cast("long").as("rev_cents"))
+    val w = Window.partitionBy("nation").orderBy("month")
+    val deltas = monthly
+      .withColumn("__prev_t", lag(col("month"), 1).over(w))
+      .withColumn("__delta",
+        col("rev_cents") - lag(col("rev_cents"), 1).over(w))
+      .filter(col("__delta").isNotNull)
+    graft.api.Patterns.matchRecognize(deltas, Seq("nation"), "month",
+      defines = Seq("down" -> (col("__delta") < 0),
+        "up" -> (col("__delta") > 0), "flat" -> lit(true)),
+      pattern = Seq("up", "down", "up"),
+      runAggs = Seq("start_t" -> min(col("__prev_t")),
+        "end_t" -> max(col("month")), "move" -> sum(col("__delta")),
+        "len" -> count(lit(1))),
+      afterMatch = "skip_past_last_row")
+      .select(col("nation"),
+        col("up1_start_t").as("rally_month"),
+        col("up1_end_t").as("peak_month"),
+        col("down_end_t").as("trough_month"),
+        col("up2_end_t").as("rebound_month"),
+        col("up1_move").as("rally_cents"),
+        (-col("down_move")).as("drop_cents"),
+        col("up2_move").as("rebound_cents"),
+        col("up1_len"), col("down_len"), col("up2_len"))
+      .orderBy("nation", "rally_month")
+  }
+
+  val q74Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT nation, month, rev_cents,
+      |    lag(month) OVER w AS prev_month,
+      |    rev_cents - lag(rev_cents) OVER w AS delta
+      |  FROM monthly WINDOW w AS (PARTITION BY nation ORDER BY month)),
+      |sgn AS (
+      |  SELECT *, CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1
+      |    ELSE 0 END AS sig
+      |  FROM d WHERE delta IS NOT NULL),
+      |chg AS (
+      |  SELECT *, CASE WHEN sig = lag(sig)
+      |      OVER (PARTITION BY nation ORDER BY month) THEN 0 ELSE 1 END AS c
+      |  FROM sgn),
+      |rid AS (
+      |  SELECT *, sum(c) OVER (PARTITION BY nation ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM chg),
+      |runs AS (
+      |  SELECT nation, run_id, max(sig) AS sig,
+      |    min(prev_month) AS start_month, max(month) AS end_month,
+      |    CAST(sum(delta) AS BIGINT) AS move, count(*) AS len
+      |  FROM rid GROUP BY 1, 2),
+      |tri AS (
+      |  SELECT nation, run_id, sig,
+      |    lead(sig, 1) OVER rw AS sig1, lead(sig, 2) OVER rw AS sig2,
+      |    start_month, end_month,
+      |    lead(end_month, 1) OVER rw AS end1,
+      |    lead(end_month, 2) OVER rw AS end2,
+      |    move, lead(move, 1) OVER rw AS move1,
+      |    lead(move, 2) OVER rw AS move2,
+      |    len, lead(len, 1) OVER rw AS len1, lead(len, 2) OVER rw AS len2
+      |  FROM runs WINDOW rw AS (PARTITION BY nation ORDER BY run_id)),
+      |cand AS (
+      |  SELECT * FROM tri WHERE sig = 1 AND sig1 = -1 AND sig2 = 1),
+      |isl AS (
+      |  SELECT *, CASE WHEN run_id - lag(run_id)
+      |      OVER (PARTITION BY nation ORDER BY run_id) = 2
+      |    THEN 0 ELSE 1 END AS nc
+      |  FROM cand),
+      |num AS (
+      |  SELECT *, sum(nc) OVER (PARTITION BY nation ORDER BY run_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |sel AS (
+      |  SELECT *, row_number() OVER (PARTITION BY nation, island
+      |    ORDER BY run_id) AS rn
+      |  FROM num)
+      |SELECT nation, start_month AS rally_month, end_month AS peak_month,
+      |  end1 AS trough_month, end2 AS rebound_month,
+      |  move AS rally_cents, -move1 AS drop_cents, move2 AS rebound_cents,
+      |  len AS up1_len, len1 AS down_len, len2 AS up2_len
+      |FROM sel WHERE rn % 2 = 1
+      |ORDER BY nation, rally_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_forecast_interval" -> (q73 _),
+    "q74_pattern_skip" -> (q74 _),
     "q71_pattern_grammar" -> (q71 _),
     "q72_holt_forecast" -> (q72 _),
     "q70_pattern_rebound" -> (q70 _),
@@ -3081,6 +3387,8 @@ object Relational {
     "q36_skew_salted" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q73_forecast_interval" -> q73Sql,
+    "q74_pattern_skip" -> q74Sql,
     "q71_pattern_grammar" -> q71Sql,
     "q72_holt_forecast" -> q72Sql,
     "q70_pattern_rebound" -> q70Sql,

@@ -2181,6 +2181,28 @@ object TextOps {
   private val BpeRounds = 30
   private val BpeVocabCap = 65536
 
+  /** Code-point comparison (round 13 — ADVICE r12: the tie ladder must
+    * order symbols the way the oracle's ORDER BY does, and DuckDB's
+    * default collation is UTF-8 BINARY ≡ code-point order, while
+    * Scala's String ordering is UTF-16 CODE-UNIT order — the two
+    * disagree exactly on supplementary-plane symbols, whose surrogate
+    * halves (0xD800–0xDFFF) sort below 0xE000–0xFFFF BMP chars in
+    * UTF-16 but above them by code point). Spark's own UTF8String
+    * binary comparison already matches DuckDB; this brings the
+    * driver-side mining loop in line. */
+  private[graft] def cpCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   /** Code-point split (DuckDB substr parity — a UTF-16 char map would
     * split surrogate pairs differently from DuckDB's code-point
     * substr). */
@@ -2220,7 +2242,19 @@ object TextOps {
       }
       if (cnt.isEmpty) exhausted = true
       else {
-        val ((l, rt), c) = cnt.minBy { case ((a, b), n) => (-n, a, b) }
+        // (cnt DESC, left, right) with CODE-POINT symbol order — the
+        // oracle's binary-collation ORDER BY, not String's UTF-16 order
+        val ((l, rt), c) = cnt.reduce { (p, q) =>
+          val ((pa, pb), pn) = p
+          val ((qa, qb), qn) = q
+          val cmp =
+            if (pn != qn) java.lang.Long.compare(qn, pn)
+            else {
+              val ca = cpCompare(pa, qa)
+              if (ca != 0) ca else cpCompare(pb, qb)
+            }
+          if (cmp <= 0) p else q
+        }
         merges += ((r.toLong, l, rt, c))
         val m = l + rt
         segs = segs.map { case (t, sy, f) =>
@@ -2254,6 +2288,23 @@ object TextOps {
       mineBpe(vocab, BpeRounds)
     })
   }
+
+  /** The trained segmentation's per-term piece counts as a
+    * broadcastable (term, n_pieces) frame — t41 denominates fertility
+    * in these units; p16 prices a token-budget mix in them. */
+  private[graft] def bpePieceCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeState(s, d)._2.toDF("term", "n_pieces")
+  }
+
+  /** Oracle fragment: the unrolled 30-round BPE CTEs plus the final
+    * `pieces(term, np)` segmentation — shared by t41Sql and p16Sql so
+    * the two keys replay the SAME trained tokenizer. */
+  private[graft] def bpePiecesSqlCtes: String =
+    s"""${sqlBpeRounds(BpeRounds)},
+       |pieces AS (
+       |  SELECT term, CAST(len(string_split(s, '|')) AS BIGINT) AS np
+       |  FROM v$BpeRounds)""".stripMargin
 
   def t40(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -659,6 +659,102 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("api.Patterns.matchRecognize parity matrix: where the maximal-run " +
+    "reading diverges from a naive row-regex (round 13)") {
+    // The kernel's quantifiers/steps read MAXIMAL RUNS, not rows —
+    // SQL:2016 engines that backtrack over rows can donate sub-runs.
+    // Each row of this matrix is a breaker where the two readings
+    // disagree, asserting graft's documented answer (the contract
+    // stated in the [[PatStep]] scaladoc, here made executable).
+    val defines = Seq("hot" -> (col("temp") >= 30L),
+      "warm" -> (col("temp") >= 20L), "cold" -> (col("temp") < 10L))
+    // BOUNDED: hot{1,2} against a 3-row maximal hot run. A row-regex
+    // would donate the last 2 hot rows and match; the maximal-run
+    // reading rejects — the leftover hot row would have to match the
+    // NEXT step, which isn't hot.
+    val dfB = spark.createDataFrame(Seq(
+      ("a", 1L, 35L), ("a", 2L, 34L), ("a", 3L, 33L), ("a", 4L, 5L)
+    )).toDF("device", "ts", "temp")
+    assert(api.Patterns.matchRecognize(dfB, Seq("device"), "ts",
+      defines, Seq("hot{1,2}", "cold")).count() == 0L,
+      "bounded step donated a sub-run")
+    // REPEATED SYMBOL: hot cold hot over a 2-row leading hot run — a
+    // row-regex could emit the 1-row-suffix reading too; graft binds
+    // the WHOLE maximal run to the step (hot1_len = 2) and emits one
+    // match, not one per suffix.
+    val dfR = spark.createDataFrame(Seq(
+      ("a", 1L, 35L), ("a", 2L, 34L), ("a", 3L, 5L), ("a", 4L, 36L)
+    )).toDF("device", "ts", "temp")
+    val rep = api.Patterns.matchRecognize(dfR, Seq("device"), "ts",
+      defines, Seq("hot", "cold", "hot")).collect()
+    assert(rep.length == 1 && rep(0).getAs[Long]("hot1_len") == 2L,
+      s"repeated symbol did not bind the maximal run: ${rep.toSeq}")
+    // ALTERNATION: one (hot|warm) step spans ONE run — an adjacent
+    // hot run + warm run is two separate matches, never one merged
+    // (hot|warm)+ stretch the row-regex reading would allow.
+    val dfA = spark.createDataFrame(Seq(
+      ("a", 1L, 35L), ("a", 2L, 34L), ("a", 3L, 25L)
+    )).toDF("device", "ts", "temp")
+    val alt = api.Patterns.matchRecognize(dfA, Seq("device"), "ts",
+      defines, Seq("hot|warm")).collect()
+    assert(alt.length == 2, s"alternation merged adjacent runs: ${alt.toSeq}")
+    // OPTIONAL: cold? is 0-or-1 RUN of any length — a 2-row cold run
+    // between hot and warm still matches (a row-regex cold? = 0-or-1
+    // ROW would reject).
+    val dfO = spark.createDataFrame(Seq(
+      ("a", 1L, 35L), ("a", 2L, 5L), ("a", 3L, 6L), ("a", 4L, 25L)
+    )).toDF("device", "ts", "temp")
+    val opt = api.Patterns.matchRecognize(dfO, Seq("device"), "ts",
+      defines, Seq("hot", "cold?", "warm")).collect()
+    assert(opt.length == 1 && opt(0).getAs[Long]("cold_len") == 2L,
+      s"optional step rejected a multi-row run: ${opt.toSeq}")
+  }
+
+  test("api.Patterns.matchRecognize afterMatch=skip_past_last_row keeps " +
+    "the greedy non-overlapping subset (round 13)") {
+    val defines = Seq("hot" -> (col("temp") >= 30L),
+      "warm" -> (col("temp") >= 20L), "cold" -> (col("temp") < 10L))
+    // 7 alternating 1-row runs h c h c h c h: all-matches emits the
+    // hot-cold-hot windows at runs 1/3/5; the greedy skip keeps run 1
+    // (ends at run 3), drops the overlapping run-3 start, resumes at
+    // run 5 (ends run 7) — kept starts {1, 5}.
+    val chain = spark.createDataFrame(Seq(
+      ("a", 1L, 35L), ("a", 2L, 5L), ("a", 3L, 34L), ("a", 4L, 6L),
+      ("a", 5L, 33L), ("a", 6L, 7L), ("a", 7L, 32L)
+    )).toDF("device", "ts", "temp")
+    val all = api.Patterns.matchRecognize(chain, Seq("device"), "ts",
+      defines, Seq("hot", "cold", "hot"))
+      .collect().map(_.getAs[Long]("hot1_start")).sorted
+    assert(all.toSeq == Seq(1L, 3L, 5L), s"all-matches: ${all.toSeq}")
+    val kept = api.Patterns.matchRecognize(chain, Seq("device"), "ts",
+      defines, Seq("hot", "cold", "hot"),
+      afterMatch = "skip_past_last_row")
+      .collect().map(_.getAs[Long]("hot1_start")).sorted
+    assert(kept.toSeq == Seq(1L, 5L), s"greedy kept set: ${kept.toSeq}")
+    // ambiguous same-start readings (optional symbol inside the next
+    // step's alternation): the double emission spans 3 runs with
+    // warm? present vs 2 without — skip keeps the LONGEST extent
+    val amb = spark.createDataFrame(Seq(
+      ("a", 1L, 35L), ("a", 2L, 25L), ("a", 3L, 5L)
+    )).toDF("device", "ts", "temp")
+    val dd = api.Patterns.matchRecognize(amb, Seq("device"), "ts",
+      defines, Seq("hot", "warm?", "warm|cold"))
+    assert(dd.count() == 2L, "double emission expected under all-matches")
+    val ddSkip = api.Patterns.matchRecognize(amb, Seq("device"), "ts",
+      defines, Seq("hot", "warm?", "warm|cold"),
+      afterMatch = "skip_past_last_row").collect()
+    assert(ddSkip.length == 1 &&
+      ddSkip(0).getAs[String]("warm_or_cold_alt") == "cold" &&
+      ddSkip(0).getAs[Long]("warm_len") == 1L,
+      s"skip must keep the longest same-start reading: " +
+        s"${ddSkip.map(_.toSeq).toSeq}")
+    // unknown afterMatch fails loudly
+    intercept[IllegalArgumentException] {
+      api.Patterns.matchRecognize(amb, Seq("device"), "ts", defines,
+        Seq("hot"), afterMatch = "skip_to_next_row")
+    }
+  }
+
   test("api.Ann.layeredTopK excludeSelf=false keeps coincidental " +
     "id-equal pairs") {
     val corpus = spark.range(0, 300)

@@ -2923,6 +2923,20 @@ class OpsSpec extends SparkSpec {
     // counts stay at the char segmentation
     val (me, pe) = ops.TextOps.mineBpe(Seq(("a", 9L), ("b", 1L)), 5)
     assert(me.isEmpty && pe.toMap == Map("a" -> 1L, "b" -> 1L))
+    // SUPPLEMENTARY-PLANE tie (round 13 — ADVICE r12): the tie ladder
+    // must use CODE-POINT order (DuckDB's binary collation), not
+    // String's UTF-16 code-unit order. U+20000 (CJK Ext-B, surrogate
+    // pair D840 DC00) sorts BELOW U+FFFD by UTF-16 code units but
+    // ABOVE it by code point — a (cnt, left)-tied round involving
+    // both must pick the U+FFFD pair.
+    val supp = "𠀀" // U+20000
+    val bmp = "�"
+    assert(bmp.compareTo(supp) > 0, "UTF-16 order premise")
+    assert(ops.TextOps.cpCompare(bmp, supp) < 0, "code-point order premise")
+    val (ms, _) = ops.TextOps.mineBpe(
+      Seq(("q" + supp, 3L), ("q" + bmp, 3L)), rounds = 1)
+    assert(ms == Seq((1L, "q", bmp, 3L)),
+      s"tie must break by code point, got $ms")
   }
 
   test("t41: learned-unit fertility is consistent with t40's " +

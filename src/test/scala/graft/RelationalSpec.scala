@@ -719,4 +719,51 @@ class RelationalSpec extends SparkSpec {
     assert(fc2(0).getAs[String]("fc_month") == "2022-03" &&
       fc2(0).getAs[Long]("seas_num24") > 0L)
   }
+
+  test("q73 holtForecastIntervals: planted orthogonal noise yields " +
+    "exactly derivable conformal bounds (round 13)") {
+    // 10 months (< 13, so no seasonal window opens — the fit is pure
+    // OLS and everything is closed-form): rev = 100000 + 5000·t plus
+    // noise (+300 at t∈{1,9}, −300 at t∈{4,6}) chosen ORTHOGONAL to
+    // the {1, t} design (Σv = 0, Σt·v = 0), so OLS recovers the
+    // planted line EXACTLY and the residuals ARE the noise:
+    // sorted [−300,−300,0×6,+300,+300]. n = 10 → k_lo = ⌈n/10⌉ = 1 →
+    // r_lo = −300 (the 1st smallest), k_hi = n → r_hi = +300. Bounds:
+    // fc(h) ± 300·(10+h)/10 = fc ± 30·(10+h), exactly.
+    val noise = Map(1 -> 300L, 4 -> -300L, 6 -> -300L, 9 -> 300L)
+    val rows = (0 until 10).map { t =>
+      (7L, f"2023-${t + 1}%02d", 100000L + 5000L * t + noise.getOrElse(t, 0L))
+    }
+    val fc = ops.Relational.holtForecastIntervals(
+      spark.createDataFrame(rows).toDF("nation", "month", "rev_cents"),
+      hMax = 3).orderBy("h").collect()
+    assert(fc.length == 3)
+    assert(fc.map(_.getAs[String]("fc_month")).toSeq ==
+      Seq("2023-11", "2023-12", "2024-01"))
+    fc.foreach { r =>
+      val h = r.getAs[Long]("h")
+      val planted = 100000L + 5000L * (9 + h)
+      assert(r.getAs[Long]("fc_cents_floor") == planted,
+        s"point forecast off the planted line at h=$h")
+      assert(r.getAs[Long]("n_obs") == 10L)
+      assert(r.getAs[Long]("r_lo") == -300L && r.getAs[Long]("r_hi") == 300L,
+        s"empirical residual quantiles off at h=$h: " +
+          s"${r.getAs[Long]("r_lo")}/${r.getAs[Long]("r_hi")}")
+      assert(r.getAs[Long]("lo_cents_floor") == planted - 30L * (10 + h),
+        s"lower bound off at h=$h")
+      assert(r.getAs[Long]("hi_cents_floor") == planted + 30L * (10 + h),
+        s"upper bound off at h=$h")
+    }
+    // zero noise degenerates to a zero-width interval pinned to the fc
+    val clean = (0 until 10).map { t =>
+      (7L, f"2023-${t + 1}%02d", 100000L + 5000L * t)
+    }
+    ops.Relational.holtForecastIntervals(
+      spark.createDataFrame(clean).toDF("nation", "month", "rev_cents"),
+      hMax = 2).collect().foreach { r =>
+      assert(r.getAs[Long]("r_lo") == 0L && r.getAs[Long]("r_hi") == 0L &&
+        r.getAs[Long]("lo_cents_floor") == r.getAs[Long]("fc_cents_floor") &&
+        r.getAs[Long]("hi_cents_floor") == r.getAs[Long]("fc_cents_floor"))
+    }
+  }
 }
