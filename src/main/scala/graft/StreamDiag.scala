@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Streaming micro-batch DIAGNOSTIC (round 13): runs the named gate
+  * keys with a StreamingQueryListener attached and prints every
+  * micro-batch's durationMs breakdown (addBatch / getBatch /
+  * queryPlanning / walCommit / commitOffsets / triggerExecution) plus
+  * state-store rows and commit ms. The bench's MicroBatch ledger
+  * attributes drift to more-batches vs slower-batches; this tool
+  * decomposes a slow batch into plan/exec/state/commit so the fix
+  * targets the real term. Usage:
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamDiag e44 e20"
+  */
+object StreamDiag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val lst = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val dm = p.durationMs
+        val ss = p.stateOperators.map(o =>
+          s"rows=${o.numRowsTotal} upd=${o.numRowsUpdated} rem=${o.numRowsRemoved} " +
+          s"commitMs=${o.commitTimeMs} mem=${o.memoryUsedBytes}").mkString(" | ")
+        println(s"[diag] batch=${p.batchId} trigger=${dm.get("triggerExecution")}ms " +
+          s"addBatch=${dm.get("addBatch")} getBatch=${dm.get("getBatch")} " +
+          s"latestOffset=${dm.get("latestOffset")} plan=${dm.get("queryPlanning")} " +
+          s"wal=${dm.get("walCommit")} commit=${dm.get("commitOffsets")} " +
+          s"rows_in=${p.numInputRows} state[$ss]")
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(lst)
+    val keys = if (args.nonEmpty) args.toSeq else Seq("e44")
+    for (k <- keys) {
+      val full = SparkEntry.queries.keys.find(_.startsWith(k)).getOrElse(k)
+      println(s"[diag] === $full ===")
+      val t0 = System.nanoTime()
+      SparkEntry.queries(full)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[diag] $full wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}
