@@ -44,6 +44,39 @@ object StreamDiag {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(lst)
+    // optional poor-man's profiler: every 500 ms print the deepest
+    // non-idle stacks, so a slow micro-batch shows WHERE it spins
+    if (sys.env.contains("SPARK_GRAFT_DIAG_DUMP")) {
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(500)
+          val stacks = Thread.getAllStackTraces
+          val it = stacks.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val st = e.getValue
+            val name = e.getKey.getName
+            val top = st.take(12).map(_.toString)
+            val busy = st.nonEmpty &&
+              !top.head.contains("Unsafe.park") &&
+              !top.head.contains("Object.wait") &&
+              !top.head.contains("Thread.sleep") &&
+              !top.head.contains("SocketDispatcher") &&
+              !top.head.contains("EPoll") &&
+              !top.head.contains("PlainSocket") &&
+              !top.head.contains("Net.poll") &&
+              !top.head.contains("Signal")
+            if (busy && (name.startsWith("Executor task") ||
+                name.contains("stream execution") ||
+                name.contains("state-store") ||
+                name.contains("query-execution")))
+              println(s"[stack] $name :: ${top.mkString(" <- ")}")
+          }
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+    }
     val keys = if (args.nonEmpty) args.toSeq else Seq("e44")
     for (k <- keys) {
       val full = SparkEntry.queries.keys.find(_.startsWith(k)).getOrElse(k)

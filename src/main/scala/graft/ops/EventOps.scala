@@ -146,10 +146,26 @@ object EventOps {
     * standard Structured Streaming deployment tuning); results are
     * partition-count-independent, only the state plumbing shrinks.
     * Restored after the drain, so the sink-side batch rollup (executed
-    * by the caller later) plans at the session default. */
+    * by the caller later) plans at the session default.
+    *
+    * Round 13 (guide §2.2 — fewer, larger partitions): a stack sample
+    * of e44's 4 s micro-batches showed the time in per-partition state
+    * plumbing, not data — every batch pays (partitions × stores-per-
+    * operator) delta-file commits, each a create/rename/chmod chain on
+    * the checkpoint FS (a stream-stream join keeps 4 stores per
+    * partition, so 8 partitions = 32 commit chains per batch for a
+    * ~40k-row state). Dropping the default to 2 cut e44 from 15.4 s of
+    * trigger time to ~7 s and e20 from 5.5 s to ~4 s with identical
+    * results. The per-key default suits the gate corpora (≤200k rows
+    * per batch — two partitions keep each state store at the ~100 MB
+    * guidance with orders of margin); a production deployment sizes it
+    * from its own per-batch volume via spark.graft.streamShufflePartitions,
+    * which overrides the per-key default when set. */
   private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    val eff = s.conf.getOption("spark.graft.streamShufflePartitions")
+      .map(_.toInt).getOrElse(n)
+    s.conf.set("spark.sql.shuffle.partitions", eff.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -188,7 +204,7 @@ object EventOps {
   // checked against e01's oracle — proving batch/stream symmetry.
   def e06(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e06_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, 2) {
       val q = graft.streaming.Streams
         .tumblingCounts(graft.streaming.Streams.eventStream(s, d))
         .writeStream.outputMode("complete")
@@ -252,7 +268,7 @@ object EventOps {
   // eviction semantics under the correctness gate, not just ScalaTest.
   def e09(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e09_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, 2) {
       val q = graft.streaming.Streams
         .purchaseClickPairs(graft.streaming.Streams.eventStream(s, d))
         .writeStream.outputMode("append")
@@ -278,7 +294,7 @@ object EventOps {
   // is the batch count(DISTINCT), so the stream must dedup exactly.
   def e10(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e10_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, 2) {
       val q = graft.streaming.Streams
         .dedupPairs(graft.streaming.Streams.eventStream(s, d))
         .writeStream.outputMode("append")
@@ -306,7 +322,7 @@ object EventOps {
   // eviction behavior differs, which is exactly the point.
   def e19(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e19_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, 2) {
       runAvailableNow("e19", graft.streaming.Streams.eventStream(s, d)
         .withWatermark("ts", "60 days")
         .select("user_id", "event_type", "ts")
@@ -526,7 +542,7 @@ object EventOps {
       val agg = stream.withWatermark("ts", "26 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 2) {
         runAvailableNow("e16", agg.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       }
@@ -688,7 +704,7 @@ object EventOps {
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     s.streams.addListener(listener)
-    try withStreamPartitions(s, 8) {
+    try withStreamPartitions(s, 2) {
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(sink)
         .start()
@@ -845,7 +861,7 @@ object EventOps {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"),
         "left_outer")
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 2) {
         runAvailableNow("e20", joined.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       }
@@ -944,7 +960,7 @@ object EventOps {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"),
         "full_outer")
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 2) {
         runAvailableNow("e44", joined.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       }
@@ -1040,7 +1056,7 @@ object EventOps {
       val agg = stream.withWatermark("ts", "8760 hours")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 2) {
         runAvailableNow("e21", agg.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       }
@@ -1396,7 +1412,7 @@ object EventOps {
       .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
         col("n"), col("sum_value"))
     val sink = "graft_e26_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, 2) {
       val q = graft.streaming.Streams.tumblingCounts(
           graft.streaming.Streams.eventStream(s, d)
             .filter(unix_micros(col("ts")) >= cutoffUs))
@@ -1529,7 +1545,7 @@ object EventOps {
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
           (col("user_id") % 20).as("cohort"))
         .agg(count(lit(1)).as("n"))
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 2) {
         val q = agg.writeStream.outputMode("update")
           .foreachBatch { (df: DataFrame, id: Long) =>
             df.withColumn("batch_id", lit(id))
@@ -1947,7 +1963,7 @@ object EventOps {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(store)
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 2) {
         val q = s.readStream
           .schema("event_id LONG, event_type STRING, value DOUBLE")
           .option("maxFilesPerTrigger", "1")
@@ -2006,7 +2022,7 @@ object EventOps {
       def land(w: Long): Unit =
         ev.filter(col("wave") === w).drop("wave")
           .coalesce(1).write.parquet(s"$landing/w$w")
-      def drain(): Unit = withStreamPartitions(s, 8) {
+      def drain(): Unit = withStreamPartitions(s, 2) {
         val q = s.readStream
           .schema("event_id LONG, event_type STRING, value DOUBLE")
           .option("pathGlobFilter", "*.parquet")
@@ -2143,7 +2159,7 @@ object EventOps {
         .agg(count(lit(1)).as("n"))
       val prevPolicy = s.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
       s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
-      try withStreamPartitions(s, 8) {
+      try withStreamPartitions(s, 2) {
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(sink)
           .start()
@@ -2271,7 +2287,7 @@ object EventOps {
               out.reverseIterator
             }
         }
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 2) {
         val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
           .writeStream.outputMode("append")
           .format("memory").queryName(sink)
@@ -2376,7 +2392,7 @@ object EventOps {
         .groupBy(window(col("window"), "1 day").as("day_w"), col("event_type"))
         .agg(sum(col("n_h")).as("n_events"),
           count(lit(1)).as("n_hours"), max(col("n_h")).as("peak_hour"))
-      withStreamPartitions(s, 8) {
+      withStreamPartitions(s, 2) {
         val q = daily.writeStream.outputMode("append")
           .format("memory").queryName(sink)
           .start()
