@@ -34,7 +34,8 @@ object StreamDiag {
         val ss = p.stateOperators.map(o =>
           s"rows=${o.numRowsTotal} upd=${o.numRowsUpdated} rem=${o.numRowsRemoved} " +
           s"commitMs=${o.commitTimeMs} mem=${o.memoryUsedBytes}").mkString(" | ")
-        println(s"[diag] batch=${p.batchId} trigger=${dm.get("triggerExecution")}ms " +
+        println(s"[diag] t=${System.currentTimeMillis() % 1000000} " +
+          s"batch=${p.batchId} trigger=${dm.get("triggerExecution")}ms " +
           s"addBatch=${dm.get("addBatch")} getBatch=${dm.get("getBatch")} " +
           s"latestOffset=${dm.get("latestOffset")} plan=${dm.get("queryPlanning")} " +
           s"wal=${dm.get("walCommit")} commit=${dm.get("commitOffsets")} " +
@@ -80,7 +81,7 @@ object StreamDiag {
     val keys = if (args.nonEmpty) args.toSeq else Seq("e44")
     for (k <- keys) {
       val full = SparkEntry.queries.keys.find(_.startsWith(k)).getOrElse(k)
-      println(s"[diag] === $full ===")
+      println(s"[diag] === $full === t=${System.currentTimeMillis() % 1000000}")
       val t0 = System.nanoTime()
       SparkEntry.queries(full)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

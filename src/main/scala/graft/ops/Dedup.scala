@@ -564,10 +564,9 @@ object Dedup {
         .parquet(dir)
       val flagged = bands(sigsFor(stream))
         .join(broadcast(corpusIndex), Seq("band", "bucket"), "left_semi")
-      val q = flagged.writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally { q.stop(); corpusIndex.unpersist() }
+      try EventOps.runAvailableNow("e14", flagged.writeStream
+        .outputMode("append").format("memory").queryName(sink))
+      finally corpusIndex.unpersist()
       // the returned plan reads the memory sink's in-JVM rows (the
       // DataFrame resolves the sink relation at construction), not
       // the landing dir or the catalog name — so the finally below

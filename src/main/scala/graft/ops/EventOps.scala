@@ -184,7 +184,7 @@ object EventOps {
     * in [[graft.streaming.MicroBatch]] under `key`, so the bench line
     * decomposes any future drift into more-batches vs slower-batches.
     */
-  private def runAvailableNow(key: String,
+  private[ops] def runAvailableNow(key: String,
       w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
       : Unit = {
     val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -205,12 +205,10 @@ object EventOps {
   def e06(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e06_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStreamPartitions(s, 2) {
-      val q = graft.streaming.Streams
+      runAvailableNow("e06", graft.streaming.Streams
         .tumblingCounts(graft.streaming.Streams.eventStream(s, d))
         .writeStream.outputMode("complete")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(sink))
     }
     s.table(sink)
       .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
@@ -269,12 +267,10 @@ object EventOps {
   def e09(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e09_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStreamPartitions(s, 2) {
-      val q = graft.streaming.Streams
+      runAvailableNow("e09", graft.streaming.Streams
         .purchaseClickPairs(graft.streaming.Streams.eventStream(s, d))
         .writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(sink))
     }
     s.table(sink)
       .groupBy(col("p_user").as("user_id"))
@@ -295,12 +291,10 @@ object EventOps {
   def e10(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e10_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStreamPartitions(s, 2) {
-      val q = graft.streaming.Streams
+      runAvailableNow("e10", graft.streaming.Streams
         .dedupPairs(graft.streaming.Streams.eventStream(s, d))
         .writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(sink))
     }
     s.table(sink)
       .groupBy("event_type")
@@ -345,12 +339,10 @@ object EventOps {
     val dim = graft.Tables.events(s, d).select("user_id").distinct()
       .withColumn("seg", col("user_id") % 5)
     val sink = "graft_e11_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.Streams
+    runAvailableNow("e11", graft.streaming.Streams
       .enrich(graft.streaming.Streams.eventStream(s, d), dim)
       .writeStream.outputMode("append")
-      .format("memory").queryName(sink)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      .format("memory").queryName(sink))
     s.table(sink)
       .groupBy("seg", "event_type")
       .agg(count(lit(1)).as("n"))
@@ -404,13 +396,11 @@ object EventOps {
       concat(lit("hot"), (col("user_id") % 4).cast("string")))
       .otherwise(concat(lit("u"), col("user_id").cast("string")))
     val sink = "graft_e13_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.Streams.eventStream(s, d)
+    runAvailableNow("e13", graft.streaming.Streams.eventStream(s, d)
       .select(hk.as("hk"))
       .agg(graft.functions.MisraGriesAgg.misraGries(col("hk"), k).as("mg"))
       .writeStream.outputMode("complete")
-      .format("memory").queryName(sink)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      .format("memory").queryName(sink))
     val sketch = s.table(sink).select(col("mg"))
     val keyed = Tables.events(s, d).select(hk.as("hk"))
     val exact = keyed.groupBy("hk").agg(count(lit(1)).as("cnt"))
@@ -1222,8 +1212,7 @@ object EventOps {
           nBatches += 1
           ()
         }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      runAvailableNow("e23", q)
       val out = s.read.parquet(s"$lakeRoot/$current")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -1413,13 +1402,11 @@ object EventOps {
         col("n"), col("sum_value"))
     val sink = "graft_e26_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStreamPartitions(s, 2) {
-      val q = graft.streaming.Streams.tumblingCounts(
+      runAvailableNow("e26", graft.streaming.Streams.tumblingCounts(
           graft.streaming.Streams.eventStream(s, d)
             .filter(unix_micros(col("ts")) >= cutoffUs))
         .writeStream.outputMode("complete")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(sink))
     }
     val streamPart = s.table(sink)
       .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
@@ -1546,14 +1533,12 @@ object EventOps {
           (col("user_id") % 20).as("cohort"))
         .agg(count(lit(1)).as("n"))
       withStreamPartitions(s, 2) {
-        val q = agg.writeStream.outputMode("update")
+        runAvailableNow("e28", agg.writeStream.outputMode("update")
           .foreachBatch { (df: DataFrame, id: Long) =>
             df.withColumn("batch_id", lit(id))
               .write.mode("append").parquet(outDir)
           }
-          .option("checkpointLocation", dirP.resolve("ckpt").toString)
-          .start()
-        try q.processAllAvailable() finally q.stop()
+          .option("checkpointLocation", dirP.resolve("ckpt").toString))
       }
       val emissions = s.read.parquet(outDir)
         .select(to_date(col("w.start")).as("day"), col("event_type"),
@@ -1964,7 +1949,7 @@ object EventOps {
           .partitionBy("batch_id")
           .parquet(store)
       withStreamPartitions(s, 2) {
-        val q = s.readStream
+        runAvailableNow("e35", s.readStream
           .schema("event_id LONG, event_type STRING, value DOUBLE")
           .option("maxFilesPerTrigger", "1")
           .parquet(landing)
@@ -1972,9 +1957,7 @@ object EventOps {
           .foreachBatch { (df: DataFrame, bid: Long) =>
             applyBatch(df, bid)
             applyBatch(df, bid) // the redelivery: same batch, same id
-          }
-          .start()
-        try q.processAllAvailable() finally q.stop()
+          })
       }
       s.read.parquet(store)
         .groupBy("event_type")
@@ -2160,10 +2143,8 @@ object EventOps {
       val prevPolicy = s.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
       s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
       try withStreamPartitions(s, 2) {
-        val q = agg.writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        runAvailableNow("e37", agg.writeStream.outputMode("append")
+          .format("memory").queryName(sink))
       } finally prevPolicy match {
         case Some(v) => s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", v)
         case None => s.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
@@ -2288,11 +2269,10 @@ object EventOps {
             }
         }
       withStreamPartitions(s, 2) {
-        val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
-          .writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        runAvailableNow("e38",
+          sessions.toDF("user_id", "start_us", "end_us", "n_events")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink))
       }
       s.table(sink)
         .filter(col("user_id") >= 0)
@@ -2393,10 +2373,8 @@ object EventOps {
         .agg(sum(col("n_h")).as("n_events"),
           count(lit(1)).as("n_hours"), max(col("n_h")).as("peak_hour"))
       withStreamPartitions(s, 2) {
-        val q = daily.writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        runAvailableNow("e39", daily.writeStream.outputMode("append")
+          .format("memory").queryName(sink))
       }
       s.table(sink)
         .filter(col("event_type") =!= "zzz_sentinel")
@@ -2450,14 +2428,12 @@ object EventOps {
         cut.as("valid_from"), hi.as("valid_to"))
     val dim = v1.unionByName(v2)
     val sink = "graft_e40_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.Streams.eventStream(s, d)
+    runAvailableNow("e40", graft.streaming.Streams.eventStream(s, d)
       .join(broadcast(dim),
         col("user_id") === col("u") &&
           col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
       .writeStream.outputMode("append")
-      .format("memory").queryName(sink)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      .format("memory").queryName(sink))
     try s.table(sink)
       .groupBy("seg", "event_type")
       .agg(count(lit(1)).as("n"))

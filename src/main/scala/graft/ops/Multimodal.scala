@@ -936,14 +936,22 @@ object Multimodal {
   // shape that lets a 100 TB video lake run shot detection as a pure
   // scan.
   def m17(s: SparkSession, d: String): DataFrame = {
-    def cnt(w: Column, cls: String): Column =
-      length(regexp_replace(w, s"[^$cls]", ""))
+    // class-member COUNT via translate, not regexp_replace (round 13,
+    // guide §1.2 per-task work): only the length is used, and
+    // length(w) - length(translate(w, members, '')) counts the same
+    // members with a single char-map pass — no regex engine, no
+    // Matcher allocation. m17 runs 32 of these per row (8 windows x 4
+    // classes); the regexp formulation burned ~3 s at sf0.1 in 1-2
+    // scan tasks. The ORACLE keeps its regexp spelling — both count
+    // the same ASCII class members, so the gate pins the equivalence.
+    def cnt(w: Column, members: String): Column =
+      length(w) - length(translate(w, members, ""))
     val stride = greatest(lit(1), expr("(n_chars - 64) div 7"))
     val sigs = transform(sequence(lit(0), lit(7)), k => {
       val w = substr(lower(col("text")),
         (k * stride + 1).cast("int"), lit(64))
-      struct(cnt(w, "aeiou").as("v"), cnt(w, "0-9").as("dg"),
-        cnt(w, " ").as("sp"), cnt(w, "b-df-hj-np-tv-z").as("cs"))
+      struct(cnt(w, "aeiou").as("v"), cnt(w, "0123456789").as("dg"),
+        cnt(w, " ").as("sp"), cnt(w, "bcdfghjklmnpqrstvwxyz").as("cs"))
     })
     val dist = (a: Column, b: Column) =>
       abs(a("v") - b("v")) + abs(a("dg") - b("dg")) +
@@ -968,6 +976,15 @@ object Multimodal {
         expr("aggregate(zip_with(cuts, sequence(0, 6), " +
           "(c, i) -> CAST(c AS BIGINT) * CAST(shiftleft(1, i) AS BIGINT)), " +
           "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("cut_mask"))
+      // materialize the narrow per-blob folds ONCE before the global
+      // sort (round 13, guide §2.4): a range sort directly above a
+      // heavy no-shuffle projection evaluates the child TWICE — once
+      // for the range-partitioner sample, once for the exchange map —
+      // so every signature/distance fold ran double (measured: two
+      // ~1 s single-stage jobs per run at sf0.1). The checkpoint pins
+      // the 4-column fold output; the sample + sort then run over
+      // narrow materialized rows. Distributed and linear at any scale.
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1081,10 +1098,12 @@ object Multimodal {
   // corpus scan at 100 TB.
   def m19(s: SparkSession, d: String): DataFrame = {
     val stride = greatest(lit(1), expr("(n_chars - 32) div 15"))
-    val sil = transform(sequence(lit(0), lit(15)), k =>
-      (length(regexp_replace(
-        substr(lower(col("text")), (k * stride + 1).cast("int"), lit(32)),
-        "[^a-m]", "")) <= 10).cast("int"))
+    // [a-m] count via translate (same swap as m17's cnt — only the
+    // count is used; the oracle keeps the regexp spelling)
+    val sil = transform(sequence(lit(0), lit(15)), k => {
+      val w = substr(lower(col("text")), (k * stride + 1).cast("int"), lit(32))
+      (length(w) - length(translate(w, "abcdefghijklm", "")) <= 10).cast("int")
+    })
     Tables.documents(s, d)
       .filter(col("n_chars") % 3 === 1 && col("n_chars") >= 128)
       .select(col("doc_id"), col("text"), col("n_chars"))
