@@ -1215,11 +1215,19 @@ object Dedup {
     val tagged = aug
       .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
       .withColumn("keep1", col("doc_id") === min(col("doc_id")).over(wFp))
+    // Each layer is MATERIALIZED once (round 13, guide §5 caching):
+    // the four layer counts below are separate actions whose lineages
+    // nest (l3 ⊃ l2 ⊃ l1 ⊃ aug), so unpinned, the normalize+tokenize+
+    // md5 pass over the corpus ran up to 4x per invocation — the
+    // checkpoint bounds it to once per layer. Within-invocation only;
+    // every run still computes from the parquet inputs.
     val l1 = tagged.filter(col("keep1")).select(col("doc_id"), col("text"))
+      .localCheckpoint()
     val l1b = l1
       .withColumn("bag_fp", md5(concat_ws(" ", sort_array(toks))))
       .withColumn("keep2", col("doc_id") === min(col("doc_id")).over(wBag))
     val l2 = l1b.filter(col("keep2")).select(col("doc_id"), col("text"))
+      .localCheckpoint()
     // L3: verified near-dup pairs among L2 survivors
     val sh = l2
       .withColumn("toks", toks)
