@@ -274,8 +274,14 @@ object Bench {
     // s23/s24/d20/g01 joined round 12 (VERDICT r11 #3): the NN-descent
     // memo consumers drifted +31–33% in r11 with no code change — the
     // exec rows must cover them so eviction can be ruled in or out.
+    // e37/e38/r13/g18/g22 joined round 14 (VERDICT r13 #2): the r13
+    // driver run benched them 2-3x over the repo floor while its own
+    // 8-core rerun reproduced the repo's numbers — the exec/build rows
+    // must ship with the line so the next such outlier self-attributes
+    // (same-work-slower-session vs a real plan change).
     val watch = (Seq("r09", "r06", "r16", "r17", "r19", "r20",
-      "t36", "t37", "s23", "s24", "d20", "g01") ++ bySlowest.take(3).map(_._1))
+      "t36", "t37", "s23", "s24", "d20", "g01",
+      "e37", "e38", "r13", "g18", "g22") ++ bySlowest.take(3).map(_._1))
       .distinct.filter(shortRunsMap.contains)
     def line(n: Int): String = {
       val kept = bySlowest.take(n)

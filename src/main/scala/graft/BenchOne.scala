@@ -14,11 +14,13 @@ object BenchOne {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // opt-in A/B knob for the Iterate.pin partition-sizing conf
+    sys.env.get("SPARK_GRAFT_PIN_BYTES")
+      .foreach(v => spark.conf.set("spark.graft.pinPartitionBytes", v))
     // opt-in per-job attribution: wall, stage and task count per job,
     // so a slow key decomposes into few-big-jobs (data) vs
     // many-small-jobs (scheduling/materialization floor)
     if (sys.env.contains("SPARK_GRAFT_JOBS")) {
-      val t0 = new java.util.concurrent.atomic.AtomicLong(0L)
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           private val starts =
@@ -36,7 +38,6 @@ object BenchOne {
             }
           }
         })
-      t0.get(): Unit
     }
     args.foreach { name =>
       val fn = SparkEntry.queries(name)

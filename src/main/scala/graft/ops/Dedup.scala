@@ -1220,7 +1220,13 @@ object Dedup {
     // nest (l3 ⊃ l2 ⊃ l1 ⊃ aug), so unpinned, the normalize+tokenize+
     // md5 pass over the corpus ran up to 4x per invocation — the
     // checkpoint bounds it to once per layer. Within-invocation only;
-    // every run still computes from the parquet inputs.
+    // every run still computes from the parquet inputs. Caveat at
+    // cluster scale: localCheckpoint is NOT fault-tolerant — an
+    // executor loss drops the only copy and fails the job — and the
+    // blocks release via ContextCleaner GC, not deterministically; a
+    // deployment that needs either guarantee points
+    // spark.graft.checkpointDir at shared storage (Iterate.pin) or
+    // swaps these for persist()+unpersist() at the end of the op.
     val l1 = tagged.filter(col("keep1")).select(col("doc_id"), col("text"))
       .localCheckpoint()
     val l1b = l1

@@ -163,8 +163,15 @@ object EventOps {
     * which overrides the per-key default when set. */
   private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // the override, when set, takes precedence over every per-key
+    // default n — it is the deployment-wide sizing knob
     val eff = s.conf.getOption("spark.graft.streamShufflePartitions")
-      .map(_.toInt).getOrElse(n)
+      .map { v =>
+        try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.streamShufflePartitions must be an integer, got '$v'")
+        }
+      }.getOrElse(n)
     s.conf.set("spark.sql.shuffle.partitions", eff.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }

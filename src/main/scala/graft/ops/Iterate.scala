@@ -26,6 +26,7 @@ import org.apache.spark.sql.DataFrame
   */
 object Iterate {
   private val CONF_KEY = "spark.graft.checkpointDir"
+  private val BYTES_KEY = "spark.graft.pinPartitionBytes"
   // keyed by (applicationId, dir): the checkpoint dir is CONTEXT
   // state — remembering the dir string alone would skip
   // setCheckpointDir on a fresh context in the same JVM and
@@ -54,7 +55,42 @@ object Iterate {
         val out = df.checkpoint()
         df.unpersist()
         out
-      case None => df.localCheckpoint()
+      case None => compact(df.localCheckpoint())
+    }
+  }
+
+  /** Data-proportional partition sizing for pinned state (round 14,
+    * guide §2.1): a pinned frame inherits its producing plan's
+    * partition count, which tracks SESSION WIDTH (shuffle partitions ≈
+    * cores), not data volume — so a 30 MB edge frame probed by every
+    * round of an iterative loop pays ~cores tasks per round, and the
+    * driver's 8-vs-32-core scaling block showed exactly that (8 cores
+    * beat 32 on every g-family key). The pin is eager, so the
+    * materialized byte size is already in the block manager: compact
+    * to ceil(bytes / spark.graft.pinPartitionBytes, default 8 MB)
+    * partitions via a NARROW coalesce over the cached blocks — no
+    * shuffle, no recompute, no extra job; a tiny frame collapses to 1
+    * partition while a 100 TB one keeps its spread (the rule is bytes,
+    * never cores). Only fires when the frame is more than 2× over its
+    * ideal count: coalesce drops the LogicalRDD's preserved output
+    * partitioning, so a frame already near its ideal keeps the
+    * metadata (and any downstream exchange reuse) instead. Caveat on a
+    * real cluster: merged partitions can read a remote cached block —
+    * bounded by the same byte target. Set the conf to 0 to disable. */
+  private def compact(out: DataFrame): DataFrame = {
+    val target = out.sparkSession.conf.getOption(BYTES_KEY)
+      .map { v =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$BYTES_KEY must be a byte count, got '$v'")
+        }
+      }.getOrElse(32L << 20)
+    if (target <= 0) return out
+    org.apache.spark.sql.graft.Bridge.cachedSize(out) match {
+      case Some((bytes, parts)) =>
+        val ideal = math.max(1L, (bytes + target - 1) / target).toInt
+        if (parts > 2 * ideal) out.coalesce(ideal) else out
+      case None => out
     }
   }
 }
