@@ -24,6 +24,11 @@ object StreamDiag {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // opt-in A/B knobs: state-store provider + stream partition override
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
+      spark.conf.set("spark.graft.streamStateStoreProvider", p))
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").foreach(p =>
+      spark.conf.set("spark.graft.streamShufflePartitions", p))
     val lst = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()

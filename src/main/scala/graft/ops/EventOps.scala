@@ -161,6 +161,43 @@ object EventOps {
     * guidance with orders of margin); a production deployment sizes it
     * from its own per-batch volume via spark.graft.streamShufflePartitions,
     * which overrides the per-key default when set. */
+  /** Data-derived stream shuffle width (round 14, VERDICT r13 #6):
+    * size state partitions from the PER-BATCH input volume instead of
+    * a constant — every bounded gate runs maxFilesPerTrigger=1, so the
+    * largest file under `path` bounds one batch; one partition per
+    * ~32 MB of it, clamped to [2, session width]. The gate corpora
+    * land 1–6 MB files, so this resolves to the measured optimum 2
+    * (the 1/2/8-partition sweeps live in OPTIMIZATION_r13/r14.md); a
+    * production deployment's bigger batches spread automatically, and
+    * spark.graft.streamShufflePartitions still overrides everything.
+    * Non-local paths (where java.nio can't stat) fall back to 2 — at
+    * that point the deployment sets the override anyway. */
+  private[ops] def streamPartitionsFor(s: SparkSession,
+      path: java.nio.file.Path): Int = {
+    import java.nio.file.Files
+    val maxBytes: Long = try {
+      if (!Files.exists(path)) 0L
+      else if (Files.isRegularFile(path)) Files.size(path)
+      else {
+        val st = Files.walk(path)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(p => Files.isRegularFile(p))
+            .map(p => Files.size(p))
+            .maxOption.getOrElse(0L)
+        } finally st.close()
+      }
+    } catch { case _: Exception => 0L }
+    math.max(2, math.min(s.sparkContext.defaultParallelism,
+      (maxBytes >> 25).toInt))
+  }
+
+  /** [[streamPartitionsFor]] over the shared events source file (the
+    * Streams.eventStream gates: per-batch volume = events.parquet). */
+  private def eventsParts(s: SparkSession, d: String): Int =
+    streamPartitionsFor(s, java.nio.file.Paths.get(d, "events.parquet"))
+
   private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     // the override, when set, takes precedence over every per-key
@@ -173,7 +210,25 @@ object EventOps {
         }
       }.getOrElse(n)
     s.conf.set("spark.sql.shuffle.partitions", eff.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // Optional state-store provider override (round 14, VERDICT r13
+    // #5): spark.graft.streamStateStoreProvider, scoped to the gated
+    // stream exactly like the partition override; default unchanged
+    // (HDFSBackedStateStoreProvider). Measured on these bounded gates
+    // the RocksDB provider was a wash-to-loss (its per-partition
+    // native-instance setup outweighs the already-small delta-commit
+    // chains at 2 partitions), but a deployment with large per-batch
+    // state sets it here without touching query code.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    val overProv = s.conf.getOption("spark.graft.streamStateStoreProvider")
+    overProv.foreach(p => s.conf.set(provKey, p))
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      if (overProv.isDefined) prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
   }
 
   /** Run a BOUNDED streaming write under Trigger.AvailableNow (round
@@ -211,7 +266,7 @@ object EventOps {
   // checked against e01's oracle — proving batch/stream symmetry.
   def e06(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e06_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 2) {
+    withStreamPartitions(s, eventsParts(s, d)) {
       runAvailableNow("e06", graft.streaming.Streams
         .tumblingCounts(graft.streaming.Streams.eventStream(s, d))
         .writeStream.outputMode("complete")
@@ -273,7 +328,7 @@ object EventOps {
   // eviction semantics under the correctness gate, not just ScalaTest.
   def e09(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e09_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 2) {
+    withStreamPartitions(s, eventsParts(s, d)) {
       runAvailableNow("e09", graft.streaming.Streams
         .purchaseClickPairs(graft.streaming.Streams.eventStream(s, d))
         .writeStream.outputMode("append")
@@ -297,7 +352,7 @@ object EventOps {
   // is the batch count(DISTINCT), so the stream must dedup exactly.
   def e10(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e10_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 2) {
+    withStreamPartitions(s, eventsParts(s, d)) {
       runAvailableNow("e10", graft.streaming.Streams
         .dedupPairs(graft.streaming.Streams.eventStream(s, d))
         .writeStream.outputMode("append")
@@ -323,7 +378,7 @@ object EventOps {
   // eviction behavior differs, which is exactly the point.
   def e19(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_e19_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 2) {
+    withStreamPartitions(s, eventsParts(s, d)) {
       runAvailableNow("e19", graft.streaming.Streams.eventStream(s, d)
         .withWatermark("ts", "60 days")
         .select("user_id", "event_type", "ts")
@@ -539,7 +594,7 @@ object EventOps {
       val agg = stream.withWatermark("ts", "26 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      withStreamPartitions(s, 2) {
+      withStreamPartitions(s, streamPartitionsFor(s, streamDir)) {
         runAvailableNow("e16", agg.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       }
@@ -701,6 +756,9 @@ object EventOps {
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     s.streams.addListener(listener)
+    // rate-micro-batch source: rows are generated in-JVM (no landed
+    // files to size from), volume fixed by the gate literal — the
+    // constant stays; a real deployment sets the override conf
     try withStreamPartitions(s, 2) {
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(sink)
@@ -858,7 +916,7 @@ object EventOps {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"),
         "left_outer")
-      withStreamPartitions(s, 2) {
+      withStreamPartitions(s, streamPartitionsFor(s, streamDir)) {
         runAvailableNow("e20", joined.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       }
@@ -957,7 +1015,7 @@ object EventOps {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"),
         "full_outer")
-      withStreamPartitions(s, 2) {
+      withStreamPartitions(s, streamPartitionsFor(s, streamDir)) {
         runAvailableNow("e44", joined.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       }
@@ -1053,7 +1111,7 @@ object EventOps {
       val agg = stream.withWatermark("ts", "8760 hours")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
-      withStreamPartitions(s, 2) {
+      withStreamPartitions(s, streamPartitionsFor(s, streamDir)) {
         runAvailableNow("e21", agg.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       }
@@ -1408,7 +1466,7 @@ object EventOps {
       .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
         col("n"), col("sum_value"))
     val sink = "graft_e26_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 2) {
+    withStreamPartitions(s, eventsParts(s, d)) {
       runAvailableNow("e26", graft.streaming.Streams.tumblingCounts(
           graft.streaming.Streams.eventStream(s, d)
             .filter(unix_micros(col("ts")) >= cutoffUs))
@@ -1539,7 +1597,7 @@ object EventOps {
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
           (col("user_id") % 20).as("cohort"))
         .agg(count(lit(1)).as("n"))
-      withStreamPartitions(s, 2) {
+      withStreamPartitions(s, streamPartitionsFor(s, streamDir)) {
         runAvailableNow("e28", agg.writeStream.outputMode("update")
           .foreachBatch { (df: DataFrame, id: Long) =>
             df.withColumn("batch_id", lit(id))
@@ -1955,7 +2013,8 @@ object EventOps {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(store)
-      withStreamPartitions(s, 2) {
+      withStreamPartitions(s,
+          streamPartitionsFor(s, java.nio.file.Paths.get(landing))) {
         runAvailableNow("e35", s.readStream
           .schema("event_id LONG, event_type STRING, value DOUBLE")
           .option("maxFilesPerTrigger", "1")
@@ -2012,7 +2071,8 @@ object EventOps {
       def land(w: Long): Unit =
         ev.filter(col("wave") === w).drop("wave")
           .coalesce(1).write.parquet(s"$landing/w$w")
-      def drain(): Unit = withStreamPartitions(s, 2) {
+      def drain(): Unit = withStreamPartitions(s,
+          streamPartitionsFor(s, java.nio.file.Paths.get(landing))) {
         val q = s.readStream
           .schema("event_id LONG, event_type STRING, value DOUBLE")
           .option("pathGlobFilter", "*.parquet")
@@ -2149,7 +2209,7 @@ object EventOps {
         .agg(count(lit(1)).as("n"))
       val prevPolicy = s.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
       s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
-      try withStreamPartitions(s, 2) {
+      try withStreamPartitions(s, streamPartitionsFor(s, dirP)) {
         runAvailableNow("e37", agg.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       } finally prevPolicy match {
@@ -2275,7 +2335,7 @@ object EventOps {
               out.reverseIterator
             }
         }
-      withStreamPartitions(s, 2) {
+      withStreamPartitions(s, streamPartitionsFor(s, streamDir)) {
         runAvailableNow("e38",
           sessions.toDF("user_id", "start_us", "end_us", "n_events")
             .writeStream.outputMode("append")
@@ -2379,7 +2439,7 @@ object EventOps {
         .groupBy(window(col("window"), "1 day").as("day_w"), col("event_type"))
         .agg(sum(col("n_h")).as("n_events"),
           count(lit(1)).as("n_hours"), max(col("n_h")).as("peak_hour"))
-      withStreamPartitions(s, 2) {
+      withStreamPartitions(s, streamPartitionsFor(s, streamDir)) {
         runAvailableNow("e39", daily.writeStream.outputMode("append")
           .format("memory").queryName(sink))
       }
