@@ -208,6 +208,26 @@ object Recommend {
     * queries; retraining for each would triple the cost. */
   private val modelCache = Memo.register(scala.collection.concurrent.TrieMap.empty[String, ALSModel])
 
+  /** Factor panels pre-cast to array<double> and pinned (round 14,
+    * guide §1.2/§5): the fold-in keys each traversed the model's
+    * ~14-stage cached-RDD lineage per consumer (YᵀY/XᵀX agg, panel
+    * join, serve crossJoin — 3× per key), and the serve's per-pair
+    * `transform(features, CAST double)` re-allocated the cast array
+    * once per CANDIDATE instead of once per factor row. One pinned
+    * (id, f: array<double>) frame per side, shared across the family
+    * via the memo exactly like the model itself. */
+  private val factorsCache = Memo.register(
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
+
+  private def factorPanel(s: SparkSession, d: String, side: String): DataFrame =
+    factorsCache.getOrElseUpdate(memoKey(s, d) + "#fp_" + side, {
+      val base = if (side == "item") alsModel(s, d).itemFactors
+                 else alsModel(s, d).userFactors
+      base.select(col("id"),
+          expr("transform(features, v -> CAST(v AS DOUBLE))").as("f"))
+        .localCheckpoint()
+    })
+
   /** Session-aware memo key: training artifacts (models, centroids,
     * cached relations) are bound to the SparkContext they were built
     * on — keying by dataset alone would hand a DataFrame/model from a
@@ -224,6 +244,7 @@ object Recommend {
       evalRecsCache, evalScoresCache).foreach { c =>
       c.keys.filterNot(_.startsWith(prefix)).foreach(c.remove)
     }
+    factorsCache.keys.filterNot(_.startsWith(prefix)).foreach(factorsCache.remove)
     gridCache.keys.filterNot(_.startsWith(prefix)).foreach(gridCache.remove)
     key
   }
@@ -3445,13 +3466,14 @@ object Recommend {
   // membership (SQL-derivable) and both contracts TRUE.
   def r48(s: SparkSession, d: String): DataFrame = {
     val model = alsModel(s, d)
-    val items = model.itemFactors // (id int, features array<float>)
+    // (id int, f array<double>) — pre-cast + pinned, shared with r51
+    val items = factorPanel(s, d, "item")
     val rank = 8
     val gram = (0 until rank).flatMap(i => (0 until rank).map(j => (i, j)))
-    def f(c: Column, i: Int) = element_at(c, i + 1).cast("double")
+    def f(c: Column, i: Int) = element_at(c, i + 1)
     // YtY: one 64-sum aggregate over all item factors
     val ytyCols = gram.map { case (i, j) =>
-      sum(f(col("features"), i) * f(col("features"), j)).as(s"yy_${i}_$j") }
+      sum(f(col("f"), i) * f(col("f"), j)).as(s"yy_${i}_$j") }
     val yty = items.agg(ytyCols.head, ytyCols.tail: _*).collect()(0)
     val ratings = Ratings.implicitRatings(s, d)
       .select(col("user_id").cast("int").as("uid"),
@@ -3465,13 +3487,19 @@ object Recommend {
     // 15000 at sf0.1), so gated results are bit-identical, while at
     // any larger SF the panel — a WORKLOAD knob, not a data property —
     // stays fixed and the serve scales only with the catalog.
-    val panel = ratings.filter(col("uid") % 97 === 0 && col("uid") <= 15000)
+    // Pinned (round 14): the panel feeds three consumers (per-user
+    // Gram, trained-factor join, the serve's seen-item anti-join) —
+    // unpinned, each re-ran the ratings join+agg; and the anti-join
+    // only ever matches panel users, so the pinned ~panel-sized frame
+    // replaces a full-ratings build side there.
+    val panel = Iterate.pin(
+      ratings.filter(col("uid") % 97 === 0 && col("uid") <= 15000))
     // per-user Gram contributions and rhs, one join + one agg
     val userCols = gram.map { case (i, j) =>
-      sum(col("r") * f(col("features"), i) * f(col("features"), j))
+      sum(col("r") * f(col("f"), i) * f(col("f"), j))
         .as(s"g_${i}_$j") } ++
       (0 until rank).map(i =>
-        sum((lit(1.0) + col("r")) * f(col("features"), i)).as(s"b_$i")) :+
+        sum((lit(1.0) + col("r")) * f(col("f"), i)).as(s"b_$i")) :+
       // MLlib's solver scales the ridge by the user's positive-rating
       // count (numExplicits · regParam), not a flat λ — match it
       // exactly (same fix as r51's item side)
@@ -3492,11 +3520,12 @@ object Recommend {
       row.getAs[Int]("uid") -> solve8(a, b)
     }
     // fold-in must reproduce the trained factor (ALS's own last
-    // user half-step is this exact solve)
-    val trained = model.userFactors
+    // user half-step is this exact solve); read through the pinned
+    // double panel — the cast is the same float→double widening
+    val trained = factorPanel(s, d, "user")
       .join(panel.select("uid").distinct(), col("id") === col("uid"))
       .collect().map(r => r.getAs[Int]("id") ->
-        r.getAs[Seq[Float]]("features").map(_.toDouble).toArray).toMap
+        r.getAs[Seq[Double]]("f").toArray).toMap
     def cos(x: Array[Double], y: Array[Double]): Double = {
       val (dp, nx, ny) = (x.zip(y).map(p => p._1 * p._2).sum,
         math.sqrt(x.map(v => v * v).sum), math.sqrt(y.map(v => v * v).sum))
@@ -3507,12 +3536,15 @@ object Recommend {
     val foldedDf = broadcast(
       folded.toSeq.map { case (u, x) => (u, x) }.toDF("uid", "xf"))
     // serve top-5 from the folded factor: bounded panel × one catalog
-    // scan, seen items anti-joined BEFORE ranking (s17 discipline)
+    // scan, seen items anti-joined BEFORE ranking (s17 discipline).
+    // The anti-join's build side is the PINNED PANEL, not all ratings:
+    // only panel uids appear on the left, so non-panel rows can never
+    // match — same result, panel-sized build instead of a full
+    // ratings rebuild.
     val scored = foldedDf.crossJoin(items)
       .select(col("uid"), col("id").as("item"),
-        graft.functions.VectorOps.dotProduct(col("xf"),
-          expr("transform(features, v -> CAST(v AS DOUBLE))")).as("score"))
-      .join(ratings.select(col("uid"), col("iid").as("item")),
+        graft.functions.VectorOps.dotProduct(col("xf"), col("f")).as("score"))
+      .join(panel.select(col("uid"), col("iid").as("item")),
         Seq("uid", "item"), "left_anti")
     val topk = scored
       .withColumn("rn", row_number().over(
@@ -3589,13 +3621,14 @@ object Recommend {
   // panel × one user-factor scan; nothing is O(catalog).
   def r51(s: SparkSession, d: String): DataFrame = {
     val model = alsModel(s, d)
-    val users = model.userFactors // (id int, features array<float>)
+    // (id int, f array<double>) — pre-cast + pinned, shared with r48
+    val users = factorPanel(s, d, "user")
     val rank = 8
     val gram = (0 until rank).flatMap(i => (0 until rank).map(j => (i, j)))
-    def f(c: Column, i: Int) = element_at(c, i + 1).cast("double")
+    def f(c: Column, i: Int) = element_at(c, i + 1)
     // XtX: one 64-sum aggregate over all user factors
     val xtxCols = gram.map { case (i, j) =>
-      sum(f(col("features"), i) * f(col("features"), j)).as(s"xx_${i}_$j") }
+      sum(f(col("f"), i) * f(col("f"), j)).as(s"xx_${i}_$j") }
     val xtx = users.agg(xtxCols.head, xtxCols.tail: _*).collect()(0)
     val ratings = Ratings.implicitRatings(s, d)
       .select(col("user_id").cast("int").as("uid"),
@@ -3606,13 +3639,15 @@ object Recommend {
     // user base — O(SF²) (48× for 10× data in the round-10 soak). The
     // cap covers the full part key range at every gate SF (partkey ≤
     // 20000 at sf0.1) so gated results are bit-identical.
-    val panel = ratings.filter(col("iid") % 89 === 0 && col("iid") <= 20000)
+    // Pinned (round 14) — same three-consumer reasoning as r48's.
+    val panel = Iterate.pin(
+      ratings.filter(col("iid") % 89 === 0 && col("iid") <= 20000))
     // per-item Gram contributions and rhs, one join + one agg
     val itemCols = gram.map { case (i, j) =>
-      sum(col("r") * f(col("features"), i) * f(col("features"), j))
+      sum(col("r") * f(col("f"), i) * f(col("f"), j))
         .as(s"g_${i}_$j") } ++
       (0 until rank).map(i =>
-        sum((lit(1.0) + col("r")) * f(col("features"), i)).as(s"b_$i")) :+
+        sum((lit(1.0) + col("r")) * f(col("f"), i)).as(s"b_$i")) :+
       // MLlib scales the ridge term by the item's positive-rating
       // count (numExplicits · regParam in its solver), not a flat λ —
       // a flat λ passed the 0.999 gate only because the all-users XtX
@@ -3654,9 +3689,8 @@ object Recommend {
     // already-interacting users anti-joined BEFORE ranking
     val scored = foldedDf.crossJoin(users)
       .select(col("iid"), col("id").as("cand_user"),
-        graft.functions.VectorOps.dotProduct(col("yf"),
-          expr("transform(features, v -> CAST(v AS DOUBLE))")).as("score"))
-      .join(ratings.select(col("iid"), col("uid").as("cand_user")),
+        graft.functions.VectorOps.dotProduct(col("yf"), col("f")).as("score"))
+      .join(panel.select(col("iid"), col("uid").as("cand_user")),
         Seq("iid", "cand_user"), "left_anti")
     val topk = scored
       .withColumn("rn", row_number().over(
