@@ -245,6 +245,7 @@ object Recommend {
       c.keys.filterNot(_.startsWith(prefix)).foreach(c.remove)
     }
     factorsCache.keys.filterNot(_.startsWith(prefix)).foreach(factorsCache.remove)
+    alsTop5Cache.keys.filterNot(_.startsWith(prefix)).foreach(alsTop5Cache.remove)
     gridCache.keys.filterNot(_.startsWith(prefix)).foreach(gridCache.remove)
     key
   }
@@ -296,20 +297,31 @@ object Recommend {
   // mis-sorted list, or a seen-item leak hash-fails the round.
 
   /** The exact top-5-unseen-per-user list itself (RecommendSpec gates
-    * it row-wise; r16 measures ANN overlap against it). */
-  def alsTop5(s: SparkSession, d: String): DataFrame = {
-    val model = alsModel(s, d)
-    val recs = model.recommendForAllUsers(20)
-      .select(col("user_id"), explode(col("recommendations")).as("rec"))
-      .select(col("user_id"), col("rec.item_id").as("item_id"),
-        col("rec.rating").as("score"))
-    val seen = Ratings.implicitRatings(s, d).select("user_id", "item_id")
-    val unseen = recs.join(seen, Seq("user_id", "item_id"), "left_anti")
-    val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("item_id"))
-    unseen.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("user_id", "rank", "item_id", "score")
-  }
+    * it row-wise; r16 measures ANN overlap against it). Memoized like
+    * [[evalRecs]] (round 14): recommendForAllUsers is MLlib's blocked
+    * factor cross — ~3 s per evaluation at sf0.1 — and every r06 run
+    * plus r16's overlap join re-ran it; one materialization per
+    * (session, dataset), cleared at family boundaries with the rest. */
+  private val alsTop5Cache = Memo.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  def alsTop5(s: SparkSession, d: String): DataFrame =
+    alsTop5Cache.getOrElseUpdate(memoKey(s, d), {
+      val model = alsModel(s, d)
+      val recs = model.recommendForAllUsers(20)
+        .select(col("user_id"), explode(col("recommendations")).as("rec"))
+        .select(col("user_id"), col("rec.item_id").as("item_id"),
+          col("rec.rating").as("score"))
+      val seen = Ratings.implicitRatings(s, d).select("user_id", "item_id")
+      val unseen = recs.join(seen, Seq("user_id", "item_id"), "left_anti")
+      val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("item_id"))
+      val top5 = unseen.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("user_id", "rank", "item_id", "score")
+        .persist(StorageLevel.MEMORY_AND_DISK) // spill, never re-execute
+      top5.count() // materialize NOW — consumers must hit the cache
+      top5
+    })
 
   def r06(s: SparkSession, d: String): DataFrame = {
     val top5 = alsTop5(s, d)
@@ -978,11 +990,13 @@ object Recommend {
   /** Build the ANN index once, serve top-5 at two probe depths:
     * 2-cell approximate for ALL users, all-cell exact for the panel. */
   private def annPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val model = alsModel(s, d)
     val dot = graft.functions.VectorOps.dotProduct _
     val sq = (c: Column) => dot(c, c)
-    val items = model.itemFactors
-      .select(col("id").as("item_id"), col("features").cast("array<double>").as("f"))
+    // factor frames via the shared pinned double panels (round 14):
+    // the index build and the user side each re-traversed the model's
+    // ~15-stage cached-RDD lineage per run otherwise
+    val items = factorPanel(s, d, "item")
+      .select(col("id").as("item_id"), col("f"))
       .withColumn("n2", sq(col("f")))
     val itemsAug = items
       .crossJoin(broadcast(items.agg(max(col("n2")).as("m2"))))
@@ -1051,8 +1065,8 @@ object Recommend {
       .groupBy("item_id")
       .agg(min(struct(col("d2"), col("cent_id"), col("f"))).as("mn"))
       .select(col("item_id"), col("mn.cent_id").as("cell"), col("mn.f").as("fi"))
-    val users = model.userFactors
-      .select(col("id").as("user_id"), col("features").cast("array<double>").as("fu"))
+    val users = factorPanel(s, d, "user")
+      .select(col("id").as("user_id"), col("f").as("fu"))
       .withColumn("fa", concat(col("fu"), array(lit(0.0))))
     val seen = Ratings.implicitRatings(s, d).select("user_id", "item_id")
     // The fan-out (users × probed-cell items) must never hit a sort
@@ -1861,11 +1875,14 @@ object Recommend {
   // else is keyed aggs.
   def r26(s: SparkSession, d: String): DataFrame = {
     // distinct (user, item) incidence off the CACHED interaction
-    // artifact (taggedInteractions) — r26 reads ui four times (panel
-    // side, partner side, candidate expansion, seen-filter); deriving
-    // it from the memoized cache costs one in-memory projection per
-    // read instead of four orders⋈lineitem joins
-    val ui = taggedInteractions(s, d).select("user_id", "item_id").distinct()
+    // artifact (taggedInteractions) — r26 reads ui five times (degree
+    // agg, both co-rating sides, candidate expansion, seen-filter).
+    // PINNED (round 14): deriving from the cache still re-ran the
+    // DISTINCT shuffle per consumer (per-job profile: five concurrent
+    // 1–1.8 s two-stage jobs, one per subtree); one materialization
+    // serves all five reads.
+    val ui = Iterate.pin(
+      taggedInteractions(s, d).select("user_id", "item_id").distinct())
     val nItems = ui.groupBy(col("user_id").as("uid")).agg(count(lit(1)).as("n_items"))
     val co = ui.filter(col("user_id") < 30)
       .select(col("user_id").as("u"), col("item_id"))
