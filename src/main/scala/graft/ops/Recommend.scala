@@ -3010,26 +3010,29 @@ object Recommend {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val wDesc = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val seq = o.withColumn("nxt", lead(col("o_orderkey"), 1).over(wAsc))
-      .withColumn("rnd", row_number().over(wDesc))
-    val li = Ratings.orderItems(s, d)
+    // Round 14: the shared LEAVES are pinned, not the big intermediate.
+    // Per-job profile showed six concurrent ~1.4 s two-stage jobs — the
+    // seq window (3 consumers) and the orderItems distinct (4
+    // consumers) re-ran once per branch; AQE's ReusedExchange shares a
+    // shuffle only within one job, and the closers are separate
+    // actions. `scores` itself stays unpinned (measured in r13:
+    // materializing the wide user×candidate frame times 5% SLOWER).
+    val seq = Iterate.pin(o.withColumn("nxt", lead(col("o_orderkey"), 1).over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc)))
+    val li = Iterate.pin(Ratings.orderItems(s, d))
     val trans = seq.filter(col("nxt").isNotNull && col("rnd") =!= 2)
       .join(li.as("a"), col("o_orderkey") === col("a.l_orderkey"))
       .join(li.as("b"), col("nxt") === col("b.l_orderkey"))
       .groupBy(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
       .agg(count(lit(1)).as("cnt"))
-    val src = seq.filter(col("rnd") === 2)
+    val src = Iterate.pin(seq.filter(col("rnd") === 2)
       .join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("user"), col("l_partkey").as("i"))
-    // NOT pinned, measured deliberately: the closers branch from src/
-    // scores, but AQE's ReusedExchange already shares the transition
-    // double-join's shuffle across branches — localCheckpoint here
-    // costs an extra eager materialization and times 5% SLOWER
+      .select(col("o_custkey").as("user"), col("l_partkey").as("i")))
     val scores = src.join(trans, Seq("i"))
       .groupBy("user", "j").agg(sum(col("cnt")).as("score"))
     val wTop = Window.partitionBy("user").orderBy(col("score").desc, col("j"))
-    val top = scores.withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 5)
+    val top = Iterate.pin(scores.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5))
     val tst = seq.filter(col("rnd") === 1)
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("user"), col("l_partkey").as("j"))
@@ -3044,11 +3047,15 @@ object Recommend {
   }
 
   def r43(s: SparkSession, d: String): DataFrame = {
-    val (src, scores, top, tst) = r43Parts(s, d)
+    val (src, _, top, tst) = r43Parts(s, d)
     val hits = top.join(tst, Seq("user", "j"))
       .groupBy("user").agg(min(col("rk")).as("best_rk"))
     val nEval = src.agg(count_distinct(col("user")).as("n_eval"))
-    val nScored = scores.agg(count_distinct(col("user")).as("n_scored"))
+    // n_scored off the PINNED top-5 frame: row_number emits rk=1 for
+    // every user present in `scores`, so the distinct-user sets are
+    // identical — and this closer then reads ≤5 rows/user instead of
+    // re-running the full user×candidate aggregation
+    val nScored = top.agg(count_distinct(col("user")).as("n_scored"))
     val h = hits.agg(count(lit(1)).as("hit5"),
       count(when(col("best_rk") === 1, lit(1))).as("hit1"))
     nEval.crossJoin(broadcast(nScored)).crossJoin(broadcast(h))
@@ -3297,11 +3304,14 @@ object Recommend {
   // order count.
   def r45(s: SparkSession, d: String): DataFrame = {
     val oi = Ratings.orderItems(s, d)
-    val oc = oi.join(Tables.orders(s, d)
+    // pinned (round 14): oc feeds three subtrees (the cb distinct and
+    // both sides of the same-basket self-join) — unpinned, each re-ran
+    // the orders⋈orderItems build
+    val oc = Iterate.pin(oi.join(Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey").as("cust")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("ord"), col("cust"),
-        col("l_partkey").as("item"))
+        col("l_partkey").as("item")))
     val cb = oc.select("cust", "item").distinct()
     val bothP = cb.as("a").join(cb.as("b"),
         col("a.cust") === col("b.cust") && col("a.item") < col("b.item"))
